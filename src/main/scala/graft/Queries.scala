@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Central registry wiring every SURVEY §2 operator to a named query
+  * plus (where SQL-expressible) a DuckDB oracle on the same parquet
+  * tables.
+  *
+  * Determinism rules (SURVEY §4): money sums are exact-decimal sums
+  * cast to double in BOTH engines; `events.ts` is epoch-nanos long in
+  * Spark (`nanosAsLong`) matched by `epoch_ns(ts)` in DuckDB; output
+  * column names identical on both sides.
+  */
+object Queries {
+
+  final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+  /** decimal-exact revenue term, shared by several oracles. */
+  private val revSql =
+    "cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
+
+  /** DuckDB view of events with ts as epoch-nanos (matches Spark). */
+  private val eventsNs =
+    "select event_id, epoch_us(ts) as ts, user_id, event_type, value, props from events"
+
+  val all: Seq[Q] = Seq(
+
+    // ---------- C. Gold aggregates ----------
+    Q("q1_pricing",
+      (s, d) => Gold.q1Pricing(Tables(s, d).lineitem),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+          cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as sum_base_price,
+          cast(sum($revSql) as double) as sum_disc_price,
+          cast(sum($revSql * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))) as double) as sum_charge,
+          count(*) as count_order,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) as avg_qty,
+          cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / count(*) as avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    Q("gold_region_sales",
+      (s, d) => {
+        val t = Tables(s, d)
+        Gold.regionSales(t.lineitem, t.orders, t.customer, t.nation, t.region)
+      },
+      Some(s"""
+        SELECT r_name as region, strftime(o_orderdate, '%Y-%m') as sales_month,
+          cast(sum($revSql) as double) as total_sales,
+          count(distinct o_orderkey) as number_of_sales
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2"""),
+      headline = true),
+
+    Q("gold_top_customers",
+      (s, d) => {
+        val t = Tables(s, d)
+        Gold.topCustomers(t.lineitem, t.orders, t.customer)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, c_nationkey,
+          cast(sum($revSql) as double) as total_spend
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3"""),
+      headline = true),
+
+    Q("rank_topk",
+      (s, d) => {
+        val t = Tables(s, d)
+        Gold.rankTopK(t.lineitem, t.orders, t.customer, t.nation)
+      },
+      Some(s"""
+        WITH spend AS (
+          SELECT c_custkey, c_name, c_nationkey,
+            cast(sum($revSql) as double) as total_spend
+          FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2, 3)
+        SELECT nation, customer_name, customer_spend, customer_rank FROM (
+          SELECT n_name as nation, c_name as customer_name,
+            total_spend as customer_spend,
+            rank() OVER (PARTITION BY n_name
+                         ORDER BY total_spend DESC, c_custkey) as customer_rank
+          FROM spend JOIN nation ON c_nationkey = n_nationkey)
+        WHERE customer_rank <= 3""")),
+
+    Q("gold_order_priority",
+      (s, d) => {
+        val t = Tables(s, d)
+        Gold.orderPriority(t.lineitem, t.orders)
+      },
+      Some("""
+        SELECT o_orderpriority,
+          count(distinct o_orderkey) as order_count,
+          count(*) as line_count,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double) as total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""")),
+
+    // ---------- B. Medallion ETL ----------
+    Q("silver_dim_customer",
+      (s, d) => {
+        val t = Tables(s, d)
+        Medallion.silverDimCustomer(t.customer, t.nation, t.region)
+      },
+      Some("""
+        SELECT concat_ws('-', n_name, cast(c_custkey as varchar)) as unique_id,
+          c_custkey, c_name, c_mktsegment, n_name as nation_name,
+          CASE WHEN r_name IN ('ASIA', 'AFRICA') THEN 'APJ-EMEA-SOUTH'
+               WHEN r_name IN ('EUROPE', 'MIDDLE EAST') THEN 'EMEA'
+               ELSE 'AMER' END as region_code
+        FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey""")),
+
+    Q("dedup_latest",
+      (s, d) => Medallion.dedupLatest(Tables(s, d).events,
+        key = "user_id", orderCol = "ts", tieBreaker = "event_id"),
+      Some(s"""
+        SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn
+          FROM ($eventsNs))
+        WHERE rn = 1"""),
+      headline = true),
+
+    Q("row_hash",
+      (s, d) => Medallion.withRowHash(Tables(s, d).nation,
+        Seq("n_nationkey", "n_name", "n_regionkey")),
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey,
+          sha256(concat_ws('||', n_nationkey, n_name, n_regionkey)) as row_hash
+        FROM nation""")),
+
+    Q("explode_items",
+      (s, d) => Medallion.explodeItems(Tables(s, d).documents),
+      Some("""
+        SELECT concat_ws('-', cast(doc_id as varchar), cast(item_number as varchar)) as id,
+          doc_id, item_number, token
+        FROM (
+          SELECT doc_id,
+            unnest(string_split(text, ' ')) as token,
+            generate_subscripts(string_split(text, ' '), 1) - 1 as item_number
+          FROM documents)"""),
+      headline = true),
+
+    Q("merge_upsert",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val base = Medallion.dedupLatest(ev.filter(col("event_id") % 2 === 0),
+          "user_id", "ts", "event_id")
+        val updates = Medallion.dedupLatest(ev.filter(col("event_id") % 2 === 1),
+          "user_id", "ts", "event_id")
+        Medallion.mergeUpsert(base, updates, Seq("user_id"))
+      },
+      Some(s"""
+        WITH e AS ($eventsNs),
+        base AS (SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn
+          FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+        upd AS (SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn
+          FROM e WHERE event_id % 2 = 1) WHERE rn = 1)
+        SELECT b.* FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = b.user_id)
+        UNION ALL
+        SELECT * FROM upd""")),
+
+    Q("scd2_history",
+      (s, d) => Medallion.scd2History(Tables(s, d).events,
+        key = "user_id", orderCol = "ts", versionCol = "event_id"),
+      Some(s"""
+        SELECT *,
+          lead(version, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) as valid_to_version,
+          (lead(version, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) as is_current
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) as version
+          FROM ($eventsNs))""")),
+
+    // ---------- A. Ingestion ----------
+    Q("json_extract",
+      (s, d) => Tables(s, d).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")),
+      Some("""
+        SELECT event_type,
+          cast(sum(cast(props->>'k' as bigint)) as bigint) as sum_k,
+          count(*) as n
+        FROM events GROUP BY 1"""))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+
+  def headlines: Seq[Q] = all.filter(_.headline)
+}

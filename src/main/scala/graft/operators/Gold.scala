@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Gold-layer rollups — Spark-native re-expressions of the reference's
+  * gold tables (reference: `2 Medaillon architecture.py`:558-599 and
+  * `4  Delta Live Tables (SQL).sql`:177-201: country/monthly sales,
+  * top customers, rank-top-3).
+  *
+  * Determinism: money columns are cast to exact decimals BEFORE
+  * aggregation (doubles sum non-deterministically across partition
+  * orders and engines; decimals are exact in both Spark and DuckDB).
+  * Averages are emitted as `cast(exact_sum as double) / count` — a
+  * single bit-identical division.
+  *
+  * Scale: dimension tables (region/nation/customer) are broadcast; the
+  * only shuffles are the fact-side aggregations. All expressions are
+  * `functions._`-based → whole-stage codegen.
+  */
+object Gold {
+
+  /** price/qty → exact decimal: values are 2-dp, < 1e10. */
+  private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** small factors (discount/tax in [0,1]) → exact decimal. */
+  private def factor(c: Column): Column = c.cast(DecimalType(4, 2))
+  private val one = lit(1).cast(DecimalType(4, 2))
+
+  /** `l_extendedprice * (1 - l_discount)` as an exact decimal(17,4). */
+  def revenue(price: Column, discount: Column): Column =
+    money(price) * (one - factor(discount))
+
+  /** TPC-H-Q1-style pricing summary on lineitem (the reference's
+    * gold-aggregate pattern applied to the testdata fact table). */
+  def q1Pricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")) *
+          (one + factor(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_price",
+        col("sum_base_price").cast("double") / col("count_order"))
+
+  /** Revenue by region × month (≈ gold_country_sales: country_code ×
+    * sales_month, total_sales, number_of_sales). Dims broadcast. */
+  def regionSales(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, nation: DataFrame,
+                  region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("sales_month"))
+      .agg(
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("total_sales"),
+        countDistinct(col("o_orderkey")).as("number_of_sales"))
+
+  /** Spend per customer (≈ gold_top_customers: store × customer × name
+    * × total_spend). Customer dim broadcast. */
+  def topCustomers(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("total_spend"))
+
+  /** Top-3 customers per nation by spend (≈ the reference's
+    * `rank() over (partition by store_id order by total_spend desc)
+    * where customer_rank <= 3`). */
+  def rankTopK(lineitem: DataFrame, orders: DataFrame,
+               customer: DataFrame, nation: DataFrame,
+               k: Int = 3): DataFrame = {
+    val spend = topCustomers(lineitem, orders, customer)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+    spend
+      .withColumn("customer_rank", rank().over(w))
+      .filter(col("customer_rank") <= k)
+      .select(col("n_name").as("nation"), col("c_name").as("customer_name"),
+        col("total_spend").as("customer_spend"), col("customer_rank"))
+  }
+
+  /** Orders × lineitem rollup by priority (count-distinct pattern from
+    * the reference gold tables). */
+  def orderPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        count(lit(1)).as("line_count"),
+        sum(money(col("l_quantity"))).cast("double").as("total_qty"))
+}
