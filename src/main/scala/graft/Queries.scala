@@ -196,6 +196,113 @@ object Queries {
             ORDER BY ts, event_id) as version
           FROM ($eventsNs))""")),
 
+    // ---------- G. LLM-pipeline: dedup ----------
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(Tables(s, d).documents),
+      Some("""
+        SELECT sha256(text) as text_hash, min(doc_id) as keep_doc_id,
+          count(*) as n_copies
+        FROM documents GROUP BY 1""")),
+
+    Q("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(Tables(s, d).documents),
+      None, headline = true),
+
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
+      None),
+
+    Q("ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(Tables(s, d).documents),
+      None),
+
+    Q("dedup_embedding",
+      (s, d) => Dedup.embeddingNearDup(Tables(s, d).embeddings,
+        threshold = 0.35),
+      Some("""
+        WITH e AS (SELECT vec_id, label, cast(embedding as double[]) as emb
+                   FROM embeddings)
+        SELECT a.vec_id as id_a, b.vec_id as id_b, a.label,
+          list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) *
+             sqrt(list_dot_product(b.emb, b.emb))) as cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) *
+             sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""")),
+
+    // ---------- H. LLM-pipeline: similarity search ----------
+    Q("ann_bruteforce",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id as query_id, cast(embedding as double[]) as q_emb
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id as neighbor_id, cast(embedding as double[]) as emb
+              FROM embeddings)
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) as rank, cosine
+          FROM (SELECT query_id, neighbor_id,
+              list_dot_product(q_emb, emb) /
+                (sqrt(list_dot_product(q_emb, q_emb)) *
+                 sqrt(list_dot_product(emb, emb))) as cosine
+            FROM q JOIN c ON neighbor_id != query_id))
+        WHERE rank <= 5"""),
+      headline = true),
+
+    Q("ann_lsh",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annLsh(emb, emb.filter(col("vec_id") < 8), dim = 64)
+      },
+      None),
+
+    // ---------- I. LLM-pipeline: text analysis ----------
+    Q("lang_id",
+      (s, d) => TextAnalysis.langId(Tables(s, d).documents),
+      None),
+
+    Q("text_quality",
+      (s, d) => TextAnalysis.quality(Tables(s, d).documents),
+      Some("""
+        SELECT doc_id,
+          cast(length(text) as double) as n_chars_measured,
+          cast(len(string_split(text, ' ')) as double) as n_tokens,
+          cast(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) as double)
+            / cast(length(text) as double) as punct_ratio,
+          cast(len(list_filter(string_split(text, ' '),
+              t -> t in ('the','a','of','and','to','in','is','it'))) as double)
+            / cast(len(string_split(text, ' ')) as double) as stopword_ratio,
+          (cast(length(text) as double) - cast(len(string_split(text, ' ')) as double) + 1)
+            / cast(len(string_split(text, ' ')) as double) as mean_token_len,
+          least(cast(len(string_split(text, ' ')) as double) / 100.0, 1.0)
+            * (1.0 - cast(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) as double)
+                / cast(length(text) as double))
+            * least(cast(len(list_filter(string_split(text, ' '),
+                t -> t in ('the','a','of','and','to','in','is','it'))) as double)
+                / cast(len(string_split(text, ' ')) as double) * 4.0, 1.0)
+            as quality_score
+        FROM documents"""),
+      headline = true),
+
+    Q("token_count",
+      (s, d) => TextAnalysis.tokenCount(Tables(s, d).documents),
+      Some("""
+        SELECT doc_id,
+          len(string_split(text, ' ')) as n_ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+            as n_bpe_tokens,
+          length(text) as n_chars_measured
+        FROM documents""")),
+
+    Q("doc_fingerprint",
+      (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
+      None),
+
     // ---------- A. Ingestion ----------
     Q("json_extract",
       (s, d) => Tables(s, d).events

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB posture):
+  *  - signature computation (minhash/simhash/shingles) is map-only —
+  *    one pass over the corpus, no shuffle, all codegen'd
+  *    higher-order functions (no UDFs);
+  *  - candidate generation shuffles ONLY on small (band, bucket) /
+  *    chunk keys — never a full cross join;
+  *  - verification runs only on candidate pairs (two semi-local
+  *    joins back to the corpus for token sets).
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  // ---------- exact ----------
+
+  /** Exact dedup via content hash: one shuffle on sha2(text).
+    * (hash-groupBy pattern; keeps the lowest doc_id per group). */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  // ---------- shingling ----------
+
+  /** Word k-shingles as strings; whole-doc fallback when shorter
+    * than k tokens. Map-only. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** numPerm-wide MinHash signature: sig[i] = min over shingles of
+    * murmur3(shingle, i). Map-only, codegen'd. */
+  def minhashSignature(sh: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      i => array_min(transform(sh, s => VectorFunctions.permutedHash(s, i))))
+
+  /** (doc_id, band_id, band_hash) — one row per band per doc.
+    * bands × rowsPerBand must equal the signature width. */
+  def lshBands(docs: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col(sigCol), j * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band_id", "band_hash")))
+
+  /** Candidate pairs: docs sharing ≥1 LSH bucket. Shuffles on
+    * (band_id, band_hash) only. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band_id"), col("band_hash"),
+      col(idCol).as("id_a"))
+    val b = bands.select(col("band_id"), col("band_hash"),
+      col(idCol).as("id_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** token-set Jaccard between candidate pairs: join candidates back
+    * to the corpus for distinct-token sets, then
+    * |∩| / |∪| — verification touches only candidates. */
+  def jaccardVerify(candidates: DataFrame, documents: DataFrame,
+                    shingleK: Int): DataFrame = {
+    val sets = documents.select(col("doc_id"),
+      array_distinct(shingles(col("text"), shingleK)).as("sset"))
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * bucket-join → Jaccard verify ≥ threshold. */
+  def minhashLsh(documents: DataFrame, shingleK: Int = 3,
+                 numPerm: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val signed = documents.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+    val cands = lshCandidates(
+      lshBands(signed, "doc_id", "sig", bands, numPerm / bands), "doc_id")
+    jaccardVerify(cands, documents, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** n-gram Jaccard similarity over LSH candidates (reported even
+    * below dedup threshold — similarity analysis surface). */
+  def ngramJaccard(documents: DataFrame, shingleK: Int = 3,
+                   numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    val signed = documents.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+    val cands = lshCandidates(
+      lshBands(signed, "doc_id", "sig", bands, numPerm / bands), "doc_id")
+    jaccardVerify(cands, documents, shingleK)
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash packed as 4 × 16-bit chunk values (array<int>),
+    * (doc_id, chunks). The bit-i majority is
+    * sign(Σ_tokens (2·bit_i(xxhash64(tok)) − 1)); chunk c packs bits
+    * 16c..16c+15 MSB-first. Chunked form feeds the pigeonhole
+    * candidate join directly: two docs within hamming distance 3
+    * share at least one of 4 chunks. Map-only, no UDF. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    // shiftright with a COLUMN shift amount needs call_function (the
+    // Scala functions.shiftright only accepts a literal Int)
+    def bitOf(tok: Column, i: Column): Column =
+      call_function("shiftright", xxhash64(tok), i).bitwiseAND(1)
+    val chunks = transform(sequence(lit(0), lit(3)), c =>
+      aggregate(
+        // MSB-first over the 16 bits of this chunk
+        sequence(c * 16 + 15, c * 16, lit(-1)),
+        lit(0),
+        (acc, i) => acc * 2 + when(
+          aggregate(t, lit(0), (cnt, tok) =>
+            cnt + when(bitOf(tok, i) === 1, 1).otherwise(-1)) > 0, 1)
+          .otherwise(0)))
+    documents.select(col("doc_id"), chunks.as("chunks"))
+  }
+
+  /** hamming distance between two 4-chunk simhashes. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      bit_count(x.bitwiseXOR(y).cast("long"))), lit(0L), _ + _)
+
+  /** SimHash near-dup pairs within `maxHamming`: pigeonhole join on
+    * any equal 16-bit chunk (shuffle on (chunk_idx, value) only),
+    * then exact hamming verify. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val chunks = sh.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+    val cands = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("id_a"))
+      .join(chunks.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("id_b")), Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("chunks").as("ch_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("chunks").as("ch_b")), "id_b")
+      .withColumn("hamming", hamming(col("ch_a"), col("ch_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------- embedding cosine ----------
+
+  /** Exact near-dup pairs by embedding cosine ≥ threshold, blocked on
+    * `label` (standard blocking: only intra-block pairs compared —
+    * at 100 TB the block key comes from a coarse quantizer / LSH;
+    * see Similarity.annLsh for the signature variant). */
+  def embeddingNearDup(embeddings: DataFrame,
+                       threshold: Double = 0.95): DataFrame = {
+    val a = embeddings.select(col("label"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("label"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("label"), col("cosine"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: queries are a SMALL set (broadcast); the corpus is
+  * scanned exactly once. Brute-force ranks with a per-query window
+  * (shuffle keyed on query_id — #partitions = #queries, so the
+  * shuffle is tiny); the LSH variant prunes the corpus to matching
+  * hyperplane-signature buckets first, which is the 100 TB path
+  * (bucket join instead of full scan per query).
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every (query × corpus) similarity, ranked
+    * per query. `queries` must be broadcast-small. */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame,
+                    k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(dot(v, h_i)) where
+    * h_i components are derived from a deterministic integer hash
+    * (no RNG state — reproducible across runs/executors). Packs
+    * `bits` bits into an int. Map-only. */
+  def hyperplaneSignature(emb: org.apache.spark.sql.Column,
+                          dim: Int, bits: Int): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) => {
+      // pseudo-hyperplane component for (bit i, dim j):
+      //   ((murmur3(i*dim + j) mod 2001) - 1000) / 1000  ∈ [-1, 1]
+      val dotp = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (s, j) => s + element_at(VectorFunctions.toDoubleArray(emb), j + 1) *
+          ((pmod(hash(i * lit(dim) + j), lit(2001)) - 1000).cast("double") / 1000.0))
+      acc * 2 + when(dotp > 0, 1).otherwise(0)
+    })
+
+  /** LSH-bucketed ANN: corpus and queries hashed to hyperplane
+    * signature buckets; candidates = bucket collisions; exact cosine
+    * rank within candidates. Approximate — may miss neighbors whose
+    * signatures differ. */
+  def annLsh(corpus: DataFrame, queries: DataFrame, dim: Int,
+             bits: Int = 8, k: Int = 5): DataFrame = {
+    val sigOf = (d: DataFrame, idAs: String, embAs: String) =>
+      d.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        hyperplaneSignature(col("embedding"), dim, bits).as("bucket"))
+    val c = sigOf(corpus, "neighbor_id", "embedding")
+    val q = broadcast(sigOf(queries, "query_id", "q_emb"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "bucket", "rank", "cosine")
+  }
+}

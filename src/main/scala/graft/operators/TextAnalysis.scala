@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All map-only (no shuffle), all codegen'd `functions._` expressions
+  * — at 100 TB these run at scan speed with filter/column pruning
+  * reaching the parquet reader.
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenizer: letter runs | single digits | single
+    * non-alnum. RE2-compatible (same semantics in the DuckDB oracle). */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  private def wsTokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace + BPE-ish regex token counts per document. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(wsTokens(col("text"))).as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+        .as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_measured"))
+
+  /** Stopword list used by quality scoring + language ID. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality heuristics: length, punctuation ratio, stopword ratio,
+    * mean token length, composite score. Single projection. */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+      .cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+      .cast("double")
+    documents.select(col("doc_id"),
+      nChars.as("n_chars_measured"),
+      nTok.as("n_tokens"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nStop / nTok).as("stopword_ratio"),
+      ((nChars - nTok + 1) / nTok).as("mean_token_len"),
+      // higher = better: long docs with few punct chars and a natural
+      // stopword rate score high
+      (least(nTok / 100.0, lit(1.0)) * (lit(1.0) - nPunct / nChars) *
+        least(nStop / nTok * 4.0, lit(1.0))).as("quality_score"))
+  }
+
+  /** Per-language marker profiles for the n-gram/stopword heuristic
+    * language ID (deterministic, no model). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu"))
+
+  /** Heuristic language ID: marker-hit counts per language, argmax
+    * with lexicographic tie-break. Emits per-language scores too. */
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = LangMarkers.foldLeft(
+      documents.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (l, markers)) =>
+        df.withColumn(s"score_$l",
+          size(filter(wsTokens(col("text")), t => t.isInCollection(markers))))
+    }
+    val best = LangMarkers.map { case (l, _) =>
+      struct(col(s"score_$l").as("s"), lit(l).as("l"))
+    }
+    scored.withColumn("predicted_lang",
+      // argmax by (score, reverse-lexicographic lang) → greatest picks
+      // highest score; ties resolve to lexicographically LAST lang —
+      // deterministic either way
+      greatest(best: _*).getField("l"))
+      .drop("text")
+  }
+
+  /** Rabin-Karp winnowing fingerprints: hash every k-gram, keep the
+    * window-min hash of each w-length window, distinct per doc.
+    * (Winnowing: local algorithms for document fingerprinting —
+    * guarantees any shared substring ≥ w+k−1 tokens shares a
+    * fingerprint.) One row per (doc_id, fingerprint). */
+  def fingerprints(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = Dedup.shingles(col("text"), k)
+    val hashes = transform(grams, g => xxhash64(g))
+    val mins = when(size(hashes) >= w,
+      transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w)))))
+      .otherwise(array(array_min(hashes)))
+    documents.select(col("doc_id"),
+      explode(array_distinct(mins)).as("fingerprint"))
+  }
+}

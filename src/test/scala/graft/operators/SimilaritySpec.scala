@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("annBruteForce returns k ranked neighbors per query") {
+    val emb = tables.embeddings
+    val out = Similarity.annBruteForce(emb, emb.filter(col("vec_id") < 4), k = 5)
+    val counts = out.groupBy("query_id").count().collect()
+    assert(counts.length == 4 && counts.forall(_.getAs[Long]("count") == 5))
+    // ranks are 1..5 and cosine non-increasing within each query
+    val rows = out.orderBy("query_id", "rank").collect()
+    rows.grouped(5).foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+      val sims = g.map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("a vector's top-1 neighbor of itself-in-corpus is itself (sanity via self-inclusion)") {
+    val emb = tables.embeddings
+    // query vec 0 against a corpus containing a copy of it under id -1
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(-1L)))
+    val out = Similarity.annBruteForce(corpus,
+      emb.filter(col("vec_id") === 0), k = 1)
+    val top = out.collect().head
+    assert(top.getAs[Long]("neighbor_id") == -1L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("annLsh candidates are a subset of brute-force scoring universe") {
+    val emb = tables.embeddings
+    val out = Similarity.annLsh(emb, emb.filter(col("vec_id") < 4), dim = 64)
+    assert(out.count() > 0)
+    assert(out.filter(col("rank") > 5).count() == 0)
+    // recall sanity: every returned neighbor shares the query bucket
+    assert(out.filter(col("neighbor_id") === col("query_id")).count() == 0)
+  }
+}
