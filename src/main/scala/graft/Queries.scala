@@ -303,7 +303,112 @@ object Queries {
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
       None),
 
+    // ---------- D. Data quality ----------
+    Q("expectations",
+      (s, d) => Expectations.metrics(Tables(s, d).events,
+        Expectations.EventSuite),
+      Some {
+        val cases = Seq(
+          ("value is non-negative", "value >= 0"),
+          ("value within sane bound", "value <= 400"),
+          ("event_type is known",
+            "event_type in ('click','view','purchase','signup','error')"),
+          ("no error events", "event_type <> 'error'"),
+          ("user present", "user_id is not null"))
+        cases.map { case (n, p) =>
+          s"""SELECT '$n' as constraint_name,
+             sum(case when $p then 1 else 0 end) as passed_records,
+             sum(case when $p then 0 else 1 end) as failed_records
+             FROM events"""
+        }.mkString("\nUNION ALL\n")
+      }),
+
+    Q("expectations_drop",
+      (s, d) => Expectations.dropInvalid(Tables(s, d).events,
+        Expectations.EventSuite),
+      Some(s"""
+        SELECT * FROM ($eventsNs)
+        WHERE value >= 0 AND value <= 400
+          AND event_type in ('click','view','purchase','signup','error')
+          AND event_type <> 'error' AND user_id is not null""")),
+
+    // ---------- E. Streaming batch-analogs ----------
+    Q("event_window_agg",
+      (s, d) => graft.streaming.Streams.windowAgg(
+        Tables(s, d).eventsTimestamped, watermark = None),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) as window_start_us,
+          event_type, count(*) as n_events,
+          cast(sum(cast(value as decimal(12,2))) as double) as total_value
+        FROM events GROUP BY 1, 2"""),
+      headline = true),
+
+    Q("sessionize",
+      (s, d) => graft.streaming.Streams.sessionizeBatch(
+        Tables(s, d).events, gapUs = 1800000000L),
+      Some(s"""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id FROM events),
+        marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > 1800000000 THEN 1
+                 ELSE 0 END as new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as session_seq
+          FROM marked)
+        SELECT user_id, session_seq, min(ts) as session_start,
+          max(ts) as session_end, cast(count(*) as int) as n_events
+        FROM sess GROUP BY 1, 2""")),
+
+    // ---------- F. Maintenance (rows-only; layout asserted in specs) ----------
+    Q("compact_sorted_write",
+      (s, d) => {
+        val path = s"/tmp/graft_cache/compact_${new java.io.File(d).getName}"
+        Maintenance.writeClustered(Tables(s, d).lineitem, path,
+          Seq("l_shipdate", "l_orderkey"), numFiles = 8)
+        Maintenance.read(s, path)
+      }, None),
+
+    Q("partitioned_write",
+      (s, d) => {
+        val path = s"/tmp/graft_cache/part_${new java.io.File(d).getName}"
+        Maintenance.writePartitioned(Tables(s, d).events, path, "event_type")
+        Maintenance.read(s, path).filter(col("event_type") === "purchase")
+      }, None),
+
+    // ---------- J. Multimodal ----------
+    Q("multimodal_meta",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.decodeFeatures(Multimodal.asMedia(Tables(s, d).documents))
+          .toDF().select("media_id", "kind", "byte_len", "width", "height",
+            "n_frames")
+      }, None),
+
     // ---------- A. Ingestion ----------
+    Q("ingest_csv",
+      (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
+        "csv", s"/tmp/graft_cache/csv_${new java.io.File(d).getName}"),
+      Some("SELECT * FROM documents")),
+
+    Q("ingest_json",
+      (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
+        "json", s"/tmp/graft_cache/json_${new java.io.File(d).getName}"),
+      Some("SELECT * FROM documents")),
+
+    Q("ingest_parquet",
+      (s, d) => graft.sources.Ingest.parquetPruned(s,
+        s"$d/lineitem.parquet",
+        Seq("l_orderkey", "l_extendedprice", "l_shipdate"),
+        "l_shipdate >= timestamp'2000-01-01 00:00:00'"),
+      Some("""
+        SELECT l_orderkey, l_extendedprice, l_shipdate
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'""")),
+
     Q("json_extract",
       (s, d) => Tables(s, d).events
         .select(col("event_type"),

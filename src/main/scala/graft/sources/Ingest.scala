@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StringType}
+
+/** File-format ingestion (reference: `1 Data ingestion.py`:86-93 CSV
+  * options; `2 Medaillon architecture.py`:192-199 JSON; autoloader
+  * `_rescued_data` at :262-274).
+  *
+  * Always explicit-schema (schema inference is a full extra pass —
+  * never at 100 TB) with PERMISSIVE parsing: malformed records land
+  * in a `_rescued_data` column instead of failing the load, matching
+  * the autoloader's rescued-data behavior.
+  */
+object Ingest {
+
+  val RescueCol = "_rescued_data"
+
+  private def withRescue(schema: StructType): StructType =
+    if (schema.fieldNames.contains(RescueCol)) schema
+    else schema.add(RescueCol, StringType, nullable = true)
+
+  /** CSV with header/delimiter/quote controls (the reference's exact
+    * option set) + rescued-data capture. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ",",
+          quote: String = "\""): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("quote", quote)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", RescueCol)
+      .schema(withRescue(schema))
+      .csv(path)
+
+  /** JSON-lines with explicit schema + rescued-data capture. */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", RescueCol)
+      .schema(withRescue(schema))
+      .json(path)
+
+  /** Pruned/pushed parquet scan — the declarative path: Catalyst
+    * pushes `filterSql` and the column list into the reader. */
+  def parquetPruned(spark: SparkSession, path: String,
+                    columns: Seq[String], filterSql: String): DataFrame =
+    spark.read.parquet(path).filter(expr(filterSql))
+      .select(columns.map(col): _*)
+
+  /** Round-trip helper backing the `ingest_csv`/`ingest_json` oracle
+    * queries: materialize `df` in `format` under `cachePath`, read it
+    * back through the rescuing reader, drop the (all-null) rescue
+    * column so output matches the source table. */
+  def roundTrip(spark: SparkSession, df: DataFrame, format: String,
+                cachePath: String): DataFrame = {
+    val schema = df.schema
+    format match {
+      case "csv" =>
+        df.write.mode("overwrite").option("header", "true").csv(cachePath)
+        csv(spark, cachePath, schema).drop(RescueCol)
+      case "json" =>
+        df.write.mode("overwrite").json(cachePath)
+        json(spark, cachePath, schema).drop(RescueCol)
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Event row as carried by the streaming operators (`ts` =
+  * epoch-micros, matching graft.Tables.events). */
+final case class EventRow(event_id: Long, ts: Long, user_id: Long,
+                          event_type: String, value: Double, props: String)
+
+final case class SessionOut(user_id: Long, session_start: Long,
+                            session_end: Long, n_events: Int)
+
+private final case class SessionState(start: Long, last: Long, n: Int)
+
+/** Structured-Streaming re-expressions of the reference's incremental
+  * layer (autoloader ingestion at `2 Medaillon architecture.py`:262-274,
+  * INCREMENTAL LIVE TABLEs in notebook 4).
+  *
+  * Scale: file-source ingestion parallelizes per file; window
+  * aggregation shuffles on (window, key) with watermark-bounded state;
+  * sessionization state is per-user and evicted on timeout.
+  */
+object Streams {
+
+  /** Auto-loader analog: incremental file-source ingestion with
+    * explicit schema and per-file lineage (`source_file` ≈ the
+    * reference's `input_file_name()` bronze column). New files in
+    * `path` are picked up incrementally per trigger, exactly-once via
+    * the checkpoint. */
+  def fileIngest(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "json"): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", 32)
+      .load(path)
+      .withColumn("source_file", input_file_name())
+      .withColumn("inserted_at", current_timestamp())
+
+  /** Tumbling-window event counts with watermark (INCREMENTAL LIVE
+    * aggregate analog). `events` must have a TimestampType `ts`. */
+  def windowAgg(events: DataFrame, windowLen: String = "1 hour",
+                watermark: Option[String] = Some("2 hours")): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes after `gapUs` of inactivity; closed sessions are emitted
+    * append-mode. State per user, evicted on event-time timeout. */
+  def sessionize(events: Dataset[EventRow], gapUs: Long)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withColumn("ts_time", timestamp_micros(col("ts")))
+      .withWatermark("ts_time", "2 hours")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          sorted.foreach { e =>
+            st match {
+              case Some(s) if e.ts - s.last <= gapUs =>
+                st = Some(s.copy(last = e.ts, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.start, s.last, s.n)
+                st = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                st = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          if (state.hasTimedOut) {
+            st.foreach(s => closed += SessionOut(userId, s.start, s.last, s.n))
+            state.remove()
+          } else {
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000 + gapUs / 1000, "30 minutes")
+            }
+          }
+          closed.iterator
+      }
+  }
+
+  /** Batch analog of gap-based sessionization (oracle-checkable):
+    * session boundaries via lag(), session ids via a running sum,
+    * one aggregated row per session. Two window passes + one groupBy,
+    * all shuffled on user_id once. */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+  }
+}

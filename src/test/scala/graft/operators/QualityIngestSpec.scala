@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class QualityIngestSpec extends SparkSpec {
+
+  test("expectations metrics: one row per constraint, counters sum to total") {
+    val out = Expectations.metrics(tables.events, Expectations.EventSuite)
+      .collect()
+    val total = tables.events.count()
+    assert(out.length == Expectations.EventSuite.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("passed_records") +
+        r.getAs[Long]("failed_records") == total)
+    }
+    // 'no error events' must report failures on this dataset
+    val errs = out.find(_.getString(0) == "no error events").get
+    assert(errs.getAs[Long]("failed_records") > 0)
+  }
+
+  test("dropInvalid + quarantine partition the input") {
+    val suite = Expectations.EventSuite
+    val kept = Expectations.dropInvalid(tables.events, suite).count()
+    val quarantined = Expectations.quarantine(tables.events, suite).count()
+    assert(kept + quarantined == tables.events.count())
+    assert(quarantined > 0)
+  }
+
+  test("failOnViolation throws with constraint detail") {
+    val e = intercept[ExpectationViolation] {
+      Expectations.failOnViolation(tables.events, Expectations.EventSuite)
+    }
+    assert(e.getMessage.contains("no error events"))
+  }
+
+  test("csv ingest rescues malformed rows instead of failing") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "data.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id,qty"); w.println("1,10"); w.println("2,not_a_number")
+    w.println("3,30"); w.close()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("qty", LongType)))
+    // cache: Spark disallows querying only the corrupt-record column
+    // straight off a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val out = Ingest.csv(spark, f.getPath, schema).cache()
+    assert(out.count() == 3)
+    val rescued = out.filter(col(Ingest.RescueCol).isNotNull)
+    assert(rescued.count() == 1)
+    assert(rescued.head.getAs[String](Ingest.RescueCol).contains("not_a_number"))
+  }
+
+  test("json ingest rescues corrupt lines") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "data.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1, "qty": 10}"""); w.println("""{"id": 2, "qty":""")
+    w.close()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("qty", LongType)))
+    val out = Ingest.json(spark, f.getPath, schema).cache()
+    assert(out.count() == 2)
+    assert(out.filter(col(Ingest.RescueCol).isNotNull).count() == 1)
+  }
+
+  test("parquetPruned pushes filter and prunes columns at the scan") {
+    val df = Ingest.parquetPruned(spark, s"$sfDir/lineitem.parquet",
+      Seq("l_orderkey", "l_extendedprice"), "l_orderkey = 42")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_orderkey"))
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
+    // only the two requested columns survive
+    assert(df.columns.toSeq == Seq("l_orderkey", "l_extendedprice"))
+  }
+
+  test("clustered write produces the requested file count, sorted within files") {
+    val dir = Files.createTempDirectory("graft_opt").toFile.getPath
+    Maintenance.writeClustered(tables.lineitem, dir,
+      Seq("l_shipdate", "l_orderkey"), numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    // range partitioning: per-file shipdate ranges should be disjoint →
+    // global sortedness when files ordered by min
+    // cast to string: fixed-width ISO renderings compare correctly and
+    // sidestep TIMESTAMP vs TIMESTAMP_NTZ read-back differences
+    val perFile = files.map { f =>
+      val d = spark.read.parquet(f.getPath)
+        .agg(min(col("l_shipdate").cast("string")),
+          max(col("l_shipdate").cast("string"))).head
+      (d.getString(0), d.getString(1))
+    }.sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, maxA), (minB, _)) => assert(maxA <= minB)
+      case _ =>
+    }
+  }
+
+  test("partitioned write enables partition pruning") {
+    val dir = Files.createTempDirectory("graft_part").toFile.getPath
+    Maintenance.writePartitioned(tables.events, dir, "event_type")
+    val read = Maintenance.read(spark, dir)
+      .filter(col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
+    assert(read.count() > 0)
+    // directory layout is hive-style
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("event_type=")))
+  }
+
+  test("multimodal decode preserves ids, kinds and emits fixed-width features") {
+    implicit val sp = spark
+    val media = Multimodal.asMedia(tables.documents)
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.count() == 500)
+    val r = feats.collect()
+    assert(r.forall(_.feature.length == 8))
+    assert(r.forall(f => f.byte_len > 0))
+    assert(r.map(_.kind).toSet == Set("image", "audio", "video"))
+    // deterministic: decoding twice gives identical features
+    val again = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(r.forall(f => again(f.media_id) == f.feature.toSeq))
+    // frame sampling only for video, stride respected
+    val frames = Multimodal.sampleFrames(feats, everyK = 500)
+    assert(frames.filter(col("frame_idx") % 500 =!= 0).count() == 0)
+  }
+}

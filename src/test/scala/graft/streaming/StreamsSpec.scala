@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class StreamsSpec extends SparkSpec {
+
+  private def microBatch(df: org.apache.spark.sql.DataFrame,
+                         sink: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("fileIngest picks up files incrementally with lineage columns") {
+    val dir = Files.createTempDirectory("graft_ingest").toFile
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    // stage 1: two files
+    tables.events.select("event_id", "user_id", "event_type")
+      .limit(100).coalesce(2).write.mode("overwrite").json(dir.getPath)
+    val stream = Streams.fileIngest(spark, dir.getPath, schema)
+    assert(stream.isStreaming)
+    val checkpoint = Files.createTempDirectory("graft_ckpt").toFile.getPath
+    val q = stream.writeStream.format("memory").queryName("ingested")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("select * from ingested")
+    assert(got.count() == 100)
+    assert(got.filter(col("source_file").contains(".json")).count() == 100)
+    assert(got.columns.contains("inserted_at"))
+  }
+
+  test("windowAgg in streaming mode aggregates tumbling windows with watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventRow]
+    val base = 1704067200000000L // 2024-01-01T00:00Z in µs
+    mem.addData(
+      EventRow(1, base + 100L, 1, "click", 1.0, "{}"),
+      EventRow(2, base + 200L, 1, "click", 2.0, "{}"),
+      EventRow(3, base + 3600L * 1000000 + 5, 1, "click", 3.0, "{}"),
+      // far-future sentinel advances the watermark past both windows
+      EventRow(4, base + 9 * 3600L * 1000000, 1, "click", 9.0, "{}"))
+    val agg = Streams.windowAgg(
+      mem.toDF().withColumn("ts", timestamp_micros(col("ts"))),
+      watermark = Some("0 seconds"))
+    microBatch(agg, "win_agg")
+    val rows = spark.sql("select * from win_agg").collect()
+    // append mode emits only watermark-closed windows: hours 0 and 1;
+    // the sentinel's own window stays open
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 3)
+    assert(rows.length == 2)
+  }
+
+  test("flatMapGroupsWithState sessionize closes sessions on gap") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val mem = MemoryStream[EventRow]
+    val base = 1704067200000000L
+    val gap = 1800000000L // 30 min
+    mem.addData(
+      EventRow(1, base, 7, "click", 1.0, "{}"),
+      EventRow(2, base + 60L * 1000000, 7, "click", 1.0, "{}"),
+      // > gap later → closes session 1
+      EventRow(3, base + 3 * 3600L * 1000000, 7, "click", 1.0, "{}"),
+      // much later event advances the watermark so session 2 times out
+      EventRow(4, base + 9 * 3600L * 1000000, 8, "view", 1.0, "{}"))
+    val sess = Streams.sessionize(mem.toDS(), gap)
+    microBatch(sess.toDF(), "sessions")
+    val rows = spark.sql("select * from sessions where user_id = 7").collect()
+    assert(rows.length >= 1)
+    val first = rows.minBy(_.getAs[Long]("session_start"))
+    assert(first.getAs[Long]("session_start") == base)
+    assert(first.getAs[Long]("session_end") == base + 60L * 1000000)
+    assert(first.getAs[Int]("n_events") == 2)
+  }
+
+  test("sessionizeBatch matches a hand-computed session split") {
+    val gap = 1800000000L
+    val out = Streams.sessionizeBatch(tables.events, gap)
+    // session count per user >= 1 and n_events sums to event count
+    val total = out.agg(sum("n_events")).head.getLong(0)
+    assert(total == tables.events.count())
+    // no session spans a gap: start/end consistency
+    assert(out.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+}
