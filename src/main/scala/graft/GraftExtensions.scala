@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graft.GraftBridge
+import graft.functions.expressions.{FloatDotProduct, MinHashSignature, SimHashChunks}
+
+/** SparkSessionExtensions entry point: makes graft's native kernels
+  * available as SQL functions. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions`, or call
+  * [[GraftFunctions.ensureRegistered]] on a live session (for sessions
+  * created without the conf).
+  *
+  * SQL surface:
+  *  - `graft_dot(array<float>, array<float>) → double`
+  *  - `graft_minhash(array<string>) → array<long>` (64 perms)
+  *  - `graft_simhash(array<string>) → array<int>` (4 × 16-bit chunks)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.specs.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name, usage),
+        builder))
+    }
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  val specs: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "graft_dot(a, b) - double dot product of two float arrays",
+      (es: Seq[Expression]) => FloatDotProduct(es(0), es(1))),
+    ("graft_minhash", "graft_minhash(shingles) - 64-perm MinHash signature",
+      (es: Seq[Expression]) => MinHashSignature(es(0), 64)),
+    ("graft_simhash", "graft_simhash(tokens) - SimHash as 4x16-bit chunks",
+      (es: Seq[Expression]) => SimHashChunks(es(0))))
+
+  /** Idempotent runtime registration (sessions created without
+    * `spark.sql.extensions`). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    specs.foreach { case (name, usage, builder) =>
+      GraftBridge.registerFunction(spark, name, usage, builder)
+    }
+}

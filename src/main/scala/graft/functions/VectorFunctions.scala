@@ -13,13 +13,29 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Poor-man's LET binding: evaluates `value` exactly once per row and
+    * exposes it to `body` as a bound lambda variable.
+    *
+    * Why: higher-order functions run interpreted (no whole-stage
+    * codegen, no common-subexpression elimination inside lambdas), so a
+    * Column referenced N times inside a lambda is re-COMPUTED N times.
+    * Binding through `aggregate`'s initial-value + finish lambda makes
+    * it a cheap variable reference instead — turns O(N·cost) plans
+    * into O(cost). */
+  def bind(value: Column, body: Column => Column): Column =
+    aggregate(array(lit(0)), value, (acc, _) => acc, body)
+
   /** element-wise promote `array<float>` → `array<double>`. */
   def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
 
-  /** sequential-fold dot product in double precision. */
+  /** sequential-fold dot product in double precision — native codegen
+    * kernel (same element order + promotion as the HOF fold it
+    * replaces, so results are unchanged bit-for-bit). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDoubleArray(a), toDoubleArray(b), _ * _),
-      lit(0.0), _ + _)
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.FloatDotProduct(
+        org.apache.spark.sql.graft.GraftBridge.expression(a),
+        org.apache.spark.sql.graft.GraftBridge.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

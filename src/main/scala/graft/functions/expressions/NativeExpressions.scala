@@ -1,0 +1,212 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with `doGenCode`) for graft's hot
+  * per-row kernels. The `functions._` higher-order-function versions
+  * run interpreted (HOFs are CodegenFallback) with per-element Column
+  * evaluation; these compile to tight primitive loops inside
+  * whole-stage codegen — the preferred Spark extension point when
+  * built-ins can't express the kernel efficiently.
+  *
+  * Inputs are non-null element arrays (enforced upstream: split()/
+  * transform() never emit null elements; embeddings are dense).
+  */
+
+/** Sequential-fold dot product over two `array<float>` columns,
+  * accumulated in double — bit-identical to both the HOF
+  * formulation and DuckDB's `list_dot_product(a::DOUBLE[], ...)`
+  * (same element order, same promotion). */
+case class FloatDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashConstants {
+  /** Per-permutation xor constants (splitmix64 of the index) —
+    * literals baked into the plan, no executor RNG state. */
+  val PermConsts: Array[Long] = Array.tabulate(64) { i =>
+    var z = i.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  val XxSeed = 42L
+}
+
+/** MinHash signature over an `array<string>` of shingles: one xxHash64
+  * per shingle + numPerm xor-multiply-shift mixes, element-wise min.
+  * Matches graft.operators.Dedup's mix exactly (31-bit masked operand
+  * × 32-bit constant keeps ANSI-safe 63-bit products). */
+case class MinHashSignature(child: Expression, numPerm: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val consts = MinHashConstants.PermConsts
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var s = 0
+    val n = arr.numElements()
+    while (s < n) {
+      val u = arr.getUTF8String(s)
+      val h = XXH64.hashUTF8String(u, MinHashConstants.XxSeed)
+      var i = 0
+      while (i < numPerm) {
+        val x = ((h ^ consts(i)) & 0x7fffffffL) * 0x9E3779B1L
+        val m = x ^ (x >>> 31)
+        if (m < mins(i)) mins(i) = m
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val consts = ctx.addReferenceObj("permConsts",
+        MinHashConstants.PermConsts, "long[]")
+      val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      val m = ctx.freshName("m")
+      s"""
+         |long[] $mins = new long[$numPerm];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $s = 0; $s < $n; $s++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUTF8String($a.getUTF8String($s),
+         |      ${MinHashConstants.XxSeed}L);
+         |  for (int $i = 0; $i < $numPerm; $i++) {
+         |    long $x = (($h ^ $consts[$i]) & 0x7fffffffL) * 0x9E3779B1L;
+         |    long $m = $x ^ ($x >>> 31);
+         |    if ($m < $mins[$i]) $mins[$i] = $m;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an `array<string>` of tokens, packed as 4 ×
+  * 16-bit chunk ints (MSB-first per chunk) for the pigeonhole
+  * candidate join. */
+case class SimHashChunks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val u = arr.getUTF8String(t)
+      val h = XXH64.hashUTF8String(u, MinHashConstants.XxSeed)
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      t += 1
+    }
+    val chunks = new Array[Int](4)
+    var c = 0
+    while (c < 4) {
+      var v = 0
+      var i = 16 * c + 15
+      while (i >= 16 * c) {
+        v = v * 2 + (if (counters(i) > 0) 1 else 0)
+        i -= 1
+      }
+      chunks(c) = v
+      c += 1
+    }
+    new GenericArrayData(chunks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counters = ctx.freshName("counters")
+      val chunks = ctx.freshName("chunks")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val c = ctx.freshName("c")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      s"""
+         |int[] $counters = new int[64];
+         |int $n = $a.numElements();
+         |for (int $t = 0; $t < $n; $t++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUTF8String($a.getUTF8String($t),
+         |      ${MinHashConstants.XxSeed}L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counters[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |int[] $chunks = new int[4];
+         |for (int $c = 0; $c < 4; $c++) {
+         |  int $v = 0;
+         |  for (int $i = 16 * $c + 15; $i >= 16 * $c; $i--) {
+         |    $v = $v * 2 + (($counters[$i] > 0) ? 1 : 0);
+         |  }
+         |  $chunks[$c] = $v;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($chunks);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+    copy(child = newChild)
+}

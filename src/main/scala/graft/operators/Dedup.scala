@@ -45,11 +45,15 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** numPerm-wide MinHash signature: sig[i] = min over shingles of
-    * murmur3(shingle, i). Map-only, codegen'd. */
+  /** numPerm-wide MinHash signature. Map-only, native codegen kernel
+    * ([[graft.functions.expressions.MinHashSignature]]): one xxHash64
+    * per shingle + numPerm xor-multiply-shift mixes in a tight
+    * primitive loop — the HOF formulation ran interpreted and
+    * re-evaluated the shingling expression per permutation. */
   def minhashSignature(sh: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      i => array_min(transform(sh, s => VectorFunctions.permutedHash(s, i))))
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.GraftBridge.expression(sh), numPerm))
 
   /** (doc_id, band_id, band_hash) — one row per band per doc.
     * bands × rowsPerBand must equal the signature width. */
@@ -122,20 +126,10 @@ object Dedup {
     * candidate join directly: two docs within hamming distance 3
     * share at least one of 4 chunks. Map-only, no UDF. */
   def simhash(documents: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    // shiftright with a COLUMN shift amount needs call_function (the
-    // Scala functions.shiftright only accepts a literal Int)
-    def bitOf(tok: Column, i: Column): Column =
-      call_function("shiftright", xxhash64(tok), i).bitwiseAND(1)
-    val chunks = transform(sequence(lit(0), lit(3)), c =>
-      aggregate(
-        // MSB-first over the 16 bits of this chunk
-        sequence(c * 16 + 15, c * 16, lit(-1)),
-        lit(0),
-        (acc, i) => acc * 2 + when(
-          aggregate(t, lit(0), (cnt, tok) =>
-            cnt + when(bitOf(tok, i) === 1, 1).otherwise(-1)) > 0, 1)
-          .otherwise(0)))
+    val chunks = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.SimHashChunks(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          tokens(col("text")))))
     documents.select(col("doc_id"), chunks.as("chunks"))
   }
 
@@ -173,14 +167,19 @@ object Dedup {
     * see Similarity.annLsh for the signature variant). */
   def embeddingNearDup(embeddings: DataFrame,
                        threshold: Double = 0.95): DataFrame = {
+    // norms computed ONCE per vector before the join — the pairwise
+    // step then does a single dot product per pair instead of three
     val a = embeddings.select(col("label"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      VectorFunctions.l2Norm(col("embedding")).as("norm_a"))
     val b = embeddings.select(col("label"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      VectorFunctions.l2Norm(col("embedding")).as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+        VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("label"), col("cosine"))
   }

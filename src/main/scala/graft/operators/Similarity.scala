@@ -20,13 +20,18 @@ object Similarity {
     * per query. `queries` must be broadcast-small. */
   def annBruteForce(corpus: DataFrame, queries: DataFrame,
                     k: Int = 5): DataFrame = {
+    // norms precomputed per side: the (query × corpus) step pays one
+    // dot product per pair, not three
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
+      col("embedding").as("q_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("q_norm")))
     val scored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("c_norm"))
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        VectorFunctions.cosine(col("q_emb"), col("embedding")))
+        VectorFunctions.dot(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -41,14 +46,17 @@ object Similarity {
     * `bits` bits into an int. Map-only. */
   def hyperplaneSignature(emb: org.apache.spark.sql.Column,
                           dim: Int, bits: Int): org.apache.spark.sql.Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) => {
-      // pseudo-hyperplane component for (bit i, dim j):
-      //   ((murmur3(i*dim + j) mod 2001) - 1000) / 1000  ∈ [-1, 1]
-      val dotp = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-        (s, j) => s + element_at(VectorFunctions.toDoubleArray(emb), j + 1) *
-          ((pmod(hash(i * lit(dim) + j), lit(2001)) - 1000).cast("double") / 1000.0))
-      acc * 2 + when(dotp > 0, 1).otherwise(0)
-    })
+    // bind the double-promoted embedding once; the bits × dim loop
+    // then indexes a bound array instead of re-promoting per element
+    VectorFunctions.bind(VectorFunctions.toDoubleArray(emb), e =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) => {
+        // pseudo-hyperplane component for (bit i, dim j):
+        //   ((murmur3(i*dim + j) mod 2001) - 1000) / 1000  ∈ [-1, 1]
+        val dotp = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (s, j) => s + element_at(e, j + 1) *
+            ((pmod(hash(i * lit(dim) + j), lit(2001)) - 1000).cast("double") / 1000.0))
+        acc * 2 + when(dotp > 0, 1).otherwise(0)
+      }))
 
   /** LSH-bucketed ANN: corpus and queries hashed to hyperplane
     * signature buckets; candidates = bucket collisions; exact cosine

@@ -88,11 +88,14 @@ object TextAnalysis {
     * fingerprint.) One row per (doc_id, fingerprint). */
   def fingerprints(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val grams = Dedup.shingles(col("text"), k)
-    val hashes = transform(grams, g => xxhash64(g))
-    val mins = when(size(hashes) >= w,
-      transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w)))))
-      .otherwise(array(array_min(hashes)))
+    // bind the hash array once: the sliding-window mins index into a
+    // bound value instead of re-shingling the doc per window position
+    val mins = graft.functions.VectorFunctions.bind(
+      transform(grams, g => xxhash64(g)),
+      hashes => when(size(hashes) >= w,
+        transform(sequence(lit(0), size(hashes) - w),
+          i => array_min(slice(hashes, i + 1, lit(w)))))
+        .otherwise(array(array_min(hashes))))
     documents.select(col("doc_id"),
       explode(array_distinct(mins)).as("fingerprint"))
   }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.{GraftFunctions, SparkSpec}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class NativeExpressionsSpec extends SparkSpec {
+
+  test("graft_dot matches the explicit double fold bit-for-bit") {
+    GraftFunctions.ensureRegistered(spark)
+    val both = tables.embeddings.limit(50).select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("native"),
+      aggregate(zip_with(VectorFunctions.toDoubleArray(col("embedding")),
+        VectorFunctions.toDoubleArray(col("embedding")), _ * _),
+        lit(0.0), _ + _).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native kernels are registered as SQL functions") {
+    GraftFunctions.ensureRegistered(spark)
+    tables.embeddings.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "select graft_dot(embedding, embedding) as d from emb_v limit 5")
+      .collect()
+    assert(viaSql.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-4))
+    val sig = spark.sql(
+      "select graft_minhash(array('a b c', 'b c d')) as s").head.getSeq[Long](0)
+    assert(sig.length == 64)
+    val sh = spark.sql(
+      "select graft_simhash(array('x', 'y')) as s").head.getSeq[Int](0)
+    assert(sh.length == 4 && sh.forall(v => v >= 0 && v <= 0xffff))
+  }
+
+  test("GraftExtensions injects all kernel functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // building a session with these extensions would re-register; here
+    // we assert the spec list covers the SQL surface
+    assert(GraftFunctions.specs.map(_._1).toSet ==
+      Set("graft_dot", "graft_minhash", "graft_simhash"))
+  }
+
+  test("minhash signature survives codegen and interpreted paths identically") {
+    // force both paths: wholeStage on (default) vs off
+    val sh = Dedup.shingles(col("text"), 3)
+    val withCodegen = tables.documents.limit(20)
+      .select(Dedup.minhashSignature(sh, 64).as("sig")).collect()
+      .map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = tables.documents.limit(20)
+        .select(Dedup.minhashSignature(sh, 64).as("sig")).collect()
+        .map(_.getSeq[Long](0))
+      assert(withCodegen.zip(interpreted).forall { case (a, b) => a == b })
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}

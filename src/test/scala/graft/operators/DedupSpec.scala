@@ -31,8 +31,8 @@ class DedupSpec extends SparkSpec {
   test("minhash signature is deterministic and numPerm wide") {
     val sig = tables.documents.limit(5).select(
       Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64).as("sig"))
-    val a = sig.collect().map(_.getSeq[Int](0))
-    val b = sig.collect().map(_.getSeq[Int](0))
+    val a = sig.collect().map(_.getSeq[Long](0))
+    val b = sig.collect().map(_.getSeq[Long](0))
     assert(a.zip(b).forall { case (x, y) => x == y })
     assert(a.forall(_.length == 64))
   }
