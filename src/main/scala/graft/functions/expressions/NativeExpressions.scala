@@ -135,6 +135,98 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+object WordShinglesKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val Space = UTF8String.fromString(" ")
+
+  /** tokens → word k-shingles; whole-doc fallback below k tokens
+    * (same semantics as Dedup.shingles' CASE WHEN). Static so
+    * generated code can call it directly. */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val toks = text.split(Space, -1)
+    if (toks.length >= k) {
+      val out = new Array[AnyRef](toks.length - k + 1)
+      var i = 0
+      while (i < out.length) {
+        val slice = new Array[UTF8String](k)
+        System.arraycopy(toks, i, slice, 0, k)
+        out(i) = UTF8String.concatWs(Space, slice: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array[AnyRef](UTF8String.concatWs(Space, toks: _*)))
+    }
+  }
+}
+
+/** Word k-shingles straight from the text column: split + windowed
+  * concat in one native kernel (the HOF transform/slice/concat_ws
+  * formulation built every shingle through interpreted per-element
+  * Column evaluation). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShinglesKernel.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.WordShinglesKernel.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Count of array elements contained in a literal word set (exact
+  * occurrences, matching `size(filter(arr, _.isin(words)))`). */
+case class WordSetCount(child: Expression, words: Seq[String])
+  extends UnaryExpression {
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_wordset_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $c = 0;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($setRef.contains($a.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetCount =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an `array<string>` of tokens, packed as 4 ×
   * 16-bit chunk ints (MSB-first per chunk) for the pigeonhole
   * candidate join. */

@@ -34,14 +34,12 @@ object Dedup {
   // ---------- shingling ----------
 
   /** Word k-shingles as strings; whole-doc fallback when shorter
-    * than k tokens. Map-only. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", t)))
-  }
+    * than k tokens. Map-only, native kernel
+    * ([[graft.functions.expressions.WordShingles]]). */
+  def shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.WordShingles(
+        org.apache.spark.sql.graft.GraftBridge.expression(text), k))
 
   // ---------- MinHash + LSH ----------
 
@@ -100,8 +98,12 @@ object Dedup {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val signed = documents.select(col("doc_id"),
       minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
-    val cands = lshCandidates(
-      lshBands(signed, "doc_id", "sig", bands, numPerm / bands), "doc_id")
+    // persist the tiny (doc_id, band, hash) frame: both legs of the
+    // bucket self-join read it, which would otherwise re-scan the
+    // corpus and re-sign every document twice
+    val banded = lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(banded, "doc_id")
     jaccardVerify(cands, documents, shingleK)
       .filter(col("jaccard") >= threshold)
   }
@@ -112,9 +114,9 @@ object Dedup {
                    numPerm: Int = 64, bands: Int = 16): DataFrame = {
     val signed = documents.select(col("doc_id"),
       minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
-    val cands = lshCandidates(
-      lshBands(signed, "doc_id", "sig", bands, numPerm / bands), "doc_id")
-    jaccardVerify(cands, documents, shingleK)
+    val banded = lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(lshCandidates(banded, "doc_id"), documents, shingleK)
   }
 
   // ---------- SimHash ----------
@@ -142,7 +144,9 @@ object Dedup {
     * any equal 16-bit chunk (shuffle on (chunk_idx, value) only),
     * then exact hamming verify. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // persisted: read by both candidate-join legs and both verify joins
     val sh = simhash(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sh.select(col("doc_id"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
     val cands = chunks.select(col("chunk_idx"), col("chunk_val"),

@@ -33,14 +33,24 @@ object TextAnalysis {
   /** Quality heuristics: length, punctuation ratio, stopword ratio,
     * mean token length, composite score. Single projection. */
   def quality(documents: DataFrame): DataFrame = {
-    val toks = wsTokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val nChars = length(col("text")).cast("double")
-    val nPunct = size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
-      .cast("double")
-    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
-      .cast("double")
-    documents.select(col("doc_id"),
+    // stage 1 computes each counter ONCE (CollapseProject keeps
+    // non-cheap expressions that are referenced multiple times in a
+    // separate projection); stage 2 is pure arithmetic over them
+    val counted = documents.select(col("doc_id"),
+      length(col("text")).cast("double").as("n_chars_measured"),
+      size(wsTokens(col("text"))).cast("double").as("n_tokens"),
+      size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+        .cast("double").as("n_punct"),
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.WordSetCount(
+          org.apache.spark.sql.graft.GraftBridge.expression(
+            wsTokens(col("text"))), Stopwords))
+        .cast("double").as("n_stop"))
+    val nTok = col("n_tokens")
+    val nChars = col("n_chars_measured")
+    val nPunct = col("n_punct")
+    val nStop = col("n_stop")
+    counted.select(col("doc_id"),
       nChars.as("n_chars_measured"),
       nTok.as("n_tokens"),
       (nPunct / nChars).as("punct_ratio"),
