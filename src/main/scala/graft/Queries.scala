@@ -303,6 +303,33 @@ object Queries {
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
       None),
 
+    // ---------- C2. Scale utilities ----------
+    Q("salted_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        // identical result to the unsalted join — the oracle is the
+        // plain SQL join, proving salting changes distribution only
+        val right = t.orders.withColumnRenamed("o_orderkey", "l_orderkey")
+        Skew.saltedJoin(t.lineitem, right, "l_orderkey",
+          saltFactor = 8, leftSaltSource = "l_linenumber")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("line_count"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("total_qty"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) as line_count,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double) as total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""")),
+
+    Q("approx_distinct",
+      (s, d) => Tables(s, d).events
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")),
+      None),
+
     // ---------- D. Data quality ----------
     Q("expectations",
       (s, d) => Expectations.metrics(Tables(s, d).events,
