@@ -330,6 +330,39 @@ object Queries {
           countDistinct(col("user_id")).as("exact_users")),
       None),
 
+    // ---------- A2. SQL surface (temp views + spark.sql, the
+    // reference's primary idiom) ----------
+    Q("sql_gold_region_sales",
+      (s, d) => {
+        val t = Tables(s, d)
+        t.lineitem.createOrReplaceTempView("lineitem_v")
+        t.orders.createOrReplaceTempView("orders_v")
+        t.customer.createOrReplaceTempView("customer_v")
+        t.nation.createOrReplaceTempView("nation_v")
+        t.region.createOrReplaceTempView("region_v")
+        s.sql(s"""
+          SELECT r_name as region, date_format(o_orderdate, 'yyyy-MM') as sales_month,
+            cast(sum(cast(l_extendedprice as decimal(12,2)) *
+              (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as double) as total_sales,
+            count(distinct o_orderkey) as number_of_sales
+          FROM lineitem_v
+            JOIN orders_v ON l_orderkey = o_orderkey
+            JOIN customer_v ON o_custkey = c_custkey
+            JOIN nation_v ON c_nationkey = n_nationkey
+            JOIN region_v ON n_regionkey = r_regionkey
+          GROUP BY 1, 2""")
+      },
+      Some(s"""
+        SELECT r_name as region, strftime(o_orderdate, '%Y-%m') as sales_month,
+          cast(sum($revSql) as double) as total_sales,
+          count(distinct o_orderkey) as number_of_sales
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2""")),
+
     // ---------- D. Data quality ----------
     Q("expectations",
       (s, d) => Expectations.metrics(Tables(s, d).events,

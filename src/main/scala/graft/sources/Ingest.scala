@@ -50,6 +50,12 @@ object Ingest {
     spark.read.parquet(path).filter(expr(filterSql))
       .select(columns.map(col): _*)
 
+  /** Schema-evolution read: union the schemas of all files (the
+    * reference's autoloader `mergeSchema`/schema-evolution behavior);
+    * columns absent in older files read as null. */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Round-trip helper backing the `ingest_csv`/`ingest_json` oracle
     * queries: materialize `df` in `format` under `cachePath`, read it
     * back through the rescuing reader, drop the (all-null) rescue

@@ -67,6 +67,22 @@ class QualityIngestSpec extends SparkSpec {
     assert(out.filter(col(Ingest.RescueCol).isNotNull).count() == 1)
   }
 
+  test("mergeSchema read unions evolving file schemas") {
+    val dir = Files.createTempDirectory("graft_evolve").toFile.getPath
+    tables.nation.select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    tables.nation.select(col("n_nationkey"), col("n_name"),
+      col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val merged = Ingest.parquetMergeSchema(spark, dir)
+    assert(merged.columns.toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey", "batch"))
+    assert(merged.count() == 50)
+    // rows from the pre-evolution file carry null for the new column
+    assert(merged.filter(col("batch") === 1 &&
+      col("n_regionkey").isNull).count() == 25)
+  }
+
   test("parquetPruned pushes filter and prunes columns at the scan") {
     val df = Ingest.parquetPruned(spark, s"$sfDir/lineitem.parquet",
       Seq("l_orderkey", "l_extendedprice"), "l_orderkey = 42")
