@@ -363,6 +363,32 @@ object Queries {
           JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1, 2""")),
 
+    Q("asof_join",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        // each click looks up the user's latest prior (or same-µs)
+        // purchase; right side deduped per (user, ts) by max event_id
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchasesByTs = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        AsOf.asofJoin(clicks, purchasesByTs, "user_id", "ts",
+          Seq("event_id", "value"))
+      },
+      Some(s"""
+        WITH e AS ($eventsNs),
+        clicks AS (SELECT event_id, user_id, ts, value FROM e
+                   WHERE event_type = 'click'),
+        purchases AS (SELECT user_id, ts, max(event_id) as event_id,
+                        max(value) as value
+                      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.ts, c.value,
+          p.event_id as matched_event_id, p.value as matched_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts""")),
+
     // ---------- D. Data quality ----------
     Q("expectations",
       (s, d) => Expectations.metrics(Tables(s, d).events,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row with
+  * right.ts <= left.ts within the same key — the temporal-lookup
+  * operator Spark lacks natively (DuckDB: `ASOF JOIN`).
+  *
+  * Implemented by COMPOSITION (no custom physical operator needed):
+  * union both sides tagged, sort per key by (ts, side), and carry the
+  * last right payload forward with `last(_, ignoreNulls)` over an
+  * unbounded-preceding window. ONE shuffle on the key — never a
+  * range cross-join, so it scales like any windowed aggregation
+  * (AQE handles skewed keys).
+  *
+  * Ties: a right row at exactly left.ts IS visible (side ordering
+  * puts right before left at equal ts), matching ASOF `>=` semantics.
+  */
+object AsOf {
+
+  /** Left-outer as-of join. `rightCols` are carried (prefixed
+    * `matched_`); right side must be unique per (key, ts) — pre-dedup
+    * if not. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val l = left.withColumn("__side", lit(1)).withColumn("__r", lit(null)
+      .cast(right.select(rightCols.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(
+          (s, f) => s.add(f))))
+    val r = right.select(col(key), col(tsCol), payload.as("__r"))
+      .withColumn("__side", lit(0))
+    // align schemas: left keeps all its columns; right contributes
+    // only key/ts/payload with nulls elsewhere
+    val lAligned = l.select(
+      (left.columns.map(col) :+ col("__side") :+ col("__r")): _*)
+    val rAligned = {
+      val nulls = left.columns.filterNot(c => c == key || c == tsCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c))
+      val base = r.select((Seq(col(key), col(tsCol)) ++ nulls) :+
+        col("__side") :+ col("__r"): _*)
+      base.select(lAligned.columns.map(col): _*)
+    }
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lAligned.unionByName(rAligned)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__r")
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col(s"__match.$c").as(s"matched_$c"))): _*)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Results must be invariant to parallelism: partition count changes
+  * the execution (shuffle fan-out, partial-agg grouping, row order)
+  * but must never change the result multiset — the property that lets
+  * the same code run on local[4] and a 1000-executor cluster.
+  *
+  * Exact decimals + window tie-breakers are what make this hold; a
+  * double-summing or tie-unstable operator would fail here.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.mkString("|")).sorted.toSeq
+  }
+
+  private def invariant(name: String): Unit = {
+    val run = Queries.queries(name)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = canon(run(spark, sfDir))
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try {
+      val b = canon(run(spark, sfDir))
+      assert(a == b, s"$name changed under different parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  for (q <- Seq("q1_pricing", "gold_region_sales", "rank_topk",
+    "dedup_latest", "merge_upsert", "sessionize", "dedup_exact",
+    "ann_bruteforce", "expectations"))
+    test(s"$q is parallelism-invariant") { invariant(q) }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 100L))
+      .toDF("id", "k", "ts")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (20L, 150L, "c"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.asofJoin(left, right, "k", "ts", Seq("tag"))
+      .orderBy("id").collect()
+    // id=1: right at exactly ts=100 matches (>= semantics)
+    assert(out(0).getAs[String]("matched_tag") == "a")
+    // id=2: latest of {100, 200} <= 250 → "b"
+    assert(out(1).getAs[String]("matched_tag") == "b")
+    // id=3: right ts=150 > 100 → no match (left outer → null)
+    assert(out(2).isNullAt(out(2).fieldIndex("matched_tag")))
+    assert(out.length == 3)
+  }
+
+  test("asofJoin on events matches a window-free reference computation") {
+    val ev = tables.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"), max(col("value")).as("value"))
+    val out = AsOf.asofJoin(clicks, purchases, "user_id", "ts",
+      Seq("event_id", "value"))
+    assert(out.count() == clicks.count())
+    // every matched purchase precedes (or equals) its click
+    val bad = out.filter(col("matched_event_id").isNotNull)
+      .join(purchases.select(col("event_id").as("matched_event_id"),
+        col("ts").as("p_ts")), "matched_event_id")
+      .filter(col("p_ts") > col("ts"))
+    assert(bad.count() == 0)
+  }
+}
