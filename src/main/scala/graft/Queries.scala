@@ -389,6 +389,43 @@ object Queries {
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts""")),
 
+    Q("range_join",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        // count each user's events inside each of their 30-min
+        // sessions — point-in-interval via bucketed equi-join
+        val sessions = graft.streaming.Streams
+          .sessionizeBatch(ev, gapUs = 1800000000L)
+        val points = ev.select(col("user_id"), col("ts"), col("event_id"))
+        RangeJoin.pointInInterval(points, sessions, "user_id", "ts",
+          "session_start", "session_end", bucketWidth = 1800000000L)
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("events_in_session"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id FROM events),
+        marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > 1800000000 THEN 1
+                 ELSE 0 END as new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess_rows AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as session_seq
+          FROM marked),
+        sessions AS (
+          SELECT user_id, session_seq, min(ts) as session_start,
+            max(ts) as session_end
+          FROM sess_rows GROUP BY 1, 2)
+        SELECT s.user_id, s.session_seq, count(*) as events_in_session
+        FROM e p JOIN sessions s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.session_start AND p.ts <= s.session_end
+        GROUP BY 1, 2""")),
+
     // ---------- D. Data quality ----------
     Q("expectations",
       (s, d) => Expectations.metrics(Tables(s, d).events,
@@ -417,6 +454,30 @@ object Queries {
         WHERE value >= 0 AND value <= 400
           AND event_type in ('click','view','purchase','signup','error')
           AND event_type <> 'error' AND user_id is not null""")),
+
+    // ---------- E. Streaming (driver-visible incremental run) ----------
+    Q("stream_ingest_batch",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val src = s"/tmp/graft_cache/stream_src_${new java.io.File(d).getName}"
+        Tables(s, d).events
+          .select("event_id", "user_id", "event_type", "value")
+          .coalesce(2).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stream_ckpt").toString
+        val q = graft.streaming.Streams.fileIngest(s, src, schema)
+          .writeStream.format("memory").queryName("graft_stream_ingest")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        s.table("graft_stream_ingest")
+          .select("event_id", "user_id", "event_type", "value")
+      }, None),
 
     // ---------- E. Streaming batch-analogs ----------
     Q("event_window_agg",
