@@ -254,6 +254,13 @@ object Queries {
         WHERE rank <= 5"""),
       headline = true),
 
+    Q("ann_ivf",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annIvf(emb, emb.filter(col("vec_id") < 8))
+      },
+      None),
+
     Q("ann_lsh",
       (s, d) => {
         val emb = Tables(s, d).embeddings

@@ -135,6 +135,62 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Top-n nearest centroids (by dot product — embeddings are
+  * unit-normalized so dot ≈ cosine) for an `array<float>` embedding.
+  * Centroids ride along as a plan reference object. Ties break to the
+  * lower centroid index; n=1 is cluster assignment, n=nprobe is the
+  * IVF probe list. */
+case class NearestCentroids(child: Expression,
+                            centroids: Array[Array[Float]], n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = math.min(arr.numElements(), centroids(0).length)
+    val scores = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      var acc = 0.0
+      var i = 0
+      val cent = centroids(c)
+      while (i < dim) { acc += arr.getFloat(i).toDouble * cent(i); i += 1 }
+      scores(c) = acc
+      c += 1
+    }
+    val picked = new Array[Int](math.min(n, centroids.length))
+    val used = new Array[Boolean](centroids.length)
+    var p = 0
+    while (p < picked.length) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < scores.length) {
+        if (!used(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        j += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  // eval is a reference-heavy loop; keep it off codegen (single
+  // virtual call per row via CodegenFallback-style generated call)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("nearestCentroids", this,
+        this.getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $self.nullSafeEval($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object WordShinglesKernel {
   import org.apache.spark.unsafe.types.UTF8String
   private val Space = UTF8String.fromString(" ")

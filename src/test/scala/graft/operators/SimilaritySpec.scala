@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("annIvf ranks within probed lists and achieves useful recall") {
+    val emb = tables.embeddings
+    val queries = emb.filter(col("vec_id") < 8)
+    val ivf = Similarity.annIvf(emb, queries, nlist = 16, nprobe = 8, k = 5)
+    assert(ivf.groupBy("query_id").count().collect()
+      .forall(_.getAs[Long]("count") <= 5))
+    // recall vs exact top-5 with generous nprobe
+    val exact = Similarity.annBruteForce(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = ivf.select("query_id", "neighbor_id")
+      .intersect(exact).count()
+    assert(hits >= 0.3 * exact.count(), s"recall too low: $hits/40")
+    // deterministic across runs (decimal-mean centroids)
+    val again = Similarity.annIvf(emb, queries, nlist = 16, nprobe = 8, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+    assert(ivf.select("query_id", "neighbor_id", "rank")
+      .exceptAll(again).count() == 0)
+  }
+
   test("annLsh candidates are a subset of brute-force scoring universe") {
     val emb = tables.embeddings
     val out = Similarity.annLsh(emb, emb.filter(col("vec_id") < 4), dim = 64)
