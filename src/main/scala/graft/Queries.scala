@@ -518,6 +518,25 @@ object Queries {
           max(ts) as session_end, cast(count(*) as int) as n_events
         FROM sess GROUP BY 1, 2""")),
 
+    Q("time_travel",
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vt_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val ev = Tables(s, d).events
+        val base = Medallion.dedupLatest(ev.filter(col("event_id") % 2 === 0),
+          "user_id", "ts", "event_id")
+        val updates = Medallion.dedupLatest(ev.filter(col("event_id") % 2 === 1),
+          "user_id", "ts", "event_id")
+        VersionedTable.write(base, path)
+        VersionedTable.upsert(s, path, updates, Seq("user_id"))
+        // VERSION AS OF both snapshots → deterministic (version, rows)
+        val v0 = VersionedTable.read(s, path, Some(0))
+          .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(0))
+        val v1 = VersionedTable.read(s, path, Some(1))
+          .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(1))
+        v0.unionByName(v1).select("version", "n_rows")
+      }, None),
+
     // ---------- F. Maintenance (rows-only; layout asserted in specs) ----------
     Q("compact_sorted_write",
       (s, d) => {

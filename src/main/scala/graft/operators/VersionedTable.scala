@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Minimal versioned parquet table: every write lands in a new
+  * `v=N` directory plus an append-only JSON log — re-expressing the
+  * reference's Delta surface (`DESCRIBE HISTORY`, `VERSION AS OF`
+  * time travel, `MERGE INTO`, `OPTIMIZE`; reference
+  * `1 Data ingestion.py`:189-213, `2 Medaillon architecture.py`:
+  * 431-541) without the Delta dependency.
+  *
+  * Single-writer by design: at production scale the commit step (log
+  * append) belongs behind a transactional catalog/log service; the
+  * data layout (immutable version directories, full-snapshot
+  * versions) is the same shape Delta/Iceberg use for time travel.
+  */
+object VersionedTable {
+
+  private def logDir(path: String) = Paths.get(path, "_graft_log")
+
+  /** Remove a table directory entirely (test/demo setup). */
+  def destroy(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rec)
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
+
+  /** Committed versions, sorted ascending. */
+  def versions(path: String): Seq[Int] = {
+    val d = logDir(path)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[Int]()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.endsWith(".json"))
+          buf += name.stripSuffix(".json").toInt
+      }
+      buf.sorted.toSeq
+    }
+  }
+
+  def latestVersion(path: String): Option[Int] = versions(path).lastOption
+
+  /** Write `df` as the next version (full snapshot). Returns the new
+    * version number. */
+  def write(df: DataFrame, path: String, operation: String = "WRITE"): Int = {
+    val v = latestVersion(path).map(_ + 1).getOrElse(0)
+    val target = s"$path/v=$v"
+    df.write.mode("overwrite").parquet(target)
+    val rows = df.sparkSession.read.parquet(target).count()
+    Files.createDirectories(logDir(path))
+    val entry =
+      s"""{"version":$v,"operation":"$operation","num_rows":$rows,""" +
+        s""""committed_at":"${java.time.Instant.now()}"}"""
+    Files.write(logDir(path).resolve(f"$v%06d.json"),
+      java.util.List.of(entry), StandardOpenOption.CREATE_NEW)
+    v
+  }
+
+  /** Read the table at `asOf` (VERSION AS OF) or latest. */
+  def read(spark: SparkSession, path: String,
+           asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** DESCRIBE HISTORY analog: the commit log as a DataFrame. */
+  def history(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(logDir(path).toString)
+
+  /** MERGE INTO analog: upsert `updates` into the latest snapshot on
+    * `keys`, committed as a new version. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             keys: Seq[String]): Int = {
+    val merged = Medallion.mergeUpsert(read(spark, path), updates, keys)
+    write(merged, path, operation = "MERGE")
+  }
+
+  /** OPTIMIZE+ZORDER analog: clustered compaction committed as a new
+    * version (history preserved — old versions still readable). */
+  def optimize(spark: SparkSession, path: String, sortCols: Seq[String],
+               numFiles: Int): Int = {
+    val clustered = Maintenance.clusteredFrame(read(spark, path),
+      sortCols, numFiles)
+    write(clustered, path, operation = "OPTIMIZE")
+  }
+}
