@@ -156,7 +156,7 @@ object Queries {
         FROM (
           SELECT doc_id,
             unnest(string_split(text, ' ')) as token,
-            generate_subscripts(string_split(text, ' '), 1) - 1 as item_number
+            cast(generate_subscripts(string_split(text, ' '), 1) - 1 as int) as item_number
           FROM documents)"""),
       headline = true),
 
@@ -427,7 +427,8 @@ object Queries {
           SELECT user_id, session_seq, min(ts) as session_start,
             max(ts) as session_end
           FROM sess_rows GROUP BY 1, 2)
-        SELECT s.user_id, s.session_seq, count(*) as events_in_session
+        SELECT s.user_id, cast(s.session_seq as bigint) as session_seq,
+          count(*) as events_in_session
         FROM e p JOIN sessions s
           ON p.user_id = s.user_id
          AND p.ts >= s.session_start AND p.ts <= s.session_end
@@ -447,8 +448,8 @@ object Queries {
           ("user present", "user_id is not null"))
         cases.map { case (n, p) =>
           s"""SELECT '$n' as constraint_name,
-             sum(case when $p then 1 else 0 end) as passed_records,
-             sum(case when $p then 0 else 1 end) as failed_records
+             cast(sum(case when $p then 1 else 0 end) as bigint) as passed_records,
+             cast(sum(case when $p then 0 else 1 end) as bigint) as failed_records
              FROM events"""
         }.mkString("\nUNION ALL\n")
       }),
@@ -514,7 +515,8 @@ object Queries {
             sum(new_session) OVER (PARTITION BY user_id
               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as session_seq
           FROM marked)
-        SELECT user_id, session_seq, min(ts) as session_start,
+        SELECT user_id, cast(session_seq as bigint) as session_seq,
+          min(ts) as session_start,
           max(ts) as session_end, cast(count(*) as int) as n_events
         FROM sess GROUP BY 1, 2""")),
 

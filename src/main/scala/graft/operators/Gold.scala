@@ -90,7 +90,7 @@ object Gold {
     val w = Window.partitionBy(col("n_name"))
       .orderBy(col("total_spend").desc, col("c_custkey"))
     spend
-      .withColumn("customer_rank", rank().over(w))
+      .withColumn("customer_rank", rank().over(w).cast("long"))
       .filter(col("customer_rank") <= k)
       .select(col("n_name").as("nation"), col("c_name").as("customer_name"),
         col("total_spend").as("customer_spend"), col("customer_rank"))

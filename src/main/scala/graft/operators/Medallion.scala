@@ -89,7 +89,7 @@ object Medallion {
                   versionCol: String): DataFrame = {
     val w = Window.partitionBy(col(key))
       .orderBy(col(orderCol), col(versionCol))
-    df.withColumn("version", row_number().over(w))
+    df.withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_to_version", lead(col("version"), 1).over(w))
       .withColumn("is_current", col("valid_to_version").isNull)
   }

@@ -21,10 +21,10 @@ object TextAnalysis {
   /** Whitespace + BPE-ish regex token counts per document. */
   def tokenCount(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
-      size(wsTokens(col("text"))).as("n_ws_tokens"),
+      size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
       size(expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
-        .as("n_bpe_tokens"),
-      length(col("text")).as("n_chars_measured"))
+        .cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"))
 
   /** Stopword list used by quality scoring + language ID. */
   val Stopwords: Seq[String] =

@@ -13,7 +13,7 @@ class SimilaritySpec extends SparkSpec {
     // ranks are 1..5 and cosine non-increasing within each query
     val rows = out.orderBy("query_id", "rank").collect()
     rows.grouped(5).foreach { g =>
-      assert(g.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+      assert(g.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
       val sims = g.map(_.getAs[Double]("cosine"))
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
