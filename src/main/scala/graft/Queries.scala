@@ -310,6 +310,37 @@ object Queries {
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
       None),
 
+    Q("gold_supplier_volume",
+      (s, d) => {
+        val t = Tables(s, d)
+        Gold.supplierVolume(t.lineitem, t.orders, t.customer,
+          t.supplier, t.nation)
+      },
+      Some(s"""
+        SELECT n_name as nation, cast(sum($revSql) as double) as revenue,
+          count(*) as line_count
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1""")),
+
+    Q("gold_part_type_revenue",
+      (s, d) => {
+        val t = Tables(s, d)
+        Gold.partTypeRevenue(t.lineitem, t.part)
+      },
+      Some(s"""
+        SELECT p_type, cast(sum($revSql) as double) as type_revenue,
+          count(*) as line_count,
+          cast(sum(cast(p_retailprice as decimal(12,2))) as double) as retail_value
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1""")),
+
     // ---------- C2. Scale utilities ----------
     Q("salted_join",
       (s, d) => {
@@ -573,6 +604,11 @@ object Queries {
     Q("ingest_json",
       (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
         "json", s"/tmp/graft_cache/json_${new java.io.File(d).getName}"),
+      Some("SELECT * FROM documents")),
+
+    Q("ingest_orc",
+      (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
+        "orc", s"/tmp/graft_cache/orc_${new java.io.File(d).getName}"),
       Some("SELECT * FROM documents")),
 
     Q("ingest_parquet",

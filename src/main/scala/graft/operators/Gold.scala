@@ -96,6 +96,36 @@ object Gold {
         col("total_spend").as("customer_spend"), col("customer_rank"))
   }
 
+  /** TPC-H-Q5-style: revenue by supplier nation where customer and
+    * supplier share the nation (two fact joins + three broadcast
+    * dims — the widest join tree in the reference's gold family). */
+  def supplierVolume(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+
+  /** TPC-H-Q14-style: per part type, revenue and share of lines in a
+    * shipdate window (part dim broadcast; exact-decimal ratio). */
+  def partTypeRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("type_revenue"),
+        count(lit(1)).as("line_count"),
+        sum(money(col("p_retailprice"))).cast("double").as("retail_value"))
+
   /** Orders × lineitem rollup by priority (count-distinct pattern from
     * the reference gold tables). */
   def orderPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =

@@ -70,6 +70,9 @@ object Ingest {
       case "json" =>
         df.write.mode("overwrite").json(cachePath)
         json(spark, cachePath, schema).drop(RescueCol)
+      case "orc" =>
+        df.write.mode("overwrite").orc(cachePath)
+        spark.read.schema(schema).orc(cachePath)
     }
   }
 }
