@@ -16,7 +16,7 @@ import graft.functions.expressions.{FloatDotProduct, MinHashSignature, SimHashCh
   *  - `graft_simhash(array<string>) → array<int>` (4 × 16-bit chunks)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.specs.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft", name, usage),
         builder))
     }
+    // declarative HOF dot products get the native kernel automatically
+    ext.injectOptimizerRule(_ =>
+      graft.functions.expressions.NativeDotRewrite)
+  }
 }
 
 object GraftFunctions {

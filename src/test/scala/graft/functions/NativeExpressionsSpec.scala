@@ -31,6 +31,29 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(sh.length == 4 && sh.forall(v => v >= 0 && v <= 0xffff))
   }
 
+  test("NativeDotRewrite swaps HOF dot folds for the native kernel") {
+    import graft.functions.expressions.NativeDotRewrite
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ NativeDotRewrite
+    try {
+      val hof = tables.embeddings.limit(20).select(
+        aggregate(zip_with(VectorFunctions.toDoubleArray(col("embedding")),
+          VectorFunctions.toDoubleArray(col("embedding")), _ * _),
+          lit(0.0), _ + _).as("d"))
+      assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        s"rewrite missed:\n${hof.queryExecution.optimizedPlan}")
+      // identical values to the direct native call
+      val native = tables.embeddings.limit(20).select(
+        VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+      assert(hof.collect().map(_.getDouble(0)).toSeq ==
+        native.collect().map(_.getDouble(0)).toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == NativeDotRewrite)
+    }
+  }
+
   test("GraftExtensions injects all kernel functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
