@@ -341,6 +341,55 @@ object Queries {
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1""")),
 
+    Q("pivot_event_counts",
+      (s, d) => Tables(s, d).events
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error")),
+      Some("""
+        SELECT user_id,
+          cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as click,
+          cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as view,
+          cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as purchase,
+          cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as signup,
+          cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as error
+        FROM events GROUP BY 1""")),
+
+    Q("unpivot_event_counts",
+      (s, d) => Tables(s, d).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view"))
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("view")), "event_type", "n_events"),
+      Some("""
+        WITH p AS (
+          SELECT user_id,
+            cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as click,
+            cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as view
+          FROM events GROUP BY 1)
+        SELECT user_id, 'click' as event_type, click as n_events FROM p
+        UNION ALL
+        SELECT user_id, 'view' as event_type, view as n_events FROM p""")),
+
+    Q("rollup_pricing",
+      (s, d) => Tables(s, d).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+          count(lit(1)).as("n_lines"),
+          grouping_id().as("gid")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+          count(*) as n_lines,
+          cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as bigint) as gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
     // ---------- C2. Scale utilities ----------
     Q("salted_join",
       (s, d) => {
