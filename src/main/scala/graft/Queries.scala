@@ -390,6 +390,51 @@ object Queries {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    Q("value_histogram",
+      (s, d) => Tables(s, d).events
+        .select(floor(col("value") / 25.0).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT cast(floor(value / 25.0) as bigint) as bucket, count(*) as n
+        FROM events GROUP BY 1""")),
+
+    Q("semi_anti_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        // customers WITH orders (semi) vs WITHOUT (anti), one output
+        val semi = t.customer.join(t.orders,
+          col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_orders").as("bucket"))
+        val anti = t.customer.join(t.orders,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("bucket"))
+        semi.unionByName(anti)
+      },
+      Some("""
+        SELECT c_custkey, 'has_orders' as bucket FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_custkey, 'no_orders' as bucket FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    Q("set_ops",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val clickers = ev.filter(col("event_type") === "click")
+          .select("user_id").distinct()
+        val buyers = ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct()
+        clickers.intersect(buyers).withColumn("segment", lit("both"))
+          .unionByName(
+            clickers.except(buyers).withColumn("segment", lit("click_only")))
+      },
+      Some("""
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT user_id, 'both' as segment FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT user_id, 'click_only' as segment FROM (SELECT * FROM c EXCEPT SELECT * FROM b)""")),
+
     // ---------- C2. Scale utilities ----------
     Q("salted_join",
       (s, d) => {
