@@ -390,6 +390,17 @@ object Queries {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    Q("typed_revenue",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Typed.revenueByFlag(Tables(s, d).lineitem).toDF()
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          cast(sum($revSql) as double) as revenue,
+          count(*) as n_lines
+        FROM lineitem GROUP BY 1, 2""")),
+
     Q("value_histogram",
       (s, d) => Tables(s, d).events
         .select(floor(col("value") / 25.0).cast("long").as("bucket"))

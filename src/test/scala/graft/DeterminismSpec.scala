@@ -31,6 +31,6 @@ class DeterminismSpec extends SparkSpec {
 
   for (q <- Seq("q1_pricing", "gold_region_sales", "rank_topk",
     "dedup_latest", "merge_upsert", "sessionize", "dedup_exact",
-    "ann_bruteforce", "expectations"))
+    "ann_bruteforce", "expectations", "typed_revenue"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
