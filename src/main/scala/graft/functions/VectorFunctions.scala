@@ -45,8 +45,4 @@ object VectorFunctions {
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
-
-  /** 32-bit murmur3 of `v` with permutation index `i` mixed in —
-    * the hash family used for MinHash signatures. */
-  def permutedHash(v: Column, i: Column): Column = hash(v, i)
 }

@@ -72,7 +72,7 @@ object Similarity {
     * count. Centroid set is tiny (nlist × dim) — lives on the driver
     * and broadcasts inside the assignment kernel. */
   def trainCentroids(corpus: DataFrame, nlist: Int = 16,
-                     iters: Int = 5): Array[Array[Float]] = {
+                     iters: Int = 3): Array[Array[Float]] = {
     var cents = corpus.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
@@ -107,7 +107,7 @@ object Similarity {
     * nprobe/nlist of the data. Approximate: recall depends on
     * nprobe/nlist. */
   def annIvf(corpus: DataFrame, queries: DataFrame, nlist: Int = 16,
-             nprobe: Int = 4, k: Int = 5, iters: Int = 5): DataFrame = {
+             nprobe: Int = 4, k: Int = 5, iters: Int = 3): DataFrame = {
     val cents = trainCentroids(corpus, nlist, iters)
     val tagged = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding"),
