@@ -42,4 +42,18 @@ object Maintenance {
   /** Read-back helper for verifying clustering/pruning behavior. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table write: rows hash-bucketed (and sorted) by
+    * `bucketCol` into `numBuckets` files per partition. Two tables
+    * bucketed the same way join WITHOUT a shuffle — the co-located
+    * join layout for repeated fact-fact joins at scale. Requires a
+    * catalog table (`saveAsTable`); bucket metadata lives in the
+    * catalog. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -129,6 +129,25 @@ class QualityIngestSpec extends SparkSpec {
       .exists(_.getName.startsWith("event_type=")))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    Maintenance.writeBucketed(tables.lineitem
+      .select("l_orderkey", "l_quantity"), "li_bucketed", "l_orderkey", 4)
+    Maintenance.writeBucketed(tables.orders
+      .select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bucketed",
+      "l_orderkey", 4)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == tables.lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("multimodal decode preserves ids, kinds and emits fixed-width features") {
     implicit val sp = spark
     val media = Multimodal.asMedia(tables.documents)
