@@ -130,6 +130,12 @@ class QualityIngestSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // a stale warehouse dir from a previous JVM makes saveAsTable fail
+    // with LOCATION_ALREADY_EXISTS under a fresh in-memory catalog
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.operators.VersionedTable.destroy(s"spark-warehouse/$t")
+    }
     Maintenance.writeBucketed(tables.lineitem
       .select("l_orderkey", "l_quantity"), "li_bucketed", "l_orderkey", 4)
     Maintenance.writeBucketed(tables.orders
