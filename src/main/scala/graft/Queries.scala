@@ -271,7 +271,30 @@ object Queries {
     // ---------- I. LLM-pipeline: text analysis ----------
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables(s, d).documents),
-      None),
+      Some {
+        // per-language marker-hit scores; argmax with ties going to
+        // the lexicographically LAST language (matches Spark's
+        // greatest over struct(score, lang))
+        val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+          val set = ms.map(m => s"'$m'").mkString(", ")
+          s"cast(len(list_filter(string_split(text, ' '), t -> t in ($set))) as int) as score_$l"
+        }.mkString(",\n          ")
+        val langsPref = TextAnalysis.LangMarkers.map(_._1).sorted.reverse
+        val cascade = langsPref.map { l =>
+          val conds = TextAnalysis.LangMarkers.map(_._1)
+            .filterNot(_ == l).map(o => s"score_$l >= score_$o")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n            ")
+        s"""
+        SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+          score_zh,
+          CASE $cascade END as predicted_lang
+        FROM (
+          SELECT doc_id, lang,
+          $scores
+          FROM documents)"""
+      }),
 
     Q("text_quality",
       (s, d) => TextAnalysis.quality(Tables(s, d).documents),
