@@ -9,9 +9,10 @@ import graft.operators._
   * tables.
   *
   * Determinism rules (SURVEY §4): money sums are exact-decimal sums
-  * cast to double in BOTH engines; `events.ts` is epoch-nanos long in
-  * Spark (`nanosAsLong`) matched by `epoch_ns(ts)` in DuckDB; output
-  * column names identical on both sides.
+  * cast to double in BOTH engines; `events.ts` is canonicalized to an
+  * epoch-MICROS long in Spark (`Tables.events` reads nanos and does
+  * `ts div 1000`) matched by `epoch_us(ts)` in DuckDB; output column
+  * names identical on both sides.
   */
 object Queries {
 
@@ -628,9 +629,11 @@ object Queries {
         import org.apache.spark.sql.streaming.Trigger
         import org.apache.spark.sql.types._
         val src = s"/tmp/graft_cache/stream_src_${new java.io.File(d).getName}"
+        // natural partitioning for the staging write — the streaming
+        // file source reads per-file in parallel, so don't cap it
         Tables(s, d).events
           .select("event_id", "user_id", "event_type", "value")
-          .coalesce(2).write.mode("overwrite").json(src)
+          .write.mode("overwrite").json(src)
         val schema = StructType(Seq(
           StructField("event_id", LongType), StructField("user_id", LongType),
           StructField("event_type", StringType),
@@ -644,7 +647,10 @@ object Queries {
         q.awaitTermination(120000)
         s.table("graft_stream_ingest")
           .select("event_id", "user_id", "event_type", "value")
-      }, None),
+      },
+      // the stream is exactly the staged events subset — an e2e
+      // no-loss/no-dup check of the incremental ingest
+      Some("SELECT event_id, user_id, event_type, value FROM events")),
 
     // ---------- E. Streaming batch-analogs ----------
     Q("event_window_agg",
@@ -696,7 +702,15 @@ object Queries {
         val v1 = VersionedTable.read(s, path, Some(1))
           .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(1))
         v0.unionByName(v1).select("version", "n_rows")
-      }, None),
+      },
+      // v0 = one row per user with an even event (dedupLatest), v1 =
+      // upsert of the odd-event users → one row per user overall
+      Some("""
+        SELECT cast(0 as int) as version, count(distinct user_id) as n_rows
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT cast(1 as int) as version, count(distinct user_id) as n_rows
+        FROM events""")),
 
     // ---------- F. Maintenance (rows-only; layout asserted in specs) ----------
     Q("compact_sorted_write",
@@ -705,14 +719,19 @@ object Queries {
         Maintenance.writeClustered(Tables(s, d).lineitem, path,
           Seq("l_shipdate", "l_orderkey"), numFiles = 8)
         Maintenance.read(s, path)
-      }, None),
+      },
+      // compaction is a pure layout change — content round-trips
+      Some("SELECT * FROM lineitem")),
 
     Q("partitioned_write",
       (s, d) => {
         val path = s"/tmp/graft_cache/part_${new java.io.File(d).getName}"
         Maintenance.writePartitioned(Tables(s, d).events, path, "event_type")
         Maintenance.read(s, path).filter(col("event_type") === "purchase")
-      }, None),
+      },
+      // partition layout prunes but must not change content
+      Some(s"""
+        SELECT * FROM ($eventsNs) WHERE event_type = 'purchase'""")),
 
     // ---------- J. Multimodal ----------
     Q("multimodal_meta",

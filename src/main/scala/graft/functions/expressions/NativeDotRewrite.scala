@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   */
 object NativeDotRewrite extends Rule[LogicalPlan] {
 
-  /** transform(arr, x -> cast(x as double)) over array<float> → arr */
+  /** transform(arr, x -> cast(x as double)) over array<float> → arr.
+    * Safe for any containsNull/length: [[FloatDotProduct]] yields
+    * NULL on null elements and length mismatch, exactly like the HOF
+    * fold it replaces. */
   private object FloatToDoubleTransform {
     def unapply(e: Expression): Option[Expression] = e match {
       case ArrayTransform(base,

@@ -48,10 +48,17 @@ object Dedup {
     * per shingle + numPerm xor-multiply-shift mixes in a tight
     * primitive loop — the HOF formulation ran interpreted and
     * re-evaluated the shingling expression per permutation. */
-  def minhashSignature(sh: Column, numPerm: Int): Column =
+  def minhashSignature(sh: Column, numPerm: Int): Column = {
+    require(numPerm >= 1 && numPerm <= MinHashConstantsLimit,
+      s"numPerm must be in [1, $MinHashConstantsLimit], got $numPerm " +
+        "(one xor constant is tabulated per permutation)")
     org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.MinHashSignature(
         org.apache.spark.sql.graft.GraftBridge.expression(sh), numPerm))
+  }
+
+  private val MinHashConstantsLimit =
+    graft.functions.expressions.MinHashConstants.PermConsts.length
 
   /** (doc_id, band_id, band_hash) — one row per band per doc.
     * bands × rowsPerBand must equal the signature width. */

@@ -25,9 +25,13 @@ object Expectations {
     * packed counters (driver-free). NULL predicate results count as
     * failures, matching DLT. */
   def metrics(df: DataFrame, exps: Seq[Expectation]): DataFrame = {
+    // coalesce: sum over zero rows is NULL — report 0/0 on an empty
+    // input instead (DLT metric semantics)
     val counters = exps.zipWithIndex.flatMap { case (e, i) =>
-      Seq(sum(when(expr(e.predicateSql), 1L).otherwise(0L)).as(s"p_$i"),
-        sum(when(expr(e.predicateSql), 0L).otherwise(1L)).as(s"f_$i"))
+      Seq(coalesce(sum(when(expr(e.predicateSql), 1L).otherwise(0L)), lit(0L))
+          .as(s"p_$i"),
+        coalesce(sum(when(expr(e.predicateSql), 0L).otherwise(1L)), lit(0L))
+          .as(s"f_$i"))
     }
     val agg = df.agg(counters.head, counters.tail: _*)
     val packed = array(exps.zipWithIndex.map { case (e, i) =>

@@ -35,14 +35,17 @@ object VersionedTable {
     val d = logDir(path)
     if (!Files.exists(d)) Seq.empty
     else {
-      val it = Files.list(d).iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[Int]()
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.endsWith(".json"))
-          buf += name.stripSuffix(".json").toInt
-      }
-      buf.sorted.toSeq
+      val stream = Files.list(d)
+      try {
+        val it = stream.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[Int]()
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.endsWith(".json"))
+            buf += name.stripSuffix(".json").toInt
+        }
+        buf.sorted.toSeq
+      } finally stream.close()
     }
   }
 

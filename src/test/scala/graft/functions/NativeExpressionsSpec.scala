@@ -31,6 +31,30 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(sh.length == 4 && sh.forall(v => v >= 0 && v <= 0xffff))
   }
 
+  test("graft_dot matches zip_with NULL semantics on mismatch/null elements") {
+    GraftFunctions.ensureRegistered(spark)
+    // length mismatch and null elements both yield NULL, exactly like
+    // the HOF fold the optimizer rewrite replaces
+    val rows = spark.sql("""
+      select
+        graft_dot(cast(array(1.0, 2.0) as array<float>),
+                  cast(array(1.0) as array<float>)) as mismatch,
+        graft_dot(cast(array(1.0, null) as array<float>),
+                  cast(array(1.0, 2.0) as array<float>)) as null_elem,
+        graft_dot(cast(array(1.0, 2.0) as array<float>),
+                  cast(array(3.0, 4.0) as array<float>)) as ok""").head
+    assert(rows.isNullAt(0), "length mismatch must be NULL")
+    assert(rows.isNullAt(1), "null element must be NULL")
+    assert(rows.getDouble(2) == 11.0)
+    // parity with the HOF formulation on the same inputs
+    val hof = spark.sql("""
+      select aggregate(zip_with(
+        transform(cast(array(1.0, 2.0) as array<float>), x -> cast(x as double)),
+        transform(cast(array(1.0) as array<float>), x -> cast(x as double)),
+        (x, y) -> x * y), cast(0.0 as double), (x, y) -> x + y) as d""").head
+    assert(hof.isNullAt(0), "HOF fold on mismatched lengths is NULL")
+  }
+
   test("NativeDotRewrite swaps HOF dot folds for the native kernel") {
     import graft.functions.expressions.NativeDotRewrite
     spark.experimental.extraOptimizations =
