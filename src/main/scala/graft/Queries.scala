@@ -623,6 +623,71 @@ object Queries {
           AND event_type in ('click','view','purchase','signup','error')
           AND event_type <> 'error' AND user_id is not null""")),
 
+    Q("pipeline_event_log",
+      (s, d) => {
+        // DLT-shaped pipeline: bronze (ingest + audit) → silver
+        // (latest-per-user, invalid rows dropped) → gold (per-type
+        // rollup), each stage materialized as a VersionedTable and its
+        // expectation metrics emitted to the event log (the output)
+        val dir = s"/tmp/graft_cache/pipe_${new java.io.File(d).getName}"
+        VersionedTable.destroy(dir)
+        val stages = Seq(
+          Pipeline.Stage("bronze_events", identity,
+            Seq(Expectation("user present", "user_id is not null"),
+              Expectation("props present", "props is not null"))),
+          Pipeline.Stage("silver_events",
+            df => Medallion.dedupLatest(df, "user_id", "ts", "event_id"),
+            Expectations.EventSuite, Pipeline.OnViolation.DropRows),
+          Pipeline.Stage("gold_event_counts",
+            df => df.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(col("value").cast("decimal(12,2)")).cast("double")
+                  .as("total_value")),
+            Seq(Expectation("type has events", "n_events > 0"),
+              Expectation("total within bound", "total_value <= 10000000"))))
+        Pipeline.run(s, Tables(s, d).events, stages, dir).eventLog
+      },
+      Some {
+        def cnt(seq: Int, flow: String, name: String, pred: String,
+                from: String) =
+          s"""SELECT cast($seq as int) as stage_seq, '$flow' as flow_name,
+             '$name' as constraint_name,
+             cast(sum(case when $pred then 1 else 0 end) as bigint) as passed_records,
+             cast(sum(case when $pred then 0 else 1 end) as bigint) as failed_records
+             FROM $from"""
+        val silverPreds = Seq(
+          ("value is non-negative", "value >= 0"),
+          ("value within sane bound", "value <= 400"),
+          ("event_type is known",
+            "event_type in ('click','view','purchase','signup','error')"),
+          ("no error events", "event_type <> 'error'"),
+          ("user present", "user_id is not null"))
+        s"""
+        WITH e AS ($eventsNs),
+        dedup AS (SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn FROM e) WHERE rn = 1),
+        silver AS (SELECT * FROM dedup
+          WHERE value >= 0 AND value <= 400
+            AND event_type in ('click','view','purchase','signup','error')
+            AND event_type <> 'error' AND user_id is not null),
+        gold AS (SELECT event_type, count(*) as n_events,
+            cast(sum(cast(value as decimal(12,2))) as double) as total_value
+          FROM silver GROUP BY 1)
+        ${cnt(0, "bronze_events", "user present", "user_id is not null", "e")}
+        UNION ALL
+        ${cnt(0, "bronze_events", "props present", "props is not null", "e")}
+        UNION ALL
+        ${silverPreds.map { case (n, p) =>
+            cnt(1, "silver_events", n, p, "dedup") }
+          .mkString("\n        UNION ALL\n        ")}
+        UNION ALL
+        ${cnt(2, "gold_event_counts", "type has events", "n_events > 0", "gold")}
+        UNION ALL
+        ${cnt(2, "gold_event_counts", "total within bound",
+          "total_value <= 10000000", "gold")}"""
+      }),
+
     // ---------- E. Streaming (driver-visible incremental run) ----------
     Q("stream_ingest_batch",
       (s, d) => {
@@ -699,18 +764,59 @@ object Queries {
         // VERSION AS OF both snapshots → deterministic (version, rows)
         val v0 = VersionedTable.read(s, path, Some(0))
           .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(0))
+          .withColumn("mode", lit("version_as_of"))
         val v1 = VersionedTable.read(s, path, Some(1))
           .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(1))
-        v0.unionByName(v1).select("version", "n_rows")
+          .withColumn("mode", lit("version_as_of"))
+        // TIMESTAMP AS OF: resolve v0's own commit instant back to v0
+        // — exercises committed_at → version resolution end-to-end
+        val t0 = VersionedTable.commitTimes(path).head._2
+        val vt = VersionedTable.readAsOf(s, path, t0)
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("version",
+            lit(VersionedTable.versionAt(path, t0).get))
+          .withColumn("mode", lit("timestamp_as_of"))
+        v0.unionByName(v1).unionByName(vt)
+          .select("mode", "version", "n_rows")
       },
       // v0 = one row per user with an even event (dedupLatest), v1 =
-      // upsert of the odd-event users → one row per user overall
+      // upsert of the odd-event users → one row per user overall; the
+      // timestamp read of v0's commit instant resolves back to v0
       Some("""
-        SELECT cast(0 as int) as version, count(distinct user_id) as n_rows
+        SELECT 'version_as_of' as mode, cast(0 as int) as version,
+          count(distinct user_id) as n_rows
         FROM events WHERE event_id % 2 = 0
         UNION ALL
-        SELECT cast(1 as int) as version, count(distinct user_id) as n_rows
-        FROM events""")),
+        SELECT 'version_as_of' as mode, cast(1 as int) as version,
+          count(distinct user_id) as n_rows
+        FROM events
+        UNION ALL
+        SELECT 'timestamp_as_of' as mode, cast(0 as int) as version,
+          count(distinct user_id) as n_rows
+        FROM events WHERE event_id % 2 = 0""")),
+
+    Q("versioned_update",
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vu_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        // notebook-1 verbs end-to-end: CTAS → ALTER TABLE ADD COLUMN →
+        // UPDATE ... CASE WHEN, each committed as a readable version
+        VersionedTable.write(Tables(s, d).customer, path)
+        VersionedTable.addColumn(s, path, "tier", "cast(null as string)")
+        VersionedTable.update(s, path, "c_acctbal >= 5000",
+          Seq("tier" -> "'premium'"))
+        VersionedTable.update(s, path, "c_acctbal < 5000",
+          Seq("tier" ->
+            "case when c_acctbal < 0 then 'delinquent' else 'standard' end"))
+        VersionedTable.read(s, path)
+      },
+      // the three committed mutations collapse to one CASE expression
+      Some("""
+        SELECT *,
+          CASE WHEN c_acctbal >= 5000 THEN 'premium'
+               WHEN c_acctbal < 0 THEN 'delinquent'
+               ELSE 'standard' END as tier
+        FROM customer""")),
 
     // ---------- F. Maintenance (rows-only; layout asserted in specs) ----------
     Q("compact_sorted_write",
@@ -777,7 +883,47 @@ object Queries {
         SELECT event_type,
           cast(sum(cast(props->>'k' as bigint)) as bigint) as sum_k,
           count(*) as n
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    Q("json_extract_struct",
+      (s, d) => {
+        // reference 3:141-147's explode(from_json(..., schema_of_json(...)))
+        // idiom: infer the props struct schema FROM the data (one sampled
+        // row — schema inference is driver-side by nature), then parse
+        // every row with the typed from_json path (not string get_json)
+        val ev = Tables(s, d).events
+        val sample = ev.orderBy(col("event_id")).select(col("props"))
+          .limit(1).collect()(0).getString(0)
+        val ddl = ev.sparkSession.range(1)
+          .select(schema_of_json(lit(sample)).as("s"))
+          .collect()(0).getString(0)
+        ev.select(col("event_type"),
+            from_json(col("props"), ddl, Map.empty[String, String]).as("p"))
+          .select(col("event_type"), col("p.k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT event_type,
+          cast(sum(cast(props->>'k' as bigint)) as bigint) as sum_k,
+          cast(max(cast(props->>'k' as bigint)) as bigint) as max_k,
+          count(*) as n
+        FROM events GROUP BY 1""")),
+
+    Q("ingest_infer",
+      (s, d) => {
+        // inferSchema CSV (reference 1:86-93) — parity surface; the
+        // inferred int columns are normalized to the table's long dtypes
+        // (inference picks the narrowest integer type that fits)
+        val path = s"/tmp/graft_cache/inf_${new java.io.File(d).getName}"
+        Tables(s, d).documents.write.mode("overwrite")
+          .option("header", "true").csv(path)
+        graft.sources.Ingest.csvInferred(s, path)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("source"), col("n_chars").cast("long"))
+      },
+      Some("SELECT * FROM documents"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -51,6 +51,33 @@ object VersionedTable {
 
   def latestVersion(path: String): Option[Int] = versions(path).lastOption
 
+  /** (version, committed_at) pairs from the commit log, ascending.
+    * Driver-side: the log is tiny (one line per commit). */
+  def commitTimes(path: String): Seq[(Int, java.time.Instant)] = {
+    val tsRe = """"committed_at":"([^"]+)"""".r
+    versions(path).map { v =>
+      val line = Files.readString(logDir(path).resolve(f"$v%06d.json"))
+      val ts = tsRe.findFirstMatchIn(line)
+        .map(m => java.time.Instant.parse(m.group(1)))
+        .getOrElse(throw new IllegalStateException(
+          s"no committed_at in log entry $v at $path"))
+      v -> ts
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest version committed at or
+    * before `ts` (reference `1 Data ingestion.py`:203-212). */
+  def versionAt(path: String, ts: java.time.Instant): Option[Int] =
+    commitTimes(path).takeWhile(!_._2.isAfter(ts)).lastOption.map(_._1)
+
+  /** Read the table as of a wall-clock timestamp. */
+  def readAsOf(spark: SparkSession, path: String,
+               ts: java.time.Instant): DataFrame = {
+    val v = versionAt(path, ts).getOrElse(throw new IllegalArgumentException(
+      s"no version committed at or before $ts at $path"))
+    read(spark, path, Some(v))
+  }
+
   /** Write `df` as the next version (full snapshot). Returns the new
     * version number. */
   def write(df: DataFrame, path: String, operation: String = "WRITE"): Int = {
@@ -86,6 +113,36 @@ object VersionedTable {
              keys: Seq[String]): Int = {
     val merged = Medallion.mergeUpsert(read(spark, path), updates, keys)
     write(merged, path, operation = "MERGE")
+  }
+
+  /** In-place `UPDATE ... SET col = expr WHERE cond` analog (reference
+    * `1 Data ingestion.py`:144-173's `UPDATE ... CASE WHEN`): rows
+    * matching `conditionSql` get each assignment applied; all other
+    * rows pass through unchanged. Committed as a new version, so the
+    * pre-update snapshot stays readable (time travel). */
+  def update(spark: SparkSession, path: String, conditionSql: String,
+             assignments: Seq[(String, String)]): Int = {
+    val cur = read(spark, path)
+    val cols = cur.columns.toSeq
+    assignments.foreach { case (c, _) =>
+      require(cols.contains(c), s"UPDATE target column $c not in $cols")
+    }
+    val updated = assignments.foldLeft(cur) { case (df, (c, assignSql)) =>
+      df.withColumn(c,
+        when(expr(conditionSql), expr(assignSql)).otherwise(col(c)))
+    }
+    write(updated.select(cols.map(col): _*), path, operation = "UPDATE")
+  }
+
+  /** `ALTER TABLE ADD COLUMN` analog (reference `1 Data
+    * ingestion.py`:144-150): appends a column computed by `exprSql`
+    * (use a literal/NULL for a plain schema change) as a new version. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                exprSql: String): Int = {
+    val cur = read(spark, path)
+    require(!cur.columns.contains(name), s"column $name already exists")
+    write(cur.withColumn(name, expr(exprSql)), path,
+      operation = "ADD COLUMN")
   }
 
   /** OPTIMIZE+ZORDER analog: clustered compaction committed as a new

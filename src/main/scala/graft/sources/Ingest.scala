@@ -43,6 +43,18 @@ object Ingest {
       .schema(withRescue(schema))
       .json(path)
 
+  /** Schema-INFERENCE CSV read (reference `1 Data ingestion.py`:86-93
+    * `inferSchema=true`): costs one extra full pass over the data —
+    * offered for reference parity; prefer explicit schemas at 100 TB. */
+  def csvInferred(spark: SparkSession, path: String,
+                  header: Boolean = true,
+                  delimiter: String = ","): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("inferSchema", "true")
+      .csv(path)
+
   /** Pruned/pushed parquet scan — the declarative path: Catalyst
     * pushes `filterSql` and the column list into the reader. */
   def parquetPruned(spark: SparkSession, path: String,

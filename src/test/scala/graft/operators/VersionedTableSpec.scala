@@ -37,6 +37,58 @@ class VersionedTableSpec extends SparkSpec {
       .filter(col("n_name").endsWith("_UPDATED")).count() == 0)
   }
 
+  test("TIMESTAMP AS OF resolves committed_at to the right version") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    VersionedTable.write(tables.nation.filter(col("n_regionkey") === 0), path)
+    val Seq((0, t0), (1, t1)) = VersionedTable.commitTimes(path)
+    assert(!t1.isBefore(t0))
+    assert(VersionedTable.versionAt(path, t0).contains(0))
+    assert(VersionedTable.versionAt(path, t1).contains(1))
+    // after the last commit → latest; before the first → none
+    assert(VersionedTable.versionAt(path,
+      t1.plusSeconds(3600)).contains(1))
+    assert(VersionedTable.versionAt(path, t0.minusSeconds(1)).isEmpty)
+    assert(VersionedTable.readAsOf(spark, path, t0).count() == 25)
+    intercept[IllegalArgumentException](
+      VersionedTable.readAsOf(spark, path, t0.minusSeconds(1)))
+  }
+
+  test("update applies assignments only where the condition holds") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    val v = VersionedTable.update(spark, path, "n_regionkey = 0",
+      Seq("n_name" -> "lower(n_name)", "n_regionkey" -> "n_regionkey + 10"))
+    assert(v == 1)
+    val latest = VersionedTable.read(spark, path)
+    assert(latest.count() == 25)
+    assert(latest.filter(col("n_regionkey") === 10).count() == 5)
+    // untouched rows identical; schema/column order preserved
+    assert(latest.columns.toSeq == tables.nation.columns.toSeq)
+    assert(latest.filter(col("n_name") =!= upper(col("n_name"))).count() == 5)
+    // pre-update snapshot intact
+    assert(VersionedTable.read(spark, path, Some(0))
+      .filter(col("n_regionkey") === 10).count() == 0)
+    intercept[IllegalArgumentException](
+      VersionedTable.update(spark, path, "true", Seq("nope" -> "1")))
+  }
+
+  test("addColumn commits a schema-widened version") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    val v = VersionedTable.addColumn(spark, path, "is_south",
+      "n_regionkey in (0, 1)")
+    assert(v == 1)
+    val latest = VersionedTable.read(spark, path)
+    assert(latest.columns.contains("is_south"))
+    assert(latest.filter(col("is_south")).count() == 10)
+    // old version keeps the old schema
+    assert(!VersionedTable.read(spark, path, Some(0))
+      .columns.contains("is_south"))
+    intercept[IllegalArgumentException](
+      VersionedTable.addColumn(spark, path, "is_south", "true"))
+  }
+
   test("history lists one entry per commit with operations") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
