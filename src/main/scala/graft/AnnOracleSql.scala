@@ -1,0 +1,158 @@
+package graft
+
+/** DuckDB SQL builders replicating graft's ANN operators bit-for-bit,
+  * so `ann_lsh` / `ann_ivf` / `ann_recall` are hash-checked rather
+  * than rows-only. Replication is possible because the operators were
+  * designed for it: the hyperplane-component mix is plain 63-bit-safe
+  * integer arithmetic ([[graft.functions.expressions.HyperplaneConstants]]),
+  * IVF centroid means are exact-decimal sums with a single IEEE
+  * division, and every dot product is a sequential double fold
+  * (DuckDB `list_dot_product` evaluates the same order).
+  */
+object AnnOracleSql {
+
+  /** corpus as double arrays (float→double promotion is exact). */
+  val EmbCte: String =
+    "e AS (SELECT vec_id, cast(embedding as double[]) as emb FROM embeddings)"
+
+  private def cosine(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)))"
+
+  /** Exact brute-force top-k CTE `bf(query_id, neighbor_id, rank, cosine)`. */
+  def bfCtes(k: Int, queryPred: String): String = s"""
+    bf AS (
+      SELECT query_id, neighbor_id, cast(rank as bigint) as rank, cosine FROM (
+        SELECT q.vec_id as query_id, c.vec_id as neighbor_id,
+          ${cosine("q.emb", "c.emb")} as cosine,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${cosine("q.emb", "c.emb")} DESC, c.vec_id) as rank
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.$queryPred) WHERE rank <= $k)"""
+
+  /** Hyperplane signature CTEs `hp` + `sigs(vec_id, t, sig)` — the
+    * same component mix as HyperplaneConstants.component. */
+  def sigCtes(dim: Int, bits: Int, tables: Int): String = s"""
+    hp AS (
+      SELECT t.t, i.i,
+        list_transform(range($dim), j -> (
+          ((xor( ((t.t*$bits+i.i)*$dim + j) * 2654435761 % 2147483648,
+                 (((t.t*$bits+i.i)*$dim + j) * 2654435761 % 2147483648) >> 15 )
+            * 2246822519) % 2001 - 1000) / 1000.0)) as comp
+      FROM (SELECT unnest(range($tables)) as t) t,
+           (SELECT unnest(range($bits)) as i) i),
+    sigs AS (
+      SELECT e.vec_id, h.t,
+        cast(sum(case when list_dot_product(e.emb, h.comp) > 0
+          then 1 << ($bits-1-h.i) else 0 end) as int) as sig
+      FROM e CROSS JOIN hp h GROUP BY 1, 2)"""
+
+  /** LSH top-k CTE `lsh_topk(query_id, neighbor_id, rank, cosine)`
+    * (requires sigCtes). */
+  def lshTopkCtes(k: Int, queryPred: String): String = s"""
+    lsh_cand AS (
+      SELECT q.vec_id as query_id, c.vec_id as neighbor_id
+      FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      WHERE q.$queryPred AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    lsh_topk AS (
+      SELECT query_id, neighbor_id, cast(rank as bigint) as rank, cosine FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+          ${cosine("qe.emb", "ce.emb")} as cosine,
+          row_number() OVER (PARTITION BY cand.query_id
+            ORDER BY ${cosine("qe.emb", "ce.emb")} DESC, cand.neighbor_id) as rank
+        FROM lsh_cand cand
+          JOIN e qe ON qe.vec_id = cand.query_id
+          JOIN e ce ON ce.vec_id = cand.neighbor_id)
+      WHERE rank <= $k)"""
+
+  /** IVF CTE chain: sampled init `c0`, `iters` unrolled Lloyd rounds
+    * (assign → exact-decimal means → carry empty clusters), final
+    * corpus tagging + query probes + `ivf_topk(query_id, neighbor_id,
+    * cluster, rank, cosine)`. */
+  def ivfCtes(nlist: Int, nprobe: Int, k: Int, iters: Int,
+              sampleMod: Int, queryPred: String): String = {
+    val init = s"""
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % $sampleMod = 0),
+    c0 AS (
+      SELECT cast(row_number() OVER (ORDER BY vec_id) as int) - 1 as cluster,
+        emb as cent
+      FROM (SELECT vec_id, emb FROM samp ORDER BY vec_id LIMIT $nlist))"""
+    val rounds = (1 to iters).map { n =>
+      val p = s"c${n - 1}"
+      s"""
+    a$n AS (
+      SELECT vec_id, emb, cluster FROM (
+        SELECT s.vec_id, s.emb, c.cluster,
+          row_number() OVER (PARTITION BY s.vec_id
+            ORDER BY list_dot_product(s.emb, c.cent) DESC, c.cluster) as rn
+        FROM samp s CROSS JOIN $p c) WHERE rn = 1),
+    m$n AS (
+      SELECT cluster, dim,
+        cast(sum(cast(v as decimal(20,10))) as double) / count(*) as mean
+      FROM (SELECT cluster, unnest(emb) as v,
+              generate_subscripts(emb, 1) as dim FROM a$n)
+      GROUP BY 1, 2),
+    c$n AS (
+      SELECT p.cluster, coalesce(m.cent, p.cent) as cent
+      FROM $p p LEFT JOIN
+        (SELECT cluster, list(mean ORDER BY dim) as cent
+         FROM m$n GROUP BY 1) m USING (cluster))"""
+    }.mkString(",")
+    val cf = s"c$iters"
+    val fin = s"""
+    tagged AS (
+      SELECT vec_id as neighbor_id, emb, cluster FROM (
+        SELECT e.vec_id, e.emb, c.cluster,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(e.emb, c.cent) DESC, c.cluster) as rn
+        FROM e CROSS JOIN $cf c) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id as query_id, emb as q_emb, cluster FROM (
+        SELECT e.vec_id, e.emb, c.cluster,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(e.emb, c.cent) DESC, c.cluster) as rn
+        FROM e CROSS JOIN $cf c WHERE e.$queryPred) WHERE rn <= $nprobe),
+    ivf_topk AS (
+      SELECT query_id, neighbor_id, cast(cluster as int) as cluster,
+        cast(rank as bigint) as rank, cosine FROM (
+        SELECT p.query_id, t.neighbor_id, t.cluster,
+          ${cosine("p.q_emb", "t.emb")} as cosine,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY ${cosine("p.q_emb", "t.emb")} DESC, t.neighbor_id) as rank
+        FROM tagged t JOIN probes p USING (cluster)
+        WHERE t.neighbor_id <> p.query_id)
+      WHERE rank <= $k)"""
+    init + "," + rounds + "," + fin
+  }
+
+  def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
+             queryPred: String): String =
+    s"""WITH $EmbCte, ${sigCtes(dim, bits, tables)}, ${lshTopkCtes(k, queryPred)}
+       SELECT query_id, neighbor_id, rank, cosine FROM lsh_topk"""
+
+  def ivfSql(nlist: Int, nprobe: Int, k: Int, iters: Int, sampleMod: Int,
+             queryPred: String): String =
+    s"""WITH $EmbCte, ${ivfCtes(nlist, nprobe, k, iters, sampleMod, queryPred)}
+       SELECT query_id, neighbor_id, cluster, rank, cosine FROM ivf_topk"""
+
+  def recallSql(dim: Int, bits: Int, tables: Int, nlist: Int, nprobe: Int,
+                k: Int, iters: Int, sampleMod: Int,
+                queryPred: String): String = s"""
+    WITH $EmbCte, ${bfCtes(k, queryPred)}, ${sigCtes(dim, bits, tables)},
+    ${lshTopkCtes(k, queryPred)},
+    ${ivfCtes(nlist, nprobe, k, iters, sampleMod, queryPred)}
+    SELECT q.vec_id as query_id, 'lsh' as method,
+      cast(coalesce(h.n, 0) as double) / $k as recall
+    FROM (SELECT vec_id FROM e WHERE $queryPred) q LEFT JOIN
+      (SELECT query_id, count(*) as n FROM lsh_topk
+         JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
+      ON h.query_id = q.vec_id
+    UNION ALL
+    SELECT q.vec_id as query_id, 'ivf' as method,
+      cast(coalesce(h.n, 0) as double) / $k as recall
+    FROM (SELECT vec_id FROM e WHERE $queryPred) q LEFT JOIN
+      (SELECT query_id, count(*) as n FROM ivf_topk
+         JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
+      ON h.query_id = q.vec_id"""
+}

@@ -260,14 +260,31 @@ object Queries {
         val emb = Tables(s, d).embeddings
         Similarity.annIvf(emb, emb.filter(col("vec_id") < 8))
       },
-      None),
+      // full replication of the sampled-Lloyd quantizer + probing in
+      // DuckDB — exact-decimal means and sequential-fold dots make the
+      // whole index build bit-deterministic (AnnOracleSql)
+      Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
+        sampleMod = 5, queryPred = "vec_id < 8"))),
 
     Q("ann_lsh",
       (s, d) => {
         val emb = Tables(s, d).embeddings
         Similarity.annLsh(emb, emb.filter(col("vec_id") < 8), dim = 64)
       },
-      None),
+      // signature bits replicated from the integer component mix
+      Some(AnnOracleSql.lshSql(dim = 64, bits = 6, tables = 16, k = 5,
+        queryPred = "vec_id < 8"))),
+
+    Q("ann_recall",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annRecall(emb, emb.filter(col("vec_id") < 8))
+      },
+      // recall@k of both approximate searchers vs exact top-k — the
+      // headline quality metric for the ANN family, hash-checked
+      Some(AnnOracleSql.recallSql(dim = 64, bits = 6, tables = 16,
+        nlist = 16, nprobe = 4, k = 5, iters = 3, sampleMod = 5,
+        queryPred = "vec_id < 8"))),
 
     // ---------- I. LLM-pipeline: text analysis ----------
     Q("lang_id",

@@ -148,13 +148,106 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+object HyperplaneConstants {
+  /** Deterministic pseudo-hyperplane components in [-1, 1]. The mix is
+    * deliberately plain 63-bit-safe integer arithmetic (multiply, mod,
+    * xor, shift) so an external SQL engine can replicate every
+    * signature bit exactly — that is what makes the LSH oracle
+    * checkable. For component index idx = (table·bits + i)·dim + j:
+    *   x    = (idx · 2654435761) mod 2³¹          (Knuth multiplicative)
+    *   y    = (x xor (x >> 15)) · 2246822519      (xxHash prime mix)
+    *   comp = ((y mod 2001) − 1000) / 1000.0
+    */
+  def component(idx: Long): Double = {
+    val x = (idx * 2654435761L) % 2147483648L
+    val y = (x ^ (x >> 15)) * 2246822519L
+    ((y % 2001L) - 1000L).toDouble / 1000.0
+  }
+
+  def components(tables: Int, bits: Int, dim: Int): Array[Double] =
+    Array.tabulate(tables * bits * dim)(i => component(i.toLong))
+}
+
+/** Multi-table random-hyperplane signatures for an `array<float>`
+  * embedding: `tables` independent signatures of `bits` bits each
+  * (bit i of table t = sign of the dot product with pseudo-hyperplane
+  * (t·bits+i)), packed MSB-first into ints. One tight loop per row in
+  * whole-stage codegen — the HOF formulation ran interpreted with
+  * bits × dim re-evaluation per element. */
+case class HyperplaneSignatures(child: Expression, dim: Int, bits: Int,
+                                tables: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
+  require(tables >= 1, s"tables must be >= 1, got $tables")
+
+  @transient private lazy val comps: Array[Double] =
+    HyperplaneConstants.components(tables, bits, dim)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hyperplanes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val sigs = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var i = 0
+      while (i < bits) {
+        val base = (t * bits + i) * dim
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += arr.getFloat(j).toDouble * comps(base + j); j += 1 }
+        sig = sig * 2 + (if (acc > 0) 1 else 0)
+        i += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val compsRef = ctx.addReferenceObj("hyperplaneComps", comps, "double[]")
+      val sigs = ctx.freshName("sigs")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int[] $sigs = new int[$tables];
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $sig = 0;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    int $base = ($t * $bits + $i) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc += ((double) $a.getFloat($j)) * $compsRef[$base + $j];
+         |    }
+         |    $sig = $sig * 2 + (($acc > 0) ? 1 : 0);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
+}
+
 /** Top-n nearest centroids (by dot product — embeddings are
   * unit-normalized so dot ≈ cosine) for an `array<float>` embedding.
   * Centroids ride along as a plan reference object. Ties break to the
   * lower centroid index; n=1 is cluster assignment, n=nprobe is the
   * IVF probe list. */
 case class NearestCentroids(child: Expression,
-                            centroids: Array[Array[Float]], n: Int)
+                            centroids: Array[Array[Double]], n: Int)
   extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -10,8 +10,8 @@ import graft.functions.VectorFunctions
   * Scale design: queries are a SMALL set (broadcast); the corpus is
   * scanned exactly once. Brute-force ranks with a per-query window
   * (shuffle keyed on query_id — #partitions = #queries, so the
-  * shuffle is tiny); the LSH variant prunes the corpus to matching
-  * hyperplane-signature buckets first, which is the 100 TB path
+  * shuffle is tiny); the LSH and IVF variants prune the corpus to
+  * signature buckets / probed lists first, which is the 100 TB path
   * (bucket join instead of full scan per query).
   */
 object Similarity {
@@ -40,63 +40,99 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Random-hyperplane signature: bit i = sign(dot(v, h_i)) where
-    * h_i components are derived from a deterministic integer hash
-    * (no RNG state — reproducible across runs/executors). Packs
-    * `bits` bits into an int. Map-only. */
-  def hyperplaneSignature(emb: org.apache.spark.sql.Column,
-                          dim: Int, bits: Int): org.apache.spark.sql.Column =
-    // bind the double-promoted embedding once; the bits × dim loop
-    // then indexes a bound array instead of re-promoting per element
-    VectorFunctions.bind(VectorFunctions.toDoubleArray(emb), e =>
-      aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) => {
-        // pseudo-hyperplane component for (bit i, dim j):
-        //   ((murmur3(i*dim + j) mod 2001) - 1000) / 1000  ∈ [-1, 1]
-        val dotp = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-          (s, j) => s + element_at(e, j + 1) *
-            ((pmod(hash(i * lit(dim) + j), lit(2001)) - 1000).cast("double") / 1000.0))
-        acc * 2 + when(dotp > 0, 1).otherwise(0)
-      }))
+  /** Multi-table random-hyperplane signatures (array of `tables`
+    * packed ints). Map-only, native codegen kernel
+    * ([[graft.functions.expressions.HyperplaneSignatures]]); the
+    * component hash is plain integer arithmetic so external engines
+    * can replicate every bit (oracle-checkable). */
+  def hyperplaneSignatures(emb: Column, dim: Int, bits: Int,
+                           tables: Int): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.HyperplaneSignatures(
+        org.apache.spark.sql.graft.GraftBridge.expression(emb),
+        dim, bits, tables))
+
+  /** LSH-bucketed ANN over `tables` independent `bits`-bit hyperplane
+    * signature tables: candidates = corpus vectors sharing ANY table's
+    * bucket with the query (OR over tables — recall grows with
+    * `tables`, pruning with `bits`, so both are tunable); exact cosine
+    * rank within candidates. Approximate — may miss neighbors whose
+    * signatures differ in every table.
+    *
+    * Shuffle profile: queries broadcast, corpus scanned once (the
+    * signature explode is map-side); only the deduplicated
+    * (query, neighbor, cosine) candidates are exchanged for top-k. */
+  def annLsh(corpus: DataFrame, queries: DataFrame, dim: Int,
+             bits: Int = 6, tables: Int = 16, k: Int = 5): DataFrame = {
+    val sigOf = (d: DataFrame, idAs: String, embAs: String, normAs: String) =>
+      d.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        VectorFunctions.l2Norm(col("embedding")).as(normAs),
+        posexplode(hyperplaneSignatures(col("embedding"), dim, bits, tables))
+          .as(Seq("tbl", "sig")))
+    val c = sigOf(corpus, "neighbor_id", "embedding", "c_norm")
+    val q = broadcast(sigOf(queries, "query_id", "q_emb", "q_norm"))
+    val scored = c.join(q, Seq("tbl", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("c_norm")))
+      // a pair colliding in several tables scores identically each
+      // time — distinct on the (tiny) scored pair, not the vectors
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
 
   // ---------- IVF (inverted-file) ANN ----------
 
-  private def nearestCentroids(emb: org.apache.spark.sql.Column,
-                               cents: Array[Array[Float]], n: Int) =
+  private def nearestCentroids(emb: Column,
+                               cents: Array[Array[Double]], n: Int) =
     org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.NearestCentroids(
         org.apache.spark.sql.graft.GraftBridge.expression(emb), cents, n))
 
-  /** Deterministic mini-KMeans (Lloyd) coarse quantizer: init = the
-    * nlist lowest-vec_id embeddings, per-dimension means accumulated
-    * as exact decimals (partition-order-independent), fixed iteration
-    * count. Centroid set is tiny (nlist × dim) — lives on the driver
-    * and broadcasts inside the assignment kernel. */
+  /** Deterministic mini-KMeans (Lloyd) coarse quantizer trained on a
+    * bounded deterministic SAMPLE (`vec_id % sampleMod == 0`) — at
+    * 100 TB the quantizer never sees the full corpus; 3 scans of a
+    * fixed sample replace 3 full-corpus scans. Init = the nlist
+    * lowest-vec_id sample embeddings; per-dimension means are exact
+    * decimal sums cast to double then divided (one IEEE division —
+    * partition-order-independent and replicable by the SQL oracle).
+    * Centroid set is tiny (nlist × dim) — lives on the driver and
+    * broadcasts inside the assignment kernel. */
   def trainCentroids(corpus: DataFrame, nlist: Int = 16,
-                     iters: Int = 3): Array[Array[Float]] = {
-    var cents = corpus.orderBy("vec_id").limit(nlist)
+                     iters: Int = 3, sampleMod: Int = 5): Array[Array[Double]] = {
+    val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = sample.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(
+      val assigned = sample.select(
         element_at(nearestCentroids(col("embedding"), cents, 1), 1)
           .as("cluster"),
-        col("embedding"))
-      // exact-decimal per-dimension mean → deterministic across
-      // partition orders (double sums would drift bit-level)
+        VectorFunctions.toDoubleArray(col("embedding")).as("emb"))
+      // exact-decimal per-dimension sum → double → one division:
+      // deterministic across partition orders (naive double sums
+      // would drift bit-level) and bit-replicable in the oracle
       val dims = assigned
-        .select(col("cluster"), posexplode(col("embedding"))
-          .as(Seq("dim", "v")))
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg((sum(col("v").cast("decimal(20,10)")) /
-          count(lit(1))).cast("float").as("mean"))
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
+          count(lit(1))).as("mean"))
         .collect()
+      // clusters that captured no sample rows keep their centroid
       val next = cents.map(_.clone())
       dims.foreach { r =>
         next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
-          r.getAs[Float]("mean")
+          r.getAs[Double]("mean")
       }
       cents = next
     }
+    sample.unpersist()
     cents
   }
 
@@ -107,8 +143,9 @@ object Similarity {
     * nprobe/nlist of the data. Approximate: recall depends on
     * nprobe/nlist. */
   def annIvf(corpus: DataFrame, queries: DataFrame, nlist: Int = 16,
-             nprobe: Int = 4, k: Int = 5, iters: Int = 3): DataFrame = {
-    val cents = trainCentroids(corpus, nlist, iters)
+             nprobe: Int = 4, k: Int = 5, iters: Int = 3,
+             sampleMod: Int = 5): DataFrame = {
+    val cents = trainCentroids(corpus, nlist, iters, sampleMod)
     val tagged = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding"),
       VectorFunctions.l2Norm(col("embedding")).as("c_norm"),
@@ -131,25 +168,23 @@ object Similarity {
       .select("query_id", "neighbor_id", "cluster", "rank", "cosine")
   }
 
-  /** LSH-bucketed ANN: corpus and queries hashed to hyperplane
-    * signature buckets; candidates = bucket collisions; exact cosine
-    * rank within candidates. Approximate — may miss neighbors whose
-    * signatures differ. */
-  def annLsh(corpus: DataFrame, queries: DataFrame, dim: Int,
-             bits: Int = 8, k: Int = 5): DataFrame = {
-    val sigOf = (d: DataFrame, idAs: String, embAs: String) =>
-      d.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        hyperplaneSignature(col("embedding"), dim, bits).as("bucket"))
-    val c = sigOf(corpus, "neighbor_id", "embedding")
-    val q = broadcast(sigOf(queries, "query_id", "q_emb"))
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        VectorFunctions.cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "bucket", "rank", "cosine")
+  /** Per-query recall@k of the approximate searchers against the
+    * exact brute-force top-k: |approx ∩ exact| / k. The measurement
+    * itself is deterministic (fixed hashes, fixed sample), so it is
+    * oracle-checkable end-to-end. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                dim: Int = 64): DataFrame = {
+    val exact = annBruteForce(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(approx: DataFrame, method: String): DataFrame =
+      queries.select(col("vec_id").as("query_id"))
+        .join(approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), lit(method).as("method"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+    recallOf(annLsh(corpus, queries, dim, k = k), "lsh")
+      .unionByName(recallOf(annIvf(corpus, queries, k = k), "ivf"))
   }
 }
