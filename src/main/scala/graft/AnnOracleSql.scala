@@ -66,12 +66,11 @@ object AnnOracleSql {
           JOIN e ce ON ce.vec_id = cand.neighbor_id)
       WHERE rank <= $k)"""
 
-  /** IVF CTE chain: sampled init `c0`, `iters` unrolled Lloyd rounds
-    * (assign → exact-decimal means → carry empty clusters), final
-    * corpus tagging + query probes + `ivf_topk(query_id, neighbor_id,
-    * cluster, rank, cosine)`. */
-  def ivfCtes(nlist: Int, nprobe: Int, k: Int, iters: Int,
-              sampleMod: Int, queryPred: String): String = {
+  /** Coarse-quantizer CTE chain: sampled init `c0`, `iters` unrolled
+    * Lloyd rounds (assign → exact-decimal means → carry empty
+    * clusters), and full-corpus tagging
+    * `tagged(neighbor_id, emb, cluster)`. */
+  def quantizerCtes(nlist: Int, iters: Int, sampleMod: Int): String = {
     val init = s"""
     samp AS (SELECT vec_id, emb FROM e WHERE vec_id % $sampleMod = 0),
     c0 AS (
@@ -106,7 +105,16 @@ object AnnOracleSql {
         SELECT e.vec_id, e.emb, c.cluster,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY list_dot_product(e.emb, c.cent) DESC, c.cluster) as rn
-        FROM e CROSS JOIN $cf c) WHERE rn = 1),
+        FROM e CROSS JOIN $cf c) WHERE rn = 1)"""
+    init + "," + rounds + "," + fin
+  }
+
+  /** IVF CTE chain: quantizer + query probes + `ivf_topk(query_id,
+    * neighbor_id, cluster, rank, cosine)`. */
+  def ivfCtes(nlist: Int, nprobe: Int, k: Int, iters: Int,
+              sampleMod: Int, queryPred: String): String = {
+    val cf = s"c$iters"
+    val fin = s"""
     probes AS (
       SELECT vec_id as query_id, emb as q_emb, cluster FROM (
         SELECT e.vec_id, e.emb, c.cluster,
@@ -123,8 +131,22 @@ object AnnOracleSql {
         FROM tagged t JOIN probes p USING (cluster)
         WHERE t.neighbor_id <> p.query_id)
       WHERE rank <= $k)"""
-    init + "," + rounds + "," + fin
+    quantizerCtes(nlist, iters, sampleMod) + "," + fin
   }
+
+  /** Quantizer-blocked embedding near-dup pairs (mirrors
+    * Dedup.embeddingNearDupQuantized). */
+  def embeddingDedupSql(threshold: Double, nlist: Int, iters: Int,
+                        sampleMod: Int): String =
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleMod)},
+       pairs AS (
+         SELECT a.neighbor_id as id_a, b.neighbor_id as id_b,
+           cast(a.cluster as int) as cluster,
+           ${cosine("a.emb", "b.emb")} as cosine
+         FROM tagged a JOIN tagged b
+           ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id)
+       SELECT id_a, id_b, cluster, cosine FROM pairs
+       WHERE cosine >= $threshold"""
 
   def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
              queryPred: String): String =

@@ -207,15 +207,21 @@ object Queries {
 
     Q("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(Tables(s, d).documents),
-      None, headline = true),
+      // full banded-LSH replica in DuckDB — portable sha256-prefix
+      // shingle hash + integer-only mixes make every bucket and every
+      // verified pair reproducible (TextOracleSql)
+      Some(TextOracleSql.minhashLshSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5)),
+      headline = true),
 
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
-      None),
+      Some(TextOracleSql.simhashSql(maxHamming = 3))),
 
     Q("ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(Tables(s, d).documents),
-      None),
+      Some(TextOracleSql.ngramJaccardSql(shingleK = 3, numPerm = 64,
+        bands = 16))),
 
     Q("dedup_embedding",
       (s, d) => Dedup.embeddingNearDup(Tables(s, d).embeddings,
@@ -231,6 +237,15 @@ object Queries {
         WHERE list_dot_product(a.emb, b.emb) /
             (sqrt(list_dot_product(a.emb, a.emb)) *
              sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""")),
+
+    Q("dedup_embedding_quantized",
+      (s, d) => Dedup.embeddingNearDupQuantized(Tables(s, d).embeddings,
+        threshold = 0.35),
+      // block key = IVF quantizer cell, fully replicated in DuckDB
+      // (sampled Lloyd chain from AnnOracleSql) — the 100 TB blocking
+      // story hash-checked end-to-end
+      Some(AnnOracleSql.embeddingDedupSql(threshold = 0.35, nlist = 16,
+        iters = 3, sampleMod = 5))),
 
     // ---------- H. LLM-pipeline: similarity search ----------
     Q("ann_bruteforce",
@@ -349,7 +364,7 @@ object Queries {
 
     Q("doc_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
-      None),
+      Some(TextOracleSql.fingerprintSql(k = 5, w = 4))),
 
     Q("gold_supplier_volume",
       (s, d) => {

@@ -1,0 +1,144 @@
+package graft
+
+import graft.functions.expressions.MinHashConstants
+
+/** DuckDB SQL builders replicating graft's text-dedup operators
+  * bit-for-bit (MinHash-LSH, SimHash, winnowing fingerprints), so
+  * `dedup_minhash_lsh` / `ngram_jaccard` / `dedup_simhash` /
+  * `doc_fingerprint` are hash-checked rather than rows-only.
+  *
+  * Replication rests on two design choices in the kernels:
+  * the per-token content hash is the sha256-prefix
+  * ([[graft.functions.expressions.TextHash]] ≡
+  * `('0x' || substr(sha256(s),1,15))::BIGINT`), and every mix/fold is
+  * plain 63-bit-safe integer arithmetic (xor / mask / multiply / mod)
+  * with the per-permutation constants embedded as literals below.
+  */
+object TextOracleSql {
+
+  val Sha60 = "('0x' || substr(sha256(%s), 1, 15))::BIGINT"
+
+  private def sha60(col: String) = Sha60.format(col)
+
+  /** The MinHashConstants.PermConsts table as VALUES literals. */
+  private def permsCte(numPerm: Int): String = {
+    val values = MinHashConstants.PermConsts.take(numPerm).zipWithIndex
+      .map { case (c, i) => s"($i, $c)" }.mkString(", ")
+    s"perms(i, c) AS (VALUES $values)"
+  }
+
+  /** Word k-shingle CTEs `docs` + `sh(doc_id, shingles)`, with the
+    * whole-doc fallback below k tokens (matches WordShinglesKernel). */
+  private def shingleCtes(k: Int): String = s"""
+    docs AS (SELECT doc_id, string_split(text, ' ') as toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= $k
+          THEN list_transform(range(len(toks) - ${k - 1}),
+                 i -> array_to_string(toks[i+1:i+$k], ' '))
+          ELSE [array_to_string(toks, ' ')] END as shingles
+      FROM docs)"""
+
+  /** MinHash → banded-LSH → Jaccard-verified pairs
+    * `jac(id_a, id_b, jaccard)`. Mirrors Dedup.minhashLsh: xor-mask-
+    * multiply-shift mix per permutation, 31-bit multiply-accumulate
+    * band fold, token-set Jaccard on candidates only. */
+  private def lshPairCtes(numPerm: Int, bands: Int): String = {
+    val r = numPerm / bands
+    s"""
+    shx AS (SELECT doc_id, unnest(list_distinct(shingles)) as s FROM sh),
+    hs AS (SELECT doc_id, ${sha60("s")} as h FROM shx),
+    minv AS (
+      SELECT doc_id, p.i,
+        min(xor((xor(h, p.c) & 2147483647) * 2654435761,
+                ((xor(h, p.c) & 2147483647) * 2654435761) >> 31)) as m
+      FROM hs CROSS JOIN perms p GROUP BY 1, 2),
+    sigl AS (SELECT doc_id, list(m ORDER BY i) as sig FROM minv GROUP BY 1),
+    bands AS (
+      SELECT doc_id, j.j as band_id,
+        list_reduce(list_prepend(0, sig[j.j*$r+1 : j.j*$r+$r]),
+          (acc, v) -> (acc * 2654435761 + (v & 2147483647)) % 2147483648)
+          as band_hash
+      FROM sigl, (SELECT unnest(range($bands)) as j) j),
+    cand AS (
+      SELECT a.doc_id as id_a, b.doc_id as id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sets AS (SELECT doc_id, list_distinct(shingles) as sset FROM sh),
+    jac AS (
+      SELECT id_a, id_b,
+        cast(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) as double)
+          / (len(sa.sset) + len(sb.sset)
+             - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+          as jaccard
+      FROM cand
+        JOIN sets sa ON sa.doc_id = id_a
+        JOIN sets sb ON sb.doc_id = id_b)"""
+  }
+
+  def minhashLshSql(shingleK: Int, numPerm: Int, bands: Int,
+                    threshold: Double): String =
+    s"""WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+       ${lshPairCtes(numPerm, bands)}
+       SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold"""
+
+  def ngramJaccardSql(shingleK: Int, numPerm: Int, bands: Int): String =
+    s"""WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+       ${lshPairCtes(numPerm, bands)}
+       SELECT id_a, id_b, jaccard FROM jac"""
+
+  /** 60-bit SimHash pigeonhole pairs (mirrors Dedup.simhashPairs):
+    * per-bit majority over token hashes, 4 × 15-bit chunks, candidate
+    * join on any equal chunk, exact hamming verify. */
+  def simhashSql(maxHamming: Int): String = s"""
+    WITH tokh AS (
+      SELECT doc_id, ${sha60("tok")} as h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) as tok
+            FROM documents)),
+    bitcnt AS (
+      SELECT doc_id, b.b as b,
+        sum(case when ((h >> b.b) & 1) = 1 then 1 else -1 end) as cnt
+      FROM tokh, (SELECT unnest(range(60)) as b) b GROUP BY 1, 2),
+    chunks AS (
+      SELECT doc_id, cast(b // 15 as int) as chunk_idx,
+        cast(sum(case when cnt > 0 then 1 << (b % 15) else 0 end) as int)
+          as chunk_val
+      FROM bitcnt GROUP BY 1, 2),
+    clist AS (
+      SELECT doc_id, list(chunk_val ORDER BY chunk_idx) as chunks
+      FROM chunks GROUP BY 1),
+    scand AS (
+      SELECT a.doc_id as id_a, b.doc_id as id_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sham AS (
+      SELECT id_a, id_b,
+        cast(list_sum(list_transform(range(4),
+          i -> bit_count(cast(xor(ca.chunks[i+1], cb.chunks[i+1]) as bigint))))
+          as bigint) as hamming
+      FROM scand
+        JOIN clist ca ON ca.doc_id = id_a
+        JOIN clist cb ON cb.doc_id = id_b)
+    SELECT id_a, id_b, hamming FROM sham WHERE hamming <= $maxHamming"""
+
+  /** Winnowing fingerprints (mirrors TextAnalysis.fingerprints):
+    * k-gram sha60 hashes, w-window minima, distinct per doc. */
+  def fingerprintSql(k: Int, w: Int): String = s"""
+    WITH ${shingleCtes(k)},
+    hs AS (
+      SELECT doc_id,
+        list_transform(shingles, g -> ${sha60("g")}) as hashes
+      FROM sh),
+    wins AS (
+      SELECT doc_id,
+        CASE WHEN len(hashes) >= $w
+          THEN list_transform(range(len(hashes) - ${w - 1}),
+                 i -> list_min(hashes[i+1:i+$w]))
+          ELSE [list_min(hashes)] END as mins
+      FROM hs)
+    SELECT doc_id, unnest(list_distinct(mins)) as fingerprint FROM wins"""
+}

@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -74,20 +74,45 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
 object MinHashConstants {
   /** Per-permutation xor constants (splitmix64 of the index) —
-    * literals baked into the plan, no executor RNG state. */
+    * literals baked into the plan, no executor RNG state. The VALUES
+    * are embedded verbatim in the DuckDB oracle SQL (TextOracleSql),
+    * so the mix itself only needs xor/mask/multiply — all 63-bit-safe. */
   val PermConsts: Array[Long] = Array.tabulate(64) { i =>
     var z = i.toLong + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
-  val XxSeed = 42L
 }
 
-/** MinHash signature over an `array<string>` of shingles: one xxHash64
-  * per shingle + numPerm xor-multiply-shift mixes, element-wise min.
-  * Matches graft.operators.Dedup's mix exactly (31-bit masked operand
-  * × 32-bit constant keeps ANSI-safe 63-bit products). */
+/** Engine-portable 60-bit text hash: the first 15 hex chars of
+  * sha256(utf8 bytes), i.e. `('0x' || substr(sha256(s),1,15))::BIGINT`
+  * in DuckDB — one shared content hash for minhash / simhash /
+  * fingerprinting so their outputs are oracle-checkable. A keyed
+  * xxHash64 would be ~3× faster but is not replicable in external SQL
+  * engines; these kernels are verify-everything first. */
+object TextHash {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  def sha60(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(u.getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+}
+
+/** MinHash signature over an `array<string>` of shingles: one portable
+  * 60-bit content hash per shingle + numPerm xor-multiply-shift mixes,
+  * element-wise min. Matches graft.operators.Dedup's mix exactly
+  * (31-bit masked operand × 32-bit constant keeps ANSI-safe 63-bit
+  * products). */
 case class MinHashSignature(child: Expression, numPerm: Int)
   extends UnaryExpression {
 
@@ -102,7 +127,7 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     val n = arr.numElements()
     while (s < n) {
       val u = arr.getUTF8String(s)
-      val h = XXH64.hashUTF8String(u, MinHashConstants.XxSeed)
+      val h = TextHash.sha60(u)
       var i = 0
       while (i < numPerm) {
         val x = ((h ^ consts(i)) & 0x7fffffffL) * 0x9E3779B1L
@@ -131,9 +156,8 @@ case class MinHashSignature(child: Expression, numPerm: Int)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |int $n = $a.numElements();
          |for (int $s = 0; $s < $n; $s++) {
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |    .hashUTF8String($a.getUTF8String($s),
-         |      ${MinHashConstants.XxSeed}L);
+         |  long $h = graft.functions.expressions.TextHash
+         |    .sha60($a.getUTF8String($s));
          |  for (int $i = 0; $i < $numPerm; $i++) {
          |    long $x = (($h ^ $consts[$i]) & 0x7fffffffL) * 0x9E3779B1L;
          |    long $m = $x ^ ($x >>> 31);
@@ -389,9 +413,11 @@ case class WordSetCount(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over an `array<string>` of tokens, packed as 4 ×
-  * 16-bit chunk ints (MSB-first per chunk) for the pigeonhole
-  * candidate join. */
+/** 60-bit SimHash over an `array<string>` of tokens, packed as 4 ×
+  * 15-bit chunk ints (MSB-first per chunk) for the pigeonhole
+  * candidate join. 60 bits (not 64) because the per-token content
+  * hash is the engine-portable sha256-prefix ([[TextHash]]) — every
+  * chunk is replicable in the DuckDB oracle. */
 case class SimHashChunks(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -399,14 +425,14 @@ case class SimHashChunks(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
+    val counters = new Array[Int](60)
     var t = 0
     val n = arr.numElements()
     while (t < n) {
       val u = arr.getUTF8String(t)
-      val h = XXH64.hashUTF8String(u, MinHashConstants.XxSeed)
+      val h = TextHash.sha60(u)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
@@ -416,8 +442,8 @@ case class SimHashChunks(child: Expression) extends UnaryExpression {
     var c = 0
     while (c < 4) {
       var v = 0
-      var i = 16 * c + 15
-      while (i >= 16 * c) {
+      var i = 15 * c + 14
+      while (i >= 15 * c) {
         v = v * 2 + (if (counters(i) > 0) 1 else 0)
         i -= 1
       }
@@ -439,20 +465,19 @@ case class SimHashChunks(child: Expression) extends UnaryExpression {
       val v = ctx.freshName("v")
       val i = ctx.freshName("i")
       s"""
-         |int[] $counters = new int[64];
+         |int[] $counters = new int[60];
          |int $n = $a.numElements();
          |for (int $t = 0; $t < $n; $t++) {
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |    .hashUTF8String($a.getUTF8String($t),
-         |      ${MinHashConstants.XxSeed}L);
-         |  for (int $b = 0; $b < 64; $b++) {
+         |  long $h = graft.functions.expressions.TextHash
+         |    .sha60($a.getUTF8String($t));
+         |  for (int $b = 0; $b < 60; $b++) {
          |    $counters[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
          |int[] $chunks = new int[4];
          |for (int $c = 0; $c < 4; $c++) {
          |  int $v = 0;
-         |  for (int $i = 16 * $c + 15; $i >= 16 * $c; $i--) {
+         |  for (int $i = 15 * $c + 14; $i >= 15 * $c; $i--) {
          |    $v = $v * 2 + (($counters[$i] > 0) ? 1 : 0);
          |  }
          |  $chunks[$c] = $v;

@@ -44,10 +44,10 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** numPerm-wide MinHash signature. Map-only, native codegen kernel
-    * ([[graft.functions.expressions.MinHashSignature]]): one xxHash64
-    * per shingle + numPerm xor-multiply-shift mixes in a tight
-    * primitive loop — the HOF formulation ran interpreted and
-    * re-evaluated the shingling expression per permutation. */
+    * ([[graft.functions.expressions.MinHashSignature]]): one portable
+    * sha256-prefix hash per shingle + numPerm xor-multiply-shift mixes
+    * in a tight primitive loop — the HOF formulation ran interpreted
+    * and re-evaluated the shingling expression per permutation. */
   def minhashSignature(sh: Column, numPerm: Int): Column = {
     require(numPerm >= 1 && numPerm <= MinHashConstantsLimit,
       s"numPerm must be in [1, $MinHashConstantsLimit], got $numPerm " +
@@ -61,12 +61,19 @@ object Dedup {
     graft.functions.expressions.MinHashConstants.PermConsts.length
 
   /** (doc_id, band_id, band_hash) — one row per band per doc.
-    * bands × rowsPerBand must equal the signature width. */
+    * bands × rowsPerBand must equal the signature width. The band
+    * hash is a 31-bit multiply-accumulate fold over the band's
+    * signature values — plain integer arithmetic so the DuckDB oracle
+    * reproduces every bucket (a murmur3 `hash(slice(...))` would not
+    * be replicable). Folds run over the already-computed signature
+    * array, so the interpreted HOF costs bands × rowsPerBand adds. */
   def lshBands(docs: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame =
     docs.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(col(sigCol), j * rowsPerBand + 1, lit(rowsPerBand)))))
+        j => aggregate(slice(col(sigCol), j * rowsPerBand + 1, lit(rowsPerBand)),
+          lit(0L), (acc, v) =>
+            (acc * 2654435761L + v.bitwiseAND(0x7fffffffL)) % 2147483648L)))
         .as(Seq("band_id", "band_hash")))
 
   /** Candidate pairs: docs sharing ≥1 LSH bucket. Shuffles on
@@ -128,12 +135,13 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash packed as 4 × 16-bit chunk values (array<int>),
+  /** 60-bit SimHash packed as 4 × 15-bit chunk values (array<int>),
     * (doc_id, chunks). The bit-i majority is
-    * sign(Σ_tokens (2·bit_i(xxhash64(tok)) − 1)); chunk c packs bits
-    * 16c..16c+15 MSB-first. Chunked form feeds the pigeonhole
-    * candidate join directly: two docs within hamming distance 3
-    * share at least one of 4 chunks. Map-only, no UDF. */
+    * sign(Σ_tokens (2·bit_i(sha60(tok)) − 1)) over the portable
+    * sha256-prefix hash; chunk c packs bits 15c..15c+14 MSB-first.
+    * Chunked form feeds the pigeonhole candidate join directly: two
+    * docs within hamming distance 3 share at least one of 4 chunks.
+    * Map-only, no UDF. */
   def simhash(documents: DataFrame): DataFrame = {
     val chunks = org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.SimHashChunks(
@@ -193,5 +201,33 @@ object Dedup {
           (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("label"), col("cosine"))
+  }
+
+  /** Embedding near-dup with the 100 TB blocking story end-to-end:
+    * the block key is an IVF coarse-quantizer cell (trained on a
+    * bounded deterministic sample — [[Similarity.trainCentroids]]),
+    * not a data-provided label. Only intra-cell pairs are compared —
+    * one shuffle on the cell id, work ∝ Σ cell², never n². Trade-off:
+    * a near-dup pair split across cells is missed; near-identical
+    * vectors co-locate with high probability, and more cells can be
+    * probed the IVF way if recall matters more than cost. */
+  def embeddingNearDupQuantized(embeddings: DataFrame,
+                                threshold: Double = 0.35, nlist: Int = 16,
+                                iters: Int = 3, sampleMod: Int = 5): DataFrame = {
+    val cents = Similarity.trainCentroids(embeddings, nlist, iters, sampleMod)
+    val tagged = embeddings.select(col("vec_id"), col("embedding"),
+      VectorFunctions.l2Norm(col("embedding")).as("norm"),
+      Similarity.clusterOf(col("embedding"), cents).as("cluster"))
+    val a = tagged.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = tagged.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
   }
 }

@@ -94,6 +94,11 @@ object Similarity {
       graft.functions.expressions.NearestCentroids(
         org.apache.spark.sql.graft.GraftBridge.expression(emb), cents, n))
 
+  /** Coarse-quantizer cell id for an embedding — the generic blocking
+    * key for similarity operators (IVF lists, dedup blocks). */
+  def clusterOf(emb: Column, cents: Array[Array[Double]]): Column =
+    element_at(nearestCentroids(emb, cents, 1), 1)
+
   /** Deterministic mini-KMeans (Lloyd) coarse quantizer trained on a
     * bounded deterministic SAMPLE (`vec_id % sampleMod == 0`) — at
     * 100 TB the quantizer never sees the full corpus; 3 scans of a

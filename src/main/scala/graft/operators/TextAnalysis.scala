@@ -91,17 +91,19 @@ object TextAnalysis {
       .drop("text")
   }
 
-  /** Rabin-Karp winnowing fingerprints: hash every k-gram, keep the
-    * window-min hash of each w-length window, distinct per doc.
-    * (Winnowing: local algorithms for document fingerprinting —
-    * guarantees any shared substring ≥ w+k−1 tokens shares a
-    * fingerprint.) One row per (doc_id, fingerprint). */
+  /** Winnowing fingerprints: hash every k-gram with the portable
+    * sha256-prefix hash, keep the window-min hash of each w-length
+    * window, distinct per doc. (Winnowing: local algorithms for
+    * document fingerprinting — guarantees any shared substring ≥
+    * w+k−1 tokens shares a fingerprint.) One row per
+    * (doc_id, fingerprint); every value replicable by the SQL oracle. */
   def fingerprints(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val grams = Dedup.shingles(col("text"), k)
     // bind the hash array once: the sliding-window mins index into a
     // bound value instead of re-shingling the doc per window position
     val mins = graft.functions.VectorFunctions.bind(
-      transform(grams, g => xxhash64(g)),
+      transform(grams,
+        g => conv(substring(sha2(g, 256), 1, 15), 16, 10).cast("long")),
       hashes => when(size(hashes) >= w,
         transform(sequence(lit(0), size(hashes) - w),
           i => array_min(slice(hashes, i + 1, lit(w)))))

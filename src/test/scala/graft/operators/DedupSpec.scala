@@ -48,4 +48,36 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
     assert(out.filter(col("cosine") < 0.3).count() == 0)
   }
+
+  test("quantizer-blocked near-dup is sound and finds injected duplicates") {
+    val emb = tables.embeddings
+    // inject exact duplicates of the first 10 vectors under offset ids
+    val withDups = emb.unionByName(emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000))
+    val blocked = Dedup.embeddingNearDupQuantized(withDups, threshold = 0.3)
+    // identical vectors quantize to the same cell — every injected
+    // duplicate pair MUST be found (the blocking guarantee that
+    // matters for dedup: true near-dups co-locate)
+    val injected = blocked
+      .filter(col("id_b") >= 100000 && col("id_a") === col("id_b") - 100000)
+    assert(injected.count() == 10)
+    // no false positives: every emitted pair really has cosine >= t
+    assert(blocked.filter(col("cosine") < 0.3).count() == 0)
+    assert(blocked.filter(col("id_a") >= col("id_b")).count() == 0)
+    // and every emitted pair is in the brute-force truth set (the
+    // blocked set prunes, never invents)
+    val a = withDups.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = withDups.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("c", graft.functions.VectorFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("c") >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = blocked.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet.subsetOf(truth))
+    // deterministic (sampled training + decimal means)
+    val again = Dedup.embeddingNearDupQuantized(withDups, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
 }

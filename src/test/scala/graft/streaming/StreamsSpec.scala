@@ -83,6 +83,38 @@ class StreamsSpec extends SparkSpec {
     assert(first.getAs[Int]("n_events") == 2)
   }
 
+  test("streaming sessionize emits exactly the batch-analog's sessions") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val gap = 1800000000L
+    val real = tables.events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow].collect()
+    // per-user closing sentinel > gap after everything: every REAL
+    // session closes inline in the first micro-batch (no reliance on
+    // watermark timeout emission); the sentinels' own sessions stay
+    // open and are emitted by neither path
+    val sentinelTs = real.map(_.ts).max + 10 * gap
+    val sentinels = real.map(_.user_id).distinct
+      .map(u => EventRow(-1 - u, sentinelTs, u, "sentinel", 0.0, "{}"))
+    val augmented = (real ++ sentinels).toSeq
+    val mem = MemoryStream[EventRow]
+    mem.addData(augmented: _*)
+    microBatch(Streams.sessionize(mem.toDS(), gap).toDF(), "sess_parity")
+    val streamed = spark.sql("select * from sess_parity").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Int]("n_events"))).toSet
+    val batch = Streams.sessionizeBatch(
+      augmented.toDF(), gap)
+      .filter(col("session_start") < sentinelTs)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Int]("n_events"))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionizeBatch matches a hand-computed session split") {
     val gap = 1800000000L
     val out = Streams.sessionizeBatch(tables.events, gap)
