@@ -62,6 +62,79 @@ object ScaleProbe {
       val r10 = rows10 / s10
       println(f"""{"probe":"$name","rows_1x":$rows1,"sec_1x":$s1%.2f,"rows_10x":$rows10,"sec_10x":$s10%.2f,"rows_per_sec_1x":$r1%.0f,"rows_per_sec_10x":$r10%.0f,"scaling_efficiency":${r10 / r1}%.2f}""")
     }
+
+    skewProbe(spark, t)
     spark.stop()
+  }
+
+  /** Per-task statistics collector for one measured run. */
+  private class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    val shuffleRecords = scala.collection.mutable.ArrayBuffer[Long]()
+    val durationsMs = scala.collection.mutable.ArrayBuffer[Long]()
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        if (e.taskMetrics != null)
+          shuffleRecords += e.taskMetrics.shuffleReadMetrics.recordsRead
+        durationsMs += e.taskInfo.duration
+      }
+  }
+
+  /** Measures what salting actually buys under a pathological hot key
+    * (50% of all rows on ONE key): the same join run (a) with AQE
+    * defaults, (b) as a raw shuffle join with AQE skew-handling and
+    * broadcast off — the straggler case, and (c) salted with the same
+    * constraints as (b). The printed max-task shuffle-read row count
+    * is the straggler's load: salting divides it by ~saltFactor, which
+    * is the whole story at 100 TB where one task = one executor core
+    * for hours. */
+  private def skewProbe(spark: SparkSession, t: Tables): Unit = {
+    import graft.operators.Skew
+    // 50% of events on key 0, rest spread over 997 keys
+    val left = (0 until 10).map(i =>
+        t.events.withColumn("event_id", col("event_id") + i * 100000000L))
+      .reduce(_ unionByName _)
+      .withColumn("k",
+        when(pmod(col("event_id"), lit(2)) === 0, 0L)
+          .otherwise(pmod(col("event_id"), lit(997))))
+      .select("k", "event_id", "value")
+    val right = spark.range(1000).select(col("id").as("k"),
+      (col("id") % 7).as("w"))
+
+    def agg(j: org.apache.spark.sql.DataFrame): Long =
+      j.groupBy(col("w")).agg(count(lit(1)), sum(col("value"))).count()
+
+    def measured(label: String, conf: Map[String, String])(f: => Long): Unit = {
+      val prev = conf.keys.map(k => k -> spark.conf.get(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val st = new TaskStats
+      spark.sparkContext.addSparkListener(st)
+      val (_, sec) = time(f)
+      Thread.sleep(1000) // let async listener events drain
+      spark.sparkContext.removeSparkListener(st)
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      val recs = st.shuffleRecords.filter(_ > 0)
+      val maxRec = if (recs.isEmpty) 0L else recs.max
+      val maxMs = if (st.durationsMs.isEmpty) 0L else st.durationsMs.max
+      println(f"""{"probe":"skew_join","variant":"$label","sec":$sec%.2f,"max_task_shuffle_rows":$maxRec,"max_task_ms":$maxMs}""")
+    }
+
+    // (b)/(c) also disable partition coalescing: at probe scale AQE
+    // would merge the whole (small) shuffle into one partition and
+    // hide the per-task distribution being measured
+    val noHelp = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    measured("aqe_default", Map.empty) {
+      agg(left.join(right, Seq("k")))
+    }
+    measured("unsalted_no_aqe_skew", noHelp) {
+      agg(left.join(right, Seq("k")))
+    }
+    measured("salted_no_aqe_skew", noHelp) {
+      agg(Skew.saltedJoin(left, right, "k",
+        saltFactor = 8, leftSaltSource = "event_id"))
+    }
   }
 }
