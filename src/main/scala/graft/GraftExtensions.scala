@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.GraftBridge
-import graft.functions.expressions.{FloatDotProduct, MinHashSignature, SimHashChunks}
+import graft.functions.expressions.{FloatDotProduct, HyperplaneSignatures, MinHashSignature, SimHashChunks}
 
 /** SparkSessionExtensions entry point: makes graft's native kernels
   * available as SQL functions. Activate with
@@ -13,7 +13,8 @@ import graft.functions.expressions.{FloatDotProduct, MinHashSignature, SimHashCh
   * SQL surface:
   *  - `graft_dot(array<float>, array<float>) → double`
   *  - `graft_minhash(array<string>) → array<long>` (64 perms)
-  *  - `graft_simhash(array<string>) → array<int>` (4 × 16-bit chunks)
+  *  - `graft_simhash(array<string>) → array<int>` (4 × 15-bit chunks)
+  *  - `graft_hyperplanes(array<float>, dim, bits, tables) → array<int>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -38,8 +39,20 @@ object GraftFunctions {
       (es: Seq[Expression]) => FloatDotProduct(es(0), es(1))),
     ("graft_minhash", "graft_minhash(shingles) - 64-perm MinHash signature",
       (es: Seq[Expression]) => MinHashSignature(es(0), 64)),
-    ("graft_simhash", "graft_simhash(tokens) - SimHash as 4x16-bit chunks",
-      (es: Seq[Expression]) => SimHashChunks(es(0))))
+    ("graft_simhash", "graft_simhash(tokens) - SimHash as 4x15-bit chunks",
+      (es: Seq[Expression]) => SimHashChunks(es(0))),
+    ("graft_hyperplanes",
+      "graft_hyperplanes(emb, dim, bits, tables) - multi-table hyperplane LSH signatures",
+      (es: Seq[Expression]) => HyperplaneSignatures(es(0),
+        litInt(es(1), "dim"), litInt(es(2), "bits"), litInt(es(3), "tables"))))
+
+  /** Shape parameters must be integer literals — they size the
+    * precomputed component table baked into the plan. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_hyperplanes: $what must be an integer literal, got $other")
+  }
 
   /** Idempotent runtime registration (sessions created without
     * `spark.sql.extensions`). */

@@ -28,7 +28,11 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(sig.length == 64)
     val sh = spark.sql(
       "select graft_simhash(array('x', 'y')) as s").head.getSeq[Int](0)
-    assert(sh.length == 4 && sh.forall(v => v >= 0 && v <= 0xffff))
+    assert(sh.length == 4 && sh.forall(v => v >= 0 && v <= 0x7fff))
+    val hp = spark.sql(
+      "select graft_hyperplanes(cast(array(0.5, -0.25) as array<float>), 2, 6, 16) as s")
+      .head.getSeq[Int](0)
+    assert(hp.length == 16 && hp.forall(v => v >= 0 && v < 64))
   }
 
   test("graft_dot matches zip_with NULL semantics on mismatch/null elements") {
@@ -84,7 +88,22 @@ class NativeExpressionsSpec extends SparkSpec {
     // building a session with these extensions would re-register; here
     // we assert the spec list covers the SQL surface
     assert(GraftFunctions.specs.map(_._1).toSet ==
-      Set("graft_dot", "graft_minhash", "graft_simhash"))
+      Set("graft_dot", "graft_minhash", "graft_simhash",
+        "graft_hyperplanes"))
+  }
+
+  test("hyperplane signatures survive codegen and interpreted paths identically") {
+    import graft.operators.Similarity
+    val sig = Similarity.hyperplaneSignatures(col("embedding"), 64, 6, 16)
+    val withCodegen = tables.embeddings.limit(20)
+      .select(sig.as("s")).collect().map(_.getSeq[Int](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = tables.embeddings.limit(20)
+        .select(sig.as("s")).collect().map(_.getSeq[Int](0))
+      assert(withCodegen.zip(interpreted).forall { case (a, b) => a == b })
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withCodegen.forall(s => s.length == 16 && s.forall(v => v >= 0 && v < 64)))
   }
 
   test("minhash signature survives codegen and interpreted paths identically") {
