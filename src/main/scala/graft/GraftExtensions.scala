@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.GraftBridge
-import graft.functions.expressions.{FloatDotProduct, HyperplaneSignatures, MinHashSignature, SimHashChunks}
+import graft.functions.expressions.{FloatDotProduct, HyperplaneSignatures, MinHashSignature, Sha60, SimHashChunks}
 
 /** SparkSessionExtensions entry point: makes graft's native kernels
   * available as SQL functions. Activate with
@@ -15,6 +15,7 @@ import graft.functions.expressions.{FloatDotProduct, HyperplaneSignatures, MinHa
   *  - `graft_minhash(array<string>) → array<long>` (64 perms)
   *  - `graft_simhash(array<string>) → array<int>` (4 × 15-bit chunks)
   *  - `graft_hyperplanes(array<float>, dim, bits, tables) → array<int>`
+  *  - `graft_sha60(string) → bigint` (the portable content hash)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -44,7 +45,10 @@ object GraftFunctions {
     ("graft_hyperplanes",
       "graft_hyperplanes(emb, dim, bits, tables) - multi-table hyperplane LSH signatures",
       (es: Seq[Expression]) => HyperplaneSignatures(es(0),
-        litInt(es(1), "dim"), litInt(es(2), "bits"), litInt(es(3), "tables"))))
+        litInt(es(1), "dim"), litInt(es(2), "bits"), litInt(es(3), "tables"))),
+    ("graft_sha60",
+      "graft_sha60(s) - portable 60-bit content hash (sha256 prefix)",
+      (es: Seq[Expression]) => Sha60(es(0))))
 
   /** Shape parameters must be integer literals — they size the
     * precomputed component table baked into the plan. */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Gold}
+import graft.operators.{Dedup, Gold, Similarity}
 
 /** Scaling probe: runs representative queries at 1× and 10× the input
   * (10× = ten disjoint copies, ids shifted where identity matters) and
@@ -53,7 +53,15 @@ object ScaleProbe {
         () => Dedup.minhashLsh(t.documents).count(),
         t.documents.count() * 10,
         () => Dedup.minhashLsh(
-          replicate(t.documents, 10, Some("doc_id"))).count()))
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      ("ann_lsh", t.embeddings.count(), () => {
+        Similarity.annLsh(t.embeddings,
+          t.embeddings.filter(col("vec_id") < 8), dim = 64).count()
+      },
+        t.embeddings.count() * 10, () => {
+          Similarity.annLsh(replicate(t.embeddings, 10, Some("vec_id")),
+            t.embeddings.filter(col("vec_id") < 8), dim = 64).count()
+        }))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())

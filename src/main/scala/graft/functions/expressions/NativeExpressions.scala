@@ -108,6 +108,24 @@ object TextHash {
   }
 }
 
+/** The portable 60-bit content hash as a scalar expression: equals
+  * `conv(substring(sha2(s,256),1,15),16,10)` but goes digest→long
+  * directly (no hex-string round-trip). */
+case class Sha60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sha60"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.sha60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.TextHash.sha60($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Sha60 =
+    copy(child = newChild)
+}
+
 /** MinHash signature over an `array<string>` of shingles: one portable
   * 60-bit content hash per shingle + numPerm xor-multiply-shift mixes,
   * element-wise min. Matches graft.operators.Dedup's mix exactly

@@ -101,9 +101,11 @@ object TextAnalysis {
     val grams = Dedup.shingles(col("text"), k)
     // bind the hash array once: the sliding-window mins index into a
     // bound value instead of re-shingling the doc per window position
+    val sha60 = (g: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(g)))
     val mins = graft.functions.VectorFunctions.bind(
-      transform(grams,
-        g => conv(substring(sha2(g, 256), 1, 15), 16, 10).cast("long")),
+      transform(grams, sha60),
       hashes => when(size(hashes) >= w,
         transform(sequence(lit(0), size(hashes) - w),
           i => array_min(slice(hashes, i + 1, lit(w)))))

@@ -89,7 +89,17 @@ class NativeExpressionsSpec extends SparkSpec {
     // we assert the spec list covers the SQL surface
     assert(GraftFunctions.specs.map(_._1).toSet ==
       Set("graft_dot", "graft_minhash", "graft_simhash",
-        "graft_hyperplanes"))
+        "graft_hyperplanes", "graft_sha60"))
+  }
+
+  test("graft_sha60 equals the built-in conv(substring(sha2)) formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = spark.sql("""
+      select graft_sha60(s) as native,
+        cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint) as builtin
+      from values ('hello world'), (''), ('ünïcödé tøkens') as t(s)""")
+      .collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
   test("hyperplane signatures survive codegen and interpreted paths identically") {
