@@ -31,6 +31,12 @@ class DeterminismSpec extends SparkSpec {
 
   for (q <- Seq("q1_pricing", "gold_region_sales", "rank_topk",
     "dedup_latest", "merge_upsert", "sessionize", "dedup_exact",
-    "ann_bruteforce", "expectations", "typed_revenue"))
+    "ann_bruteforce", "expectations", "typed_revenue",
+    // round-2 oracle-checked approximate/stateful operators: their
+    // sampled training, signature buckets, and event logs must also
+    // be partition-count-invariant for the driver gate to hold
+    "ann_lsh", "ann_ivf", "ann_recall", "dedup_minhash_lsh",
+    "dedup_simhash", "doc_fingerprint", "dedup_embedding_quantized",
+    "pipeline_event_log", "versioned_update"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
