@@ -655,6 +655,17 @@ object Queries {
           AND event_type in ('click','view','purchase','signup','error')
           AND event_type <> 'error' AND user_id is not null""")),
 
+    Q("expectations_quarantine",
+      (s, d) => Expectations.quarantine(Tables(s, d).events,
+        Expectations.EventSuite),
+      // the complement of the DROP-ROW output — DLT's quarantine-table
+      // pattern for violated rows
+      Some(s"""
+        SELECT * FROM ($eventsNs)
+        WHERE NOT (value >= 0 AND value <= 400
+          AND event_type in ('click','view','purchase','signup','error')
+          AND event_type <> 'error' AND user_id is not null)""")),
+
     Q("pipeline_event_log",
       (s, d) => {
         // DLT-shaped pipeline: bronze (ingest + audit) → silver

@@ -115,6 +115,33 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowAgg emits exactly the batch analog's closed windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val real = tables.events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow].collect()
+    // one sentinel far past everything: the watermark closes every
+    // real window; the sentinel's own window stays open in append mode
+    val sentinelTs = real.map(_.ts).max + 24 * 3600L * 1000000
+    val augmented = (real :+ EventRow(-1, sentinelTs, -1, "sentinel", 0.0, "{}")).toSeq
+    val mem = MemoryStream[EventRow]
+    mem.addData(augmented: _*)
+    val agg = Streams.windowAgg(
+      mem.toDF().withColumn("ts", timestamp_micros(col("ts"))),
+      watermark = Some("0 seconds"))
+    microBatch(agg, "win_parity")
+    val streamed = spark.sql("select * from win_parity").collect()
+      .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val batch = Streams.windowAgg(
+      tables.eventsTimestamped, watermark = None).collect()
+      .map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionizeBatch matches a hand-computed session split") {
     val gap = 1800000000L
     val out = Streams.sessionizeBatch(tables.events, gap)
