@@ -954,6 +954,30 @@ object Queries {
           count(*) as n
         FROM events GROUP BY 1""")),
 
+    Q("ingest_merge_schema",
+      (s, d) => {
+        // autoloader-style schema evolution: an old batch (3 columns)
+        // and a new batch (wider schema) under one table root; the
+        // mergeSchema read unions the schemas, old rows null-padded,
+        // with the batch directory as a partition column
+        val path = s"/tmp/graft_cache/msch_${new java.io.File(d).getName}"
+        val docs = Tables(s, d).documents
+        docs.select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(s"$path/batch=0")
+        docs.select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$path/batch=1")
+        graft.sources.Ingest.parquetMergeSchema(s, path)
+          .select("doc_id", "text", "lang", "source", "n_chars", "batch")
+      },
+      Some("""
+        SELECT doc_id, text, lang, cast(NULL as varchar) as source,
+          cast(NULL as bigint) as n_chars, cast(0 as int) as batch
+        FROM documents
+        UNION ALL
+        SELECT doc_id, cast(NULL as varchar), cast(NULL as varchar),
+          source, n_chars, cast(1 as int)
+        FROM documents""")),
+
     Q("ingest_infer",
       (s, d) => {
         // inferSchema CSV (reference 1:86-93) — parity surface; the

@@ -66,9 +66,11 @@ object VersionedTable {
   }
 
   /** TIMESTAMP AS OF resolution: the latest version committed at or
-    * before `ts` (reference `1 Data ingestion.py`:203-212). */
+    * before `ts` (reference `1 Data ingestion.py`:203-212). Filters
+    * rather than scanning a prefix so a wall-clock wobble between
+    * commits can never hide a later-numbered version. */
   def versionAt(path: String, ts: java.time.Instant): Option[Int] =
-    commitTimes(path).takeWhile(!_._2.isAfter(ts)).lastOption.map(_._1)
+    commitTimes(path).filter(!_._2.isAfter(ts)).lastOption.map(_._1)
 
   /** Read the table as of a wall-clock timestamp. */
   def readAsOf(spark: SparkSession, path: String,
@@ -100,7 +102,20 @@ object VersionedTable {
     val v = asOf.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     require(versions(path).contains(v), s"version $v not committed at $path")
+    require(Files.exists(Paths.get(s"$path/v=$v")),
+      s"version $v was vacuumed at $path")
     spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** VACUUM analog: physically delete all version snapshots except the
+    * newest `keepLast`. The commit log is kept — history stays
+    * listable, but reads of vacuumed versions fail (exactly Delta's
+    * post-VACUUM time-travel behavior). Returns the removed versions. */
+  def vacuum(path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val removed = versions(path).dropRight(keepLast)
+    removed.foreach(v => destroy(s"$path/v=$v"))
+    removed
   }
 
   /** DESCRIBE HISTORY analog: the commit log as a DataFrame. */

@@ -89,6 +89,22 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.addColumn(spark, path, "is_south", "true"))
   }
 
+  test("vacuum removes old snapshots but keeps history and the survivors") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    VersionedTable.write(tables.nation.filter(col("n_regionkey") === 0), path)
+    VersionedTable.write(tables.nation.filter(col("n_regionkey") === 1), path)
+    val removed = VersionedTable.vacuum(path, keepLast = 1)
+    assert(removed == Seq(0, 1))
+    // history still lists all three commits
+    assert(VersionedTable.history(spark, path).count() == 3)
+    // latest still readable; vacuumed versions refuse cleanly
+    assert(VersionedTable.read(spark, path).count() == 5)
+    intercept[IllegalArgumentException](
+      VersionedTable.read(spark, path, Some(0)))
+    intercept[IllegalArgumentException](VersionedTable.vacuum(path, 0))
+  }
+
   test("history lists one entry per commit with operations") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
