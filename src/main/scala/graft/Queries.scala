@@ -457,6 +457,39 @@ object Queries {
           count(*) as n_lines
         FROM lineitem GROUP BY 1, 2""")),
 
+    Q("value_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // exact type-1 (discrete) quantiles: value at rank ceil(p·n)
+        // per group — rank-based, so both engines pick the identical
+        // element regardless of tie order (no interpolation formula
+        // to keep in sync). One shuffle on the group key.
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        val ranked = Tables(s, d).events
+          .select(col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        Seq(0.25, 0.5, 0.75).map(q =>
+          ranked.filter(col("rn") === ceil(lit(q) * col("n")))
+            .select(col("event_type"), lit(q).as("p"),
+              col("value").as("quantile_value")))
+          .reduce(_ unionByName _)
+      },
+      Some {
+        val one = (q: String) =>
+          s"""SELECT event_type, cast($q as double) as p,
+             value as quantile_value
+             FROM ranked WHERE rn = ceil($q * n)"""
+        s"""
+        WITH ranked AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value) as rn,
+            count(*) OVER (PARTITION BY event_type) as n
+          FROM events)
+        ${Seq("0.25", "0.5", "0.75").map(one).mkString("\nUNION ALL\n")}"""
+      }),
+
     Q("value_histogram",
       (s, d) => Tables(s, d).events
         .select(floor(col("value") / 25.0).cast("long").as("bucket"))
