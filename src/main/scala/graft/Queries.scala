@@ -223,6 +223,19 @@ object Queries {
       Some(TextOracleSql.ngramJaccardSql(shingleK = 3, numPerm = 64,
         bands = 16))),
 
+    Q("contamination_check",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        // benchmark stand-in: the first 10 docs; any train doc sharing
+        // a word 4-gram with them is flagged with its coverage
+        // fraction (real corpora use 8-13-grams; the synthetic small
+        // vocabulary needs shorter spans to exhibit contamination)
+        Dedup.contamination(docs, docs.filter(col("doc_id") < 10),
+          ngramK = 4)
+      },
+      Some(TextOracleSql.contaminationSql(ngramK = 4,
+        benchPred = "doc_id < 10"))),
+
     Q("dedup_embedding",
       (s, d) => Dedup.embeddingNearDup(Tables(s, d).embeddings,
         threshold = 0.35),
@@ -240,7 +253,7 @@ object Queries {
 
     Q("dedup_embedding_quantized",
       (s, d) => Dedup.embeddingNearDupQuantized(Tables(s, d).embeddings,
-        threshold = 0.35),
+        threshold = 0.35, cacheKey = Some(d)),
       // block key = IVF quantizer cell, fully replicated in DuckDB
       // (sampled Lloyd chain from AnnOracleSql) — the 100 TB blocking
       // story hash-checked end-to-end
@@ -273,7 +286,8 @@ object Queries {
     Q("ann_ivf",
       (s, d) => {
         val emb = Tables(s, d).embeddings
-        Similarity.annIvf(emb, emb.filter(col("vec_id") < 8))
+        Similarity.annIvf(emb, emb.filter(col("vec_id") < 8),
+          cacheKey = Some(d))
       },
       // full replication of the sampled-Lloyd quantizer + probing in
       // DuckDB — exact-decimal means and sequential-fold dots make the
@@ -293,7 +307,8 @@ object Queries {
     Q("ann_recall",
       (s, d) => {
         val emb = Tables(s, d).embeddings
-        Similarity.annRecall(emb, emb.filter(col("vec_id") < 8))
+        Similarity.annRecall(emb, emb.filter(col("vec_id") < 8),
+          cacheKey = Some(d))
       },
       // recall@k of both approximate searchers vs exact top-k — the
       // headline quality metric for the ANN family, hash-checked

@@ -125,6 +125,27 @@ object TextOracleSql {
         JOIN clist cb ON cb.doc_id = id_b)
     SELECT id_a, id_b, hamming FROM sham WHERE hamming <= $maxHamming"""
 
+  /** Cross-corpus contamination check (mirrors Dedup.contamination):
+    * distinct shared n-grams per (train, bench) pair + benchmark
+    * coverage fraction. `benchPred` selects the benchmark subset. */
+  def contaminationSql(ngramK: Int, benchPred: String): String = s"""
+    WITH ${shingleCtes(ngramK)},
+    tg AS (SELECT doc_id as train_doc, unnest(list_distinct(shingles)) as g
+           FROM sh),
+    bg AS (SELECT doc_id as bench_doc, unnest(list_distinct(shingles)) as g
+           FROM sh WHERE $benchPred),
+    bsz AS (SELECT doc_id as bench_doc,
+              len(list_distinct(shingles)) as n_bench
+            FROM sh WHERE $benchPred),
+    pairs AS (
+      SELECT train_doc, bench_doc, count(*) as shared_ngrams
+      FROM tg JOIN bg USING (g)
+      WHERE train_doc <> bench_doc
+      GROUP BY 1, 2)
+    SELECT train_doc, bench_doc, shared_ngrams,
+      cast(shared_ngrams as double) / n_bench as contamination
+    FROM pairs JOIN bsz USING (bench_doc)"""
+
   /** Winnowing fingerprints (mirrors TextAnalysis.fingerprints):
     * k-gram sha60 hashes, w-window minima, distinct per doc. */
   def fingerprintSql(k: Int, w: Int): String = s"""

@@ -178,6 +178,38 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ---------- cross-corpus contamination ----------
+
+  /** Benchmark-decontamination check: for each (train doc, benchmark
+    * doc) pair sharing ≥ `minShared` distinct word `ngramK`-grams,
+    * report the shared count and the fraction of the benchmark doc's
+    * n-grams found in the train doc (1.0 = benchmark fully contained).
+    *
+    * Scale shape: the benchmark set is small by definition → its
+    * exploded n-grams broadcast; the train corpus is scanned once
+    * map-only (shingle + explode), and only colliding (train, bench)
+    * pairs are aggregated — never a doc × doc cross join. */
+  def contamination(train: DataFrame, benchmark: DataFrame,
+                    ngramK: Int = 8, minShared: Int = 1): DataFrame = {
+    val tg = train.select(col("doc_id").as("train_doc"),
+      explode(array_distinct(shingles(col("text"), ngramK))).as("g"))
+    val bsets = benchmark.select(col("doc_id").as("bench_doc"),
+      array_distinct(shingles(col("text"), ngramK)).as("gset"))
+    val bg = broadcast(bsets.select(col("bench_doc"),
+      explode(col("gset")).as("g")))
+    val bsz = broadcast(bsets.select(col("bench_doc"),
+      size(col("gset")).as("n_bench")))
+    tg.join(bg, Seq("g"))
+      .filter(col("train_doc") =!= col("bench_doc"))
+      .groupBy("train_doc", "bench_doc")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .join(bsz, Seq("bench_doc"))
+      .withColumn("contamination",
+        col("shared_ngrams").cast("double") / col("n_bench"))
+      .select("train_doc", "bench_doc", "shared_ngrams", "contamination")
+  }
+
   // ---------- embedding cosine ----------
 
   /** Exact near-dup pairs by embedding cosine ≥ threshold, blocked on
@@ -213,8 +245,10 @@ object Dedup {
     * probed the IVF way if recall matters more than cost. */
   def embeddingNearDupQuantized(embeddings: DataFrame,
                                 threshold: Double = 0.35, nlist: Int = 16,
-                                iters: Int = 3, sampleMod: Int = 5): DataFrame = {
-    val cents = Similarity.trainCentroids(embeddings, nlist, iters, sampleMod)
+                                iters: Int = 3, sampleMod: Int = 5,
+                                cacheKey: Option[String] = None): DataFrame = {
+    val cents = Similarity.trainCentroids(embeddings, nlist, iters,
+      sampleMod, cacheKey)
     val tagged = embeddings.select(col("vec_id"), col("embedding"),
       VectorFunctions.l2Norm(col("embedding")).as("norm"),
       Similarity.clusterOf(col("embedding"), cents).as("cluster"))

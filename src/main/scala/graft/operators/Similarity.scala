@@ -108,8 +108,25 @@ object Similarity {
     * partition-order-independent and replicable by the SQL oracle).
     * Centroid set is tiny (nlist × dim) — lives on the driver and
     * broadcasts inside the assignment kernel. */
+  /** Driver-side quantizer cache: the IVF index build is a separate,
+    * once-per-corpus step at scale — queries against the same corpus
+    * reuse the trained centroids instead of re-running Lloyd. Keyed
+    * explicitly (corpus identity is the caller's knowledge); entries
+    * are tiny (nlist × dim doubles). */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int), Array[Array[Double]]]
+
   def trainCentroids(corpus: DataFrame, nlist: Int = 16,
-                     iters: Int = 3, sampleMod: Int = 5): Array[Array[Double]] = {
+                     iters: Int = 3, sampleMod: Int = 5,
+                     cacheKey: Option[String] = None): Array[Array[Double]] =
+    cacheKey match {
+      case Some(k) => centroidCache.getOrElseUpdate((k, nlist, iters, sampleMod),
+        trainCentroidsUncached(corpus, nlist, iters, sampleMod))
+      case None => trainCentroidsUncached(corpus, nlist, iters, sampleMod)
+    }
+
+  private def trainCentroidsUncached(corpus: DataFrame, nlist: Int,
+                                     iters: Int, sampleMod: Int): Array[Array[Double]] = {
     val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = sample.orderBy("vec_id").limit(nlist)
@@ -149,8 +166,8 @@ object Similarity {
     * nprobe/nlist. */
   def annIvf(corpus: DataFrame, queries: DataFrame, nlist: Int = 16,
              nprobe: Int = 4, k: Int = 5, iters: Int = 3,
-             sampleMod: Int = 5): DataFrame = {
-    val cents = trainCentroids(corpus, nlist, iters, sampleMod)
+             sampleMod: Int = 5, cacheKey: Option[String] = None): DataFrame = {
+    val cents = trainCentroids(corpus, nlist, iters, sampleMod, cacheKey)
     val tagged = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding"),
       VectorFunctions.l2Norm(col("embedding")).as("c_norm"),
@@ -178,7 +195,7 @@ object Similarity {
     * itself is deterministic (fixed hashes, fixed sample), so it is
     * oracle-checkable end-to-end. */
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-                dim: Int = 64): DataFrame = {
+                dim: Int = 64, cacheKey: Option[String] = None): DataFrame = {
     val exact = annBruteForce(corpus, queries, k)
       .select(col("query_id"), col("neighbor_id"))
     def recallOf(approx: DataFrame, method: String): DataFrame =
@@ -190,6 +207,7 @@ object Similarity {
         .select(col("query_id"), lit(method).as("method"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
     recallOf(annLsh(corpus, queries, dim, k = k), "lsh")
-      .unionByName(recallOf(annIvf(corpus, queries, k = k), "ivf"))
+      .unionByName(recallOf(annIvf(corpus, queries, k = k,
+        cacheKey = cacheKey), "ivf"))
   }
 }

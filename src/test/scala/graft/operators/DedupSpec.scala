@@ -49,6 +49,23 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("cosine") < 0.3).count() == 0)
   }
 
+  test("contamination flags injected benchmark copies at full coverage") {
+    val docs = tables.documents
+    val bench = docs.filter(col("doc_id") < 5)
+    // train corpus contains exact copies of the benchmark under new ids
+    val train = docs.unionByName(
+      bench.withColumn("doc_id", col("doc_id") + 50000))
+    val out = Dedup.contamination(train, bench)
+    val copies = out.filter(col("train_doc") >= 50000 &&
+      col("train_doc") === col("bench_doc") + 50000).collect()
+    assert(copies.length == 5)
+    assert(copies.forall(_.getAs[Double]("contamination") == 1.0))
+    // self-pairs are excluded; fractions are in (0, 1]
+    assert(out.filter(col("train_doc") === col("bench_doc")).count() == 0)
+    assert(out.filter(col("contamination") > 1.0 ||
+      col("contamination") <= 0.0).count() == 0)
+  }
+
   test("quantizer-blocked near-dup is sound and finds injected duplicates") {
     val emb = tables.embeddings
     // inject exact duplicates of the first 10 vectors under offset ids

@@ -50,6 +50,17 @@ class SimilaritySpec extends SparkSpec {
       .exceptAll(again).count() == 0)
   }
 
+  test("cached centroid training returns the identical quantizer") {
+    val emb = tables.embeddings
+    val a = Similarity.trainCentroids(emb, cacheKey = Some("spec-cache"))
+    val b = Similarity.trainCentroids(emb, cacheKey = Some("spec-cache"))
+    val fresh = Similarity.trainCentroids(emb)
+    // cache hit: same instance, no retraining
+    assert(a eq b)
+    // and identical values to an uncached run (cache never changes results)
+    assert(a.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+  }
+
   test("annLsh candidates are a subset of brute-force scoring universe") {
     val emb = tables.embeddings
     val out = Similarity.annLsh(emb, emb.filter(col("vec_id") < 4), dim = 64)
