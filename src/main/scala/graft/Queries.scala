@@ -304,6 +304,18 @@ object Queries {
       Some(AnnOracleSql.lshSql(dim = 64, bits = 6, tables = 16, k = 5,
         queryPred = "vec_id < 8"))),
 
+    Q("ann_ivf_indexed",
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        val path = s"/tmp/graft_cache/ivfidx_${new java.io.File(d).getName}"
+        // index build (one-time job at scale) + partition-pruned query
+        Similarity.buildIvfIndex(emb, path, cacheKey = Some(d))
+        Similarity.annIvfIndexed(s, path, emb.filter(col("vec_id") < 8))
+      },
+      // identical semantics to ann_ivf — same oracle
+      Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
+        sampleMod = 5, queryPred = "vec_id < 8"))),
+
     Q("ann_recall",
       (s, d) => {
         val emb = Tables(s, d).embeddings

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
       .exceptAll(again).count() == 0)
   }
 
+  test("materialized IVF index prunes partitions and matches annIvf exactly") {
+    val emb = tables.embeddings
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx").toString
+    Similarity.buildIvfIndex(emb, path)
+    val indexed = Similarity.annIvfIndexed(spark, path, queries)
+    // the probed-cluster filter reaches the file listing: partition
+    // pruning, not a post-scan filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"no partition pruning in:\n${plan.take(2000)}")
+    // identical results to the unindexed path
+    val direct = Similarity.annIvf(emb, queries)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val viaIndex = indexed.collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaIndex.toSeq == direct.toSeq)
+  }
+
   test("cached centroid training returns the identical quantizer") {
     val emb = tables.embeddings
     val a = Similarity.trainCentroids(emb, cacheKey = Some("spec-cache"))
