@@ -525,6 +525,64 @@ object Queries {
         SELECT cast(floor(value / 25.0) as bigint) as bucket, count(*) as n
         FROM events GROUP BY 1""")),
 
+    Q("running_revenue",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, d)
+        // per-customer cumulative revenue: exact-decimal per-order
+        // revenue, decimal window cumsum (partition-order-independent),
+        // cast to double only at the edge
+        val rev = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("order_rev"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.withColumn("cum_revenue",
+            sum(col("order_rev")).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("order_rev").cast("double").as("order_revenue"),
+            col("cum_revenue"))
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT o_custkey, o_orderdate, o_orderkey,
+            sum($revSql) as order_rev
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2, 3)
+        SELECT o_custkey, o_orderkey,
+          cast(order_rev as double) as order_revenue,
+          cast(sum(order_rev) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) as double) as cum_revenue
+        FROM rev""")),
+
+    Q("subquery_above_avg",
+      (s, d) => {
+        // correlated scalar subqueries through the SQL surface —
+        // Catalyst rewrites them to aggregated joins. The avg
+        // comparison is expressed as price·n > Σprice in exact
+        // decimals so no engine's summation order matters.
+        Tables(s, d).part.createOrReplaceTempView("part_v")
+        s.sql("""
+          SELECT p_partkey, p_type, p_retailprice
+          FROM part_v p
+          WHERE cast(p_retailprice as decimal(12,2)) *
+              (SELECT count(*) FROM part_v p2 WHERE p2.p_type = p.p_type)
+            > (SELECT sum(cast(p_retailprice as decimal(12,2)))
+               FROM part_v p2 WHERE p2.p_type = p.p_type)""")
+      },
+      Some("""
+        SELECT p_partkey, p_type, p_retailprice
+        FROM part p
+        WHERE cast(p_retailprice as decimal(12,2)) *
+            (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+          > (SELECT sum(cast(p_retailprice as decimal(12,2)))
+             FROM part p2 WHERE p2.p_type = p.p_type)""")),
+
     Q("semi_anti_join",
       (s, d) => {
         val t = Tables(s, d)
