@@ -878,6 +878,44 @@ object Queries {
       // no-loss/no-dup check of the incremental ingest
       Some("SELECT event_id, user_id, event_type, value FROM events")),
 
+    Q("stream_merge_versioned",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/smv_src_$sf"
+        val table = s"/tmp/graft_cache/smv_table_$sf"
+        VersionedTable.destroy(table)
+        // stage as several files; 3-files-per-trigger forces multiple
+        // MERGE micro-batches — the recency-aware merge makes the
+        // final table independent of the batch split
+        Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .repartition(8)
+          .write.mode("overwrite").json(src)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_smv_ckpt").toString
+        val q = graft.streaming.Streams.mergeStream(s, src, schema, table,
+          key = "user_id", orderCol = "ts", tieBreaker = "event_id",
+          checkpoint = ckpt,
+          payloadCols = Seq("event_id", "ts", "user_id", "event_type", "value"),
+          maxFilesPerTrigger = 3)
+        q.awaitTermination(120000)
+        VersionedTable.read(s, table)
+      },
+      // final table = latest event per user over everything staged,
+      // regardless of micro-batch boundaries
+      Some(s"""
+        SELECT event_id, ts, user_id, event_type, value FROM (
+          SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) as rn
+          FROM events) WHERE rn = 1""")),
+
     // ---------- E. Streaming batch-analogs ----------
     Q("event_window_agg",
       (s, d) => graft.streaming.Streams.windowAgg(

@@ -130,6 +130,29 @@ object VersionedTable {
     write(merged, path, operation = "MERGE")
   }
 
+  /** Recency-aware MERGE: union base + updates, keep the latest row
+    * per `key` by (`orderCol`, `tieBreaker`). Unlike [[upsert]]
+    * (updates win unconditionally), the outcome is independent of how
+    * rows were split across update batches — the convergence property
+    * a streaming merge sink needs. */
+  def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
+                   key: String, orderCol: String, tieBreaker: String,
+                   operation: String = "MERGE"): Int = {
+    val merged = Medallion.dedupLatest(
+      read(spark, path).unionByName(updates), key, orderCol, tieBreaker)
+    write(merged, path, operation)
+  }
+
+  /** The `operation` strings from the commit log, ascending by
+    * version (driver-side; log is tiny). */
+  def operations(path: String): Seq[String] = {
+    val opRe = """"operation":"([^"]+)"""".r
+    versions(path).map { v =>
+      val line = Files.readString(logDir(path).resolve(f"$v%06d.json"))
+      opRe.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+    }
+  }
+
   /** In-place `UPDATE ... SET col = expr WHERE cond` analog (reference
     * `1 Data ingestion.py`:144-173's `UPDATE ... CASE WHEN`): rows
     * matching `conditionSql` get each assignment applied; all other

@@ -31,14 +31,57 @@ object Streams {
     * `path` are picked up incrementally per trigger, exactly-once via
     * the checkpoint. */
   def fileIngest(spark: SparkSession, path: String, schema: StructType,
-                 format: String = "json"): DataFrame =
+                 format: String = "json",
+                 maxFilesPerTrigger: Int = 32): DataFrame =
     spark.readStream
       .format(format)
       .schema(schema)
-      .option("maxFilesPerTrigger", 32)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(path)
       .withColumn("source_file", input_file_name())
       .withColumn("inserted_at", current_timestamp())
+
+  /** One micro-batch of the streaming MERGE sink: recency-aware upsert
+    * of the batch into the versioned table, exactly-once via a
+    * batch-id marker in the commit log — a retried batch id is a
+    * no-op, so Structured Streaming's at-least-once `foreachBatch`
+    * delivery becomes an exactly-once table. First batch bootstraps
+    * the table. Public so specs can drive retry semantics directly. */
+  def mergeBatch(spark: SparkSession, tablePath: String, key: String,
+                 orderCol: String, tieBreaker: String)
+                (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.{Medallion, VersionedTable}
+    val marker = s"STREAM_MERGE[batch=$batchId]"
+    if (!VersionedTable.operations(tablePath).contains(marker)) {
+      val deduped = Medallion.dedupLatest(batch, key, orderCol, tieBreaker)
+      if (VersionedTable.versions(tablePath).isEmpty)
+        VersionedTable.write(deduped, tablePath, operation = marker)
+      else
+        VersionedTable.upsertLatest(spark, tablePath, deduped, key,
+          orderCol, tieBreaker, operation = marker)
+      ()
+    }
+  }
+
+  /** The reference's autoloader→`MERGE INTO` silver pattern
+    * (`2 Medaillon architecture.py`:262-356 + 530-541) end-to-end:
+    * incremental file ingestion where every micro-batch MERGEs into a
+    * [[graft.operators.VersionedTable]], newest row per key winning by
+    * (`orderCol`, `tieBreaker`). Because the merge is recency-aware,
+    * the final table is independent of how files were split across
+    * micro-batches. */
+  def mergeStream(spark: SparkSession, srcPath: String, schema: StructType,
+                  tablePath: String, key: String, orderCol: String,
+                  tieBreaker: String, checkpoint: String,
+                  payloadCols: Seq[String],
+                  maxFilesPerTrigger: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema, maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(payloadCols.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(mergeBatch(spark, tablePath, key, orderCol, tieBreaker) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** Tumbling-window event counts with watermark (INCREMENTAL LIVE
     * aggregate analog). `events` must have a TimestampType `ts`. */

@@ -142,6 +142,52 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("mergeStream commits per micro-batch and retried batch ids are no-ops") {
+    val dir = Files.createTempDirectory("graft_smv").toString
+    val table = s"$dir/table"
+    val src = s"$dir/src"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType)))
+    val ev = tables.events.select("event_id", "ts", "user_id")
+    // run 1: first half of the data
+    ev.filter(col("event_id") % 2 === 0).repartition(2)
+      .write.mode("overwrite").json(src)
+    val ckpt = s"$dir/ckpt"
+    graft.streaming.Streams.mergeStream(spark, src, schema, table,
+      "user_id", "ts", "event_id", ckpt,
+      payloadCols = Seq("event_id", "ts", "user_id"))
+      .awaitTermination(60000)
+    val v1 = graft.operators.VersionedTable.latestVersion(table).get
+    val usersAfter1 = graft.operators.VersionedTable.read(spark, table)
+      .count()
+    // run 2: new files arrive; same checkpoint picks up only the delta
+    ev.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.mode("append").json(src)
+    graft.streaming.Streams.mergeStream(spark, src, schema, table,
+      "user_id", "ts", "event_id", ckpt,
+      payloadCols = Seq("event_id", "ts", "user_id"))
+      .awaitTermination(60000)
+    // more commits happened, each marked with its batch id
+    assert(graft.operators.VersionedTable.latestVersion(table).get > v1)
+    val ops = graft.operators.VersionedTable.operations(table)
+    assert(ops.forall(_.startsWith("STREAM_MERGE[batch=")))
+    assert(ops.distinct.size == ops.size, s"duplicate batch commits: $ops")
+    // final table = latest event per user over ALL staged rows
+    val expect = graft.operators.Medallion
+      .dedupLatest(ev, "user_id", "ts", "event_id")
+    val got = graft.operators.VersionedTable.read(spark, table)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).count() == 0)
+    assert(usersAfter1 <= got.count())
+    // retry semantics: re-delivering an already-committed batch id
+    // changes nothing (exactly-once via the commit-log marker)
+    val before = graft.operators.VersionedTable.versions(table)
+    graft.streaming.Streams.mergeBatch(spark, table, "user_id", "ts",
+      "event_id")(ev.limit(5), 0L)
+    assert(graft.operators.VersionedTable.versions(table) == before)
+  }
+
   test("sessionizeBatch matches a hand-computed session split") {
     val gap = 1800000000L
     val out = Streams.sessionizeBatch(tables.events, gap)
