@@ -994,6 +994,42 @@ object Queries {
           count(distinct user_id) as n_rows
         FROM events WHERE event_id % 2 = 0""")),
 
+    Q("versioned_changes",
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vc_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val ev = Tables(s, d).events
+        val base = Medallion.dedupLatest(ev.filter(col("event_id") % 2 === 0),
+          "user_id", "ts", "event_id")
+        val updates = Medallion.dedupLatest(ev.filter(col("event_id") % 2 === 1),
+          "user_id", "ts", "event_id")
+        VersionedTable.write(base, path)
+        VersionedTable.upsert(s, path, updates, Seq("user_id"))
+        // CDF between the two snapshots: updates surface as
+        // delete(old row) + insert(new row)
+        VersionedTable.changes(s, path, 0, 1)
+      },
+      Some(s"""
+        WITH e AS ($eventsNs),
+        base AS (SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn
+          FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+        upd AS (SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn
+          FROM e WHERE event_id % 2 = 1) WHERE rn = 1),
+        v1 AS (
+          SELECT b.* FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = b.user_id)
+          UNION ALL
+          SELECT * FROM upd)
+        SELECT *, 'insert' as _change_type FROM
+          (SELECT * FROM v1 EXCEPT ALL SELECT * FROM base)
+        UNION ALL
+        SELECT *, 'delete' as _change_type FROM
+          (SELECT * FROM base EXCEPT ALL SELECT * FROM v1)""")),
+
     Q("versioned_update",
       (s, d) => {
         val path = s"/tmp/graft_cache/vu_${new java.io.File(d).getName}"

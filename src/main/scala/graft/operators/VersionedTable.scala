@@ -183,6 +183,25 @@ object VersionedTable {
       operation = "ADD COLUMN")
   }
 
+  /** Change-data-feed analog (`table_changes`): row-level diff
+    * between two committed versions — `_change_type` is `insert` or
+    * `delete`; an update surfaces as delete(old) + insert(new).
+    * Multiset semantics (`exceptAll`), so duplicate rows diff
+    * correctly. */
+  def changes(spark: SparkSession, path: String, fromVersion: Int,
+              toVersion: Int): DataFrame = {
+    val a = read(spark, path, Some(fromVersion))
+    val b = read(spark, path, Some(toVersion))
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old
+    * snapshot as the new latest version (history keeps everything). */
+  def restore(spark: SparkSession, path: String, toVersion: Int): Int =
+    write(read(spark, path, Some(toVersion)), path,
+      operation = s"RESTORE[v=$toVersion]")
+
   /** OPTIMIZE+ZORDER analog: clustered compaction committed as a new
     * version (history preserved — old versions still readable). */
   def optimize(spark: SparkSession, path: String, sortCols: Seq[String],

@@ -89,6 +89,24 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.addColumn(spark, path, "is_south", "true"))
   }
 
+  test("changes reports the row-level diff; restore re-commits an old snapshot") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    VersionedTable.update(spark, path, "n_nationkey < 2",
+      Seq("n_name" -> "lower(n_name)"))
+    val diff = VersionedTable.changes(spark, path, 0, 1)
+    // 2 updated rows → 2 deletes (old) + 2 inserts (new)
+    assert(diff.filter(col("_change_type") === "insert").count() == 2)
+    assert(diff.filter(col("_change_type") === "delete").count() == 2)
+    assert(diff.filter(col("_change_type") === "insert" &&
+      col("n_name") =!= lower(col("n_name"))).count() == 0)
+    // restore v0 as v2: latest content equals the original
+    val v2 = VersionedTable.restore(spark, path, 0)
+    assert(v2 == 2)
+    assert(VersionedTable.changes(spark, path, 0, 2).count() == 0)
+    assert(VersionedTable.operations(path).last == "RESTORE[v=0]")
+  }
+
   test("vacuum removes old snapshots but keeps history and the survivors") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
