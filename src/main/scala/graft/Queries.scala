@@ -927,6 +927,23 @@ object Queries {
         FROM events GROUP BY 1, 2"""),
       headline = true),
 
+    Q("click_attribution",
+      (s, d) => graft.streaming.Streams.attributionBatch(
+        Tables(s, d).events, windowUs = 1800000000L),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id, event_type
+                   FROM events),
+        p AS (SELECT user_id, event_id as purchase_id, ts FROM e
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, event_id FROM e
+              WHERE event_type = 'click')
+        SELECT p.purchase_id, p.user_id,
+          cast(count(c.event_id) as bigint) as n_clicks
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts BETWEEN p.ts - 1800000000 AND p.ts
+        GROUP BY 1, 2""")),
+
     Q("sessionize",
       (s, d) => graft.streaming.Streams.sessionizeBatch(
         Tables(s, d).events, gapUs = 1800000000L),

@@ -136,6 +136,49 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within the preceding `windowUs` (inclusive).
+    * Watermarks bound the join state on BOTH sides — expired rows are
+    * evicted, matched pairs emit in append mode once the combined
+    * watermark passes. The remaining flagship Structured-Streaming
+    * operator after ingest / window aggs / sessionization / merge. */
+  def attributionPairsStream(clicks: DataFrame, purchases: DataFrame,
+                             windowUs: Long,
+                             watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        timestamp_micros(col("ts")).as("c_time"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_time", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        timestamp_micros(col("ts")).as("p_time"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_time", watermark)
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          c_time BETWEEN p_time - INTERVAL $windowUs MICROSECOND
+                     AND p_time"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"))
+  }
+
+  /** Batch analog (oracle-checkable): per-purchase count of the same
+    * user's clicks in the preceding window, zero-click purchases kept.
+    * Pairs come from the bucketed range join — no nested loop. */
+  def attributionBatch(events: DataFrame, windowUs: Long): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts") - windowUs).as("w_lo"), col("ts").as("w_hi"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val pairs = graft.operators.RangeJoin.pointInInterval(clicks, purchases,
+      "user_id", "ts", "w_lo", "w_hi", bucketWidth = windowUs)
+    purchases.select("user_id", "purchase_id")
+      .join(pairs.groupBy("purchase_id").agg(count(lit(1)).as("n_clicks")),
+        Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
   /** Batch analog of gap-based sessionization (oracle-checkable):
     * session boundaries via lag(), session ids via a running sum,
     * one aggregated row per session. Two window passes + one groupBy,

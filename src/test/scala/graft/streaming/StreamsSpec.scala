@@ -142,6 +142,46 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join emits exactly the batch range-join pairs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val windowUs = 1800000000L
+    val real = tables.events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow].collect()
+    // sentinels on DISTINCT users advance both sides' watermarks past
+    // every real event without joining each other or anything real
+    val farTs = real.map(_.ts).max + 100 * windowUs
+    val augmented = (real ++ Seq(
+      EventRow(-1, farTs, -1, "click", 0.0, "{}"),
+      EventRow(-2, farTs, -2, "purchase", 0.0, "{}"))).toSeq
+    val mem = MemoryStream[EventRow]
+    mem.addData(augmented: _*)
+    val src = mem.toDF()
+    val joined = Streams.attributionPairsStream(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"), windowUs)
+    microBatch(joined, "attr_pairs")
+    val streamed = spark.sql(
+      "select * from attr_pairs where user_id >= 0").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+      .toSet
+    // batch truth: the bucketed range join on the same rows
+    val ev = augmented.toDF()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts") - windowUs).as("w_lo"), col("ts").as("w_hi"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val batch = graft.operators.RangeJoin.pointInInterval(clicks, purchases,
+      "user_id", "ts", "w_lo", "w_hi", windowUs)
+      .filter(col("user_id") >= 0)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("mergeStream commits per micro-batch and retried batch ids are no-ops") {
     val dir = Files.createTempDirectory("graft_smv").toString
     val table = s"$dir/table"
