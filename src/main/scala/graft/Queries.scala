@@ -1060,15 +1060,18 @@ object Queries {
         VersionedTable.update(s, path, "c_acctbal < 5000",
           Seq("tier" ->
             "case when c_acctbal < 0 then 'delinquent' else 'standard' end"))
+        VersionedTable.delete(s, path, "tier = 'delinquent'")
         VersionedTable.read(s, path)
       },
-      // the three committed mutations collapse to one CASE expression
+      // the four committed mutations collapse to one CASE + one WHERE
       Some("""
-        SELECT *,
-          CASE WHEN c_acctbal >= 5000 THEN 'premium'
-               WHEN c_acctbal < 0 THEN 'delinquent'
-               ELSE 'standard' END as tier
-        FROM customer""")),
+        SELECT * FROM (
+          SELECT *,
+            CASE WHEN c_acctbal >= 5000 THEN 'premium'
+                 WHEN c_acctbal < 0 THEN 'delinquent'
+                 ELSE 'standard' END as tier
+          FROM customer)
+        WHERE tier <> 'delinquent'""")),
 
     // ---------- F. Maintenance (rows-only; layout asserted in specs) ----------
     Q("compact_sorted_write",

@@ -172,6 +172,16 @@ object VersionedTable {
     write(updated.select(cols.map(col): _*), path, operation = "UPDATE")
   }
 
+  /** `DELETE FROM ... WHERE cond` analog: rows matching
+    * `conditionSql` are removed, committed as a new version (the
+    * pre-delete snapshot stays readable — completes the DML verb set
+    * next to write/UPDATE/MERGE). */
+  def delete(spark: SparkSession, path: String,
+             conditionSql: String): Int = {
+    val cur = read(spark, path)
+    write(cur.filter(!expr(conditionSql)), path, operation = "DELETE")
+  }
+
   /** `ALTER TABLE ADD COLUMN` analog (reference `1 Data
     * ingestion.py`:144-150): appends a column computed by `exprSql`
     * (use a literal/NULL for a plain schema change) as a new version. */

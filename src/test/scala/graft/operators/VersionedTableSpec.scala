@@ -73,6 +73,19 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.update(spark, path, "true", Seq("nope" -> "1")))
   }
 
+  test("delete removes matching rows as a new version") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    val v = VersionedTable.delete(spark, path, "n_regionkey = 0")
+    assert(v == 1)
+    assert(VersionedTable.read(spark, path).count() == 20)
+    assert(VersionedTable.read(spark, path)
+      .filter(col("n_regionkey") === 0).count() == 0)
+    // pre-delete snapshot intact
+    assert(VersionedTable.read(spark, path, Some(0)).count() == 25)
+    assert(VersionedTable.operations(path) == Seq("WRITE", "DELETE"))
+  }
+
   test("addColumn commits a schema-widened version") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
