@@ -16,11 +16,22 @@ import graft.functions.expressions.{FloatDotProduct, HyperplaneSignatures, MinHa
   *  - `graft_simhash(array<string>) → array<int>` (4 × 15-bit chunks)
   *  - `graft_hyperplanes(array<float>, dim, bits, tables) → array<int>`
   *  - `graft_sha60(string) → bigint` (the portable content hash)
+  *
+  * TABLE functions (`SELECT * FROM fn(...)`):
+  *  - `graft_history('<path>')` — versioned-table commit log
+  *  - `graft_version('<path>', v)` — versioned-table snapshot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.specs.foreach { case (name, usage, builder) =>
       ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name, usage),
+        builder))
+    }
+    GraftFunctions.tableSpecs.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           "graft", name, usage),
@@ -58,10 +69,19 @@ object GraftFunctions {
       s"graft_hyperplanes: $what must be an integer literal, got $other")
   }
 
+  /** TABLE functions (`SELECT * FROM fn(...)`). */
+  val tableSpecs: Seq[(String, String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    graft.functions.GraftTableFunctions.specs
+
   /** Idempotent runtime registration (sessions created without
     * `spark.sql.extensions`). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     specs.foreach { case (name, usage, builder) =>
       GraftBridge.registerFunction(spark, name, usage, builder)
     }
+    tableSpecs.foreach { case (name, usage, builder) =>
+      GraftBridge.registerTableFunction(spark, name, usage, builder)
+    }
+  }
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL TABLE functions over [[graft.operators.VersionedTable]] — the
+  * `SELECT * FROM fn(...)` surface the reference's `DESCRIBE HISTORY`
+  * / `VERSION AS OF` users expect, registered via
+  * `SparkSessionExtensions.injectTableFunction` (or at runtime via
+  * `GraftFunctions.ensureRegistered`):
+  *
+  *  - `graft_history('<path>')` — the commit log as rows
+  *  - `graft_version('<path>', v)` — the table snapshot at version v
+  */
+object GraftTableFunctions {
+
+  val specs: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_history",
+      "graft_history(path) - commit log of a graft versioned table",
+      historyPlan _),
+    ("graft_version",
+      "graft_version(path, v) - snapshot v of a graft versioned table",
+      versionPlan _))
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String =
+    args(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+
+  private def intArg(args: Seq[Expression], i: Int, fn: String): Int =
+    args(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  /** DESCRIBE HISTORY as a table function: the (tiny, driver-read)
+    * commit log becomes a LocalRelation — no distributed job. */
+  private def historyPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_history(path) takes exactly one argument")
+    val path = strArg(args, 0, "graft_history")
+    val attrs = Seq(
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("operation", StringType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = false)(),
+      AttributeReference("committed_at", StringType, nullable = false)())
+    val rows = graft.operators.VersionedTable.logEntries(path).map {
+      case (v, op, n, ts) => InternalRow(v, UTF8String.fromString(op), n,
+        UTF8String.fromString(ts))
+    }
+    LocalRelation(attrs, rows)
+  }
+
+  /** VERSION AS OF as a table function: splices the snapshot's read
+    * plan (a pruned parquet relation) into the enclosing query. */
+  private def versionPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2,
+      "graft_version(path, version) takes exactly two arguments")
+    val path = strArg(args, 0, "graft_version")
+    val v = intArg(args, 1, "graft_version")
+    org.apache.spark.sql.graft.GraftBridge.logicalPlan(
+      graft.operators.VersionedTable.read(SparkSession.active, path, Some(v)))
+  }
+}

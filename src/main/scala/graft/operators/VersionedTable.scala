@@ -145,11 +145,20 @@ object VersionedTable {
 
   /** The `operation` strings from the commit log, ascending by
     * version (driver-side; log is tiny). */
-  def operations(path: String): Seq[String] = {
+  def operations(path: String): Seq[String] = logEntries(path).map(_._2)
+
+  /** Parsed commit-log entries, ascending:
+    * (version, operation, num_rows, committed_at). */
+  def logEntries(path: String): Seq[(Int, String, Long, String)] = {
     val opRe = """"operation":"([^"]+)"""".r
+    val rowsRe = """"num_rows":(\d+)""".r
+    val tsRe = """"committed_at":"([^"]+)"""".r
     versions(path).map { v =>
       val line = Files.readString(logDir(path).resolve(f"$v%06d.json"))
-      opRe.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+      (v,
+        opRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(""),
+        rowsRe.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(-1L),
+        tsRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(""))
     }
   }
 

@@ -31,4 +31,22 @@ object GraftBridge {
         new ExpressionInfo("graft", name, usage), builder)
     }
   }
+
+  /** Register a named TABLE function (`SELECT * FROM fn(...)`) on a
+    * live session (idempotent). */
+  def registerTableFunction(
+      spark: SparkSession, name: String, usage: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id,
+        new ExpressionInfo("graft", name, usage), builder)
+    }
+  }
+
+  /** The logical plan behind a DataFrame (for table-function bodies). */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
 }

@@ -92,6 +92,28 @@ class NativeExpressionsSpec extends SparkSpec {
         "graft_hyperplanes", "graft_sha60"))
   }
 
+  test("table functions expose history and version snapshots in SQL") {
+    import graft.operators.VersionedTable
+    GraftFunctions.ensureRegistered(spark)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvf").toString + "/t"
+    VersionedTable.write(tables.nation, path)
+    VersionedTable.delete(spark, path, "n_regionkey = 0")
+    val hist = spark.sql(s"SELECT * FROM graft_history('$path')")
+      .orderBy("version").collect()
+    assert(hist.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "WRITE"), (1, "DELETE")))
+    assert(hist.map(_.getLong(2)).toSeq == Seq(25L, 20L))
+    assert(spark.sql(s"SELECT count(*) FROM graft_version('$path', 0)")
+      .head.getLong(0) == 25)
+    // snapshots compose with arbitrary SQL (a cross-version join)
+    val joined = spark.sql(s"""
+      SELECT count(*) FROM graft_version('$path', 1) v
+        JOIN graft_version('$path', 0) o ON v.n_nationkey = o.n_nationkey""")
+      .head.getLong(0)
+    assert(joined == 20)
+  }
+
   test("graft_sha60 equals the built-in conv(substring(sha2)) formulation") {
     GraftFunctions.ensureRegistered(spark)
     val rows = spark.sql("""
