@@ -37,6 +37,9 @@ class DeterminismSpec extends SparkSpec {
     // be partition-count-invariant for the driver gate to hold
     "ann_lsh", "ann_ivf", "ann_recall", "dedup_minhash_lsh",
     "dedup_simhash", "doc_fingerprint", "dedup_embedding_quantized",
-    "pipeline_event_log", "versioned_update"))
+    "pipeline_event_log", "versioned_update",
+    "ann_ivf_indexed", "contamination_check", "value_quantiles",
+    "running_revenue", "subquery_above_avg", "versioned_changes",
+    "click_attribution", "ingest_merge_schema"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
