@@ -777,12 +777,12 @@ object Queries {
       (s, d) => Expectations.quarantine(Tables(s, d).events,
         Expectations.EventSuite),
       // the complement of the DROP-ROW output — DLT's quarantine-table
-      // pattern for violated rows
+      // pattern for violated rows (NULL predicates count as violations)
       Some(s"""
         SELECT * FROM ($eventsNs)
-        WHERE NOT (value >= 0 AND value <= 400
+        WHERE NOT coalesce(value >= 0 AND value <= 400
           AND event_type in ('click','view','purchase','signup','error')
-          AND event_type <> 'error' AND user_id is not null)""")),
+          AND event_type <> 'error' AND user_id is not null, false)""")),
 
     Q("pipeline_event_log",
       (s, d) => {

@@ -46,9 +46,13 @@ object Expectations {
   def dropInvalid(df: DataFrame, exps: Seq[Expectation]): DataFrame =
     df.filter(exps.map(e => expr(e.predicateSql)).reduce(_ && _))
 
-  /** Rows violating ≥1 constraint (quarantine surface). */
+  /** Rows violating ≥1 constraint (quarantine surface) — the exact
+    * complement of [[dropInvalid]]: a NULL predicate counts as a
+    * violation (matching `metrics`), so the row lands here rather
+    * than vanishing from both outputs. */
   def quarantine(df: DataFrame, exps: Seq[Expectation]): DataFrame =
-    df.filter(!exps.map(e => expr(e.predicateSql)).reduce(_ && _))
+    df.filter(!coalesce(
+      exps.map(e => expr(e.predicateSql)).reduce(_ && _), lit(false)))
 
   /** ON VIOLATION FAIL UPDATE: throw if any constraint has failures. */
   def failOnViolation(df: DataFrame, exps: Seq[Expectation]): Unit = {

@@ -70,8 +70,18 @@ object Pipeline {
           logRows += Row(i, st.name, r.getString(0), r.getLong(1),
             r.getLong(2))
         }
-        if (st.onViolation == OnViolation.Fail)
-          Expectations.failOnViolation(candidate, st.expectations)
+        // Fail mode reuses the already-collected counters — no second
+        // metrics scan of the stage input
+        if (st.onViolation == OnViolation.Fail) {
+          val bad = m.filter(_.getLong(2) > 0)
+          if (bad.nonEmpty) {
+            val detail = bad
+              .map(r => s"${r.getString(0)}: ${r.getLong(2)} failed")
+              .mkString("; ")
+            throw new ExpectationViolation(
+              s"expectations violated in stage ${st.name} — $detail")
+          }
+        }
       }
       val out = st.onViolation match {
         case OnViolation.DropRows =>

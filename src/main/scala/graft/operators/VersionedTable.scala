@@ -188,7 +188,11 @@ object VersionedTable {
   def delete(spark: SparkSession, path: String,
              conditionSql: String): Int = {
     val cur = read(spark, path)
-    write(cur.filter(!expr(conditionSql)), path, operation = "DELETE")
+    // SQL DELETE semantics: only rows where the condition is TRUE are
+    // removed — a NULL condition keeps the row (plain !cond would
+    // silently drop it)
+    write(cur.filter(!coalesce(expr(conditionSql), lit(false))), path,
+      operation = "DELETE")
   }
 
   /** `ALTER TABLE ADD COLUMN` analog (reference `1 Data

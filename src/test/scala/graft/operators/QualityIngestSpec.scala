@@ -30,6 +30,23 @@ class QualityIngestSpec extends SparkSpec {
     assert(quarantined > 0)
   }
 
+  test("NULL predicates count as violations: drop+quarantine still partition") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, null), (3L, -1.0))
+      .toDF("id", "value")
+    val suite = Seq(Expectation("value non-negative", "value >= 0"))
+    val kept = Expectations.dropInvalid(df, suite)
+    val bad = Expectations.quarantine(df, suite)
+    // the NULL row is a violation: dropped from the clean set AND
+    // present in quarantine — never lost from both
+    assert(kept.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(bad.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val m = Expectations.metrics(df, suite).head()
+    assert(m.getAs[Long]("passed_records") == 1 &&
+      m.getAs[Long]("failed_records") == 2)
+  }
+
   test("failOnViolation throws with constraint detail") {
     val e = intercept[ExpectationViolation] {
       Expectations.failOnViolation(tables.events, Expectations.EventSuite)
