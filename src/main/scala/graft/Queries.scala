@@ -389,6 +389,29 @@ object Queries {
           length(text) as n_chars_measured
         FROM documents""")),
 
+    Q("corpus_split",
+      (s, d) => TextAnalysis.trainValTestSplit(Tables(s, d).documents),
+      // the split is the portable content hash mod 100 — byte-for-byte
+      // reproducible in any engine
+      Some(s"""
+        SELECT doc_id,
+          CASE WHEN b < 80 THEN 'train'
+               WHEN b < 90 THEN 'val'
+               ELSE 'test' END as split
+        FROM (SELECT doc_id,
+                ${TextOracleSql.Sha60.format("cast(doc_id as varchar)")} % 100 as b
+              FROM documents)"""),
+      headline = false),
+
+    Q("corpus_vocabulary",
+      (s, d) => TextAnalysis.vocabulary(Tables(s, d).documents),
+      Some("""
+        SELECT word, count(*) as n_occurrences,
+          count(distinct doc_id) as n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) as word
+              FROM documents)
+        GROUP BY 1""")),
+
     Q("doc_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
       Some(TextOracleSql.fingerprintSql(k = 5, w = 4))),

@@ -91,6 +91,36 @@ object TextAnalysis {
       .drop("text")
   }
 
+  /** Deterministic train/val/test assignment: the split is a pure
+    * function of the document id's portable content hash, so it is
+    * reproducible across runs, clusters, and engines — never
+    * `df.sample` (partitioning-dependent). Boundaries are percentile
+    * points of hash mod 100. Map-only. */
+  def trainValTestSplit(documents: DataFrame, trainPct: Int = 80,
+                        valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val sha60 = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          col("doc_id").cast("string"))))
+    documents.select(col("doc_id"),
+      pmod(sha60, lit(100)).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Corpus vocabulary: per-word document frequency and total
+    * occurrences (vocab building / stopword discovery). One shuffle
+    * on the word. */
+  def vocabulary(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   /** Winnowing fingerprints: hash every k-gram with the portable
     * sha256-prefix hash, keep the window-min hash of each w-length
     * window, distinct per doc. (Winnowing: local algorithms for

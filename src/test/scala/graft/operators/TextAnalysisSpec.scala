@@ -34,6 +34,22 @@ class TextAnalysisSpec extends SparkSpec {
       .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
   }
 
+  test("trainValTestSplit is exhaustive, hash-stable, and near the target ratios") {
+    val docs = tables.documents
+    val split = TextAnalysis.trainValTestSplit(docs)
+    // every document assigned exactly once
+    assert(split.count() == docs.count())
+    val byCat = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCat.keySet.subsetOf(Set("train", "val", "test")))
+    // the hash is uniform enough that train lands near 80%
+    val trainFrac = byCat.getOrElse("train", 0L).toDouble / docs.count()
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train frac $trainFrac")
+    // assignment is a pure function of doc_id — identical across runs
+    val again = TextAnalysis.trainValTestSplit(docs)
+    assert(split.exceptAll(again).count() == 0)
+  }
+
   test("fingerprints: shared long substrings share a fingerprint") {
     val docs = tables.documents.limit(10)
     val shifted = docs.withColumn("doc_id", col("doc_id") + 5000)
