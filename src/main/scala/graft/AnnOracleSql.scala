@@ -163,17 +163,24 @@ object AnnOracleSql {
                 queryPred: String): String = s"""
     WITH $EmbCte, ${bfCtes(k, queryPred)}, ${sigCtes(dim, bits, tables)},
     ${lshTopkCtes(k, queryPred)},
-    ${ivfCtes(nlist, nprobe, k, iters, sampleMod, queryPred)}
+    ${ivfCtes(nlist, nprobe, k, iters, sampleMod, queryPred)},
+    bfn AS (SELECT query_id, count(*) as n_ex FROM bf GROUP BY 1)
     SELECT q.vec_id as query_id, 'lsh' as method,
-      cast(coalesce(h.n, 0) as double) / $k as recall
-    FROM (SELECT vec_id FROM e WHERE $queryPred) q LEFT JOIN
+      CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0
+           ELSE cast(coalesce(h.n, 0) as double) / b.n_ex END as recall
+    FROM (SELECT vec_id FROM e WHERE $queryPred) q
+      LEFT JOIN bfn b ON b.query_id = q.vec_id
+      LEFT JOIN
       (SELECT query_id, count(*) as n FROM lsh_topk
          JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
       ON h.query_id = q.vec_id
     UNION ALL
     SELECT q.vec_id as query_id, 'ivf' as method,
-      cast(coalesce(h.n, 0) as double) / $k as recall
-    FROM (SELECT vec_id FROM e WHERE $queryPred) q LEFT JOIN
+      CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0
+           ELSE cast(coalesce(h.n, 0) as double) / b.n_ex END as recall
+    FROM (SELECT vec_id FROM e WHERE $queryPred) q
+      LEFT JOIN bfn b ON b.query_id = q.vec_id
+      LEFT JOIN
       (SELECT query_id, count(*) as n FROM ivf_topk
          JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
       ON h.query_id = q.vec_id"""

@@ -15,6 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - `graft_history('<path>')` — the commit log as rows
   *  - `graft_version('<path>', v)` — the table snapshot at version v
+  *
+  * Snapshot semantics: both functions resolve the commit log at PLAN
+  * RESOLUTION time (the arguments are literals, so the log read is
+  * driver-side inside the plan builder). A resolved plan that is
+  * reused later — a cached DataFrame, a temp view created from the
+  * query, a prepared plan — will NOT observe commits made after
+  * resolution, unlike a live `DESCRIBE HISTORY` scan. Re-issue the SQL
+  * to see new commits; this matches how `graft_version` must behave
+  * anyway (a version read is immutable by design), and makes
+  * `graft_history` read-repeatable within a statement.
   */
 object GraftTableFunctions {
 

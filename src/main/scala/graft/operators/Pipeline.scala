@@ -63,7 +63,14 @@ object Pipeline {
     val logRows = scala.collection.mutable.ArrayBuffer[Row]()
     var cur = input
     val outTables = stages.zipWithIndex.map { case (st, i) =>
-      val candidate = st.transform(cur)
+      // stages with expectations take two actions over the candidate
+      // (metrics scan + versioned write) — persist so the transform is
+      // computed once, not once per action
+      val candidate =
+        if (st.expectations.nonEmpty)
+          st.transform(cur).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else st.transform(cur)
       if (st.expectations.nonEmpty) {
         val m = Expectations.metrics(candidate, st.expectations).collect()
         m.foreach { r =>
@@ -90,6 +97,7 @@ object Pipeline {
       }
       val path = s"$storageDir/${st.name}"
       VersionedTable.write(out, path, operation = s"PIPELINE[${st.name}]")
+      if (st.expectations.nonEmpty) candidate.unpersist()
       cur = VersionedTable.read(spark, path)
       st.name -> cur
     }.toMap

@@ -261,23 +261,36 @@ object Similarity {
   }
 
   /** Per-query recall@k of the approximate searchers against the
-    * exact brute-force top-k: |approx ∩ exact| / k. The measurement
-    * itself is deterministic (fixed hashes, fixed sample), so it is
-    * oracle-checkable end-to-end. */
+    * exact brute-force top-k: |approx ∩ exact| / |exact top-k|. The
+    * denominator is the per-query EXACT result size (≤ k), so a query
+    * with fewer than k eligible neighbors can still score 1.0 for a
+    * perfect searcher; a query with no eligible neighbors scores 1.0
+    * vacuously. All LSH/IVF tuning parameters are plumbed through so
+    * recall can be measured for exactly the configuration deployed.
+    * The measurement is deterministic (fixed hashes, fixed sample), so
+    * it is oracle-checkable end-to-end. */
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-                dim: Int = 64, cacheKey: Option[String] = None): DataFrame = {
+                dim: Int = 64, bits: Int = 6, tables: Int = 16,
+                nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+                sampleMod: Int = 5, cacheKey: Option[String] = None): DataFrame = {
     val exact = annBruteForce(corpus, queries, k)
       .select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"))
     def recallOf(approx: DataFrame, method: String): DataFrame =
       queries.select(col("vec_id").as("query_id"))
+        .join(exactN, Seq("query_id"), "left")
         .join(approx.select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
           Seq("query_id"), "left")
         .select(col("query_id"), lit(method).as("method"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
-    recallOf(annLsh(corpus, queries, dim, k = k), "lsh")
-      .unionByName(recallOf(annIvf(corpus, queries, k = k,
-        cacheKey = cacheKey), "ivf"))
+          when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+            .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_exact"))
+            .as("recall"))
+    recallOf(annLsh(corpus, queries, dim, bits, tables, k), "lsh")
+      .unionByName(recallOf(annIvf(corpus, queries, nlist, nprobe, k,
+        iters, sampleMod, cacheKey), "ivf"))
   }
 }

@@ -80,16 +80,51 @@ object VersionedTable {
     read(spark, path, Some(v))
   }
 
+  /** JSON string escaping for commit-log fields (quotes, backslashes,
+    * control chars) — an operation string like `PIPELINE["x"]` must not
+    * corrupt the log that versions()/operations() parse. */
+  private[operators] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[operators] def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Write `df` as the next version (full snapshot). Returns the new
-    * version number. */
+    * version number. The committed row count is captured by an
+    * [[org.apache.spark.sql.Observation]] riding the write job itself —
+    * one pass over the data, not write-then-recount. */
   def write(df: DataFrame, path: String, operation: String = "WRITE"): Int = {
     val v = latestVersion(path).map(_ + 1).getOrElse(0)
     val target = s"$path/v=$v"
-    df.write.mode("overwrite").parquet(target)
-    val rows = df.sparkSession.read.parquet(target).count()
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(target)
+    val rows = obs.get("rows").asInstanceOf[Long]
     Files.createDirectories(logDir(path))
     val entry =
-      s"""{"version":$v,"operation":"$operation","num_rows":$rows,""" +
+      s"""{"version":$v,"operation":"${jsonEscape(operation)}","num_rows":$rows,""" +
         s""""committed_at":"${java.time.Instant.now()}"}"""
     Files.write(logDir(path).resolve(f"$v%06d.json"),
       java.util.List.of(entry), StandardOpenOption.CREATE_NEW)
@@ -150,13 +185,16 @@ object VersionedTable {
   /** Parsed commit-log entries, ascending:
     * (version, operation, num_rows, committed_at). */
   def logEntries(path: String): Seq[(Int, String, Long, String)] = {
-    val opRe = """"operation":"([^"]+)"""".r
+    // operation is written escaped — match escape pairs so an embedded
+    // (escaped) quote can't truncate the parse
+    val opRe = """"operation":"((?:[^"\\]|\\.)*)"""".r
     val rowsRe = """"num_rows":(\d+)""".r
     val tsRe = """"committed_at":"([^"]+)"""".r
     versions(path).map { v =>
       val line = Files.readString(logDir(path).resolve(f"$v%06d.json"))
       (v,
-        opRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(""),
+        opRe.findFirstMatchIn(line).map(m => jsonUnescape(m.group(1)))
+          .getOrElse(""),
         rowsRe.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(-1L),
         tsRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(""))
     }
@@ -174,11 +212,21 @@ object VersionedTable {
     assignments.foreach { case (c, _) =>
       require(cols.contains(c), s"UPDATE target column $c not in $cols")
     }
-    val updated = assignments.foldLeft(cur) { case (df, (c, assignSql)) =>
-      df.withColumn(c,
-        when(expr(conditionSql), expr(assignSql)).otherwise(col(c)))
-    }
-    write(updated.select(cols.map(col): _*), path, operation = "UPDATE")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"duplicate UPDATE target in ${assignments.map(_._1)}")
+    // SQL UPDATE semantics: the condition and EVERY assignment RHS are
+    // evaluated against the pre-update row — one select, so no
+    // assignment can observe another's result (swap-style SET a=b, b=a
+    // and condition columns that are themselves assigned both work)
+    val assignMap = assignments.toMap
+    val updated = cur.select(cols.map { c =>
+      assignMap.get(c) match {
+        case Some(rhs) =>
+          when(expr(conditionSql), expr(rhs)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    write(updated, path, operation = "UPDATE")
   }
 
   /** `DELETE FROM ... WHERE cond` analog: rows matching

@@ -31,6 +31,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("annRecall normalizes by the per-query exact-neighbor count") {
+    val tiny = tables.embeddings.filter(col("vec_id") < 3)
+    val rec = Similarity.annRecall(tiny, tiny, k = 5,
+      nlist = 1, nprobe = 1, iters = 1, sampleMod = 1).collect()
+    assert(rec.length == 6) // 3 queries × 2 methods
+    assert(rec.forall(_.getAs[Double]("recall") <= 1.0))
+    // IVF with a single list is exhaustive → perfect recall even though
+    // each query has only 2 eligible neighbors (< k); a flat-k
+    // denominator would cap a perfect searcher at 0.4 here
+    assert(rec.filter(_.getAs[String]("method") == "ivf")
+      .forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("annIvf ranks within probed lists and achieves useful recall") {
     val emb = tables.embeddings
     val queries = emb.filter(col("vec_id") < 8)

@@ -73,6 +73,42 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.update(spark, path, "true", Seq("nope" -> "1")))
   }
 
+  test("update evaluates condition and all RHS against the pre-update row") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    // the condition column is itself assigned FIRST — sequential
+    // (foldLeft) semantics would flip the condition to false before the
+    // second assignment ran and silently skip it
+    VersionedTable.update(spark, path, "n_regionkey = 0",
+      Seq("n_regionkey" -> "n_regionkey + 10", "n_name" -> "lower(n_name)"))
+    val latest = VersionedTable.read(spark, path)
+    assert(latest.filter(col("n_regionkey") === 10).count() == 5)
+    assert(latest.filter(col("n_regionkey") === 10 &&
+      col("n_name") === lower(col("n_name"))).count() == 5)
+    // swap-style SET a=b, b=a reads both pre-update values
+    VersionedTable.update(spark, path, "n_nationkey = 0",
+      Seq("n_nationkey" -> "n_regionkey", "n_regionkey" -> "n_nationkey"))
+    val swapped = VersionedTable.read(spark, path)
+    assert(swapped.filter(col("n_nationkey") === 10 &&
+      col("n_regionkey") === 0).count() == 1)
+    // duplicate targets are rejected, not silently last-wins
+    intercept[IllegalArgumentException](
+      VersionedTable.update(spark, path, "true",
+        Seq("n_name" -> "'a'", "n_name" -> "'b'")))
+  }
+
+  test("operation strings with quotes and backslashes round-trip the log") {
+    val path = freshPath
+    val weird = """PIPELINE["stage \ one"]"""
+    VersionedTable.write(tables.nation, path, operation = weird)
+    assert(VersionedTable.operations(path) == Seq(weird))
+    // the log line is valid JSON — Spark's JSON reader agrees
+    assert(VersionedTable.history(spark, path).collect()(0)
+      .getAs[String]("operation") == weird)
+    // versions()/logEntries() still parse the other fields
+    assert(VersionedTable.logEntries(path).head._3 == 25L)
+  }
+
   test("delete removes matching rows as a new version") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
