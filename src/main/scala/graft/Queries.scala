@@ -223,6 +223,17 @@ object Queries {
       Some(TextOracleSql.ngramJaccardSql(shingleK = 3, numPerm = 64,
         bands = 16))),
 
+    Q("dedup_clusters",
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        // pairwise near-dups → components → canonical survivor per
+        // cluster: the decision layer actual corpus dedup needs (A~B,
+        // B~C must drop B AND C, keep only A)
+        Clusters.duplicateClusters(docs, Dedup.minhashLsh(docs))
+      },
+      Some(TextOracleSql.dedupClustersSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5))),
+
     Q("contamination_check",
       (s, d) => {
         val docs = Tables(s, d).documents
@@ -411,6 +422,50 @@ object Queries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) as word
               FROM documents)
         GROUP BY 1""")),
+
+    Q("text_repetition",
+      (s, d) => TextAnalysis.repetition(Tables(s, d).documents),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') as toks
+                   FROM documents),
+        g AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) >= 2
+            THEN list_transform(range(len(toks) - 1),
+                   i -> array_to_string(toks[i+1:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END as bg,
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(range(len(toks) - 2),
+                   i -> array_to_string(toks[i+1:i+3], ' '))
+            ELSE [array_to_string(toks, ' ')] END as tg
+          FROM t)
+        SELECT doc_id,
+          cast(len(toks) as bigint) as n_tokens,
+          (cast(len(toks) as double) - len(list_distinct(toks)))
+            / cast(len(toks) as double) as dup_word_frac,
+          (cast(len(bg) as double) - len(list_distinct(bg)))
+            / cast(len(bg) as double) as dup_bigram_frac,
+          (cast(len(tg) as double) - len(list_distinct(tg)))
+            / cast(len(tg) as double) as dup_trigram_frac,
+          (cast(len(bg) as double) - len(list_distinct(bg)))
+            / cast(len(bg) as double) > 0.2 as is_repetitive
+        FROM g""")),
+
+    Q("tfidf_topterms",
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables(s, d).documents),
+      Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) as word
+                   FROM documents),
+        tf AS (SELECT doc_id, word, count(*) as tf FROM w GROUP BY 1, 2),
+        df AS (SELECT word, count(distinct doc_id) as df FROM w GROUP BY 1),
+        n AS (SELECT count(*) as n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, word, tf,
+            cast(tf * n_docs as double) / df as score
+          FROM tf JOIN df USING (word) CROSS JOIN n)
+        SELECT doc_id, word, tf, score, term_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, word) as term_rank FROM scored)
+        WHERE term_rank <= 3""")),
 
     Q("doc_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
@@ -938,6 +993,38 @@ object Queries {
             row_number() OVER (PARTITION BY user_id
               ORDER BY epoch_us(ts) DESC, event_id DESC) as rn
           FROM events) WHERE rn = 1""")),
+
+    Q("stream_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sdd_src_$sf"
+        // stage every event TWICE (an at-least-once delivery) in 8
+        // files — the watermark-bounded dedup must emit each exactly once
+        val ev = Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        ev.unionAll(ev).repartition(8).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sdd_ckpt").toString
+        val q = graft.streaming.Streams.dedupStream(
+          graft.streaming.Streams.fileIngest(s, src, schema)
+            .select("event_id", "ts", "user_id", "event_type", "value"))
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        s.table("graft_stream_dedup")
+      },
+      // doubled input collapses back to exactly the source events
+      Some(s"""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
+        FROM events""")),
 
     // ---------- E. Streaming batch-analogs ----------
     Q("event_window_agg",

@@ -78,6 +78,27 @@ object TextOracleSql {
         JOIN sets sb ON sb.doc_id = id_b)"""
   }
 
+  /** Duplicate clusters = connected components of the MinHash-LSH
+    * near-dup pair graph (mirrors Clusters.duplicateClusters over
+    * Dedup.minhashLsh): transitive closure by recursive CTE, cluster
+    * id = min reachable doc_id, singletons included. */
+  def dedupClustersSql(shingleK: Int, numPerm: Int, bands: Int,
+                       threshold: Double): String =
+    s"""WITH RECURSIVE ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+       ${lshPairCtes(numPerm, bands)},
+       dup AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $threshold),
+       edges AS (SELECT id_a as s, id_b as t FROM dup
+                 UNION SELECT id_b, id_a FROM dup),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r),
+       cc AS (SELECT id as doc_id, min(r) as cluster_id FROM reach GROUP BY 1),
+       sizes AS (SELECT cluster_id, count(*) as cluster_size FROM cc GROUP BY 1)
+       SELECT doc_id, cluster_id, cluster_size,
+         doc_id = cluster_id as is_canonical
+       FROM cc JOIN sizes USING (cluster_id)"""
+
   def minhashLshSql(shingleK: Int, numPerm: Int, bands: Int,
                     threshold: Double): String =
     s"""WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},

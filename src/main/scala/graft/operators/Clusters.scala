@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over near-duplicate pairs — the step that
+  * turns pairwise dedup output (MinHash-LSH / SimHash / embedding
+  * pairs) into KEEP/DROP decisions. Pairs alone can't drive dedup:
+  * with A~B and B~C but not A~C, dropping "the second of every pair"
+  * removes B twice and keeps both A and C only by luck. The component
+  * gives each doc a cluster id (the smallest reachable doc_id), and
+  * the canonical survivor per cluster is exactly one doc.
+  *
+  * Algorithm: min-label propagation — every node starts labeled with
+  * its own id; each round a node adopts the minimum label among itself
+  * and its neighbors; converged when no label changes. Rounds needed =
+  * graph diameter, and near-dup clusters are shallow (dup clusters are
+  * dense — most text corpora converge in 2-4 rounds). Each round is
+  * two shuffles (join labels to edges + groupBy node); the edge frame
+  * is persisted once. Labels only decrease, so convergence is detected
+  * by an exact decimal label-sum (map-only over the persisted frame,
+  * no extra join). At 100 TB scale the same loop applies with the
+  * alternation trick (large-star/small-star) cutting rounds to
+  * O(log n) on adversarially deep graphs; near-dup graphs don't need
+  * it. Lineage is truncated with a local checkpoint every few rounds
+  * so deep loops don't accumulate unbounded plans.
+  */
+object Clusters {
+
+  /** Min-label-propagation connected components. `pairs` carries
+    * undirected edges as (id_a, id_b); `nodes` is the full vertex set
+    * as a single `id` column (vertices without edges become singleton
+    * components). Returns (id, label) where label = min reachable id. */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only decrease → the exact decimal sum strictly decreases
+    // until the fixpoint; equal sums ⟺ converged
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"),
+          col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+      // local checkpoint every 4th round truncates the growing
+      // iterative lineage (persist alone keeps the full plan)
+      val next =
+        if (iter % 4 == 3) stepped.localCheckpoint()
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters over a corpus: components of the near-dup pair
+    * graph, with cluster size and the canonical-survivor flag (the
+    * lowest doc_id of each cluster — deterministic, engine-portable).
+    * Docs in no pair are singleton clusters of themselves. */
+  def duplicateClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(
+      pairs.select(col("id_a"), col("id_b")),
+      documents.select(col("doc_id").as("id")))
+    val sizes = cc.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("label")).as("is_canonical"))
+  }
+}

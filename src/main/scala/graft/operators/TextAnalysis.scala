@@ -121,6 +121,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Repetition metrics (the Gopher-style "repetitive document"
+    * quality signals): duplicate word / bigram / trigram fractions per
+    * document, plus a flag. Map-only — the token and shingle arrays
+    * are built per row (`array_distinct`/`size` are codegen'd
+    * collection ops, subexpression elimination shares the arrays), no
+    * shuffle, scan speed at 100 TB. Fractions are integer-valued
+    * doubles with a single division — bit-portable across engines. */
+  def repetition(documents: DataFrame,
+                 maxDupBigramFrac: Double = 0.2): DataFrame = {
+    val counted = documents.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("double").as("n_words"),
+      size(array_distinct(wsTokens(col("text")))).cast("double").as("n_dw"),
+      size(Dedup.shingles(col("text"), 2)).cast("double").as("n_bg"),
+      size(array_distinct(Dedup.shingles(col("text"), 2)))
+        .cast("double").as("n_dbg"),
+      size(Dedup.shingles(col("text"), 3)).cast("double").as("n_tg"),
+      size(array_distinct(Dedup.shingles(col("text"), 3)))
+        .cast("double").as("n_dtg"))
+    counted.select(col("doc_id"),
+      col("n_words").cast("long").as("n_tokens"),
+      ((col("n_words") - col("n_dw")) / col("n_words")).as("dup_word_frac"),
+      ((col("n_bg") - col("n_dbg")) / col("n_bg")).as("dup_bigram_frac"),
+      ((col("n_tg") - col("n_dtg")) / col("n_tg")).as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        col("dup_bigram_frac") > maxDupBigramFrac)
+  }
+
+  /** Top TF-IDF terms per document, with a ratio idf (score =
+    * tf · N / df). The ratio is a monotone function of the usual
+    * log-idf in df, chosen because it stays in exact integer
+    * arithmetic until one final IEEE division — so ranks and scores
+    * are bit-reproducible across engines (ln() is not). Shuffle
+    * profile: one groupBy (doc, word) with map-side partial counts,
+    * one groupBy word for document frequencies (vocab-sized — at
+    * 100 TB this frame is millions of rows, broadcastable or a plain
+    * shuffle join), the corpus size rides in as a broadcast scalar,
+    * and the per-doc top-N runs through `WindowGroupLimit` (partial
+    * per-partition top-N before the exchange). */
+  def tfidfTopTerms(documents: DataFrame, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= topN)
+      .select("doc_id", "word", "tf", "score", "term_rank")
+  }
+
   /** Winnowing fingerprints: hash every k-gram with the portable
     * sha256-prefix hash, keep the window-min hash of each w-length
     * window, distinct per doc. (Winnowing: local algorithms for

@@ -83,6 +83,21 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: at-least-once sources (retried files,
+    * replayed offsets) deliver duplicate events; dedup on `event_id`
+    * with watermark-bounded state. `dropDuplicatesWithinWatermark`
+    * evicts seen-id state once the watermark passes its event time, so
+    * state is bounded by the watermark horizon, not the stream length
+    * — the property that makes exactly-once projection viable on an
+    * unbounded stream. `events` carries `ts` as epoch-micros. */
+  def dedupStream(events: DataFrame,
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_time", timestamp_micros(col("ts")))
+      .withWatermark("ts_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("ts_time")
+
   /** Tumbling-window event counts with watermark (INCREMENTAL LIVE
     * aggregate analog). `events` must have a TimestampType `ts`. */
   def windowAgg(events: DataFrame, windowLen: String = "1 hour",

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)], nodes: Seq[Long]) = {
+    import spark.implicits._
+    Clusters.connectedComponents(pairs.toDF("id_a", "id_b"),
+        nodes.toDF("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label"))
+      .toMap
+  }
+
+  test("chains merge into one component labeled by the min id") {
+    // 9-3-2-1 is a 3-hop chain: label 1 must propagate through two
+    // intermediate nodes (exercises multiple rounds), 5-6 is separate,
+    // 4/7/8 are edge-less singletons
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)),
+      1L to 9L)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("two chains joined by a bridge collapse to a single component") {
+    val labels = cc(Seq((10L, 20L), (30L, 40L), (20L, 30L)),
+      Seq(10L, 20L, 30L, 40L))
+    assert(labels.values.toSet == Set(10L))
+  }
+
+  test("duplicateClusters marks exactly one canonical doc per cluster") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (4L, 6L)).toDF("id_a", "id_b")
+    val out = Clusters.duplicateClusters(docs, pairs).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc(2L).getAs[Long]("cluster_id") == 2L)
+    assert(byDoc(4L).getAs[Long]("cluster_id") == 2L)
+    assert(byDoc(6L).getAs[Long]("cluster_id") == 2L)
+    assert(byDoc(2L).getAs[Long]("cluster_size") == 3L)
+    assert(out.count(_.getAs[Boolean]("is_canonical")) == 4) // 2,1,3,5
+    // survivors = canonical docs: dropping !is_canonical removes the
+    // transitive dups 4 and 6, keeps everything else
+    assert(out.filter(_.getAs[Boolean]("is_canonical"))
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("component output over the real corpus is deterministic") {
+    val docs = tables.documents
+    val a = Clusters.duplicateClusters(docs, Dedup.minhashLsh(docs))
+    val b = Clusters.duplicateClusters(docs, Dedup.minhashLsh(docs))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // cluster ids are members of their own cluster
+    assert(a.filter(col("cluster_id") > col("doc_id")).count() == 0)
+  }
+}

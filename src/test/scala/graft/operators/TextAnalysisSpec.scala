@@ -61,4 +61,41 @@ class TextAnalysisSpec extends SparkSpec {
       a("ida") === b("idb") - 5000)
     assert(shared.select("ida").distinct().count() == 10)
   }
+
+  test("repetition fractions match hand-computed values") {
+    import spark.implicits._
+    // "a a a b": 4 words / 2 distinct → dup_word 0.5;
+    // bigrams [a a, a a, a b] → 1 dup of 3; trigrams [a a a, a a b] → 0
+    val docs = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 4)
+    assert(out(1L).getAs[Double]("dup_word_frac") == 0.5)
+    assert(out(1L).getAs[Double]("dup_bigram_frac") == 1.0 / 3.0)
+    assert(out(1L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(out(1L).getAs[Boolean]("is_repetitive"))
+    assert(out(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(!out(2L).getAs[Boolean]("is_repetitive"))
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones") {
+    import spark.implicits._
+    // "rare" appears in 1 of 3 docs, "common" in all 3: within doc 1
+    // (tf 1 each) rare scores 3/1, common 3/3 → rare ranks first
+    val docs = Seq((1L, "rare common filler"), (2L, "common stuff"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, topN = 2)
+    val d1 = out.filter(col("doc_id") === 1).orderBy("term_rank").collect()
+    assert(d1.length == 2)
+    assert(d1(0).getAs[String]("word") == "rare" ||
+      d1(0).getAs[String]("word") == "filler") // both df=1, tie → word asc
+    assert(d1(0).getAs[Double]("score") == 3.0)
+    assert(d1.map(_.getAs[String]("word")).toSet == Set("rare", "filler"))
+    // common never outranks a unique term in any doc
+    assert(out.filter(col("word") === "common" &&
+      col("term_rank") === 1).count() == 0)
+    // per-doc output is capped at topN
+    assert(out.groupBy("doc_id").count().collect()
+      .forall(_.getAs[Long]("count") <= 2))
+  }
 }

@@ -182,6 +182,32 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("dedupStream emits each event_id exactly once across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventRow]
+    val base = 1704067200000000L // 2024-01-01T00:00Z in µs
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // batch 1: ids 1, 2 with a same-batch duplicate of 1
+    mem.addData(
+      EventRow(1, base, 1, "click", 1.0, "{}"),
+      EventRow(2, base + 10, 1, "view", 2.0, "{}"),
+      EventRow(1, base, 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch duplicate of 2 (still inside the
+    // watermark horizon → state remembers it) plus a new id 3
+    mem.addData(
+      EventRow(2, base + 10, 1, "view", 2.0, "{}"),
+      EventRow(3, base + 20, 2, "click", 3.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select event_id from dedup_stream")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("mergeStream commits per micro-batch and retried batch ids are no-ops") {
     val dir = Files.createTempDirectory("graft_smv").toString
     val table = s"$dir/table"
