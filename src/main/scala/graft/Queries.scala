@@ -467,6 +467,39 @@ object Queries {
             ORDER BY score DESC, word) as term_rank FROM scored)
         WHERE term_rank <= 3""")),
 
+    Q("pii_scrub",
+      (s, d) => {
+        // the synthetic corpus carries no PII — inject a deterministic
+        // email/IP/phone per doc so the redaction path is exercised on
+        // every row (and the oracle can replicate the injection)
+        val withPii = Tables(s, d).documents.select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com at 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7 or 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+        TextAnalysis.piiScrub(withPii)
+      },
+      Some("""
+        WITH withpii AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id ||
+            '@mail.example.com at 10.0.' || (doc_id % 256) ||
+            '.7 or 555-01' || lpad(cast(doc_id % 100 as varchar), 2, '0')
+              as text
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{4}\b', '<PHONE>', 'g') as clean_text,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_emails,
+          len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ips,
+          len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) as n_phones
+        FROM withpii""")),
+
     Q("doc_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
       Some(TextOracleSql.fingerprintSql(k = 5, w = 4))),

@@ -179,6 +179,31 @@ object TextAnalysis {
       .select("doc_id", "word", "tf", "score", "term_rank")
   }
 
+  /** PII patterns, simple and RE2-compatible (the oracle engine uses
+    * RE2) — email, dotted-quad IP, NNN-NNNN phone. Replacement order
+    * matters (emails contain dots and digits): email → IP → phone. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction for training corpora: replace emails / IPs / phone
+    * shapes with typed placeholder tokens and report per-doc match
+    * counts (the counts drive drop-vs-redact policy decisions).
+    * Map-only regex work — scan speed at 100 TB, no shuffle. */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"))
+
   /** Winnowing fingerprints: hash every k-gram with the portable
     * sha256-prefix hash, keep the window-min hash of each w-length
     * window, distinct per doc. (Winnowing: local algorithms for

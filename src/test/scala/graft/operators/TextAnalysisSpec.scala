@@ -78,6 +78,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2L).getAs[Boolean]("is_repetitive"))
   }
 
+  test("piiScrub redacts emails, IPs and phone shapes with counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b@x.org or 10.1.2.3 call 555-1234 twice 555-9999"),
+      (2L, "clean words only")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ==
+      "mail <EMAIL> or <IP> call <PHONE> twice <PHONE>")
+    assert(out(1L).getAs[Long]("n_emails") == 1)
+    assert(out(1L).getAs[Long]("n_ips") == 1)
+    assert(out(1L).getAs[Long]("n_phones") == 2)
+    assert(out(2L).getAs[String]("clean_text") == "clean words only")
+    assert(out(2L).getAs[Long]("n_emails") == 0)
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     import spark.implicits._
     // "rare" appears in 1 of 3 docs, "common" in all 3: within doc 1
