@@ -414,6 +414,16 @@ object Queries {
               FROM documents)"""),
       headline = false),
 
+    Q("corpus_sample",
+      (s, d) => TextAnalysis.stratifiedSample(Tables(s, d).documents,
+        "lang", Map("en" -> 50), defaultPct = 10),
+      // membership is a pure function of the salted content hash —
+      // byte-for-byte reproducible in any engine
+      Some(s"""
+        SELECT * FROM documents
+        WHERE ${TextOracleSql.Sha60.format("'sample:' || doc_id")} % 100 <
+          CASE WHEN lang = 'en' THEN 50 ELSE 10 END""")),
+
     Q("corpus_vocabulary",
       (s, d) => TextAnalysis.vocabulary(Tables(s, d).documents),
       Some("""

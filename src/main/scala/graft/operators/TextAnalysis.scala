@@ -111,6 +111,28 @@ object TextAnalysis {
           .otherwise("test").as("split"))
   }
 
+  /** Deterministic stratified sampling: keep `ratesPct(stratum)`% of
+    * each stratum (e.g. per-language up/down-sampling when mixing a
+    * training corpus), membership decided by the portable content hash
+    * of a salted doc id — reproducible across runs, partitionings and
+    * engines, unlike `df.sample`/RAND(). The salt decorrelates the
+    * sample from other hash-derived assignments (train/val/test split
+    * uses the unsalted id). Map-only. */
+  def stratifiedSample(documents: DataFrame, strataCol: String,
+                       ratesPct: Map[String, Int], defaultPct: Int,
+                       salt: String = "sample"): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val sha60 = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit(s"$salt:"), col("doc_id").cast("string")))))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    documents.filter(pmod(sha60, lit(100)) < rate)
+  }
+
   /** Corpus vocabulary: per-word document frequency and total
     * occurrences (vocab building / stopword discovery). One shuffle
     * on the word. */

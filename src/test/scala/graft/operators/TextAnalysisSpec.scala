@@ -78,6 +78,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2L).getAs[Boolean]("is_repetitive"))
   }
 
+  test("stratifiedSample keeps per-stratum rates deterministically") {
+    val docs = tables.documents
+    val a = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("en" -> 50), defaultPct = 10)
+    val b = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("en" -> 50), defaultPct = 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // rates land near targets (hash-uniform; generous tolerance)
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = a.filter(col("lang") === "en").count().toDouble
+    assert(enKept / en > 0.3 && enKept / en < 0.7,
+      s"en rate ${enKept / en}")
+    val rest = docs.filter(col("lang") =!= "en").count().toDouble
+    val restKept = a.filter(col("lang") =!= "en").count().toDouble
+    assert(restKept / rest < 0.25, s"default rate ${restKept / rest}")
+    // 0/100 are exact bounds
+    assert(TextAnalysis.stratifiedSample(docs, "lang", Map.empty, 0)
+      .count() == 0)
+    assert(TextAnalysis.stratifiedSample(docs, "lang", Map.empty, 100)
+      .count() == docs.count())
+  }
+
   test("piiScrub redacts emails, IPs and phone shapes with counts") {
     import spark.implicits._
     val docs = Seq(
