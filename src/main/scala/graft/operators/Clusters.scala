@@ -77,14 +77,32 @@ object Clusters {
   /** Duplicate clusters over a corpus: components of the near-dup pair
     * graph, with cluster size and the canonical-survivor flag (the
     * lowest doc_id of each cluster — deterministic, engine-portable).
-    * Docs in no pair are singleton clusters of themselves. */
+    * Docs in no pair are singleton clusters of themselves.
+    *
+    * The iterative loop runs ONLY over docs that appear in a pair —
+    * at corpus scale dup-pair endpoints are a small fraction of the
+    * data, so the propagation joins touch |pairs|-sized frames, never
+    * the corpus; singletons are attached afterwards with one anti-join
+    * (one corpus scan). The pair frame is persisted so the two edge
+    * directions and the endpoint set don't re-run the upstream dedup
+    * pipeline (LSH signing is the expensive producer). */
   def duplicateClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(
-      pairs.select(col("id_a"), col("id_b")),
-      documents.select(col("doc_id").as("id")))
-    val sizes = cc.groupBy(col("label"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val paired = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cc = connectedComponents(p, paired)
+    // connectedComponents materialized every persisted frame (label-sum
+    // actions), so the pair pipeline never re-runs from here on
+    p.unpersist()
+    val singles = documents.select(col("doc_id").as("id"))
+      .join(paired, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val labeled = cc.unionByName(singles)
+    val sizes = labeled.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "label")
+    labeled.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"),
         (col("id") === col("label")).as("is_canonical"))
