@@ -424,6 +424,24 @@ object Queries {
         WHERE ${TextOracleSql.Sha60.format("'sample:' || doc_id")} % 100 <
           CASE WHEN lang = 'en' THEN 50 ELSE 10 END""")),
 
+    Q("sequence_pack",
+      (s, d) => TextAnalysis.sequencePack(Tables(s, d).documents),
+      // the oracle is the SERIAL concat-and-chunk cumsum — the
+      // two-phase distributed prefix sum must reproduce it exactly
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) as n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  as bigint) as token_start
+              FROM t)
+        SELECT doc_id, n_tokens, token_start,
+          token_start // 2048 as seq_id,
+          token_start % 2048 as seq_offset
+        FROM c""")),
+
     Q("corpus_vocabulary",
       (s, d) => TextAnalysis.vocabulary(Tables(s, d).documents),
       Some("""

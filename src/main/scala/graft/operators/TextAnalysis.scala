@@ -133,6 +133,46 @@ object TextAnalysis {
     documents.filter(pmod(sha60, lit(100)) < rate)
   }
 
+  /** Concat-and-chunk sequence packing: concatenate documents in
+    * doc_id order and chunk the token stream into fixed `seqTokens`
+    * training sequences — each doc gets its global token offset, the
+    * sequence its first token lands in, and the offset within it
+    * (the standard LM-pretraining packing layout).
+    *
+    * Scale shape: a naive global-window cumsum serializes the corpus
+    * through ONE task. Instead, a two-phase prefix sum: per-bucket
+    * token totals (a tiny frame — |corpus| / bucketWidth rows) get
+    * exclusive bucket offsets via a window over that tiny frame, then
+    * broadcast back for a within-bucket cumsum — every task works on
+    * its bucket only. Buckets are doc_id ranges, so (bucket, doc_id)
+    * order ≡ global doc_id order and the result is identical to the
+    * serial cumsum (the oracle computes exactly that). */
+  def sequencePack(documents: DataFrame, seqTokens: Long = 2048,
+                   bucketWidth: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqTokens > 0 && bucketWidth > 0,
+      "seqTokens and bucketWidth must be positive")
+    val toks = documents.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+      floor(col("doc_id") / bucketWidth).cast("long").as("bucket"))
+    val bucketTotals = toks.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals.withColumn("bucket_offset",
+      coalesce(sum(col("bucket_tokens")).over(wb), lit(0L)))
+    val wi = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets.select(col("bucket"), col("bucket_offset"))),
+        "bucket")
+      .withColumn("token_start",
+        col("bucket_offset") +
+          coalesce(sum(col("n_tokens")).over(wi), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("token_start"),
+        expr(s"token_start div $seqTokens").as("seq_id"),
+        pmod(col("token_start"), lit(seqTokens)).as("seq_offset"))
+  }
+
   /** Corpus vocabulary: per-word document frequency and total
     * occurrences (vocab building / stopword discovery). One shuffle
     * on the word. */

@@ -40,6 +40,10 @@ class DeterminismSpec extends SparkSpec {
     "pipeline_event_log", "versioned_update",
     "ann_ivf_indexed", "contamination_check", "value_quantiles",
     "running_revenue", "subquery_above_avg", "versioned_changes",
-    "click_attribution", "ingest_merge_schema"))
+    "click_attribution", "ingest_merge_schema",
+    // round-3: the iterative component loop, hash-sampled subsets and
+    // windowed term ranks must not depend on partition count either
+    "dedup_clusters", "tfidf_topterms", "text_repetition",
+    "pii_scrub", "corpus_sample", "sequence_pack"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

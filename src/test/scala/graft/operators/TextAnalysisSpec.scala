@@ -78,6 +78,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2L).getAs[Boolean]("is_repetitive"))
   }
 
+  test("sequencePack assigns serial concat-and-chunk offsets across buckets") {
+    import spark.implicits._
+    // doc 1001 lands in bucket 1: its offset must continue after
+    // bucket 0's 9 tokens — the two-phase prefix sum must equal the
+    // serial cumsum
+    val docs = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h i"),
+      (1001L, "j k")).toDF("doc_id", "text")
+    val out = TextAnalysis.sequencePack(docs, seqTokens = 4,
+      bucketWidth = 1000).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("token_start")).toSeq ==
+      Seq(0L, 3L, 5L, 9L))
+    assert(out.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("seq_offset")).toSeq ==
+      Seq(0L, 3L, 1L, 1L))
+  }
+
   test("stratifiedSample keeps per-stratum rates deterministically") {
     val docs = tables.documents
     val a = TextAnalysis.stratifiedSample(docs, "lang",
