@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Gold, Similarity}
+import graft.operators.{Clusters, Dedup, Gold, Similarity, TextAnalysis}
 
 /** Scaling probe: runs representative queries at 1× and 10× the input
   * (10× = ten disjoint copies, ids shifted where identity matters) and
@@ -61,7 +61,25 @@ object ScaleProbe {
         t.embeddings.count() * 10, () => {
           Similarity.annLsh(replicate(t.embeddings, 10, Some("vec_id")),
             t.embeddings.filter(col("vec_id") < 8), dim = 64).count()
-        }))
+        }),
+      ("dedup_clusters", t.documents.count(), () => {
+        Clusters.duplicateClusters(t.documents,
+          Dedup.minhashLsh(t.documents)).count()
+      },
+        t.documents.count() * 10, () => {
+          val d10 = replicate(t.documents, 10, Some("doc_id"))
+          Clusters.duplicateClusters(d10, Dedup.minhashLsh(d10)).count()
+        }),
+      ("tfidf_topterms", t.documents.count(),
+        () => TextAnalysis.tfidfTopTerms(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.tfidfTopTerms(
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      ("sequence_pack", t.documents.count(),
+        () => TextAnalysis.sequencePack(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.sequencePack(
+          replicate(t.documents, 10, Some("doc_id"))).count()))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())

@@ -22,6 +22,13 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.read(spark, path, Some(7)))
   }
 
+  test("write of an empty frame commits num_rows 0 (observed metric)") {
+    val path = freshPath
+    VersionedTable.write(tables.nation.filter(lit(false)), path)
+    assert(VersionedTable.logEntries(path).head._3 == 0L)
+    assert(VersionedTable.read(spark, path).count() == 0)
+  }
+
   test("upsert commits a MERGE version; old version still readable (time travel)") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
