@@ -215,6 +215,27 @@ object Similarity {
       java.nio.file.Paths.get(path, "centroids.json"), json)
   }
 
+  /** Incremental IVF index maintenance: append a new vector batch to
+    * an index built by [[buildIvfIndex]] WITHOUT retraining or
+    * rewriting — the batch is tagged with the PERSISTED centroids and
+    * appended into its cluster partitions. The coarse quantizer is
+    * intentionally frozen: assignments stay consistent with the
+    * existing lists (a retrained quantizer would orphan them);
+    * retrain + rebuild only when drift degrades measured recall
+    * ([[annRecall]] is the gate). At scale this is the nightly
+    * ingest-to-index job: one map-only tag pass + one shuffle on the
+    * cluster key, touching only the new data. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, batch: DataFrame): Unit = {
+    val cents = readIndexCentroids(indexPath)
+    batch.select(col("vec_id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("norm"),
+        clusterOf(col("embedding"), cents).as("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexPath/data")
+  }
+
   /** Centroids persisted by [[buildIvfIndex]] (tiny: nlist × dim). */
   def readIndexCentroids(path: String): Array[Array[Double]] = {
     val s = java.nio.file.Files

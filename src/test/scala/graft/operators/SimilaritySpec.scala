@@ -31,6 +31,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("appendToIvfIndex extends the index under the frozen quantizer") {
+    val emb = tables.embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString + "/idx"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 100), path)
+    Similarity.appendToIvfIndex(spark, path, emb.filter(col("vec_id") >= 100))
+    // the appended index must equal tagging the WHOLE corpus with the
+    // persisted (frozen) centroids — same rows, same clusters, no
+    // dupes, no drops
+    val cents = Similarity.readIndexCentroids(path)
+    val expected = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("norm"),
+      Similarity.clusterOf(col("embedding"), cents).as("cluster"))
+    val got = spark.read.parquet(s"$path/data")
+      .select(col("vec_id"), col("norm"), col("cluster"))
+    assert(got.count() == emb.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // queries against the appended index still prune and rank sanely
+    val out = Similarity.annIvfIndexed(spark, path,
+      emb.filter(col("vec_id") < 4), k = 3)
+    assert(out.groupBy("query_id").count().collect()
+      .forall(_.getAs[Long]("count") <= 3))
+  }
+
   test("annRecall normalizes by the per-query exact-neighbor count") {
     val tiny = tables.embeddings.filter(col("vec_id") < 3)
     val rec = Similarity.annRecall(tiny, tiny, k = 5,
