@@ -424,6 +424,17 @@ object Queries {
         WHERE ${TextOracleSql.Sha60.format("'sample:' || doc_id")} % 100 <
           CASE WHEN lang = 'en' THEN 50 ELSE 10 END""")),
 
+    Q("heavy_hitters",
+      (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
+        minCount = 500),
+      // oracle is the exact full groupBy+HAVING — the sketch-then-
+      // verify path must reproduce it row-for-row
+      Some("""
+        SELECT word, count(*) as n_occurrences
+        FROM (SELECT unnest(string_split(text, ' ')) as word
+              FROM documents)
+        GROUP BY 1 HAVING count(*) >= 500""")),
+
     Q("sequence_pack",
       (s, d) => TextAnalysis.sequencePack(Tables(s, d).documents),
       // the oracle is the SERIAL concat-and-chunk cumsum — the

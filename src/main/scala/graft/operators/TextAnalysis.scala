@@ -266,6 +266,47 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"))
 
+  /** Frequent-word mining (heavy hitters) WITHOUT a full-vocabulary
+    * shuffle: per-partition Misra-Gries summaries (bounded memory —
+    * `mgCapacity` counters per task, a few KB) produce a candidate
+    * superset, then ONLY candidates are exactly counted and
+    * thresholded. Guarantee: any word with global frequency
+    * ≥ N/(mgCapacity+1) exceeds n_p/(mgCapacity+1) in at least one
+    * partition (averaging), so it survives that partition's summary —
+    * choose `minCount ≥ N/(mgCapacity+1)` and the output is EXACT
+    * (same rows as the full groupBy+HAVING), deterministic, and
+    * partition-invariant. At 100 TB the candidate set is
+    * tasks × capacity rows (broadcastable) versus a vocabulary-sized
+    * shuffle — this is the classic sketch-then-verify pattern.
+    * mapPartitions is justified here: Misra-Gries is genuinely
+    * per-partition imperative state. */
+  def heavyHitters(documents: DataFrame, minCount: Long,
+                   mgCapacity: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents
+      .select(explode(wsTokens(col("text"))).as("word")).as[String]
+    val candidates = words.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { w =>
+        if (counts.contains(w)) counts(w) += 1L
+        else if (counts.size < mgCapacity) counts(w) = 1L
+        else
+          // decrement-all step: kills one unit of every tracked word;
+          // the arriving word is absorbed (net count 0, not tracked)
+          counts.toArray.foreach { case (k, v) =>
+            if (v == 1L) counts.remove(k) else counts(k) = v - 1L
+          }
+      }
+      counts.keysIterator
+    }.distinct()
+    words.toDF("word")
+      .join(broadcast(candidates.toDF("word")), Seq("word"), "left_semi")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
   /** Winnowing fingerprints: hash every k-gram with the portable
     * sha256-prefix hash, keep the window-min hash of each w-length
     * window, distinct per doc. (Winnowing: local algorithms for

@@ -78,6 +78,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2L).getAs[Boolean]("is_repetitive"))
   }
 
+  test("heavyHitters finds exact counts via bounded-memory candidates") {
+    import spark.implicits._
+    // capacity 2 forces Misra-Gries decrements; 'a' (freq 10 of 23 >
+    // n/(k+1)) must survive any processing order; 'b' (5) is below the
+    // threshold so the exact-verify filter drops it either way
+    val text = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++
+      (1 to 8).map(i => s"u$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text").repartition(1)
+    val out = TextAnalysis.heavyHitters(docs, minCount = 6,
+      mgCapacity = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("word") == "a")
+    assert(out.head.getAs[Long]("n_occurrences") == 10)
+    // counts are exact (not the sketch's residual estimates)
+    val multi = TextAnalysis.heavyHitters(
+      docs.unionByName(docs.withColumn("doc_id", lit(2L))).repartition(3),
+      minCount = 12, mgCapacity = 2).collect()
+    assert(multi.map(r => (r.getAs[String]("word"),
+      r.getAs[Long]("n_occurrences"))).toSeq == Seq(("a", 20L)))
+  }
+
   test("sequencePack assigns serial concat-and-chunk offsets across buckets") {
     import spark.implicits._
     // doc 1001 lands in bucket 1: its offset must continue after
