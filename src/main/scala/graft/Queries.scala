@@ -623,6 +623,50 @@ object Queries {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    Q("cube_pricing",
+      (s, d) => Tables(s, d).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+          count(lit(1)).as("n_lines"),
+          grouping_id().as("gid")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+          count(*) as n_lines,
+          cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as bigint) as gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    Q("customer_value_tiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, d)
+        // quartile + percentile rank WITHIN each nation — the window
+        // partitions on the nation key, so no global single-task sort
+        val spend = Gold.topCustomers(t.lineitem, t.orders, t.customer)
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("total_spend").desc, col("c_custkey"))
+        spend.select(col("c_custkey"), col("c_nationkey"),
+          col("total_spend"),
+          ntile(4).over(w).cast("long").as("value_quartile"),
+          percent_rank().over(w).as("pct_rank"))
+      },
+      Some(s"""
+        WITH spend AS (
+          SELECT c_custkey, c_name, c_nationkey,
+            cast(sum($revSql) as double) as total_spend
+          FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2, 3)
+        SELECT c_custkey, c_nationkey, total_spend,
+          ntile(4) OVER w as value_quartile,
+          percent_rank() OVER w as pct_rank
+        FROM spend
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY total_spend DESC, c_custkey)""")),
+
     Q("typed_revenue",
       (s, d) => {
         implicit val sp: SparkSession = s

@@ -44,6 +44,7 @@ class DeterminismSpec extends SparkSpec {
     // round-3: the iterative component loop, hash-sampled subsets and
     // windowed term ranks must not depend on partition count either
     "dedup_clusters", "tfidf_topterms", "text_repetition",
-    "pii_scrub", "corpus_sample", "sequence_pack", "heavy_hitters"))
+    "pii_scrub", "corpus_sample", "sequence_pack", "heavy_hitters",
+    "cube_pricing", "customer_value_tiles"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
