@@ -35,13 +35,13 @@ object AsOf {
     // align schemas: left keeps all its columns; right contributes
     // only key/ts/payload with nulls elsewhere
     val lAligned = l.select(
-      (left.columns.map(col) :+ col("__side") :+ col("__r")): _*)
+      (left.columns.toIndexedSeq.map(col) :+ col("__side") :+ col("__r")): _*)
     val rAligned = {
       val nulls = left.columns.filterNot(c => c == key || c == tsCol)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c))
       val base = r.select((Seq(col(key), col(tsCol)) ++ nulls) :+
         col("__side") :+ col("__r"): _*)
-      base.select(lAligned.columns.map(col): _*)
+      base.select(lAligned.columns.toIndexedSeq.map(col): _*)
     }
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"))
@@ -50,7 +50,7 @@ object AsOf {
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side", "__r")
-      .select((left.columns.map(col) ++
+      .select((left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(s"matched_$c"))): _*)
   }
 }

@@ -266,7 +266,7 @@ object Similarity {
       explode(nearestCentroids(col("embedding"), cents, nprobe))
         .as("cluster")))
     val idx = spark.read.parquet(s"$indexPath/data")
-      .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .filter(col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("norm").as("c_norm"), col("cluster"))
     val scored = idx.join(probes, Seq("cluster"))
