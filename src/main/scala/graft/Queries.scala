@@ -426,7 +426,10 @@ object Queries {
 
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
-        minCount = 500),
+        // capacity 1024 keeps the exactness guarantee airtight at every
+        // test scale: minCount 500 ≥ N/(1024+1) up to ~512k total words
+        // (sf0.1 has ~271k) — still a few KB of state per task
+        minCount = 500, mgCapacity = 1024),
       // oracle is the exact full groupBy+HAVING — the sketch-then-
       // verify path must reproduce it row-for-row
       Some("""
