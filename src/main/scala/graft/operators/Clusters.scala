@@ -37,7 +37,14 @@ object Clusters {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    // round 0 fused into initialization: starting from identity labels,
+    // the first propagation round is exactly min(id, min direct
+    // neighbor) — one groupBy+join instead of a full loop iteration
+    val nbr0 = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+    var labels = nodes.join(nbr0, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("m"), col("id"))).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // labels only decrease → the exact decimal sum strictly decreases
     // until the fixpoint; equal sums ⟺ converged

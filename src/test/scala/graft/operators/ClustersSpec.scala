@@ -23,6 +23,13 @@ class ClustersSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("a 10-hop chain converges through the lineage-truncation path") {
+    // diameter 9 forces ≥ 8 loop rounds — the localCheckpoint branch
+    // (every 4th round) runs several times and must not change results
+    val labels = cc((1L to 9L).map(i => (i, i + 1)), 1L to 10L)
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("two chains joined by a bridge collapse to a single component") {
     val labels = cc(Seq((10L, 20L), (30L, 40L), (20L, 30L)),
       Seq(10L, 20L, 30L, 40L))
