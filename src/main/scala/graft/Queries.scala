@@ -223,6 +223,11 @@ object Queries {
       Some(TextOracleSql.ngramJaccardSql(shingleK = 3, numPerm = 64,
         bands = 16))),
 
+    Q("ngram_containment",
+      (s, d) => Dedup.ngramContainment(Tables(s, d).documents),
+      Some(TextOracleSql.ngramContainmentSql(shingleK = 3, numPerm = 64,
+        bands = 16))),
+
     Q("dedup_clusters",
       (s, d) => {
         val docs = Tables(s, d).documents
@@ -836,6 +841,44 @@ object Queries {
           cast(sum(cast(l_quantity as decimal(12,2))) as double) as total_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1""")),
+
+    Q("value_outliers",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        // exact-decimal first/second moments per type; mean/std are a
+        // fixed scalar double expression over exact sums, so both
+        // engines compute bit-identical thresholds
+        val dec = col("value").cast("decimal(18,2)")
+        val stats = ev.groupBy(col("event_type"))
+          .agg(sum(dec).cast("double").as("s1"),
+            sum(dec * dec).cast("double").as("s2"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            (col("s1") / col("n")).as("mean_value"),
+            sqrt((col("s2") / col("n")) -
+              (col("s1") / col("n")) * (col("s1") / col("n")))
+              .as("std_value"))
+        ev.join(broadcast(stats), "event_type")
+          .filter(abs(col("value") - col("mean_value")) >
+            lit(2.0) * col("std_value"))
+          .select("event_id", "event_type", "value", "mean_value",
+            "std_value")
+      },
+      Some("""
+        WITH stats AS (
+          SELECT event_type,
+            cast(sum(cast(value as decimal(18,2))) as double) as s1,
+            cast(sum(cast(value as decimal(18,2)) *
+              cast(value as decimal(18,2))) as double) as s2,
+            count(*) as n
+          FROM events GROUP BY 1),
+        ms AS (
+          SELECT event_type, s1 / n as mean_value,
+            sqrt((s2 / n) - (s1 / n) * (s1 / n)) as std_value
+          FROM stats)
+        SELECT event_id, event_type, value, mean_value, std_value
+        FROM events JOIN ms USING (event_type)
+        WHERE abs(value - mean_value) > 2.0 * std_value""")),
 
     Q("approx_distinct",
       (s, d) => Tables(s, d).events

@@ -110,6 +110,24 @@ object TextOracleSql {
        ${lshPairCtes(numPerm, bands)}
        SELECT id_a, id_b, jaccard FROM jac"""
 
+  /** Asymmetric containment over the same LSH candidates (mirrors
+    * Dedup.ngramContainment). */
+  def ngramContainmentSql(shingleK: Int, numPerm: Int, bands: Int): String =
+    s"""WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+       ${lshPairCtes(numPerm, bands)},
+       cont AS (
+         SELECT id_a, id_b,
+           cast(len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))
+             as bigint) as n_shared,
+           len(sa.sset) as na, len(sb.sset) as nb
+         FROM cand
+           JOIN sets sa ON sa.doc_id = id_a
+           JOIN sets sb ON sb.doc_id = id_b)
+       SELECT id_a, id_b, n_shared,
+         cast(n_shared as double) / na as containment_a,
+         cast(n_shared as double) / nb as containment_b
+       FROM cont"""
+
   /** 60-bit SimHash pigeonhole pairs (mirrors Dedup.simhashPairs):
     * per-bit majority over token hashes, 4 × 15-bit chunks, candidate
     * join on any equal chunk, exact hamming verify. */

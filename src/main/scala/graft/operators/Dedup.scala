@@ -133,6 +133,33 @@ object Dedup {
     jaccardVerify(lshCandidates(banded, "doc_id"), documents, shingleK)
   }
 
+  /** Asymmetric n-gram CONTAINMENT over LSH candidates:
+    * |A∩B| / |A| and |A∩B| / |B| — catches a short doc quoted inside
+    * a long one, which symmetric Jaccard dilutes below any threshold.
+    * Same candidate generation and shuffle profile as
+    * [[ngramJaccard]]; only the verify formula differs. */
+  def ngramContainment(documents: DataFrame, shingleK: Int = 3,
+                       numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    val signed = documents.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+    val banded = lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = documents.select(col("doc_id"),
+      array_distinct(shingles(col("text"), shingleK)).as("sset"))
+    lshCandidates(banded, "doc_id")
+      .join(sets.select(col("doc_id").as("id_a"),
+        col("sset").as("set_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"),
+        col("sset").as("set_b")), "id_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / size(col("set_a")))
+          .as("containment_a"),
+        (col("n_shared").cast("double") / size(col("set_b")))
+          .as("containment_b"))
+  }
+
   // ---------- SimHash ----------
 
   /** 60-bit SimHash packed as 4 × 15-bit chunk values (array<int>),

@@ -45,6 +45,7 @@ class DeterminismSpec extends SparkSpec {
     // windowed term ranks must not depend on partition count either
     "dedup_clusters", "tfidf_topterms", "text_repetition",
     "pii_scrub", "corpus_sample", "sequence_pack", "heavy_hitters",
-    "cube_pricing", "customer_value_tiles"))
+    "cube_pricing", "customer_value_tiles", "ngram_containment",
+    "value_outliers"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -97,4 +97,25 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("ngramContainment: exact duplicates score 1.0 both ways") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val out = Dedup.ngramContainment(docs).collect()
+    // identical texts → identical signatures → guaranteed candidate
+    val dup = out.find(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L)
+    assert(dup.isDefined)
+    assert(dup.get.getAs[Double]("containment_a") == 1.0)
+    assert(dup.get.getAs[Double]("containment_b") == 1.0)
+    // containment is bounded and consistent with the shared count
+    out.foreach { r =>
+      assert(r.getAs[Double]("containment_a") > 0.0 &&
+        r.getAs[Double]("containment_a") <= 1.0)
+      assert(r.getAs[Double]("containment_b") > 0.0 &&
+        r.getAs[Double]("containment_b") <= 1.0)
+    }
+  }
 }
