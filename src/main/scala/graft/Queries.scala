@@ -842,6 +842,79 @@ object Queries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1""")),
 
+    Q("event_resample",
+      (s, d) => {
+        // time-series densification: hourly counts per type INCLUDING
+        // empty hours (sequence-generated grid, left join, zero-fill).
+        // The grid is per-group and bounded by the time span — tiny
+        // relative to the data at any scale
+        val hourUs = 3600000000L
+        val ev = Tables(s, d).events
+        val hourly = ev.select(col("event_type"),
+            (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+          .groupBy("event_type", "hour_us")
+          .agg(count(lit(1)).as("n_events"))
+        val grid = ev.groupBy(col("event_type"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .select(col("event_type"), explode(sequence(
+            col("lo") - pmod(col("lo"), lit(hourUs)),
+            col("hi") - pmod(col("hi"), lit(hourUs)),
+            lit(hourUs))).as("hour_us"))
+        grid.join(hourly, Seq("event_type", "hour_us"), "left")
+          .select(col("event_type"), col("hour_us"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        h AS (SELECT event_type, ts - ts % 3600000000 as hour_us,
+                count(*) as n FROM e GROUP BY 1, 2),
+        spans AS (SELECT event_type,
+                min(ts) - min(ts) % 3600000000 as lo,
+                max(ts) - max(ts) % 3600000000 as hi
+              FROM e GROUP BY 1),
+        grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, 3600000000)) as hour_us
+              FROM spans)
+        SELECT g.event_type, g.hour_us, coalesce(h.n, 0) as n_events
+        FROM grid g LEFT JOIN h USING (event_type, hour_us)""")),
+
+    Q("conversion_funnel",
+      (s, d) => {
+        // click→purchase funnel per user: first click, first purchase
+        // at-or-after it, conversion flag + exact µs latency. One
+        // shuffle on user_id; the join and the groupBy share the key
+        val ev = Tables(s, d).events
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        clicks.join(purchases, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("first_click_ts"))
+          .agg(min(when(col("ts") >= col("first_click_ts"), col("ts")))
+            .as("first_purchase_ts"))
+          .select(col("user_id"), col("first_click_ts"),
+            col("first_purchase_ts"),
+            col("first_purchase_ts").isNotNull.as("converted"),
+            (col("first_purchase_ts") - col("first_click_ts"))
+              .as("us_to_convert"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_type
+                   FROM events),
+        c AS (SELECT user_id, min(ts) as first_click_ts FROM e
+              WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+        f AS (SELECT c.user_id, c.first_click_ts,
+                min(CASE WHEN p.ts >= c.first_click_ts THEN p.ts END)
+                  as first_purchase_ts
+              FROM c LEFT JOIN p USING (user_id)
+              GROUP BY 1, 2)
+        SELECT user_id, first_click_ts, first_purchase_ts,
+          first_purchase_ts IS NOT NULL as converted,
+          first_purchase_ts - first_click_ts as us_to_convert
+        FROM f""")),
+
     Q("value_outliers",
       (s, d) => {
         val ev = Tables(s, d).events

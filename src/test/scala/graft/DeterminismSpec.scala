@@ -46,6 +46,6 @@ class DeterminismSpec extends SparkSpec {
     "dedup_clusters", "tfidf_topterms", "text_repetition",
     "pii_scrub", "corpus_sample", "sequence_pack", "heavy_hitters",
     "cube_pricing", "customer_value_tiles", "ngram_containment",
-    "value_outliers"))
+    "value_outliers", "event_resample", "conversion_funnel"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
