@@ -133,6 +133,38 @@ class QualityIngestSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout prunes 2-D range queries better than linear sort") {
+    val zdir = Files.createTempDirectory("graft_z").toFile.getPath
+    val ldir = Files.createTempDirectory("graft_lin").toFile.getPath
+    val li = tables.lineitem
+    Maintenance.writeZOrdered(li, zdir, "l_partkey", "l_suppkey",
+      numFiles = 16)
+    Maintenance.writeClustered(li, ldir, Seq("l_partkey", "l_suppkey"),
+      numFiles = 16)
+    // box: full partkey range, middle eighth of suppkey — the case the
+    // linear (partkey-major) sort cannot prune at all, because every
+    // file spans suppkey's whole range
+    val mm = li.agg(min(col("l_suppkey")).cast("long"),
+      max(col("l_suppkey")).cast("long")).head
+    val (sLo, sHi) = (mm.getLong(0), mm.getLong(1))
+    val (qLo, qHi) = (sLo + (sHi - sLo) * 7 / 16, sLo + (sHi - sLo) * 9 / 16)
+    def overlapping(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val d = spark.read.parquet(f.getPath)
+            .agg(min(col("l_suppkey")).cast("long"),
+              max(col("l_suppkey")).cast("long")).head
+          !(d.getLong(1) < qLo || d.getLong(0) > qHi)
+        }
+    val (z, l) = (overlapping(zdir), overlapping(ldir))
+    // every linear file overlaps; the Morton rectangles must not
+    assert(l == 16, s"expected linear layout to span the box in all files, got $l")
+    assert(z < l, s"z-order ($z files) must beat linear ($l files)")
+    assert(z <= 12, s"z-order should prune at least a quarter, got $z")
+    // layout changes must not change content
+    assert(spark.read.parquet(zdir).count() == li.count())
+  }
+
   test("partitioned write enables partition pruning") {
     val dir = Files.createTempDirectory("graft_part").toFile.getPath
     Maintenance.writePartitioned(tables.events, dir, "event_type")
