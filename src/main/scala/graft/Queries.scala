@@ -1019,6 +1019,35 @@ object Queries {
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts""")),
 
+    Q("asof_join_tolerance",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        // same lookup as asof_join but bounded to a 10-minute lookback
+        // (pandas merge_asof tolerance): stale purchases don't match
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchasesByTs = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        AsOf.asofJoin(clicks, purchasesByTs, "user_id", "ts",
+          Seq("event_id", "value"), toleranceUs = Some(600000000L))
+      },
+      Some(s"""
+        WITH e AS ($eventsNs),
+        clicks AS (SELECT event_id, user_id, ts, value FROM e
+                   WHERE event_type = 'click'),
+        purchases AS (SELECT user_id, ts, max(event_id) as event_id,
+                        max(value) as value
+                      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.ts, c.value,
+          CASE WHEN p.ts >= c.ts - 600000000 THEN p.event_id END
+            as matched_event_id,
+          CASE WHEN p.ts >= c.ts - 600000000 THEN p.value END
+            as matched_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts""")),
+
     Q("range_join",
       (s, d) => {
         val ev = Tables(s, d).events

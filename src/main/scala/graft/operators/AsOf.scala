@@ -22,13 +22,20 @@ object AsOf {
 
   /** Left-outer as-of join. `rightCols` are carried (prefixed
     * `matched_`); right side must be unique per (key, ts) — pre-dedup
-    * if not. */
+    * if not. `toleranceUs` bounds the lookback (pandas
+    * `merge_asof(tolerance=...)` semantics): a right row older than
+    * `left.ts − tolerance` does not match — the row stays, its
+    * matched columns go null. The bound is applied AFTER the window
+    * (the carried payload embeds the right timestamp), so it adds no
+    * shuffle. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               tsCol: String, rightCols: Seq[String]): DataFrame = {
-    val payload = struct(rightCols.map(col): _*)
+               tsCol: String, rightCols: Seq[String],
+               toleranceUs: Option[Long] = None): DataFrame = {
+    val payload = struct(rightCols.map(col) :+ col(tsCol).as("__rts"): _*)
     val l = left.withColumn("__side", lit(1)).withColumn("__r", lit(null)
-      .cast(right.select(rightCols.map(col): _*).schema
-        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(
+      .cast(right.select(rightCols.map(col) :+ col(tsCol).as("__rts"): _*)
+        .schema.fields
+        .foldLeft(new org.apache.spark.sql.types.StructType())(
           (s, f) => s.add(f))))
     val r = right.select(col(key), col(tsCol), payload.as("__r"))
       .withColumn("__side", lit(0))
@@ -46,11 +53,14 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lAligned.unionByName(rAligned)
+    val matched = lAligned.unionByName(rAligned)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side", "__r")
-      .select((left.columns.toIndexedSeq.map(col) ++
-        rightCols.map(c => col(s"__match.$c").as(s"matched_$c"))): _*)
+    val bounded = toleranceUs.fold(matched)(tol =>
+      matched.withColumn("__match",
+        when(col("__match.__rts") >= col(tsCol) - tol, col("__match"))))
+    bounded.select((left.columns.toIndexedSeq.map(col) ++
+      rightCols.map(c => col(s"__match.$c").as(s"matched_$c"))): _*)
   }
 }

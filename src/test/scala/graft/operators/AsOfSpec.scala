@@ -39,4 +39,26 @@ class AsOfSpec extends SparkSpec {
       .filter(col("p_ts") > col("ts"))
     assert(bad.count() == 0)
   }
+
+  test("tolerance nulls matches older than the max gap, keeps rows") {
+    import spark.implicits._
+    val lefts = Seq((1L, 10L, 1000L), (1L, 20L, 2000L), (2L, 30L, 500L))
+      .toDF("user_id", "event_id", "ts")
+    val rights = Seq((1L, 900L, 77L), (2L, 100L, 88L))
+      .toDF("user_id", "ts", "event_id")
+    val out = AsOf.asofJoin(lefts, rights, "user_id", "ts",
+        Seq("event_id"), toleranceUs = Some(200L))
+      .orderBy("event_id").collect()
+    assert(out.length == 3)
+    // left ts 1000 matches right ts 900 (gap 100 ≤ 200)
+    assert(out(0).getAs[Long]("matched_event_id") == 77L)
+    // left ts 2000: the same right row is now 1100 stale → nulled
+    assert(out(1).isNullAt(out(1).fieldIndex("matched_event_id")))
+    // user 2: gap 400 > 200 → nulled, row kept
+    assert(out(2).isNullAt(out(2).fieldIndex("matched_event_id")))
+    // no tolerance: both stale matches come back
+    val full = AsOf.asofJoin(lefts, rights, "user_id", "ts",
+      Seq("event_id")).collect()
+    assert(full.count(!_.isNullAt(full.head.fieldIndex("matched_event_id"))) == 3)
+  }
 }
