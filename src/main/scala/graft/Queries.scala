@@ -30,6 +30,26 @@ object Queries {
   private val eventsNs =
     "select event_id, epoch_us(ts) as ts, user_id, event_type, value, props from events"
 
+  /** per-language marker-hit score projections (shared by lang_id and
+    * the composed curation pipeline). */
+  private val langScoresSql: String =
+    operators.TextAnalysis.LangMarkers.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"cast(len(list_filter(string_split(text, ' '), t -> t in ($set))) as int) as score_$l"
+    }.mkString(",\n          ")
+
+  /** argmax cascade: ties go to the lexicographically LAST language
+    * (matches Spark's greatest over struct(score, lang)). */
+  private val langCascadeSql: String = {
+    val langsPref = operators.TextAnalysis.LangMarkers.map(_._1).sorted.reverse
+    langsPref.map { l =>
+      val conds = operators.TextAnalysis.LangMarkers.map(_._1)
+        .filterNot(_ == l).map(o => s"score_$l >= score_$o")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n            ")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------- C. Gold aggregates ----------
@@ -347,30 +367,69 @@ object Queries {
     // ---------- I. LLM-pipeline: text analysis ----------
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables(s, d).documents),
-      Some {
-        // per-language marker-hit scores; argmax with ties going to
-        // the lexicographically LAST language (matches Spark's
-        // greatest over struct(score, lang))
-        val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
-          val set = ms.map(m => s"'$m'").mkString(", ")
-          s"cast(len(list_filter(string_split(text, ' '), t -> t in ($set))) as int) as score_$l"
-        }.mkString(",\n          ")
-        val langsPref = TextAnalysis.LangMarkers.map(_._1).sorted.reverse
-        val cascade = langsPref.map { l =>
-          val conds = TextAnalysis.LangMarkers.map(_._1)
-            .filterNot(_ == l).map(o => s"score_$l >= score_$o")
-            .mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }.mkString("\n            ")
-        s"""
+      Some(s"""
         SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
           score_zh,
-          CASE $cascade END as predicted_lang
+          CASE $langCascadeSql END as predicted_lang
         FROM (
           SELECT doc_id, lang,
-          $scores
-          FROM documents)"""
-      }),
+          $langScoresSql
+          FROM documents)""")),
+
+    Q("curation_pipeline",
+      (s, d) => {
+        // the end-to-end corpus-curation chain composed from the
+        // individually-oracled operators: language filter → quality
+        // threshold → repetition cap → exact-dedup survivors. All
+        // signal frames are 1:1 doc_id projections, so the joins are
+        // doc_id-equi (AQE coalesces); at production scale the three
+        // map-only scorers would fuse into one projection — the
+        // composition here exercises the same semantics end-to-end
+        val docs = Tables(s, d).documents
+        val lang = TextAnalysis.langId(docs)
+          .select(col("doc_id"), col("predicted_lang"))
+        val quality = TextAnalysis.quality(docs)
+          .select(col("doc_id"), col("quality_score"))
+        val rep = TextAnalysis.repetition(docs)
+          .select(col("doc_id"), col("dup_bigram_frac"))
+        val canon = Dedup.exact(docs)
+          .select(col("keep_doc_id").as("doc_id"))
+        lang.join(quality, "doc_id").join(rep, "doc_id")
+          .filter(col("predicted_lang") === "en" &&
+            col("quality_score") >= 0.1 &&
+            col("dup_bigram_frac") <= 0.05)
+          .join(canon, Seq("doc_id"), "left_semi")
+      },
+      Some(s"""
+        WITH lang AS (
+          SELECT doc_id, CASE $langCascadeSql END as predicted_lang
+          FROM (SELECT doc_id, lang, $langScoresSql FROM documents)),
+        q AS (SELECT doc_id,
+          least(cast(len(string_split(text, ' ')) as double) / 100.0, 1.0)
+            * (1.0 - cast(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) as double)
+                / cast(length(text) as double))
+            * least(cast(len(list_filter(string_split(text, ' '),
+                t -> t in ('the','a','of','and','to','in','is','it'))) as double)
+                / cast(len(string_split(text, ' ')) as double) * 4.0, 1.0)
+            as quality_score
+          FROM documents),
+        rep AS (SELECT doc_id,
+            (cast(len(bg) as double) - len(list_distinct(bg)))
+              / cast(len(bg) as double) as dup_bigram_frac
+          FROM (SELECT doc_id,
+              CASE WHEN len(toks) >= 2
+                THEN list_transform(range(len(toks) - 1),
+                       i -> array_to_string(toks[i+1:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END as bg
+            FROM (SELECT doc_id, string_split(text, ' ') as toks
+                  FROM documents))),
+        canon AS (SELECT min(doc_id) as doc_id FROM documents
+                  GROUP BY sha256(text))
+        SELECT l.doc_id, predicted_lang, quality_score, dup_bigram_frac
+        FROM lang l JOIN q USING (doc_id) JOIN rep USING (doc_id)
+        WHERE predicted_lang = 'en' AND quality_score >= 0.1
+          AND dup_bigram_frac <= 0.05
+          AND EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = l.doc_id)""")),
 
     Q("text_quality",
       (s, d) => TextAnalysis.quality(Tables(s, d).documents),

@@ -46,6 +46,7 @@ class DeterminismSpec extends SparkSpec {
     "dedup_clusters", "tfidf_topterms", "text_repetition",
     "pii_scrub", "corpus_sample", "sequence_pack", "heavy_hitters",
     "cube_pricing", "customer_value_tiles", "ngram_containment",
-    "value_outliers", "event_resample", "conversion_funnel"))
+    "value_outliers", "event_resample", "conversion_funnel",
+    "curation_pipeline", "asof_join_tolerance"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
