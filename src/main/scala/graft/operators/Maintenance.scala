@@ -61,12 +61,11 @@ object Maintenance {
     else floor(((c.cast("long") - lo) * lit(65535L)).cast("double") /
       (hi - lo)).cast("long")
 
-  /** Z-ordered write: cluster `df` into `numFiles` files along the
-    * Morton curve of (`colA`, `colB`). The min/max pass is one cheap
-    * aggregate; the layout pays one range shuffle, exactly like
-    * [[writeClustered]]. */
-  def writeZOrdered(df: DataFrame, path: String, colA: String,
-                    colB: String, numFiles: Int): Unit = {
+  /** `df` clustered along the Morton curve of (`colA`, `colB`) into
+    * `numFiles` range partitions. One cheap min/max aggregate + one
+    * range shuffle, exactly like [[clusteredFrame]]. */
+  def zOrderedFrame(df: DataFrame, colA: String, colB: String,
+                    numFiles: Int): DataFrame = {
     val mm = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     val (aLo, aHi, bLo, bHi) =
@@ -76,8 +75,13 @@ object Maintenance {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-ordered write: [[zOrderedFrame]] to parquet. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, numFiles: Int): Unit =
+    zOrderedFrame(df, colA, colB, numFiles)
+      .write.mode("overwrite").parquet(path)
 
   /** Hive-partitioned write: one directory per `partitionCol` value —
     * reads filtered on it prune whole directories. */

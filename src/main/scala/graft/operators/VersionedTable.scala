@@ -281,4 +281,13 @@ object VersionedTable {
       sortCols, numFiles)
     write(clustered, path, operation = "OPTIMIZE")
   }
+
+  /** OPTIMIZE ... ZORDER BY (a, b) with the TRUE 2-D curve: the
+    * snapshot re-clustered along the Morton key
+    * ([[Maintenance.zOrderedFrame]]) and committed as a new version —
+    * both dimensions stay prunable in the new layout. */
+  def optimizeZOrder(spark: SparkSession, path: String, colA: String,
+                     colB: String, numFiles: Int): Int =
+    write(Maintenance.zOrderedFrame(read(spark, path), colA, colB,
+      numFiles), path, operation = "OPTIMIZE[ZORDER]")
 }

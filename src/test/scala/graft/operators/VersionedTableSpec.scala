@@ -179,6 +179,22 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.vacuum(path, 0))
   }
 
+  test("optimizeZOrder commits a curve-clustered version with same content") {
+    val path = freshPath
+    VersionedTable.write(tables.lineitem, path)
+    val v = VersionedTable.optimizeZOrder(spark, path,
+      "l_partkey", "l_suppkey", numFiles = 4)
+    assert(v == 1)
+    assert(VersionedTable.operations(path).last == "OPTIMIZE[ZORDER]")
+    val files = new java.io.File(s"$path/v=1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4)
+    // layout-only change: content round-trips exactly
+    val a = VersionedTable.read(spark, path, Some(0))
+    val b = VersionedTable.read(spark, path, Some(1))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("history lists one entry per commit with operations") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
