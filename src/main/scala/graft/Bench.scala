@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N per query: host-load noise on a shared box moved
+    // identical code ±30% round-over-round, which made a real 2×
+    // regression undetectable from a single sample. 3 reps + median
+    // rejects a one-off stall without tripling sensitivity to cache
+    // warmup (rep 1 still pays any first-touch cost; the median
+    // discards it when reps 2-3 agree).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,23 +23,36 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     var errors = List.empty[String]
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // fixed name order: Map iteration order shifts as queries are
     // added, which would move warmup/cache effects between queries
     // and add noise to round-over-round comparisons
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = scala.collection.mutable.ListBuffer[Double]()
+      var rep = 0
+      var failed = false
+      while (rep < reps && !failed) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors ::= name
+            failed = true
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        rep += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median(times.toSeq)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

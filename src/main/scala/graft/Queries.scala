@@ -22,6 +22,55 @@ object Queries {
     oracle: Option[String],
     headline: Boolean = false)
 
+  /** Streaming state-store and sink shuffles are fixed at query start
+    * and can't be coalesced by AQE, so a tiny e2e round trip pays the
+    * session-wide partition count (32 state-store instances per
+    * micro-batch for a 10k-row batch). Scope the shuffle-partition
+    * count down for the duration of a streaming harness query — fresh
+    * checkpoints per run make the narrower state layout safe. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Shared driver for the incremental-pipeline queries: stage the
+    * events table as JSON files, then run a bronze→silver INCREMENTAL
+    * pipeline over them (3 files per trigger forces multiple
+    * micro-batches — both oracles below hold only because the result
+    * is batch-split-independent). `tag` keeps the two queries' cache
+    * dirs disjoint so each run is self-contained. */
+  private def runIncPipeline(s: SparkSession, d: String,
+                             tag: String): Pipeline.RunResult = {
+    import org.apache.spark.sql.types._
+    val sf = new java.io.File(d).getName
+    val src = s"/tmp/graft_cache/${tag}_src_$sf"
+    val store = s"/tmp/graft_cache/${tag}_store_$sf"
+    VersionedTable.destroy(store)
+    // 6 files / 3-per-trigger → 2 micro-batches: enough to prove
+    // batch-split independence without paying for extra merge commits
+    // (each batch costs one versioned MERGE per stage)
+    Tables(s, d).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(6).write.mode("overwrite").json(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_ckpt").toString
+    val stages = Seq(
+      Pipeline.Stage("bronze_events", identity,
+        Seq(Expectation("user present", "user_id is not null"))),
+      Pipeline.Stage("silver_events", identity,
+        Expectations.EventSuite, Pipeline.OnViolation.DropRows))
+    Pipeline.runIncremental(s, src, schema,
+      payloadCols = Seq("event_id", "ts", "user_id", "event_type", "value"),
+      stages = stages, storageDir = store, checkpoint = ckpt,
+      key = "user_id", orderCol = "ts", tieBreaker = "event_id")
+  }
+
   /** decimal-exact revenue term, shared by several oracles. */
   private val revSql =
     "cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
@@ -749,20 +798,47 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         // exact type-1 (discrete) quantiles: value at rank ceil(p·n)
-        // per group — rank-based, so both engines pick the identical
-        // element regardless of tie order (no interpolation formula
-        // to keep in sync). One shuffle on the group key.
-        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-        val ranked = Tables(s, d).events
-          .select(col("event_type"), col("value"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy(col("event_type"))))
-        Seq(0.25, 0.5, 0.75).map(q =>
-          ranked.filter(col("rn") === ceil(lit(q) * col("n")))
-            .select(col("event_type"), lit(q).as("p"),
-              col("value").as("quantile_value")))
-          .reduce(_ unionByName _)
+        // per group. Rank-based, so both engines pick the identical
+        // element regardless of tie order (no interpolation formula to
+        // keep in sync). Two-phase exact selection — NOT a per-group
+        // window sort, which serializes each event_type's entire
+        // volume into one task (5 tasks total at any scale):
+        //   1. value-bucket histogram: one parallel shuffle on
+        //      (event_type, bucket); cumulative counts over the tiny
+        //      histogram locate, for each target rank r = ceil(p·n),
+        //      the bucket containing r and the in-bucket offset k;
+        //   2. probe: broadcast-join the ~15 target buckets back,
+        //      order statistics computed inside single buckets only
+        //      (~n/buckets rows per task, and the bucket width can
+        //      shrink — or recurse — as n grows).
+        val ev = Tables(s, d).events.select(col("event_type"), col("value"))
+        val bucketW = 2.0
+        val bucketed = ev.withColumn("bucket",
+          floor(col("value") / bucketW).cast("long"))
+        val hist = bucketed.groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type"))))
+        // bucket containing rank r = first with cum ≥ r; k = offset of
+        // the target order statistic within that bucket
+        val targets = cum
+          .select(col("event_type"), col("bucket"), col("cnt"), col("cum"),
+            col("n"), explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
+          .withColumn("r", ceil(col("p") * col("n")))
+          .filter(col("cum") >= col("r") &&
+            col("cum") - col("cnt") < col("r"))
+          .select(col("event_type"), col("bucket"), col("p"),
+            (col("r") - (col("cum") - col("cnt"))).as("k"))
+        bucketed.join(broadcast(targets), Seq("event_type", "bucket"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"), col("p"))
+              .orderBy(col("value"))))
+          .filter(col("rn") === col("k"))
+          .select(col("event_type"), col("p"),
+            col("value").as("quantile_value"))
       },
       Some {
         val one = (q: String) =>
@@ -1250,6 +1326,140 @@ object Queries {
           "total_value <= 10000000", "gold")}"""
       }),
 
+    Q("pipeline_incremental",
+      (s, d) => withShufflePartitions(s, 8) {
+        // INCREMENTAL LIVE TABLE graph e2e: file-source micro-batches →
+        // bronze (audit) → silver (EXPECT ... ON VIOLATION DROP ROW) →
+        // recency-aware MERGE per batch. 3-files-per-trigger forces
+        // multiple micro-batches; the oracle holds only because the
+        // merged result is independent of the batch split.
+        runIncPipeline(s, d, "pinc").tables("silver_events")
+      },
+      // final silver table = latest VALID event per user, no matter
+      // how the files were split across micro-batches
+      Some("""
+        SELECT event_id, ts, user_id, event_type, value FROM (
+          SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) as rn
+          FROM events
+          WHERE value >= 0 AND value <= 400
+            AND event_type in ('click','view','purchase','signup','error')
+            AND event_type <> 'error' AND user_id is not null)
+        WHERE rn = 1""")),
+
+    Q("pipeline_incremental_log",
+      (s, d) => withShufflePartitions(s, 8) {
+        // per-micro-batch expectation metrics roll up to the global
+        // counts — each source row is processed exactly once across
+        // batches (checkpointed file source + batch-id markers), so
+        // the batch-grained log sums to the whole-table audit
+        runIncPipeline(s, d, "pincl").eventLog
+          .groupBy(col("stage_seq"), col("flow_name"),
+            col("constraint_name"))
+          .agg(sum(col("passed_records")).as("passed_records"),
+            sum(col("failed_records")).as("failed_records"))
+      },
+      Some {
+        val cnt = (seq: Int, flow: String, name: String, pred: String) =>
+          s"""SELECT cast($seq as int) as stage_seq, '$flow' as flow_name,
+             '$name' as constraint_name,
+             cast(sum(case when $pred then 1 else 0 end) as bigint) as passed_records,
+             cast(sum(case when $pred then 0 else 1 end) as bigint) as failed_records
+             FROM events"""
+        val silverPreds = Seq(
+          ("value is non-negative", "value >= 0"),
+          ("value within sane bound", "value <= 400"),
+          ("event_type is known",
+            "event_type in ('click','view','purchase','signup','error')"),
+          ("no error events", "event_type <> 'error'"),
+          ("user present", "user_id is not null"))
+        (cnt(0, "bronze_events", "user present", "user_id is not null") +:
+          silverPreds.map { case (n, p) => cnt(1, "silver_events", n, p) })
+          .mkString("\nUNION ALL\n")
+      }),
+
+    Q("rescue_repair",
+      (s, d) => {
+        // the reference's rescued-data repair flow
+        // (`2 Medaillon architecture.py`:493-517) composed e2e:
+        // corrupt ts on every 7th event (typed as a string the LongType
+        // field can't parse) → PERMISSIVE ingest captures the raw line
+        // in _rescued_data → UPDATE re-extracts ts from the rescued
+        // JSON and clears the rescue column, committed as a version
+        // (the broken bronze snapshot stays time-travelable at v0)
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/rr_src_$sf"
+        val table = s"/tmp/graft_cache/rr_table_$sf"
+        VersionedTable.destroy(table)
+        val good = to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+        Tables(s, d).events.select(
+            when(col("event_id") % 7 === 0,
+              regexp_replace(good, "\"ts\":(\\d+)", "\"ts\":\"TS:$1\""))
+              .otherwise(good).as("value"))
+          .write.mode("overwrite").text(src)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val bronze = graft.sources.Ingest.json(s, src, schema)
+        VersionedTable.write(bronze, table, operation = "INGEST")
+        VersionedTable.update(s, table, "_rescued_data is not null",
+          Seq("ts" ->
+            ("cast(regexp_extract(get_json_object(_rescued_data, '$.ts'), " +
+              "'TS:([0-9]+)', 1) as bigint)"),
+            "_rescued_data" -> "cast(null as string)"))
+        VersionedTable.read(s, table)
+      },
+      // after repair the table equals the uncorrupted source, with the
+      // rescue column fully cleared
+      Some(s"""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value,
+          cast(null as varchar) as _rescued_data
+        FROM events""")),
+
+    Q("sql_catalog_ctas",
+      (s, d) => {
+        // reference notebook 1:122-140's catalog-table idiom: CTAS
+        // against a CATALOG name (not a temp view), then read back via
+        // the catalog. LOCATION keeps data under the cache root.
+        val t = Tables(s, d)
+        t.lineitem.createOrReplaceTempView("lineitem_v")
+        t.orders.createOrReplaceTempView("orders_v")
+        t.customer.createOrReplaceTempView("customer_v")
+        t.nation.createOrReplaceTempView("nation_v")
+        t.region.createOrReplaceTempView("region_v")
+        val dir = s"/tmp/graft_cache/ctas_${new java.io.File(d).getName}"
+        s.sql("DROP TABLE IF EXISTS graft_gold_ctas")
+        VersionedTable.destroy(dir)
+        s.sql(s"""
+          CREATE TABLE graft_gold_ctas USING parquet LOCATION '$dir' AS
+          SELECT r_name as region, date_format(o_orderdate, 'yyyy-MM') as sales_month,
+            cast(sum(cast(l_extendedprice as decimal(12,2)) *
+              (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as double) as total_sales,
+            count(distinct o_orderkey) as number_of_sales
+          FROM lineitem_v
+            JOIN orders_v ON l_orderkey = o_orderkey
+            JOIN customer_v ON o_custkey = c_custkey
+            JOIN nation_v ON c_nationkey = n_nationkey
+            JOIN region_v ON n_regionkey = r_regionkey
+          GROUP BY 1, 2""")
+        s.table("graft_gold_ctas")
+      },
+      Some(s"""
+        SELECT r_name as region, strftime(o_orderdate, '%Y-%m') as sales_month,
+          cast(sum($revSql) as double) as total_sales,
+          count(distinct o_orderkey) as number_of_sales
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2""")),
+
     // ---------- E. Streaming (driver-visible incremental run) ----------
     Q("stream_ingest_batch",
       (s, d) => {
@@ -1280,7 +1490,7 @@ object Queries {
       Some("SELECT event_id, user_id, event_type, value FROM events")),
 
     Q("stream_merge_versioned",
-      (s, d) => {
+      (s, d) => withShufflePartitions(s, 8) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
         val src = s"/tmp/graft_cache/smv_src_$sf"
@@ -1318,7 +1528,7 @@ object Queries {
           FROM events) WHERE rn = 1""")),
 
     Q("stream_dedup",
-      (s, d) => {
+      (s, d) => withShufflePartitions(s, 8) {
         import org.apache.spark.sql.streaming.Trigger
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
@@ -1531,6 +1741,29 @@ object Queries {
     Q("multimodal_meta",
       (s, d) => {
         implicit val sp: SparkSession = s
+        // REAL decode e2e: PNG-encode per doc_id → binary column →
+        // ImageIO decode per partition. Every output column is a pure
+        // function of media_id, so the oracle recomputes what a
+        // correct decode must return — the decode is hash-checked.
+        Multimodal.decodeImages(Multimodal.asImages(Tables(s, d).documents))
+          .toDF().select("media_id", "width", "height", "red", "green",
+            "blue")
+      },
+      Some("""
+        SELECT doc_id as media_id,
+          cast(8 + doc_id % 32 as int) as width,
+          cast(8 + doc_id % 16 as int) as height,
+          cast(doc_id % 256 as int) as red,
+          cast(doc_id * 7 % 256 as int) as green,
+          cast(doc_id * 13 % 256 as int) as blue
+        FROM documents""")),
+
+    Q("multimodal_mixed",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        // mixed-kind dispatch surface: image rows decode for real,
+        // audio/video flow through the stub (no codecs in-container)
+        // — rows-only by design
         Multimodal.decodeFeatures(Multimodal.asMedia(Tables(s, d).documents))
           .toDF().select("media_id", "kind", "byte_len", "width", "height",
             "n_frames")

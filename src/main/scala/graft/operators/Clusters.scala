@@ -77,8 +77,15 @@ object Clusters {
       labels = next
       iter += 1
     }
+    // hand back a self-contained frame: the converged labels are
+    // re-materialized as local-checkpoint blocks (freed by the
+    // ContextCleaner once unreferenced, unlike CacheManager entries),
+    // so every frame persisted inside the loop can be released here —
+    // a long-lived session accumulates nothing
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Duplicate clusters over a corpus: components of the near-dup pair
@@ -90,19 +97,21 @@ object Clusters {
     * at corpus scale dup-pair endpoints are a small fraction of the
     * data, so the propagation joins touch |pairs|-sized frames, never
     * the corpus; singletons are attached afterwards with one anti-join
-    * (one corpus scan). The pair frame is persisted so the two edge
-    * directions and the endpoint set don't re-run the upstream dedup
-    * pipeline (LSH signing is the expensive producer). */
+    * (one corpus scan). The pair frame is checkpointed eagerly so the
+    * two edge directions and the endpoint set don't re-run the
+    * upstream dedup pipeline (LSH signing is the expensive producer). */
   def duplicateClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    // eager local checkpoints, not persist: the expensive upstream
+    // dedup pipeline runs exactly once, the blocks are referenced by
+    // the returned plan, and the ContextCleaner frees them when the
+    // result is dropped — nothing is left registered in the
+    // CacheManager after the call
     val p = pairs.select(col("id_a"), col("id_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val paired = p.select(col("id_a").as("id"))
       .unionByName(p.select(col("id_b").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val cc = connectedComponents(p, paired)
-    // connectedComponents materialized every persisted frame (label-sum
-    // actions), so the pair pipeline never re-runs from here on
-    p.unpersist()
     val singles = documents.select(col("doc_id").as("id"))
       .join(paired, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))

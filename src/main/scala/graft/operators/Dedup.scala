@@ -13,9 +13,12 @@ import graft.functions.VectorFunctions
   *    one pass over the corpus, no shuffle, all codegen'd
   *    higher-order functions (no UDFs);
   *  - candidate generation shuffles ONLY on small (band, bucket) /
-  *    chunk keys — never a full cross join;
+  *    chunk keys — never a full cross join — and expands pairs inside
+  *    each bucket after a groupBy, so the corpus is scanned once and
+  *    no intermediate needs caching;
   *  - verification runs only on candidate pairs (two semi-local
-  *    joins back to the corpus for token sets).
+  *    joins back to the corpus for token sets; SimHash verifies
+  *    inline from the carried chunk arrays).
   */
 object Dedup {
 
@@ -76,17 +79,30 @@ object Dedup {
             (acc * 2654435761L + v.bitwiseAND(0x7fffffffL)) % 2147483648L)))
         .as(Seq("band_id", "band_hash")))
 
-  /** Candidate pairs: docs sharing ≥1 LSH bucket. Shuffles on
-    * (band_id, band_hash) only. */
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band_id"), col("band_hash"),
-      col(idCol).as("id_a"))
-    val b = bands.select(col("band_id"), col("band_hash"),
-      col(idCol).as("id_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  /** All ordered pairs (a_i, a_j), i < j, from a sorted array — the
+    * in-bucket pair expansion for LSH/pigeonhole candidate generation.
+    * Runs over per-bucket arrays only (LSH buckets are small by
+    * construction; a degenerate bucket of identical docs is quadratic
+    * in EITHER formulation — self-join or expansion). */
+  private def pairExpand(ids: Column): Column = pairExpandAs(ids, "id_a", "id_b")
+
+  private def pairExpandAs(xs: Column, aName: String, bName: String): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + lit(2), size(xs)),
+        y => struct(x.as(aName), y.as(bName)))))
+
+  /** Candidate pairs: docs sharing ≥1 LSH bucket. One shuffle on
+    * (band_id, band_hash), then in-bucket pair expansion — the corpus
+    * is scanned and signed exactly ONCE. (The earlier bucket
+    * self-join either re-signed every document for its second leg or
+    * needed a persisted intermediate that leaked in long-lived
+    * sessions; groupBy + expansion needs neither.) */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExpand(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
 
   /** token-set Jaccard between candidate pairs: join candidates back
     * to the corpus for distinct-token sets, then
@@ -112,11 +128,7 @@ object Dedup {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val signed = documents.select(col("doc_id"),
       minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
-    // persist the tiny (doc_id, band, hash) frame: both legs of the
-    // bucket self-join read it, which would otherwise re-scan the
-    // corpus and re-sign every document twice
     val banded = lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(banded, "doc_id")
     jaccardVerify(cands, documents, shingleK)
       .filter(col("jaccard") >= threshold)
@@ -129,7 +141,6 @@ object Dedup {
     val signed = documents.select(col("doc_id"),
       minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
     val banded = lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(lshCandidates(banded, "doc_id"), documents, shingleK)
   }
 
@@ -143,7 +154,6 @@ object Dedup {
     val signed = documents.select(col("doc_id"),
       minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
     val banded = lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = documents.select(col("doc_id"),
       array_distinct(shingles(col("text"), shingleK)).as("sset"))
     lshCandidates(banded, "doc_id")
@@ -182,27 +192,26 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) =>
       bit_count(x.bitwiseXOR(y).cast("long"))), lit(0L), _ + _)
 
-  /** SimHash near-dup pairs within `maxHamming`: pigeonhole join on
-    * any equal 16-bit chunk (shuffle on (chunk_idx, value) only),
-    * then exact hamming verify. */
+  /** SimHash near-dup pairs within `maxHamming`: pigeonhole bucketing
+    * on any equal 15-bit chunk — ONE shuffle on (chunk_idx, value),
+    * then in-bucket pair expansion with the 4-int chunk arrays carried
+    * through, so the exact hamming verify is computed inline. Zero
+    * joins, zero persisted intermediates, one corpus scan (the
+    * self-join formulation needed a persisted signature frame read by
+    * four join legs, which leaked in long-lived sessions). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // persisted: read by both candidate-join legs and both verify joins
     val sh = simhash(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunks = sh.select(col("doc_id"),
+    val chunks = sh.select(col("doc_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
-    val cands = chunks.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("id_a"))
-      .join(chunks.select(col("chunk_idx"), col("chunk_val"),
-        col("doc_id").as("id_b")), Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(sh.select(col("doc_id").as("id_a"), col("chunks").as("ch_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("chunks").as("ch_b")), "id_b")
-      .withColumn("hamming", hamming(col("ch_a"), col("ch_b")))
+    chunks.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("chunks"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairExpandAs(col("ds"), "a", "b")).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        hamming(col("p.a.chunks"), col("p.b.chunks")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   // ---------- cross-corpus contamination ----------

@@ -13,18 +13,92 @@ final case class MediaFeatures(media_id: Long, kind: String,
                                byte_len: Int, width: Int, height: Int,
                                n_frames: Int, feature: Array[Float])
 
+/** Decoded image metadata: dimensions plus the bottom-right pixel's
+  * channels — every field a pure function of the encoded payload, so
+  * the decode path is oracle-checkable end-to-end. */
+final case class ImageMeta(media_id: Long, byte_len: Int, width: Int,
+                           height: Int, red: Int, green: Int, blue: Int)
+
 /** Multimodal-column plumbing: image/audio/video as opaque binary
   * columns flowing through typed Datasets, with decode/feature-extract
   * running batch-wise in `mapPartitions`.
   *
-  * The DECODE STEP IS A STUB (this container has no image/audio
-  * codecs): `fakeDecode` derives deterministic pseudo-metadata from
-  * the bytes. The Spark-side plumbing — binary schema, typed Encoder,
-  * partition-wise batching, feature vector shape — is real and
-  * tested; a production deployment swaps `fakeDecode` for a codec
-  * call without touching the dataflow.
+  * IMAGE decode is REAL: the JDK ships PNG/BMP codecs in
+  * `javax.imageio`, so `asImages` stages genuine PNG bytes into the
+  * binary column and `decodeImages`/`decodeFeatures` decode them with
+  * `ImageIO.read` — actual pixels, not pseudo-metadata. Audio/video
+  * REMAIN STUBS (this container has no PCM/video codecs):
+  * `fakeDecode` derives deterministic pseudo-metadata from the bytes.
+  * The Spark-side plumbing — binary schema, typed Encoder,
+  * partition-wise batching, feature vector shape — is identical for
+  * both paths; a production deployment swaps `fakeDecode` for its
+  * codec call without touching the dataflow.
   */
 object Multimodal {
+
+  // ImageIO never needs a display for PNG encode/decode, but AWT can
+  // still probe for one on some JVMs — pin headless before first use
+  System.setProperty("java.awt.headless", "true")
+
+  // deterministic image geometry/color per id — pure functions, so the
+  // DuckDB oracle can recompute what a correct decode must return
+  def imgWidth(id: Long): Int = 8 + (id % 32).toInt
+  def imgHeight(id: Long): Int = 8 + (id % 16).toInt
+  def imgRed(id: Long): Int = (id % 256).toInt
+  def imgGreen(id: Long): Int = (id * 7 % 256).toInt
+  def imgBlue(id: Long): Int = (id * 13 % 256).toInt
+
+  /** Real PNG encode of a solid-RGB image — `javax.imageio`, zero
+    * extra dependencies. */
+  def pngBytes(width: Int, height: Int, red: Int, green: Int,
+               blue: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (red << 16) | (green << 8) | blue
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents as image media rows with REAL PNG payloads whose
+    * geometry/color derive deterministically from doc_id. Map-only;
+    * the per-row encode stands in for reading binary blobs off object
+    * storage. */
+  def asImages(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          MediaRow(id, "image",
+            pngBytes(imgWidth(id), imgHeight(id), imgRed(id), imgGreen(id),
+              imgBlue(id)), src)
+        }
+      }
+  }
+
+  /** REAL image decode: `ImageIO.read` per payload, one decoder
+    * codepath per partition. Emits dimensions + the bottom-right
+    * pixel — every column recomputable from media_id by the oracle. */
+  def decodeImages(media: Dataset[MediaRow])
+                  (implicit spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable image payload: media ${m.media_id}")
+        val px = img.getRGB(img.getWidth - 1, img.getHeight - 1)
+        ImageMeta(m.media_id, m.payload.length, img.getWidth, img.getHeight,
+          (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+      }
+    }
+  }
 
   /** Wrap documents as media rows: payload = utf-8 bytes, kind cycles
     * image/audio/video by id (synthetic corpus has no real media). */
@@ -38,9 +112,10 @@ object Multimodal {
       col("source")).as[MediaRow]
   }
 
-  /** STUB decoder: deterministic pseudo metadata/features from bytes.
-    * Production: replace body with the real codec (JPEG/PNG decode,
-    * PCM frames, video keyframe sampling). */
+  /** STUB decoder for the codec-less kinds (audio/video, or image
+    * payloads that aren't decodable bytes): deterministic pseudo
+    * metadata/features from the payload. Production: replace body
+    * with the real codec (PCM frames, video keyframe sampling). */
   private[operators] def fakeDecode(m: MediaRow): MediaFeatures = {
     val n = m.payload.length
     // cheap rolling hash of the payload → stable pseudo-randomness
@@ -59,15 +134,36 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, n, w, ht, fr, feat)
   }
 
+  /** Per-kind dispatch: REAL `ImageIO` decode for decodable image
+    * payloads, stub features otherwise. */
+  private[operators] def decodeAny(m: MediaRow): MediaFeatures =
+    if (m.kind == "image") {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img == null) fakeDecode(m)
+      else {
+        val px = img.getRGB(img.getWidth - 1, img.getHeight - 1)
+        val feat = Array(
+          ((px >> 16) & 0xff) / 255.0f, ((px >> 8) & 0xff) / 255.0f,
+          (px & 0xff) / 255.0f, img.getWidth / 4096.0f,
+          img.getHeight / 4096.0f, 1.0f, 0.0f, 0.0f)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, img.getWidth,
+          img.getHeight, 1, feat)
+      }
+    } else fakeDecode(m)
+
   /** Batch decode: one decoder instance per partition (the expensive
     * codec init happens once per partition, not per row — the shape a
-    * real decoder needs). Map-only, no shuffle. */
+    * real decoder needs). Map-only, no shuffle. Image payloads decode
+    * for real; audio/video fall through to the stub. */
   def decodeFeatures(media: Dataset[MediaRow])
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder setup would go here
-      it.map(fakeDecode)
+      // per-partition decoder setup for the stubbed kinds would go here
+      it.map(decodeAny)
     }
   }
 

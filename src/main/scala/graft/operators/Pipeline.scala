@@ -106,4 +106,130 @@ object Pipeline {
         .SeqHasAsJava(logRows.toSeq).asJava), EventLogSchema)
     RunResult(outTables, log)
   }
+
+  // ------------------------------------------------------------------
+  // Incremental (streaming) pipeline — the reference's INCREMENTAL
+  // LIVE TABLE graph (`4  Delta Live Tables (SQL).sql`:20-80): each
+  // stage consumes the new rows of every micro-batch, records its
+  // expectation metrics per batch, and MERGEs its output into a
+  // VersionedTable keyed by `key` with recency order (`orderCol`,
+  // `tieBreaker`) — so the final tables are independent of how the
+  // source files were split across micro-batches, and a restart over
+  // the same checkpoint picks up only new files.
+  // ------------------------------------------------------------------
+
+  /** Per-micro-batch event log row layout (the batch-grained analog of
+    * [[EventLogSchema]], persisted under `storageDir/_event_log`). */
+  val IncEventLogSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("stage_seq", IntegerType, nullable = false),
+    StructField("flow_name", StringType, nullable = false),
+    StructField("constraint_name", StringType, nullable = false),
+    StructField("passed_records", LongType, nullable = false),
+    StructField("failed_records", LongType, nullable = false)))
+
+  private def incLogDir(storageDir: String) = s"$storageDir/_event_log"
+
+  /** The persisted per-batch expectation metrics of an incremental
+    * pipeline run (empty frame when no stage has expectations). */
+  def incrementalEventLog(spark: SparkSession, storageDir: String): DataFrame = {
+    val dir = new java.io.File(incLogDir(storageDir))
+    if (dir.exists())
+      spark.read.schema(IncEventLogSchema).parquet(dir.toString)
+    else spark.createDataFrame(new java.util.ArrayList[Row](),
+      IncEventLogSchema)
+  }
+
+  /** One micro-batch through the stage chain. Exactly-once per stage
+    * via a batch-id marker in the stage table's commit log (a retried
+    * batch id is a no-op — `foreachBatch`'s at-least-once delivery
+    * becomes exactly-once tables, the [[graft.streaming.Streams
+    * .mergeBatch]] discipline). Stage i+1 consumes stage i's BATCH
+    * output (the incremental flow), never a re-read of the whole
+    * table. Public so specs can drive retry semantics directly. */
+  def incrementalBatch(spark: SparkSession, stages: Seq[Stage],
+                       storageDir: String, key: String, orderCol: String,
+                       tieBreaker: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var cur = batch
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val path = s"$storageDir/${st.name}"
+      val marker = s"PIPELINE_INC[${st.name},batch=$batchId]"
+      // each stage takes up to two actions over its candidate (metrics
+      // scan + versioned merge) and feeds the next stage — persist
+      // until the whole batch chain has committed
+      val candidate = st.transform(cur)
+      if (st.expectations.nonEmpty) {
+        candidate.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += candidate
+      }
+      val out = st.onViolation match {
+        case OnViolation.DropRows =>
+          Expectations.dropInvalid(candidate, st.expectations)
+        case _ => candidate
+      }
+      // the marker guards commit + metrics, not the dataflow: a
+      // retried batch still flows downstream so later stages whose
+      // commit DID fail can catch up
+      if (!VersionedTable.operations(path).contains(marker)) {
+        if (st.expectations.nonEmpty) {
+          val m = Expectations.metrics(candidate, st.expectations).collect()
+          if (st.onViolation == OnViolation.Fail) {
+            val bad = m.filter(_.getLong(2) > 0)
+            if (bad.nonEmpty) throw new ExpectationViolation(
+              s"expectations violated in stage ${st.name}, batch $batchId — " +
+                bad.map(r => s"${r.getString(0)}: ${r.getLong(2)} failed")
+                  .mkString("; "))
+          }
+          val logRows = m.map(r => Row(batchId, i, st.name, r.getString(0),
+            r.getLong(1), r.getLong(2)))
+          spark.createDataFrame(
+            new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+              .SeqHasAsJava(logRows.toSeq).asJava), IncEventLogSchema)
+            .write.mode("append").parquet(incLogDir(storageDir))
+        }
+        val deduped = Medallion.dedupLatest(out, key, orderCol, tieBreaker)
+        if (VersionedTable.versions(path).isEmpty)
+          VersionedTable.write(deduped, path, operation = marker)
+        else
+          VersionedTable.upsertLatest(spark, path, deduped, key, orderCol,
+            tieBreaker, operation = marker)
+        ()
+      }
+      cur = out
+    }
+    persisted.foreach(_.unpersist())
+  }
+
+  /** Run the stage chain incrementally over a file-source stream
+    * rooted at `srcPath` (AvailableNow: drain everything new, then
+    * stop). Re-running with the same checkpoint processes only files
+    * added since the last run — the INCREMENTAL refresh. */
+  def runIncremental(spark: SparkSession, srcPath: String,
+                     schema: StructType, payloadCols: Seq[String],
+                     stages: Seq[Stage], storageDir: String,
+                     checkpoint: String, key: String, orderCol: String,
+                     tieBreaker: String, maxFilesPerTrigger: Int = 3,
+                     timeoutMs: Long = 120000): RunResult = {
+    require(stages.nonEmpty, "pipeline needs at least one stage")
+    require(stages.map(_.name).distinct.size == stages.size,
+      "stage names must be unique")
+    import org.apache.spark.sql.functions.col
+    val q = graft.streaming.Streams
+      .fileIngest(spark, srcPath, schema, maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(payloadCols.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        incrementalBatch(spark, stages, storageDir, key, orderCol,
+          tieBreaker) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(timeoutMs)
+    val tables = stages.map(st =>
+      st.name -> VersionedTable.read(spark, s"$storageDir/${st.name}")).toMap
+    RunResult(tables, incrementalEventLog(spark, storageDir))
+  }
 }

@@ -68,6 +68,79 @@ object Ingest {
   def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  // ---------- schema-location persistence ----------
+  // Autoloader `cloudFiles.schemaLocation` + `schemaHints` analog
+  // (reference `2 Medaillon architecture.py`:262-274): the schema is
+  // inferred ONCE on first open, persisted beside the checkpoint
+  // state, and every later open — including restarts — reads the
+  // store instead of paying another inference pass over the data.
+
+  private def schemaFile(schemaLocation: String) =
+    java.nio.file.Paths.get(schemaLocation, "schema.json")
+
+  /** The persisted schema at `schemaLocation`, if one exists. */
+  def loadSchema(schemaLocation: String): Option[StructType] = {
+    val f = schemaFile(schemaLocation)
+    if (java.nio.file.Files.exists(f))
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(java.nio.file.Files.readString(f)).asInstanceOf[StructType])
+    else None
+  }
+
+  /** Persist `schema` at `schemaLocation` (overwrites). */
+  def saveSchema(schemaLocation: String, schema: StructType): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(schemaLocation))
+    java.nio.file.Files.writeString(schemaFile(schemaLocation), schema.json)
+    ()
+  }
+
+  /** JSON read with schema-location persistence: first open infers
+    * (one extra pass — paid exactly once per location), applies
+    * `hints` (the `schemaHints` analog: pin or add typed columns the
+    * sample may under-infer), persists, and reads; every later open
+    * reads with the STORED schema — no re-inference, stable columns
+    * across restarts. Fields appearing in newer files but absent from
+    * the stored schema are ignored until [[evolveSchema]] widens the
+    * store (rescue capture stays available via the `_rescued_data`
+    * column for malformed rows). */
+  def jsonWithSchemaLocation(spark: SparkSession, path: String,
+                             schemaLocation: String,
+                             hints: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil): DataFrame = {
+    val schema = loadSchema(schemaLocation).getOrElse {
+      val inferred = spark.read.json(path).schema
+      val hinted = StructType(
+        inferred.map(f => hints.collectFirst {
+          case (n, t) if n == f.name => f.copy(dataType = t)
+        }.getOrElse(f)) ++
+          hints.collect {
+            case (n, t) if !inferred.fieldNames.contains(n) =>
+              org.apache.spark.sql.types.StructField(n, t)
+          })
+      saveSchema(schemaLocation, hinted)
+      hinted
+    }
+    json(spark, path, schema)
+  }
+
+  /** Schema evolution for a persisted location: re-infer over the
+    * current files, widen the stored schema with any NEW fields
+    * (stored types win on conflict — evolution adds columns, never
+    * mutates committed ones), persist, return the widened schema.
+    * The explicit-evolution step a production autoloader runs when
+    * its rescue column starts filling up. */
+  def evolveSchema(spark: SparkSession, path: String,
+                   schemaLocation: String): StructType = {
+    val stored = loadSchema(schemaLocation).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted schema at $schemaLocation — open the source once first"))
+    val inferred = spark.read.json(path).schema
+    val widened = StructType(stored ++
+      inferred.filterNot(f => stored.fieldNames.contains(f.name)))
+    saveSchema(schemaLocation, widened)
+    widened
+  }
+
   /** Round-trip helper backing the `ingest_csv`/`ingest_json` oracle
     * queries: materialize `df` in `format` under `cachePath`, read it
     * back through the rescuing reader, drop the (all-null) rescue

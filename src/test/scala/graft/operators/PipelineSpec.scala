@@ -60,4 +60,73 @@ class PipelineSpec extends SparkSpec {
     Pipeline.run(spark, tables.nation, stages, dir)
     assert(VersionedTable.versions(s"$dir/bronze") == Seq(0, 1))
   }
+
+  private val incSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private val incCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  test("incremental restart processes ONLY new files and converges to the batch truth") {
+    val src = freshDir
+    val store = freshDir
+    val ckpt = freshDir
+    val stages = Seq(
+      Pipeline.Stage("bronze", identity,
+        Seq(Expectation("user present", "user_id is not null"))),
+      Pipeline.Stage("silver", identity,
+        Seq(Expectation("value sane", "value <= 400")),
+        Pipeline.OnViolation.DropRows))
+    val ev = tables.events.select(incCols.map(col): _*)
+    // run 1: first half of the events, several files
+    ev.filter(col("event_id") % 2 === 0).repartition(4)
+      .write.mode("append").json(src)
+    val r1 = Pipeline.runIncremental(spark, src, incSchema, incCols, stages,
+      store, ckpt, key = "user_id", orderCol = "ts", tieBreaker = "event_id")
+    val v1 = VersionedTable.versions(s"$store/silver").size
+    assert(v1 >= 2, s"3-files-per-trigger over 4 files should take ≥2 batches, got $v1")
+    // run 2, same checkpoint: only the newly added files are processed
+    ev.filter(col("event_id") % 2 === 1).repartition(4)
+      .write.mode("append").json(src)
+    val r2 = Pipeline.runIncremental(spark, src, incSchema, incCols, stages,
+      store, ckpt, key = "user_id", orderCol = "ts", tieBreaker = "event_id")
+    val v2 = VersionedTable.versions(s"$store/silver").size
+    assert(v2 > v1 && v2 - v1 <= 3,
+      s"restart should commit only the new files' batches, got $v1 -> $v2")
+    // the merged silver table equals the one-shot batch truth
+    val expected = Medallion.dedupLatest(
+      ev.filter(col("value") <= 400), "user_id", "ts", "event_id")
+    assert(r2.tables("silver").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(r2.tables("silver")).count() == 0)
+    // the per-batch event log sums to the global audit
+    val logSum = r2.eventLog.filter(col("constraint_name") === "user present")
+      .agg(sum("passed_records"), sum("failed_records")).collect()(0)
+    assert(logSum.getLong(0) == ev.count() && logSum.getLong(1) == 0L)
+  }
+
+  test("a retried micro-batch id is a no-op (exactly-once per stage)") {
+    val store = freshDir
+    val stages = Seq(
+      Pipeline.Stage("bronze", identity,
+        Seq(Expectation("user present", "user_id is not null"))))
+    val batch = tables.events.select(incCols.map(col): _*).limit(100)
+    Pipeline.incrementalBatch(spark, stages, store, "user_id", "ts",
+      "event_id")(batch, 7L)
+    val rows1 = VersionedTable.read(spark, s"$store/bronze").count()
+    val log1 = Pipeline.incrementalEventLog(spark, store).count()
+    // at-least-once delivery retries the same batch id
+    Pipeline.incrementalBatch(spark, stages, store, "user_id", "ts",
+      "event_id")(batch, 7L)
+    assert(VersionedTable.versions(s"$store/bronze").size == 1)
+    assert(VersionedTable.read(spark, s"$store/bronze").count() == rows1)
+    assert(Pipeline.incrementalEventLog(spark, store).count() == log1)
+  }
 }

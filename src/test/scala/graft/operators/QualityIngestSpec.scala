@@ -84,6 +84,37 @@ class QualityIngestSpec extends SparkSpec {
     assert(out.filter(col(Ingest.RescueCol).isNotNull).count() == 1)
   }
 
+  test("schema location: infer once, restarts reuse the store, evolve widens") {
+    val dir = Files.createTempDirectory("graft_schloc").toFile.getPath
+    val loc = Files.createTempDirectory("graft_schloc_meta").toFile.getPath
+    val w1 = new java.io.PrintWriter(s"$dir/a.json")
+    w1.println("""{"id": 1, "qty": 10}"""); w1.close()
+    // first open: infers, applies the hint (qty pinned wider than the
+    // sample suggests), persists
+    val first = Ingest.jsonWithSchemaLocation(spark, dir, loc,
+      hints = Seq("qty" -> org.apache.spark.sql.types.DoubleType))
+    assert(first.schema("qty").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(Ingest.loadSchema(loc).nonEmpty, "schema must be persisted")
+    // a wider file lands; the restart does NOT re-infer — the stored
+    // schema (no `extra` column) is used as-is
+    val w2 = new java.io.PrintWriter(s"$dir/b.json")
+    w2.println("""{"id": 2, "qty": 20, "extra": "x"}"""); w2.close()
+    val restart = Ingest.jsonWithSchemaLocation(spark, dir, loc)
+    assert(!restart.columns.contains("extra"),
+      "restart must read the persisted schema, not re-infer")
+    assert(restart.count() == 2)
+    // explicit evolution widens the store with the new field only;
+    // committed columns keep their stored (hinted) types
+    val widened = Ingest.evolveSchema(spark, dir, loc)
+    assert(widened.fieldNames.contains("extra"))
+    assert(widened("qty").dataType == org.apache.spark.sql.types.DoubleType)
+    val evolved = Ingest.jsonWithSchemaLocation(spark, dir, loc)
+    assert(evolved.columns.contains("extra"))
+    // pre-evolution rows read the new column as null
+    assert(evolved.filter(col("extra").isNull).count() == 1)
+  }
+
   test("mergeSchema read unions evolving file schemas") {
     val dir = Files.createTempDirectory("graft_evolve").toFile.getPath
     tables.nation.select("n_nationkey", "n_name")
@@ -219,5 +250,32 @@ class QualityIngestSpec extends SparkSpec {
     // frame sampling only for video, stride respected
     val frames = Multimodal.sampleFrames(feats, everyK = 500)
     assert(frames.filter(col("frame_idx") % 500 =!= 0).count() == 0)
+  }
+
+  test("PNG payloads decode for REAL: exact dimensions and pixel values") {
+    implicit val sp = spark
+    // byte-level round trip, no Spark: encode → ImageIO decode
+    val bytes = Multimodal.pngBytes(33, 17, 250, 7, 128)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 33 && img.getHeight == 17)
+    val px = img.getRGB(16, 8)
+    assert(((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff) == ((250, 7, 128)))
+    // distributed path: decoded dims/pixels match the id-derived truth
+    val metas = Multimodal.decodeImages(
+      Multimodal.asImages(tables.documents)).collect()
+    assert(metas.length == 500)
+    assert(metas.forall(m => m.width == Multimodal.imgWidth(m.media_id) &&
+      m.height == Multimodal.imgHeight(m.media_id) &&
+      m.red == Multimodal.imgRed(m.media_id) &&
+      m.green == Multimodal.imgGreen(m.media_id) &&
+      m.blue == Multimodal.imgBlue(m.media_id) &&
+      m.byte_len > 0))
+    // decodeFeatures dispatches image payloads through the real codec:
+    // real PNGs report true dims, text payloads fall back to the stub
+    val realFeats = Multimodal.decodeFeatures(
+      Multimodal.asImages(tables.documents)).collect()
+    assert(realFeats.forall(f => f.width == Multimodal.imgWidth(f.media_id) &&
+      f.n_frames == 1))
   }
 }
