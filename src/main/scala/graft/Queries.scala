@@ -1737,6 +1737,74 @@ object Queries {
       Some(s"""
         SELECT * FROM ($eventsNs) WHERE event_type = 'purchase'""")),
 
+    Q("zonemap_pruned_read",
+      (s, d) => {
+        // file-level data skipping without a table format: clustered
+        // write → one-scan zone map (per-file min/max beside the data)
+        // → the range read shortlists files driver-side before the
+        // scan; pruning is asserted in spec, content equality here
+        val path = s"/tmp/graft_cache/zm_${new java.io.File(d).getName}"
+        Maintenance.writeClustered(Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+          path, Seq("value"), numFiles = 8)
+        Maintenance.writeZoneMap(s, path, Seq("value"))
+        Maintenance.readSkipping(s, path, "value", 50.0, 120.0)
+      },
+      Some(s"""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
+        FROM events WHERE value >= 50.0 AND value <= 120.0""")),
+
+    Q("grouping_sets_pricing",
+      (s, d) => {
+        // GROUPING SETS beyond rollup/cube: the exact set list, plus
+        // grouping_id to disambiguate the null-as-total rows
+        Tables(s, d).lineitem.createOrReplaceTempView("lineitem_v")
+        s.sql(s"""
+          SELECT l_returnflag, l_linestatus,
+            cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as int)
+              as gid,
+            cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+            count(*) as n_rows
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+            (l_returnflag), (l_linestatus))""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as int)
+            as gid,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+          count(*) as n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), (l_linestatus))""")),
+
+    Q("window_analytics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // the remaining window-function family over one per-user
+        // shuffle: lag/lead navigation, percent_rank / cume_dist /
+        // ntile ranking — all computed in a single Window pass
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, d).events
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_event", lead(col("event_id"), 1).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+      },
+      Some(s"""
+        SELECT user_id, event_id, ts, value,
+          lag(value, 1) OVER w as prev_value,
+          lead(event_id, 1) OVER w as next_event,
+          percent_rank() OVER w as pct_rank,
+          cume_dist() OVER w as cume,
+          ntile(4) OVER w as quartile
+        FROM ($eventsNs)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
     // ---------- J. Multimodal ----------
     Q("multimodal_meta",
       (s, d) => {

@@ -20,11 +20,12 @@ import org.apache.spark.storage.StorageLevel
   * two shuffles (join labels to edges + groupBy node); the edge frame
   * is persisted once. Labels only decrease, so convergence is detected
   * by an exact decimal label-sum (map-only over the persisted frame,
-  * no extra join). At 100 TB scale the same loop applies with the
-  * alternation trick (large-star/small-star) cutting rounds to
-  * O(log n) on adversarially deep graphs; near-dup graphs don't need
-  * it. Lineage is truncated with a local checkpoint every few rounds
-  * so deep loops don't accumulate unbounded plans.
+  * no extra join). For adversarially DEEP graphs
+  * [[connectedComponentsStar]] implements the alternating
+  * large-star/small-star rewrite, cutting rounds to O(log n) where
+  * propagation needs O(diameter). Lineage is truncated with a local
+  * checkpoint every few rounds so deep loops don't accumulate
+  * unbounded plans.
   */
 object Clusters {
 
@@ -88,6 +89,76 @@ object Clusters {
     out
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * O(log n)-round escalation for DEEP graphs, where plain min-label
+    * propagation needs O(diameter) rounds (a 10k-hop chain = 10k
+    * shuffles). Near-dup graphs are shallow and don't need this; it
+    * exists for adversarial shapes (long reference chains, crawl link
+    * graphs).
+    *
+    * Each round rewrites the edge set (one groupBy + one join per
+    * half-step):
+    *  - large-star: every neighbor v > u links to min(N(u) ∪ {u}) —
+    *    strictly shrinks tall nodes' reach toward the minimum;
+    *  - small-star: every neighbor v ≤ u (and u itself) links to the
+    *    minimum — flattens the remaining short chains.
+    * The edge set converges to a star per component (every node →
+    * component minimum). Convergence is detected by the exact decimal
+    * sum of edge endpoints, which strictly decreases until fixpoint
+    * (both steps only ever replace an endpoint by a smaller one).
+    * Returns (id, label) like [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame,
+                              maxIters: Int = 40): DataFrame = {
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIters) {
+      // large-star over both orientations: every neighbor v > u
+      // re-links to m(u) = min(Γ(u) ∪ {u}); afterwards every edge
+      // points large → small
+      val bidir = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = bidir.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the oriented set: all (smaller) neighbors and u
+      // itself re-link to the minimum — flattens the remaining chains
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionByName(minsS.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val next =
+        (if (iter % 4 == 3) small.localCheckpoint()
+         else small.persist(StorageLevel.MEMORY_AND_DISK))
+      // fixpoint ⟺ the edge SET is unchanged (both rewrites are
+      // idempotent exactly on a union of stars)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+    // at the fixpoint each non-minimum node carries exactly one edge
+    // (node → component minimum); minima and singletons label
+    // themselves (min-agg keeps the extraction safe even if maxIters
+    // cut the loop short of the fixpoint)
+    val lbl = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("label"))
+    val out = nodes.join(lbl, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
   /** Duplicate clusters over a corpus: components of the near-dup pair
     * graph, with cluster size and the canonical-survivor flag (the
     * lowest doc_id of each cluster — deterministic, engine-portable).
@@ -100,7 +171,8 @@ object Clusters {
     * (one corpus scan). The pair frame is checkpointed eagerly so the
     * two edge directions and the endpoint set don't re-run the
     * upstream dedup pipeline (LSH signing is the expensive producer). */
-  def duplicateClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  def duplicateClusters(documents: DataFrame, pairs: DataFrame,
+                        deep: Boolean = false): DataFrame = {
     // eager local checkpoints, not persist: the expensive upstream
     // dedup pipeline runs exactly once, the blocks are referenced by
     // the returned plan, and the ContextCleaner frees them when the
@@ -111,7 +183,12 @@ object Clusters {
     val paired = p.select(col("id_a").as("id"))
       .unionByName(p.select(col("id_b").as("id"))).distinct()
       .localCheckpoint(eager = true)
-    val cc = connectedComponents(p, paired)
+    // near-dup graphs are shallow → propagation (few rounds, cheaper
+    // per round); `deep` switches to the O(log n) star rewrite for
+    // adversarial diameters
+    val cc =
+      if (deep) connectedComponentsStar(p, paired)
+      else connectedComponents(p, paired)
     val singles = documents.select(col("doc_id").as("id"))
       .join(paired, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))

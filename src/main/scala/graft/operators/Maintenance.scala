@@ -93,6 +93,57 @@ object Maintenance {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // ---------- zone-map data skipping ----------
+  // Delta/Iceberg keep per-file column min/max in the transaction log
+  // and prune files BEFORE the scan; a plain parquet directory only
+  // has row-group stats, discovered after every file is opened. The
+  // zone map recovers log-level skipping: one tiny stats table beside
+  // the data (underscore dir — invisible to normal reads), consulted
+  // driver-side to shortlist files. After a clustered write the
+  // shortlist is a small fraction of the directory for selective
+  // ranges; at 100 TB that's the difference between listing a few
+  // files and opening every footer in the table.
+
+  /** Per-file min/max stats for `cols` — one scan, one row per file. */
+  def zoneMapFrame(spark: SparkSession, path: String,
+                   cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+
+  /** Build + persist the zone map under `path/_zone_map` (underscore
+    * prefix: ignored by parquet directory reads, like `_graft_log`). */
+  def writeZoneMap(spark: SparkSession, path: String,
+                   cols: Seq[String]): Unit =
+    zoneMapFrame(spark, path, cols).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zone_map")
+
+  /** Files whose [min,max] intersects [lo,hi] on `column` — the
+    * driver-side shortlist (the zone map is one row per file). */
+  def zoneMapSurvivors(spark: SparkSession, path: String, column: String,
+                       lo: Any, hi: Any): Seq[String] =
+    spark.read.parquet(s"$path/_zone_map")
+      .filter(!(col(s"max_$column") < lit(lo) ||
+        col(s"min_$column") > lit(hi)))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range read with zone-map skipping: only surviving files are
+    * handed to the reader (the scan never lists the rest), then the
+    * exact predicate runs as the residual filter. Semantically
+    * identical to the full-directory read — the zone map can only
+    * skip files that provably contain no matches. */
+  def readSkipping(spark: SparkSession, path: String, column: String,
+                   lo: Any, hi: Any): DataFrame = {
+    val survivors = zoneMapSurvivors(spark, path, column, lo, hi)
+    val base =
+      if (survivors.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(survivors: _*)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
   /** Bucketed table write: rows hash-bucketed (and sorted) by
     * `bucketCol` into `numBuckets` files per partition. Two tables
     * bucketed the same way join WITHOUT a shuffle — the co-located

@@ -35,7 +35,13 @@ object Pipeline {
     name: String,
     transform: DataFrame => DataFrame,
     expectations: Seq[Expectation] = Nil,
-    onViolation: OnViolation = OnViolation.Keep)
+    onViolation: OnViolation = OnViolation.Keep,
+    /** incremental runs only: per-stage (key, orderCol, tieBreaker)
+      * override for the versioned MERGE — e.g. an exact-dedup stage
+      * merges on the content hash keeping the smallest id (orderCol =
+      * a negated id), while the rest of the graph merges on the
+      * entity key by recency. */
+    merge: Option[(String, String, String)] = None)
 
   final case class RunResult(
     /** stage name → its materialized table (latest version) */
@@ -190,12 +196,13 @@ object Pipeline {
               .SeqHasAsJava(logRows.toSeq).asJava), IncEventLogSchema)
             .write.mode("append").parquet(incLogDir(storageDir))
         }
-        val deduped = Medallion.dedupLatest(out, key, orderCol, tieBreaker)
+        val (k, o, t) = st.merge.getOrElse((key, orderCol, tieBreaker))
+        val deduped = Medallion.dedupLatest(out, k, o, t)
         if (VersionedTable.versions(path).isEmpty)
           VersionedTable.write(deduped, path, operation = marker)
         else
-          VersionedTable.upsertLatest(spark, path, deduped, key, orderCol,
-            tieBreaker, operation = marker)
+          VersionedTable.upsertLatest(spark, path, deduped, k, o, t,
+            operation = marker)
         ()
       }
       cur = out

@@ -165,6 +165,29 @@ object VersionedTable {
     write(merged, path, operation = "MERGE")
   }
 
+  /** MERGE with automatic schema evolution (Delta's
+    * `schema.autoMerge`): columns present only in `updates` are added
+    * to the table (existing rows read them as null), columns the
+    * updates lack are kept (update rows get null). The widened union
+    * then upserts on `keys` like [[upsert]]. Type changes are NOT
+    * evolution — a column present on both sides with a different type
+    * fails loudly rather than silently coercing. */
+  def upsertEvolve(spark: SparkSession, path: String, updates: DataFrame,
+                   keys: Seq[String]): Int = {
+    val cur = read(spark, path)
+    val conflicts = cur.schema.flatMap { f =>
+      updates.schema.find(_.name == f.name).collect {
+        case u if u.dataType != f.dataType =>
+          s"${f.name}: table ${f.dataType.simpleString} vs update ${u.dataType.simpleString}"
+      }
+    }
+    require(conflicts.isEmpty,
+      s"schema evolution cannot change column types — $conflicts")
+    val merged = cur.join(updates, keys, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+    write(merged, path, operation = "MERGE[EVOLVE]")
+  }
+
   /** Recency-aware MERGE: union base + updates, keep the latest row
     * per `key` by (`orderCol`, `tieBreaker`). Unlike [[upsert]]
     * (updates win unconditionally), the outcome is independent of how

@@ -36,6 +36,34 @@ class ClustersSpec extends SparkSpec {
     assert(labels.values.toSet == Set(10L))
   }
 
+  private def ccStar(pairs: Seq[(Long, Long)], nodes: Seq[Long],
+                     maxIters: Int = 40) = {
+    import spark.implicits._
+    Clusters.connectedComponentsStar(pairs.toDF("id_a", "id_b"),
+        nodes.toDF("id"), maxIters)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label"))
+      .toMap
+  }
+
+  test("star algorithm matches min-label propagation on mixed graphs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
+    assert(ccStar(pairs, 1L to 9L) == cc(pairs, 1L to 9L))
+    val bridge = Seq((10L, 20L), (30L, 40L), (20L, 30L))
+    assert(ccStar(bridge, Seq(10L, 20L, 30L, 40L)) ==
+      cc(bridge, Seq(10L, 20L, 30L, 40L)))
+    assert(ccStar(Nil, Seq(1L, 2L)) == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("star algorithm collapses a 200-hop chain in O(log n) rounds") {
+    // diameter 199: min-label propagation needs ~199 rounds; the
+    // alternating star rewrite must finish within 12 (≈ 2·log2 + slack)
+    // — maxIters acts as the proof bound, not just a safety valve
+    val labels = ccStar((1L to 199L).map(i => (i, i + 1)), 1L to 200L,
+      maxIters = 12)
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.size == 200)
+  }
+
   test("duplicateClusters marks exactly one canonical doc per cluster") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")

@@ -112,6 +112,60 @@ class PipelineSpec extends SparkSpec {
     assert(logSum.getLong(0) == ev.count() && logSum.getLong(1) == 0L)
   }
 
+  test("incremental curation over document batches matches the batch chain") {
+    val src = freshDir
+    val store = freshDir
+    val ckpt = freshDir
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    val docCols = Seq("doc_id", "text", "source", "lang")
+    // the per-doc curation filter (map-only scorers joined 1:1)
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        val lang = TextAnalysis.langId(df)
+          .select(col("doc_id"), col("predicted_lang"))
+        val quality = TextAnalysis.quality(df)
+          .select(col("doc_id"), col("quality_score"))
+        df.join(lang, "doc_id").join(quality, "doc_id")
+          .filter(col("predicted_lang") === "en" &&
+            col("quality_score") >= 0.1)
+          .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      }
+    val stages = Seq(
+      Pipeline.Stage("curated", curate),
+      // exact-dedup canonical: merge on the content hash keeping the
+      // SMALLEST doc_id — orderCol is the negated id, so the
+      // recency-merge min-selects and the result is batch-independent
+      Pipeline.Stage("canonical",
+        df => df.withColumn("text_hash", sha2(col("text"), 256))
+          .withColumn("neg_id", -col("doc_id")),
+        merge = Some(("text_hash", "neg_id", "neg_id"))))
+    tables.documents.select(docCols.map(col): _*)
+      .repartition(5).write.mode("append").json(src)
+    val res = Pipeline.runIncremental(spark, src, docSchema, docCols,
+      stages, store, ckpt, key = "doc_id", orderCol = "doc_id",
+      tieBreaker = "doc_id")
+    // batch truth: curate the whole corpus at once, then keep the min
+    // doc_id per content hash among the survivors
+    val batchCurated = curate(tables.documents.select(docCols.map(col): _*))
+    val batchCanon = batchCurated
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val gotCurated = res.tables("curated").select("doc_id")
+    assert(gotCurated.exceptAll(batchCurated.select("doc_id")).isEmpty &&
+      batchCurated.select("doc_id").exceptAll(gotCurated).isEmpty)
+    val gotCanon = res.tables("canonical").select("doc_id")
+    assert(gotCanon.exceptAll(batchCanon.select("doc_id")).isEmpty &&
+      batchCanon.select("doc_id").exceptAll(gotCanon).isEmpty)
+  }
+
   test("a retried micro-batch id is a no-op (exactly-once per stage)") {
     val store = freshDir
     val stages = Seq(

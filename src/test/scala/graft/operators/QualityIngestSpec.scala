@@ -196,6 +196,30 @@ class QualityIngestSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count() == li.count())
   }
 
+  test("zone map skips files a clustered range read cannot match") {
+    val dir = Files.createTempDirectory("graft_zm").toFile.getPath
+    Maintenance.writeClustered(tables.events
+      .select("event_id", "ts", "user_id", "event_type", "value"),
+      dir, Seq("value"), numFiles = 8)
+    Maintenance.writeZoneMap(spark, dir, Seq("value"))
+    // a narrow value range must shortlist a strict subset of the files
+    val survivors = Maintenance.zoneMapSurvivors(spark, dir, "value",
+      10.0, 20.0)
+    assert(survivors.nonEmpty && survivors.size < 8,
+      s"expected pruning, got ${survivors.size}/8 files")
+    // skipping read ≡ full-directory read + filter (zone map may only
+    // remove provably-empty files)
+    val skipped = Maintenance.readSkipping(spark, dir, "value", 10.0, 20.0)
+    val full = spark.read.parquet(dir)
+      .filter(col("value") >= 10.0 && col("value") <= 20.0)
+    assert(skipped.exceptAll(full).isEmpty && full.exceptAll(skipped).isEmpty)
+    // an impossible range survives zero files and returns zero rows
+    assert(Maintenance.zoneMapSurvivors(spark, dir, "value",
+      1e9, 2e9).isEmpty)
+    assert(Maintenance.readSkipping(spark, dir, "value", 1e9, 2e9)
+      .count() == 0)
+  }
+
   test("partitioned write enables partition pruning") {
     val dir = Files.createTempDirectory("graft_part").toFile.getPath
     Maintenance.writePartitioned(tables.events, dir, "event_type")

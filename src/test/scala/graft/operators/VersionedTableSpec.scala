@@ -44,6 +44,33 @@ class VersionedTableSpec extends SparkSpec {
       .filter(col("n_name").endsWith("_UPDATED")).count() == 0)
   }
 
+  test("upsertEvolve widens the schema like Delta autoMerge; type changes fail") {
+    val path = freshPath
+    VersionedTable.write(tables.nation.select("n_nationkey", "n_name"), path)
+    // updates bring a NEW column and touch 5 keys
+    val updates = tables.nation.filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey"), upper(col("n_name")).as("n_name"),
+        col("n_regionkey"))
+    VersionedTable.upsertEvolve(spark, path, updates, Seq("n_nationkey"))
+    val out = VersionedTable.read(spark, path)
+    assert(out.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey"))
+    assert(out.count() == 25)
+    // untouched rows read the evolved column as null; updated rows
+    // carry both the new value and the new column
+    assert(out.filter(col("n_regionkey").isNull).count() == 20)
+    assert(out.filter(col("n_regionkey") === 0)
+      .filter(col("n_name") === upper(col("n_name"))).count() == 5)
+    // v0 stays narrow (time travel unaffected by evolution)
+    assert(VersionedTable.read(spark, path, Some(0)).columns.toSet ==
+      Set("n_nationkey", "n_name"))
+    // a type CHANGE is not evolution
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsertEvolve(spark, path,
+        tables.nation.select(col("n_nationkey"),
+          col("n_name").cast("int").as("n_name")), Seq("n_nationkey"))
+    }
+  }
+
   test("TIMESTAMP AS OF resolves committed_at to the right version") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
