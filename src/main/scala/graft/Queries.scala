@@ -513,6 +513,18 @@ object Queries {
           length(text) as n_chars_measured
         FROM documents""")),
 
+    Q("corpus_shuffle",
+      // global deterministic training order, computed without a
+      // global single-task sort (two-phase: hash-top-bit buckets →
+      // prefix-summed offsets → within-bucket ranks)
+      (s, d) => TextAnalysis.corpusShuffle(Tables(s, d).documents),
+      Some(s"""
+        SELECT doc_id,
+          row_number() OVER (ORDER BY h, doc_id) - 1 as shuffle_rank
+        FROM (SELECT doc_id,
+            ${TextOracleSql.Sha60.format("'shuffle:' || cast(doc_id as varchar)")} as h
+          FROM documents)""")),
+
     Q("corpus_split",
       (s, d) => TextAnalysis.trainValTestSplit(Tables(s, d).documents),
       // the split is the portable content hash mod 100 — byte-for-byte
@@ -795,51 +807,11 @@ object Queries {
         FROM lineitem GROUP BY 1, 2""")),
 
     Q("value_quantiles",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // exact type-1 (discrete) quantiles: value at rank ceil(p·n)
-        // per group. Rank-based, so both engines pick the identical
-        // element regardless of tie order (no interpolation formula to
-        // keep in sync). Two-phase exact selection — NOT a per-group
-        // window sort, which serializes each event_type's entire
-        // volume into one task (5 tasks total at any scale):
-        //   1. value-bucket histogram: one parallel shuffle on
-        //      (event_type, bucket); cumulative counts over the tiny
-        //      histogram locate, for each target rank r = ceil(p·n),
-        //      the bucket containing r and the in-bucket offset k;
-        //   2. probe: broadcast-join the ~15 target buckets back,
-        //      order statistics computed inside single buckets only
-        //      (~n/buckets rows per task, and the bucket width can
-        //      shrink — or recurse — as n grows).
-        val ev = Tables(s, d).events.select(col("event_type"), col("value"))
-        val bucketW = 2.0
-        val bucketed = ev.withColumn("bucket",
-          floor(col("value") / bucketW).cast("long"))
-        val hist = bucketed.groupBy(col("event_type"), col("bucket"))
-          .agg(count(lit(1)).as("cnt"))
-        val cum = hist
-          .withColumn("cum", sum(col("cnt")).over(
-            Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
-          .withColumn("n", sum(col("cnt")).over(
-            Window.partitionBy(col("event_type"))))
-        // bucket containing rank r = first with cum ≥ r; k = offset of
-        // the target order statistic within that bucket
-        val targets = cum
-          .select(col("event_type"), col("bucket"), col("cnt"), col("cum"),
-            col("n"), explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
-          .withColumn("r", ceil(col("p") * col("n")))
-          .filter(col("cum") >= col("r") &&
-            col("cum") - col("cnt") < col("r"))
-          .select(col("event_type"), col("bucket"), col("p"),
-            (col("r") - (col("cum") - col("cnt"))).as("k"))
-        bucketed.join(broadcast(targets), Seq("event_type", "bucket"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("event_type"), col("p"))
-              .orderBy(col("value"))))
-          .filter(col("rn") === col("k"))
-          .select(col("event_type"), col("p"),
-            col("value").as("quantile_value"))
-      },
+      // two-phase exact rank selection (see Gold.exactGroupQuantiles):
+      // no per-group window sort that would serialize each event_type
+      // into one task
+      (s, d) => Gold.exactGroupQuantiles(Tables(s, d).events,
+        "event_type", "value", Seq(0.25, 0.5, 0.75), bucketWidth = 2.0),
       Some {
         val one = (q: String) =>
           s"""SELECT event_type, cast($q as double) as p,
@@ -1558,6 +1530,50 @@ object Queries {
       Some(s"""
         SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
         FROM events""")),
+
+    Q("stream_attribution",
+      (s, d) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        // the stream-stream interval join e2e: clicks and purchases
+        // read as TWO streams over the same staged files, joined on
+        // user within the preceding 30-minute window, watermarks
+        // bounding state on both sides. Inner-join matches emit
+        // eagerly, so AvailableNow drains every pair.
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sattr_src_$sf"
+        Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val clicks = graft.streaming.Streams.fileIngest(s, src, schema)
+          .filter(col("event_type") === "click")
+        val purchases = graft.streaming.Streams.fileIngest(s, src, schema)
+          .filter(col("event_type") === "purchase")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sattr_ckpt").toString
+        val q = graft.streaming.Streams
+          .attributionPairsStream(clicks, purchases, windowUs = 1800000000L)
+          .writeStream.format("memory").queryName("graft_stream_attr")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        s.table("graft_stream_attr")
+      },
+      // every (purchase, same-user click within the preceding 30 min)
+      // pair, exactly once
+      Some("""
+        WITH e AS (SELECT event_id, epoch_us(ts) as ts, user_id,
+                     event_type FROM events)
+        SELECT p.user_id, p.event_id as purchase_id, c.event_id as click_id
+        FROM e p JOIN e c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - 1800000000 AND p.ts""")),
 
     // ---------- E. Streaming batch-analogs ----------
     Q("event_window_agg",

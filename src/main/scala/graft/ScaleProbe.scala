@@ -36,6 +36,22 @@ object ScaleProbe {
         shiftCol.fold(df)(c => df.withColumn(c, col(c) + i * 100000000L))
       }.reduce(_ unionByName _)
 
+    // dup-rate-preserving corpus replication for the DEDUP probes:
+    // every token gets a per-replica prefix, so each replica keeps its
+    // INTERNAL near-dup structure (the original dup rate) while
+    // replicas are signature-disjoint from each other — 10 independent
+    // shards. Exact-copy (or one-token-edit) replication instead makes
+    // every doc a 10-way near-dup family — MinHash shingles and
+    // SimHash bit-majorities are robust to small edits BY DESIGN — and
+    // pair OUTPUT then grows quadratically in the copy count: that
+    // measures an adversarial 100%-duplication corpus, not 10× scale
+    def replicateDocs(df: DataFrame, n: Int): DataFrame =
+      (0 until n).map { i =>
+        df.withColumn("doc_id", col("doc_id") + i * 100000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), "(^| )", s"$$1r${i}_"))
+      }.reduce(_ unionByName _)
+
     val probes: Seq[(String, Long, () => Long, Long, () => Long)] = Seq(
       ("q1_pricing", {
         val base = t.lineitem
@@ -52,8 +68,7 @@ object ScaleProbe {
       ("dedup_minhash_lsh", t.documents.count(),
         () => Dedup.minhashLsh(t.documents).count(),
         t.documents.count() * 10,
-        () => Dedup.minhashLsh(
-          replicate(t.documents, 10, Some("doc_id"))).count()),
+        () => Dedup.minhashLsh(replicateDocs(t.documents, 10)).count()),
       ("ann_lsh", t.embeddings.count(), () => {
         Similarity.annLsh(t.embeddings,
           t.embeddings.filter(col("vec_id") < 8), dim = 64).count()
@@ -67,7 +82,7 @@ object ScaleProbe {
           Dedup.minhashLsh(t.documents)).count()
       },
         t.documents.count() * 10, () => {
-          val d10 = replicate(t.documents, 10, Some("doc_id"))
+          val d10 = replicateDocs(t.documents, 10)
           Clusters.duplicateClusters(d10, Dedup.minhashLsh(d10)).count()
         }),
       ("tfidf_topterms", t.documents.count(),
@@ -79,7 +94,20 @@ object ScaleProbe {
         () => TextAnalysis.sequencePack(t.documents).count(),
         t.documents.count() * 10,
         () => TextAnalysis.sequencePack(
-          replicate(t.documents, 10, Some("doc_id"))).count()))
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      // round-4 rewrites: the zero-join pigeonhole SimHash and the
+      // two-phase quantile — both must hold rows/sec at 10×
+      ("dedup_simhash", t.documents.count(),
+        () => Dedup.simhashPairs(t.documents).count(),
+        t.documents.count() * 10,
+        () => Dedup.simhashPairs(replicateDocs(t.documents, 10)).count()),
+      ("value_quantiles", t.events.count(),
+        () => Gold.exactGroupQuantiles(t.events, "event_type", "value",
+          Seq(0.25, 0.5, 0.75), 2.0).count(),
+        t.events.count() * 10,
+        () => Gold.exactGroupQuantiles(
+          replicate(t.events, 10, Some("event_id")), "event_type",
+          "value", Seq(0.25, 0.5, 0.75), 2.0).count()))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())

@@ -126,6 +126,50 @@ object Gold {
         count(lit(1)).as("line_count"),
         sum(money(col("p_retailprice"))).cast("double").as("retail_value"))
 
+  /** Exact type-1 (discrete) per-group quantiles — value at rank
+    * ceil(p·n) — via TWO-PHASE selection rather than a per-group
+    * window sort (which serializes each group's entire volume into one
+    * task when the group key is low-cardinality):
+    *  1. value-bucket histogram: one parallel shuffle on
+    *     (group, bucket); cumulative counts over the tiny histogram
+    *     locate, per target rank, the containing bucket and in-bucket
+    *     offset k;
+    *  2. probe: broadcast-join the target buckets back and take the
+    *     k-th order statistic INSIDE single buckets only
+    *     (~n/buckets rows per task; shrink `bucketWidth` — or recurse
+    *     — as n grows).
+    * Rank-based, so engine parity needs no interpolation formula. */
+  def exactGroupQuantiles(df: DataFrame, groupCol: String,
+                          valueCol: String, ps: Seq[Double],
+                          bucketWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.select(col(groupCol), col(valueCol))
+      .withColumn("bucket",
+        floor(col(valueCol) / bucketWidth).cast("long"))
+    val hist = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol))))
+    val targets = cum
+      .select(col(groupCol), col("bucket"), col("cnt"), col("cum"),
+        col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("r", ceil(col("p") * col("n")))
+      .filter(col("cum") >= col("r") &&
+        col("cum") - col("cnt") < col("r"))
+      .select(col(groupCol), col("bucket"), col("p"),
+        (col("r") - (col("cum") - col("cnt"))).as("k"))
+    bucketed.join(broadcast(targets), Seq(groupCol, "bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol), col("p"))
+          .orderBy(col(valueCol))))
+      .filter(col("rn") === col("k"))
+      .select(col(groupCol), col("p"),
+        col(valueCol).as("quantile_value"))
+  }
+
   /** Orders × lineitem rollup by priority (count-distinct pattern from
     * the reference gold tables). */
   def orderPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =

@@ -219,7 +219,13 @@ object Pipeline {
                      stages: Seq[Stage], storageDir: String,
                      checkpoint: String, key: String, orderCol: String,
                      tieBreaker: String, maxFilesPerTrigger: Int = 3,
-                     timeoutMs: Long = 120000): RunResult = {
+                     timeoutMs: Long = 120000,
+                     /** >0: vacuum each stage table down to the last N
+                       * snapshots after the run — an incremental table
+                       * commits one version per micro-batch, so a
+                       * long-lived pipeline needs a retention policy
+                       * exactly like Delta's. History stays listable. */
+                     retainVersions: Int = 0): RunResult = {
     require(stages.nonEmpty, "pipeline needs at least one stage")
     require(stages.map(_.name).distinct.size == stages.size,
       "stage names must be unique")
@@ -235,6 +241,9 @@ object Pipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(timeoutMs)
+    if (retainVersions > 0)
+      stages.foreach(st =>
+        VersionedTable.vacuum(s"$storageDir/${st.name}", retainVersions))
     val tables = stages.map(st =>
       st.name -> VersionedTable.read(spark, s"$storageDir/${st.name}")).toMap
     RunResult(tables, incrementalEventLog(spark, storageDir))

@@ -173,6 +173,39 @@ object TextAnalysis {
         pmod(col("token_start"), lit(seqTokens)).as("seq_offset"))
   }
 
+  /** Deterministic global training-order shuffle: every doc gets a
+    * dense 0-based `shuffle_rank` in salted-content-hash order —
+    * reproducible across runs, partitionings and engines (unlike
+    * `df.orderBy(rand())`), decorrelated from the split/sample
+    * assignments by the salt. Global rank WITHOUT a global
+    * single-task sort: the hash's top bits bucket the order (bucket
+    * ranges are disjoint and ordered), per-bucket counts prefix-sum on
+    * a tiny frame, and within-bucket ranks run per bucket — the
+    * sequence_pack two-phase discipline applied to ordering. */
+  def corpusShuffle(documents: DataFrame, salt: String = "shuffle"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sha60 = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit(s"$salt:"), col("doc_id").cast("string")))))
+    // 60-bit hash → top 10 bits = 1024 ordered, disjoint rank buckets
+    val hashed = documents.select(col("doc_id"), sha60.as("h"))
+      .withColumn("bucket", shiftright(col("h"), 50))
+    val counts = hashed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("c")).over(wb), lit(0L)))
+    val wi = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    hashed.join(broadcast(offsets.select(col("bucket"), col("off"))),
+        "bucket")
+      .withColumn("shuffle_rank",
+        col("off") + row_number().over(wi).cast("long") - 1)
+      .select(col("doc_id"), col("shuffle_rank"))
+  }
+
   /** Corpus vocabulary: per-word document frequency and total
     * occurrences (vocab building / stopword discovery). One shuffle
     * on the word. */

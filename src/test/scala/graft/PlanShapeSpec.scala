@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Plan-SHAPE regression tests: the properties the 100 TB design
+  * depends on — filters/columns reaching the scan, dims broadcasting,
+  * partial aggregation before exchanges, top-k pruning before the
+  * window exchange, the absence of scale-killer sorts — asserted on
+  * the executed plan, so a refactor that silently degrades a plan
+  * fails CI rather than a cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet ingest pushes the filter and prunes to the projected columns") {
+    val p = plan(graft.sources.Ingest.parquetPruned(spark,
+      s"$sfDir/lineitem.parquet",
+      Seq("l_orderkey", "l_extendedprice", "l_shipdate"),
+      "l_shipdate >= timestamp'2000-01-01 00:00:00'"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate:timestamp"),
+      s"scan reads more than the projection:\n$p")
+  }
+
+  test("gold region sales broadcasts every dimension and pre-aggregates") {
+    val p = plan(Gold.regionSales(tables.lineitem, tables.orders,
+      tables.customer, tables.nation, tables.region))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dims not broadcast:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("rank_topk prunes per-partition top-k before the window exchange") {
+    val p = plan(Gold.rankTopK(tables.lineitem, tables.orders,
+      tables.customer, tables.nation, k = 3))
+    assert(p.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit — full sort per group:\n$p")
+  }
+
+  test("two-phase quantiles: histogram shuffle on (group, bucket), broadcast probe, no low-cardinality global sort") {
+    val p = plan(Gold.exactGroupQuantiles(tables.events, "event_type",
+      "value", Seq(0.25, 0.5, 0.75), 2.0))
+    assert(p.contains("BroadcastHashJoin"),
+      s"target buckets not broadcast:\n$p")
+    // the only exchanges may be on (event_type, bucket) / (event_type)
+    // over the TINY histogram, and (event_type, p) over probed-bucket
+    // rows — never a row_number window keyed on event_type alone over
+    // the full input
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window [row_number()") &&
+        l.contains("windowspecdefinition(event_type#") &&
+        !l.contains(" p#")),
+      s"row_number window partitioned on event_type alone:\n$p")
+  }
+
+  test("dedup signature pipelines run without persisted intermediates or extra corpus scans") {
+    val pm = plan(Dedup.minhashLsh(tables.documents))
+    // signature+banding feeds ONE aggregate; candidates come from
+    // in-bucket expansion, not a bucket self-join of two scans
+    assert(!pm.contains("InMemoryTableScan"),
+      s"minhashLsh still caches:\n$pm")
+    val ps = plan(Dedup.simhashPairs(tables.documents))
+    assert(!ps.contains("InMemoryTableScan"), s"simhash caches:\n$ps")
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("BroadcastHashJoin"),
+      s"simhash should verify inline with zero joins:\n$ps")
+  }
+
+  test("contamination check broadcasts the benchmark side only") {
+    val bench = tables.documents.filter(col("doc_id") % 20 === 0)
+    val p = plan(Dedup.contamination(tables.documents, bench))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must never cross-join:\n$p")
+  }
+
+  test("corpus shuffle ranks within buckets — no global single-partition sort") {
+    val p = plan(TextAnalysis.corpusShuffle(tables.documents))
+    // a global ORDER BY materializes as Exchange SinglePartition (or
+    // rangepartitioning(1)); the two-phase rank must not contain one
+    // outside the tiny per-bucket-count window
+    val lines = p.linesIterator.filter(_.contains("Exchange SinglePartition")).toSeq
+    // the only SinglePartition exchange allowed is the one over the
+    // 1024-row bucket-count frame (input to the offsets window)
+    assert(lines.size <= 1, s"unexpected global exchanges:\n$p")
+  }
+
+  test("asof join plans as one shuffle on the key — no range cross join") {
+    val quotes = tables.events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val trades = tables.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val p = plan(AsOf.asofJoin(trades, quotes, "user_id", "ts",
+      Seq("value")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join fell back to a cross join:\n$p")
+  }
+}

@@ -110,6 +110,17 @@ class PipelineSpec extends SparkSpec {
     val logSum = r2.eventLog.filter(col("constraint_name") === "user present")
       .agg(sum("passed_records"), sum("failed_records")).collect()(0)
     assert(logSum.getLong(0) == ev.count() && logSum.getLong(1) == 0L)
+    // retention: a catch-up run (no new files) with retainVersions=1
+    // vacuums old snapshots; history stays listable, latest readable
+    val r3 = Pipeline.runIncremental(spark, src, incSchema, incCols, stages,
+      store, ckpt, key = "user_id", orderCol = "ts", tieBreaker = "event_id",
+      retainVersions = 1)
+    assert(VersionedTable.versions(s"$store/silver").size == v2,
+      "vacuum must keep the commit history")
+    assert(r3.tables("silver").count() == r2.tables("silver").count())
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, s"$store/silver", Some(0)).count()
+    }
   }
 
   test("incremental curation over document batches matches the batch chain") {
