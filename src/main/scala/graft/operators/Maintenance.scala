@@ -61,6 +61,47 @@ object Maintenance {
     else floor(((c.cast("long") - lo) * lit(65535L)).cast("double") /
       (hi - lo)).cast("long")
 
+  /** 3-D Morton key: bits of three 16-bit coordinates interleaved
+    * 2 apart (the canonical 21-bit 3-way spread masks, of which we use
+    * the low 16) — each file becomes a compact BOX in (a, b, c) space,
+    * so range predicates prune on any of the three columns. Same pure
+    * codegen integer bit ops as [[mortonKey]]. */
+  def mortonKey3(a: Column, b: Column, c: Column): Column = {
+    def spread3(x: Column): Column = {
+      var v = x.bitwiseAND(lit(0x1FFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+      v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+      v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x1249249249249249L))
+    }
+    spread3(a).bitwiseOR(shiftleft(spread3(b), 1))
+      .bitwiseOR(shiftleft(spread3(c), 2))
+  }
+
+  /** `df` clustered along the 3-D Morton curve of (`colA`, `colB`,
+    * `colC`) into `numFiles` range partitions. */
+  def zOrderedFrame3(df: DataFrame, colA: String, colB: String,
+                     colC: String, numFiles: Int): DataFrame = {
+    val mm = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long"),
+      min(col(colC)).cast("long"), max(col(colC)).cast("long")).head()
+    df.withColumn("__z", mortonKey3(
+        normalize16(col(colA), mm.getLong(0), mm.getLong(1)),
+        normalize16(col(colB), mm.getLong(2), mm.getLong(3)),
+        normalize16(col(colC), mm.getLong(4), mm.getLong(5))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** 3-D Z-ordered write: [[zOrderedFrame3]] to parquet. */
+  def writeZOrdered3(df: DataFrame, path: String, colA: String,
+                     colB: String, colC: String, numFiles: Int): Unit =
+    zOrderedFrame3(df, colA, colB, colC, numFiles)
+      .write.mode("overwrite").parquet(path)
+
   /** `df` clustered along the Morton curve of (`colA`, `colB`) into
     * `numFiles` range partitions. One cheap min/max aggregate + one
     * range shuffle, exactly like [[clusteredFrame]]. */

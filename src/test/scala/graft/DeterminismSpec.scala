@@ -47,6 +47,10 @@ class DeterminismSpec extends SparkSpec {
     "pii_scrub", "corpus_sample", "sequence_pack", "heavy_hitters",
     "cube_pricing", "customer_value_tiles", "ngram_containment",
     "value_outliers", "event_resample", "conversion_funnel",
-    "curation_pipeline", "asof_join_tolerance"))
+    "curation_pipeline", "asof_join_tolerance",
+    // round-4: two-phase ranks, grouping sets, zone-map reads and the
+    // real PNG decode must hold under any fan-out too
+    "corpus_shuffle", "grouping_sets_pricing", "window_analytics",
+    "zonemap_pruned_read", "multimodal_meta", "rescue_repair"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -39,4 +39,26 @@ class GoldSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") &&
       plan.contains("l_shipdate"), s"no pushdown in plan:\n$plan")
   }
+
+  test("exact two-phase quantiles agree with percentile_approx within tolerance") {
+    // the single-pass sketch (percentile_approx, accuracy 10k) is the
+    // cheap companion when exactness isn't required; it must land
+    // within a tight value band of the exact two-phase rank selection
+    val exact = Gold.exactGroupQuantiles(tables.events, "event_type",
+        "value", Seq(0.25, 0.5, 0.75), 2.0)
+      .withColumnRenamed("quantile_value", "exact_v")
+    val approx = tables.events.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("vs"))
+      .select(col("event_type"), posexplode(col("vs")).as(Seq("i", "approx_v")))
+      .withColumn("p", element_at(array(lit(0.25), lit(0.5), lit(0.75)),
+        col("i") + 1)).drop("i")
+    val joined = exact.join(approx, Seq("event_type", "p")).collect()
+    assert(joined.length == 15)
+    joined.foreach { r =>
+      val (e, a) = (r.getAs[Double]("exact_v"), r.getAs[Double]("approx_v"))
+      assert(math.abs(e - a) <= math.max(1.0, e.abs * 0.02),
+        s"approx $a too far from exact $e at ${r.getAs[String]("event_type")}/${r.getAs[Double]("p")}")
+    }
+  }
 }

@@ -196,6 +196,36 @@ class QualityIngestSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count() == li.count())
   }
 
+  test("3-D z-order keeps the SECOND and THIRD dimensions prunable") {
+    val zdir = Files.createTempDirectory("graft_z3").toFile.getPath
+    val ldir = Files.createTempDirectory("graft_lin3").toFile.getPath
+    val li = tables.lineitem
+    Maintenance.writeZOrdered3(li, zdir, "l_orderkey", "l_partkey",
+      "l_suppkey", numFiles = 16)
+    Maintenance.writeClustered(li, ldir,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 16)
+    // narrow box on the THIRD coordinate only — the orderkey-major
+    // linear sort cannot prune it at all
+    val mm = li.agg(min(col("l_suppkey")).cast("long"),
+      max(col("l_suppkey")).cast("long")).head
+    val (sLo, sHi) = (mm.getLong(0), mm.getLong(1))
+    val (qLo, qHi) = (sLo + (sHi - sLo) * 7 / 16, sLo + (sHi - sLo) * 9 / 16)
+    def overlapping(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val d = spark.read.parquet(f.getPath)
+            .agg(min(col("l_suppkey")).cast("long"),
+              max(col("l_suppkey")).cast("long")).head
+          !(d.getLong(1) < qLo || d.getLong(0) > qHi)
+        }
+    val (z, l) = (overlapping(zdir), overlapping(ldir))
+    assert(l == 16, s"linear layout should span the box in all files, got $l")
+    assert(z < l, s"3-D z-order ($z files) must beat linear ($l)")
+    // content survives the 3-D curve layout
+    assert(spark.read.parquet(zdir).exceptAll(li).isEmpty)
+    assert(li.exceptAll(spark.read.parquet(zdir)).isEmpty)
+  }
+
   test("zone map skips files a clustered range read cannot match") {
     val dir = Files.createTempDirectory("graft_zm").toFile.getPath
     Maintenance.writeClustered(tables.events
