@@ -64,7 +64,16 @@ object Queries {
       Pipeline.Stage("bronze_events", identity,
         Seq(Expectation("user present", "user_id is not null"))),
       Pipeline.Stage("silver_events", identity,
-        Expectations.EventSuite, Pipeline.OnViolation.DropRows))
+        Expectations.EventSuite, Pipeline.OnViolation.DropRows),
+      // COMPLETE-mode gold (DLT aggregate LIVE TABLE): recomputed from
+      // the merged silver table each micro-batch — aggregates can't be
+      // row-merged, so the final snapshot wins
+      Pipeline.Stage("gold_event_counts",
+        df => df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).cast("double")
+              .as("total_value")),
+        recompute = true))
     Pipeline.runIncremental(s, src, schema,
       payloadCols = Seq("event_id", "ts", "user_id", "event_type", "value"),
       stages = stages, storageDir = store, checkpoint = ckpt,
@@ -1350,6 +1359,28 @@ object Queries {
           silverPreds.map { case (n, p) => cnt(1, "silver_events", n, p) })
           .mkString("\nUNION ALL\n")
       }),
+
+    Q("pipeline_incremental_gold",
+      (s, d) => withShufflePartitions(s, 8) {
+        // the COMPLETE-mode table of the mixed graph: gold recomputed
+        // from merged silver per micro-batch; after the final batch it
+        // equals the aggregate over the batch-split-independent silver
+        runIncPipeline(s, d, "pincg").tables("gold_event_counts")
+      },
+      Some("""
+        WITH silver AS (
+          SELECT event_type, value FROM (
+            SELECT event_type, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts) DESC, event_id DESC) as rn
+            FROM events
+            WHERE value >= 0 AND value <= 400
+              AND event_type in ('click','view','purchase','signup','error')
+              AND event_type <> 'error' AND user_id is not null)
+          WHERE rn = 1)
+        SELECT event_type, count(*) as n_events,
+          cast(sum(cast(value as decimal(12,2))) as double) as total_value
+        FROM silver GROUP BY 1""")),
 
     Q("rescue_repair",
       (s, d) => {

@@ -41,7 +41,14 @@ object Pipeline {
       * merges on the content hash keeping the smallest id (orderCol =
       * a negated id), while the rest of the graph merges on the
       * entity key by recency. */
-    merge: Option[(String, String, String)] = None)
+    merge: Option[(String, String, String)] = None,
+    /** incremental runs only: COMPLETE-mode stage (a DLT aggregate
+      * LIVE TABLE next to INCREMENTAL ones) — the transform runs over
+      * the PREVIOUS stage's full merged table each micro-batch and the
+      * result replaces the stage table (a new full-snapshot version),
+      * instead of merging batch rows. The right mode for gold
+      * aggregates, whose groups can't be row-merged. */
+    recompute: Boolean = false)
 
   final case class RunResult(
     /** stage name → its materialized table (latest version) */
@@ -159,13 +166,23 @@ object Pipeline {
                       (batch: DataFrame, batchId: Long): Unit = {
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var cur = batch
+    var prevPath: Option[String] = None
     stages.zipWithIndex.foreach { case (st, i) =>
       val path = s"$storageDir/${st.name}"
       val marker = s"PIPELINE_INC[${st.name},batch=$batchId]"
+      // COMPLETE-mode stages read the upstream MERGED table (which
+      // already contains this batch — it committed earlier in this
+      // loop); incremental stages consume the batch flow
+      val input =
+        if (st.recompute) {
+          require(prevPath.nonEmpty,
+            s"recompute stage ${st.name} needs an upstream stage")
+          VersionedTable.read(spark, prevPath.get)
+        } else cur
       // each stage takes up to two actions over its candidate (metrics
       // scan + versioned merge) and feeds the next stage — persist
       // until the whole batch chain has committed
-      val candidate = st.transform(cur)
+      val candidate = st.transform(input)
       if (st.expectations.nonEmpty) {
         candidate.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -196,16 +213,21 @@ object Pipeline {
               .SeqHasAsJava(logRows.toSeq).asJava), IncEventLogSchema)
             .write.mode("append").parquet(incLogDir(storageDir))
         }
-        val (k, o, t) = st.merge.getOrElse((key, orderCol, tieBreaker))
-        val deduped = Medallion.dedupLatest(out, k, o, t)
-        if (VersionedTable.versions(path).isEmpty)
-          VersionedTable.write(deduped, path, operation = marker)
-        else
-          VersionedTable.upsertLatest(spark, path, deduped, k, o, t,
-            operation = marker)
+        if (st.recompute)
+          VersionedTable.write(out, path, operation = marker)
+        else {
+          val (k, o, t) = st.merge.getOrElse((key, orderCol, tieBreaker))
+          val deduped = Medallion.dedupLatest(out, k, o, t)
+          if (VersionedTable.versions(path).isEmpty)
+            VersionedTable.write(deduped, path, operation = marker)
+          else
+            VersionedTable.upsertLatest(spark, path, deduped, k, o, t,
+              operation = marker)
+        }
         ()
       }
       cur = out
+      prevPath = Some(path)
     }
     persisted.foreach(_.unpersist())
   }

@@ -84,7 +84,11 @@ class PipelineSpec extends SparkSpec {
         Seq(Expectation("user present", "user_id is not null"))),
       Pipeline.Stage("silver", identity,
         Seq(Expectation("value sane", "value <= 400")),
-        Pipeline.OnViolation.DropRows))
+        Pipeline.OnViolation.DropRows),
+      // COMPLETE-mode gold recomputed from merged silver per batch
+      Pipeline.Stage("gold",
+        df => df.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+        recompute = true))
     val ev = tables.events.select(incCols.map(col): _*)
     // run 1: first half of the events, several files
     ev.filter(col("event_id") % 2 === 0).repartition(4)
@@ -106,6 +110,14 @@ class PipelineSpec extends SparkSpec {
       ev.filter(col("value") <= 400), "user_id", "ts", "event_id")
     assert(r2.tables("silver").exceptAll(expected).count() == 0)
     assert(expected.exceptAll(r2.tables("silver")).count() == 0)
+    // COMPLETE-mode gold = aggregate over final silver, one
+    // full-snapshot version per processed batch
+    val goldExpected = expected.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(r2.tables("gold").exceptAll(goldExpected).isEmpty &&
+      goldExpected.exceptAll(r2.tables("gold")).isEmpty)
+    assert(VersionedTable.versions(s"$store/gold").size ==
+      VersionedTable.versions(s"$store/silver").size)
     // the per-batch event log sums to the global audit
     val logSum = r2.eventLog.filter(col("constraint_name") === "user present")
       .agg(sum("passed_records"), sum("failed_records")).collect()(0)
