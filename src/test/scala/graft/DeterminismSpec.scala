@@ -51,6 +51,10 @@ class DeterminismSpec extends SparkSpec {
     // round-4: two-phase ranks, grouping sets, zone-map reads and the
     // real PNG decode must hold under any fan-out too
     "corpus_shuffle", "grouping_sets_pricing", "window_analytics",
-    "zonemap_pruned_read", "multimodal_meta", "rescue_repair"))
+    "zonemap_pruned_read", "multimodal_meta", "rescue_repair",
+    // round-4 second wave: bloom pruning (filter may pass different
+    // false positives per layout — the JOIN result must not change),
+    // SQL-native session windows, explicit window frames
+    "bloom_pruned_join", "session_window_agg", "window_frames"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

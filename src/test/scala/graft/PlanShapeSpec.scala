@@ -89,6 +89,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(lines.size <= 1, s"unexpected global exchanges:\n$p")
   }
 
+  test("bloom probe filters the fact side BELOW its shuffle exchange") {
+    // force the shuffle path (at spec scale the dim would broadcast,
+    // and a broadcast join has no fact-side exchange to protect)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val urgent = tables.orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val p = plan(RuntimeFilter.bloomPrunedJoin(
+        tables.lineitem.select("l_orderkey", "l_quantity"), "l_orderkey",
+        urgent, "o_orderkey", expectedItems = 1 << 16))
+      assert(p.contains("graft_bloom_contains"), s"no bloom probe:\n$p")
+      // tree prints top-down: the probe Filter must appear after
+      // (i.e. beneath) the first Exchange — shuffled rows are the
+      // already-pruned ones
+      assert(p.indexOf("Exchange") >= 0 &&
+        p.indexOf("Exchange") < p.indexOf("graft_bloom_contains"),
+        s"bloom probe not beneath the exchange:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("asof join plans as one shuffle on the key — no range cross join") {
     val quotes = tables.events.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("value"))
