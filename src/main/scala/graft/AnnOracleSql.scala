@@ -148,6 +148,21 @@ object AnnOracleSql {
        SELECT id_a, id_b, cluster, cosine FROM pairs
        WHERE cosine >= $threshold"""
 
+  /** SemDeDup-style keep flags (mirrors Dedup.semdedupKeep): a vector
+    * is dropped iff it has a lower-id same-cluster neighbor at
+    * cosine ≥ threshold. */
+  def semdedupKeepSql(threshold: Double, nlist: Int, iters: Int,
+                      sampleMod: Int): String =
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleMod)},
+       dropped AS (
+         SELECT DISTINCT b.neighbor_id as vec_id
+         FROM tagged a JOIN tagged b
+           ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+         WHERE ${cosine("a.emb", "b.emb")} >= $threshold)
+       SELECT t.neighbor_id as vec_id, cast(t.cluster as int) as cluster,
+         d.vec_id IS NULL as kept
+       FROM tagged t LEFT JOIN dropped d ON d.vec_id = t.neighbor_id"""
+
   def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
              queryPred: String): String =
     s"""WITH $EmbCte, ${sigCtes(dim, bits, tables)}, ${lshTopkCtes(k, queryPred)}

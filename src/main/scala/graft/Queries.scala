@@ -368,6 +368,15 @@ object Queries {
       Some(AnnOracleSql.embeddingDedupSql(threshold = 0.35, nlist = 16,
         iters = 3, sampleMod = 5))),
 
+    Q("semdedup_keep",
+      // SemDeDup-style semantic pruning: frozen-quantizer clusters +
+      // greedy keep-first within each cell; every vector emitted with
+      // its kept flag so the pruned fraction is auditable
+      (s, d) => Dedup.semdedupKeep(Tables(s, d).embeddings,
+        threshold = 0.35, cacheKey = Some(d)),
+      Some(AnnOracleSql.semdedupKeepSql(threshold = 0.35, nlist = 16,
+        iters = 3, sampleMod = 5))),
+
     // ---------- H. LLM-pipeline: similarity search ----------
     Q("ann_bruteforce",
       (s, d) => {
@@ -571,6 +580,26 @@ object Queries {
         SELECT * FROM documents
         WHERE ${TextOracleSql.Sha60.format("'sample:' || doc_id")} % 100 <
           CASE WHEN lang = 'en' THEN 50 ELSE 10 END""")),
+
+    Q("paragraph_dedup",
+      // C4-style corpus-level boilerplate removal: chunks repeating
+      // beyond maxFreq across the corpus are stripped from every doc
+      (s, d) => CorpusClean.paragraphDedup(Tables(s, d).documents,
+        chunkTokens = 20, maxFreq = 1),
+      Some(TextOracleSql.paragraphDedupSql(chunkTokens = 20, maxFreq = 1))),
+
+    Q("intradoc_dedup",
+      (s, d) => CorpusClean.intraDocDedup(Tables(s, d).documents,
+        chunkTokens = 5),
+      Some(TextOracleSql.intraDocDedupSql(chunkTokens = 5))),
+
+    Q("quality_classifier",
+      (s, d) => TextAnalysis.qualityClassifier(Tables(s, d).documents),
+      Some(TextOracleSql.qualityClassifierSql(bias = 0L))),
+
+    Q("domain_mix",
+      (s, d) => TextAnalysis.domainMix(Tables(s, d).documents),
+      Some(TextOracleSql.domainMixSql(budgetPpm = 500000L, salt = "mix"))),
 
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,

@@ -201,4 +201,91 @@ object TextOracleSql {
           ELSE [list_min(hashes)] END as mins
       FROM hs)
     SELECT doc_id, unnest(list_distinct(mins)) as fingerprint FROM wins"""
+
+  /** `docs` + `ch(doc_id, chunks)` with fixed-width token chunks
+    * (mirrors CorpusClean.chunked). */
+  private def chunkCtes(chunkTokens: Int): String = s"""
+    docs AS (SELECT doc_id, string_split(text, ' ') as toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+        list_transform(range((len(toks) + ${chunkTokens - 1}) // $chunkTokens),
+          i -> array_to_string(
+                 toks[i*$chunkTokens+1 : i*$chunkTokens+$chunkTokens], ' '))
+          as chunks
+      FROM docs)"""
+
+  /** C4-style corpus-level paragraph dedup (mirrors
+    * CorpusClean.paragraphDedup). */
+  def paragraphDedupSql(chunkTokens: Int, maxFreq: Long): String = s"""
+    WITH ${chunkCtes(chunkTokens)},
+    ex AS (SELECT doc_id, generate_subscripts(chunks, 1) as chunk_id,
+             unnest(chunks) as chunk FROM ch),
+    freq AS (SELECT ${sha60("chunk")} as h, count(*) as n FROM ex GROUP BY 1),
+    banned AS (SELECT h FROM freq WHERE n > $maxFreq),
+    kept AS (SELECT doc_id, chunk_id, chunk FROM ex
+             WHERE ${sha60("chunk")} NOT IN (SELECT h FROM banned)),
+    agg AS (SELECT doc_id,
+              string_agg(chunk, ' ' ORDER BY chunk_id) as text_clean,
+              count(*) as n_kept
+            FROM kept GROUP BY 1)
+    SELECT c.doc_id, coalesce(a.text_clean, '') as text_clean,
+      cast(len(c.chunks) as bigint) as n_chunks,
+      cast(coalesce(a.n_kept, 0) as bigint) as n_chunks_kept
+    FROM ch c LEFT JOIN agg a USING (doc_id)"""
+
+  /** Intra-document duplicate-chunk removal (mirrors
+    * CorpusClean.intraDocDedup). */
+  def intraDocDedupSql(chunkTokens: Int): String = s"""
+    WITH ${chunkCtes(chunkTokens)},
+    ex AS (SELECT doc_id, generate_subscripts(chunks, 1) as chunk_id,
+             unnest(chunks) as chunk FROM ch),
+    firsts AS (
+      SELECT doc_id, chunk_id, chunk,
+        row_number() OVER (PARTITION BY doc_id, chunk ORDER BY chunk_id) as rn
+      FROM ex),
+    agg AS (SELECT doc_id,
+              string_agg(chunk, ' ' ORDER BY chunk_id) as text_clean,
+              count(*) as n_kept
+            FROM firsts WHERE rn = 1 GROUP BY 1)
+    SELECT c.doc_id, a.text_clean,
+      cast(len(c.chunks) as bigint) as n_chunks,
+      cast(a.n_kept as bigint) as n_chunks_kept
+    FROM ch c JOIN agg a USING (doc_id)"""
+
+  /** Hashed-token linear classifier (mirrors
+    * TextAnalysis.qualityClassifier): integer weight sum, one final
+    * IEEE division. */
+  def qualityClassifierSql(bias: Long): String = s"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') as toks
+                  FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) as t FROM toks),
+    w AS (SELECT doc_id,
+            cast($bias + sum((${sha60("t")} % 2001) - 1000) as bigint)
+              as score_raw
+          FROM ex GROUP BY 1)
+    SELECT k.doc_id, cast(len(k.toks) as bigint) as n_tokens, w.score_raw,
+      cast(w.score_raw as double) / (len(k.toks) * 1000.0) as clf_score,
+      (cast(w.score_raw as double) / (len(k.toks) * 1000.0)) > 0.0 as clf_keep
+    FROM toks k JOIN w USING (doc_id)"""
+
+  /** Temperature (α = 0.5) domain mixture sampling (mirrors
+    * TextAnalysis.domainMix): integer weights via floor∘sqrt, one
+    * fixed chain of exactly-rounded double ops for the rate. */
+  def domainMixSql(budgetPpm: Long, salt: String): String = s"""
+    WITH sz AS (SELECT source,
+                  cast(sum(len(string_split(text, ' '))) as bigint) as m
+                FROM documents GROUP BY 1),
+    ws AS (SELECT source, m,
+             cast(floor(sqrt(cast(m as double))) as bigint) as w FROM sz),
+    tot AS (SELECT cast(sum(m) as bigint) as t,
+              cast(sum(w) as bigint) as wsum FROM ws),
+    rates AS (SELECT source,
+        cast(floor(least(1.0,
+               $budgetPpm * 1.0 / 1000000.0 * t * w / (wsum * m))
+             * 1000000.0) as bigint) as mix_rate_ppm
+      FROM ws, tot)
+    SELECT d.doc_id, d.source, r.mix_rate_ppm
+    FROM documents d JOIN rates r USING (source)
+    WHERE ${sha60(s"'$salt:' || cast(doc_id as varchar)")} % 1000000
+            < r.mix_rate_ppm"""
 }

@@ -300,4 +300,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic pruning: cluster embeddings with the
+    * frozen IVF coarse quantizer, then within each cluster drop any
+    * vector that has a lower-id neighbor above the cosine threshold
+    * (greedy keep-first — the deterministic variant of SemDeDup's
+    * per-cluster pruning). Returns EVERY vector with its cluster and
+    * a `kept` flag, so downstream can either filter or audit the
+    * pruned fraction.
+    *
+    * Scale shape: the pair comparison is the quantizer-blocked
+    * intra-cell join from [[embeddingNearDupQuantized]] (work
+    * ∝ Σ cell², never n²); the dropped-id set is a minority of the
+    * corpus by construction, joined back on vec_id. */
+  def semdedupKeep(embeddings: DataFrame, threshold: Double = 0.35,
+                   nlist: Int = 16, iters: Int = 3, sampleMod: Int = 5,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val cents = Similarity.trainCentroids(embeddings, nlist, iters,
+      sampleMod, cacheKey)
+    val tagged = embeddings.select(col("vec_id"),
+      Similarity.clusterOf(col("embedding"), cents).as("cluster"))
+    val dropped = embeddingNearDupQuantized(embeddings, threshold, nlist,
+      iters, sampleMod, cacheKey)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    tagged.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("is_dropped").isNull.as("kept"))
+  }
 }

@@ -362,4 +362,71 @@ object TextAnalysis {
     documents.select(col("doc_id"),
       explode(array_distinct(mins)).as("fingerprint"))
   }
+
+  /** fastText-style linear quality classifier over hashed tokens:
+    * each token hashes to an integer weight in [-1000, 1000] (a
+    * deterministic stand-in for trained embedding-bag weights — in
+    * production the hash indexes a broadcast weight table learned
+    * offline; the pipeline shape is identical), the document score is
+    * the mean weight. The raw score is an INTEGER sum, so it is
+    * order-independent and bit-reproducible across engines — the only
+    * IEEE step is one final division. Map-only: no shuffle, scan
+    * speed at 100 TB. */
+  def qualityClassifier(documents: DataFrame, bias: Long = 0L): DataFrame = {
+    val sha60 = (c: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    documents
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("toks"), t => pmod(sha60(t), lit(2001L)) - lit(1000L)),
+          lit(bias), (acc, x) => acc + x).as("score_raw"))
+      .withColumn("clf_score",
+        col("score_raw").cast("double") / (col("n_tokens") * lit(1000.0)))
+      .withColumn("clf_keep", col("clf_score") > lit(0.0))
+  }
+
+  /** Temperature-based domain mixture sampling: each source's keep
+    * rate follows w_s ∝ sqrt(m_s) (temperature α = 0.5 over token
+    * mass m_s — upsamples small domains, downsamples dominant ones),
+    * scaled so the expected kept token mass is `budgetPpm` ppm of the
+    * corpus and capped at 1. Membership is a pure salted-hash
+    * function of doc_id — reproducible across runs, partitionings and
+    * engines.
+    *
+    * Determinism across engines: weights are floor(sqrt(m)) INTEGERS
+    * (sqrt is correctly rounded in IEEE — unlike pow — so identical
+    * everywhere), all sums are integer sums, and the rate is a fixed
+    * left-to-right chain of exactly-rounded double ops replicated
+    * verbatim in the oracle.
+    *
+    * Scale shape: per-source token masses are one tiny partial-agg
+    * shuffle (|sources| rows); rates broadcast back; the keep test is
+    * map-side. */
+  def domainMix(documents: DataFrame, budgetPpm: Long = 500000L,
+                salt: String = "mix"): DataFrame = {
+    require(budgetPpm >= 0 && budgetPpm <= 1000000L,
+      "budgetPpm is parts-per-million of the corpus token mass")
+    val sha60 = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit(s"$salt:"), col("doc_id").cast("string")))))
+    val masses = documents
+      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("m"))
+      .withColumn("w", floor(sqrt(col("m").cast("double"))).cast("long"))
+    val totals = masses.agg(sum(col("m")).as("t"), sum(col("w")).as("wsum"))
+    val rates = masses.crossJoin(broadcast(totals))
+      .select(col("source"),
+        floor(least(lit(1.0),
+          lit(budgetPpm) * lit(1.0) / lit(1000000.0) * col("t") * col("w") /
+            (col("wsum") * col("m"))) * lit(1000000.0))
+          .cast("long").as("mix_rate_ppm"))
+    documents
+      .join(broadcast(rates), "source")
+      .filter(pmod(sha60, lit(1000000L)) < col("mix_rate_ppm"))
+      .select(col("doc_id"), col("source"), col("mix_rate_ppm"))
+  }
 }

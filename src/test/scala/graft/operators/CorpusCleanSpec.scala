@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusCleanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("chunked splits into fixed-width token chunks, short tail kept") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val out = CorpusClean.chunked(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "d e f", "g"))
+    assert(out(2L) == Seq("x y"))
+  }
+
+  test("chunk reassembly round-trips the original text") {
+    val out = CorpusClean.intraDocDedup(tables.documents, chunkTokens = 7)
+      .join(tables.documents, "doc_id")
+      .filter(col("n_chunks") === col("n_chunks_kept") &&
+        col("text_clean") =!= col("text"))
+    // no natural intra-doc chunk repeats in this corpus → text_clean
+    // must equal text for every fully-kept doc
+    assert(out.count() == 0)
+  }
+
+  test("paragraphDedup strips corpus-repeated chunks from every doc") {
+    val docs = Seq(
+      (1L, "common header tokens here unique body one two three"),
+      (2L, "common header tokens here another body four five six"),
+      (3L, "totally different text with no shared paragraph at all"))
+      .toDF("doc_id", "text")
+    val out = CorpusClean.paragraphDedup(docs, chunkTokens = 4, maxFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the 4-token chunk "common header tokens here" occurs in docs 1+2
+    assert(out(1L)._1 == "unique body one two three")
+    assert(out(2L)._1 == "another body four five six")
+    assert(out(3L)._1 == "totally different text with no shared paragraph at all")
+    assert(out(1L)._2 == 3 && out(1L)._3 == 2)
+  }
+
+  test("paragraphDedup keeps a doc row even when every chunk is banned") {
+    val docs = Seq(
+      (1L, "all banned text"), (2L, "all banned text"))
+      .toDF("doc_id", "text")
+    val out = CorpusClean.paragraphDedup(docs, chunkTokens = 3, maxFreq = 1)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getString(1) == "" && r.getLong(3) == 0L))
+  }
+
+  test("intraDocDedup keeps first occurrence, preserves order") {
+    val docs = Seq(
+      (1L, "a b a b c d a b"), // chunks of 2: [a b][a b][c d][a b]
+      (2L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = CorpusClean.intraDocDedup(docs, chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("a b c d", 4L, 2L)))
+    assert(out(2L) == (("x y z w", 2L, 2L)))
+  }
+
+  test("paragraphDedup affects the near-dup families in the test corpus") {
+    val out = CorpusClean.paragraphDedup(tables.documents,
+      chunkTokens = 20, maxFreq = 1)
+    assert(out.filter(col("n_chunks_kept") < col("n_chunks")).count() > 0)
+  }
+}

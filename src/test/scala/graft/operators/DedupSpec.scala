@@ -118,4 +118,18 @@ class DedupSpec extends SparkSpec {
         r.getAs[Double]("containment_b") <= 1.0)
     }
   }
+
+  test("semdedupKeep: drops exactly the ids with a lower-id in-cell neighbor") {
+    val out = Dedup.semdedupKeep(tables.embeddings, threshold = 0.35)
+    val pairs = Dedup.embeddingNearDupQuantized(tables.embeddings,
+      threshold = 0.35)
+    val expectDropped = pairs.select(col("id_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dropped = out.filter(!col("kept"))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped == expectDropped)
+    // every vector appears exactly once, cluster carried through
+    assert(out.count() == tables.embeddings.count())
+    assert(out.select("vec_id").distinct().count() == out.count())
+  }
 }

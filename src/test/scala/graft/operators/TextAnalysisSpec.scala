@@ -173,4 +173,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.groupBy("doc_id").count().collect()
       .forall(_.getAs[Long]("count") <= 2))
   }
+
+  test("qualityClassifier: integer raw score, mean-weight bounds, stable") {
+    val out = TextAnalysis.qualityClassifier(tables.documents)
+    val rows = out.collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val raw = r.getAs[Long]("score_raw")
+      val score = r.getAs[Double]("clf_score")
+      // each token contributes a weight in [-1000, 1000]
+      assert(math.abs(raw) <= n * 1000L)
+      assert(score == raw.toDouble / (n * 1000.0))
+      assert(r.getAs[Boolean]("clf_keep") == (score > 0.0))
+    }
+    // deterministic across runs
+    val again = TextAnalysis.qualityClassifier(tables.documents).collect()
+    assert(rows.map(_.getAs[Long]("score_raw")).sorted.toSeq ==
+      again.map(_.getAs[Long]("score_raw")).sorted.toSeq)
+  }
+
+  test("domainMix: rates upsample small domains, budget approximately held") {
+    import spark.implicits._
+    // skewed corpus: big source has 9× the token mass of small
+    val docs = (0L until 200L).map { i =>
+      val src = if (i < 180) "big" else "small"
+      (i, Seq.fill(10)(s"w$i").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.domainMix(docs, budgetPpm = 500000L)
+    val rates = out.select("source", "mix_rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt temperature: small domain's keep RATE must exceed big's
+    assert(rates("small") > rates("big"))
+    // rates are valid probabilities in ppm
+    assert(rates.values.forall(r => r >= 0 && r <= 1000000L))
+    // deterministic membership: same call → same kept set
+    val again = TextAnalysis.domainMix(docs, budgetPpm = 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == again)
+  }
+
+  test("domainMix: full budget on a single-source corpus keeps everything") {
+    // with one source the rate is exactly T·w/(W·m) = 1 — temperature
+    // has nothing to redistribute; on a MULTI-source corpus a full
+    // budget still downsamples dominant domains (that is the point)
+    val docs = tables.documents.withColumn("source", lit("only"))
+    val out = TextAnalysis.domainMix(docs, budgetPpm = 1000000L)
+    assert(out.count() == tables.documents.count())
+    assert(out.select("mix_rate_ppm").distinct().collect()
+      .head.getLong(0) == 1000000L)
+  }
 }
