@@ -306,6 +306,22 @@ object Queries {
         bands = 16, threshold = 0.5)),
       headline = true),
 
+    Q("dedup_incremental",
+      // nightly-dedup lifecycle: a signature-only index built from the
+      // base corpus (80%), then the new batch (20%) deduped against it
+      // by index probe + MinHash-estimated Jaccard — base TEXT is
+      // never re-read, the delta broadcasts
+      (s, d) => {
+        val sf = new java.io.File(d).getName
+        val dir = s"/tmp/graft_cache/lshidx_$sf"
+        val docs = Tables(s, d).documents
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 10 < 8), dir)
+        Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 10 >= 8), dir,
+          threshold = 0.5)
+      },
+      Some(TextOracleSql.incrementalDedupSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5, basePred = "doc_id % 10 < 8"))),
+
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
       Some(TextOracleSql.simhashSql(maxHamming = 3))),

@@ -43,7 +43,9 @@ object TextOracleSql {
     * `jac(id_a, id_b, jaccard)`. Mirrors Dedup.minhashLsh: xor-mask-
     * multiply-shift mix per permutation, 31-bit multiply-accumulate
     * band fold, token-set Jaccard on candidates only. */
-  private def lshPairCtes(numPerm: Int, bands: Int): String = {
+  /** MinHash signature + band CTEs `shx, hs, minv, sigl, bands`
+    * shared by the pairwise and incremental dedup oracles. */
+  private def sigBandCtes(numPerm: Int, bands: Int): String = {
     val r = numPerm / bands
     s"""
     shx AS (SELECT doc_id, unnest(list_distinct(shingles)) as s FROM sh),
@@ -59,7 +61,12 @@ object TextOracleSql {
         list_reduce(list_prepend(0, sig[j.j*$r+1 : j.j*$r+$r]),
           (acc, v) -> (acc * 2654435761 + (v & 2147483647)) % 2147483648)
           as band_hash
-      FROM sigl, (SELECT unnest(range($bands)) as j) j),
+      FROM sigl, (SELECT unnest(range($bands)) as j) j)"""
+  }
+
+  private def lshPairCtes(numPerm: Int, bands: Int): String = {
+    s"""
+    ${sigBandCtes(numPerm, bands)},
     cand AS (
       SELECT a.doc_id as id_a, b.doc_id as id_b
       FROM bands a JOIN bands b
@@ -288,4 +295,30 @@ object TextOracleSql {
     FROM documents d JOIN rates r USING (source)
     WHERE ${sha60(s"'$salt:' || cast(doc_id as varchar)")} % 1000000
             < r.mix_rate_ppm"""
+
+  /** Incremental index dedup (mirrors Dedup.dedupAgainstIndex over a
+    * Dedup.buildLshIndex of the `basePred` subset): delta docs that
+    * share an LSH bucket with an indexed base doc, verified by
+    * MinHash-ESTIMATED Jaccard (equal-component fraction) — the index
+    * stores signatures only, never base text. */
+  def incrementalDedupSql(shingleK: Int, numPerm: Int, bands: Int,
+                          threshold: Double, basePred: String): String = s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${sigBandCtes(numPerm, bands)},
+    cand AS (
+      SELECT b.doc_id as base_id, d.doc_id as delta_id
+      FROM bands b JOIN bands d
+        ON b.band_id = d.band_id AND b.band_hash = d.band_hash
+      WHERE (b.$basePred) AND NOT (d.$basePred)
+      GROUP BY 1, 2),
+    est AS (
+      SELECT base_id, delta_id,
+        cast(len(list_filter(range($numPerm),
+               i -> sa.sig[i+1] = sb.sig[i+1])) as double) / $numPerm
+          as est_jaccard
+      FROM cand
+        JOIN sigl sa ON sa.doc_id = base_id
+        JOIN sigl sb ON sb.doc_id = delta_id)
+    SELECT base_id, delta_id, est_jaccard FROM est
+    WHERE est_jaccard >= $threshold"""
 }

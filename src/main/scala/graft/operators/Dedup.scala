@@ -327,4 +327,67 @@ object Dedup {
     tagged.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("is_dropped").isNull.as("kept"))
   }
+
+  // ---------- incremental MinHash index ----------
+
+  /** Build a persisted MinHash dedup index under `dir`: `sigs`
+    * (doc_id, sig) and `bands` (doc_id, band_id, band_hash). The
+    * corpus is signed ONCE (bands derive from the written signatures,
+    * not a second text scan). An index holds 8·numPerm bytes + 16
+    * band rows per doc — ~0.5 KB/doc regardless of document size, so
+    * the nightly-dedup working set is signatures, never corpus text.
+    * At cluster scale, bucket `bands` on band_hash
+    * ([[Maintenance.writeBucketed]]) so steady-state probes shuffle
+    * only the delta. */
+  def buildLshIndex(documents: DataFrame, dir: String, shingleK: Int = 3,
+                    numPerm: Int = 64, bands: Int = 16,
+                    append: Boolean = false): Unit = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val mode = if (append) "append" else "overwrite"
+    val spark = documents.sparkSession
+    documents.select(col("doc_id"),
+        minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+      .write.mode(mode).parquet(s"$dir/sigs")
+    // derive bands from the written sigs — in append mode only the
+    // new docs' signatures are banded
+    val written = spark.read.parquet(s"$dir/sigs")
+    val fresh =
+      if (append) written.join(documents.select(col("doc_id")), "doc_id")
+      else written
+    lshBands(fresh, "doc_id", "sig", bands, numPerm / bands)
+      .write.mode(mode).parquet(s"$dir/bands")
+  }
+
+  /** Dedup a delta batch against a persisted index WITHOUT touching
+    * base text: sign the delta (map-only), probe the index's band
+    * buckets (the delta's band rows broadcast — the big side never
+    * reshuffles), then verify candidates by MinHash-ESTIMATED Jaccard
+    * = fraction of equal signature components (exact integer count,
+    * one final division — bit-portable). Emits (base_id, delta_id)
+    * pairs at estimate ≥ threshold; delta-internal dups are a plain
+    * [[minhashLsh]] over the batch. */
+  def dedupAgainstIndex(delta: DataFrame, dir: String, shingleK: Int = 3,
+                        numPerm: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.5): DataFrame = {
+    val spark = delta.sparkSession
+    val signed = delta.select(col("doc_id").as("delta_id"),
+      minhashSignature(shingles(col("text"), shingleK), numPerm)
+        .as("delta_sig"))
+    val deltaBands = lshBands(signed, "delta_id", "delta_sig",
+      bands, numPerm / bands)
+    val cand = spark.read.parquet(s"$dir/bands")
+      .join(broadcast(deltaBands), Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("base_id"), col("delta_id")).distinct()
+    cand
+      .join(spark.read.parquet(s"$dir/sigs")
+        .select(col("doc_id").as("base_id"), col("sig")), "base_id")
+      .join(broadcast(signed), "delta_id")
+      .withColumn("n_eq",
+        aggregate(zip_with(col("sig"), col("delta_sig"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .withColumn("est_jaccard", col("n_eq").cast("double") / numPerm)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("base_id"), col("delta_id"), col("est_jaccard"))
+  }
 }

@@ -132,4 +132,36 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == tables.embeddings.count())
     assert(out.select("vec_id").distinct().count() == out.count())
   }
+
+  test("incremental index: delta dedups against base, append extends the index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lshidx").toString
+    val base = tables.documents.filter(col("doc_id") < 400)
+    // delta1 copies two base docs under new ids; delta2 copies a
+    // delta1 doc — only findable AFTER delta1 is appended
+    val delta1 = tables.documents.filter(col("doc_id").isin(0L, 1L))
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val delta2 = tables.documents.filter(col("doc_id") === 0L)
+      .withColumn("doc_id", col("doc_id") + 30000)
+
+    Dedup.buildLshIndex(base, dir)
+    val hits1 = Dedup.dedupAgainstIndex(delta1, dir, threshold = 0.9)
+    val exact1 = hits1.filter(col("est_jaccard") === 1.0)
+      .select("base_id", "delta_id").as[(Long, Long)].collect().toSet
+    assert(exact1.contains((0L, 20000L)) && exact1.contains((1L, 20001L)))
+
+    // before append: delta2's twin (20000) is not indexed
+    assert(Dedup.dedupAgainstIndex(delta2, dir, threshold = 0.9)
+      .filter(col("base_id") === 20000L).count() == 0)
+    Dedup.buildLshIndex(delta1, dir, append = true)
+    val hits2 = Dedup.dedupAgainstIndex(delta2, dir, threshold = 0.9)
+    assert(hits2.filter(col("base_id") === 20000L &&
+      col("delta_id") === 30000L).count() == 1)
+    // estimate is a valid equal-fraction in [0, 1]
+    hits2.collect().foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.9 && e <= 1.0)
+    }
+  }
 }
