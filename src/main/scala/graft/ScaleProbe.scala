@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Clusters, Dedup, Gold, Similarity, TextAnalysis}
+import graft.operators.{Clusters, CorpusClean, Dedup, Gold, Similarity, TextAnalysis}
 
 /** Scaling probe: runs representative queries at 1× and 10× the input
   * (10× = ten disjoint copies, ids shifted where identity matters) and
@@ -107,7 +107,21 @@ object ScaleProbe {
         t.events.count() * 10,
         () => Gold.exactGroupQuantiles(
           replicate(t.events, 10, Some("event_id")), "event_type",
-          "value", Seq(0.25, 0.5, 0.75), 2.0).count()))
+          "value", Seq(0.25, 0.5, 0.75), 2.0).count()),
+      // round-5 additions: corpus-level paragraph dedup (banned-set
+      // broadcast + map-side reassembly — prefix replication keeps
+      // replicas chunk-disjoint so banned scales linearly) and the
+      // map-only classifier
+      ("paragraph_dedup", t.documents.count(),
+        () => CorpusClean.paragraphDedup(t.documents).count(),
+        t.documents.count() * 10,
+        () => CorpusClean.paragraphDedup(replicateDocs(t.documents, 10))
+          .count()),
+      ("quality_classifier", t.documents.count(),
+        () => TextAnalysis.qualityClassifier(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.qualityClassifier(
+          replicate(t.documents, 10, Some("doc_id"))).count()))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())

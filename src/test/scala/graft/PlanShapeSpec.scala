@@ -122,4 +122,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"as-of join fell back to a cross join:\n$p")
   }
+
+  test("paragraph dedup never shuffles document text — only 8-byte chunk hashes") {
+    val p = plan(CorpusClean.paragraphDedup(tables.documents))
+    // the frequency pass exchanges hash values only; reassembly is a
+    // map-side array filter against the broadcast banned set, so no
+    // exchange may carry a text/chunks column
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("text#") || l.contains("chunks#") || l.contains("chunk#")))
+    assert(!badExchange, s"corpus text crosses an exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"banned set must broadcast, not sort-merge:\n$p")
+  }
+
+  test("quality classifier is map-only: zero exchanges") {
+    val p = plan(TextAnalysis.qualityClassifier(tables.documents))
+    assert(!p.contains("Exchange"), s"classifier should not shuffle:\n$p")
+  }
+
+  test("domain mix: corpus joins rates via broadcast; only tiny aggregates shuffle") {
+    val p = plan(TextAnalysis.domainMix(tables.documents))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle against the 20-row rates frame:\n$p")
+  }
+
+  test("incremental dedup probes the index with a broadcast delta — index never reshuffles") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_plan").toString
+    Dedup.buildLshIndex(tables.documents.filter(col("doc_id") < 400), dir)
+    val p = plan(Dedup.dedupAgainstIndex(
+      tables.documents.filter(col("doc_id") >= 400), dir))
+    assert(p.contains("BroadcastHashJoin"), s"delta not broadcast:\n$p")
+    // the index's band scan must feed a broadcast join directly, not
+    // an Exchange hashpartitioning on (band_id, band_hash)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(band_id")),
+      s"index bands reshuffled:\n$p")
+  }
 }
