@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declarative HOF dot products get the native kernel automatically
     ext.injectOptimizerRule(_ =>
       graft.functions.expressions.NativeDotRewrite)
+    // opt-in binned range-join rewrite (spark.graft.rangeJoin.bucketWidth)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 
