@@ -322,6 +322,33 @@ object Queries {
       Some(TextOracleSql.incrementalDedupSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5, basePred = "doc_id % 10 < 8"))),
 
+    Q("stream_dedup_index",
+      // the index lifecycle run CONTINUOUSLY: docs arrive as file
+      // micro-batches, each deduped against everything seen so far and
+      // folded into the signature index; the accumulated pair set must
+      // equal the batch all-pairs estimate — batch-split independence
+      // is the oracle
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sdi_src_$sf"
+        val idx = s"/tmp/graft_cache/sdi_idx_$sf"
+        val prs = s"/tmp/graft_cache/sdi_pairs_$sf"
+        Seq(idx, prs).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        Tables(s, d).documents.select("doc_id", "text")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sdi_ckpt").toString
+        graft.streaming.Streams.indexedDedupStream(s, src, schema, idx, prs,
+          ckpt).awaitTermination(120000)
+        s.read.parquet(prs).select("id_a", "id_b", "est_jaccard").distinct()
+      },
+      Some(TextOracleSql.estPairsSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5))),
+
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
       Some(TextOracleSql.simhashSql(maxHamming = 3))),

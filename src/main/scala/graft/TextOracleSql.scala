@@ -296,6 +296,32 @@ object TextOracleSql {
     WHERE ${sha60(s"'$salt:' || cast(doc_id as varchar)")} % 1000000
             < r.mix_rate_ppm"""
 
+  /** All-pairs MinHash-estimated near-dups (id_a < id_b) — mirrors
+    * Dedup.estimatePairsSigned over the whole corpus, and therefore
+    * also the ACCUMULATED output of the streaming indexed dedup
+    * (Streams.indexedDedupStream), whose per-batch union is
+    * batch-split independent by construction. */
+  def estPairsSql(shingleK: Int, numPerm: Int, bands: Int,
+                  threshold: Double): String = s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${sigBandCtes(numPerm, bands)},
+    cand AS (
+      SELECT a.doc_id as id_a, b.doc_id as id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    est AS (
+      SELECT id_a, id_b,
+        cast(len(list_filter(range($numPerm),
+               i -> sa.sig[i+1] = sb.sig[i+1])) as double) / $numPerm
+          as est_jaccard
+      FROM cand
+        JOIN sigl sa ON sa.doc_id = id_a
+        JOIN sigl sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, est_jaccard FROM est
+    WHERE est_jaccard >= $threshold"""
+
   /** Incremental index dedup (mirrors Dedup.dedupAgainstIndex over a
     * Dedup.buildLshIndex of the `basePred` subset): delta docs that
     * share an LSH bucket with an indexed base doc, verified by

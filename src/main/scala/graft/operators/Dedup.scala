@@ -368,11 +368,22 @@ object Dedup {
     * [[minhashLsh]] over the batch. */
   def dedupAgainstIndex(delta: DataFrame, dir: String, shingleK: Int = 3,
                         numPerm: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.5): DataFrame = {
-    val spark = delta.sparkSession
-    val signed = delta.select(col("doc_id").as("delta_id"),
-      minhashSignature(shingles(col("text"), shingleK), numPerm)
-        .as("delta_sig"))
+                        threshold: Double = 0.5): DataFrame =
+    dedupSignedAgainstIndex(
+      delta.select(col("doc_id"),
+        minhashSignature(shingles(col("text"), shingleK), numPerm)
+          .as("sig")),
+      dir, numPerm, bands, threshold)
+
+  /** [[dedupAgainstIndex]] over an already-signed delta
+    * (doc_id, sig) — the streaming micro-batch path signs once and
+    * feeds both the probe and the index append. */
+  def dedupSignedAgainstIndex(signedDelta: DataFrame, dir: String,
+                              numPerm: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    val spark = signedDelta.sparkSession
+    val signed = signedDelta.select(col("doc_id").as("delta_id"),
+      col("sig").as("delta_sig"))
     val deltaBands = lshBands(signed, "delta_id", "delta_sig",
       bands, numPerm / bands)
     val cand = spark.read.parquet(s"$dir/bands")
@@ -389,5 +400,29 @@ object Dedup {
       .withColumn("est_jaccard", col("n_eq").cast("double") / numPerm)
       .filter(col("est_jaccard") >= threshold)
       .select(col("base_id"), col("delta_id"), col("est_jaccard"))
+      .distinct()
+  }
+
+  /** MinHash-ESTIMATED near-dup pairs (id_a < id_b) within one signed
+    * corpus: LSH bucket candidates + equal-component fraction — the
+    * verification-free twin of [[minhashLsh]], for when the text is
+    * unavailable or a second corpus scan unaffordable (micro-batches,
+    * signature-only indexes). */
+  def estimatePairsSigned(signed: DataFrame, numPerm: Int, bands: Int,
+                          threshold: Double): DataFrame = {
+    val banded = lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+    val cands = lshCandidates(banded, "doc_id")
+    cands
+      .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .withColumn("n_eq",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .withColumn("est_jaccard", col("n_eq").cast("double") / numPerm)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
   }
 }

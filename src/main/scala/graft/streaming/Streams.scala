@@ -194,6 +194,66 @@ object Streams {
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
   }
 
+  /** One micro-batch of the streaming INDEXED dedup sink — the
+    * nightly-index lifecycle ([[graft.operators.Dedup.buildLshIndex]])
+    * run continuously: sign the batch once, emit
+    * (a) intra-batch estimated near-dup pairs and (b) pairs against
+    * everything indexed so far, then append the batch's signatures +
+    * bands to the index. Every write lands under `batch=<id>` with
+    * directory overwrite, so a retried micro-batch is idempotent
+    * (exactly-once output from at-least-once delivery, no markers
+    * needed). Pair orientation is canonical (id_a < id_b), which
+    * makes the union of all batches' pairs INDEPENDENT of how docs
+    * were split into batches: each {a, b} bucket-mate pair is found
+    * exactly once — together (intra) or when the later doc arrives
+    * (cross). */
+  def dedupIndexBatch(indexDir: String, pairsDir: String, shingleK: Int,
+                      numPerm: Int, bands: Int, threshold: Double)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val signed = batch.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), shingleK), numPerm)
+        .as("sig"))
+      .persist()
+    try {
+      val intra = Dedup.estimatePairsSigned(signed, numPerm, bands, threshold)
+      val cross =
+        if (new java.io.File(s"$indexDir/bands").exists)
+          Dedup.dedupSignedAgainstIndex(signed, indexDir, numPerm, bands,
+            threshold)
+            .select(least(col("base_id"), col("delta_id")).as("id_a"),
+              greatest(col("base_id"), col("delta_id")).as("id_b"),
+              col("est_jaccard"))
+        else intra.limit(0)
+      intra.unionByName(cross)
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      signed.write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+      Dedup.lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+        .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+    } finally { signed.unpersist(); () }
+  }
+
+  /** Streaming near-dup detection against a growing signature index:
+    * file-source micro-batches, each deduped against the corpus seen
+    * so far and folded into the index ([[dedupIndexBatch]]). The
+    * accumulated `pairsDir` equals the batch all-pairs estimate over
+    * the whole corpus, however the files were batched. */
+  def indexedDedupStream(spark: SparkSession, srcPath: String,
+                         schema: StructType, indexDir: String,
+                         pairsDir: String, checkpoint: String,
+                         shingleK: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16, threshold: Double = 0.5,
+                         maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(dedupIndexBatch(indexDir, pairsDir, shingleK, numPerm,
+        bands, threshold) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batch analog of gap-based sessionization (oracle-checkable):
     * session boundaries via lag(), session ids via a running sum,
     * one aggregated row per session. Two window passes + one groupBy,

@@ -263,4 +263,35 @@ class StreamsSpec extends SparkSpec {
     // no session spans a gap: start/end consistency
     assert(out.filter(col("session_end") < col("session_start")).count() == 0)
   }
+
+  test("indexed dedup stream: pair set is batch-split independent and equals the batch estimate") {
+    import graft.operators.Dedup
+    val docs = tables.documents.select("doc_id", "text")
+    val src = Files.createTempDirectory("graft_sdi_src").toString
+    docs.repartition(8).write.mode("overwrite").json(src)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+
+    def run(maxFiles: Int): Set[(Long, Long, Double)] = {
+      val idx = Files.createTempDirectory("graft_sdi_idx").toString
+      val prs = Files.createTempDirectory("graft_sdi_prs").toString
+      val ckpt = Files.createTempDirectory("graft_sdi_ck").toString
+      Streams.indexedDedupStream(spark, src, schema, s"$idx/i", s"$prs/p",
+        ckpt, maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      spark.read.parquet(s"$prs/p").select("id_a", "id_b", "est_jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+
+    val oneByOne = run(1)   // 8 micro-batches
+    val allAtOnce = run(32) // 1 micro-batch (intra only)
+    assert(oneByOne == allAtOnce, "pair set depends on the batch split")
+
+    val signed = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64).as("sig"))
+    val batch = Dedup.estimatePairsSigned(signed, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneByOne == batch, "accumulated stream pairs != batch estimate")
+    assert(batch.nonEmpty)
+  }
 }
