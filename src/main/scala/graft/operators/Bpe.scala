@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer for training-data pipelines: an exact
+  * BPE trainer over a bounded deterministic sample (the classic
+  * word-frequency-dictionary formulation) and a distributed encoder
+  * applying a FROZEN merge table — the lifecycle of a production
+  * tokenizer: train offline once, ship the vocab, encode at scale.
+  *
+  * Scale design: training touches only the sample's word-count
+  * dictionary (vocabulary-sized, collected like the IVF quantizer
+  * sample — Similarity.trainCentroids); encoding is map-only via the
+  * native [[graft.functions.expressions.BpeEncodeDoc]] kernel — scan
+  * speed at 100 TB, no shuffle, merge table baked into the plan (a
+  * broadcast-sized object at real vocab sizes).
+  *
+  * Determinism: merge selection breaks count ties lexicographically;
+  * each merge pass is a left-to-right non-overlapping fold, replicated
+  * piece-for-piece by chained `list_reduce` in the DuckDB oracle.
+  */
+object Bpe {
+
+  /** Exact BPE merge training on the word-count dictionary of a
+    * deterministic corpus sample (`doc_id % sampleMod == 0`). Pair
+    * counts weight by word frequency and count every adjacent
+    * position; the best pair is (max count, then lexicographic
+    * (a, b)) — fully deterministic. Stops early when no pair repeats. */
+  def train(documents: DataFrame, numMerges: Int,
+            sampleMod: Int = 5): Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val wordCounts: Array[(Array[String], Long)] = documents
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
+      .sortBy(_._1.mkString)
+    var words = wordCounts
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (pieces, c) =>
+        var i = 0
+        while (i < pieces.length - 1) {
+          val k = (pieces(i), pieces(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      val repeated = counts.filter(_._2 >= 2)
+      if (repeated.isEmpty) continue = false
+      else {
+        val best = repeated.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (pieces, c) =>
+          (mergePass(pieces, best._1, best._2), c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping merge pass (the kernel's inner
+    * loop, over an existing piece list). */
+  private def mergePass(pieces: Array[String], a: String,
+                        b: String): Array[String] = {
+    val out = new Array[String](pieces.length)
+    var n = 0
+    var i = 0
+    while (i < pieces.length) {
+      if (n > 0 && out(n - 1) == a && pieces(i) == b) out(n - 1) = a + b
+      else { out(n) = pieces(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** The shipped merge table: [[train]]'s output (numMerges = 16,
+    * sampleMod = 5) on the sf0.01 test corpus, frozen here the way a
+    * production vocab is trained offline and checked in. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    ("a" -> "l"), ("e" -> "r"), ("u" -> "e"), ("a" -> "n"),
+    ("i" -> "n"), ("o" -> "w"), ("al" -> "ue"), ("c" -> "an"),
+    ("in" -> "d"), ("o" -> "r"), ("ue" -> "ry"), ("s" -> "c"),
+    ("t" -> "a"), ("v" -> "al"), ("w" -> "ind"), ("b" -> "a")
+  ).map(identity)
+
+  /** Distributed encode under a frozen merge table: per-doc encoded
+    * text (words space-joined, pieces '|'-joined) + piece counts.
+    * Map-only native kernel. */
+  def encode(documents: DataFrame,
+             merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val enc = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.BpeEncodeDoc(
+        org.apache.spark.sql.graft.GraftBridge.expression(col("text")),
+        merges))
+    documents
+      .select(col("doc_id"), enc.as("encoded_text"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .select(col("doc_id"), col("encoded_text"), col("n_words"),
+        size(split(col("encoded_text"), "[ |]")).cast("long").as("n_pieces"))
+      .withColumn("pieces_per_word",
+        col("n_pieces").cast("double") / col("n_words"))
+  }
+}
