@@ -588,6 +588,13 @@ object Queries {
           length(text) as n_chars_measured
         FROM documents""")),
 
+    Q("bpe_encode",
+      // distributed encode under the frozen shipped merge table —
+      // map-only native kernel, merge rules baked into the plan; the
+      // oracle replays every merge pass as a chained list_reduce
+      (s, d) => Bpe.encode(Tables(s, d).documents),
+      Some(TextOracleSql.bpeEncodeSql(Bpe.DefaultMerges))),
+
     Q("corpus_shuffle",
       // global deterministic training order, computed without a
       // global single-task sort (two-phase: hash-top-bit buckets →

@@ -347,4 +347,37 @@ object TextOracleSql {
         JOIN sigl sb ON sb.doc_id = delta_id)
     SELECT base_id, delta_id, est_jaccard FROM est
     WHERE est_jaccard >= $threshold"""
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** BPE encode under a frozen merge table (mirrors Bpe.encode /
+    * BpeKernel.encodeDoc): each word starts as its character list;
+    * each merge rule is one full left-to-right non-overlapping pass,
+    * expressed as a `list_reduce` over the '|'-joined piece string —
+    * merging is simply appending WITHOUT the '|' delimiter when the
+    * accumulated tail piece equals `a` and the incoming piece equals
+    * `b`. The merge chain is the nested fold below, in rank order —
+    * byte-identical to the Scala kernel's pass loop. */
+  def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    val wordExpr = merges.foldLeft(
+      "array_to_string(string_split(w, ''), '|')") { case (inner, (a, b)) =>
+      s"""list_reduce(string_split($inner, '|'), (acc, x) ->
+         CASE WHEN x = '${sqlLit(b)}'
+                AND regexp_extract(acc, '[^|]*$$') = '${sqlLit(a)}'
+           THEN acc || x ELSE acc || '|' || x END)"""
+    }
+    s"""
+    WITH enc AS (
+      SELECT doc_id,
+        array_to_string(list_transform(string_split(text, ' '),
+          w -> $wordExpr), ' ') as encoded_text,
+        cast(len(string_split(text, ' ')) as bigint) as n_words
+      FROM documents)
+    SELECT doc_id, encoded_text, n_words,
+      cast(len(string_split_regex(encoded_text, '[ |]')) as bigint)
+        as n_pieces,
+      cast(len(string_split_regex(encoded_text, '[ |]')) as double)
+        / cast(n_words as double) as pieces_per_word
+    FROM enc"""
+  }
 }
