@@ -66,13 +66,18 @@ object AnnOracleSql {
           JOIN e ce ON ce.vec_id = cand.neighbor_id)
       WHERE rank <= $k)"""
 
-  /** Coarse-quantizer CTE chain: sampled init `c0`, `iters` unrolled
-    * Lloyd rounds (assign → exact-decimal means → carry empty
-    * clusters), and full-corpus tagging
-    * `tagged(neighbor_id, emb, cluster)`. */
-  def quantizerCtes(nlist: Int, iters: Int, sampleMod: Int): String = {
+  /** Coarse-quantizer CTE chain: absolute-budget sampled init `c0`,
+    * `iters` unrolled Lloyd rounds (assign → exact-decimal means →
+    * carry empty clusters), and full-corpus tagging
+    * `tagged(neighbor_id, emb, cluster)`. The sample replicates
+    * Similarity.trainCentroids: modulus M = ceil(n / budget) over the
+    * salted sha60 of the vec_id — ~budget rows at any corpus size. */
+  def quantizerCtes(nlist: Int, iters: Int, sampleBudget: Int): String = {
     val init = s"""
-    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % $sampleMod = 0),
+    samp AS (
+      SELECT vec_id, emb FROM e, (SELECT count(*) as n FROM e) cnt
+      WHERE ('0x' || substr(sha256('ivf:' || cast(vec_id as varchar)), 1, 15))::BIGINT
+              % greatest(1, (n + ${sampleBudget - 1}) // $sampleBudget) = 0),
     c0 AS (
       SELECT cast(row_number() OVER (ORDER BY vec_id) as int) - 1 as cluster,
         emb as cent
@@ -112,7 +117,7 @@ object AnnOracleSql {
   /** IVF CTE chain: quantizer + query probes + `ivf_topk(query_id,
     * neighbor_id, cluster, rank, cosine)`. */
   def ivfCtes(nlist: Int, nprobe: Int, k: Int, iters: Int,
-              sampleMod: Int, queryPred: String): String = {
+              sampleBudget: Int, queryPred: String): String = {
     val cf = s"c$iters"
     val fin = s"""
     probes AS (
@@ -131,14 +136,14 @@ object AnnOracleSql {
         FROM tagged t JOIN probes p USING (cluster)
         WHERE t.neighbor_id <> p.query_id)
       WHERE rank <= $k)"""
-    quantizerCtes(nlist, iters, sampleMod) + "," + fin
+    quantizerCtes(nlist, iters, sampleBudget) + "," + fin
   }
 
   /** Quantizer-blocked embedding near-dup pairs (mirrors
     * Dedup.embeddingNearDupQuantized). */
   def embeddingDedupSql(threshold: Double, nlist: Int, iters: Int,
-                        sampleMod: Int): String =
-    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleMod)},
+                        sampleBudget: Int): String =
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
        pairs AS (
          SELECT a.neighbor_id as id_a, b.neighbor_id as id_b,
            cast(a.cluster as int) as cluster,
@@ -152,8 +157,8 @@ object AnnOracleSql {
     * is dropped iff it has a lower-id same-cluster neighbor at
     * cosine ≥ threshold. */
   def semdedupKeepSql(threshold: Double, nlist: Int, iters: Int,
-                      sampleMod: Int): String =
-    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleMod)},
+                      sampleBudget: Int): String =
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
        dropped AS (
          SELECT DISTINCT b.neighbor_id as vec_id
          FROM tagged a JOIN tagged b
@@ -168,17 +173,17 @@ object AnnOracleSql {
     s"""WITH $EmbCte, ${sigCtes(dim, bits, tables)}, ${lshTopkCtes(k, queryPred)}
        SELECT query_id, neighbor_id, rank, cosine FROM lsh_topk"""
 
-  def ivfSql(nlist: Int, nprobe: Int, k: Int, iters: Int, sampleMod: Int,
+  def ivfSql(nlist: Int, nprobe: Int, k: Int, iters: Int, sampleBudget: Int,
              queryPred: String): String =
-    s"""WITH $EmbCte, ${ivfCtes(nlist, nprobe, k, iters, sampleMod, queryPred)}
+    s"""WITH $EmbCte, ${ivfCtes(nlist, nprobe, k, iters, sampleBudget, queryPred)}
        SELECT query_id, neighbor_id, cluster, rank, cosine FROM ivf_topk"""
 
   def recallSql(dim: Int, bits: Int, tables: Int, nlist: Int, nprobe: Int,
-                k: Int, iters: Int, sampleMod: Int,
+                k: Int, iters: Int, sampleBudget: Int,
                 queryPred: String): String = s"""
     WITH $EmbCte, ${bfCtes(k, queryPred)}, ${sigCtes(dim, bits, tables)},
     ${lshTopkCtes(k, queryPred)},
-    ${ivfCtes(nlist, nprobe, k, iters, sampleMod, queryPred)},
+    ${ivfCtes(nlist, nprobe, k, iters, sampleBudget, queryPred)},
     bfn AS (SELECT query_id, count(*) as n_ex FROM bf GROUP BY 1)
     SELECT q.vec_id as query_id, 'lsh' as method,
       CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0

@@ -409,7 +409,7 @@ object Queries {
       // (sampled Lloyd chain from AnnOracleSql) — the 100 TB blocking
       // story hash-checked end-to-end
       Some(AnnOracleSql.embeddingDedupSql(threshold = 0.35, nlist = 16,
-        iters = 3, sampleMod = 5))),
+        iters = 3, sampleBudget = 128))),
 
     Q("semdedup_keep",
       // SemDeDup-style semantic pruning: frozen-quantizer clusters +
@@ -418,7 +418,7 @@ object Queries {
       (s, d) => Dedup.semdedupKeep(Tables(s, d).embeddings,
         threshold = 0.35, cacheKey = Some(d)),
       Some(AnnOracleSql.semdedupKeepSql(threshold = 0.35, nlist = 16,
-        iters = 3, sampleMod = 5))),
+        iters = 3, sampleBudget = 128))),
 
     // ---------- H. LLM-pipeline: similarity search ----------
     Q("ann_bruteforce",
@@ -453,7 +453,7 @@ object Queries {
       // DuckDB — exact-decimal means and sequential-fold dots make the
       // whole index build bit-deterministic (AnnOracleSql)
       Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
-        sampleMod = 5, queryPred = "vec_id < 8"))),
+        sampleBudget = 128, queryPred = "vec_id < 8"))),
 
     Q("ann_lsh",
       (s, d) => {
@@ -474,7 +474,7 @@ object Queries {
       },
       // identical semantics to ann_ivf — same oracle
       Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
-        sampleMod = 5, queryPred = "vec_id < 8"))),
+        sampleBudget = 128, queryPred = "vec_id < 8"))),
 
     Q("ann_recall",
       (s, d) => {
@@ -485,7 +485,7 @@ object Queries {
       // recall@k of both approximate searchers vs exact top-k — the
       // headline quality metric for the ANN family, hash-checked
       Some(AnnOracleSql.recallSql(dim = 64, bits = 6, tables = 16,
-        nlist = 16, nprobe = 4, k = 5, iters = 3, sampleMod = 5,
+        nlist = 16, nprobe = 4, k = 5, iters = 3, sampleBudget = 128,
         queryPred = "vec_id < 8"))),
 
     // ---------- I. LLM-pipeline: text analysis ----------

@@ -121,7 +121,17 @@ object ScaleProbe {
         () => TextAnalysis.qualityClassifier(t.documents).count(),
         t.documents.count() * 10,
         () => TextAnalysis.qualityClassifier(
-          replicate(t.documents, 10, Some("doc_id"))).count()))
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      // round-6: the quantizer's ABSOLUTE-budget training sample —
+      // Lloyd's cost must stay flat as the corpus grows (the sample is
+      // ~sampleBudget rows at ANY scale), so rows/sec should scale
+      // SUPER-linearly (efficiency ≈ 10, not 1): the 10× run pays only
+      // the count + sample filter scan extra
+      ("ivf_train_centroids", t.embeddings.count(),
+        () => Similarity.trainCentroids(t.embeddings).length.toLong,
+        t.embeddings.count() * 10,
+        () => Similarity.trainCentroids(
+          replicate(t.embeddings, 10, Some("vec_id"))).length.toLong))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())

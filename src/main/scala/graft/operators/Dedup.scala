@@ -281,10 +281,10 @@ object Dedup {
     * probed the IVF way if recall matters more than cost. */
   def embeddingNearDupQuantized(embeddings: DataFrame,
                                 threshold: Double = 0.35, nlist: Int = 16,
-                                iters: Int = 3, sampleMod: Int = 5,
+                                iters: Int = 3, sampleBudget: Int = 128,
                                 cacheKey: Option[String] = None): DataFrame = {
     val cents = Similarity.trainCentroids(embeddings, nlist, iters,
-      sampleMod, cacheKey)
+      sampleBudget, cacheKey)
     val tagged = embeddings.select(col("vec_id"), col("embedding"),
       VectorFunctions.l2Norm(col("embedding")).as("norm"),
       Similarity.clusterOf(col("embedding"), cents).as("cluster"))
@@ -314,14 +314,14 @@ object Dedup {
     * ∝ Σ cell², never n²); the dropped-id set is a minority of the
     * corpus by construction, joined back on vec_id. */
   def semdedupKeep(embeddings: DataFrame, threshold: Double = 0.35,
-                   nlist: Int = 16, iters: Int = 3, sampleMod: Int = 5,
+                   nlist: Int = 16, iters: Int = 3, sampleBudget: Int = 128,
                    cacheKey: Option[String] = None): DataFrame = {
     val cents = Similarity.trainCentroids(embeddings, nlist, iters,
-      sampleMod, cacheKey)
+      sampleBudget, cacheKey)
     val tagged = embeddings.select(col("vec_id"),
       Similarity.clusterOf(col("embedding"), cents).as("cluster"))
     val dropped = embeddingNearDupQuantized(embeddings, threshold, nlist,
-      iters, sampleMod, cacheKey)
+      iters, sampleBudget, cacheKey)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
     tagged.join(dropped, Seq("vec_id"), "left")

@@ -99,10 +99,15 @@ object Similarity {
   def clusterOf(emb: Column, cents: Array[Array[Double]]): Column =
     element_at(nearestCentroids(emb, cents, 1), 1)
 
-  /** Deterministic mini-KMeans (Lloyd) coarse quantizer trained on a
-    * bounded deterministic SAMPLE (`vec_id % sampleMod == 0`) — at
-    * 100 TB the quantizer never sees the full corpus; 3 scans of a
-    * fixed sample replace 3 full-corpus scans. Init = the nlist
+  /** Deterministic mini-KMeans (Lloyd) coarse quantizer trained on an
+    * ABSOLUTE-row-budget deterministic sample: the corpus size is read
+    * once, the keep test is `sha60("ivf:" + vec_id) % M == 0` with
+    * M = ceil(n / sampleBudget) — so the training set stays
+    * ~sampleBudget rows no matter how big the corpus grows (a fixed
+    * FRACTION would make Lloyd a recurring full-scale shuffle at
+    * 100 TB; a quantizer needs ~10⁵ points, not 1/5 of the corpus).
+    * Membership is a pure function of the salted content hash, so the
+    * SQL oracle replicates the sample exactly. Init = the nlist
     * lowest-vec_id sample embeddings; per-dimension means are exact
     * decimal sums cast to double then divided (one IEEE division —
     * partition-order-independent and replicable by the SQL oracle).
@@ -117,17 +122,27 @@ object Similarity {
     .empty[(String, Int, Int, Int), Array[Array[Double]]]
 
   def trainCentroids(corpus: DataFrame, nlist: Int = 16,
-                     iters: Int = 3, sampleMod: Int = 5,
+                     iters: Int = 3, sampleBudget: Int = 128,
                      cacheKey: Option[String] = None): Array[Array[Double]] =
     cacheKey match {
-      case Some(k) => centroidCache.getOrElseUpdate((k, nlist, iters, sampleMod),
-        trainCentroidsUncached(corpus, nlist, iters, sampleMod))
-      case None => trainCentroidsUncached(corpus, nlist, iters, sampleMod)
+      case Some(k) => centroidCache.getOrElseUpdate((k, nlist, iters, sampleBudget),
+        trainCentroidsUncached(corpus, nlist, iters, sampleBudget))
+      case None => trainCentroidsUncached(corpus, nlist, iters, sampleBudget)
     }
 
+  /** Sample modulus for an `n`-row corpus under `sampleBudget`. */
+  def sampleModulus(n: Long, sampleBudget: Int): Long =
+    math.max(1L, (n + sampleBudget - 1) / sampleBudget)
+
   private def trainCentroidsUncached(corpus: DataFrame, nlist: Int,
-                                     iters: Int, sampleMod: Int): Array[Array[Double]] = {
-    val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+                                     iters: Int, sampleBudget: Int): Array[Array[Double]] = {
+    require(sampleBudget >= 1, "sampleBudget must be positive")
+    val m = sampleModulus(corpus.count(), sampleBudget)
+    val keyHash = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit("ivf:"), col("vec_id").cast("string")))))
+    val sample = corpus.filter(pmod(keyHash, lit(m)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = sample.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
@@ -166,8 +181,8 @@ object Similarity {
     * nprobe/nlist. */
   def annIvf(corpus: DataFrame, queries: DataFrame, nlist: Int = 16,
              nprobe: Int = 4, k: Int = 5, iters: Int = 3,
-             sampleMod: Int = 5, cacheKey: Option[String] = None): DataFrame = {
-    val cents = trainCentroids(corpus, nlist, iters, sampleMod, cacheKey)
+             sampleBudget: Int = 128, cacheKey: Option[String] = None): DataFrame = {
+    val cents = trainCentroids(corpus, nlist, iters, sampleBudget, cacheKey)
     val tagged = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding"),
       VectorFunctions.l2Norm(col("embedding")).as("c_norm"),
@@ -198,9 +213,9 @@ object Similarity {
     * ONLY the probed cluster partitions (partition pruning at the
     * file-listing level), nprobe/nlist of the data. */
   def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
-                    iters: Int = 3, sampleMod: Int = 5,
+                    iters: Int = 3, sampleBudget: Int = 128,
                     cacheKey: Option[String] = None): Unit = {
-    val cents = trainCentroids(corpus, nlist, iters, sampleMod, cacheKey)
+    val cents = trainCentroids(corpus, nlist, iters, sampleBudget, cacheKey)
     corpus.select(col("vec_id"), col("embedding"),
         VectorFunctions.l2Norm(col("embedding")).as("norm"),
         clusterOf(col("embedding"), cents).as("cluster"))
@@ -293,7 +308,7 @@ object Similarity {
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                 dim: Int = 64, bits: Int = 6, tables: Int = 16,
                 nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-                sampleMod: Int = 5, cacheKey: Option[String] = None): DataFrame = {
+                sampleBudget: Int = 128, cacheKey: Option[String] = None): DataFrame = {
     val exact = annBruteForce(corpus, queries, k)
       .select(col("query_id"), col("neighbor_id"))
     val exactN = exact.groupBy("query_id")
@@ -312,6 +327,6 @@ object Similarity {
             .as("recall"))
     recallOf(annLsh(corpus, queries, dim, bits, tables, k), "lsh")
       .unionByName(recallOf(annIvf(corpus, queries, nlist, nprobe, k,
-        iters, sampleMod, cacheKey), "ivf"))
+        iters, sampleBudget, cacheKey), "ivf"))
   }
 }

@@ -58,7 +58,7 @@ class SimilaritySpec extends SparkSpec {
   test("annRecall normalizes by the per-query exact-neighbor count") {
     val tiny = tables.embeddings.filter(col("vec_id") < 3)
     val rec = Similarity.annRecall(tiny, tiny, k = 5,
-      nlist = 1, nprobe = 1, iters = 1, sampleMod = 1).collect()
+      nlist = 1, nprobe = 1, iters = 1, sampleBudget = Int.MaxValue).collect()
     assert(rec.length == 6) // 3 queries × 2 methods
     assert(rec.forall(_.getAs[Double]("recall") <= 1.0))
     // IVF with a single list is exhaustive → perfect recall even though
