@@ -634,8 +634,19 @@ object Queries {
     Q("paragraph_dedup",
       // C4-style corpus-level boilerplate removal: chunks repeating
       // beyond maxFreq across the corpus are stripped from every doc
+      // (broadcast banned-set path — the small-boilerplate regime)
       (s, d) => CorpusClean.paragraphDedup(Tables(s, d).documents,
-        chunkTokens = 20, maxFreq = 1),
+        chunkTokens = 20, maxFreq = 1,
+        path = CorpusClean.BannedSetPath.Broadcast),
+      Some(TextOracleSql.paragraphDedupSql(chunkTokens = 20, maxFreq = 1))),
+
+    Q("paragraph_dedup_antijoin",
+      // the SAME semantics through the large-banned-set physical path
+      // (distributed anti-join, no single-task fold) — one oracle
+      // checks both plans
+      (s, d) => CorpusClean.paragraphDedup(Tables(s, d).documents,
+        chunkTokens = 20, maxFreq = 1,
+        path = CorpusClean.BannedSetPath.AntiJoin),
       Some(TextOracleSql.paragraphDedupSql(chunkTokens = 20, maxFreq = 1))),
 
     Q("intradoc_dedup",

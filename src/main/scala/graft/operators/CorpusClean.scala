@@ -18,11 +18,10 @@ import org.apache.spark.sql.functions._
   *    is materialized once, not re-split per lambda);
   *  - corpus-frequency counting shuffles ONLY 8-byte chunk hashes
   *    with map-side partial aggregation;
-  *  - the banned set (chunks above the frequency cap) is tiny by
-  *    construction — repeated boilerplate is a shrinking fraction of
-  *    a growing corpus — so it broadcasts, and document reassembly
-  *    is a map-side array filter: NO explode + re-group shuffle of
-  *    the full corpus text.
+  *  - the banned set (chunks above the frequency cap) is applied via
+  *    a [[CorpusClean.BannedSetPath]]: broadcast-sized sets get a
+  *    map-side array filter (no corpus shuffle); larger sets get a
+  *    distributed anti-join that never folds the set into one task.
   */
 object CorpusClean {
 
@@ -46,35 +45,103 @@ object CorpusClean {
           .as("chunks"))
   }
 
+  /** How [[paragraphDedup]] applies the banned-chunk set to the
+    * corpus. A boilerplate-heavy crawl can push the banned set into
+    * the millions, where the broadcast array fold (one row, one task,
+    * 2 GB ceiling) and the O(|banned|) per-chunk scan both break —
+    * hence two physical paths under one semantics. */
+  sealed trait BannedSetPath
+  object BannedSetPath {
+    /** Fold the banned hashes into ONE broadcast sorted array;
+      * document reassembly is a map-side array filter — no corpus
+      * shuffle. Correct only while the banned set is broadcast-sized
+      * (the fold is a single-task row; each chunk pays an
+      * O(|banned|) scan). */
+    case object Broadcast extends BannedSetPath
+    /** posexplode + distributed LEFT ANTI hash join on the chunk hash
+      * + ordered re-group. The corpus text pays one wide shuffle, but
+      * the banned set stays distributed — no single-task fold, no row
+      * ceiling, no per-chunk linear scan: the 100 TB path when
+      * boilerplate is abundant. */
+    case object AntiJoin extends BannedSetPath
+    /** Count the banned set, then pick (≤ `broadcastLimit` →
+      * [[Broadcast]]). The count is one extra job over the 8-byte
+      * hash aggregate, and the chosen path re-derives the banned set
+      * lazily — callers that know their corpus pick an explicit path
+      * and skip both costs. */
+    final case class Auto(broadcastLimit: Long = 1L << 20) extends BannedSetPath
+  }
+
   /** C4-style corpus-level paragraph dedup: any chunk whose exact
     * text occurs more than `maxFreq` times across the corpus is
     * removed from EVERY document containing it; documents are
     * reassembled in chunk order.
     *
-    * Two passes over the corpus, both map-only apart from the 8-byte
-    * hash-count shuffle: pass 1 counts chunk hashes, pass 2 filters
-    * each document's chunk array against the broadcast banned set
-    * (an O(|banned|) `array_contains` per chunk — fine while banned
-    * stays broadcast-sized; beyond that, fall back to an explode +
-    * anti-join + re-group, trading the map-side filter for a wide
-    * shuffle). */
+    * Pass 1 counts chunk hashes (shuffles ONLY 8-byte hashes, with
+    * map-side partial aggregation); pass 2 filters each document's
+    * chunks via the [[BannedSetPath]] — map-side broadcast-array
+    * filter for small banned sets, distributed anti-join for large
+    * ones. Both paths are oracle-identical. */
   def paragraphDedup(documents: DataFrame, chunkTokens: Int = 20,
-                     maxFreq: Long = 1): DataFrame = {
+                     maxFreq: Long = 1,
+                     path: BannedSetPath = BannedSetPath.Auto()): DataFrame = {
     val ch = chunked(documents, chunkTokens)
     val banned = ch
       .select(explode(col("chunks")).as("chunk"))
       .select(sha60(col("chunk")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxFreq)
-      .agg(sort_array(collect_list(col("h"))).as("banned"))
-    ch.crossJoin(broadcast(banned))
-      .select(col("doc_id"), col("chunks"),
-        filter(col("chunks"),
-          c => not(array_contains(col("banned"), sha60(c)))).as("kept"))
-      .select(col("doc_id"),
-        concat_ws(" ", col("kept")).as("text_clean"),
-        size(col("chunks")).cast("long").as("n_chunks"),
-        size(col("kept")).cast("long").as("n_chunks_kept"))
+      .select(col("h"))
+    path match {
+      case BannedSetPath.Auto(limit) =>
+        val chosen =
+          if (banned.count() <= limit) BannedSetPath.Broadcast
+          else BannedSetPath.AntiJoin
+        assemble(ch, banned, chosen)
+      case explicit => assemble(ch, banned, explicit)
+    }
+  }
+
+  private def assemble(ch: DataFrame, banned: DataFrame,
+                       path: BannedSetPath): DataFrame = path match {
+    case BannedSetPath.Broadcast =>
+      val bannedArr = banned
+        .agg(sort_array(collect_list(col("h"))).as("banned"))
+      ch.crossJoin(broadcast(bannedArr))
+        .select(col("doc_id"), col("chunks"),
+          filter(col("chunks"),
+            c => not(array_contains(col("banned"), sha60(c)))).as("kept"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("kept")).as("text_clean"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          size(col("kept")).cast("long").as("n_chunks_kept"))
+    case BannedSetPath.AntiJoin =>
+      val ex = ch
+        .select(col("doc_id"),
+          posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk"),
+          sha60(col("chunk")).as("h"))
+      // re-group sorts the surviving (chunk_id, chunk) structs —
+      // struct ordering compares chunk_id first, so document order is
+      // restored deterministically regardless of shuffle order
+      val re = ex.join(banned, Seq("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+              x => x.getField("chunk")), " ").as("text_clean"),
+          count(lit(1)).as("n_chunks_kept"))
+      // docs whose every chunk was banned vanish from the re-group —
+      // restore them with empty text (matches the broadcast path)
+      ch.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+        .join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"),
+          col("n_chunks"),
+          coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"))
+    case BannedSetPath.Auto(_) =>
+      throw new IllegalStateException("Auto resolves before assemble")
   }
 
   /** Intra-document duplicate-paragraph removal: keep each chunk's

@@ -123,8 +123,20 @@ class PlanShapeSpec extends SparkSpec {
       s"as-of join fell back to a cross join:\n$p")
   }
 
+  test("paragraph dedup anti-join path: distributed left-anti, never a single-task banned fold") {
+    val p = plan(CorpusClean.paragraphDedup(tables.documents,
+      path = CorpusClean.BannedSetPath.AntiJoin))
+    assert(p.contains("LeftAnti"), s"expected a left-anti probe of the banned set:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"anti-join degenerated to a cross join:\n$p")
+    // the broadcast path's single-row banned fold must be absent
+    assert(!p.contains("sort_array(collect_list"),
+      s"large-set path still folds the banned set into one row:\n$p")
+  }
+
   test("paragraph dedup never shuffles document text — only 8-byte chunk hashes") {
-    val p = plan(CorpusClean.paragraphDedup(tables.documents))
+    val p = plan(CorpusClean.paragraphDedup(tables.documents,
+      path = CorpusClean.BannedSetPath.Broadcast))
     // the frequency pass exchanges hash values only; reassembly is a
     // map-side array filter against the broadcast banned set, so no
     // exchange may carry a text/chunks column

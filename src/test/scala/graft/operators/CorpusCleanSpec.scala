@@ -25,30 +25,57 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
-  test("paragraphDedup strips corpus-repeated chunks from every doc") {
-    val docs = Seq(
-      (1L, "common header tokens here unique body one two three"),
-      (2L, "common header tokens here another body four five six"),
-      (3L, "totally different text with no shared paragraph at all"))
-      .toDF("doc_id", "text")
-    val out = CorpusClean.paragraphDedup(docs, chunkTokens = 4, maxFreq = 1)
-      .collect().map(r => r.getLong(0) ->
-        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
-    // the 4-token chunk "common header tokens here" occurs in docs 1+2
-    assert(out(1L)._1 == "unique body one two three")
-    assert(out(2L)._1 == "another body four five six")
-    assert(out(3L)._1 == "totally different text with no shared paragraph at all")
-    assert(out(1L)._2 == 3 && out(1L)._3 == 2)
+  private val bothPaths = Seq(
+    "broadcast" -> CorpusClean.BannedSetPath.Broadcast,
+    "antijoin" -> CorpusClean.BannedSetPath.AntiJoin)
+
+  for ((label, path) <- bothPaths) {
+    test(s"paragraphDedup [$label] strips corpus-repeated chunks from every doc") {
+      val docs = Seq(
+        (1L, "common header tokens here unique body one two three"),
+        (2L, "common header tokens here another body four five six"),
+        (3L, "totally different text with no shared paragraph at all"))
+        .toDF("doc_id", "text")
+      val out = CorpusClean.paragraphDedup(docs, chunkTokens = 4,
+        maxFreq = 1, path = path)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      // the 4-token chunk "common header tokens here" occurs in docs 1+2
+      assert(out(1L)._1 == "unique body one two three")
+      assert(out(2L)._1 == "another body four five six")
+      assert(out(3L)._1 == "totally different text with no shared paragraph at all")
+      assert(out(1L)._2 == 3 && out(1L)._3 == 2)
+    }
+
+    test(s"paragraphDedup [$label] keeps a doc row even when every chunk is banned") {
+      val docs = Seq(
+        (1L, "all banned text"), (2L, "all banned text"))
+        .toDF("doc_id", "text")
+      val out = CorpusClean.paragraphDedup(docs, chunkTokens = 3,
+        maxFreq = 1, path = path)
+        .orderBy("doc_id").collect()
+      assert(out.length == 2)
+      assert(out.forall(r => r.getString(1) == "" && r.getLong(3) == 0L))
+    }
   }
 
-  test("paragraphDedup keeps a doc row even when every chunk is banned") {
-    val docs = Seq(
-      (1L, "all banned text"), (2L, "all banned text"))
-      .toDF("doc_id", "text")
-    val out = CorpusClean.paragraphDedup(docs, chunkTokens = 3, maxFreq = 1)
-      .orderBy("doc_id").collect()
-    assert(out.length == 2)
-    assert(out.forall(r => r.getString(1) == "" && r.getLong(3) == 0L))
+  test("paragraphDedup physical paths agree row-for-row on the test corpus") {
+    val broadcast = CorpusClean.paragraphDedup(tables.documents,
+      path = CorpusClean.BannedSetPath.Broadcast)
+    val antijoin = CorpusClean.paragraphDedup(tables.documents,
+      path = CorpusClean.BannedSetPath.AntiJoin)
+    assert(broadcast.exceptAll(antijoin).count() == 0)
+    assert(antijoin.exceptAll(broadcast).count() == 0)
+  }
+
+  test("paragraphDedup Auto picks by banned-set size") {
+    // limit 0 forces the anti-join arm; a huge limit forces broadcast —
+    // both must agree with each other (Auto is a pure dispatcher)
+    val viaTiny = CorpusClean.paragraphDedup(tables.documents,
+      path = CorpusClean.BannedSetPath.Auto(broadcastLimit = 0))
+    val viaHuge = CorpusClean.paragraphDedup(tables.documents,
+      path = CorpusClean.BannedSetPath.Auto(broadcastLimit = Long.MaxValue))
+    assert(viaTiny.exceptAll(viaHuge).count() == 0)
   }
 
   test("intraDocDedup keeps first occurrence, preserves order") {
