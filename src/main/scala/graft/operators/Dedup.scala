@@ -330,32 +330,57 @@ object Dedup {
 
   // ---------- incremental MinHash index ----------
 
+  /** Hash-partition key for the persisted band index: band rows land
+    * in `bucket=pmod(band_hash, n)` directories, so a probe reads
+    * ONLY the buckets its delta hashes into (PartitionFilters prune
+    * at file listing) instead of scanning the whole index. */
+  val BandBuckets = 64
+
+  def bandBucket: Column = pmod(col("band_hash"), lit(BandBuckets))
+
   /** Build a persisted MinHash dedup index under `dir`: `sigs`
-    * (doc_id, sig) and `bands` (doc_id, band_id, band_hash). The
-    * corpus is signed ONCE (bands derive from the written signatures,
-    * not a second text scan). An index holds 8·numPerm bytes + 16
-    * band rows per doc — ~0.5 KB/doc regardless of document size, so
-    * the nightly-dedup working set is signatures, never corpus text.
-    * At cluster scale, bucket `bands` on band_hash
-    * ([[Maintenance.writeBucketed]]) so steady-state probes shuffle
-    * only the delta. */
+    * (doc_id, sig) and `bands` (doc_id, band_id, band_hash),
+    * hive-partitioned on `bucket = band_hash % BandBuckets` so
+    * steady-state probes are partition-pruned to the delta's buckets
+    * — the full index is never rescanned. An index holds 8·numPerm
+    * bytes + 16 band rows per doc — ~0.5 KB/doc regardless of
+    * document size, so the nightly-dedup working set is signatures,
+    * never corpus text.
+    *
+    * The corpus is signed ONCE: the signed frame is persisted
+    * (signature-sized, ~0.5 KB/doc) and feeds sigs AND bands — no
+    * parquet read-back, so one batch's sigs and bands always come
+    * from the same data. In append mode the delta is anti-joined
+    * against the indexed doc_ids first: re-appending an id would
+    * otherwise duplicate its signature and band rows and inflate
+    * every later probe. Bands are written BEFORE sigs — the sigs
+    * write is the commit record (the anti-join guard keys on it), so
+    * a crash between the two writes leaves only orphan band rows,
+    * which probes drop when candidates inner-join back to sigs. */
   def buildLshIndex(documents: DataFrame, dir: String, shingleK: Int = 3,
                     numPerm: Int = 64, bands: Int = 16,
                     append: Boolean = false): Unit = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val mode = if (append) "append" else "overwrite"
+    // appending into an empty dir is a fresh build (also what a retry
+    // of a crashed FIRST append needs — no sigs yet means no guard)
+    val appending = append && new java.io.File(s"$dir/sigs").exists
+    val mode = if (appending) "append" else "overwrite"
     val spark = documents.sparkSession
-    documents.select(col("doc_id"),
-        minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
-      .write.mode(mode).parquet(s"$dir/sigs")
-    // derive bands from the written sigs — in append mode only the
-    // new docs' signatures are banded
-    val written = spark.read.parquet(s"$dir/sigs")
-    val fresh =
-      if (append) written.join(documents.select(col("doc_id")), "doc_id")
-      else written
-    lshBands(fresh, "doc_id", "sig", bands, numPerm / bands)
-      .write.mode(mode).parquet(s"$dir/bands")
+    val signedAll = documents.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+    val signed =
+      (if (appending)
+        signedAll.join(spark.read.parquet(s"$dir/sigs").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else signedAll)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+        .withColumn("bucket", bandBucket.cast("int"))
+        .repartition(col("bucket"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
+      signed.write.mode(mode).parquet(s"$dir/sigs")
+    } finally { signed.unpersist(); () }
   }
 
   /** Dedup a delta batch against a persisted index WITHOUT touching
@@ -377,16 +402,36 @@ object Dedup {
 
   /** [[dedupAgainstIndex]] over an already-signed delta
     * (doc_id, sig) — the streaming micro-batch path signs once and
-    * feeds both the probe and the index append. */
+    * feeds both the probe and the index append.
+    *
+    * The probe is PARTITION-PRUNED: the delta's band hashes are
+    * collected (broadcast-small by contract) and only the matching
+    * `bucket=` directories of the index are listed and read —
+    * steady-state cost is O(delta's buckets), not O(index). When the
+    * caller is a retried micro-batch that may have already appended
+    * its own signatures (`excludeBatch`), the probe also filters out
+    * that `batch=` partition, so a doc never pairs with itself and
+    * intra-batch pairs are never double-reported as cross pairs. */
   def dedupSignedAgainstIndex(signedDelta: DataFrame, dir: String,
                               numPerm: Int, bands: Int,
-                              threshold: Double): DataFrame = {
+                              threshold: Double,
+                              excludeBatch: Option[Long] = None): DataFrame = {
     val spark = signedDelta.sparkSession
     val signed = signedDelta.select(col("doc_id").as("delta_id"),
       col("sig").as("delta_sig"))
     val deltaBands = lshBands(signed, "delta_id", "delta_sig",
       bands, numPerm / bands)
-    val cand = spark.read.parquet(s"$dir/bands")
+    // the delta side is small by contract (it broadcasts below), so
+    // its distinct bucket set is a handful of ints — collect it for a
+    // STATIC PartitionFilter on the index read
+    val probedBuckets = deltaBands
+      .select(bandBucket.cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val bandsRead = spark.read.parquet(s"$dir/bands")
+      .filter(col("bucket")
+        .isin(probedBuckets.toIndexedSeq.map(Integer.valueOf): _*))
+    val cand = excludeBatch.fold(bandsRead)(b =>
+        bandsRead.filter(col("batch") =!= b))
       .join(broadcast(deltaBands), Seq("band_id", "band_hash"))
       .select(col("doc_id").as("base_id"), col("delta_id")).distinct()
     cand

@@ -202,7 +202,15 @@ object Streams {
     * bands to the index. Every write lands under `batch=<id>` with
     * directory overwrite, so a retried micro-batch is idempotent
     * (exactly-once output from at-least-once delivery, no markers
-    * needed). Pair orientation is canonical (id_a < id_b), which
+    * needed) — including retry after a PARTIAL append: the cross
+    * probe excludes the current `batch=` partition, so a batch whose
+    * bands already landed before a crash never pairs with itself or
+    * double-reports its intra pairs as cross pairs. Band rows are
+    * sub-partitioned on `bucket = band_hash % BandBuckets` (the
+    * [[graft.operators.Dedup.buildLshIndex]] layout), so the probe
+    * partition-prunes to the delta's buckets instead of scanning the
+    * whole index each micro-batch.
+    * Pair orientation is canonical (id_a < id_b), which
     * makes the union of all batches' pairs INDEPENDENT of how docs
     * were split into batches: each {a, b} bucket-mate pair is found
     * exactly once — together (intra) or when the later doc arrives
@@ -220,7 +228,7 @@ object Streams {
       val cross =
         if (new java.io.File(s"$indexDir/bands").exists)
           Dedup.dedupSignedAgainstIndex(signed, indexDir, numPerm, bands,
-            threshold)
+            threshold, excludeBatch = Some(batchId))
             .select(least(col("base_id"), col("delta_id")).as("id_a"),
               greatest(col("base_id"), col("delta_id")).as("id_b"),
               col("est_jaccard"))
@@ -229,7 +237,9 @@ object Streams {
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       signed.write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
       Dedup.lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
-        .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+        .withColumn("bucket", Dedup.bandBucket.cast("int"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/bands/batch=$batchId")
     } finally { signed.unpersist(); () }
   }
 

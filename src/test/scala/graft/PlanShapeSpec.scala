@@ -173,5 +173,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning(band_id")),
       s"index bands reshuffled:\n$p")
+    // the probe must be partition-pruned to the delta's band buckets —
+    // a full-index scan would show an empty PartitionFilters
+    val bandScan = p.linesIterator.find(l =>
+      l.contains("bands") && l.contains("PartitionFilters"))
+    assert(bandScan.exists(l => l.contains("bucket#") ||
+        l.contains("bucket IN")),
+      s"band index scan is not bucket-pruned:\n$p")
   }
 }

@@ -164,4 +164,39 @@ class DedupSpec extends SparkSpec {
       assert(e >= 0.9 && e <= 1.0)
     }
   }
+
+  test("incremental index: re-appending indexed ids is a no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_guard").toString
+    val base = tables.documents.filter(col("doc_id") < 100)
+    val delta = tables.documents.filter(col("doc_id") === 0L)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    Dedup.buildLshIndex(base, dir)
+    Dedup.buildLshIndex(delta, dir, append = true)
+    val sigs1 = spark.read.parquet(s"$dir/sigs").count()
+    val bands1 = spark.read.parquet(s"$dir/bands").count()
+    // a retried/duplicate append of already-indexed ids must not
+    // duplicate signature or band rows (probes would double-count)
+    Dedup.buildLshIndex(delta, dir, append = true)
+    assert(spark.read.parquet(s"$dir/sigs").count() === sigs1)
+    assert(spark.read.parquet(s"$dir/bands").count() === bands1)
+    // and the probe surface stays exact: one hit, once
+    val probe = tables.documents.filter(col("doc_id") === 0L)
+      .withColumn("doc_id", col("doc_id") + 30000)
+    assert(Dedup.dedupAgainstIndex(probe, dir, threshold = 0.9)
+      .filter(col("base_id") === 20000L).count() === 1)
+  }
+
+  test("index probe reads only the delta's band buckets (partition pruning)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_prune").toString
+    Dedup.buildLshIndex(tables.documents.filter(col("doc_id") < 400), dir)
+    val delta = tables.documents.filter(col("doc_id") === 0L)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val plan = Dedup.dedupAgainstIndex(delta, dir)
+      .queryExecution.executedPlan.toString
+    val bandScan = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(bandScan.isDefined, s"band scan not partition-pruned:\n$plan")
+  }
 }

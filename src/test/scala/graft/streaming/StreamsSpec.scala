@@ -294,4 +294,32 @@ class StreamsSpec extends SparkSpec {
     assert(oneByOne == batch, "accumulated stream pairs != batch estimate")
     assert(batch.nonEmpty)
   }
+
+  test("dedupIndexBatch retry after a completed append emits the same pairs — no self-pairs") {
+    import graft.operators.Dedup
+    val idx = Files.createTempDirectory("graft_sdi_retry_idx").toString
+    val prs = Files.createTempDirectory("graft_sdi_retry_prs").toString
+    val sink = Streams.dedupIndexBatch(idx, prs, 3, 64, 16, 0.5) _
+    // two halves with cross-batch near-dups (docs 0..249 then 250..499
+    // plus copies of batch-0 docs under new ids)
+    val b0 = tables.documents.filter(col("doc_id") < 250)
+      .select("doc_id", "text")
+    val b1 = tables.documents.filter(col("doc_id") >= 250)
+      .select("doc_id", "text")
+      .unionByName(tables.documents.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+    sink(b0, 0L)
+    sink(b1, 1L)
+    val once = spark.read.parquet(s"$prs/batch=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once.exists { case (a, b) => a < 5 && b >= 90000 },
+      "expected cross-batch near-dup pairs")
+    // simulate the worst retry: batch 1's sigs+bands ALREADY appended
+    // (the crash hit after the index write, before checkpoint commit)
+    sink(b1, 1L)
+    val retried = spark.read.parquet(s"$prs/batch=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(retried == once, "retried batch changed the pair set")
+    assert(retried.forall { case (a, b) => a != b }, "self-pair emitted")
+  }
 }
