@@ -94,6 +94,66 @@ object Queries {
                                    d: String): Pipeline.RunResult =
     incPipelineCache.getOrElseUpdate(d, runIncPipeline(s, d, "pincshared"))
 
+  /** Runs `body` with the automatic range-join rewrite ACTIVE
+    * ([[graft.plans.RangeJoinRewrite]] + bucket-width conf) and
+    * materializes the result eagerly while the rule is in scope — the
+    * rewrite happens at optimization time, so a lazily-returned frame
+    * would escape it. Asserts the bucket equi-join actually fired:
+    * the query FAILS rather than silently falling back to the
+    * quadratic plan. */
+  private def withAutoRangeJoin(s: SparkSession, widthUs: Long)
+                               (body: => DataFrame): DataFrame = {
+    import graft.plans.RangeJoinRewrite
+    val installed = s.experimental.extraOptimizations.contains(RangeJoinRewrite)
+    if (!installed)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RangeJoinRewrite
+    val prev = s.conf.getOption(RangeJoinRewrite.WidthConf)
+    s.conf.set(RangeJoinRewrite.WidthConf, widthUs.toString)
+    try {
+      val df = body
+      val opt = df.queryExecution.optimizedPlan.toString
+      require(opt.contains("__graft_bucket"),
+        s"auto range-join rewrite did not fire:\n$opt")
+      df.localCheckpoint(true)
+    } finally {
+      prev.fold(s.conf.unset(RangeJoinRewrite.WidthConf))(v =>
+        s.conf.set(RangeJoinRewrite.WidthConf, v))
+      if (!installed)
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+    }
+  }
+
+  /** events-per-session point-in-interval oracle, shared by
+    * range_join (explicit bucketed operator) and range_join_auto (the
+    * optimizer rewrite of the plain BETWEEN join) — one oracle, two
+    * physical plans. */
+  private val rangeJoinOracleSql: String = s"""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id FROM events),
+        marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > 1800000000 THEN 1
+                 ELSE 0 END as new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess_rows AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as session_seq
+          FROM marked),
+        sessions AS (
+          SELECT user_id, session_seq, min(ts) as session_start,
+            max(ts) as session_end
+          FROM sess_rows GROUP BY 1, 2)
+        SELECT s.user_id, cast(s.session_seq as bigint) as session_seq,
+          count(*) as events_in_session
+        FROM e p JOIN sessions s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.session_start AND p.ts <= s.session_end
+        GROUP BY 1, 2"""
+
   /** decimal-exact revenue term, shared by several oracles. */
   private val revSql =
     "cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
@@ -1312,30 +1372,30 @@ object Queries {
           .groupBy(col("user_id"), col("session_seq"))
           .agg(count(lit(1)).as("events_in_session"))
       },
-      Some(s"""
-        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id FROM events),
-        marked AS (
-          SELECT user_id, ts, event_id,
-            CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w > 1800000000 THEN 1
-                 ELSE 0 END as new_session
-          FROM e
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess_rows AS (
-          SELECT user_id, ts,
-            sum(new_session) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as session_seq
-          FROM marked),
-        sessions AS (
-          SELECT user_id, session_seq, min(ts) as session_start,
-            max(ts) as session_end
-          FROM sess_rows GROUP BY 1, 2)
-        SELECT s.user_id, cast(s.session_seq as bigint) as session_seq,
-          count(*) as events_in_session
-        FROM e p JOIN sessions s
-          ON p.user_id = s.user_id
-         AND p.ts >= s.session_start AND p.ts <= s.session_end
-        GROUP BY 1, 2""")),
+      Some(rangeJoinOracleSql)),
+
+    Q("range_join_auto",
+      // the SAME semantics written as a plain SQL BETWEEN join and
+      // rewritten to the bucketed equi-join AUTOMATICALLY by the
+      // Catalyst rule — the harness asserts the rewrite fired, so this
+      // row passing means the rule produced the oracle answer on real
+      // data, not just on spec fixtures
+      (s, d) => {
+        val ev = Tables(s, d).events
+        graft.streaming.Streams.sessionizeBatch(ev, gapUs = 1800000000L)
+          .createOrReplaceTempView("rja_sessions")
+        ev.select(col("user_id"), col("ts"), col("event_id"))
+          .createOrReplaceTempView("rja_points")
+        withAutoRangeJoin(s, widthUs = 1800000000L) {
+          s.sql("""
+            SELECT p.user_id, s.session_seq, count(*) as events_in_session
+            FROM rja_points p JOIN rja_sessions s
+              ON p.user_id = s.user_id
+             AND p.ts BETWEEN s.session_start AND s.session_end
+            GROUP BY 1, 2""")
+        }
+      },
+      Some(rangeJoinOracleSql)),
 
     // ---------- D. Data quality ----------
     Q("expectations",

@@ -61,7 +61,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def bucketable(dt: DataType): Boolean = dt match {
-    case _: NumericType | TimestampType | TimestampNTZType => true
+    // NOT TimestampNTZType: Spark defines numeric Casts for
+    // TimestampType only, so a bucketOf() over an NTZ column would be
+    // an unresolvable Cast mid-optimizer — the rule must leave such
+    // joins alone rather than fail them
+    case _: NumericType | TimestampType => true
     case _ => false
   }
 
@@ -121,5 +125,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (pointOnLeft) (pProj, ivGen) else (ivGen, pProj)
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
     }
+      // belt-and-braces: if any constructed expression failed to
+      // resolve (e.g. an unexpected unsupported cast), fall back to
+      // the original join instead of surfacing an optimizer error
+      .filter(_.resolved)
   }
 }

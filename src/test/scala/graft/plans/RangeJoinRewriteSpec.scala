@@ -77,6 +77,27 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP_NTZ points are left alone (no numeric cast exists) and still answer") {
+    // NTZ has no Cast to DOUBLE — the rule must skip, not build an
+    // unresolvable expression mid-optimizer
+    val p = points.limit(200)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts")).cast("timestamp_ntz").as("ts"))
+    val iv = intervals.limit(5)
+      .select(col("iv_id"), col("user_id"),
+        timestamp_micros(col("lo")).cast("timestamp_ntz").as("lo"),
+        timestamp_micros(col("hi")).cast("timestamp_ntz").as("hi"))
+    val cond = p("user_id") === iv("user_id") &&
+      p("ts") >= iv("lo") && p("ts") <= iv("hi")
+    val naive = pairs(p.join(iv, cond))
+    withRule(10000000L) {
+      val df = p.join(iv, cond)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+        "rule must not fire on an NTZ point column")
+      assert(pairs(df) == naive)
+    }
+  }
+
   test("rule is inert when the width conf is unset") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RangeJoinRewrite
