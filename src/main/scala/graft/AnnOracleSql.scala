@@ -168,6 +168,28 @@ object AnnOracleSql {
          d.vec_id IS NULL as kept
        FROM tagged t LEFT JOIN dropped d ON d.vec_id = t.neighbor_id"""
 
+  /** Per-cell SemDeDup pruning audit (mirrors Dedup.semdedupRate):
+    * vectors / kept / pruned counts and the pruned fraction for every
+    * quantizer cell at the given threshold. */
+  def semdedupRateSql(threshold: Double, nlist: Int, iters: Int,
+                      sampleBudget: Int): String =
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
+       dropped AS (
+         SELECT DISTINCT b.neighbor_id as vec_id
+         FROM tagged a JOIN tagged b
+           ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+         WHERE ${cosine("a.emb", "b.emb")} >= $threshold),
+       flags AS (
+         SELECT t.neighbor_id as vec_id, cast(t.cluster as int) as cluster,
+           d.vec_id IS NULL as kept
+         FROM tagged t LEFT JOIN dropped d ON d.vec_id = t.neighbor_id)
+       SELECT cluster, count(*) as n_vectors,
+         cast(sum(case when kept then 1 else 0 end) as bigint) as n_kept,
+         cast(sum(case when kept then 0 else 1 end) as bigint) as n_pruned,
+         cast(sum(case when kept then 0 else 1 end) as double) / count(*)
+           as pruned_frac
+       FROM flags GROUP BY 1"""
+
   def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
              queryPred: String): String =
     s"""WITH $EmbCte, ${sigCtes(dim, bits, tables)}, ${lshTopkCtes(k, queryPred)}

@@ -480,6 +480,15 @@ object Queries {
       Some(AnnOracleSql.semdedupKeepSql(threshold = 0.35, nlist = 16,
         iters = 3, sampleBudget = 128))),
 
+    Q("semdedup_rate",
+      // per-cell pruned-fraction audit — the SemDeDup quality gate
+      // (threshold tuning happens on this summary, the analog of
+      // ann_recall for the pruning family)
+      (s, d) => Dedup.semdedupRate(Tables(s, d).embeddings,
+        threshold = 0.35, cacheKey = Some(d)),
+      Some(AnnOracleSql.semdedupRateSql(threshold = 0.35, nlist = 16,
+        iters = 3, sampleBudget = 128))),
+
     // ---------- H. LLM-pipeline: similarity search ----------
     Q("ann_bruteforce",
       (s, d) => {

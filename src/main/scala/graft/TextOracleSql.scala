@@ -288,7 +288,8 @@ object TextOracleSql {
               cast(sum(w) as bigint) as wsum FROM ws),
     rates AS (SELECT source,
         cast(floor(least(1.0,
-               $budgetPpm * 1.0 / 1000000.0 * t * w / (wsum * m))
+               $budgetPpm * 1.0 / 1000000.0 * t * w
+                 / (cast(wsum as double) * cast(m as double)))
              * 1000000.0) as bigint) as mix_rate_ppm
       FROM ws, tot)
     SELECT d.doc_id, d.source, r.mix_rate_ppm

@@ -328,6 +328,25 @@ object Dedup {
       .select(col("vec_id"), col("cluster"), col("is_dropped").isNull.as("kept"))
   }
 
+  /** Per-cell audit of [[semdedupKeep]]: vectors / kept / pruned and
+    * the pruned fraction for every quantizer cell at the given
+    * threshold — the SemDeDup quality gate, analogous to
+    * [[Similarity.annRecall]] for the ANN family. A cell pruning far
+    * above the corpus mean flags a boilerplate cluster (or a
+    * too-coarse quantizer cell); thresholds are tuned on this summary
+    * before committing a corpus-wide prune. Aggregates the keep flags
+    * — one extra |nlist|-row shuffle over [[semdedupKeep]]. */
+  def semdedupRate(embeddings: DataFrame, threshold: Double = 0.35,
+                   nlist: Int = 16, iters: Int = 3, sampleBudget: Int = 128,
+                   cacheKey: Option[String] = None): DataFrame =
+    semdedupKeep(embeddings, threshold, nlist, iters, sampleBudget, cacheKey)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_pruned"))
+      .withColumn("pruned_frac",
+        col("n_pruned").cast("double") / col("n_vectors"))
+
   // ---------- incremental MinHash index ----------
 
   /** Hash-partition key for the persisted band index: band rows land

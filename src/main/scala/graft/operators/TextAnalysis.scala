@@ -418,11 +418,16 @@ object TextAnalysis {
       .groupBy(col("source")).agg(sum(col("n_tok")).as("m"))
       .withColumn("w", floor(sqrt(col("m").cast("double"))).cast("long"))
     val totals = masses.agg(sum(col("m")).as("t"), sum(col("w")).as("wsum"))
+    // the denominator multiplies IN DOUBLE: a long wsum * m silently
+    // wraps once per-source token mass reaches ~1e13 at corpus scale
+    // (double rounds instead — and below 2^53 the product is exact,
+    // so the oracle chain is unchanged at any test scale)
     val rates = masses.crossJoin(broadcast(totals))
       .select(col("source"),
         floor(least(lit(1.0),
           lit(budgetPpm) * lit(1.0) / lit(1000000.0) * col("t") * col("w") /
-            (col("wsum") * col("m"))) * lit(1000000.0))
+            (col("wsum").cast("double") * col("m").cast("double")))
+          * lit(1000000.0))
           .cast("long").as("mix_rate_ppm"))
     documents
       .join(broadcast(rates), "source")

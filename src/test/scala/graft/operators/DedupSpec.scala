@@ -165,6 +165,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semdedupRate aggregates the keep flags exactly") {
+    val keep = Dedup.semdedupKeep(tables.embeddings,
+      cacheKey = Some("rate-spec"))
+    val rate = Dedup.semdedupRate(tables.embeddings,
+      cacheKey = Some("rate-spec"))
+    val tot = rate.agg(sum("n_vectors"), sum("n_kept")).head
+    assert(tot.getLong(0) === tables.embeddings.count())
+    assert(tot.getLong(1) === keep.filter(col("kept")).count())
+    assert(rate.filter(col("pruned_frac") < 0.0 ||
+      col("pruned_frac") > 1.0 ||
+      col("n_kept") + col("n_pruned") =!= col("n_vectors")).count() === 0)
+  }
+
   test("incremental index: re-appending indexed ids is a no-op") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lshidx_guard").toString
