@@ -190,6 +190,101 @@ object AnnOracleSql {
            as pruned_frac
        FROM flags GROUP BY 1"""
 
+  /** Product-quantization CTE chain replicating Similarity's PQ
+    * family bit-for-bit: absolute-budget sample (salt "pq:"),
+    * per-subspace Lloyd with L2 assignment via the x·c − c·c/2
+    * score, full-corpus encode `pcodes(vec_id, codes)`, per-query
+    * flat LUT `plutl(query_id, lut)` ordered by (sub, code), and ADC
+    * top-k `pq_topk` whose est_ip is an UNROLLED left-associated sum
+    * of m table entries (matching Spark's reduceLeft fold). */
+  def pqCtes(dim: Int, m: Int, ksub: Int, iters: Int, sampleBudget: Int,
+             k: Int, queryPred: String): String = {
+    val dsub = dim / m
+    val score = (s: String, c: String) =>
+      s"list_dot_product($s, $c.cent) - 0.5 * " +
+        s"list_dot_product($c.cent, $c.cent)"
+    val init = s"""
+    psamp AS (
+      SELECT vec_id, emb FROM e, (SELECT count(*) as n FROM e) cnt
+      WHERE ('0x' || substr(sha256('pq:' || cast(vec_id as varchar)), 1, 15))::BIGINT
+              % greatest(1, (n + ${sampleBudget - 1}) // $sampleBudget) = 0),
+    subn AS (SELECT cast(unnest(range($m)) as int) as sub),
+    psub AS (
+      SELECT s.vec_id, t.sub,
+        list_transform(range($dsub), i -> s.emb[t.sub*$dsub + i + 1]) as semb
+      FROM psamp s CROSS JOIN subn t),
+    pinit AS (SELECT vec_id FROM psamp ORDER BY vec_id LIMIT $ksub),
+    pc0 AS (
+      SELECT p.sub,
+        cast(row_number() OVER (PARTITION BY p.sub ORDER BY p.vec_id) as int) - 1
+          as code,
+        p.semb as cent
+      FROM psub p JOIN pinit USING (vec_id))"""
+    val rounds = (1 to iters).map { r =>
+      val p = s"pc${r - 1}"
+      s"""
+    pa$r AS (
+      SELECT vec_id, sub, semb, code FROM (
+        SELECT s.vec_id, s.sub, s.semb, c.code,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${score("s.semb", "c")} DESC, c.code) as rn
+        FROM psub s JOIN $p c ON c.sub = s.sub) WHERE rn = 1),
+    pm$r AS (
+      SELECT sub, code, dim,
+        cast(sum(cast(v as decimal(20,10))) as double) / count(*) as mean
+      FROM (SELECT sub, code, unnest(semb) as v,
+              generate_subscripts(semb, 1) as dim FROM pa$r)
+      GROUP BY 1, 2, 3),
+    pc$r AS (
+      SELECT p.sub, p.code, coalesce(mm.cent, p.cent) as cent
+      FROM $p p LEFT JOIN
+        (SELECT sub, code, list(mean ORDER BY dim) as cent
+         FROM pm$r GROUP BY 1, 2) mm USING (sub, code))"""
+    }.mkString(",")
+    val cf = s"pc$iters"
+    val estSum = (0 until m).map(j =>
+      s"l.lut[$j*$ksub + x.codes[${j + 1}] + 1]").mkString(" + ")
+    val fin = s"""
+    esub AS (
+      SELECT e.vec_id, t.sub,
+        list_transform(range($dsub), i -> e.emb[t.sub*$dsub + i + 1]) as semb
+      FROM e CROSS JOIN subn t),
+    pcodes AS (
+      SELECT vec_id, list(code ORDER BY sub) as codes FROM (
+        SELECT s.vec_id, s.sub, c.code,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${score("s.semb", "c")} DESC, c.code) as rn
+        FROM esub s JOIN $cf c ON c.sub = s.sub) WHERE rn = 1
+      GROUP BY vec_id),
+    plut AS (
+      SELECT s.vec_id as query_id, s.sub, c.code,
+        list_dot_product(s.semb, c.cent) as part
+      FROM esub s JOIN $cf c ON c.sub = s.sub
+      WHERE s.$queryPred),
+    plutl AS (
+      SELECT query_id, list(part ORDER BY sub, code) as lut
+      FROM plut GROUP BY 1),
+    pest AS (
+      SELECT l.query_id, x.vec_id as neighbor_id, $estSum as est_ip
+      FROM pcodes x CROSS JOIN plutl l
+      WHERE x.vec_id <> l.query_id),
+    pq_topk AS (
+      SELECT query_id, neighbor_id, cast(rank as bigint) as rank, est_ip
+      FROM (
+        SELECT query_id, neighbor_id, est_ip,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY est_ip DESC, neighbor_id) as rank
+        FROM pest)
+      WHERE rank <= $k)"""
+    init + "," + rounds + "," + fin
+  }
+
+  def pqSql(dim: Int, m: Int, ksub: Int, iters: Int, sampleBudget: Int,
+            k: Int, queryPred: String): String =
+    s"""WITH $EmbCte,
+       ${pqCtes(dim, m, ksub, iters, sampleBudget, k, queryPred)}
+       SELECT query_id, neighbor_id, rank, est_ip FROM pq_topk"""
+
   def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
              queryPred: String): String =
     s"""WITH $EmbCte, ${sigCtes(dim, bits, tables)}, ${lshTopkCtes(k, queryPred)}

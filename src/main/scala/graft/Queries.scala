@@ -154,6 +154,32 @@ object Queries {
          AND p.ts >= s.session_start AND p.ts <= s.session_end
         GROUP BY 1, 2"""
 
+  /** Session-interval CTE chain over a filtered event subset: emits
+    * `${p}sessions(user_id, ${p}seq, ${p}start, ${p}end)` — the
+    * DuckDB replica of `Streams.sessionizeBatch` on
+    * `events WHERE pred` (shared by the interval_join oracle). */
+  private def sessionCte(p: String, pred: String,
+                         gapUs: Long = 1800000000L): String = s"""
+        ${p}e AS (SELECT user_id, epoch_us(ts) as ts, event_id
+                  FROM events WHERE $pred),
+        ${p}marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > $gapUs THEN 1
+                 ELSE 0 END as new_session
+          FROM ${p}e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        ${p}rows AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              as session_seq
+          FROM ${p}marked),
+        ${p}sessions AS (
+          SELECT user_id, cast(session_seq as bigint) as ${p}seq,
+            min(ts) as ${p}start, max(ts) as ${p}end
+          FROM ${p}rows GROUP BY 1, 2)"""
+
   /** decimal-exact revenue term, shared by several oracles. */
   private val revSql =
     "cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
@@ -512,6 +538,21 @@ object Queries {
         WHERE rank <= 5"""),
       headline = true),
 
+    Q("ann_pq",
+      // PQ-ADC ANN: corpus compressed to 8 codes/vector by the native
+      // kernel (one map-only scan), queries carry an m×ksub dot-product
+      // LUT, est_ip is a fixed left-associated sum of 8 table entries —
+      // the compressed-domain search path for when 100 TB of raw
+      // embeddings can't be touched per query; oracle replicates the
+      // per-subspace Lloyd, the encode, and every ADC sum bit-for-bit
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annPq(emb, emb.filter(col("vec_id") < 8),
+          cacheKey = Some(d))
+      },
+      Some(AnnOracleSql.pqSql(dim = 64, m = 8, ksub = 16, iters = 3,
+        sampleBudget = 128, k = 5, queryPred = "vec_id < 8"))),
+
     Q("ann_ivf",
       (s, d) => {
         val emb = Tables(s, d).embeddings
@@ -771,6 +812,34 @@ object Queries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) as word
               FROM documents)
         GROUP BY 1""")),
+
+    Q("word_pmi",
+      // PMI collocation mining: adjacent-pair frequency vs the
+      // independence expectation, as the monotone lift ratio (no
+      // engine-specific ln in the hash); counts exact-integer until
+      // one fixed left-associated double expression
+      (s, d) => TextAnalysis.wordPmi(Tables(s, d).documents),
+      Some("""
+        WITH toks AS (SELECT string_split(text, ' ') as w FROM documents),
+        tot AS (SELECT cast(sum(len(w)) as double) as t_uni,
+                  cast(sum(greatest(len(w) - 1, 0)) as double) as t_bi
+                FROM toks),
+        unic AS (SELECT word, count(*) as c_w
+                 FROM (SELECT unnest(w) as word FROM toks) GROUP BY 1),
+        bic AS (
+          SELECT p['a'] as word_a, p['b'] as word_b, count(*) as c_ab
+          FROM (SELECT unnest(list_transform(
+                  range(greatest(len(w) - 1, 0)),
+                  i -> {'a': w[i+1], 'b': w[i+2]})) as p
+                FROM toks)
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT b.word_a, b.word_b, b.c_ab, ua.c_w as c_a, ub.c_w as c_b,
+          ((cast(b.c_ab as double) * t.t_uni) * t.t_uni) /
+            ((t.t_bi * cast(ua.c_w as double)) * cast(ub.c_w as double))
+            as lift
+        FROM bic b
+          JOIN unic ua ON ua.word = b.word_a
+          JOIN unic ub ON ub.word = b.word_b, tot t""")),
 
     Q("text_repetition",
       (s, d) => TextAnalysis.repetition(Tables(s, d).documents),
@@ -1406,6 +1475,42 @@ object Queries {
       },
       Some(rangeJoinOracleSql)),
 
+    Q("interval_join",
+      // interval×interval OVERLAP join (browse sessions ⋈ same-user
+      // buy sessions): both interval sets explode into 30-min buckets
+      // and equi-join on (user_id, bucket); each overlapping pair is
+      // kept only in the bucket containing the overlap start, so it
+      // emerges exactly once with NO dedup shuffle — the interval
+      // generalization of range_join
+      (s, d) => {
+        val ev = Tables(s, d).events
+        def sess(pred: org.apache.spark.sql.Column, p: String) =
+          graft.streaming.Streams.sessionizeBatch(ev.filter(pred),
+              gapUs = 1800000000L)
+            .select(col("user_id"), col("session_seq").as(p + "seq"),
+              col("session_start").as(p + "start"),
+              col("session_end").as(p + "end"))
+        RangeJoin.intervalOverlap(
+            sess(col("event_type").isin("click", "view"), "browse_"),
+            sess(col("event_type").isin("purchase", "signup"), "buy_"),
+            "user_id", "browse_start", "browse_end",
+            "buy_start", "buy_end", bucketWidth = 1800000000L)
+          .withColumn("overlap_us",
+            least(col("browse_end"), col("buy_end")) -
+              greatest(col("browse_start"), col("buy_start")))
+      },
+      Some(s"""
+        WITH ${sessionCte("browse_", "event_type in ('click','view')")},
+        ${sessionCte("buy_", "event_type in ('purchase','signup')")}
+        SELECT b.user_id, b.browse_seq, b.browse_start, b.browse_end,
+          y.buy_seq, y.buy_start, y.buy_end,
+          least(b.browse_end, y.buy_end) -
+            greatest(b.browse_start, y.buy_start) as overlap_us
+        FROM browse_sessions b JOIN buy_sessions y
+          ON b.user_id = y.user_id
+         AND b.browse_start <= y.buy_end
+         AND y.buy_start <= b.browse_end""")),
+
     // ---------- D. Data quality ----------
     Q("expectations",
       (s, d) => Expectations.metrics(Tables(s, d).events,
@@ -1445,6 +1550,41 @@ object Queries {
         WHERE NOT coalesce(value >= 0 AND value <= 400
           AND event_type in ('click','view','purchase','signup','error')
           AND event_type <> 'error' AND user_id is not null, false)""")),
+
+    Q("table_profile",
+      // single-pass column profiling (the DESCRIBE side of data
+      // quality): one scan, multi-count-distinct via Expand, wide
+      // one-row aggregate exploded to long form map-side
+      (s, d) => Profile.tableProfile(Tables(s, d).events),
+      Some {
+        // per-column aggregate blocks; ts profiles as epoch-µs to
+        // match the Spark-side long canonicalization
+        val numCols = Seq("event_id" -> "event_id", "ts" -> "epoch_us(ts)",
+          "user_id" -> "user_id", "value" -> "value")
+        val strCols = Seq("event_type", "props")
+        val numSql = numCols.map { case (n, e) =>
+          s"""SELECT '$n' as col_name, count(*) as n_rows,
+             cast(sum(case when $e is null then 1 else 0 end) as bigint)
+               as n_nulls,
+             count(distinct $e) as n_distinct,
+             cast(min($e) as double) as min_num,
+             cast(max($e) as double) as max_num,
+             cast(NULL as varchar) as min_str,
+             cast(NULL as varchar) as max_str
+             FROM events"""
+        }
+        val strSql = strCols.map { n =>
+          s"""SELECT '$n' as col_name, count(*) as n_rows,
+             cast(sum(case when $n is null then 1 else 0 end) as bigint)
+               as n_nulls,
+             count(distinct $n) as n_distinct,
+             cast(NULL as double) as min_num,
+             cast(NULL as double) as max_num,
+             min($n) as min_str, max($n) as max_str
+             FROM events"""
+        }
+        (numSql ++ strSql).mkString("\nUNION ALL\n")
+      }),
 
     Q("pipeline_event_log",
       (s, d) => {

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass table profiling: per-column row/null/distinct counts
+  * and min/max, emitted long-form (one row per column) — the
+  * data-quality surface a pipeline consults before trusting a new
+  * drop (complements the row-level `Expectations` suite, which
+  * validates; profiling DESCRIBES).
+  *
+  * Scale posture: ONE scan. All per-column aggregates live in a
+  * single `agg` — Catalyst plans the multiple exact count-distincts
+  * as one Expand (factor = #profiled columns) feeding a partial
+  * aggregate, so the corpus is read once and the shuffle carries
+  * only aggregation state, never rows. The wide one-row result is
+  * exploded to long form map-side. At 100 TB the same plan holds;
+  * if exact distincts are not worth the Expand factor there,
+  * [[tableProfileApprox]] swaps them for HLL sketches (one scan, no
+  * Expand) at approx_count_distinct's default 5% relative standard
+  * deviation.
+  */
+object Profile {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Exact profile — oracle-checkable (`table_profile`). */
+  def tableProfile(df: DataFrame): DataFrame = profile(df, exact = true)
+
+  /** HLL-distinct profile for scans where the Expand factor is not
+    * worth it (rows-only; counts within approx_count_distinct's
+    * standard error). */
+  def tableProfileApprox(df: DataFrame): DataFrame =
+    profile(df, exact = false)
+
+  private def profile(df: DataFrame, exact: Boolean): DataFrame = {
+    val fields = df.schema.fields
+    val aggs: Seq[Column] = fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val num = isNumeric(f.dataType)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c))
+          .as(s"${f.name}__distinct"),
+        (if (num) min(c).cast("double") else min(lit(null).cast("double")))
+          .as(s"${f.name}__min_num"),
+        (if (num) max(c).cast("double") else max(lit(null).cast("double")))
+          .as(s"${f.name}__max_num"),
+        (if (num) min(lit(null).cast("string")) else min(c).cast("string"))
+          .as(s"${f.name}__min_str"),
+        (if (num) max(lit(null).cast("string")) else max(c).cast("string"))
+          .as(s"${f.name}__max_str"))
+    } :+ count(lit(1)).as("__n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fields.toSeq.map(f => struct(
+        lit(f.name).as("col_name"),
+        col("__n_rows").as("n_rows"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__distinct").as("n_distinct"),
+        col(s"${f.name}__min_num").as("min_num"),
+        col(s"${f.name}__max_num").as("max_num"),
+        col(s"${f.name}__min_str").as("min_str"),
+        col(s"${f.name}__max_str").as("max_str"))): _*)).as("p"))
+      .select("p.*")
+  }
+}

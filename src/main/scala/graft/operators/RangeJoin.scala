@@ -34,4 +34,34 @@ object RangeJoin {
       .filter(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join (inclusive ends): every
+    * (left, right) pair sharing `key` with
+    * `leftLo <= rightHi && rightLo <= leftHi` — the interval
+    * generalization of [[pointInInterval]], again without a
+    * nested-loop.
+    *
+    * Both sides explode into the `bucketWidth` buckets they cover and
+    * equi-join on (key, bucket). An overlapping pair collides in
+    * EVERY bucket the overlap spans, so instead of a dedup shuffle
+    * (`distinct` over the pair output) the pair is kept only in the
+    * one bucket containing the overlap's start
+    * (`greatest(leftLo, rightLo)`) — emitted exactly once, map-side.
+    * Shuffle key is (key, bucket): replication per row is
+    * |interval| / bucketWidth, work per bucket bounded. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
+                      leftLo: String, leftHi: String, rightLo: String,
+                      rightHi: String, bucketWidth: Long): DataFrame = {
+    val l = left.withColumn("__bucket",
+      explode(sequence(bucketOf(col(leftLo), bucketWidth),
+        bucketOf(col(leftHi), bucketWidth))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(rightLo), bucketWidth),
+        bucketOf(col(rightHi), bucketWidth))))
+    l.join(r, Seq(key, "__bucket"))
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(leftLo), col(rightLo)), bucketWidth))
+      .drop("__bucket")
+  }
 }

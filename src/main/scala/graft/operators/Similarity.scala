@@ -173,6 +173,126 @@ object Similarity {
     cents
   }
 
+  // ---------- PQ (product quantization) ----------
+
+  private def pqCodesCol(emb: Column,
+                         books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.PqCodes(
+        org.apache.spark.sql.graft.GraftBridge.expression(emb), books))
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int, Int), Array[Array[Array[Double]]]]
+
+  /** Product-quantization codebooks: `m` contiguous subspaces of
+    * `dim / m` dims, each with its own `ksub`-entry codebook trained
+    * by the same ABSOLUTE-budget deterministic-sample Lloyd as the
+    * IVF quantizer (salt "pq:"), but with proper L2 assignment
+    * (argmax of x·c − c·c/2). All m codebooks train in ONE set of
+    * jobs: the sample explodes into (vec, subspace) rows, assignment
+    * runs the [[graft.functions.expressions.PqCodes]] kernel, and
+    * per-(subspace, code, dim) means are exact decimal sums — the
+    * convention the DuckDB oracle replicates bit-for-bit. Codebooks
+    * are m × ksub × dsub doubles (tiny) on the driver. */
+  def trainPqCodebooks(corpus: DataFrame, dim: Int = 64, m: Int = 8,
+                       ksub: Int = 16, iters: Int = 3,
+                       sampleBudget: Int = 128,
+                       cacheKey: Option[String] = None): Array[Array[Array[Double]]] =
+    cacheKey match {
+      case Some(k) => pqCache.getOrElseUpdate((k, m, ksub, iters, sampleBudget),
+        trainPqUncached(corpus, dim, m, ksub, iters, sampleBudget))
+      case None => trainPqUncached(corpus, dim, m, ksub, iters, sampleBudget)
+    }
+
+  private def trainPqUncached(corpus: DataFrame, dim: Int, m: Int,
+                              ksub: Int, iters: Int,
+                              sampleBudget: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    val mod = sampleModulus(corpus.count(), sampleBudget)
+    val keyHash = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit("pq:"), col("vec_id").cast("string")))))
+    val sample = corpus.filter(pmod(keyHash, lit(mod)) === 0)
+      .select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: subvectors of the ksub lowest-vec_id sample rows (code =
+    // rank in vec_id order — mirrored by the oracle's row_number)
+    var books: Array[Array[Array[Double]]] = {
+      val rows = sample.orderBy("vec_id").limit(ksub)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      Array.tabulate(m)(j =>
+        rows.map(_.slice(j * dsub, (j + 1) * dsub)))
+    }
+    for (_ <- 0 until iters) {
+      // one kernel pass assigns every subspace at once
+      val assigned = sample.select(col("embedding"),
+        posexplode(pqCodesCol(col("embedding"), books))
+          .as(Seq("sub", "code")))
+      val dims = assigned
+        .select(col("sub"), col("code"),
+          posexplode(VectorFunctions.toDoubleArray(
+            slice(col("embedding"), col("sub") * dsub + 1, lit(dsub))))
+            .as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim")
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
+          count(lit(1))).as("mean"))
+        .collect()
+      // codes that captured no sample rows keep their centroid
+      val next = books.map(_.map(_.clone()))
+      dims.foreach { r =>
+        next(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(r.getAs[Int]("dim")) =
+          r.getAs[Double]("mean")
+      }
+      books = next
+    }
+    sample.unpersist()
+    books
+  }
+
+  /** PQ-ADC ANN: the corpus compresses to m small-int codes per
+    * vector (ONE map-only kernel scan — at 100 TB this is the index:
+    * 8 bytes/vector instead of 256, the only representation the
+    * query path ever touches); each query precomputes an m × ksub
+    * lookup table of subspace dot products, and the approximate
+    * inner product of a corpus vector is a fixed left-associated sum
+    * of m table entries — no raw embedding is read at query time.
+    * Top-k per query ranks est_ip with the same WindowGroupLimit
+    * pre-exchange prune as the other ANN paths. Approximate:
+    * quantization error bounds recall (the classic ADC trade). */
+  def annPq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+            dim: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+            sampleBudget: Int = 128,
+            cacheKey: Option[String] = None): DataFrame = {
+    val books = trainPqCodebooks(corpus, dim, m, ksub, iters,
+      sampleBudget, cacheKey)
+    val dsub = dim / m
+    // per-query flat LUT ordered by (sub, code): lut[j*ksub + c] =
+    // q_sub_j · cent_{j,c}, each dot a left-associated double chain
+    val lutEntries = for (j <- 0 until m; c <- 0 until ksub) yield
+      (0 until dsub).map(i =>
+        element_at(col("embedding"), j * dsub + i + 1).cast("double") *
+          lit(books(j)(c)(i))).reduceLeft(_ + _)
+    val luts = broadcast(queries.select(col("vec_id").as("query_id"),
+      array(lutEntries: _*).as("lut")))
+    val coded = corpus.select(col("vec_id").as("neighbor_id"),
+      pqCodesCol(col("embedding"), books).as("codes"))
+    val est = (0 until m).map(j =>
+        element_at(col("lut"),
+          lit(j * ksub) + element_at(col("codes"), j + 1) + 1))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_ip").desc, col("neighbor_id"))
+    coded.crossJoin(luts)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("est_ip", est)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "est_ip")
+  }
+
   /** IVF ANN: corpus rows live in their nearest-centroid list; each
     * query probes its `nprobe` closest lists and ranks exact cosine
     * only within them. At 100 TB the corpus side is partitioned by

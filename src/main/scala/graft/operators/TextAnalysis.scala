@@ -216,6 +216,45 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** PMI-style collocation mining: adjacent word pairs whose observed
+    * frequency beats the independence expectation — phrase discovery
+    * over a pretraining corpus (the classic pointwise-mutual-
+    * information signal, emitted as the monotone `lift` ratio
+    * p(ab)/(p(a)p(b)) so no engine-specific `ln` enters the hash).
+    *
+    * Scale: two bounded shuffles (bigram and unigram counts, both
+    * keyed on vocabulary terms — map-side combine collapses each to
+    * |vocab| rows) + two vocab-keyed joins; the totals row
+    * broadcasts. All arithmetic is integer counts until one fixed
+    * left-associated double expression, replicated token-for-token by
+    * the oracle. */
+  def wordPmi(documents: DataFrame, minPairCount: Long = 5): DataFrame = {
+    val toks = documents.select(wsTokens(col("text")).as("w"))
+    val tot = toks.agg(
+      sum(size(col("w"))).cast("double").as("t_uni"),
+      sum(greatest(size(col("w")) - 1, lit(0))).cast("double").as("t_bi"))
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] as word_a, w[i+1] as word_b))")).as("p"))
+      .select(col("p.word_a"), col("p.word_b"))
+      .groupBy("word_a", "word_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    bi
+      .join(uni.select(col("word").as("word_a"), col("c_w").as("c_a")),
+        "word_a")
+      .join(uni.select(col("word").as("word_b"), col("c_w").as("c_b")),
+        "word_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        ((col("c_ab").cast("double") * col("t_uni")) * col("t_uni")) /
+          ((col("t_bi") * col("c_a").cast("double")) *
+            col("c_b").cast("double")))
+      .select("word_a", "word_b", "c_ab", "c_a", "c_b", "lift")
+  }
+
   /** Repetition metrics (the Gopher-style "repetitive document"
     * quality signals): duplicate word / bigram / trigram fractions per
     * document, plus a flag. Map-only — the token and shingle arrays

@@ -138,6 +138,24 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(withCodegen.forall(s => s.length == 16 && s.forall(v => v >= 0 && v < 64)))
   }
 
+  test("pq codes survive codegen and interpreted paths identically") {
+    import org.apache.spark.sql.graft.GraftBridge
+    val books = graft.operators.Similarity.trainPqCodebooks(
+      tables.embeddings, cacheKey = Some(sfDir))
+    val codes = GraftBridge.column(graft.functions.expressions.PqCodes(
+      GraftBridge.expression(col("embedding")), books))
+    val withCodegen = tables.embeddings.limit(20)
+      .select(codes.as("c")).collect().map(_.getSeq[Int](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = tables.embeddings.limit(20)
+        .select(codes.as("c")).collect().map(_.getSeq[Int](0))
+      assert(withCodegen.zip(interpreted).forall { case (a, b) => a == b })
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withCodegen.forall(c =>
+      c.length == 8 && c.forall(v => v >= 0 && v < 16)))
+  }
+
   test("minhash signature survives codegen and interpreted paths identically") {
     // force both paths: wholeStage on (default) vs off
     val sh = Dedup.shingles(col("text"), 3)

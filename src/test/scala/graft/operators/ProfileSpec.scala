@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+
+  private def rowFor(df: org.apache.spark.sql.DataFrame, name: String) =
+    df.filter(col("col_name") === name).collect().head
+
+  test("profile reports rows/nulls/distincts and typed min-max") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(7.0), None),
+      (4L, Some(2.5), Some("a"))).toDF("id", "v", "s")
+    val prof = Profile.tableProfile(df)
+    assert(prof.count() == 3)
+    val id = rowFor(prof, "id")
+    assert(id.getAs[Long]("n_rows") == 4 && id.getAs[Long]("n_nulls") == 0)
+    assert(id.getAs[Long]("n_distinct") == 4)
+    assert(id.getAs[Double]("min_num") == 1.0 &&
+      id.getAs[Double]("max_num") == 4.0)
+    assert(id.isNullAt(id.fieldIndex("min_str")))
+    val v = rowFor(prof, "v")
+    // nulls counted but excluded from distinct/min/max
+    assert(v.getAs[Long]("n_nulls") == 1 && v.getAs[Long]("n_distinct") == 2)
+    assert(v.getAs[Double]("min_num") == 2.5 &&
+      v.getAs[Double]("max_num") == 7.0)
+    val s = rowFor(prof, "s")
+    assert(s.getAs[String]("min_str") == "a" &&
+      s.getAs[String]("max_str") == "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+  }
+
+  test("single scan: profile plan reads the source exactly once") {
+    val prof = Profile.tableProfile(tables.events)
+    // count source relations in the optimized plan (the executed plan
+    // hides them inside the adaptive wrapper until materialization)
+    val scans = prof.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.size == 1)
+  }
+
+  test("approx profile agrees on everything but distinct estimates") {
+    val exact = Profile.tableProfile(tables.events)
+      .drop("n_distinct").collect().toSet
+    val approx = Profile.tableProfileApprox(tables.events)
+      .drop("n_distinct").collect().toSet
+    assert(exact == approx)
+    // HLL estimates stay within a loose multiple of the default 5% rsd
+    val ed = Profile.tableProfile(tables.events)
+      .select("col_name", "n_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Profile.tableProfileApprox(tables.events)
+      .select("col_name", "n_distinct").collect().foreach { r =>
+        val e = ed(r.getString(0)).toDouble
+        assert(math.abs(r.getLong(1) - e) <= math.max(4.0, 0.15 * e))
+      }
+  }
+}

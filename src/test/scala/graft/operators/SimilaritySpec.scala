@@ -125,4 +125,42 @@ class SimilaritySpec extends SparkSpec {
     // recall sanity: every returned neighbor shares the query bucket
     assert(out.filter(col("neighbor_id") === col("query_id")).count() == 0)
   }
+
+  test("PQ codebooks train deterministically with the right shape") {
+    val emb = tables.embeddings
+    val a = Similarity.trainPqCodebooks(emb)
+    val b = Similarity.trainPqCodebooks(emb)
+    assert(a.length == 8 && a.forall(_.length == 16) &&
+      a.forall(_.forall(_.length == 8)))
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq ==
+      b.map(_.map(_.toSeq).toSeq).toSeq)
+    // subspace codebooks differ from each other (training actually
+    // looked at the per-subspace data, not a shared init)
+    assert(a(0).map(_.toSeq).toSeq != a(1).map(_.toSeq).toSeq)
+  }
+
+  test("annPq ranks by ADC estimate and overlaps exact search") {
+    val emb = tables.embeddings
+    val queries = emb.filter(col("vec_id") < 4)
+    val pq = Similarity.annPq(emb, queries, k = 5)
+    val nq = queries.count()
+    assert(pq.count() == nq * 5)
+    assert(pq.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    // per-query ranks are 1..5 and est_ip is non-increasing in rank
+    val byQ = pq.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to 5L))
+      val ests = sorted.map(_.getDouble(3))
+      assert(ests.zip(ests.tail).forall { case (x, y) => x >= y })
+    }
+    // quantized search still finds a decent share of the true top-5:
+    // at 100 docs / 8-byte codes, expect SOME overlap for most queries
+    val bf = Similarity.annBruteForce(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(bf.contains)
+    assert(hits >= nq) // ≥1 true neighbor recovered per query on average
+  }
 }

@@ -214,6 +214,31 @@ class TextAnalysisSpec extends SparkSpec {
       == again)
   }
 
+  test("wordPmi: counts and lift match the hand computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordPmi(docs, minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // tokens: 7 total, bigrams: 5 total; a:3 b:3 c:1
+    assert(out(("a", "b")) == ((3L, 3L, 3L, ((3.0 * 7) * 7) / ((5.0 * 3) * 3))))
+    assert(out(("b", "a"))._1 == 1L)
+    assert(out(("b", "c"))._4 == ((1.0 * 7) * 7) / ((5.0 * 1) * 3))
+    assert(!out.contains(("a", "c"))) // non-adjacent pair never counted
+    // collocated pairs beat independence: lift("a","b") > 1
+    assert(out(("a", "b"))._4 > 1.0)
+  }
+
+  test("wordPmi: minPairCount prunes rare pairs; single-word docs are inert") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x y"), (2L, "z"), (3L, "q r"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordPmi(docs, minPairCount = 2)
+    val pairs = out.select("word_a", "word_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y"), ("y", "x")))
+  }
+
   test("domainMix: full budget on a single-source corpus keeps everything") {
     // with one source the rate is exactly T·w/(W·m) = 1 — temperature
     // has nothing to redistribute; on a MULTI-source corpus a full
