@@ -131,7 +131,32 @@ object ScaleProbe {
         () => Similarity.trainCentroids(t.embeddings).length.toLong,
         t.embeddings.count() * 10,
         () => Similarity.trainCentroids(
-          replicate(t.embeddings, 10, Some("vec_id"))).length.toLong))
+          replicate(t.embeddings, 10, Some("vec_id"))).length.toLong),
+      // round-6: steady-state micro-batch cost of the CONTINUOUS dedup
+      // lifecycle — the SAME fixed delta probed against a 1× and a 10×
+      // persisted band index. The bucketed index + partition-pruned
+      // probe makes each batch O(delta + its buckets), not O(index):
+      // probe seconds should stay near-flat as the index grows, i.e.
+      // rows/sec (index size / probe sec) scales super-linearly
+      ("dedup_index_probe", {
+        val base1 = t.documents.filter(col("doc_id") % 10 < 8)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File("/tmp/graft_scaleprobe"))
+        Dedup.buildLshIndex(base1, "/tmp/graft_scaleprobe/lshidx_1x")
+        base1.count()
+      }, () => Dedup.dedupAgainstIndex(
+        t.documents.filter(col("doc_id") % 10 >= 8),
+        "/tmp/graft_scaleprobe/lshidx_1x", threshold = 0.5).count(), {
+        // replicas are signature-disjoint (replicateDocs), so the 10×
+        // index holds 10× rows while the delta's true collisions stay
+        // constant — exactly the steady-state regime of a growing corpus
+        val base10 = replicateDocs(t.documents, 10)
+          .filter(col("doc_id") % 10 < 8)
+        Dedup.buildLshIndex(base10, "/tmp/graft_scaleprobe/lshidx_10x")
+        base10.count()
+      }, () => Dedup.dedupAgainstIndex(
+        t.documents.filter(col("doc_id") % 10 >= 8),
+        "/tmp/graft_scaleprobe/lshidx_10x", threshold = 0.5).count()))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())
