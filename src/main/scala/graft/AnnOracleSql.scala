@@ -231,8 +231,9 @@ object AnnOracleSql {
         FROM psub s JOIN $p c ON c.sub = s.sub) WHERE rn = 1),
     pm$r AS (
       SELECT sub, code, dim,
-        cast(sum(cast(v as decimal(20,10))) as double) / count(*) as mean
-      FROM (SELECT sub, code, unnest(semb) as v,
+        list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / count(*)
+          as mean
+      FROM (SELECT vec_id, sub, code, unnest(semb) as v,
               generate_subscripts(semb, 1) as dim FROM pa$r)
       GROUP BY 1, 2, 3),
     pc$r AS (
@@ -284,6 +285,23 @@ object AnnOracleSql {
     s"""WITH $EmbCte,
        ${pqCtes(dim, m, ksub, iters, sampleBudget, k, queryPred)}
        SELECT query_id, neighbor_id, rank, est_ip FROM pq_topk"""
+
+  /** Recall of the PQ-ADC path vs brute force (mirrors
+    * Similarity.annPqRecall). */
+  def pqRecallSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                  sampleBudget: Int, k: Int, queryPred: String): String = s"""
+    WITH $EmbCte, ${bfCtes(k, queryPred)},
+    ${pqCtes(dim, m, ksub, iters, sampleBudget, k, queryPred)},
+    bfn AS (SELECT query_id, count(*) as n_ex FROM bf GROUP BY 1)
+    SELECT q.vec_id as query_id, 'pq' as method,
+      CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0
+           ELSE cast(coalesce(h.n, 0) as double) / b.n_ex END as recall
+    FROM (SELECT vec_id FROM e WHERE $queryPred) q
+      LEFT JOIN bfn b ON b.query_id = q.vec_id
+      LEFT JOIN
+      (SELECT query_id, count(*) as n FROM pq_topk
+         JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
+      ON h.query_id = q.vec_id"""
 
   def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
              queryPred: String): String =

@@ -191,9 +191,11 @@ object Similarity {
     * (argmax of x·c − c·c/2). All m codebooks train in ONE set of
     * jobs: the sample explodes into (vec, subspace) rows, assignment
     * runs the [[graft.functions.expressions.PqCodes]] kernel, and
-    * per-(subspace, code, dim) means are exact decimal sums — the
-    * convention the DuckDB oracle replicates bit-for-bit. Codebooks
-    * are m × ksub × dsub doubles (tiny) on the driver. */
+    * per-(subspace, code, dim) means are order-fixed sequential
+    * double folds (sorted by vec_id) — no rounding step anywhere, so
+    * the DuckDB oracle's `list_reduce` replicates them bit-for-bit
+    * (see the tie note at the fold below). Codebooks are
+    * m × ksub × dsub doubles (tiny) on the driver. */
   def trainPqCodebooks(corpus: DataFrame, dim: Int = 64, m: Int = 8,
                        ksub: Int = 16, iters: Int = 3,
                        sampleBudget: Int = 128,
@@ -228,17 +230,29 @@ object Similarity {
     }
     for (_ <- 0 until iters) {
       // one kernel pass assigns every subspace at once
-      val assigned = sample.select(col("embedding"),
+      val assigned = sample.select(col("vec_id"), col("embedding"),
         posexplode(pqCodesCol(col("embedding"), books))
           .as(Seq("sub", "code")))
+      // per-cell means as ORDER-FIXED sequential double folds (sorted
+      // by vec_id), not decimal-cast sums: float components are binary
+      // fractions whose decimal expansions terminate in "5", so a
+      // decimal(p,s) cast can land exactly on a rounding tie where
+      // Spark (HALF_UP) and the oracle engine (HALF_EVEN) disagree —
+      // at PQ's sample×subspace volume one such tie DID flip a
+      // codebook cell. The sorted fold has no rounding step at all;
+      // the cell's sample subset is budget-bounded, so the
+      // collect_list stays tiny at any corpus size.
       val dims = assigned
-        .select(col("sub"), col("code"),
+        .select(col("vec_id"), col("sub"), col("code"),
           posexplode(VectorFunctions.toDoubleArray(
             slice(col("embedding"), col("sub") * dsub + 1, lit(dsub))))
             .as(Seq("dim", "v")))
         .groupBy("sub", "code", "dim")
-        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
-          count(lit(1))).as("mean"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v"))))
+          .as("vs"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("dim"),
+          (aggregate(col("vs"), lit(0.0),
+            (acc, x) => acc + x.getField("v")) / col("n")).as("mean"))
         .collect()
       // codes that captured no sample rows keep their centroid
       val next = books.map(_.map(_.clone()))
@@ -448,5 +462,32 @@ object Similarity {
     recallOf(annLsh(corpus, queries, dim, bits, tables, k), "lsh")
       .unionByName(recallOf(annIvf(corpus, queries, nlist, nprobe, k,
         iters, sampleBudget, cacheKey), "ivf"))
+  }
+
+  /** Per-query recall@k of the PQ-ADC path vs exact brute force —
+    * [[annRecall]]'s analog for the compressed-domain search (the
+    * quality gate that tells you whether m/ksub are adequate before
+    * trusting the 8-byte codes at scale). */
+  def annPqRecall(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                  dim: Int = 64, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 3, sampleBudget: Int = 128,
+                  cacheKey: Option[String] = None): DataFrame = {
+    val exact = annBruteForce(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"))
+    val approx = annPq(corpus, queries, k, dim, m, ksub, iters,
+      sampleBudget, cacheKey)
+    queries.select(col("vec_id").as("query_id"))
+      .join(exactN, Seq("query_id"), "left")
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), lit("pq").as("method"),
+        when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_exact"))
+          .as("recall"))
   }
 }
