@@ -5,9 +5,11 @@ package graft
   * than rows-only. Replication is possible because the operators were
   * designed for it: the hyperplane-component mix is plain 63-bit-safe
   * integer arithmetic ([[graft.functions.expressions.HyperplaneConstants]]),
-  * IVF centroid means are exact-decimal sums with a single IEEE
-  * division, and every dot product is a sequential double fold
-  * (DuckDB `list_dot_product` evaluates the same order).
+  * IVF/PQ centroid means are order-fixed sequential double folds
+  * (sorted by vec_id; `list_reduce` here — no rounding step, so no
+  * decimal-cast tie) with a single IEEE division, and every dot
+  * product is a sequential double fold (DuckDB `list_dot_product`
+  * evaluates the same order).
   */
 object AnnOracleSql {
 
@@ -67,7 +69,7 @@ object AnnOracleSql {
       WHERE rank <= $k)"""
 
   /** Coarse-quantizer CTE chain: absolute-budget sampled init `c0`,
-    * `iters` unrolled Lloyd rounds (assign → exact-decimal means →
+    * `iters` unrolled Lloyd rounds (assign → ordered-fold means →
     * carry empty clusters), and full-corpus tagging
     * `tagged(neighbor_id, emb, cluster)`. The sample replicates
     * Similarity.trainCentroids: modulus M = ceil(n / budget) over the
@@ -93,8 +95,9 @@ object AnnOracleSql {
         FROM samp s CROSS JOIN $p c) WHERE rn = 1),
     m$n AS (
       SELECT cluster, dim,
-        cast(sum(cast(v as decimal(20,10))) as double) / count(*) as mean
-      FROM (SELECT cluster, unnest(emb) as v,
+        list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / count(*)
+          as mean
+      FROM (SELECT vec_id, cluster, unnest(emb) as v,
               generate_subscripts(emb, 1) as dim FROM a$n)
       GROUP BY 1, 2),
     c$n AS (

@@ -108,9 +108,10 @@ object Similarity {
     * 100 TB; a quantizer needs ~10⁵ points, not 1/5 of the corpus).
     * Membership is a pure function of the salted content hash, so the
     * SQL oracle replicates the sample exactly. Init = the nlist
-    * lowest-vec_id sample embeddings; per-dimension means are exact
-    * decimal sums cast to double then divided (one IEEE division —
-    * partition-order-independent and replicable by the SQL oracle).
+    * lowest-vec_id sample embeddings; per-dimension means are
+    * order-fixed sequential double folds then one IEEE division
+    * (partition-order-independent and replicable by the SQL oracle —
+    * see the rounding-tie note at the fold).
     * Centroid set is tiny (nlist × dim) — lives on the driver and
     * broadcasts inside the assignment kernel. */
   /** Driver-side quantizer cache: the IVF index build is a separate,
@@ -148,18 +149,28 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     for (_ <- 0 until iters) {
-      val assigned = sample.select(
+      val assigned = sample.select(col("vec_id"),
         element_at(nearestCentroids(col("embedding"), cents, 1), 1)
           .as("cluster"),
         VectorFunctions.toDoubleArray(col("embedding")).as("emb"))
-      // exact-decimal per-dimension sum → double → one division:
-      // deterministic across partition orders (naive double sums
-      // would drift bit-level) and bit-replicable in the oracle
+      // per-cluster means as ORDER-FIXED sequential double folds
+      // (sorted by vec_id): deterministic across partition orders
+      // (naive double sums would drift bit-level) AND free of the
+      // decimal-cast rounding tie — float components are binary
+      // fractions ending in "5", so a decimal(p,s) cast can land on a
+      // HALF_UP-vs-HALF_EVEN tie between engines (one flipped a PQ
+      // cell at 1e-11; same hazard applied here). The fold has no
+      // rounding step; cluster sample subsets are budget-bounded so
+      // the collected lists stay tiny at any corpus size.
       val dims = assigned
-        .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("cluster"),
+          posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
-          count(lit(1))).as("mean"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v"))))
+          .as("vs"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (aggregate(col("vs"), lit(0.0),
+            (acc, x) => acc + x.getField("v")) / col("n")).as("mean"))
         .collect()
       // clusters that captured no sample rows keep their centroid
       val next = cents.map(_.clone())
