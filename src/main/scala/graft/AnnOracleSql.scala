@@ -193,15 +193,21 @@ object AnnOracleSql {
            as pruned_frac
        FROM flags GROUP BY 1"""
 
-  /** Product-quantization CTE chain replicating Similarity's PQ
-    * family bit-for-bit: absolute-budget sample (salt "pq:"),
-    * per-subspace Lloyd with L2 assignment via the x·c − c·c/2
-    * score, full-corpus encode `pcodes(vec_id, codes)`, per-query
-    * flat LUT `plutl(query_id, lut)` ordered by (sub, code), and ADC
-    * top-k `pq_topk` whose est_ip is an UNROLLED left-associated sum
-    * of m table entries (matching Spark's reduceLeft fold). */
-  def pqCtes(dim: Int, m: Int, ksub: Int, iters: Int, sampleBudget: Int,
-             k: Int, queryPred: String): String = {
+  /** The unrolled ADC estimate over codebook list `l.lut` and code
+    * row `x.codes` — a left-associated sum of m entries (matching
+    * Spark's reduceLeft fold). */
+  def pqEstSum(m: Int, ksub: Int): String =
+    (0 until m).map(j =>
+      s"l.lut[$j*$ksub + x.codes[${j + 1}] + 1]").mkString(" + ")
+
+  /** Product-quantization codebook/encode CTE chain replicating
+    * Similarity's PQ family bit-for-bit: absolute-budget sample
+    * (salt "pq:"), per-subspace Lloyd with L2 assignment via the
+    * x·c − c·c/2 score and ordered-fold means, full-corpus encode
+    * `pcodes(vec_id, codes)`, and per-query flat LUT
+    * `plutl(query_id, lut)` ordered by (sub, code). */
+  def pqCodebookCtes(dim: Int, m: Int, ksub: Int, iters: Int,
+                     sampleBudget: Int, queryPred: String): String = {
     val dsub = dim / m
     val score = (s: String, c: String) =>
       s"list_dot_product($s, $c.cent) - 0.5 * " +
@@ -246,8 +252,6 @@ object AnnOracleSql {
          FROM pm$r GROUP BY 1, 2) mm USING (sub, code))"""
     }.mkString(",")
     val cf = s"pc$iters"
-    val estSum = (0 until m).map(j =>
-      s"l.lut[$j*$ksub + x.codes[${j + 1}] + 1]").mkString(" + ")
     val fin = s"""
     esub AS (
       SELECT e.vec_id, t.sub,
@@ -267,9 +271,17 @@ object AnnOracleSql {
       WHERE s.$queryPred),
     plutl AS (
       SELECT query_id, list(part ORDER BY sub, code) as lut
-      FROM plut GROUP BY 1),
+      FROM plut GROUP BY 1)"""
+    init + "," + rounds + "," + fin
+  }
+
+  /** Full-corpus ADC top-k tail over the codebook CTEs. */
+  def pqCtes(dim: Int, m: Int, ksub: Int, iters: Int, sampleBudget: Int,
+             k: Int, queryPred: String): String =
+    pqCodebookCtes(dim, m, ksub, iters, sampleBudget, queryPred) + s""",
     pest AS (
-      SELECT l.query_id, x.vec_id as neighbor_id, $estSum as est_ip
+      SELECT l.query_id, x.vec_id as neighbor_id,
+        ${pqEstSum(m, ksub)} as est_ip
       FROM pcodes x CROSS JOIN plutl l
       WHERE x.vec_id <> l.query_id),
     pq_topk AS (
@@ -280,14 +292,49 @@ object AnnOracleSql {
             ORDER BY est_ip DESC, neighbor_id) as rank
         FROM pest)
       WHERE rank <= $k)"""
-    init + "," + rounds + "," + fin
-  }
 
   def pqSql(dim: Int, m: Int, ksub: Int, iters: Int, sampleBudget: Int,
             k: Int, queryPred: String): String =
     s"""WITH $EmbCte,
        ${pqCtes(dim, m, ksub, iters, sampleBudget, k, queryPred)}
        SELECT query_id, neighbor_id, rank, est_ip FROM pq_topk"""
+
+  /** IVF+PQ (mirrors Similarity.annIvfPq): coarse-quantizer probes
+    * restrict candidates to nprobe cells; scoring is the ADC sum
+    * over the cell's codes — raw vectors appear nowhere at query
+    * time. */
+  def ivfPqSql(nlist: Int, nprobe: Int, k: Int, dim: Int, m: Int,
+               ksub: Int, iters: Int, ivfSampleBudget: Int,
+               pqSampleBudget: Int, queryPred: String): String = {
+    val cf = s"c$iters"
+    s"""WITH $EmbCte,
+    ${quantizerCtes(nlist, iters, ivfSampleBudget)},
+    ${pqCodebookCtes(dim, m, ksub, iters, pqSampleBudget, queryPred)},
+    iprobes AS (
+      SELECT vec_id as query_id, cast(cluster as int) as cluster FROM (
+        SELECT e.vec_id, c.cluster,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(e.emb, c.cent) DESC, c.cluster) as rn
+        FROM e CROSS JOIN $cf c WHERE e.$queryPred) WHERE rn <= $nprobe),
+    xt AS (
+      SELECT t.neighbor_id, cast(t.cluster as int) as cluster, x.codes
+      FROM tagged t JOIN pcodes x ON x.vec_id = t.neighbor_id),
+    iest AS (
+      SELECT l.query_id, x.neighbor_id, x.cluster,
+        ${pqEstSum(m, ksub)} as est_ip
+      FROM xt x
+        JOIN iprobes p ON p.cluster = x.cluster
+        JOIN plutl l ON l.query_id = p.query_id
+      WHERE x.neighbor_id <> l.query_id)
+    SELECT query_id, neighbor_id, cluster, cast(rank as bigint) as rank,
+      est_ip
+    FROM (
+      SELECT query_id, neighbor_id, cluster, est_ip,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY est_ip DESC, neighbor_id) as rank
+      FROM iest)
+    WHERE rank <= $k"""
+  }
 
   /** Recall of the PQ-ADC path vs brute force (mirrors
     * Similarity.annPqRecall). */

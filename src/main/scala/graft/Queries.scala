@@ -556,6 +556,21 @@ object Queries {
       Some(AnnOracleSql.pqSql(dim = 64, m = 16, ksub = 64, iters = 3,
         sampleBudget = 512, k = 5, queryPred = "vec_id < 8"))),
 
+    Q("ann_ivfpq",
+      // IVF+PQ composed — the production 100 TB layout: cell-pruned
+      // candidates (read nprobe/nlist of the corpus) scored entirely
+      // in the compressed domain (16-byte codes, no raw vectors in
+      // any query-time plan); quantizer and codebooks shared with
+      // ann_ivf / ann_pq via the per-corpus cache
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 8),
+          cacheKey = Some(d))
+      },
+      Some(AnnOracleSql.ivfPqSql(nlist = 16, nprobe = 4, k = 5,
+        dim = 64, m = 16, ksub = 64, iters = 3, ivfSampleBudget = 128,
+        pqSampleBudget = 512, queryPred = "vec_id < 8"))),
+
     Q("ann_ivf",
       (s, d) => {
         val emb = Tables(s, d).embeddings

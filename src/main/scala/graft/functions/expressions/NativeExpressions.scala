@@ -576,3 +576,54 @@ case class PqCodes(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
 }
+
+/** Per-query ADC lookup table for PQ search: a flat
+  * `array<double>` of length m·ksub ordered by (sub, code), where
+  * entry j·ksub+c = q_subvector_j · centroids(j)(c) as a sequential
+  * double fold — exactly the values the expression-tree formulation
+  * (left-associated products) and DuckDB's `list_dot_product`
+  * produce, without a 4096-term codegen method. */
+case class PqLut(child: Expression,
+                 centroids: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = centroids.length
+    val ksub = centroids(0).length
+    val out = new Array[Double](m * ksub)
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val book = centroids(sub)
+      val dsub = book(0).length
+      var c = 0
+      while (c < ksub) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += arr.getFloat(off + i).toDouble * cent(i)
+          i += 1
+        }
+        out(sub * ksub + c) = acc
+        c += 1
+      }
+      off += dsub
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("pqLut", this, this.getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $self.nullSafeEval($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}

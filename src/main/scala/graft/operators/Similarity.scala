@@ -287,35 +287,78 @@ object Similarity {
     * Top-k per query ranks est_ip with the same WindowGroupLimit
     * pre-exchange prune as the other ANN paths. Approximate:
     * quantization error bounds recall (the classic ADC trade). */
+  /** Per-query flat ADC LUT ordered by (sub, code):
+    * lut[j*ksub + c] = q_sub_j · cent_{j,c}, each dot a sequential
+    * double fold (the order list_dot_product evaluates) — native
+    * kernel, so the m·ksub·dsub products never become a giant
+    * codegen method. */
+  private def pqLut(books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.PqLut(
+        org.apache.spark.sql.graft.GraftBridge.expression(col("embedding")),
+        books))
+
+  /** ADC estimate from a `codes` array and a query `lut` — a FIXED
+    * left-associated sum of m table entries. */
+  private def pqEst(m: Int, ksub: Int): Column =
+    (0 until m).map(j =>
+        element_at(col("lut"),
+          lit(j * ksub) + element_at(col("codes"), j + 1) + 1))
+      .reduceLeft(_ + _)
+
   def annPq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
             dim: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 3,
             sampleBudget: Int = 128,
             cacheKey: Option[String] = None): DataFrame = {
     val books = trainPqCodebooks(corpus, dim, m, ksub, iters,
       sampleBudget, cacheKey)
-    val dsub = dim / m
-    // per-query flat LUT ordered by (sub, code): lut[j*ksub + c] =
-    // q_sub_j · cent_{j,c}, each dot a left-associated double chain
-    val lutEntries = for (j <- 0 until m; c <- 0 until ksub) yield
-      (0 until dsub).map(i =>
-        element_at(col("embedding"), j * dsub + i + 1).cast("double") *
-          lit(books(j)(c)(i))).reduceLeft(_ + _)
     val luts = broadcast(queries.select(col("vec_id").as("query_id"),
-      array(lutEntries: _*).as("lut")))
+      pqLut(books).as("lut")))
     val coded = corpus.select(col("vec_id").as("neighbor_id"),
       pqCodesCol(col("embedding"), books).as("codes"))
-    val est = (0 until m).map(j =>
-        element_at(col("lut"),
-          lit(j * ksub) + element_at(col("codes"), j + 1) + 1))
-      .reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("est_ip").desc, col("neighbor_id"))
     coded.crossJoin(luts)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("est_ip", est)
+      .withColumn("est_ip", pqEst(m, ksub))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "est_ip")
+  }
+
+  /** IVF+PQ — the composed 100 TB ANN architecture: the corpus lives
+    * PARTITIONED by coarse-quantizer cell (a query touches
+    * nprobe/nlist of the data, the ann_ivf_indexed story) and each
+    * vector inside a cell is stored as m PQ codes (scoring reads
+    * 16 bytes, never the raw embedding, the ann_pq story). Candidate
+    * generation is the cell equi-join; scoring is the ADC LUT sum;
+    * raw vectors appear in NO query-time plan. Codebooks are global
+    * (non-residual) and shared with ann_pq via the cache. */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, nlist: Int = 16,
+               nprobe: Int = 4, k: Int = 5, dim: Int = 64, m: Int = 16,
+               ksub: Int = 64, iters: Int = 3, ivfSampleBudget: Int = 128,
+               pqSampleBudget: Int = 512,
+               cacheKey: Option[String] = None): DataFrame = {
+    val cents = trainCentroids(corpus, nlist, iters, ivfSampleBudget,
+      cacheKey)
+    val books = trainPqCodebooks(corpus, dim, m, ksub, iters,
+      pqSampleBudget, cacheKey)
+    val coded = corpus.select(col("vec_id").as("neighbor_id"),
+      element_at(nearestCentroids(col("embedding"), cents, 1), 1)
+        .as("cluster"),
+      pqCodesCol(col("embedding"), books).as("codes"))
+    val probes = broadcast(queries.select(col("vec_id").as("query_id"),
+      pqLut(books).as("lut"),
+      explode(nearestCentroids(col("embedding"), cents, nprobe))
+        .as("cluster")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_ip").desc, col("neighbor_id"))
+    coded.join(probes, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("est_ip", pqEst(m, ksub))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cluster", "rank", "est_ip")
   }
 
   /** IVF ANN: corpus rows live in their nearest-centroid list; each

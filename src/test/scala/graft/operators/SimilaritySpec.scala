@@ -163,4 +163,34 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).count(bf.contains)
     assert(hits >= nq) // ≥1 true neighbor recovered per query on average
   }
+
+  test("annIvfPq = cell-pruned candidates scored exactly like annPq") {
+    val emb = tables.embeddings
+    val queries = emb.filter(col("vec_id") < 4)
+    val ivfpq = Similarity.annIvfPq(emb, queries, k = 5,
+      m = 8, ksub = 16, pqSampleBudget = 128, cacheKey = Some(sfDir))
+    assert(ivfpq.count() == queries.count() * 5)
+    // every emitted neighbor sits in one of its query's probed cells
+    val cents = Similarity.trainCentroids(emb, cacheKey = Some(sfDir))
+    val allProbes = queries.select(col("vec_id").as("query_id"),
+        explode(org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.expressions.NearestCentroids(
+            org.apache.spark.sql.graft.GraftBridge.expression(
+              col("embedding")), cents, 4))).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    ivfpq.select("query_id", "cluster").collect()
+      .foreach(r => assert(allProbes.contains((r.getLong(0), r.getInt(1)))))
+    // ADC scores agree with the full-corpus PQ path on shared pairs:
+    // the composition changes candidate GENERATION, never scoring
+    val pqScores = Similarity.annPq(emb, queries, k = 5,
+      m = 8, ksub = 16, sampleBudget = 128, cacheKey = Some(sfDir))
+      .select("query_id", "neighbor_id", "est_ip").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = ivfpq.select("query_id", "neighbor_id", "est_ip")
+      .collect()
+      .flatMap(r => pqScores.get((r.getLong(0), r.getLong(1)))
+        .map(s => (s, r.getDouble(2))))
+    assert(shared.nonEmpty)
+    shared.foreach { case (a, b) => assert(a == b) }
+  }
 }
