@@ -556,6 +556,23 @@ object Queries {
       Some(AnnOracleSql.pqSql(dim = 64, m = 16, ksub = 64, iters = 3,
         sampleBudget = 512, k = 5, queryPred = "vec_id < 8"))),
 
+    Q("label_centroids",
+      // per-label mean embeddings via the dyadic-integer exact mean:
+      // v·2^48 is an exact integer for float32 inputs, so the sums are
+      // order-independent decimals with NO rounding step anywhere —
+      // the scale-safe alternative to both decimal-cast sums (tie-
+      // prone) and sorted folds (need the group collected)
+      (s, d) => Similarity.labelCentroids(Tables(s, d).embeddings),
+      Some("""
+        SELECT label, dim,
+          (cast(sum(cast(v * 281474976710656.0 as decimal(28,0)))
+              as double) / 281474976710656.0) / count(*) as mean,
+          count(*) as n_vectors
+        FROM (SELECT label, generate_subscripts(embedding, 1) - 1 as dim,
+                unnest(cast(embedding as double[])) as v
+              FROM embeddings)
+        GROUP BY 1, 2""")),
+
     Q("ann_ivfpq",
       // IVF+PQ composed — the production 100 TB layout: cell-pruned
       // candidates (read nprobe/nlist of the corpus) scored entirely

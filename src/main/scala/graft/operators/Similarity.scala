@@ -361,6 +361,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "cluster", "rank", "est_ip")
   }
 
+  /** Per-label mean embedding ("class prototypes", long form:
+    * label, dim, mean, n_vectors) — the summary a probing/centroid-
+    * classification pipeline derives from a labeled embedding table.
+    *
+    * Scale-safe EXACT mean with none of the usual determinism traps:
+    * float32 components are dyadic rationals k/2^e (e ≤ 48 for any
+    * value ≥ ~2^-24), so v·2^48 is an exact integer; integer-decimal
+    * sums are ORDER-INDEPENDENT and rounding-free (a naive double
+    * sum drifts with partition order; a decimal(p,s) cast of the raw
+    * doubles can land on a rounding tie — see the PQ fold note; a
+    * sorted-fold needs the whole group collected). One exact descale
+    * and one IEEE division at the end. The precondition is guarded
+    * per row (a non-dyadic component raises), and the shuffle
+    * carries only (label, dim) partial sums — group size unbounded,
+    * memory bounded. */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val scale = 281474976710656.0 // 2^48
+    embeddings
+      .select(col("label"),
+        posexplode(VectorFunctions.toDoubleArray(col("embedding")))
+          .as(Seq("dim", "v")))
+      .withColumn("s", col("v") * scale)
+      .withColumn("s",
+        when(col("s") === floor(col("s")), col("s"))
+          .otherwise(raise_error(concat(
+            lit("labelCentroids: non-dyadic component "),
+            col("v").cast("string"))).cast("double")))
+      .groupBy("label", "dim")
+      .agg(sum(col("s").cast("decimal(28,0)")).as("ssum"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("dim"),
+        ((col("ssum").cast("double") / scale) / col("n_vectors"))
+          .as("mean"),
+        col("n_vectors"))
+  }
+
   /** IVF ANN: corpus rows live in their nearest-centroid list; each
     * query probes its `nprobe` closest lists and ranks exact cosine
     * only within them. At 100 TB the corpus side is partitioned by

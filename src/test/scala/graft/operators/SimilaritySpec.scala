@@ -164,6 +164,35 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= nq) // ≥1 true neighbor recovered per query on average
   }
 
+  test("labelCentroids: exact dyadic means, order-independent, guarded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.25f, -0.5f), 0),
+      (2L, Seq(0.75f, 1.0f), 0),
+      (3L, Seq(0.125f, 0.375f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out((0, 0)) == ((0.5, 2L)) && out((0, 1)) == ((0.25, 2L)))
+    assert(out((1, 0)) == ((0.125, 1L)) && out((1, 1)) == ((0.375, 1L)))
+    // partition order cannot move the result (integer sums commute)
+    val shuffled = Similarity.labelCentroids(tables.embeddings)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val repartitioned = Similarity.labelCentroids(
+      tables.embeddings.repartition(7, col("vec_id")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(shuffled == repartitioned)
+    // the dyadic guard fires on a component below the 2^-48 grid
+    val bad = Seq((1L, Seq(1e-30f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.labelCentroids(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-dyadic")))
+  }
+
   test("annIvfPq = cell-pruned candidates scored exactly like annPq") {
     val emb = tables.embeddings
     val queries = emb.filter(col("vec_id") < 4)
