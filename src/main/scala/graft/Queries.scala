@@ -621,6 +621,21 @@ object Queries {
       Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
         sampleBudget = 128, queryPred = "vec_id < 8"))),
 
+    Q("ann_pq_indexed",
+      // the SERVING artifact: codes-only index hive-partitioned by
+      // coarse cell (+persisted quantizer/codebooks); queries read
+      // ONLY probed partitions of ~24 bytes/vector and never touch a
+      // raw embedding — identical semantics to ann_ivfpq, same oracle
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        val path = s"/tmp/graft_cache/pqidx_${new java.io.File(d).getName}"
+        Similarity.buildPqIndex(emb, path, cacheKey = Some(d))
+        Similarity.annPqIndexed(s, path, emb.filter(col("vec_id") < 8))
+      },
+      Some(AnnOracleSql.ivfPqSql(nlist = 16, nprobe = 4, k = 5,
+        dim = 64, m = 16, ksub = 64, iters = 3, ivfSampleBudget = 128,
+        pqSampleBudget = 512, queryPred = "vec_id < 8"))),
+
     Q("ann_pq_recall",
       // recall@5 of the compressed-domain ADC search vs exact top-k —
       // the gate that says whether 8-byte codes are trustworthy before

@@ -483,6 +483,100 @@ object Similarity {
       .map(_.split(",").map(_.toDouble))
   }
 
+  // ---------- materialized IVF+PQ index ----------
+
+  /** One-time IVF+PQ index build: CODES-ONLY rows (vec_id, codes)
+    * hive-partitioned by coarse cell, with centroids and codebooks
+    * persisted beside the data. This is the artifact a 100 TB
+    * deployment actually serves from: ~(8 + m) bytes per vector
+    * instead of 4·dim, and the query path reads only probed
+    * partitions of it — the raw embedding table is needed only to
+    * (re)build. One shuffle on the cluster key co-locates each cell. */
+  def buildPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+                   dim: Int = 64, m: Int = 16, ksub: Int = 64,
+                   iters: Int = 3, ivfSampleBudget: Int = 128,
+                   pqSampleBudget: Int = 512,
+                   cacheKey: Option[String] = None): Unit = {
+    val cents = trainCentroids(corpus, nlist, iters, ivfSampleBudget,
+      cacheKey)
+    val books = trainPqCodebooks(corpus, dim, m, ksub, iters,
+      pqSampleBudget, cacheKey)
+    corpus.select(col("vec_id"),
+        clusterOf(col("embedding"), cents).as("cluster"),
+        pqCodesCol(col("embedding"), books).as("codes"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "centroids.json"),
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "books.json"),
+      books.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+        .mkString("[", ",", "]"))
+  }
+
+  /** Append a new batch under the FROZEN persisted quantizer and
+    * codebooks (same contract as [[appendToIvfIndex]]): one map-only
+    * encode pass over the delta + one shuffle on the cluster key —
+    * the existing codes are never rewritten. Retrain + rebuild only
+    * when [[annPqRecall]] says quantization drift degraded recall. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, batch: DataFrame): Unit = {
+    val cents = readIndexCentroids(indexPath)
+    val books = readIndexBooks(indexPath)
+    batch.select(col("vec_id"),
+        clusterOf(col("embedding"), cents).as("cluster"),
+        pqCodesCol(col("embedding"), books).as("codes"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexPath/codes")
+  }
+
+  /** Codebooks persisted by [[buildPqIndex]] (tiny: m × ksub × dsub). */
+  def readIndexBooks(path: String): Array[Array[Array[Double]]] = {
+    val s = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "books.json")).trim
+    s.stripPrefix("[[[").stripSuffix("]]]").split("\\]\\],\\[\\[")
+      .map(_.split("\\],\\[").map(_.split(",").map(_.toDouble)))
+  }
+
+  /** IVF+PQ query against the materialized index: each query resolves
+    * its nprobe cells, ONLY those partitions of the codes table are
+    * listed and read (PartitionFilters — asserted in the spec), and
+    * ranking is the ADC LUT sum over the stored codes. Identical
+    * results to [[annIvfPq]] with the same parameters; no raw vector
+    * is touched at query time. */
+  def annPqIndexed(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, queries: DataFrame,
+                   nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val cents = readIndexCentroids(indexPath)
+    val books = readIndexBooks(indexPath)
+    val m = books.length
+    val ksub = books(0).length
+    val probed = queries
+      .select(explode(nearestCentroids(col("embedding"), cents, nprobe))
+        .as("cluster"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val probes = broadcast(queries.select(col("vec_id").as("query_id"),
+      pqLut(books).as("lut"),
+      explode(nearestCentroids(col("embedding"), cents, nprobe))
+        .as("cluster")))
+    val idx = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cluster")
+        .isin(probed.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("cluster"),
+        col("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_ip").desc, col("neighbor_id"))
+    idx.join(probes, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("est_ip", pqEst(m, ksub))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cluster", "rank", "est_ip")
+  }
+
   /** IVF query against a materialized index: resolves each query's
     * nprobe lists, then scans only those cluster partitions (the
     * `isin` filter prunes partitions before any file is opened —

@@ -193,6 +193,42 @@ class SimilaritySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-dyadic")))
   }
 
+  test("materialized PQ index: pruned partitions, frozen-codebook append") {
+    val emb = tables.embeddings
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqidx").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.buildPqIndex(base, path, m = 8, ksub = 16,
+      pqSampleBudget = 128)
+    Similarity.appendToPqIndex(spark, path, delta)
+    val indexed = Similarity.annPqIndexed(spark, path, queries)
+    // probed-cluster filter reaches the file listing
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"no partition pruning in:\n${plan.take(2000)}")
+    // append under the frozen books ≡ encoding the whole corpus with
+    // the BASE-trained index (quantizer and codebooks never moved)
+    val cents = Similarity.readIndexCentroids(path)
+    val books = Similarity.readIndexBooks(path)
+    assert(books.length == 8 && books(0).length == 16)
+    val stored = spark.read.parquet(s"$path/codes")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getSeq[Int](r.fieldIndex("codes"))))
+      .toMap
+    assert(stored.size == emb.count())
+    val direct = emb.select(col("vec_id"),
+        Similarity.clusterOf(col("embedding"), cents).as("cluster"),
+        org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.expressions.PqCodes(
+            org.apache.spark.sql.graft.GraftBridge.expression(
+              col("embedding")), books)).as("codes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(stored == direct)
+  }
+
   test("annIvfPq = cell-pruned candidates scored exactly like annPq") {
     val emb = tables.embeddings
     val queries = emb.filter(col("vec_id") < 4)
