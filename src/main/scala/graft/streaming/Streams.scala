@@ -236,10 +236,28 @@ object Streams {
       intra.unionByName(cross)
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       signed.write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
-      Dedup.lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
-        .withColumn("bucket", Dedup.bandBucket.cast("int"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$indexDir/bands/batch=$batchId")
+      // bucket-MAJOR band layout (bucket=B/batch=N): the probe's
+      // bucket isin prunes at the TOP of the tree, so discovery never
+      // descends unprobed buckets as the batch count grows; dynamic
+      // partition overwrite keeps a retried batch idempotent (it
+      // rewrites exactly its own bucket=*/batch=N leaves). The bucket
+      // repartition co-locates each bucket: one file per leaf instead
+      // of (#input partitions × #buckets) small files per batch.
+      val prevMode = signed.sparkSession.conf
+        .get("spark.sql.sources.partitionOverwriteMode")
+      signed.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        Dedup.lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+          .withColumn("bucket", Dedup.bandBucket.cast("int"))
+          .withColumn("batch", lit(batchId))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket", "batch")
+          .parquet(s"$indexDir/bands")
+      } finally {
+        signed.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      }
     } finally { signed.unpersist(); () }
   }
 
