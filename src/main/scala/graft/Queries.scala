@@ -2357,6 +2357,49 @@ object Queries {
           cast(doc_id * 13 % 256 as int) as blue
         FROM documents""")),
 
+    Q("multimodal_resize",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        // REAL resample e2e: two-band PNGs decode and box-filter into
+        // thumbnails from actual decoded pixels; the probe pixels
+        // (pure-A corner, boundary-straddling block, pure-B corner)
+        // are pure functions of media_id, so the oracle re-derives
+        // the resample arithmetic — the resize itself is hash-checked
+        Multimodal.resizeImages(
+            Multimodal.asPatternImages(Tables(s, d).documents))
+          .toDF()
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id as media_id,
+            (8 + doc_id % 32) as w, (8 + doc_id % 16) as h,
+            cast(doc_id % 256 as int) as ra,
+            cast(doc_id * 7 % 256 as int) as ga,
+            cast(doc_id * 13 % 256 as int) as ba,
+            cast(doc_id * 17 % 256 as int) as rb,
+            cast(doc_id * 23 % 256 as int) as gb,
+            cast(doc_id * 29 % 256 as int) as bb
+          FROM documents),
+        t AS (
+          SELECT media_id, cast(w // 2 as int) as tw,
+            cast(h // 2 as int) as th,
+            (w // 2) // 2 as xmid, w // 2 as half,
+            ra, ga, ba, rb, gb, bb
+          FROM m)
+        SELECT media_id, tw as thumb_w, th as thumb_h,
+          ra as tl_red, ga as tl_green, ba as tl_blue,
+          cast(((CASE WHEN 2*xmid < half THEN ra ELSE rb END) * 2 +
+                (CASE WHEN 2*xmid + 1 < half THEN ra ELSE rb END) * 2) // 4
+            as int) as mid_red,
+          cast(((CASE WHEN 2*xmid < half THEN ga ELSE gb END) * 2 +
+                (CASE WHEN 2*xmid + 1 < half THEN ga ELSE gb END) * 2) // 4
+            as int) as mid_green,
+          cast(((CASE WHEN 2*xmid < half THEN ba ELSE bb END) * 2 +
+                (CASE WHEN 2*xmid + 1 < half THEN ba ELSE bb END) * 2) // 4
+            as int) as mid_blue,
+          rb as tr_red, gb as tr_green, bb as tr_blue
+        FROM t""")),
+
     Q("multimodal_mixed",
       (s, d) => {
         implicit val sp: SparkSession = s

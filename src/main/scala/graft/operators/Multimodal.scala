@@ -100,6 +100,109 @@ object Multimodal {
     }
   }
 
+  // second deterministic color for the two-band pattern images
+  def imgRed2(id: Long): Int = (id * 17 % 256).toInt
+  def imgGreen2(id: Long): Int = (id * 23 % 256).toInt
+  def imgBlue2(id: Long): Int = (id * 29 % 256).toInt
+
+  /** Real PNG encode of a two-band image: the left `width/2` columns
+    * are color A, the rest color B — structure a resample has to
+    * actually average over. */
+  def pngBytesPattern(width: Int, height: Int,
+                      a: (Int, Int, Int), b: (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgbA = (a._1 << 16) | (a._2 << 8) | a._3
+    val rgbB = (b._1 << 16) | (b._2 << 8) | b._3
+    val half = width / 2
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, if (x < half) rgbA else rgbB)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents as two-band pattern images (geometry and both colors
+    * pure functions of doc_id — the oracle can recompute any resample
+    * of them). */
+  def asPatternImages(documents: DataFrame)
+                     (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          MediaRow(id, "image",
+            pngBytesPattern(imgWidth(id), imgHeight(id),
+              (imgRed(id), imgGreen(id), imgBlue(id)),
+              (imgRed2(id), imgGreen2(id), imgBlue2(id))), src)
+        }
+      }
+  }
+
+  /** Thumbnail probe: dims + three probe pixels of the 2× box-filter
+    * downsample (top-left: pure A; the block at x_mid straddles or
+    * nears the band boundary; top-right: pure B). */
+  final case class ThumbMeta(media_id: Long, thumb_w: Int, thumb_h: Int,
+                             tl_red: Int, tl_green: Int, tl_blue: Int,
+                             mid_red: Int, mid_green: Int, mid_blue: Int,
+                             tr_red: Int, tr_green: Int, tr_blue: Int)
+
+  /** REAL image resize: decode the PNG, box-filter every 2×2 block
+    * into a thumbnail (integer channel means, truncating — the
+    * deterministic resample a data pipeline uses for thumbnailing),
+    * and emit the thumbnail dims plus three probe pixels. The whole
+    * thumbnail is materialized from DECODED pixels — nothing is
+    * shortcut from the id — yet every output is a pure function of
+    * media_id, so the oracle re-derives the resample arithmetic
+    * exactly. Per-partition batching identical to [[decodeImages]]. */
+  def resizeImages(media: Dataset[MediaRow])
+                  (implicit spark: SparkSession): Dataset[ThumbMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable image payload: media ${m.media_id}")
+        val tw = img.getWidth / 2
+        val th = img.getHeight / 2
+        val thumb = Array.ofDim[Int](th, tw, 3)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            var r = 0; var g = 0; var b = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val px = img.getRGB(2 * x + dx, 2 * y + dy)
+                r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            thumb(y)(x) = Array(r / 4, g / 4, b / 4)
+            x += 1
+          }
+          y += 1
+        }
+        val xMid = (img.getWidth / 2) / 2
+        def px(x: Int) = thumb(0)(math.min(x, tw - 1))
+        ThumbMeta(m.media_id, tw, th,
+          px(0)(0), px(0)(1), px(0)(2),
+          px(xMid)(0), px(xMid)(1), px(xMid)(2),
+          px(tw - 1)(0), px(tw - 1)(1), px(tw - 1)(2))
+      }
+    }
+  }
+
   /** Wrap documents as media rows: payload = utf-8 bytes, kind cycles
     * image/audio/video by id (synthetic corpus has no real media). */
   def asMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {

@@ -332,4 +332,44 @@ class QualityIngestSpec extends SparkSpec {
     assert(realFeats.forall(f => f.width == Multimodal.imgWidth(f.media_id) &&
       f.n_frames == 1))
   }
+
+  test("resize box-filters real decoded pixels: corners pure, boundary mixed") {
+    implicit val sp = spark
+    // byte-level: 10-wide two-band image → thumb 5 wide; xmid block
+    // (cols 4,5) straddles the half=5 boundary → channel mean of A,B
+    val bytes = Multimodal.pngBytesPattern(10, 8, (100, 40, 200), (30, 90, 7))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 10)
+    val left = img.getRGB(4, 0)
+    val right = img.getRGB(5, 0)
+    assert(((left >> 16) & 0xff) == 100 && ((right >> 16) & 0xff) == 30)
+    // distributed resample: every probe matches the id-derived truth
+    val thumbs = Multimodal.resizeImages(
+      Multimodal.asPatternImages(tables.documents)).collect()
+    assert(thumbs.length == 500)
+    thumbs.foreach { t =>
+      val id = t.media_id
+      val w = Multimodal.imgWidth(id)
+      assert(t.thumb_w == w / 2 && t.thumb_h == Multimodal.imgHeight(id) / 2)
+      // top-left block is pure color A, top-right pure color B
+      assert((t.tl_red, t.tl_green, t.tl_blue) ==
+        ((Multimodal.imgRed(id), Multimodal.imgGreen(id),
+          Multimodal.imgBlue(id))))
+      assert((t.tr_red, t.tr_green, t.tr_blue) ==
+        ((Multimodal.imgRed2(id), Multimodal.imgGreen2(id),
+          Multimodal.imgBlue2(id))))
+      // the mid block averages exactly per the band membership of its
+      // two source columns (truncating integer mean)
+      val half = w / 2
+      val c0 = 2 * ((w / 2) / 2)
+      def mix(a: Int, b: Int) =
+        ((if (c0 < half) a else b) * 2 + (if (c0 + 1 < half) a else b) * 2) / 4
+      assert(t.mid_red == mix(Multimodal.imgRed(id), Multimodal.imgRed2(id)))
+      assert(t.mid_green ==
+        mix(Multimodal.imgGreen(id), Multimodal.imgGreen2(id)))
+      assert(t.mid_blue ==
+        mix(Multimodal.imgBlue(id), Multimodal.imgBlue2(id)))
+    }
+  }
 }
