@@ -230,18 +230,21 @@ object TextAnalysis {
     * the oracle. */
   def wordPmi(documents: DataFrame, minPairCount: Long = 5): DataFrame = {
     val toks = documents.select(wsTokens(col("text")).as("w"))
-    val tot = toks.agg(
-      sum(size(col("w"))).cast("double").as("t_uni"),
-      sum(greatest(size(col("w")) - 1, lit(0))).cast("double").as("t_bi"))
     val uni = toks.select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c_w"))
-    val bi = toks.filter(size(col("w")) >= 2)
+    val biAll = toks.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(w) - 2), " +
           "i -> struct(w[i] as word_a, w[i+1] as word_b))")).as("p"))
       .select(col("p.word_a"), col("p.word_b"))
       .groupBy("word_a", "word_b").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minPairCount)
+    // totals derive from the |vocab|-sized aggregates (Σ c_w = token
+    // count, Σ pre-threshold c_ab = bigram count) — no third and
+    // fourth corpus scan just for two scalars; identical aggregate
+    // subplans reuse their shuffle stages under AQE
+    val tot = uni.agg(sum(col("c_w")).cast("double").as("t_uni"))
+      .crossJoin(biAll.agg(sum(col("c_ab")).cast("double").as("t_bi")))
+    val bi = biAll.filter(col("c_ab") >= minPairCount)
     bi
       .join(uni.select(col("word").as("word_a"), col("c_w").as("c_a")),
         "word_a")

@@ -181,4 +181,30 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("bucket IN")),
       s"band index scan is not bucket-pruned:\n$p")
   }
+
+  test("ann_pq: one corpus scan, kernel encode, pre-exchange top-k prune") {
+    val emb = tables.embeddings
+    val p = plan(Similarity.annPq(emb, emb.filter(col("vec_id") < 4),
+      cacheKey = Some(sfDir)))
+    // scoring never joins on a shuffle — the LUT side broadcasts
+    assert(!p.contains("SortMergeJoin"), s"PQ scoring shuffled:\n$p")
+    // the ADC kernel runs in the scan projection (map-only encode)
+    assert(p.contains("graft_pq_codes"), s"kernel not in plan:\n$p")
+    // per-partition top-k BEFORE the window exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no pre-exchange top-k prune:\n$p")
+    // corpus side read exactly once (the query side is separate)
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"extra corpus scans:\n$p")
+  }
+
+  test("word_pmi: partial counts before every exchange, totals not rescanned") {
+    val p = plan(TextAnalysis.wordPmi(tables.documents))
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    // totals derive from the aggregates: the corpus appears only in
+    // the unigram and bigram branches (≤4 scan nodes in the printed
+    // non-final plan; AQE reuses identical shuffle stages at runtime),
+    // never in a dedicated totals branch
+    assert(!p.contains("sum(size("), s"totals rescan the corpus:\n$p")
+  }
 }
