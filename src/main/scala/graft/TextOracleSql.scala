@@ -64,15 +64,26 @@ object TextOracleSql {
       FROM sigl, (SELECT unnest(range($bands)) as j) j)"""
   }
 
-  private def lshPairCtes(numPerm: Int, bands: Int): String = {
-    s"""
-    ${sigBandCtes(numPerm, bands)},
+  /** Over-cap bucket skip list + capped candidate pairs (mirrors
+    * Dedup.lshCandidates' maxBucket guard). */
+  private def cappedCandCte(maxBucket: Int): String = s"""
+    bigb AS (
+      SELECT band_id, band_hash FROM bands
+      GROUP BY 1, 2 HAVING count(*) > $maxBucket),
     cand AS (
       SELECT a.doc_id as id_a, b.doc_id as id_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+      WHERE NOT EXISTS (SELECT 1 FROM bigb g
+        WHERE g.band_id = a.band_id AND g.band_hash = a.band_hash)
+      GROUP BY 1, 2)"""
+
+  private def lshPairCtes(numPerm: Int, bands: Int,
+                          maxBucket: Int = 4096): String = {
+    s"""
+    ${sigBandCtes(numPerm, bands)},
+    ${cappedCandCte(maxBucket)},
     sets AS (SELECT doc_id, list_distinct(shingles) as sset FROM sh),
     jac AS (
       SELECT id_a, id_b,
@@ -306,12 +317,7 @@ object TextOracleSql {
                   threshold: Double): String = s"""
     WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
     ${sigBandCtes(numPerm, bands)},
-    cand AS (
-      SELECT a.doc_id as id_a, b.doc_id as id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+    ${cappedCandCte(4096)},
     est AS (
       SELECT id_a, id_b,
         cast(len(list_filter(range($numPerm),

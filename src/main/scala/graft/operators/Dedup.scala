@@ -91,18 +91,40 @@ object Dedup {
       transform(slice(xs, i + lit(2), size(xs)),
         y => struct(x.as(aName), y.as(bName)))))
 
+  /** Buckets larger than this are skipped by [[lshCandidates]]: a
+    * hot bucket (boilerplate band, degenerate near-identical family)
+    * contributes bucket² pairs AND a bucket-sized collected row —
+    * both scale killers. 4096 is far above any honest near-dup
+    * bucket (testdata buckets are ≤ ~30), so the cap never binds on
+    * real similarity structure; what it drops is exact-dup mass,
+    * which `dedup_exact` removes separately anyway. Mirrored by the
+    * DuckDB oracles. */
+  val DefaultMaxBucket = 4096
+
   /** Candidate pairs: docs sharing ≥1 LSH bucket. One shuffle on
     * (band_id, band_hash), then in-bucket pair expansion — the corpus
     * is scanned and signed exactly ONCE. (The earlier bucket
     * self-join either re-signed every document for its second leg or
     * needed a persisted intermediate that leaked in long-lived
-    * sessions; groupBy + expansion needs neither.) */
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
-    bands.groupBy(col("band_id"), col("band_hash"))
+    * sessions; groupBy + expansion needs neither.)
+    *
+    * Over-cap buckets are removed BEFORE the collect: a cheap
+    * count-only aggregation (map-side combined to |buckets| rows)
+    * finds them, and the band rows anti-join against that tiny skip
+    * list — so the degenerate bucket's giant row is never built at
+    * all, rather than built and filtered. */
+  def lshCandidates(bands: DataFrame, idCol: String,
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val overCap = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band_id", "band_hash")
+    bands.join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
+      .groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairExpand(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
 
   /** token-set Jaccard between candidate pairs: join candidates back
     * to the corpus for distinct-token sets, then

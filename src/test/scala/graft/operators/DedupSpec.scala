@@ -212,4 +212,26 @@ class DedupSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("bucket"))
     assert(bandScan.isDefined, s"band scan not partition-pruned:\n$plan")
   }
+
+  test("hot LSH buckets are skipped before the collect, not after") {
+    import spark.implicits._
+    // 200 identical docs (one degenerate bucket per band) + one
+    // honest near-dup pair; cap=50 must drop ONLY the hot family
+    val degenerate = (0L until 200L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val honest = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val docs = (degenerate ++ honest).toDF("doc_id", "text")
+    val signed = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64).as("sig"))
+    val banded = Dedup.lshBands(signed, "doc_id", "sig", 16, 4)
+    val capped = Dedup.lshCandidates(banded, "doc_id", maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1000L, 1001L)),
+      s"expected only the honest pair, got ${capped.size} pairs")
+    // default cap doesn't bind on honest buckets
+    val uncapped = Dedup.lshCandidates(banded, "doc_id")
+      .filter(col("id_a") === 1000L).count()
+    assert(uncapped == 1)
+  }
 }
