@@ -166,11 +166,16 @@ object TextOracleSql {
     clist AS (
       SELECT doc_id, list(chunk_val ORDER BY chunk_idx) as chunks
       FROM chunks GROUP BY 1),
+    sbigb AS (
+      SELECT chunk_idx, chunk_val FROM chunks
+      GROUP BY 1, 2 HAVING count(*) > 4096),
     scand AS (
       SELECT a.doc_id as id_a, b.doc_id as id_b
       FROM chunks a JOIN chunks b
         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM sbigb g
+        WHERE g.chunk_idx = a.chunk_idx AND g.chunk_val = a.chunk_val)
       GROUP BY 1, 2),
     sham AS (
       SELECT id_a, id_b,

@@ -221,11 +221,21 @@ object Dedup {
     * joins, zero persisted intermediates, one corpus scan (the
     * self-join formulation needed a persisted signature frame read by
     * four join legs, which leaked in long-lived sessions). */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = simhash(documents)
     val chunks = sh.select(col("doc_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
-    chunks.groupBy(col("chunk_idx"), col("chunk_val"))
+    // same hot-bucket guard as lshCandidates: a degenerate chunk
+    // bucket is skipped via a count-only pre-aggregation before the
+    // collect ever builds its row (identical-doc mass belongs to
+    // dedup_exact, not the near-dup path)
+    val overCap = chunks.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("chunk_idx", "chunk_val")
+    chunks.join(broadcast(overCap), Seq("chunk_idx", "chunk_val"),
+        "left_anti")
+      .groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("chunks"))))
         .as("ds"))
       .filter(size(col("ds")) > 1)

@@ -66,8 +66,15 @@ class PlanShapeSpec extends SparkSpec {
       s"minhashLsh still caches:\n$pm")
     val ps = plan(Dedup.simhashPairs(tables.documents))
     assert(!ps.contains("InMemoryTableScan"), s"simhash caches:\n$ps")
-    assert(!ps.contains("SortMergeJoin") && !ps.contains("BroadcastHashJoin"),
-      s"simhash should verify inline with zero joins:\n$ps")
+    // verification stays inline (no data-sized join); the ONLY join
+    // allowed is the broadcast LeftAnti against the tiny over-cap
+    // bucket skip list
+    assert(!ps.contains("SortMergeJoin"),
+      s"simhash verification shuffled a join:\n$ps")
+    val joins = ps.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.forall(_.contains("LeftAnti")),
+      s"simhash should verify inline (only the skip-list anti-join):\n$ps")
   }
 
   test("contamination check broadcasts the benchmark side only") {
