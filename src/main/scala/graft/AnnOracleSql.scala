@@ -49,6 +49,23 @@ object AnnOracleSql {
           then 1 << ($bits-1-h.i) else 0 end) as int) as sig
       FROM e CROSS JOIN hp h GROUP BY 1, 2)"""
 
+  /** JL random projection (mirrors Similarity.randomProjection): the
+    * table-0 hyperplane component grid kept as dot-product VALUES —
+    * `list_dot_product` is the same left-to-right fold as the kernel's
+    * accumulation, so every double matches bit-for-bit. */
+  def projectionSql(dim: Int, outDim: Int): String = s"""
+    WITH $EmbCte,
+    hp AS (
+      SELECT r.r,
+        list_transform(range($dim), j -> (
+          ((xor( (r.r*$dim + j) * 2654435761 % 2147483648,
+                 ((r.r*$dim + j) * 2654435761 % 2147483648) >> 15 )
+            * 2246822519) % 2001 - 1000) / 1000.0)) as comp
+      FROM (SELECT unnest(range($outDim)) as r) r)
+    SELECT e.vec_id, cast(h.r as bigint) as proj_dim,
+      list_dot_product(e.emb, h.comp) as proj
+    FROM e CROSS JOIN hp h"""
+
   /** LSH top-k CTE `lsh_topk(query_id, neighbor_id, rank, cosine)`
     * (requires sigCtes). */
   def lshTopkCtes(k: Int, queryPred: String): String = s"""

@@ -473,6 +473,15 @@ object Queries {
       Some(TextOracleSql.contaminationSql(ngramK = 4,
         benchPred = "doc_id < 10"))),
 
+    Q("contamination_fuzzy",
+      // MinHash decontamination — the near-duplicate complement of the
+      // exact n-gram check above (catches paraphrased/edited leaks);
+      // benchmark bands+signatures broadcast, corpus signed once
+      (s, d) => Dedup.contaminationFuzzy(Tables(s, d).documents,
+        benchPred = col("doc_id") < 50, threshold = 0.4),
+      Some(TextOracleSql.contaminationFuzzySql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.4, benchPred = "doc_id < 50"))),
+
     Q("dedup_embedding",
       (s, d) => Dedup.embeddingNearDup(Tables(s, d).embeddings,
         threshold = 0.35),
@@ -659,6 +668,14 @@ object Queries {
       Some(AnnOracleSql.recallSql(dim = 64, bits = 6, tables = 16,
         nlist = 16, nprobe = 4, k = 5, iters = 3, sampleBudget = 128,
         queryPred = "vec_id < 8"))),
+
+    Q("random_projection",
+      // JL dimensionality reduction 64→16 over the deterministic
+      // hyperplane grid — map-only codegen'd kernel, the projected
+      // corpus is what downstream cluster/dedup/search then reads
+      (s, d) => Similarity.randomProjection(Tables(s, d).embeddings,
+        dim = 64, outDim = 16),
+      Some(AnnOracleSql.projectionSql(dim = 64, outDim = 16))),
 
     // ---------- I. LLM-pipeline: text analysis ----------
     Q("lang_id",
@@ -866,6 +883,14 @@ object Queries {
           token_start % 2048 as seq_offset
         FROM c""")),
 
+    Q("doc_chunk",
+      // sliding-window training chunks (64-token windows every 48):
+      // map-only build-and-explode, no shuffle — the long-document
+      // layout feeding context-bounded encode/embed stages
+      (s, d) => TextAnalysis.docChunk(Tables(s, d).documents,
+        chunkTokens = 64, stride = 48),
+      Some(TextOracleSql.docChunkSql(chunkTokens = 64, stride = 48))),
+
     Q("corpus_vocabulary",
       (s, d) => TextAnalysis.vocabulary(Tables(s, d).documents),
       Some("""
@@ -874,6 +899,47 @@ object Queries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) as word
               FROM documents)
         GROUP BY 1""")),
+
+    Q("inverted_index",
+      // per-term ranked postings (df/cf + top docs by tf): the
+      // search-engine complement of corpus_vocabulary; per-term top-N
+      // runs through WindowGroupLimit so hot terms prune pre-exchange
+      (s, d) => TextAnalysis.invertedIndex(Tables(s, d).documents,
+        maxPostings = 8),
+      Some("""
+        WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) as word
+                    FROM documents),
+        tf AS (SELECT word, doc_id, count(*) as tf FROM wx GROUP BY 1, 2),
+        stats AS (SELECT word, count(*) as df,
+                    cast(sum(tf) as bigint) as cf FROM tf GROUP BY 1),
+        ranked AS (
+          SELECT word, doc_id, tf,
+            row_number() OVER (PARTITION BY word
+              ORDER BY tf DESC, doc_id) as posting_rank
+          FROM tf)
+        SELECT word, df, cf, cast(posting_rank as bigint) as posting_rank,
+          doc_id, tf
+        FROM ranked JOIN stats USING (word)
+        WHERE posting_rank <= 8""")),
+
+    Q("ngram_lm",
+      // count-based bigram LM (CCNet/KenLM-style quality model, counts
+      // instead of a trained model): smoothed transition probability
+      // as INTEGER ppb — no ln, no order-dependent float sums —
+      // vocab-keyed shuffles only, never corpus-sized state
+      (s, d) => NgramLm.train(Tables(s, d).documents),
+      Some(TextOracleSql.ngramLmSql(addK = 1L, minPairCount = 1L))),
+
+    Q("lm_score",
+      // per-doc mean transition probability under the corpus's own
+      // bigram LM — the "train cheap LM, score every doc, filter the
+      // tail" pretraining quality signal; integer per-doc sums are
+      // order-independent, one final IEEE division
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        NgramLm.scoreDocs(docs, docs)
+      },
+      Some(TextOracleSql.lmScoreSql(addK = 1L))),
 
     Q("word_pmi",
       // PMI collocation mining: adjacent-pair frequency vs the

@@ -237,6 +237,21 @@ object TextOracleSql {
           as chunks
       FROM docs)"""
 
+  /** Sliding-window chunking (mirrors TextAnalysis.docChunk): start
+    * positions every `stride` tokens, `chunkTokens`-token windows. */
+  def docChunkSql(chunkTokens: Int, stride: Int): String = s"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') as toks
+                  FROM documents),
+    ex AS (SELECT doc_id, cast(len(toks) as bigint) as n_tokens,
+             unnest(range((len(toks) - 1) // $stride + 1)) as i, toks
+           FROM docs)
+    SELECT doc_id, n_tokens, cast(i as bigint) as chunk_id,
+      cast(i * $stride as bigint) as tok_start,
+      least($chunkTokens, n_tokens - i * $stride) as n_chunk_tokens,
+      array_to_string(
+        toks[i*$stride+1 : i*$stride+$chunkTokens], ' ') as chunk_text
+    FROM ex"""
+
   /** C4-style corpus-level paragraph dedup (mirrors
     * CorpusClean.paragraphDedup). */
   def paragraphDedupSql(chunkTokens: Int, maxFreq: Long): String = s"""
@@ -274,6 +289,51 @@ object TextOracleSql {
       cast(len(c.chunks) as bigint) as n_chunks,
       cast(a.n_kept as bigint) as n_chunks_kept
     FROM ch c JOIN agg a USING (doc_id)"""
+
+  /** Shared bigram-LM CTEs: token lists, unigram counts, vocab size,
+    * per-doc adjacent pairs, bigram-type counts (mirrors
+    * NgramLm.bigrams/uniCounts). */
+  private def lmCtes: String = s"""
+    docs AS (SELECT doc_id, string_split(text, ' ') as toks FROM documents),
+    uni AS (SELECT word, count(*) as c_w
+            FROM (SELECT unnest(toks) as word FROM docs) GROUP BY 1),
+    v AS (SELECT count(*) as v FROM uni),
+    ex AS (SELECT doc_id, unnest(range(len(toks) - 1)) as i, toks
+           FROM docs WHERE len(toks) >= 2),
+    bg AS (SELECT doc_id, toks[i+1] as word_a, toks[i+2] as word_b FROM ex),
+    bi AS (SELECT word_a, word_b, count(*) as c_ab FROM bg GROUP BY 1, 2)"""
+
+  /** Bigram LM model table (mirrors NgramLm.train): add-k smoothed
+    * transition probability as integer ppb — hugeint widening matches
+    * the Spark side's decimal(38,0). */
+  def ngramLmSql(addK: Long, minPairCount: Long): String = s"""
+    WITH $lmCtes
+    SELECT word_a, word_b, c_ab, u.c_w as c_a,
+      cast((cast(c_ab + $addK as hugeint) * 1000000000)
+             // (u.c_w + $addK * v.v) as bigint) as p_ppb
+    FROM bi JOIN uni u ON u.word = word_a CROSS JOIN v
+    WHERE c_ab >= $minPairCount"""
+
+  /** Per-doc LM scoring (mirrors NgramLm.scoreDocs with train = eval):
+    * integer sum of transition ppb, one final IEEE division. */
+  def lmScoreSql(addK: Long): String = s"""
+    WITH $lmCtes,
+    scored AS (
+      SELECT bg.doc_id,
+        cast((cast(bi.c_ab + $addK as hugeint) * 1000000000)
+               // (u.c_w + $addK * v.v) as bigint) as p
+      FROM bg
+        JOIN bi USING (word_a, word_b)
+        JOIN uni u ON u.word = bg.word_a
+        CROSS JOIN v),
+    agg AS (SELECT doc_id, count(*) as n_bigrams, sum(p) as sum_p_ppb
+            FROM scored GROUP BY 1)
+    SELECT d.doc_id, cast(len(d.toks) as bigint) as n_tokens,
+      cast(coalesce(a.n_bigrams, 0) as bigint) as n_bigrams,
+      cast(coalesce(a.sum_p_ppb, 0) as bigint) as sum_p_ppb,
+      CASE WHEN coalesce(a.n_bigrams, 0) > 0
+        THEN cast(a.sum_p_ppb as double) / a.n_bigrams END as lm_score
+    FROM docs d LEFT JOIN agg a USING (doc_id)"""
 
   /** Hashed-token linear classifier (mirrors
     * TextAnalysis.qualityClassifier): integer weight sum, one final
@@ -359,6 +419,30 @@ object TextOracleSql {
         JOIN sigl sb ON sb.doc_id = delta_id)
     SELECT base_id, delta_id, est_jaccard FROM est
     WHERE est_jaccard >= $threshold"""
+
+  /** Fuzzy decontamination summary (mirrors Dedup.contaminationFuzzy):
+    * train docs LSH-colliding with a `benchPred` benchmark doc at
+    * estimated Jaccard ≥ threshold, grouped per train doc. */
+  def contaminationFuzzySql(shingleK: Int, numPerm: Int, bands: Int,
+                            threshold: Double, benchPred: String): String = s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${sigBandCtes(numPerm, bands)},
+    cand AS (
+      SELECT t.doc_id as train_id, b.doc_id as bench_id
+      FROM bands t JOIN bands b
+        ON t.band_id = b.band_id AND t.band_hash = b.band_hash
+      WHERE (b.$benchPred) AND NOT (t.$benchPred)
+      GROUP BY 1, 2),
+    est AS (
+      SELECT train_id, bench_id,
+        cast(len(list_filter(range($numPerm),
+               i -> st.sig[i+1] = sb.sig[i+1])) as double) / $numPerm as ej
+      FROM cand
+        JOIN sigl st ON st.doc_id = train_id
+        JOIN sigl sb ON sb.doc_id = bench_id)
+    SELECT train_id, cast(count(*) as bigint) as n_bench_hits,
+      max(ej) as max_est_jaccard
+    FROM est WHERE ej >= $threshold GROUP BY 1"""
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 

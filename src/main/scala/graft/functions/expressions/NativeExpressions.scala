@@ -283,6 +283,70 @@ case class HyperplaneSignatures(child: Expression, dim: Int, bits: Int,
     copy(child = newChild)
 }
 
+/** Johnson-Lindenstrauss dense random projection of an `array<float>`
+  * embedding to `outDim` doubles: output r = Σ_j emb[j] ·
+  * comp(r·dim + j) over the [[HyperplaneConstants]] component grid —
+  * the pre-sign dot products of a 1-table `outDim`-bit
+  * [[HyperplaneSignatures]], kept as values instead of collapsed to
+  * sign bits. The per-output accumulation is a strict left-to-right
+  * fold in index order, so an external engine's sequential
+  * `list_dot_product` against the same replicated component list
+  * reproduces every double bit-for-bit. One tight codegen'd loop per
+  * row. */
+case class HyperplaneProjections(child: Expression, dim: Int, outDim: Int)
+  extends UnaryExpression {
+  require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+
+  @transient private lazy val comps: Array[Double] =
+    HyperplaneConstants.components(1, outDim, dim)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_project"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Double](outDim)
+    var r = 0
+    while (r < outDim) {
+      val base = r * dim
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += arr.getFloat(j).toDouble * comps(base + j); j += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val compsRef = ctx.addReferenceObj("projComps", comps, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double[] $out = new double[$outDim];
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |for (int $r = 0; $r < $outDim; $r++) {
+         |  int $base = $r * $dim;
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += ((double) $a.getFloat($j)) * $compsRef[$base + $j];
+         |  }
+         |  $out[$r] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProjections =
+    copy(child = newChild)
+}
+
 /** Top-n nearest centroids (by dot product — embeddings are
   * unit-normalized so dot ≈ cosine) for an `array<float>` embedding.
   * Centroids ride along as a plan reference object. Ties break to the

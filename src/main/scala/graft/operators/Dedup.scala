@@ -521,4 +521,47 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
+
+  /** Fuzzy benchmark decontamination: every train doc whose MinHash
+    * signature LSH-collides with a benchmark doc at estimated Jaccard
+    * ≥ threshold, summarized per train doc (hit count + max overlap) —
+    * the near-duplicate complement of the exact n-gram
+    * [[contamination]] check (FineWeb/Dolma-style decontamination runs
+    * BOTH: exact overlap for verbatim leaks, MinHash for paraphrased
+    * or lightly-edited leaks).
+    *
+    * Scale shape: the benchmark set is small by definition, so its
+    * bands and signatures broadcast; the train corpus is signed ONCE
+    * map-only and only band-colliding (train, bench) pairs are ever
+    * materialized — the corpus never self-joins and the output is
+    * train-doc-bounded. */
+  def contaminationFuzzy(documents: DataFrame, benchPred: Column,
+                         shingleK: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16,
+                         threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val sigOf = (d: DataFrame, idAs: String) => d.select(
+      col("doc_id").as(idAs),
+      minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+    val benchSigs = sigOf(documents.filter(benchPred), "bench_id")
+    val trainSigs = sigOf(documents.filter(!benchPred), "train_id")
+    val benchBands = lshBands(benchSigs, "bench_id", "sig",
+      bands, numPerm / bands)
+    val trainBands = lshBands(trainSigs, "train_id", "sig",
+      bands, numPerm / bands)
+    trainBands
+      .join(broadcast(benchBands), Seq("band_id", "band_hash"))
+      .select("train_id", "bench_id").distinct()
+      .join(trainSigs.withColumnRenamed("sig", "sig_t"), "train_id")
+      .join(broadcast(benchSigs.withColumnRenamed("sig", "sig_b")),
+        "bench_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_t"), col("sig_b"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numPerm)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+  }
 }

@@ -86,6 +86,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Johnson-Lindenstrauss random projection: reduce each embedding to
+    * `outDim` dense components over the deterministic
+    * [[graft.functions.expressions.HyperplaneConstants]] grid — the
+    * standard dimensionality-reduction front end for similarity
+    * pipelines (project once, then cluster/dedup/search in the small
+    * space; JL keeps pairwise distances within (1±ε) w.h.p.). Exploded
+    * to (vec_id, proj_dim, proj) rows so downstream frames stay flat.
+    *
+    * Map-only: one codegen'd loop per row, no shuffle — scan speed at
+    * 100 TB, and the 4×-smaller projected corpus is what the expensive
+    * downstream ops then touch. */
+  def randomProjection(embeddings: DataFrame, dim: Int = 64,
+                       outDim: Int = 16): DataFrame = {
+    val proj = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.HyperplaneProjections(
+        org.apache.spark.sql.graft.GraftBridge.expression(col("embedding")),
+        dim, outDim))
+    embeddings.select(col("vec_id"),
+        posexplode(proj).as(Seq("proj_dim", "proj")))
+      .select(col("vec_id"), col("proj_dim").cast("long").as("proj_dim"),
+        col("proj"))
+  }
+
   // ---------- IVF (inverted-file) ANN ----------
 
   private def nearestCentroids(emb: Column,

@@ -173,6 +173,42 @@ object TextAnalysis {
         pmod(col("token_start"), lit(seqTokens)).as("seq_offset"))
   }
 
+  /** Sliding-window document chunking: cut each doc's token stream
+    * into `chunkTokens`-token windows every `stride` tokens (overlap =
+    * chunkTokens − stride), the standard long-document layout for
+    * context-bounded training and embedding models. Start positions
+    * are 0, stride, 2·stride, … while they land inside the doc, so
+    * every token is covered and a doc shorter than one window still
+    * yields its single (short) chunk.
+    *
+    * Scale shape: map-only — windows are built per row from the bound
+    * token array (`transform(sequence)` + `slice`, all codegen'd
+    * collection ops), then exploded; no shuffle anywhere, scan speed
+    * at 100 TB, and the output is embarrassingly partitioned for the
+    * downstream encode/embed stage. */
+  def docChunk(documents: DataFrame, chunkTokens: Int = 64,
+               stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens (stride > chunkTokens drops tokens)")
+    documents
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(
+          s"""transform(sequence(0, cast((n_tokens - 1) div $stride as int)),
+             |  i -> struct(
+             |    cast(i as long) as chunk_id,
+             |    cast(i as long) * $stride as tok_start,
+             |    array_join(slice(toks, i * $stride + 1, $chunkTokens), ' ')
+             |      as chunk_text))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("n_tokens"), col("c.chunk_id"),
+        col("c.tok_start"),
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("c.tok_start"))
+          .as("n_chunk_tokens"),
+        col("c.chunk_text"))
+  }
+
   /** Deterministic global training-order shuffle: every doc gets a
     * dense 0-based `shuffle_rank` in salted-content-hash order —
     * reproducible across runs, partitionings and engines (unlike
@@ -215,6 +251,34 @@ object TextAnalysis {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Inverted index with ranked postings: per term, its document
+    * frequency, collection frequency, and the top-`maxPostings`
+    * posting entries by (tf desc, doc_id) — the search-engine-shaped
+    * complement of [[vocabulary]] (per-term doc lists, where
+    * [[tfidfTopTerms]] is per-doc term lists). Emitted as exploded
+    * rows so the posting list stays a flat, splittable frame.
+    *
+    * Scale shape: one (word, doc) groupBy with map-side partial
+    * counts, a vocab-keyed stats aggregation, and the per-term top-N
+    * through `WindowGroupLimit` (per-partition heap prune BEFORE the
+    * exchange — a hot term's millions of postings never collect into
+    * one task's window buffer beyond the cap). */
+  def invertedIndex(documents: DataFrame, maxPostings: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val w = Window.partitionBy(col("word"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("posting_rank", row_number().over(w).cast("long"))
+      .filter(col("posting_rank") <= maxPostings)
+      .join(stats, "word")
+      .select("word", "df", "cf", "posting_rank", "doc_id", "tf")
+  }
 
   /** PMI-style collocation mining: adjacent word pairs whose observed
     * frequency beats the independence expectation — phrase discovery

@@ -234,4 +234,35 @@ class DedupSpec extends SparkSpec {
       .filter(col("id_a") === 1000L).count()
     assert(uncapped == 1)
   }
+
+  test("contaminationFuzzy flags near-copies of benchmark docs, not clean docs") {
+    import spark.implicits._
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      1L -> bench,                                   // benchmark
+      2L -> "lorem ipsum dolor sit amet consectetur",// benchmark, unrelated
+      10L -> bench,                                  // verbatim leak
+      11L -> (bench + " extra"),                     // lightly edited leak
+      12L -> "totally different words here nothing shared at all")
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationFuzzy(docs, col("doc_id") < 10L,
+      threshold = 0.5)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(10L)._1 == 1L && byId(10L)._2 == 1.0) // exact copy: est 1.0
+    assert(byId.contains(11L) && byId(11L)._2 >= 0.5)
+    assert(!byId.contains(12L))
+    // benchmark docs are never reported on the train side
+    assert(!byId.contains(1L) && !byId.contains(2L))
+  }
+
+  test("contaminationFuzzy counts multiple benchmark hits per train doc") {
+    import spark.implicits._
+    val t = "one two three four five six seven eight nine ten"
+    val docs = Seq(1L -> t, 2L -> t, 10L -> t).toDF("doc_id", "text")
+    val out = Dedup.contaminationFuzzy(docs, col("doc_id") < 10L,
+      threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 10L && out.head.getLong(1) == 2L)
+  }
 }

@@ -258,4 +258,72 @@ class SimilaritySpec extends SparkSpec {
     assert(shared.nonEmpty)
     shared.foreach { case (a, b) => assert(a == b) }
   }
+
+  test("randomProjection: exact dots over the hyperplane grid, full shape") {
+    import graft.functions.expressions.HyperplaneConstants
+    val emb = tables.embeddings
+    val n = emb.count()
+    val out = Similarity.randomProjection(emb, dim = 64, outDim = 16)
+    assert(out.count() == n * 16)
+    // spot-check one vector against a driver-side sequential fold
+    val v = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val expected = (0 until 16).map { r =>
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) {
+        acc += v(j).toDouble * HyperplaneConstants.component(r * 64 + j)
+        j += 1
+      }
+      acc
+    }
+    val got = out.filter(col("vec_id") === 0L).orderBy("proj_dim")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(got == expected)
+  }
+
+  test("randomProjection approximately preserves relative distances (JL)") {
+    import spark.implicits._
+    // synthetic vectors with a WIDE distance spread (scales 1..5 over
+    // varied directions) — the testdata embeddings are near-uniform
+    // distance, where the JL ±ε band drowns the tiny true signal
+    def lcg(seed: Long): Long = (seed * 6364136223846793005L + 1442695040888963407L)
+    val vecs = (0 until 24).map { i =>
+      var s = lcg(i.toLong + 7)
+      val scale = 1.0f + (i % 5)
+      val arr = Array.fill(64) {
+        s = lcg(s)
+        ((s >>> 40).toFloat / (1L << 23).toFloat - 1.0f) * scale
+      }
+      (i.toLong, arr.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val orig = vecs.map { case (id, a) =>
+      id -> a.map(_.toDouble).toArray }.toMap
+    val proj = Similarity.randomProjection(emb, dim = 64, outDim = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // Pearson correlation between original and projected squared
+    // distances over all pairs — JL preserves distances up to the
+    // common scale factor outDim·E[c²], so correlation should be high
+    val ids = orig.keys.toSeq.sorted
+    val pairs = ids.combinations(2).toSeq
+    val xs = pairs.map { case Seq(a, b) => d2(orig(a), orig(b)) }
+    val ys = pairs.map { case Seq(a, b) =>
+      d2(proj(a).toArray, proj(b).toArray) }
+    def corr(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.size
+      val mx = x.sum / n; val my = y.sum / n
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(x.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(y.map(b => (b - my) * (b - my)).sum)
+      cov / (sx * sy)
+    }
+    val r = corr(xs, ys)
+    assert(r > 0.5, s"JL distance correlation $r")
+  }
 }

@@ -239,6 +239,66 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs == Set(("x", "y"), ("y", "x")))
   }
 
+  test("invertedIndex: df/cf and tf-ranked postings from hand counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, maxPostings = 2).collect()
+      .map(r => (r.getString(0), r.getLong(3)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    // a: df=2 cf=3; postings ranked (doc1 tf2), (doc2 tf1)
+    assert(out(("a", 1L)) == ((2L, 3L, 1L, 2L)))
+    assert(out(("a", 2L)) == ((2L, 3L, 2L, 1L)))
+    // b: df=2 cf=4; doc3 (tf3) outranks doc1 (tf1)
+    assert(out(("b", 1L)) == ((2L, 4L, 3L, 3L)))
+    assert(out(("b", 2L)) == ((2L, 4L, 1L, 1L)))
+    assert(out(("c", 1L)) == ((1L, 1L, 2L, 1L)))
+  }
+
+  test("invertedIndex: maxPostings truncates hot terms, stats unaffected") {
+    val out = TextAnalysis.invertedIndex(tables.documents, maxPostings = 3)
+    assert(out.filter(col("posting_rank") > 3).count() == 0)
+    // df can exceed the posting cap — stats count ALL docs, not kept ones
+    assert(out.filter(col("df") > 3).count() > 0)
+    // rank sequence per word is dense from 1
+    val bad = out.groupBy("word")
+      .agg(count(lit(1)).as("n"), max("posting_rank").as("m"))
+      .filter(col("n") =!= col("m"))
+    assert(bad.count() == 0)
+  }
+
+  test("docChunk: windows cover every token and overlap by chunk-stride") {
+    import spark.implicits._
+    // 10 tokens, 4-token windows every 3 → starts 0,3,6,9
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docChunk(docs, chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(d1.map(_.getString(5)).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    assert(d1.map(_.getLong(4)).toSeq == Seq(4L, 4L, 4L, 1L))
+    // a doc shorter than one window still yields its single chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(5) == "a b" &&
+      d2.head.getLong(4) == 2L)
+    // every token position is inside at least one window
+    val covered = d1.flatMap(r => r.getLong(3) until
+      (r.getLong(3) + r.getLong(4))).toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  test("docChunk: contiguous (stride == chunkTokens) partitions the stream") {
+    val out = TextAnalysis.docChunk(tables.documents,
+      chunkTokens = 32, stride = 32)
+    // no overlap → chunk token counts sum back to the doc token count
+    val bad = out.groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("s"), first("n_tokens").as("n"))
+      .filter(col("s") =!= col("n"))
+    assert(bad.count() == 0)
+  }
+
   test("domainMix: full budget on a single-source corpus keeps everything") {
     // with one source the rate is exactly T·w/(W·m) = 1 — temperature
     // has nothing to redistribute; on a MULTI-source corpus a full
