@@ -132,6 +132,27 @@ object ScaleProbe {
         t.embeddings.count() * 10,
         () => Similarity.trainCentroids(
           replicate(t.embeddings, 10, Some("vec_id"))).length.toLong),
+      // round-6: the bigram LM and inverted index shuffle only
+      // vocab-keyed count frames (map-side combined), so rows/sec must
+      // hold at 10×; doc_chunk is map-only and should scale cleanly
+      ("lm_score", t.documents.count(), () => {
+        val d = t.documents
+        graft.operators.NgramLm.scoreDocs(d, d).count()
+      },
+        t.documents.count() * 10, () => {
+          val d10 = replicate(t.documents, 10, Some("doc_id"))
+          graft.operators.NgramLm.scoreDocs(d10, d10).count()
+        }),
+      ("inverted_index", t.documents.count(),
+        () => TextAnalysis.invertedIndex(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.invertedIndex(
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      ("doc_chunk", t.documents.count(),
+        () => TextAnalysis.docChunk(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.docChunk(
+          replicate(t.documents, 10, Some("doc_id"))).count()),
       // round-6: steady-state micro-batch cost of the CONTINUOUS dedup
       // lifecycle — the SAME fixed delta probed against a 1× and a 10×
       // persisted band index. The bucketed index + partition-pruned

@@ -71,13 +71,14 @@ object Dedup {
     * be replicable). Folds run over the already-computed signature
     * array, so the interpreted HOF costs bands × rowsPerBand adds. */
   def lshBands(docs: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame =
-    docs.select(col(idCol),
+               bands: Int, rowsPerBand: Int,
+               keep: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol) +: keep.map(col) :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => aggregate(slice(col(sigCol), j * rowsPerBand + 1, lit(rowsPerBand)),
           lit(0L), (acc, v) =>
             (acc * 2654435761L + v.bitwiseAND(0x7fffffffL)) % 2147483648L)))
-        .as(Seq("band_id", "band_hash")))
+        .as(Seq("band_id", "band_hash")): _*)
 
   /** All ordered pairs (a_i, a_j), i < j, from a sorted array — the
     * in-bucket pair expansion for LSH/pigeonhole candidate generation.
@@ -532,9 +533,11 @@ object Dedup {
     *
     * Scale shape: the benchmark set is small by definition, so its
     * bands and signatures broadcast; the train corpus is signed ONCE
-    * map-only and only band-colliding (train, bench) pairs are ever
-    * materialized — the corpus never self-joins and the output is
-    * train-doc-bounded. */
+    * and its band rows CARRY the signature through the (map-side)
+    * broadcast collision join — no second corpus scan, no
+    * corpus-sized shuffle join anywhere. A pair colliding in several
+    * bands scores identically each time, so the distinct runs on the
+    * (small) scored pair, mirroring annLsh. */
   def contaminationFuzzy(documents: DataFrame, benchPred: Column,
                          shingleK: Int = 3, numPerm: Int = 64,
                          bands: Int = 16,
@@ -544,22 +547,21 @@ object Dedup {
       col("doc_id").as(idAs),
       minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
     val benchSigs = sigOf(documents.filter(benchPred), "bench_id")
-    val trainSigs = sigOf(documents.filter(!benchPred), "train_id")
     val benchBands = lshBands(benchSigs, "bench_id", "sig",
       bands, numPerm / bands)
-    val trainBands = lshBands(trainSigs, "train_id", "sig",
-      bands, numPerm / bands)
-    trainBands
+    val trainBandSig = lshBands(sigOf(documents.filter(!benchPred),
+      "train_id"), "train_id", "sig", bands, numPerm / bands,
+      keep = Seq("sig"))
+    trainBandSig
       .join(broadcast(benchBands), Seq("band_id", "band_hash"))
-      .select("train_id", "bench_id").distinct()
-      .join(trainSigs.withColumnRenamed("sig", "sig_t"), "train_id")
       .join(broadcast(benchSigs.withColumnRenamed("sig", "sig_b")),
         "bench_id")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_t"), col("sig_b"),
+        aggregate(zip_with(col("sig"), col("sig_b"),
           (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numPerm)
       .filter(col("est_jaccard") >= threshold)
+      .select("train_id", "bench_id", "est_jaccard").distinct()
       .groupBy("train_id")
       .agg(count(lit(1)).as("n_bench_hits"),
         max(col("est_jaccard")).as("max_est_jaccard"))

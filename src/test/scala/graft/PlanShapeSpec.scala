@@ -214,4 +214,43 @@ class PlanShapeSpec extends SparkSpec {
     // never in a dedicated totals branch
     assert(!p.contains("sum(size("), s"totals rescan the corpus:\n$p")
   }
+
+  test("doc_chunk and random_projection are map-only: zero exchanges") {
+    val pc = plan(TextAnalysis.docChunk(tables.documents))
+    assert(!pc.contains("Exchange"), s"doc_chunk shuffles:\n$pc")
+    val pp = plan(Similarity.randomProjection(tables.embeddings))
+    assert(!pp.contains("Exchange"), s"random_projection shuffles:\n$pp")
+    // the projection runs as the native kernel, not an interpreted HOF
+    assert(pp.contains("graft_project"), s"kernel not in plan:\n$pp")
+  }
+
+  test("inverted_index prunes per-term top-N before the window exchange") {
+    val p = plan(TextAnalysis.invertedIndex(tables.documents))
+    assert(p.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit — hot terms buffer fully:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("lm scoring: partial counts, broadcast vocab scalar, no cartesian") {
+    val docs = tables.documents
+    val p = plan(NgramLm.scoreDocs(docs, docs))
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    // the only nested-loop join allowed is the broadcast of the
+    // single-row vocab-size scalar
+    val nls = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nls.size <= 1, s"unexpected cross joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
+  test("contamination_fuzzy broadcasts the benchmark side only") {
+    val p = plan(Dedup.contaminationFuzzy(tables.documents,
+      col("doc_id") < 10))
+    // candidate join and both signature joins hang off broadcasts of
+    // the (small) benchmark frames — the train corpus never shuffles
+    // for a join
+    assert(!p.contains("SortMergeJoin"),
+      s"train corpus shuffled for a join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$p")
+  }
 }
