@@ -49,6 +49,16 @@ object AnnOracleSql {
           then 1 << ($bits-1-h.i) else 0 end) as int) as sig
       FROM e CROSS JOIN hp h GROUP BY 1, 2)"""
 
+  /** Frozen-quantizer k-means assignment + cell sizes (mirrors
+    * Similarity.kmeansAssign). */
+  def kmeansAssignSql(nlist: Int, iters: Int, sampleBudget: Int): String =
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
+       sz AS (SELECT cluster, count(*) as cluster_size
+              FROM tagged GROUP BY 1)
+       SELECT t.neighbor_id as vec_id, cast(t.cluster as bigint) as cluster,
+         sz.cluster_size
+       FROM tagged t JOIN sz USING (cluster)"""
+
   /** JL random projection (mirrors Similarity.randomProjection): the
     * table-0 hyperplane component grid kept as dot-product VALUES —
     * `list_dot_product` is the same left-to-right fold as the kernel's

@@ -435,6 +435,45 @@ object Queries {
       Some(TextOracleSql.estPairsSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5))),
 
+    Q("stream_curation",
+      // continuous corpus curation: quality-classifier filter map-side
+      // per micro-batch + cross-batch exact-dup suppression in the
+      // state store (8-byte hash state, never text); content-hash-keyed
+      // output makes the sink batch-split independent — checked by the
+      // plain batch DISTINCT oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/scur_src_$sf"
+        val out = s"/tmp/graft_cache/scur_out_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        Tables(s, d).documents.select("doc_id", "text")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_scur_ckpt").toString
+        graft.streaming.Streams.curationStream(s, src, schema, out, ckpt)
+          .awaitTermination(120000)
+        s.read.parquet(out).select("text_hash", "n_tokens", "clf_score")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, text, string_split(text, ' ') as toks
+                      FROM documents),
+        ex AS (SELECT doc_id, unnest(toks) as t FROM toks),
+        w AS (SELECT doc_id,
+                cast(sum((('0x' || substr(sha256(t), 1, 15))::BIGINT % 2001)
+                         - 1000) as bigint) as score_raw
+              FROM ex GROUP BY 1),
+        scored AS (
+          SELECT k.text, cast(len(k.toks) as bigint) as n_tokens,
+            cast(w.score_raw as double) / (len(k.toks) * 1000.0) as clf_score
+          FROM toks k JOIN w USING (doc_id))
+        SELECT DISTINCT
+          ('0x' || substr(sha256(text), 1, 15))::BIGINT as text_hash,
+          n_tokens, clf_score
+        FROM scored WHERE clf_score > 0.0""")),
+
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
       Some(TextOracleSql.simhashSql(maxHamming = 3))),
@@ -472,6 +511,14 @@ object Queries {
       },
       Some(TextOracleSql.contaminationSql(ngramK = 4,
         benchPred = "doc_id < 10"))),
+
+    Q("duplicate_spans",
+      // substring-level dedup input: maximal cross-document duplicated
+      // token spans (cut-the-span cleaning — doc-level dedup keeps the
+      // doc, the boilerplate inside it must still go); 8-byte gram
+      // hashes shuffle, text scanned once, islands merge per doc
+      (s, d) => Dedup.duplicateSpans(Tables(s, d).documents, k = 6),
+      Some(TextOracleSql.duplicateSpansSql(k = 6))),
 
     Q("contamination_fuzzy",
       // MinHash decontamination — the near-duplicate complement of the
@@ -668,6 +715,16 @@ object Queries {
       Some(AnnOracleSql.recallSql(dim = 64, bits = 6, tables = 16,
         nlist = 16, nprobe = 4, k = 5, iters = 3, sampleBudget = 128,
         queryPred = "vec_id < 8"))),
+
+    Q("embedding_cluster",
+      // standalone k-means clustering surface (topic bucketing /
+      // per-cluster quotas) under the shared frozen quantizer:
+      // bounded-sample training, map-only kernel assignment, only the
+      // |nlist|-row size frame shuffles
+      (s, d) => Similarity.kmeansAssign(Tables(s, d).embeddings,
+        cacheKey = Some(d)),
+      Some(AnnOracleSql.kmeansAssignSql(nlist = 16, iters = 3,
+        sampleBudget = 128))),
 
     Q("random_projection",
       // JL dimensionality reduction 64→16 over the deterministic

@@ -420,6 +420,28 @@ object TextOracleSql {
     SELECT base_id, delta_id, est_jaccard FROM est
     WHERE est_jaccard >= $threshold"""
 
+  /** Cross-document duplicate substring spans (mirrors
+    * Dedup.duplicateSpans): duplicated k-gram hash types, position
+    * hits, gaps-and-islands span merge. */
+  def duplicateSpansSql(k: Int): String = s"""
+    WITH ${shingleCtes(k)},
+    gx AS (SELECT doc_id, generate_subscripts(shingles, 1) - 1 as pos,
+             unnest(shingles) as g FROM sh),
+    hx AS (SELECT doc_id, pos, ${sha60("g")} as h FROM gx),
+    dup AS (SELECT h FROM hx GROUP BY h
+            HAVING count(distinct doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM hx
+             WHERE h IN (SELECT h FROM dup)),
+    isl AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                as grp
+            FROM hits)
+    SELECT doc_id, cast(min(pos) as bigint) as span_start,
+      cast(max(pos) + ${k - 1} as bigint) as span_end,
+      cast(max(pos) - min(pos) + $k as bigint) as n_tokens,
+      count(*) as n_dup_grams
+    FROM isl GROUP BY doc_id, grp"""
+
   /** Fuzzy decontamination summary (mirrors Dedup.contaminationFuzzy):
     * train docs LSH-colliding with a `benchPred` benchmark doc at
     * estimated Jaccard ≥ threshold, grouped per train doc. */

@@ -523,6 +523,45 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Cross-document duplicate substring spans ("Deduplicating
+    * Training Data Makes Language Models Better"-style substring
+    * dedup, token granularity): every maximal run of k-gram positions
+    * whose k-gram also occurs in ANOTHER document, emitted per doc as
+    * (span_start, span_end, n_tokens, n_dup_grams) — the input for
+    * cut-the-span corpus cleaning, where doc-level dedup keeps the
+    * doc but the boilerplate paragraph inside it must still go.
+    *
+    * Scale shape: k-grams hash to 8-byte keys, so the duplicate-type
+    * discovery is a map-side-combined count shuffle over hashes
+    * (never text); hits come back via a semi join on the hash; the
+    * gaps-and-islands merge is a per-document window (bounded by doc
+    * length). Corpus text is scanned exactly once. */
+  def duplicateSpans(documents: DataFrame, k: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sha60 = (g: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(g)))
+    val grams = documents.select(col("doc_id"),
+      posexplode(transform(shingles(col("text"), k), sha60))
+        .as(Seq("pos", "h")))
+    val dupTypes = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupTypes, Seq("h"), "left_semi")
+      // gaps-and-islands: consecutive duplicated positions share
+      // (pos - row_number), each island is one maximal span
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long")
+          .as("n_tokens"),
+        count(lit(1)).as("n_dup_grams"))
+      .select("doc_id", "span_start", "span_end", "n_tokens",
+        "n_dup_grams")
+  }
+
   /** Fuzzy benchmark decontamination: every train doc whose MinHash
     * signature LSH-collides with a benchmark doc at estimated Jaccard
     * ≥ threshold, summarized per train doc (hit count + max overlap) —

@@ -154,6 +154,29 @@ object Similarity {
       case None => trainCentroidsUncached(corpus, nlist, iters, sampleBudget)
     }
 
+  /** Materialized k-means clustering of the corpus under the frozen
+    * deterministic quantizer: every vector tagged with its cell plus
+    * the cell population — the standalone clustering surface (topic
+    * bucketing, per-cluster sampling quotas, SemDeDup cell audits)
+    * behind the same cached quantizer the ANN/dedup family shares.
+    *
+    * Scale shape: training cost is bounded by the absolute sample
+    * budget; assignment is one map-only kernel pass; only the
+    * |nlist|-row size frame shuffles and broadcasts back. */
+  def kmeansAssign(embeddings: DataFrame, nlist: Int = 16,
+                   iters: Int = 3, sampleBudget: Int = 128,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val cents = trainCentroids(embeddings, nlist, iters, sampleBudget,
+      cacheKey)
+    val assigned = embeddings.select(col("vec_id"),
+      clusterOf(col("embedding"), cents).as("cluster"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), "cluster")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("cluster_size"))
+  }
+
   /** Sample modulus for an `n`-row corpus under `sampleBudget`. */
   def sampleModulus(n: Long, sampleBudget: Int): Long =
     math.max(1L, (n + sampleBudget - 1) / sampleBudget)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -281,6 +281,47 @@ object Streams {
         bands, threshold) _)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Continuous corpus curation: document micro-batches pass the
+    * hashed-token quality classifier map-side, then cross-batch
+    * EXACT duplicates are suppressed in the state store
+    * (`dropDuplicates` on the portable content hash — state is one
+    * 8-byte hash per distinct kept text, never the text). The output
+    * is keyed by content hash with only content-derived columns, so
+    * the accumulated sink is independent of how arrivals split into
+    * batches — which is exactly what lets a plain batch DISTINCT
+    * oracle check the streaming lifecycle.
+    *
+    * Scale: per-batch work is map-only scoring + a state-store probe;
+    * steady-state cost is O(batch), state size O(distinct kept texts)
+    * — the streaming twin of `curation_pipeline`'s filter→dedup
+    * stages. */
+  def curationStream(spark: SparkSession, srcPath: String,
+                     schema: StructType, outPath: String,
+                     checkpoint: String,
+                     maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sha60 = (c: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val toks = split(col("text"), " ")
+    val scoreRaw = aggregate(
+      transform(toks, t => pmod(sha60(t), lit(2001L)) - lit(1000L)),
+      lit(0L), (acc, x) => acc + x)
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(sha60(col("text")).as("text_hash"),
+        size(toks).cast("long").as("n_tokens"),
+        (scoreRaw.cast("double") / (size(toks) * lit(1000.0)))
+          .as("clf_score"))
+      .filter(col("clf_score") > 0.0)
+      .dropDuplicates("text_hash")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 
   /** Batch analog of gap-based sessionization (oracle-checkable):
     * session boundaries via lag(), session ids via a running sum,

@@ -235,6 +235,51 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 1)
   }
 
+  test("duplicateSpans merges shared k-gram runs into maximal spans") {
+    import spark.implicits._
+    // docs 1 and 2 share tokens s0..s7 (an 8-token run); with k=3 that
+    // is positions 0..5 in doc 1 → one island, span 0..7
+    val shared = "s0 s1 s2 s3 s4 s5 s6 s7"
+    val docs = Seq(
+      (1L, shared + " u1 u2 u3 u4"),
+      (2L, "v1 v2 " + shared),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // doc 1: island at gram positions 0..5 → tokens 0..7, 8 tokens
+    assert(out.contains((1L, 0L, 7L, 8L, 6L)))
+    // doc 2: same run shifted by its 2-token prefix
+    assert(out.contains((2L, 2L, 9L, 8L, 6L)))
+    // doc 3 shares nothing — no span rows
+    assert(!out.exists(_._1 == 3L))
+    assert(out.length == 2)
+  }
+
+  test("duplicateSpans: intra-doc repetition alone is not a duplicate span") {
+    import spark.implicits._
+    // the repeated phrase lives in ONE doc only — countDistinct(doc)
+    // is 1, so substring dedup must not flag it (that's
+    // text_repetition's job)
+    val docs = Seq(
+      (1L, "p q r p q r p q r"),
+      (2L, "x y z x2 y2 z2")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, k = 3).count() == 0)
+  }
+
+  test("duplicateSpans reports disjoint islands separately") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a1 a2 a3 mid1 mid2 mid3 b1 b2 b3"),
+      (2L, "a1 a2 a3 other1 other2 other3 b1 b2 b3"))
+      .toDF("doc_id", "text")
+    val d1 = Dedup.duplicateSpans(docs, k = 3)
+      .filter(col("doc_id") === 1L).orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(d1.toSeq == Seq((0L, 2L), (6L, 8L)))
+  }
+
   test("contaminationFuzzy flags near-copies of benchmark docs, not clean docs") {
     import spark.implicits._
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -259,6 +259,27 @@ class SimilaritySpec extends SparkSpec {
     shared.foreach { case (a, b) => assert(a == b) }
   }
 
+  test("kmeansAssign: exhaustive assignment consistent with the shared quantizer") {
+    val emb = tables.embeddings
+    val out = Similarity.kmeansAssign(emb, cacheKey = Some(sfDir)).cache()
+    assert(out.count() == emb.count())
+    // clusters are quantizer cells
+    assert(out.filter(col("cluster") < 0 || col("cluster") >= 16).count() == 0)
+    // sizes are consistent: every row's cluster_size equals the count
+    // of rows sharing its cluster, and sizes sum to the corpus
+    val bad = out.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), first("cluster_size").as("s"))
+      .filter(col("n") =!= col("s"))
+    assert(bad.count() == 0)
+    // assignment agrees with clusterOf under the same cached centroids
+    val cents = Similarity.trainCentroids(emb, cacheKey = Some(sfDir))
+    val direct = emb.select(col("vec_id"),
+      Similarity.clusterOf(col("embedding"), cents).cast("long").as("c"))
+    assert(out.join(direct, "vec_id")
+      .filter(col("cluster") =!= col("c")).count() == 0)
+    out.unpersist()
+  }
+
   test("randomProjection: exact dots over the hyperplane grid, full shape") {
     import graft.functions.expressions.HyperplaneConstants
     val emb = tables.embeddings

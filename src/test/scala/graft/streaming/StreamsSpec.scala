@@ -322,4 +322,41 @@ class StreamsSpec extends SparkSpec {
     assert(retried == once, "retried batch changed the pair set")
     assert(retried.forall { case (a, b) => a != b }, "self-pair emitted")
   }
+
+  test("curationStream: filtered + deduped sink is batch-split independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup of 1, other file
+      (3L, "epsilon zeta eta theta iota"),
+      (4L, "kappa lambda mu nu xi omicron"))
+      .toDF("doc_id", "text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+
+    def run(maxFiles: Int): Set[(Long, Long, Double)] = {
+      val src = Files.createTempDirectory("graft_cur_src").toFile.getPath
+      val out = Files.createTempDirectory("graft_cur_out").toFile.getPath + "/o"
+      val ckpt = Files.createTempDirectory("graft_cur_ck").toFile.getPath
+      // one doc per file so maxFiles controls the batch split
+      docs.repartition(4, col("doc_id")).write.mode("overwrite").json(src)
+      Streams.curationStream(spark, src, schema, out, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+
+    val oneByOne = run(1)
+    val allAtOnce = run(4)
+    assert(oneByOne == allAtOnce,
+      "sink differs between 1-file and 4-file triggers")
+    // the exact dup collapsed: at most one row per distinct kept text
+    assert(oneByOne.size == oneByOne.map(_._1).size)
+    // batch analog: distinct kept texts under the same classifier
+    val expected = graft.operators.TextAnalysis.qualityClassifier(docs)
+      .filter(col("clf_score") > 0.0).join(docs, "doc_id")
+      .select(col("text")).distinct().count()
+    assert(oneByOne.size == expected)
+  }
 }
