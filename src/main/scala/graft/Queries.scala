@@ -520,6 +520,13 @@ object Queries {
       (s, d) => Dedup.duplicateSpans(Tables(s, d).documents, k = 6),
       Some(TextOracleSql.duplicateSpansSql(k = 6))),
 
+    Q("span_clean",
+      // the span CUT: duplicate_spans applied — covered tokens dropped,
+      // survivors reassembled in position order; corpus-cardinality
+      // output (fully-cleaned docs emit empty text)
+      (s, d) => Dedup.spanClean(Tables(s, d).documents, k = 6),
+      Some(TextOracleSql.spanCleanSql(k = 6))),
+
     Q("contamination_fuzzy",
       // MinHash decontamination — the near-duplicate complement of the
       // exact n-gram check above (catches paraphrased/edited leaks);
@@ -840,6 +847,13 @@ object Queries {
       // oracle replays every merge pass as a chained list_reduce
       (s, d) => Bpe.encode(Tables(s, d).documents),
       Some(TextOracleSql.bpeEncodeSql(Bpe.DefaultMerges))),
+
+    Q("bpe_fertility",
+      // tokenizer-equity report: pieces-per-word by language under the
+      // frozen merge table (the token-budget tax a vocab imposes per
+      // language); map-only encode, |languages|-row integer-sum shuffle
+      (s, d) => Bpe.fertility(Tables(s, d).documents),
+      Some(TextOracleSql.bpeFertilitySql(Bpe.DefaultMerges))),
 
     Q("corpus_shuffle",
       // global deterministic training order, computed without a

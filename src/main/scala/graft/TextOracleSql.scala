@@ -420,11 +420,10 @@ object TextOracleSql {
     SELECT base_id, delta_id, est_jaccard FROM est
     WHERE est_jaccard >= $threshold"""
 
-  /** Cross-document duplicate substring spans (mirrors
-    * Dedup.duplicateSpans): duplicated k-gram hash types, position
-    * hits, gaps-and-islands span merge. */
-  def duplicateSpansSql(k: Int): String = s"""
-    WITH ${shingleCtes(k)},
+  /** Duplicated-k-gram island CTEs `gx, hx, dup, hits, isl` shared by
+    * the span report and the span-cut cleaner (mirrors
+    * Dedup.duplicateSpans' discovery stages). */
+  private def spanCtes(k: Int): String = s"""
     gx AS (SELECT doc_id, generate_subscripts(shingles, 1) - 1 as pos,
              unnest(shingles) as g FROM sh),
     hx AS (SELECT doc_id, pos, ${sha60("g")} as h FROM gx),
@@ -435,12 +434,43 @@ object TextOracleSql {
     isl AS (SELECT doc_id, pos,
               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
                 as grp
-            FROM hits)
+            FROM hits)"""
+
+  /** Cross-document duplicate substring spans (mirrors
+    * Dedup.duplicateSpans): duplicated k-gram hash types, position
+    * hits, gaps-and-islands span merge. */
+  def duplicateSpansSql(k: Int): String = s"""
+    WITH ${shingleCtes(k)},
+    ${spanCtes(k)}
     SELECT doc_id, cast(min(pos) as bigint) as span_start,
       cast(max(pos) + ${k - 1} as bigint) as span_end,
       cast(max(pos) - min(pos) + $k as bigint) as n_tokens,
       count(*) as n_dup_grams
     FROM isl GROUP BY doc_id, grp"""
+
+  /** Span-cut cleaning (mirrors Dedup.spanClean): drop every token
+    * covered by a cross-document duplicate span, reassemble in
+    * position order. */
+  def spanCleanSql(k: Int): String = s"""
+    WITH ${shingleCtes(k)},
+    ${spanCtes(k)},
+    spans AS (SELECT doc_id, min(pos) as s, max(pos) + ${k - 1} as e
+              FROM isl GROUP BY doc_id, grp),
+    cov AS (SELECT doc_id, unnest(generate_series(s, e)) as pos
+            FROM spans),
+    tk AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 as pos,
+             unnest(toks) as tok FROM docs),
+    kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+             WHERE NOT EXISTS (SELECT 1 FROM cov c
+               WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)),
+    agg AS (SELECT doc_id,
+              string_agg(tok, ' ' ORDER BY pos) as text_clean,
+              count(*) as n_kept
+            FROM kept GROUP BY 1)
+    SELECT d.doc_id, coalesce(a.text_clean, '') as text_clean,
+      cast(len(d.toks) as bigint) as n_tokens,
+      cast(coalesce(a.n_kept, 0) as bigint) as n_tokens_kept
+    FROM docs d LEFT JOIN agg a USING (doc_id)"""
 
   /** Fuzzy decontamination summary (mirrors Dedup.contaminationFuzzy):
     * train docs LSH-colliding with a `benchPred` benchmark doc at
@@ -476,14 +506,17 @@ object TextOracleSql {
     * accumulated tail piece equals `a` and the incoming piece equals
     * `b`. The merge chain is the nested fold below, in rank order —
     * byte-identical to the Scala kernel's pass loop. */
-  def bpeEncodeSql(merges: Seq[(String, String)]): String = {
-    val wordExpr = merges.foldLeft(
+  private def bpeWordExpr(merges: Seq[(String, String)]): String =
+    merges.foldLeft(
       "array_to_string(string_split(w, ''), '|')") { case (inner, (a, b)) =>
       s"""list_reduce(string_split($inner, '|'), (acc, x) ->
          CASE WHEN x = '${sqlLit(b)}'
                 AND regexp_extract(acc, '[^|]*$$') = '${sqlLit(a)}'
            THEN acc || x ELSE acc || '|' || x END)"""
     }
+
+  def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    val wordExpr = bpeWordExpr(merges)
     s"""
     WITH enc AS (
       SELECT doc_id,
@@ -497,5 +530,25 @@ object TextOracleSql {
       cast(len(string_split_regex(encoded_text, '[ |]')) as double)
         / cast(n_words as double) as pieces_per_word
     FROM enc"""
+  }
+
+  /** Per-language tokenizer fertility (mirrors Bpe.fertility): integer
+    * word/piece sums per language, one final division. */
+  def bpeFertilitySql(merges: Seq[(String, String)]): String = {
+    val wordExpr = bpeWordExpr(merges)
+    s"""
+    WITH enc AS (
+      SELECT lang,
+        cast(len(string_split(text, ' ')) as bigint) as n_words,
+        cast(len(string_split_regex(
+          array_to_string(list_transform(string_split(text, ' '),
+            w -> $wordExpr), ' '), '[ |]')) as bigint) as n_pieces
+      FROM documents)
+    SELECT lang, count(*) as n_docs,
+      cast(sum(n_words) as bigint) as n_words,
+      cast(sum(n_pieces) as bigint) as n_pieces,
+      cast(sum(n_pieces) as double) / cast(sum(n_words) as double)
+        as fertility
+    FROM enc GROUP BY 1"""
   }
 }

@@ -106,4 +106,30 @@ object Bpe {
       .withColumn("pieces_per_word",
         col("n_pieces").cast("double") / col("n_words"))
   }
+
+  /** Tokenizer fertility report: pieces-per-word by language — the
+    * standard tokenizer-equity metric (a vocabulary trained on one
+    * language fragments the others; fertility quantifies the token-
+    * budget tax per language before committing to a vocab).
+    *
+    * Scale shape: encode is the map-only kernel; the only shuffle is
+    * the |languages|-row aggregation of integer sums (map-side
+    * combined); fertility is one final IEEE division per group. */
+  def fertility(documents: DataFrame,
+                merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val enc = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.BpeEncodeDoc(
+        org.apache.spark.sql.graft.GraftBridge.expression(col("text")),
+        merges))
+    documents
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(split(enc, "[ |]")).cast("long").as("n_pieces"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("fertility",
+        col("n_pieces").cast("double") / col("n_words"))
+  }
 }

@@ -562,6 +562,44 @@ object Dedup {
         "n_dup_grams")
   }
 
+  /** Span-cut corpus cleaning: drop every token covered by a
+    * [[duplicateSpans]] cross-document duplicate span and reassemble
+    * the survivors in position order — the doc-preserving counterpart
+    * of doc-level dedup (the doc stays; its boilerplate paragraph
+    * goes). Docs cleaned to nothing still emit a row (empty
+    * text_clean), so the output is corpus-cardinality.
+    *
+    * Scale shape: covered positions explode to the DUPLICATED token
+    * mass only; the cut is a co-partitioned (doc_id, pos) anti-join;
+    * reassembly re-groups per doc with a struct sort bounded by doc
+    * length (the paragraphDedup anti-join discipline at token
+    * granularity). */
+  def spanClean(documents: DataFrame, k: Int = 6): DataFrame = {
+    val spans = duplicateSpans(documents, k)
+    // islands are disjoint by construction — no distinct needed
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+    val re = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"),
+        count(lit(1)).as("n_tokens_kept"))
+    documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
   /** Fuzzy benchmark decontamination: every train doc whose MinHash
     * signature LSH-collides with a benchmark doc at estimated Jaccard
     * ≥ threshold, summarized per train doc (hit count + max overlap) —

@@ -73,6 +73,28 @@ class BpeSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("fertility aggregates encode's piece counts per language") {
+    import org.apache.spark.sql.functions._
+    val out = Bpe.fertility(tables.documents).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // cross-check against the per-doc encode joined with lang
+    val expected = Bpe.encode(tables.documents)
+      .join(tables.documents.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("d"), sum("n_words").as("w"),
+        sum("n_pieces").as("p"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (lang, (d, w, p, f)) =>
+      assert(expected(lang) == ((d, w, p)))
+      // each word is at least one piece
+      assert(f >= 1.0 && f == p.toDouble / w)
+    }
+  }
+
   test("bpe encode survives codegen and interpreted paths identically") {
     val df = Bpe.encode(tables.documents.limit(20))
     val withCodegen = df.collect().toSeq

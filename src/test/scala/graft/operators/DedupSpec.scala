@@ -280,6 +280,32 @@ class DedupSpec extends SparkSpec {
     assert(d1.toSeq == Seq((0L, 2L), (6L, 8L)))
   }
 
+  test("spanClean cuts exactly the duplicated spans and keeps the rest in order") {
+    import spark.implicits._
+    val shared = "s0 s1 s2 s3 s4 s5 s6 s7"
+    val docs = Seq(
+      (1L, shared + " u1 u2 u3 u4"),
+      (2L, "v1 v2 " + shared),
+      (3L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val out = Dedup.spanClean(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (("u1 u2 u3 u4", 12L, 4L)))
+    assert(out(2L) == (("v1 v2", 10L, 2L)))
+    // untouched docs come back whole
+    assert(out(3L) == (("w1 w2 w3 w4", 4L, 4L)))
+  }
+
+  test("spanClean: a fully-duplicated doc survives as an empty row") {
+    import spark.implicits._
+    val t = "a b c d e f"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.spanClean(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out.size == 2)
+    assert(out(1L) == (("", 0L)) && out(2L) == (("", 0L)))
+  }
+
   test("contaminationFuzzy flags near-copies of benchmark docs, not clean docs") {
     import spark.implicits._
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
