@@ -2494,6 +2494,36 @@ object Queries {
           cast(doc_id * 13 % 256 as int) as blue
         FROM documents""")),
 
+    Q("multimodal_framesample",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        // REAL container parse + stride sampling over binary payloads
+        // (codec stubbed — no video codecs in this JVM; bytes, header
+        // parse, offset slicing, and per-frame stats are real). Every
+        // output is a pure function of (media_id, frame_idx), so the
+        // oracle recomputes what a correct parse must return — the
+        // frame-sample step of the mandated multimodal family,
+        // correctness-gated like decode and resize
+        Multimodal.sampleVideoFrames(
+            Multimodal.asVideos(Tables(s, d).documents), stride = 2)
+          .toDF()
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id as media_id,
+            cast(4 + doc_id % 12 as int) as nf,
+            (4 + doc_id % 8) * (4 + doc_id % 4) as fl
+          FROM documents),
+        fr AS (SELECT media_id, nf, fl, unnest(range(0, nf, 2)) as f
+               FROM m),
+        px AS (SELECT media_id, nf, f, unnest(range(fl)) as i FROM fr)
+        SELECT media_id, nf as n_frames, cast(f as int) as frame_idx,
+          cast(f * 40 as bigint) as ts_ms,
+          cast((media_id * 31 + f * 7) % 256 as int) as first_byte,
+          cast(sum((media_id * 31 + f * 7 + i) % 256) as bigint)
+            as sum_bytes
+        FROM px GROUP BY media_id, nf, f""")),
+
     Q("multimodal_resize",
       (s, d) => {
         implicit val sp: SparkSession = s

@@ -203,6 +203,89 @@ object Multimodal {
     }
   }
 
+  // ---------- video frame sampling (stub container, real plumbing) ----------
+
+  /** Deterministic stub-video geometry per id — pure functions, so the
+    * oracle recomputes what a correct parse+sample must return. */
+  def vidFrames(id: Long): Int = 4 + (id % 12).toInt
+  def vidW(id: Long): Int = 4 + (id % 8).toInt
+  def vidH(id: Long): Int = 4 + (id % 4).toInt
+
+  /** Stub raw-video container (no video codecs in this JVM — the
+    * BYTES are real, the codec is the stand-in): "GVID" magic,
+    * int32-BE frame count / width / height, then `n_frames` raw
+    * grayscale frames of `w·h` bytes; frame f's pixel i is
+    * `(id·31 + f·7 + i) mod 256`. A production deployment swaps this
+    * parser for its demuxer call without touching the dataflow. */
+  def videoBytes(id: Long): Array[Byte] = {
+    val nf = vidFrames(id); val w = vidW(id); val h = vidH(id)
+    val buf = java.nio.ByteBuffer.allocate(16 + nf * w * h)
+    buf.put("GVID".getBytes("US-ASCII"))
+    buf.putInt(nf).putInt(w).putInt(h)
+    var f = 0
+    while (f < nf) {
+      var i = 0
+      while (i < w * h) {
+        buf.put(((id * 31 + f * 7 + i) % 256).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Documents as stub-video media rows. Map-only. */
+  def asVideos(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, src) =>
+        MediaRow(id, "video", videoBytes(id), src)
+      })
+  }
+
+  /** One sampled video frame: index, a 25 fps timestamp, the frame's
+    * first byte and its integer byte sum — all pure functions of
+    * (media_id, frame_idx), so sampling is oracle-checkable. */
+  final case class FrameSample(media_id: Long, n_frames: Int,
+                               frame_idx: Int, ts_ms: Long,
+                               first_byte: Int, sum_bytes: Long)
+
+  /** REAL container parse + stride frame sampling: read the header
+    * off the binary payload, slice every `stride`-th frame at its
+    * computed offset, and emit per-frame stats from the ACTUAL bytes
+    * (nothing shortcut from the id). The frame-sample step of the
+    * decode / feature-extract / resize / frame-sample family —
+    * map-only over opaque binary columns, so it runs at scan speed
+    * and the sampled-frame output (1/stride of the payload bytes) is
+    * what downstream embedding stages read. */
+  def sampleVideoFrames(media: Dataset[MediaRow], stride: Int = 2)
+                  (implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload)
+        val magic = new Array[Byte](4)
+        buf.get(magic)
+        require(new String(magic, "US-ASCII") == "GVID",
+          s"not a GVID payload: media ${m.media_id}")
+        val nf = buf.getInt; val w = buf.getInt; val h = buf.getInt
+        val frameLen = w * h
+        (0 until nf by stride).iterator.map { f =>
+          val off = 16 + f * frameLen
+          var sum = 0L
+          var i = 0
+          while (i < frameLen) {
+            sum += m.payload(off + i) & 0xff
+            i += 1
+          }
+          FrameSample(m.media_id, nf, f, f * 40L,
+            m.payload(off) & 0xff, sum)
+        }
+      }
+    }
+  }
+
   /** Wrap documents as media rows: payload = utf-8 bytes, kind cycles
     * image/audio/video by id (synthetic corpus has no real media). */
   def asMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {

@@ -372,4 +372,36 @@ class QualityIngestSpec extends SparkSpec {
         mix(Multimodal.imgBlue(id), Multimodal.imgBlue2(id)))
     }
   }
+
+  test("frame sampling parses the container and slices real frame bytes") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val docs = tables.documents.limit(50)
+    val out = Multimodal.sampleVideoFrames(Multimodal.asVideos(docs), stride = 2)
+      .collect()
+    val byId = out.groupBy(_.media_id)
+    assert(byId.size == 50)
+    byId.foreach { case (id, frames) =>
+      val nf = Multimodal.vidFrames(id)
+      // stride-2 sampling: frames 0, 2, 4, ...
+      assert(frames.map(_.frame_idx).sorted.toSeq ==
+        (0 until nf by 2).toSeq)
+      frames.foreach { fr =>
+        assert(fr.n_frames == nf)
+        assert(fr.ts_ms == fr.frame_idx * 40L)
+        // stats recompute from the byte formula — proves the parser
+        // sliced the right payload region
+        val fl = Multimodal.vidW(id) * Multimodal.vidH(id)
+        assert(fr.first_byte == ((id * 31 + fr.frame_idx * 7) % 256).toInt)
+        val expectedSum = (0 until fl)
+          .map(i => (id * 31 + fr.frame_idx * 7 + i) % 256).sum
+        assert(fr.sum_bytes == expectedSum)
+      }
+    }
+    // stride 1 samples every frame
+    val all = Multimodal.sampleVideoFrames(Multimodal.asVideos(docs), stride = 1)
+      .collect().groupBy(_.media_id)
+    all.foreach { case (id, frames) =>
+      assert(frames.length == Multimodal.vidFrames(id))
+    }
+  }
 }
