@@ -422,8 +422,13 @@ object Queries {
         val prs = s"/tmp/graft_cache/sdi_pairs_$sf"
         Seq(idx, prs).foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        // 4 files / 2-per-trigger → 2 micro-batches: the minimum that
+        // proves batch-split independence (intra pairs in batch 0,
+        // cross pairs vs the index in batch 1) — each extra batch
+        // costs a full probe+append job set, all fixed overhead at
+        // this scale
         Tables(s, d).documents.select("doc_id", "text")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType)))
         val ckpt = java.nio.file.Files

@@ -190,6 +190,65 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Banded-LSH band hashes for a MinHash signature (`array<long>`):
+  * band j = the 31-bit multiply-accumulate fold of signature values
+  * [j·rowsPerBand, (j+1)·rowsPerBand) — identical arithmetic to the
+  * HOF formulation it replaces (`aggregate(slice(...))`), kept as a
+  * native kernel for two reasons: the tight loop beats the
+  * interpreted per-element fold, and the expression canonicalizes
+  * cleanly (lambda variables carry fresh exprIds that defeat
+  * exchange/subexpression reuse, so a guard branch over the HOF form
+  * re-signed the whole corpus). */
+case class LshBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+  extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val v = sig.getLong(j * rowsPerBand + r)
+        acc = (acc * 2654435761L + (v & 0x7fffffffL)) % 2147483648L
+        r += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val r = ctx.freshName("r")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $j = 0; $j < $bands; $j++) {
+         |  long $acc = 0L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    long $v = $a.getLong($j * $rowsPerBand + $r);
+         |    $acc = ($acc * 2654435761L + ($v & 0x7fffffffL)) % 2147483648L;
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandHashes =
+    copy(child = newChild)
+}
+
 object HyperplaneConstants {
   /** Deterministic pseudo-hyperplane components in [-1, 1]. The mix is
     * deliberately plain 63-bit-safe integer arithmetic (multiply, mod,

@@ -68,16 +68,18 @@ object Dedup {
     * hash is a 31-bit multiply-accumulate fold over the band's
     * signature values — plain integer arithmetic so the DuckDB oracle
     * reproduces every bucket (a murmur3 `hash(slice(...))` would not
-    * be replicable). Folds run over the already-computed signature
-    * array, so the interpreted HOF costs bands × rowsPerBand adds. */
+    * be replicable). The fold runs in the native
+    * [[graft.functions.expressions.LshBandHashes]] kernel: faster
+    * than the interpreted HOF, and lambda-free so the banding subtree
+    * canonicalizes for exchange reuse (the hot-bucket census). */
   def lshBands(docs: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int,
                keep: Seq[String] = Nil): DataFrame =
     docs.select(col(idCol) +: keep.map(col) :+
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => aggregate(slice(col(sigCol), j * rowsPerBand + 1, lit(rowsPerBand)),
-          lit(0L), (acc, v) =>
-            (acc * 2654435761L + v.bitwiseAND(0x7fffffffL)) % 2147483648L)))
+      posexplode(org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.LshBandHashes(
+          org.apache.spark.sql.graft.GraftBridge.expression(col(sigCol)),
+          bands, rowsPerBand)))
         .as(Seq("band_id", "band_hash")): _*)
 
   /** All ordered pairs (a_i, a_j), i < j, from a sorted array — the
@@ -109,17 +111,27 @@ object Dedup {
     * needed a persisted intermediate that leaked in long-lived
     * sessions; groupBy + expansion needs neither.)
     *
-    * Over-cap buckets are removed BEFORE the collect: a cheap
-    * count-only aggregation (map-side combined to |buckets| rows)
-    * finds them, and the band rows anti-join against that tiny skip
-    * list — so the degenerate bucket's giant row is never built at
-    * all, rather than built and filtered. */
+    * Over-cap buckets are removed BEFORE the collect: a count-only
+    * aggregation finds them, and the band rows anti-join against that
+    * tiny skip list — so the degenerate bucket's giant row is never
+    * built at all, rather than built and filtered. Both the census
+    * and the pair expansion hang off ONE explicit exchange on
+    * (band_id, band_hash): `ReuseExchange` computes it once, so the
+    * guard does NOT re-sign the corpus for a second pass (the naive
+    * two-subtree formulation doubled the signing cost — the dominant
+    * term of every MinHash query). */
   def lshCandidates(bands: DataFrame, idCol: String,
                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val overCap = bands.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+    val exchanged = bands.repartition(col("band_id"), col("band_hash"))
+    // count(idCol), not count(1): the census must read the SAME columns
+    // as the expansion branch, or column pruning specializes its scan
+    // subtree and the exchange stops being reusable (idCol is never
+    // null here, so the count is identical)
+    val overCap = exchanged.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(col(idCol)).as("n")).filter(col("n") > maxBucket)
       .select("band_id", "band_hash")
-    bands.join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
+    exchanged
+      .join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
       .groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -227,12 +239,18 @@ object Dedup {
     val sh = simhash(documents)
     val chunks = sh.select(col("doc_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+      // one explicit exchange feeds BOTH the over-cap census and the
+      // pair expansion (ReuseExchange) — the simhash kernel runs once
+      .repartition(col("chunk_idx"), col("chunk_val"))
     // same hot-bucket guard as lshCandidates: a degenerate chunk
     // bucket is skipped via a count-only pre-aggregation before the
     // collect ever builds its row (identical-doc mass belongs to
     // dedup_exact, not the near-dup path)
+    // count(struct(...)) keeps the census subtree's columns identical
+    // to the expansion's (see lshCandidates) so the exchange is reused
     val overCap = chunks.groupBy(col("chunk_idx"), col("chunk_val"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .agg(count(struct(col("doc_id"), col("chunks"))).as("n"))
+      .filter(col("n") > maxBucket)
       .select("chunk_idx", "chunk_val")
     chunks.join(broadcast(overCap), Seq("chunk_idx", "chunk_val"),
         "left_anti")

@@ -236,28 +236,22 @@ object Streams {
       intra.unionByName(cross)
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       signed.write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
-      // bucket-MAJOR band layout (bucket=B/batch=N): the probe's
-      // bucket isin prunes at the TOP of the tree, so discovery never
-      // descends unprobed buckets as the batch count grows; dynamic
-      // partition overwrite keeps a retried batch idempotent (it
-      // rewrites exactly its own bucket=*/batch=N leaves). The bucket
-      // repartition co-locates each bucket: one file per leaf instead
-      // of (#input partitions × #buckets) small files per batch.
-      val prevMode = signed.sparkSession.conf
-        .get("spark.sql.sources.partitionOverwriteMode")
-      signed.sparkSession.conf
-        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        Dedup.lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
-          .withColumn("bucket", Dedup.bandBucket.cast("int"))
-          .withColumn("batch", lit(batchId))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket", "batch")
-          .parquet(s"$indexDir/bands")
-      } finally {
-        signed.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", prevMode)
-      }
+      // batch-major band tree (batch=N/bucket=B): the batch writes —
+      // and a retried batch atomically REWRITES — exactly its own
+      // `batch=N` subtree with a plain directory overwrite, so commit
+      // cost stays O(batch) as the index grows (dynamic partition
+      // overwrite re-listed the WHOLE bands tree per batch to decide
+      // deletions — O(index) driver work every trigger). Partition
+      // discovery still exposes both `batch` and `bucket` columns, so
+      // the probe's bucket isin pruning and the retry's
+      // `batch != N` exclusion are unchanged. The bucket repartition
+      // co-locates each bucket: one file per leaf instead of
+      // (#input partitions × #buckets) small files per batch.
+      Dedup.lshBands(signed, "doc_id", "sig", bands, numPerm / bands)
+        .withColumn("bucket", Dedup.bandBucket.cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/bands/batch=$batchId")
     } finally { signed.unpersist(); () }
   }
 
