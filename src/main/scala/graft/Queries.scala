@@ -1790,6 +1790,74 @@ object Queries {
         (numSql ++ strSql).mkString("\nUNION ALL\n")
       }),
 
+    Q("profile_diff",
+      // snapshot drift gate: profile of the committed documents drop
+      // vs a synthetic incoming drop (10% of rows gone, lang nulled on
+      // a stripe, `source` dropped, `n_words` added) — added/removed
+      // columns, null-fraction drift, numeric-range widening; two
+      // single-scan profiles, diff over |columns|-row frames
+      (s, d) => {
+        val prev = Tables(s, d).documents
+        val cur = prev.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("lang", when(col("doc_id") % 7 === 0,
+            lit(null).cast("string")).otherwise(col("lang")))
+          .drop("source")
+          .withColumn("n_words",
+            size(split(col("text"), " ")).cast("long"))
+        Profile.profileDiff(prev, cur)
+      },
+      Some {
+        def side(rel: String, num: Seq[(String, String)],
+                 str: Seq[String]): String = {
+          val blocks = num.map { case (n, e) =>
+            s"""SELECT '$n' as col_name, count(*) as n_rows,
+               cast(sum(case when $e is null then 1 else 0 end) as bigint)
+                 as n_nulls,
+               count(distinct $e) as n_distinct,
+               cast(min($e) as double) as min_num,
+               cast(max($e) as double) as max_num FROM $rel"""
+          } ++ str.map { n =>
+            s"""SELECT '$n' as col_name, count(*) as n_rows,
+               cast(sum(case when $n is null then 1 else 0 end) as bigint)
+                 as n_nulls,
+               count(distinct $n) as n_distinct,
+               cast(NULL as double) as min_num,
+               cast(NULL as double) as max_num FROM $rel"""
+          }
+          blocks.mkString("\nUNION ALL\n")
+        }
+        s"""
+        WITH curt AS (
+          SELECT doc_id, text,
+            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END as lang,
+            n_chars,
+            cast(len(string_split(text, ' ')) as bigint) as n_words
+          FROM documents WHERE doc_id % 10 != 0),
+        pp AS (${side("documents",
+            Seq("doc_id" -> "doc_id", "n_chars" -> "n_chars"),
+            Seq("text", "lang", "source"))}),
+        cc AS (${side("curt",
+            Seq("doc_id" -> "doc_id", "n_chars" -> "n_chars",
+              "n_words" -> "n_words"),
+            Seq("text", "lang"))})
+        SELECT coalesce(pp.col_name, cc.col_name) as col_name,
+          CASE WHEN pp.col_name IS NULL THEN 'added'
+               WHEN cc.col_name IS NULL THEN 'removed'
+               ELSE 'common' END as status,
+          pp.n_rows as rows_prev, cc.n_rows as rows_cur,
+          pp.n_nulls as nulls_prev, cc.n_nulls as nulls_cur,
+          pp.n_distinct as distinct_prev, cc.n_distinct as distinct_cur,
+          CASE WHEN pp.col_name IS NOT NULL AND cc.col_name IS NOT NULL
+            THEN cast(cc.n_nulls as double) / cc.n_rows
+               - cast(pp.n_nulls as double) / pp.n_rows END
+            as null_frac_drift,
+          CASE WHEN pp.col_name IS NOT NULL AND cc.col_name IS NOT NULL
+            THEN coalesce(cc.min_num < pp.min_num, false)
+              OR coalesce(cc.max_num > pp.max_num, false) END
+            as range_widened
+        FROM pp FULL JOIN cc ON pp.col_name = cc.col_name"""
+      }),
+
     Q("pipeline_event_log",
       (s, d) => {
         // DLT-shaped pipeline: bronze (ingest + audit) → silver

@@ -67,4 +67,39 @@ object Profile {
         col(s"${f.name}__max_str").as("max_str"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Snapshot drift report: the profiles of two table versions (the
+    * committed drop vs the incoming one) full-joined per column —
+    * added/removed columns, null-fraction drift, and numeric-range
+    * widening. This is the schema+stats gate a pipeline runs BEFORE
+    * merging a new drop: expectations validate rows, the profile diff
+    * catches distribution shifts no row-level rule expresses.
+    *
+    * Scale: each side is one [[tableProfile]] scan collapsing to
+    * |columns| rows; the diff join is over those tiny frames. */
+  def profileDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = tableProfile(prev).select(col("col_name"),
+      col("n_rows").as("rows_prev"), col("n_nulls").as("nulls_prev"),
+      col("n_distinct").as("distinct_prev"),
+      col("min_num").as("min_prev"), col("max_num").as("max_prev"))
+    val c = tableProfile(cur).select(col("col_name"),
+      col("n_rows").as("rows_cur"), col("n_nulls").as("nulls_cur"),
+      col("n_distinct").as("distinct_cur"),
+      col("min_num").as("min_cur"), col("max_num").as("max_cur"))
+    p.join(c, Seq("col_name"), "full_outer")
+      .withColumn("status",
+        when(col("rows_prev").isNull, "added")
+          .when(col("rows_cur").isNull, "removed").otherwise("common"))
+      .withColumn("null_frac_drift",
+        when(col("status") === "common",
+          col("nulls_cur").cast("double") / col("rows_cur") -
+            col("nulls_prev").cast("double") / col("rows_prev")))
+      .withColumn("range_widened",
+        when(col("status") === "common",
+          coalesce(col("min_cur") < col("min_prev"), lit(false)) ||
+            coalesce(col("max_cur") > col("max_prev"), lit(false))))
+      .select("col_name", "status", "rows_prev", "rows_cur",
+        "nulls_prev", "nulls_cur", "distinct_prev", "distinct_cur",
+        "null_frac_drift", "range_widened")
+  }
 }

@@ -170,4 +170,57 @@ class NativeExpressionsSpec extends SparkSpec {
       assert(withCodegen.zip(interpreted).forall { case (a, b) => a == b })
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("lsh band hashes survive codegen/interpreted and match the HOF fold") {
+    import org.apache.spark.sql.graft.GraftBridge
+    import graft.operators.Dedup
+    val sig = Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64)
+    val bandsCol = GraftBridge.column(
+      graft.functions.expressions.LshBandHashes(
+        GraftBridge.expression(sig), 16, 4))
+    val docs = tables.documents.limit(20)
+    val withCodegen = docs.select(bandsCol.as("b")).collect()
+      .map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = docs.select(bandsCol.as("b")).collect()
+        .map(_.getSeq[Long](0))
+      assert(withCodegen.zip(interpreted).forall { case (a, b) => a == b })
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // parity with the HOF formulation the kernel replaced
+    val hof = docs.select(transform(sequence(lit(0), lit(15)),
+      j => aggregate(
+        org.apache.spark.sql.functions.slice(sig, j * 4 + 1, lit(4)),
+        lit(0L), (acc, v) =>
+          (acc * 2654435761L + v.bitwiseAND(0x7fffffffL)) % 2147483648L))
+      .as("b")).collect().map(_.getSeq[Long](0))
+    assert(withCodegen.zip(hof).forall { case (a, b) => a == b })
+    assert(withCodegen.forall(b =>
+      b.length == 16 && b.forall(v => v >= 0L && v < 2147483648L)))
+  }
+
+  test("hyperplane projections survive codegen/interpreted; sign bits match LSH") {
+    import org.apache.spark.sql.graft.GraftBridge
+    val proj = GraftBridge.column(
+      graft.functions.expressions.HyperplaneProjections(
+        GraftBridge.expression(col("embedding")), 64, 6))
+    val emb = tables.embeddings.limit(20)
+    val withCodegen = emb.select(proj.as("p")).collect()
+      .map(_.getSeq[Double](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = emb.select(proj.as("p")).collect()
+        .map(_.getSeq[Double](0))
+      assert(withCodegen.zip(interpreted).forall { case (a, b) => a == b })
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // the projections ARE table 0's pre-sign dots: their signs must
+    // reproduce the first 6-bit LSH signature exactly
+    val sigs = emb.select(graft.operators.Similarity
+      .hyperplaneSignatures(col("embedding"), 64, 6, 1).as("s"))
+      .collect().map(_.getSeq[Int](0).head)
+    withCodegen.zip(sigs).foreach { case (p, s) =>
+      val fromProj = p.foldLeft(0)((acc, v) => acc * 2 + (if (v > 0) 1 else 0))
+      assert(fromProj == s)
+    }
+  }
 }

@@ -60,4 +60,27 @@ class ProfileSpec extends SparkSpec {
         assert(math.abs(r.getLong(1) - e) <= math.max(4.0, 0.15 * e))
       }
   }
+
+  test("profileDiff classifies added/removed/common and quantifies drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prev = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("id", "v", "tag")
+    val cur = Seq[(Long, java.lang.Double, Boolean)](
+      (1L, 10.0, true), (2L, 99.0, true), (4L, null, false))
+      .toDF("id", "v", "flag")
+    val out = Profile.profileDiff(prev, cur).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("tag").getString(1) == "removed")
+    assert(out("flag").getString(1) == "added")
+    assert(out("id").getString(1) == "common")
+    // v: one new null of 3 rows; max rose 30 → 99
+    val v = out("v")
+    assert(math.abs(v.getDouble(8) - 1.0 / 3.0) < 1e-12)
+    assert(v.getBoolean(9))
+    // id range shrank on max but min extended? 1..3 → 1..4: widened
+    assert(out("id").getBoolean(9))
+    // added/removed rows carry NULL drift metrics
+    assert(out("tag").isNullAt(8) && out("flag").isNullAt(8))
+  }
 }
