@@ -1435,6 +1435,48 @@ object Queries {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1""")),
 
+    Q("cohort_retention",
+      // cohort retention matrix: users bucketed by first-active day,
+      // per (cohort, day-offset) distinct-active counts + rates —
+      // the product-analytics staple. Shuffle profile: one groupBy
+      // user (first day), one (user, day) distinct, a user-keyed
+      // join that co-partitions with them, a tiny cohort-size frame
+      // broadcast back
+      (s, d) => {
+        val dayUs = 86400000000L
+        val ev = Tables(s, d).events
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(expr(s"ts div $dayUs")).as("cohort_day"))
+        val activeDays = ev
+          .select(col("user_id"), expr(s"ts div $dayUs").as("day"))
+          .distinct()
+        val sizes = firstDay.groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("cohort_size"))
+        activeDays.join(firstDay, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cohort_day")
+          .withColumn("retention_rate",
+            col("n_active").cast("double") / col("cohort_size"))
+          .select("cohort_day", "day_offset", "n_active",
+            "cohort_size", "retention_rate")
+      },
+      Some("""
+        WITH fw AS (SELECT user_id,
+                      min(epoch_us(ts) // 86400000000) as cohort_day
+                    FROM events GROUP BY 1),
+        aw AS (SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 as day FROM events),
+        sz AS (SELECT cohort_day, count(*) as cohort_size
+               FROM fw GROUP BY 1),
+        r AS (SELECT f.cohort_day, a.day - f.cohort_day as day_offset,
+                count(distinct a.user_id) as n_active
+              FROM aw a JOIN fw f USING (user_id) GROUP BY 1, 2)
+        SELECT r.cohort_day, r.day_offset, r.n_active, sz.cohort_size,
+          cast(r.n_active as double) / sz.cohort_size as retention_rate
+        FROM r JOIN sz USING (cohort_day)""")),
+
     Q("event_resample",
       (s, d) => {
         // time-series densification: hourly counts per type INCLUDING
