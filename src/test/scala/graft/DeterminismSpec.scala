@@ -55,6 +55,14 @@ class DeterminismSpec extends SparkSpec {
     // round-4 second wave: bloom pruning (filter may pass different
     // false positives per layout — the JOIN result must not change),
     // SQL-native session windows, explicit window frames
-    "bloom_pruned_join", "session_window_agg", "window_frames"))
+    "bloom_pruned_join", "session_window_agg", "window_frames",
+    // round-6: corpus-pipeline operators — LM scoring's integer sums,
+    // span islands, fuzzy-decontamination summaries, posting ranks,
+    // k-means cells, drift metrics and cohort rates must all be
+    // fan-out-independent
+    "lm_score", "ngram_lm", "duplicate_spans", "span_clean",
+    "contamination_fuzzy", "inverted_index", "doc_chunk",
+    "embedding_cluster", "random_projection", "bpe_fertility",
+    "profile_diff", "cohort_retention", "multimodal_framesample"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
