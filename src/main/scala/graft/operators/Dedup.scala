@@ -408,6 +408,15 @@ object Dedup {
 
   def bandBucket: Column = pmod(col("band_hash"), lit(BandBuckets))
 
+  /** Hash-partition key for the persisted SIGNATURE side of the
+    * index: `sbucket = pmod(doc_id, BandBuckets)`. Probes join
+    * candidates to sigs on (doc_id, sbucket), so dynamic partition
+    * pruning bounds the sigs read by the candidate set — without it
+    * the verify step rescanned every signature batch per probe even
+    * though the band side was pruned. */
+  def sigBucket(id: Column): Column =
+    pmod(id, lit(BandBuckets.toLong)).cast("int")
+
   /** Build a persisted MinHash dedup index under `dir`: `sigs`
     * (doc_id, sig) and `bands` (doc_id, band_id, band_hash),
     * hive-partitioned on `bucket = band_hash % BandBuckets` so
@@ -449,7 +458,9 @@ object Dedup {
         .withColumn("bucket", bandBucket.cast("int"))
         .repartition(col("bucket"))
         .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
-      signed.write.mode(mode).parquet(s"$dir/sigs")
+      signed.withColumn("sbucket", sigBucket(col("doc_id")))
+        .repartition(col("sbucket"))
+        .write.mode(mode).partitionBy("sbucket").parquet(s"$dir/sigs")
     } finally { signed.unpersist(); () }
   }
 
@@ -504,9 +515,15 @@ object Dedup {
         bandsRead.filter(col("batch") =!= b))
       .join(broadcast(deltaBands), Seq("band_id", "band_hash"))
       .select(col("doc_id").as("base_id"), col("delta_id")).distinct()
-    cand
-      .join(spark.read.parquet(s"$dir/sigs")
-        .select(col("doc_id").as("base_id"), col("sig")), "base_id")
+    // the verify join carries the sigs partition column: candidates
+    // broadcast, so dynamic partition pruning bounds the signature
+    // read by the candidate set — like the band side, the sigs tree
+    // is never rescanned whole as the index grows
+    val baseSigs = spark.read.parquet(s"$dir/sigs")
+      .select(col("doc_id").as("base_id"), col("sbucket"), col("sig"))
+    broadcast(cand.withColumn("sbucket", sigBucket(col("base_id"))))
+      .join(baseSigs, Seq("base_id", "sbucket"))
+      .drop("sbucket")
       .join(broadcast(signed), "delta_id")
       .withColumn("n_eq",
         aggregate(zip_with(col("sig"), col("delta_sig"),

@@ -235,7 +235,14 @@ object Streams {
         else intra.limit(0)
       intra.unionByName(cross)
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-      signed.write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+      // sigs mirror the bands' batch-major tree with the sbucket
+      // partition key, so the probe's verify join prunes signature
+      // partitions by candidate id (dynamic partition pruning) just
+      // like the band side prunes by band hash
+      signed.withColumn("sbucket", Dedup.sigBucket(col("doc_id")))
+        .repartition(col("sbucket"))
+        .write.mode("overwrite").partitionBy("sbucket")
+        .parquet(s"$indexDir/sigs/batch=$batchId")
       // batch-major band tree (batch=N/bucket=B): the batch writes —
       // and a retried batch atomically REWRITES — exactly its own
       // `batch=N` subtree with a plain directory overwrite, so commit

@@ -187,6 +187,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(bandScan.exists(l => l.contains("bucket#") ||
         l.contains("bucket IN")),
       s"band index scan is not bucket-pruned:\n$p")
+    // the verify join's signature scan must be dynamically pruned by
+    // the candidate set — otherwise every probe rescans all sigs
+    val sigScan = p.linesIterator.find(l =>
+      l.contains("/sigs") && l.contains("PartitionFilters"))
+    assert(sigScan.exists(_.contains("dynamicpruning")),
+      s"sigs scan is not candidate-pruned:\n$p")
   }
 
   test("ann_pq: one corpus scan, kernel encode, pre-exchange top-k prune") {
