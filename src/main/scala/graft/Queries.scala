@@ -2609,6 +2609,43 @@ object Queries {
           cast(doc_id * 13 % 256 as int) as blue
         FROM documents""")),
 
+    Q("ingest_text",
+      // raw line-delimited corpus ingest (the rawest LLM-data landing
+      // format): id-prefixed lines through spark.read.text, split with
+      // one codegen'd substring pair — schema-free, splittable
+      (s, d) => {
+        val path = s"/tmp/graft_cache/txt_${new java.io.File(d).getName}"
+        graft.sources.Ingest.writeTextCorpus(
+          Tables(s, d).documents.select("doc_id", "text"), path)
+        graft.sources.Ingest.textCorpus(s, path)
+      },
+      Some("SELECT doc_id, text FROM documents")),
+
+    Q("multimodal_ingest_decode",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        // the REAL media front end: PNG files staged one-per-doc on
+        // storage, ingested through the binaryFile source (path,
+        // length, content), ids parsed off file names, payloads
+        // decoded by the same ImageIO path — proves the
+        // object-storage→binary-column→decode chain end-to-end
+        val dir = s"/tmp/graft_cache/png_${new java.io.File(d).getName}"
+        val docs = Tables(s, d).documents
+        Multimodal.stageImageFiles(docs, dir)
+        Multimodal.decodeImages(Multimodal.ingestImages(dir))
+          .toDF().select("media_id", "width", "height", "red", "green",
+            "blue")
+      },
+      // identical decode semantics to multimodal_meta — same oracle
+      Some("""
+        SELECT doc_id as media_id,
+          cast(8 + doc_id % 32 as int) as width,
+          cast(8 + doc_id % 16 as int) as height,
+          cast(doc_id % 256 as int) as red,
+          cast(doc_id * 7 % 256 as int) as green,
+          cast(doc_id * 13 % 256 as int) as blue
+        FROM documents""")),
+
     Q("multimodal_framesample",
       (s, d) => {
         implicit val sp: SparkSession = s

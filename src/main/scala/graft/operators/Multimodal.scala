@@ -203,6 +203,44 @@ object Multimodal {
     }
   }
 
+  /** Stage one PNG file per document under `dir` (media_<id>.png) —
+    * the object-storage layout a real media corpus lands in. Written
+    * per-partition from the executors, not a driver loop. */
+  def stageImageFiles(documents: DataFrame, dir: String)
+                     (implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    new java.io.File(dir).mkdirs()
+    documents.select(col("doc_id")).as[Long].foreachPartition {
+      (it: Iterator[Long]) =>
+        it.foreach { id =>
+          val bytes = pngBytes(imgWidth(id), imgHeight(id), imgRed(id),
+            imgGreen(id), imgBlue(id))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"media_$id.png"), bytes)
+        }
+    }
+  }
+
+  /** Media ingestion through Spark's `binaryFile` source: blobs land
+    * as (path, length, content) rows, the id parses off the file
+    * name, and the payload flows into the SAME decode path the
+    * synthetic frames use — the true front half of a 100 TB media
+    * pipeline (splittable listing, lazy content read, column-pruned
+    * when only metadata is selected). */
+  def ingestImages(dir: String)
+                  (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"),
+        lit("image").as("kind"),
+        col("content").as("payload"),
+        lit("binary_file").as("source"))
+      .as[MediaRow]
+  }
+
   // ---------- video frame sampling (stub container, real plumbing) ----------
 
   /** Deterministic stub-video geometry per id — pure functions, so the

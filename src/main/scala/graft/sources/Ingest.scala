@@ -141,6 +141,32 @@ object Ingest {
     widened
   }
 
+  /** Line-delimited raw-text corpus ingest — the rawest LLM-data
+    * format (one document per line, id-prefixed). `spark.read.text`
+    * streams lines without any parser; the id/text split is one
+    * codegen'd substring pair. At 100 TB this is the splittable,
+    * schema-free landing path for text dumps; downstream operators
+    * see the same (doc_id, text) frame the parquet tables provide. */
+  def textCorpus(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+  }
+
+  /** Write the (doc_id, text) frame as id-prefixed raw lines —
+    * the staging half of [[textCorpus]]. Tab-free text is a
+    * precondition (enforced, not silently corrupted). */
+  def writeTextCorpus(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val bad = df.filter(col("text").contains("\t")).count()
+    require(bad == 0, s"$bad documents contain tabs — not line-safe")
+    df.select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Round-trip helper backing the `ingest_csv`/`ingest_json` oracle
     * queries: materialize `df` in `format` under `cachePath`, read it
     * back through the rescuing reader, drop the (all-null) rescue

@@ -373,6 +373,44 @@ class QualityIngestSpec extends SparkSpec {
     }
   }
 
+  test("text corpus round-trips through the raw line format; tabs rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txt").toFile.getPath + "/c"
+    val docs = tables.documents.limit(100).select("doc_id", "text")
+    Ingest.writeTextCorpus(docs, dir)
+    val back = Ingest.textCorpus(spark, dir)
+    assert(back.count() == 100)
+    assert(docs.exceptAll(back).count() == 0 &&
+      back.exceptAll(docs).count() == 0)
+    // a tab in the text would corrupt the line format — must raise
+    val tabbed = Seq((1L, "has\ttab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Ingest.writeTextCorpus(tabbed, dir + "_bad")
+    }
+  }
+
+  test("binaryFile ingestion parses ids off paths and feeds the real decoder") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dir = Files.createTempDirectory("graft_png").toFile.getPath
+    val docs = tables.documents.limit(30)
+    Multimodal.stageImageFiles(docs, dir)
+    // a non-matching file must be excluded by the glob
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "ignore.txt"), "junk".getBytes)
+    val media = Multimodal.ingestImages(dir).collect()
+    assert(media.length == 30)
+    assert(media.forall(_.kind == "image"))
+    // payloads are the REAL staged bytes: they decode to the expected
+    // per-id geometry through the shared ImageIO path
+    val metas = Multimodal.decodeImages(Multimodal.ingestImages(dir))
+      .collect()
+    metas.foreach { m =>
+      assert(m.width == Multimodal.imgWidth(m.media_id))
+      assert(m.height == Multimodal.imgHeight(m.media_id))
+      assert(m.red == Multimodal.imgRed(m.media_id))
+    }
+  }
+
   test("frame sampling parses the container and slices real frame bytes") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val docs = tables.documents.limit(50)
