@@ -504,6 +504,24 @@ object Queries {
       Some(TextOracleSql.dedupClustersSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5))),
 
+    Q("dedup_apply",
+      // the APPLY step: near-dup clusters collapsed to their canonical
+      // survivors and the corpus semi-joined down to them — the
+      // cleaned corpus a pretraining run actually reads (pairs and
+      // clusters are diagnostics; this is the output artifact)
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val canon = Clusters
+          .duplicateClusters(docs, Dedup.minhashLsh(docs))
+          .filter(col("is_canonical")).select("doc_id")
+        docs.join(canon, Seq("doc_id"), "left_semi")
+      },
+      Some(s"""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM (
+          ${TextOracleSql.dedupClustersSql(shingleK = 3, numPerm = 64,
+            bands = 16, threshold = 0.5)}) WHERE is_canonical)""")),
+
     Q("contamination_check",
       (s, d) => {
         val docs = Tables(s, d).documents

@@ -153,6 +153,23 @@ object ScaleProbe {
         t.documents.count() * 10,
         () => TextAnalysis.docChunk(
           replicate(t.documents, 10, Some("doc_id"))).count()),
+      // round-6: substring-level dedup — duplicated-gram discovery
+      // shuffles 8-byte hashes with map-side combine, islands merge
+      // per doc; prefix replication keeps replicas gram-disjoint so
+      // the duplicate structure (and output) scales linearly
+      ("duplicate_spans", t.documents.count(),
+        () => Dedup.duplicateSpans(t.documents).count(),
+        t.documents.count() * 10,
+        () => Dedup.duplicateSpans(replicateDocs(t.documents, 10)).count()),
+      // round-6: fuzzy decontamination — the benchmark side is FIXED
+      // while the train corpus grows 10×; bands carry signatures so
+      // the corpus is signed once and never shuffle-joined
+      ("contamination_fuzzy", t.documents.count(),
+        () => Dedup.contaminationFuzzy(t.documents,
+          col("doc_id") < 10, threshold = 0.4).count(),
+        t.documents.count() * 10,
+        () => Dedup.contaminationFuzzy(replicateDocs(t.documents, 10),
+          col("doc_id") < 10, threshold = 0.4).count()),
       // round-6: steady-state micro-batch cost of the CONTINUOUS dedup
       // lifecycle — the SAME fixed delta probed against a 1× and a 10×
       // persisted band index. The bucketed index + partition-pruned
