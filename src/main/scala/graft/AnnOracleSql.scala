@@ -49,6 +49,44 @@ object AnnOracleSql {
           then 1 << ($bits-1-h.i) else 0 end) as int) as sig
       FROM e CROSS JOIN hp h GROUP BY 1, 2)"""
 
+  /** Hybrid retrieval with reciprocal-rank fusion (mirrors
+    * Similarity.hybridSearch): integer tf·tf lexical top-k, exact
+    * cosine top-k, `Σ 1/(rrfK + rank)` fusion with fixed term order.
+    * `idPred` is the query predicate over a bare id column. */
+  def hybridSql(k: Int, rrfK: Int, idPred: String): String = s"""
+    WITH $EmbCte, ${bfCtes(k, s"vec_id $idPred")},
+    w AS (SELECT doc_id, word, count(*) as tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) as word
+                FROM documents) GROUP BY 1, 2),
+    qw AS (SELECT doc_id as query_id, word, tf as tf_q
+           FROM w WHERE doc_id $idPred),
+    lex AS (SELECT qw.query_id, w.doc_id,
+              cast(sum(w.tf * qw.tf_q) as bigint) as lex_score
+            FROM w JOIN qw USING (word)
+            WHERE w.doc_id <> qw.query_id GROUP BY 1, 2),
+    lext AS (SELECT query_id, doc_id, cast(lex_rank as bigint) as lex_rank
+             FROM (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY lex_score DESC, doc_id) as lex_rank
+                   FROM lex) WHERE lex_rank <= $k),
+    semt AS (SELECT query_id, neighbor_id as doc_id, rank as sem_rank
+             FROM bf),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) as query_id,
+        coalesce(l.doc_id, s.doc_id) as doc_id,
+        l.lex_rank, s.sem_rank,
+        coalesce(cast(1.0 as double) / ($rrfK + l.lex_rank), 0.0)
+          + coalesce(cast(1.0 as double) / ($rrfK + s.sem_rank), 0.0)
+          as rrf_score
+      FROM lext l FULL JOIN semt s
+        ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+    SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+      cast(hybrid_rank as bigint) as hybrid_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) as hybrid_rank
+          FROM fused)
+    WHERE hybrid_rank <= $k"""
+
   /** Frozen-quantizer k-means assignment + cell sizes (mirrors
     * Similarity.kmeansAssign). */
   def kmeansAssignSql(nlist: Int, iters: Int, sampleBudget: Int): String =

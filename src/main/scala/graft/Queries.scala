@@ -746,6 +746,16 @@ object Queries {
         nlist = 16, nprobe = 4, k = 5, iters = 3, sampleBudget = 128,
         queryPred = "vec_id < 8"))),
 
+    Q("hybrid_search",
+      // lexical (integer tf·tf overlap) + semantic (exact cosine)
+      // retrieval fused with reciprocal-rank fusion — no score
+      // calibration between legs, fixed-order two-term sum so the
+      // fusion hash-replicates; query set broadcasts in both legs,
+      // each corpus scanned once
+      (s, d) => Similarity.hybridSearch(Tables(s, d).documents,
+        Tables(s, d).embeddings, queryPred = _ < 4, k = 10),
+      Some(AnnOracleSql.hybridSql(k = 10, rrfK = 60, idPred = "< 4"))),
+
     Q("embedding_cluster",
       // standalone k-means clustering surface (topic bucketing /
       // per-cluster quotas) under the shared frozen quantizer:

@@ -86,6 +86,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Hybrid retrieval: a lexical leg (query-term tf·tf overlap,
+    * integer-scored, per-query top-k through WindowGroupLimit) and a
+    * semantic leg (exact cosine top-k) fused by reciprocal-rank
+    * fusion — `rrf = Σ 1/(rrfK + rank)` over the legs a doc appears
+    * in. RRF is the standard production fusion because it needs no
+    * score calibration between legs; the two-term double sum has a
+    * fixed order, so the result hash-replicates.
+    *
+    * Scale shape: the query set broadcasts in BOTH legs (its term
+    * frame and its vectors); the corpus term frame and the embedding
+    * corpus are each scanned once; the fusion join runs over two
+    * (queries × k)-sized frames. Swap the semantic leg for annIvfPq
+    * at 100 TB — the fusion is leg-agnostic. */
+  def hybridSearch(documents: DataFrame, embeddings: DataFrame,
+                   queryPred: Column => Column, k: Int = 10,
+                   rrfK: Int = 60): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val qWords = words.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("word"),
+        col("tf").as("tf_q"))
+    val lex = words.join(broadcast(qWords), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("tf_q")).as("lex_score"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_score").desc, col("doc_id"))
+    val lexTop = lex
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= k)
+      .select("query_id", "doc_id", "lex_rank")
+    val semTop = annBruteForce(embeddings,
+        embeddings.filter(queryPred(col("vec_id"))), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    lexTop.join(semTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+      .withColumn("hybrid_rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("hybrid_rank") <= k)
+      .select("query_id", "doc_id", "lex_rank", "sem_rank",
+        "rrf_score", "hybrid_rank")
+  }
+
   /** Johnson-Lindenstrauss random projection: reduce each embedding to
     * `outDim` dense components over the deterministic
     * [[graft.functions.expressions.HyperplaneConstants]] grid — the

@@ -63,6 +63,8 @@ class DeterminismSpec extends SparkSpec {
     "lm_score", "ngram_lm", "duplicate_spans", "span_clean",
     "contamination_fuzzy", "inverted_index", "doc_chunk",
     "embedding_cluster", "random_projection", "bpe_fertility",
-    "profile_diff", "cohort_retention", "multimodal_framesample"))
+    "profile_diff", "cohort_retention", "multimodal_framesample",
+    "hybrid_search", "dedup_apply", "ingest_text",
+    "multimodal_ingest_decode"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

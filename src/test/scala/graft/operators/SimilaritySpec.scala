@@ -259,6 +259,43 @@ class SimilaritySpec extends SparkSpec {
     shared.foreach { case (a, b) => assert(a == b) }
   }
 
+  test("hybridSearch: RRF rewards docs found by both legs") {
+    import spark.implicits._
+    def vec(x: Float, y: Float): Seq[Float] =
+      Seq(x, y) ++ Seq.fill(62)(0.0f)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                  // the query
+      (10L, "alpha beta gamma delta"),           // lexical-only hit
+      (20L, "unrelated words entirely here"),    // semantic-only hit
+      (30L, "alpha beta something"),             // hit in BOTH legs
+      (40L, "nothing shared at all zz")).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, vec(1.0f, 0.0f), 0),
+      (10L, vec(0.0f, 1.0f), 0),                 // orthogonal to query
+      (20L, vec(0.9f, 0.1f), 0),                 // close to query
+      (30L, vec(0.8f, 0.2f), 0),                 // close to query
+      (40L, vec(-1.0f, 0.0f), 0))                // opposite
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"), col("label"))
+    val out = Similarity.hybridSearch(docs, embs, queryPred = _ === 1L,
+      k = 2).collect()
+      .map(r => r.getLong(1) -> (Option(r.get(2)).map(_.toString.toLong),
+        Option(r.get(3)).map(_.toString.toLong), r.getDouble(4),
+        r.getLong(5))).toMap
+    // doc 30 appears in both legs → two RRF terms → top hybrid rank
+    assert(out(30L)._4 == 1L, s"expected 30 first, got $out")
+    assert(out(30L)._1.nonEmpty && out(30L)._2.nonEmpty)
+    // single-leg docs carry exactly one term
+    assert(out(10L)._2.isEmpty || out(10L)._1.isEmpty == false)
+    // rrf arithmetic: doc 30's score is the two-term sum
+    val s30 = out(30L)
+    assert(math.abs(s30._3 - (1.0 / (60 + s30._1.get) +
+      1.0 / (60 + s30._2.get))) < 1e-15)
+    // hybrid ranks are dense from 1
+    assert(out.values.map(_._4).toSeq.sorted == (1L to out.size).toSeq)
+  }
+
   test("kmeansAssign: exhaustive assignment consistent with the shared quantizer") {
     val emb = tables.embeddings
     val out = Similarity.kmeansAssign(emb, cacheKey = Some(sfDir)).cache()
