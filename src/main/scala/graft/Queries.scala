@@ -1026,6 +1026,13 @@ object Queries {
         FROM ranked JOIN stats USING (word)
         WHERE posting_rank <= 8""")),
 
+    Q("mlm_mask",
+      // deterministic BERT-style masking: per-position salted-hash
+      // decision → a run can regenerate its exact mask pattern from
+      // the salt, epochs decorrelate by changing it; map-only
+      (s, d) => TextAnalysis.mlmMask(Tables(s, d).documents),
+      Some(TextOracleSql.mlmMaskSql(maskPct = 15, salt = "mlm"))),
+
     Q("ngram_lm",
       // count-based bigram LM (CCNet/KenLM-style quality model, counts
       // instead of a trained model): smoothed transition probability

@@ -335,6 +335,23 @@ object TextOracleSql {
         THEN cast(a.sum_p_ppb as double) / a.n_bigrams END as lm_score
     FROM docs d LEFT JOIN agg a USING (doc_id)"""
 
+  /** Deterministic MLM masking (mirrors TextAnalysis.mlmMask):
+    * per-position salted-hash mask decision, [MASK] rewrite, count. */
+  def mlmMaskSql(maskPct: Int, salt: String): String = s"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') as toks
+                  FROM documents),
+    f AS (SELECT doc_id, toks,
+            list_transform(range(len(toks)), i ->
+              ${sha60(s"'$salt:' || cast(doc_id as varchar) || ':' || cast(i as varchar)")}
+                % 100 < $maskPct) as flags
+          FROM docs)
+    SELECT doc_id, cast(len(toks) as bigint) as n_tokens,
+      cast(len(list_filter(flags, x -> x)) as bigint) as n_masked,
+      array_to_string(list_transform(range(len(toks)), i ->
+        CASE WHEN flags[i+1] THEN '[MASK]' ELSE toks[i+1] END), ' ')
+        as masked_text
+    FROM f"""
+
   /** Hashed-token linear classifier (mirrors
     * TextAnalysis.qualityClassifier): integer weight sum, one final
     * IEEE division. */

@@ -209,6 +209,42 @@ object TextAnalysis {
         col("c.chunk_text"))
   }
 
+  /** Deterministic MLM-style token masking: each token position masks
+    * with probability `maskPct`% decided by the salted content hash
+    * of (doc, position) — reproducible across runs, partitionings and
+    * engines (a trained run can regenerate its exact mask pattern
+    * from the salt alone, and epochs decorrelate by changing it).
+    * Emits the masked text plus the mask count; label extraction is
+    * the positions where `masked_text` differs.
+    *
+    * Map-only: the flag array binds once and feeds both the rewrite
+    * and the count — no shuffle, scan speed at 100 TB. */
+  def mlmMask(documents: DataFrame, maskPct: Int = 15,
+              salt: String = "mlm"): DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100, "maskPct is a percentage")
+    val sha60 = (c: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    documents
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        graft.functions.VectorFunctions.bind(
+          transform(sequence(lit(0), size(col("toks")) - 1),
+            i => pmod(sha60(concat(lit(s"$salt:"),
+              col("doc_id").cast("string"), lit(":"), i.cast("string"))),
+              lit(100L)) < maskPct),
+          flags => struct(
+            aggregate(flags, lit(0L),
+              (acc, f) => acc + when(f, 1L).otherwise(0L)).as("n_masked"),
+            zip_with(col("toks"), flags,
+              (t, f) => when(f, "[MASK]").otherwise(t)).as("masked")))
+          .as("m"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("m.n_masked"),
+        array_join(col("m.masked"), " ").as("masked_text"))
+  }
+
   /** Deterministic global training-order shuffle: every doc gets a
     * dense 0-based `shuffle_rank` in salted-content-hash order —
     * reproducible across runs, partitionings and engines (unlike

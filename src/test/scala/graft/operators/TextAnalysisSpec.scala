@@ -239,6 +239,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs == Set(("x", "y"), ("y", "x")))
   }
 
+  test("mlmMask: deterministic positions, rate near target, labels recoverable") {
+    val out = TextAnalysis.mlmMask(tables.documents).cache()
+    assert(out.count() == 500)
+    // mask rate lands near 15% corpus-wide
+    val r = out.agg(sum("n_masked").cast("double") / sum("n_tokens"))
+      .collect().head.getDouble(0)
+    assert(r > 0.10 && r < 0.20, s"mask rate $r")
+    // n_masked equals the [MASK] occurrences in the rewritten text
+    val bad = out.filter(
+      size(filter(split(col("masked_text"), " "), t => t === "[MASK]"))
+        .cast("long") =!= col("n_masked"))
+    assert(bad.count() == 0)
+    // pure function of (salt, doc, pos): identical across runs,
+    // different salt → different pattern
+    val again = TextAnalysis.mlmMask(tables.documents)
+    assert(out.exceptAll(again).count() == 0)
+    val other = TextAnalysis.mlmMask(tables.documents, salt = "epoch2")
+      .select("doc_id", "masked_text")
+    assert(out.select("doc_id", "masked_text").exceptAll(other).count() > 0)
+    out.unpersist()
+  }
+
   test("invertedIndex: df/cf and tf-ranked postings from hand counts") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
