@@ -441,27 +441,31 @@ object TextOracleSql {
     * the span report and the span-cut cleaner (mirrors
     * Dedup.duplicateSpans' discovery stages). */
   private def spanCtes(k: Int): String = s"""
-    gx AS (SELECT doc_id, generate_subscripts(shingles, 1) - 1 as pos,
-             unnest(shingles) as g FROM sh),
-    hx AS (SELECT doc_id, pos, ${sha60("g")} as h FROM gx),
+    gx AS (SELECT sh.doc_id, generate_subscripts(shingles, 1) - 1 as pos,
+             unnest(shingles) as g, len(docs.toks) as doc_len
+           FROM sh JOIN docs USING (doc_id)),
+    hx AS (SELECT doc_id, pos, doc_len, ${sha60("g")} as h FROM gx),
     dup AS (SELECT h FROM hx GROUP BY h
             HAVING count(distinct doc_id) >= 2),
-    hits AS (SELECT doc_id, pos FROM hx
+    hits AS (SELECT doc_id, pos, doc_len FROM hx
              WHERE h IN (SELECT h FROM dup)),
-    isl AS (SELECT doc_id, pos,
+    isl AS (SELECT doc_id, pos, doc_len,
               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
                 as grp
             FROM hits)"""
 
   /** Cross-document duplicate substring spans (mirrors
     * Dedup.duplicateSpans): duplicated k-gram hash types, position
-    * hits, gaps-and-islands span merge. */
+    * hits, gaps-and-islands span merge, span end capped at the doc's
+    * last token (whole-doc fallback shingles). */
   def duplicateSpansSql(k: Int): String = s"""
     WITH ${shingleCtes(k)},
     ${spanCtes(k)}
     SELECT doc_id, cast(min(pos) as bigint) as span_start,
-      cast(max(pos) + ${k - 1} as bigint) as span_end,
-      cast(max(pos) - min(pos) + $k as bigint) as n_tokens,
+      cast(least(max(pos) + ${k - 1}, max(doc_len) - 1) as bigint)
+        as span_end,
+      cast(least(max(pos) + ${k - 1}, max(doc_len) - 1) - min(pos) + 1
+        as bigint) as n_tokens,
       count(*) as n_dup_grams
     FROM isl GROUP BY doc_id, grp"""
 
@@ -471,7 +475,8 @@ object TextOracleSql {
   def spanCleanSql(k: Int): String = s"""
     WITH ${shingleCtes(k)},
     ${spanCtes(k)},
-    spans AS (SELECT doc_id, min(pos) as s, max(pos) + ${k - 1} as e
+    spans AS (SELECT doc_id, min(pos) as s,
+                least(max(pos) + ${k - 1}, max(doc_len) - 1) as e
               FROM isl GROUP BY doc_id, grp),
     cov AS (SELECT doc_id, unnest(generate_series(s, e)) as pos
             FROM spans),

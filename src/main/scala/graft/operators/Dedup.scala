@@ -577,6 +577,7 @@ object Dedup {
       graft.functions.expressions.Sha60(
         org.apache.spark.sql.graft.GraftBridge.expression(g)))
     val grams = documents.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("doc_len"),
       posexplode(transform(shingles(col("text"), k), sha60))
         .as(Seq("pos", "h")))
     val dupTypes = grams.groupBy(col("h"))
@@ -588,11 +589,14 @@ object Dedup {
       // (pos - row_number), each island is one maximal span
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
+      // span_end caps at the document's last token: a sub-k doc
+      // matched via the whole-doc shingle fallback would otherwise
+      // report a span overshooting the doc
       .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
-        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long")
-          .as("n_tokens"),
+        least(max(col("pos")) + lit(k - 1), max(col("doc_len")) - 1)
+          .cast("long").as("span_end"),
         count(lit(1)).as("n_dup_grams"))
+      .withColumn("n_tokens", col("span_end") - col("span_start") + 1)
       .select("doc_id", "span_start", "span_end", "n_tokens",
         "n_dup_grams")
   }

@@ -209,6 +209,9 @@ object Multimodal {
   def stageImageFiles(documents: DataFrame, dir: String)
                      (implicit spark: SparkSession): Unit = {
     import spark.implicits._
+    // clear stale files: a shrunk corpus would otherwise leave old
+    // media_<id>.png behind and ingest them as phantom rows
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
     documents.select(col("doc_id")).as[Long].foreachPartition {
       (it: Iterator[Long]) =>

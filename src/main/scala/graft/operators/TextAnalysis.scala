@@ -514,21 +514,27 @@ object TextAnalysis {
     * order-independent and bit-reproducible across engines — the only
     * IEEE step is one final division. Map-only: no shuffle, scan
     * speed at 100 TB. */
-  def qualityClassifier(documents: DataFrame, bias: Long = 0L): DataFrame = {
+  /** Raw hashed-token classifier score over a token-array column —
+    * THE weight formula, shared by the batch classifier and the
+    * streaming curation twin so they can never silently diverge. */
+  def clfScoreRaw(toks: Column, bias: Long = 0L): Column = {
     val sha60 = (c: Column) => org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.Sha60(
         org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    aggregate(
+      transform(toks, t => pmod(sha60(t), lit(2001L)) - lit(1000L)),
+      lit(bias), (acc, x) => acc + x)
+  }
+
+  def qualityClassifier(documents: DataFrame, bias: Long = 0L): DataFrame =
     documents
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        aggregate(
-          transform(col("toks"), t => pmod(sha60(t), lit(2001L)) - lit(1000L)),
-          lit(bias), (acc, x) => acc + x).as("score_raw"))
+        clfScoreRaw(col("toks"), bias).as("score_raw"))
       .withColumn("clf_score",
         col("score_raw").cast("double") / (col("n_tokens") * lit(1000.0)))
       .withColumn("clf_keep", col("clf_score") > lit(0.0))
-  }
 
   /** Temperature-based domain mixture sampling: each source's keep
     * rate follows w_s ∝ sqrt(m_s) (temperature α = 0.5 over token

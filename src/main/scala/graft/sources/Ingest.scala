@@ -156,14 +156,19 @@ object Ingest {
   }
 
   /** Write the (doc_id, text) frame as id-prefixed raw lines —
-    * the staging half of [[textCorpus]]. Tab-free text is a
-    * precondition (enforced, not silently corrupted). */
+    * the staging half of [[textCorpus]]. Tab- and newline-free text
+    * is a precondition (a tab breaks the id split, a newline splits
+    * one doc into two phantom lines) — enforced INLINE in the single
+    * write pass via `raise_error`, so staging costs one scan and a
+    * violating row fails the job instead of corrupting the format. */
   def writeTextCorpus(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
-    val bad = df.filter(col("text").contains("\t")).count()
-    require(bad == 0, s"$bad documents contain tabs — not line-safe")
-    df.select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
-        .as("value"))
+    df.select(
+        when(col("text").rlike("[\\t\\n\\r]"),
+          raise_error(concat(lit("doc "), col("doc_id").cast("string"),
+            lit(" contains tab/newline — not line-safe"))))
+          .otherwise(concat(col("doc_id").cast("string"), lit("\t"),
+            col("text"))).as("value"))
       .write.mode("overwrite").text(path)
   }
 

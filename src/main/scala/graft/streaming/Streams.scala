@@ -305,9 +305,9 @@ object Streams {
       graft.functions.expressions.Sha60(
         org.apache.spark.sql.graft.GraftBridge.expression(c)))
     val toks = split(col("text"), " ")
-    val scoreRaw = aggregate(
-      transform(toks, t => pmod(sha60(t), lit(2001L)) - lit(1000L)),
-      lit(0L), (acc, x) => acc + x)
+    // the SHARED classifier formula — the streaming twin scores with
+    // the same expression as the batch operator by construction
+    val scoreRaw = graft.operators.TextAnalysis.clfScoreRaw(toks)
     fileIngest(spark, srcPath, schema,
       maxFilesPerTrigger = maxFilesPerTrigger)
       .select(sha60(col("text")).as("text_hash"),

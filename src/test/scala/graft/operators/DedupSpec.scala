@@ -257,6 +257,21 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("duplicateSpans: whole-doc fallback spans cap at the doc's last token") {
+    import spark.implicits._
+    // 3-token docs with k=6 → whole-doc fallback shingle at pos 0;
+    // the reported span must stay inside the doc (0..2, 3 tokens),
+    // not the uncapped 0..k-1
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, k = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 0L, 2L, 3L), (2L, 0L, 2L, 3L)))
+    // and the cut cleans them fully without phantom positions
+    val cleaned = Dedup.spanClean(docs, k = 6).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(cleaned(1L) == (("", 0L)) && cleaned(2L) == (("", 0L)))
+  }
+
   test("duplicateSpans: intra-doc repetition alone is not a duplicate span") {
     import spark.implicits._
     // the repeated phrase lives in ONE doc only — countDistinct(doc)

@@ -382,10 +382,17 @@ class QualityIngestSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(docs.exceptAll(back).count() == 0 &&
       back.exceptAll(docs).count() == 0)
-    // a tab in the text would corrupt the line format — must raise
+    // a tab or newline in the text would corrupt the line format —
+    // the inline raise_error guard must fail the write job
     val tabbed = Seq((1L, "has\ttab")).toDF("doc_id", "text")
-    intercept[IllegalArgumentException] {
+    val e1 = intercept[Exception] {
       Ingest.writeTextCorpus(tabbed, dir + "_bad")
+    }
+    assert(e1.getMessage.contains("not line-safe") ||
+      Option(e1.getCause).exists(_.getMessage.contains("not line-safe")))
+    val lined = Seq((2L, "has\nnewline")).toDF("doc_id", "text")
+    intercept[Exception] {
+      Ingest.writeTextCorpus(lined, dir + "_bad2")
     }
   }
 
