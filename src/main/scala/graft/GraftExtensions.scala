@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.GraftBridge
-import graft.functions.expressions.{FloatDotProduct, HyperplaneSignatures, MinHashSignature, Sha60, SimHashChunks}
+import graft.functions.expressions.{FloatDotProduct, HyperplaneProjections, HyperplaneSignatures, LshBandHashes, MinHashSignature, Sha60, SimHashChunks}
 
 /** SparkSessionExtensions entry point: makes graft's native kernels
   * available as SQL functions. Activate with
@@ -16,6 +16,8 @@ import graft.functions.expressions.{FloatDotProduct, HyperplaneSignatures, MinHa
   *  - `graft_simhash(array<string>) → array<int>` (4 × 15-bit chunks)
   *  - `graft_hyperplanes(array<float>, dim, bits, tables) → array<int>`
   *  - `graft_sha60(string) → bigint` (the portable content hash)
+  *  - `graft_lsh_bands(array<long>, bands, rowsPerBand) → array<long>`
+  *  - `graft_project(array<float>, dim, outDim) → array<double>` (JL)
   *
   * TABLE functions (`SELECT * FROM fn(...)`):
   *  - `graft_history('<path>')` — versioned-table commit log
@@ -61,7 +63,15 @@ object GraftFunctions {
         litInt(es(1), "dim"), litInt(es(2), "bits"), litInt(es(3), "tables"))),
     ("graft_sha60",
       "graft_sha60(s) - portable 60-bit content hash (sha256 prefix)",
-      (es: Seq[Expression]) => Sha60(es(0))))
+      (es: Seq[Expression]) => Sha60(es(0))),
+    ("graft_lsh_bands",
+      "graft_lsh_bands(sig, bands, rowsPerBand) - banded-LSH band hashes",
+      (es: Seq[Expression]) => LshBandHashes(es(0),
+        litInt(es(1), "bands"), litInt(es(2), "rowsPerBand"))),
+    ("graft_project",
+      "graft_project(emb, dim, outDim) - JL random projection over the hyperplane grid",
+      (es: Seq[Expression]) => HyperplaneProjections(es(0),
+        litInt(es(1), "dim"), litInt(es(2), "outDim"))))
 
   /** Shape parameters must be integer literals — they size the
     * precomputed component table baked into the plan. */

@@ -33,6 +33,15 @@ class NativeExpressionsSpec extends SparkSpec {
       "select graft_hyperplanes(cast(array(0.5, -0.25) as array<float>), 2, 6, 16) as s")
       .head.getSeq[Int](0)
     assert(hp.length == 16 && hp.forall(v => v >= 0 && v < 64))
+    val bands = spark.sql(
+      "select graft_lsh_bands(graft_minhash(array('a b c', 'b c d')), 16, 4) as b")
+      .head.getSeq[Long](0)
+    assert(bands.length == 16 &&
+      bands.forall(v => v >= 0L && v < 2147483648L))
+    val proj = spark.sql(
+      "select graft_project(cast(array(0.5, -0.25) as array<float>), 2, 8) as p")
+      .head.getSeq[Double](0)
+    assert(proj.length == 8)
   }
 
   test("graft_dot matches zip_with NULL semantics on mismatch/null elements") {
@@ -89,6 +98,7 @@ class NativeExpressionsSpec extends SparkSpec {
     // we assert the spec list covers the SQL surface
     assert(GraftFunctions.specs.map(_._1).toSet ==
       Set("graft_dot", "graft_minhash", "graft_simhash",
+        "graft_lsh_bands", "graft_project",
         "graft_hyperplanes", "graft_sha60"))
   }
 
