@@ -1026,6 +1026,15 @@ object Queries {
         FROM ranked JOIN stats USING (word)
         WHERE posting_rank <= 8""")),
 
+    Q("quality_gate",
+      // the composite Gopher/C4-style rule stack: every per-doc
+      // quality signal thresholded, per-rule booleans + final keep —
+      // the flags tell a pipeline WHY documents drop; three map-only
+      // scans joined on doc_id, no text ever shuffles
+      (s, d) => TextAnalysis.qualityGate(Tables(s, d).documents),
+      Some(TextOracleSql.qualityGateSql(minTokens = 10.0, maxPunct = 0.3,
+        minStopword = 0.05, maxDupBigram = 0.2))),
+
     Q("mlm_mask",
       // deterministic BERT-style masking: per-position salted-hash
       // decision → a run can regenerate its exact mask pattern from

@@ -368,6 +368,52 @@ object TextOracleSql {
       (cast(w.score_raw as double) / (len(k.toks) * 1000.0)) > 0.0 as clf_keep
     FROM toks k JOIN w USING (doc_id)"""
 
+  /** Composite quality gate (mirrors TextAnalysis.qualityGate):
+    * the length/punct/stopword/repetition/classifier rule stack with
+    * per-rule booleans and the final keep. */
+  def qualityGateSql(minTokens: Double, maxPunct: Double,
+                     minStopword: Double, maxDupBigram: Double): String = s"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') as toks
+               FROM documents),
+    q AS (SELECT doc_id,
+            cast(len(toks) as double) as n_tokens,
+            cast(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) as double)
+              / cast(length(text) as double) as punct_ratio,
+            cast(len(list_filter(toks,
+                x -> x in ('the','a','of','and','to','in','is','it')))
+                as double)
+              / cast(len(toks) as double) as stopword_ratio
+          FROM t),
+    g AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                     i -> array_to_string(toks[i+1:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END as bg
+          FROM t),
+    r AS (SELECT doc_id,
+            (cast(len(bg) as double) - len(list_distinct(bg)))
+              / cast(len(bg) as double) as dup_bigram_frac
+          FROM g),
+    ex AS (SELECT doc_id, unnest(toks) as w FROM t),
+    c AS (SELECT t.doc_id,
+            cast(s.score_raw as double) / (len(t.toks) * 1000.0)
+              as clf_score
+          FROM t JOIN (SELECT doc_id,
+              cast(sum((${sha60("w")} % 2001) - 1000) as bigint)
+                as score_raw
+            FROM ex GROUP BY 1) s USING (doc_id))
+    SELECT q.doc_id,
+      q.n_tokens >= $minTokens as rule_length,
+      q.punct_ratio <= $maxPunct as rule_punct,
+      q.stopword_ratio >= $minStopword as rule_stopword,
+      r.dup_bigram_frac <= $maxDupBigram as rule_repetition,
+      c.clf_score > 0.0 as rule_classifier,
+      (q.n_tokens >= $minTokens AND q.punct_ratio <= $maxPunct
+        AND q.stopword_ratio >= $minStopword
+        AND r.dup_bigram_frac <= $maxDupBigram
+        AND c.clf_score > 0.0) as keep
+    FROM q JOIN r USING (doc_id) JOIN c USING (doc_id)"""
+
   /** Temperature (α = 0.5) domain mixture sampling (mirrors
     * TextAnalysis.domainMix): integer weights via floor∘sqrt, one
     * fixed chain of exactly-rounded double ops for the rate. */

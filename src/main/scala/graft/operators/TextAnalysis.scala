@@ -536,6 +536,37 @@ object TextAnalysis {
         col("score_raw").cast("double") / (col("n_tokens") * lit(1000.0)))
       .withColumn("clf_keep", col("clf_score") > lit(0.0))
 
+  /** The composite quality GATE: every per-doc quality signal the
+    * module computes — length, punctuation, stopword rate, bigram
+    * repetition, classifier score — evaluated against production-style
+    * thresholds, emitted as per-rule booleans plus the final keep
+    * (per-rule flags are what let a pipeline report WHY documents
+    * drop, not just how many). The Gopher/C4-style rule stack,
+    * composed from the individually-oracled operators.
+    *
+    * Scale: three map-only scans joined on doc_id (co-partitioning
+    * shuffles of id+scalar rows — no text ever shuffles). */
+  def qualityGate(documents: DataFrame, minTokens: Double = 10.0,
+                  maxPunct: Double = 0.3, minStopword: Double = 0.05,
+                  maxDupBigram: Double = 0.2): DataFrame = {
+    val q = quality(documents).select(col("doc_id"), col("n_tokens"),
+      col("punct_ratio"), col("stopword_ratio"))
+    val r = repetition(documents).select(col("doc_id"),
+      col("dup_bigram_frac"))
+    val c = qualityClassifier(documents).select(col("doc_id"),
+      col("clf_score"))
+    q.join(r, "doc_id").join(c, "doc_id")
+      .select(col("doc_id"),
+        (col("n_tokens") >= minTokens).as("rule_length"),
+        (col("punct_ratio") <= maxPunct).as("rule_punct"),
+        (col("stopword_ratio") >= minStopword).as("rule_stopword"),
+        (col("dup_bigram_frac") <= maxDupBigram).as("rule_repetition"),
+        (col("clf_score") > 0.0).as("rule_classifier"))
+      .withColumn("keep",
+        col("rule_length") && col("rule_punct") && col("rule_stopword") &&
+          col("rule_repetition") && col("rule_classifier"))
+  }
+
   /** Temperature-based domain mixture sampling: each source's keep
     * rate follows w_s ∝ sqrt(m_s) (temperature α = 0.5 over token
     * mass m_s — upsamples small domains, downsamples dominant ones),

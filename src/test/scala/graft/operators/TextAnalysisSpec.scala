@@ -239,6 +239,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs == Set(("x", "y"), ("y", "x")))
   }
 
+  test("qualityGate: per-rule flags match the operators they compose") {
+    import spark.implicits._
+    val docs = tables.documents
+    val out = TextAnalysis.qualityGate(docs).cache()
+    assert(out.count() == 500)
+    // keep is exactly the conjunction of the rule columns
+    val bad = out.filter(col("keep") =!=
+      (col("rule_length") && col("rule_punct") && col("rule_stopword") &&
+        col("rule_repetition") && col("rule_classifier")))
+    assert(bad.count() == 0)
+    // each rule agrees with its source operator
+    val clf = TextAnalysis.qualityClassifier(docs)
+      .select(col("doc_id"), col("clf_keep"))
+    assert(out.join(clf, "doc_id")
+      .filter(col("rule_classifier") =!= col("clf_keep")).count() == 0)
+    val rep = TextAnalysis.repetition(docs)
+      .select(col("doc_id"), (!col("is_repetitive")).as("nr"))
+    assert(out.join(rep, "doc_id")
+      .filter(col("rule_repetition") =!= col("nr")).count() == 0)
+    // a pathological doc fails the right rules
+    val junk = Seq((1L, "x! y! x! y! x! y! x! y! x! y! x! y!"))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.qualityGate(junk).collect().head
+    assert(!row.getBoolean(2) && !row.getBoolean(3) && !row.getBoolean(4))
+    assert(!row.getBoolean(6)) // keep = false
+    out.unpersist()
+  }
+
   test("mlmMask: deterministic positions, rate near target, labels recoverable") {
     val out = TextAnalysis.mlmMask(tables.documents).cache()
     assert(out.count() == 500)
