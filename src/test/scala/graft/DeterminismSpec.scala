@@ -65,6 +65,6 @@ class DeterminismSpec extends SparkSpec {
     "embedding_cluster", "random_projection", "bpe_fertility",
     "profile_diff", "cohort_retention", "multimodal_framesample",
     "hybrid_search", "dedup_apply", "ingest_text",
-    "multimodal_ingest_decode", "mlm_mask"))
+    "multimodal_ingest_decode", "mlm_mask", "quality_gate"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
