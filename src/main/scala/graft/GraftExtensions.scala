@@ -60,25 +60,29 @@ object GraftFunctions {
     ("graft_hyperplanes",
       "graft_hyperplanes(emb, dim, bits, tables) - multi-table hyperplane LSH signatures",
       (es: Seq[Expression]) => HyperplaneSignatures(es(0),
-        litInt(es(1), "dim"), litInt(es(2), "bits"), litInt(es(3), "tables"))),
+        litInt(es(1), "dim", "graft_hyperplanes"),
+        litInt(es(2), "bits", "graft_hyperplanes"),
+        litInt(es(3), "tables", "graft_hyperplanes"))),
     ("graft_sha60",
       "graft_sha60(s) - portable 60-bit content hash (sha256 prefix)",
       (es: Seq[Expression]) => Sha60(es(0))),
     ("graft_lsh_bands",
       "graft_lsh_bands(sig, bands, rowsPerBand) - banded-LSH band hashes",
       (es: Seq[Expression]) => LshBandHashes(es(0),
-        litInt(es(1), "bands"), litInt(es(2), "rowsPerBand"))),
+        litInt(es(1), "bands", "graft_lsh_bands"),
+        litInt(es(2), "rowsPerBand", "graft_lsh_bands"))),
     ("graft_project",
       "graft_project(emb, dim, outDim) - JL random projection over the hyperplane grid",
       (es: Seq[Expression]) => HyperplaneProjections(es(0),
-        litInt(es(1), "dim"), litInt(es(2), "outDim"))))
+        litInt(es(1), "dim", "graft_project"),
+        litInt(es(2), "outDim", "graft_project"))))
 
   /** Shape parameters must be integer literals — they size the
     * precomputed component table baked into the plan. */
-  private def litInt(e: Expression, what: String): Int = e match {
+  private def litInt(e: Expression, what: String, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"graft_hyperplanes: $what must be an integer literal, got $other")
+      s"$fn: $what must be an integer literal, got $other")
   }
 
   /** TABLE functions (`SELECT * FROM fn(...)`). */

@@ -352,17 +352,24 @@ object TextOracleSql {
         as masked_text
     FROM f"""
 
-  /** Hashed-token linear classifier (mirrors
-    * TextAnalysis.qualityClassifier): integer weight sum, one final
-    * IEEE division. */
-  def qualityClassifierSql(bias: Long): String = s"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') as toks
-                  FROM documents),
+  /** Hashed-token classifier CTEs `toks, ex, w(doc_id, score_raw)` —
+    * THE weight formula, shared by the classifier oracle and the
+    * quality-gate oracle (mirrors the Scala side's shared
+    * `clfScoreRaw`, so the SQL twins can't silently diverge either). */
+  private def clfCtes(bias: Long): String = s"""
+    toks AS (SELECT doc_id, text, string_split(text, ' ') as toks
+             FROM documents),
     ex AS (SELECT doc_id, unnest(toks) as t FROM toks),
     w AS (SELECT doc_id,
             cast($bias + sum((${sha60("t")} % 2001) - 1000) as bigint)
               as score_raw
-          FROM ex GROUP BY 1)
+          FROM ex GROUP BY 1)"""
+
+  /** Hashed-token linear classifier (mirrors
+    * TextAnalysis.qualityClassifier): integer weight sum, one final
+    * IEEE division. */
+  def qualityClassifierSql(bias: Long): String = s"""
+    WITH ${clfCtes(bias)}
     SELECT k.doc_id, cast(len(k.toks) as bigint) as n_tokens, w.score_raw,
       cast(w.score_raw as double) / (len(k.toks) * 1000.0) as clf_score,
       (cast(w.score_raw as double) / (len(k.toks) * 1000.0)) > 0.0 as clf_keep
@@ -373,8 +380,7 @@ object TextOracleSql {
     * per-rule booleans and the final keep. */
   def qualityGateSql(minTokens: Double, maxPunct: Double,
                      minStopword: Double, maxDupBigram: Double): String = s"""
-    WITH t AS (SELECT doc_id, text, string_split(text, ' ') as toks
-               FROM documents),
+    WITH ${clfCtes(0L)},
     q AS (SELECT doc_id,
             cast(len(toks) as double) as n_tokens,
             cast(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) as double)
@@ -383,25 +389,21 @@ object TextOracleSql {
                 x -> x in ('the','a','of','and','to','in','is','it')))
                 as double)
               / cast(len(toks) as double) as stopword_ratio
-          FROM t),
+          FROM toks),
     g AS (SELECT doc_id,
             CASE WHEN len(toks) >= 2
               THEN list_transform(range(len(toks) - 1),
                      i -> array_to_string(toks[i+1:i+2], ' '))
               ELSE [array_to_string(toks, ' ')] END as bg
-          FROM t),
+          FROM toks),
     r AS (SELECT doc_id,
             (cast(len(bg) as double) - len(list_distinct(bg)))
               / cast(len(bg) as double) as dup_bigram_frac
           FROM g),
-    ex AS (SELECT doc_id, unnest(toks) as w FROM t),
-    c AS (SELECT t.doc_id,
-            cast(s.score_raw as double) / (len(t.toks) * 1000.0)
+    c AS (SELECT k.doc_id,
+            cast(w.score_raw as double) / (len(k.toks) * 1000.0)
               as clf_score
-          FROM t JOIN (SELECT doc_id,
-              cast(sum((${sha60("w")} % 2001) - 1000) as bigint)
-                as score_raw
-            FROM ex GROUP BY 1) s USING (doc_id))
+          FROM toks k JOIN w USING (doc_id))
     SELECT q.doc_id,
       q.n_tokens >= $minTokens as rule_length,
       q.punct_ratio <= $maxPunct as rule_punct,

@@ -208,6 +208,12 @@ case class LshBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
+    // the SQL surface can pass any array — an unchecked short read on
+    // UnsafeArrayData would return silent garbage, not an error
+    if (sig.numElements() < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"graft_lsh_bands: signature has ${sig.numElements()} elements, " +
+          s"need bands*rowsPerBand = ${bands * rowsPerBand}")
     val out = new Array[Long](bands)
     var j = 0
     while (j < bands) {
@@ -232,6 +238,11 @@ case class LshBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
       s"""
+         |if ($a.numElements() < ${bands * rowsPerBand}) {
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_bands: signature has " + $a.numElements() +
+         |    " elements, need bands*rowsPerBand = ${bands * rowsPerBand}");
+         |}
          |long[] $out = new long[$bands];
          |for (int $j = 0; $j < $bands; $j++) {
          |  long $acc = 0L;

@@ -210,9 +210,12 @@ object Multimodal {
                      (implicit spark: SparkSession): Unit = {
     import spark.implicits._
     // clear stale files: a shrunk corpus would otherwise leave old
-    // media_<id>.png behind and ingest them as phantom rows
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    new java.io.File(dir).mkdirs()
+    // media_<id>.png behind and ingest them as phantom rows — and a
+    // FAILED delete must fail loudly, not silently re-ingest them
+    val d = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    require(!d.exists, s"could not clear stale staging dir $dir")
+    d.mkdirs()
     documents.select(col("doc_id")).as[Long].foreachPartition {
       (it: Iterator[Long]) =>
         it.foreach { id =>

@@ -541,27 +541,38 @@ object TextAnalysis {
     * repetition, classifier score — evaluated against production-style
     * thresholds, emitted as per-rule booleans plus the final keep
     * (per-rule flags are what let a pipeline report WHY documents
-    * drop, not just how many). The Gopher/C4-style rule stack,
-    * composed from the individually-oracled operators.
-    *
-    * Scale: three map-only scans joined on doc_id (co-partitioning
-    * shuffles of id+scalar rows — no text ever shuffles). */
+    * drop, not just how many). The Gopher/C4-style rule stack; each
+    * rule reproduces its source operator's arithmetic exactly (the
+    * spec asserts agreement), but all signals compute in ONE map-only
+    * projection over the shared token array — no second or third text
+    * scan, zero shuffles, scan speed at 100 TB. */
   def qualityGate(documents: DataFrame, minTokens: Double = 10.0,
                   maxPunct: Double = 0.3, minStopword: Double = 0.05,
                   maxDupBigram: Double = 0.2): DataFrame = {
-    val q = quality(documents).select(col("doc_id"), col("n_tokens"),
-      col("punct_ratio"), col("stopword_ratio"))
-    val r = repetition(documents).select(col("doc_id"),
-      col("dup_bigram_frac"))
-    val c = qualityClassifier(documents).select(col("doc_id"),
-      col("clf_score"))
-    q.join(r, "doc_id").join(c, "doc_id")
-      .select(col("doc_id"),
-        (col("n_tokens") >= minTokens).as("rule_length"),
-        (col("punct_ratio") <= maxPunct).as("rule_punct"),
-        (col("stopword_ratio") >= minStopword).as("rule_stopword"),
-        (col("dup_bigram_frac") <= maxDupBigram).as("rule_repetition"),
-        (col("clf_score") > 0.0).as("rule_classifier"))
+    val counted = documents.select(col("doc_id"),
+      length(col("text")).cast("double").as("n_chars"),
+      size(wsTokens(col("text"))).cast("double").as("n_tokens_d"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens_l"),
+      size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+        .cast("double").as("n_punct"),
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.WordSetCount(
+          org.apache.spark.sql.graft.GraftBridge.expression(
+            wsTokens(col("text"))), Stopwords))
+        .cast("double").as("n_stop"),
+      size(Dedup.shingles(col("text"), 2)).cast("double").as("n_bg"),
+      size(array_distinct(Dedup.shingles(col("text"), 2)))
+        .cast("double").as("n_dbg"),
+      clfScoreRaw(wsTokens(col("text"))).as("score_raw"))
+    counted.select(col("doc_id"),
+        (col("n_tokens_d") >= minTokens).as("rule_length"),
+        (col("n_punct") / col("n_chars") <= maxPunct).as("rule_punct"),
+        (col("n_stop") / col("n_tokens_d") >= minStopword)
+          .as("rule_stopword"),
+        ((col("n_bg") - col("n_dbg")) / col("n_bg") <= maxDupBigram)
+          .as("rule_repetition"),
+        (col("score_raw").cast("double") /
+          (col("n_tokens_l") * lit(1000.0)) > 0.0).as("rule_classifier"))
       .withColumn("keep",
         col("rule_length") && col("rule_punct") && col("rule_stopword") &&
           col("rule_repetition") && col("rule_classifier"))

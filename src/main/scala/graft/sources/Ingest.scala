@@ -163,13 +163,22 @@ object Ingest {
     * violating row fails the job instead of corrupting the format. */
   def writeTextCorpus(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
+    // stage into a sibling dir and swap on success: a validation
+    // failure must never have destroyed previously staged data (an
+    // in-place overwrite deletes the target BEFORE the job runs)
+    val tmp = s"$path._staging"
     df.select(
         when(col("text").rlike("[\\t\\n\\r]"),
           raise_error(concat(lit("doc "), col("doc_id").cast("string"),
             lit(" contains tab/newline — not line-safe"))))
           .otherwise(concat(col("doc_id").cast("string"), lit("\t"),
             col("text"))).as("value"))
-      .write.mode("overwrite").text(path)
+      .write.mode("overwrite").text(tmp)
+    val target = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    require(!target.exists, s"cannot replace $path")
+    require(new java.io.File(tmp).renameTo(target),
+      s"failed to move staged corpus into $path")
   }
 
   /** Round-trip helper backing the `ingest_csv`/`ingest_json` oracle

@@ -42,6 +42,13 @@ class NativeExpressionsSpec extends SparkSpec {
       "select graft_project(cast(array(0.5, -0.25) as array<float>), 2, 8) as p")
       .head.getSeq[Double](0)
     assert(proj.length == 8)
+    // a short signature must fail loudly, not read silent garbage
+    val e = intercept[Exception] {
+      spark.sql("select graft_lsh_bands(array(1L, 2L), 16, 4)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("need bands*rowsPerBand")))
   }
 
   test("graft_dot matches zip_with NULL semantics on mismatch/null elements") {
