@@ -1876,6 +1876,18 @@ object Queries {
         (numSql ++ strSql).mkString("\nUNION ALL\n")
       }),
 
+    Q("k_anonymity",
+      // governance gate before releasing a dataset: group sizes over
+      // quasi-identifiers, groups under k are re-identifiable (the
+      // indirect-identifier complement of pii_scrub); one map-side-
+      // combined groupBy
+      (s, d) => Profile.kAnonymity(Tables(s, d).customer,
+        Seq("c_nationkey", "c_mktsegment"), k = 10L),
+      Some("""
+        SELECT c_nationkey, c_mktsegment, count(*) as group_size,
+          count(*) < 10 as at_risk
+        FROM customer GROUP BY 1, 2""")),
+
     Q("profile_diff",
       // snapshot drift gate: profile of the committed documents drop
       // vs a synthetic incoming drop (10% of rows gone, lang nulled on

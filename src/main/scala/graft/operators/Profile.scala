@@ -68,6 +68,20 @@ object Profile {
       .select("p.*")
   }
 
+  /** k-anonymity audit: group sizes over the quasi-identifier
+    * columns, flagging groups smaller than `k` — rows in those groups
+    * are re-identifiable by the quasi-identifier combination alone
+    * (the governance gate run before releasing a dataset; pii_scrub
+    * removes direct identifiers, this catches indirect ones).
+    * One map-side-combined groupBy on the quasi-identifier key. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long = 5L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
+
   /** Snapshot drift report: the profiles of two table versions (the
     * committed drop vs the incoming one) full-joined per column —
     * added/removed columns, null-fraction drift, and numeric-range

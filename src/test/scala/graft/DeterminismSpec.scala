@@ -65,6 +65,7 @@ class DeterminismSpec extends SparkSpec {
     "embedding_cluster", "random_projection", "bpe_fertility",
     "profile_diff", "cohort_retention", "multimodal_framesample",
     "hybrid_search", "dedup_apply", "ingest_text",
-    "multimodal_ingest_decode", "mlm_mask", "quality_gate"))
+    "multimodal_ingest_decode", "mlm_mask", "quality_gate",
+    "k_anonymity"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
