@@ -924,6 +924,69 @@ object Queries {
         WHERE ${TextOracleSql.Sha60.format("'sample:' || doc_id")} % 100 <
           CASE WHEN lang = 'en' THEN 50 ELSE 10 END""")),
 
+    Q("corpus_sample_exact",
+      // fixed-budget eval-set carve-out: exactly 25 docs per language
+      // in salted-hash order; row_number<=k compiles to
+      // WindowGroupLimit so each task heap-prunes to its own top-k
+      // before the stratum exchange (plan-asserted)
+      (s, d) => TextAnalysis.exactStratifiedSample(
+        Tables(s, d).documents, "lang", k = 25),
+      Some(s"""
+        SELECT doc_id, lang, sample_rank FROM (
+          SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang ORDER BY
+              ${TextOracleSql.Sha60.format("'exact:' || cast(doc_id as varchar)")},
+              doc_id) as sample_rank
+          FROM documents)
+        WHERE sample_rank <= 25""")),
+
+    Q("text_normalize",
+      // canonical-form pass before exact dedup: control bytes →
+      // space, whitespace runs collapsed, edges trimmed, lowercased,
+      // content-hashed. The input is deterministically dirtied (case
+      // flips, tabs, CRLF, edge padding) in BOTH engines so the
+      // oracle proves every rule actually fires on this corpus
+      (s, d) => TextAnalysis.textNormalize(
+        Tables(s, d).documents.select(col("doc_id"),
+          concat(lit("  "), upper(col("text")),
+            lit("\tMiXeD\t Case \n")).as("text"))),
+      Some(s"""
+        SELECT doc_id, norm_text,
+          cast(length(norm_text) as bigint) as n_chars_norm,
+          ${TextOracleSql.Sha60.format("norm_text")} as norm_hash
+        FROM (SELECT doc_id,
+            lower(trim(regexp_replace(regexp_replace(
+              '  ' || upper(text) || chr(9) || 'MiXeD' ||
+                chr(9) || ' Case ' || chr(10),
+              '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g'))) as norm_text
+          FROM documents)""")),
+
+    Q("curriculum_order",
+      // quality-curriculum training order: classifier-score bands
+      // best-first, salted-hash shuffle within a band — a dense
+      // global rank with no global sort (two-phase prefix sum over
+      // ≤21 band counts)
+      (s, d) => TextAnalysis.curriculumOrder(Tables(s, d).documents),
+      Some(TextOracleSql.curriculumOrderSql("curriculum"))),
+
+    Q("export_jsonl",
+      // the export side of the corpus landing: JSONL shards written
+      // with the engine's own writer, round-tripped through the
+      // reader — hash equality against the source table proves the
+      // export is lossless (quotes, unicode, embedded whitespace)
+      (s, d) => {
+        val path = s"/tmp/graft_cache/jsonl_${new java.io.File(d).getName}"
+        Tables(s, d).documents
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(path)
+        s.read.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .json(path)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
     Q("paragraph_dedup",
       // C4-style corpus-level boilerplate removal: chunks repeating
       // beyond maxFreq across the corpus are stripped from every doc

@@ -365,6 +365,22 @@ object TextOracleSql {
               as score_raw
           FROM ex GROUP BY 1)"""
 
+  /** Curriculum ordering (mirrors TextAnalysis.curriculumOrder):
+    * classifier-score bands best-first, salted-hash shuffle within a
+    * band — the serial row_number the two-phase Spark plan must
+    * reproduce exactly. */
+  def curriculumOrderSql(salt: String): String = s"""
+    WITH ${clfCtes(0L)},
+    s AS (SELECT k.doc_id,
+            cast(floor(cast(w.score_raw as double)
+              / (len(k.toks) * 1000.0) * 10.0) as bigint) as band,
+            ${sha60(s"'$salt:' || cast(k.doc_id as varchar)")} as h
+          FROM toks k JOIN w USING (doc_id))
+    SELECT doc_id, band,
+      row_number() OVER (ORDER BY band DESC, h, doc_id) - 1
+        as curriculum_rank
+    FROM s"""
+
   /** Hashed-token linear classifier (mirrors
     * TextAnalysis.qualityClassifier): integer weight sum, one final
     * IEEE division. */

@@ -624,4 +624,99 @@ object TextAnalysis {
       .filter(pmod(sha60, lit(1000000L)) < col("mix_rate_ppm"))
       .select(col("doc_id"), col("source"), col("mix_rate_ppm"))
   }
+
+  private def saltedSha60(salt: String): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit(s"$salt:"), col("doc_id").cast("string")))))
+
+  /** Exact-count stratified sample: keep exactly `k` documents per
+    * stratum (fewer only if the stratum is smaller), chosen in
+    * salted-content-hash order — the fixed-budget complement of
+    * [[stratifiedSample]]'s rate sampling. An eval/holdout set of
+    * "k docs per language" needs exact counts; a rate sample only
+    * hits k in expectation.
+    *
+    * Deterministic: membership AND rank are pure functions of the
+    * salted hash — reproducible across runs, partitionings, engines.
+    *
+    * Scale shape: `row_number <= k` over (stratum, hash) compiles to
+    * `WindowGroupLimit` — every task heap-prunes to its own local
+    * top-k BEFORE the exchange, so the stratum shuffle carries
+    * O(tasks × k) rows, never the corpus (plan-asserted). */
+  def exactStratifiedSample(documents: DataFrame, strataCol: String,
+                            k: Int, salt: String = "exact"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k is the per-stratum sample size")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("h"), col("doc_id"))
+    documents.withColumn("h", saltedSha60(salt))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col(strataCol), col("sample_rank"))
+  }
+
+  /** Deterministic text normalization: control bytes → space,
+    * whitespace runs collapsed to one space, edges trimmed, text
+    * lowercased — the canonical-form pass that runs before exact
+    * dedup so byte-level noise (tabs, CRLF, case) can't split
+    * otherwise-identical documents. Emits the normalized text, its
+    * length, and its content hash (the exact-dedup key).
+    *
+    * Patterns are RE2-compatible (no lookaround, no backrefs) so the
+    * same regexes mean the same thing in any engine. Map-only: zero
+    * shuffles, scan speed at 100 TB, and the projection prunes to
+    * (doc_id, text) at the parquet reader. */
+  def textNormalize(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val collapsed = regexp_replace(
+      regexp_replace(col(textCol), "[\\x00-\\x1f]", " "), " +", " ")
+    val norm = lower(trim(collapsed))
+    val normHash = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(col("norm_text"))))
+    df.select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"),
+        normHash.as("norm_hash"))
+  }
+
+  /** Deterministic curriculum ordering: every document gets a dense
+    * 0-based `curriculum_rank`, best-quality-first — the training-
+    * order analog of [[corpusShuffle]] with a semantic primary key.
+    * Docs are banded by the hashed-token classifier score
+    * (floor(clf_score × 10); clf_score ∈ [-1, 1] by construction, so
+    * ≤ 21 bands), bands are ordered best-first, and order within a
+    * band is the salted-hash shuffle — curriculum learning's
+    * "easy/clean first" schedule without a global sort.
+    *
+    * Scale shape: band counts are a ≤21-row frame (the only
+    * unpartitioned window runs there), offsets broadcast back, and
+    * within-band ranks run per band partition — the two-phase
+    * prefix-sum discipline shared with corpusShuffle/sequencePack.
+    * The classifier score is [[clfScoreRaw]]'s integer sum, so the
+    * band boundary is one exactly-replicated IEEE divide+floor. */
+  def curriculumOrder(documents: DataFrame,
+                      salt: String = "curriculum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        clfScoreRaw(col("toks")).as("score_raw"))
+      .withColumn("band",
+        floor(col("score_raw").cast("double") /
+          (col("n_tokens") * lit(1000.0)) * lit(10.0)))
+      .withColumn("h", saltedSha60(salt))
+    val counts = scored.groupBy(col("band")).agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("c")).over(wb), lit(0L)))
+    val wi = Window.partitionBy(col("band"))
+      .orderBy(col("h"), col("doc_id"))
+    scored.join(broadcast(offsets.select(col("band"), col("off"))), "band")
+      .withColumn("curriculum_rank",
+        col("off") + row_number().over(wi).cast("long") - 1)
+      .select(col("doc_id"), col("band"), col("curriculum_rank"))
+  }
 }

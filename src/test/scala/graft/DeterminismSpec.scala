@@ -66,6 +66,11 @@ class DeterminismSpec extends SparkSpec {
     "profile_diff", "cohort_retention", "multimodal_framesample",
     "hybrid_search", "dedup_apply", "ingest_text",
     "multimodal_ingest_decode", "mlm_mask", "quality_gate",
-    "k_anonymity"))
+    "k_anonymity",
+    // round-6 third wave: exact per-stratum ranks, two-phase
+    // curriculum ranks, normalization hashes and the JSONL round-trip
+    // must be fan-out-independent
+    "corpus_sample_exact", "curriculum_order", "text_normalize",
+    "export_jsonl"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

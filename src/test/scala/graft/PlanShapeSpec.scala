@@ -249,6 +249,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
   }
 
+  test("exact stratified sample prunes per-task top-k before the stratum exchange") {
+    val p = plan(TextAnalysis.exactStratifiedSample(tables.documents,
+      "lang", 25))
+    assert(p.contains("WindowGroupLimit"),
+      s"no pre-exchange top-k prune — full stratum sort per group:\n$p")
+  }
+
+  test("text normalize is map-only: zero exchanges") {
+    val p = plan(TextAnalysis.textNormalize(tables.documents))
+    assert(!p.contains("Exchange"), s"normalize should not shuffle:\n$p")
+  }
+
+  test("curriculum order ranks within bands — offsets broadcast, no global data sort") {
+    val p = plan(TextAnalysis.curriculumOrder(tables.documents))
+    // the only SinglePartition exchange allowed is the ≤21-row
+    // band-count frame feeding the offsets window
+    val lines = p.linesIterator
+      .filter(_.contains("Exchange SinglePartition")).toSeq
+    assert(lines.size <= 1, s"unexpected global exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band offsets not broadcast:\n$p")
+  }
+
   test("contamination_fuzzy broadcasts the benchmark side only") {
     val p = plan(Dedup.contaminationFuzzy(tables.documents,
       col("doc_id") < 10))

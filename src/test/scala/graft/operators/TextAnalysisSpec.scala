@@ -359,4 +359,82 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.select("mix_rate_ppm").distinct().collect()
       .head.getLong(0) == 1000000L)
   }
+
+  test("exactStratifiedSample: exactly k per stratum, ranks dense, hash-stable") {
+    val out = TextAnalysis.exactStratifiedSample(tables.documents, "lang", 25)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum in this corpus has >= 25 docs → exact counts
+    assert(perLang.values.forall(_ == 25L), s"per-stratum counts: $perLang")
+    // ranks are dense 1..k within each stratum
+    val ranks = out.groupBy("lang")
+      .agg(min("sample_rank").as("lo"), max("sample_rank").as("hi"),
+        countDistinct("sample_rank").as("d")).collect()
+    ranks.foreach(r => assert(r.getLong(1) == 1L && r.getLong(2) == 25L &&
+      r.getLong(3) == 25L))
+    // a stratum smaller than k yields the whole stratum
+    val tiny = TextAnalysis.exactStratifiedSample(
+      tables.documents.filter(col("doc_id") < 3), "lang", 25)
+    assert(tiny.count() == tables.documents.filter(col("doc_id") < 3).count())
+    // pure function of the salt+doc_id — identical across runs
+    val again = TextAnalysis.exactStratifiedSample(tables.documents, "lang", 25)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
+  test("textNormalize: dirty input restores to canonical bytes") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "  Hello\t WORLD \r\n"),
+      (2L, "already clean"),
+      (3L, "\u0000ctrl\u0001bytes\u001fhere"),
+      (4L, "A  B   C")).toDF("doc_id", "text")
+    val out = TextAnalysis.textNormalize(dirty).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "already clean")
+    assert(out(3L) == "ctrl bytes here")
+    assert(out(4L) == "a b c")
+    // n_chars_norm measures the normalized text, and the hash keys it
+    val full = TextAnalysis.textNormalize(dirty).collect()
+    full.foreach(r => assert(r.getLong(2) == r.getString(1).length))
+    // idempotent: normalizing normalized text is the identity
+    val renorm = TextAnalysis.textNormalize(
+      TextAnalysis.textNormalize(dirty)
+        .select(col("doc_id"), col("norm_text").as("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(renorm == out)
+  }
+
+  test("curriculumOrder: dense global permutation, bands ordered best-first") {
+    val docs = tables.documents
+    val out = TextAnalysis.curriculumOrder(docs)
+    val n = docs.count()
+    assert(out.count() == n)
+    // ranks are a dense 0-based permutation
+    assert(out.select(countDistinct("curriculum_rank")).head.getLong(0) == n)
+    assert(out.agg(min("curriculum_rank"), max("curriculum_rank")).head ==
+      org.apache.spark.sql.Row(0L, n - 1))
+    // band ordering: every doc in a better band ranks before every
+    // doc in a worse band
+    val bandRanges = out.groupBy("band")
+      .agg(min("curriculum_rank").as("lo"), max("curriculum_rank").as("hi"))
+      .orderBy(col("band").desc).collect()
+    bandRanges.sliding(2).foreach {
+      case Array(hiBand, loBand) =>
+        assert(hiBand.getLong(2) < loBand.getLong(1),
+          s"band ranges interleave: $hiBand vs $loBand")
+      case _ =>
+    }
+    // matches the serial single-window definition exactly
+    import org.apache.spark.sql.expressions.Window
+    val sha60 = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit("curriculum:"), col("doc_id").cast("string")))))
+    val serial = out.withColumn("serial_rank",
+      row_number().over(Window.orderBy(col("band").desc, sha60,
+        col("doc_id"))).cast("long") - 1)
+    assert(serial.filter(col("serial_rank") =!= col("curriculum_rank"))
+      .count() == 0)
+  }
 }
