@@ -504,6 +504,19 @@ object Queries {
       Some(TextOracleSql.dedupClustersSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5))),
 
+    Q("dedup_stats",
+      // the dedup OUTCOME report: cluster-size histogram over the
+      // same closure — how much of the corpus is duplicated, at what
+      // granularity, how many docs the apply step removes; output is
+      // O(distinct sizes), inspectable at any corpus scale
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Clusters.clusterStats(
+          Clusters.duplicateClusters(docs, Dedup.minhashLsh(docs)))
+      },
+      Some(TextOracleSql.dedupStatsSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5))),
+
     Q("dedup_apply",
       // the APPLY step: near-dup clusters collapsed to their canonical
       // survivors and the corpus semi-joined down to them — the
@@ -1492,6 +1505,28 @@ object Queries {
         SELECT user_id, 'click_only' as segment FROM (SELECT * FROM c EXCEPT SELECT * FROM b)""")),
 
     // ---------- C2. Scale utilities ----------
+    Q("skew_report",
+      // the diagnostic run BEFORE picking a salt factor: heaviest
+      // join keys with corpus share (ppm) and the per-key salt that
+      // spreads each back to average-task volume — all integer
+      // arithmetic, one map-side-combined shuffle, top-N pruned via
+      // WindowGroupLimit over the aggregated key census
+      (s, d) => Skew.skewReport(Tables(s, d).events, "user_id", 20),
+      Some("""
+        WITH c AS (SELECT user_id, count(*) as cnt
+                   FROM events GROUP BY 1),
+        t AS (SELECT sum(cnt) as t, count(*) as d FROM c),
+        r AS (SELECT user_id, cnt,
+                row_number() OVER (ORDER BY cnt DESC, user_id)
+                  as key_rank
+              FROM c)
+        SELECT key_rank, user_id, cnt,
+          cast(cast(cnt as hugeint) * 1000000 // t as bigint)
+            as share_ppm,
+          cast((cast(cnt as hugeint) * d + t - 1) // t as bigint)
+            as salt_factor
+        FROM r, t WHERE key_rank <= 20""")),
+
     Q("salted_join",
       (s, d) => {
         val t = Tables(s, d)

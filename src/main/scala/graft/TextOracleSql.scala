@@ -100,8 +100,8 @@ object TextOracleSql {
     * near-dup pair graph (mirrors Clusters.duplicateClusters over
     * Dedup.minhashLsh): transitive closure by recursive CTE, cluster
     * id = min reachable doc_id, singletons included. */
-  def dedupClustersSql(shingleK: Int, numPerm: Int, bands: Int,
-                       threshold: Double): String =
+  private def clusterCtes(shingleK: Int, numPerm: Int, bands: Int,
+                          threshold: Double): String =
     s"""WITH RECURSIVE ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
        ${lshPairCtes(numPerm, bands)},
        dup AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $threshold),
@@ -112,10 +112,27 @@ object TextOracleSql {
          UNION
          SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r),
        cc AS (SELECT id as doc_id, min(r) as cluster_id FROM reach GROUP BY 1),
-       sizes AS (SELECT cluster_id, count(*) as cluster_size FROM cc GROUP BY 1)
+       sizes AS (SELECT cluster_id, count(*) as cluster_size FROM cc GROUP BY 1)"""
+
+  def dedupClustersSql(shingleK: Int, numPerm: Int, bands: Int,
+                       threshold: Double): String =
+    s"""${clusterCtes(shingleK, numPerm, bands, threshold)}
        SELECT doc_id, cluster_id, cluster_size,
          doc_id = cluster_id as is_canonical
        FROM cc JOIN sizes USING (cluster_id)"""
+
+  /** Cluster-size histogram over the SAME closure (mirrors
+    * Clusters.clusterStats ∘ duplicateClusters): the dedup outcome
+    * report — how much of the corpus is duplicated, at what cluster
+    * granularity, and how many docs the apply step would remove. */
+  def dedupStatsSql(shingleK: Int, numPerm: Int, bands: Int,
+                    threshold: Double): String =
+    s"""${clusterCtes(shingleK, numPerm, bands, threshold)}
+       SELECT cluster_size,
+         count(*) as n_clusters,
+         cluster_size * count(*) as n_docs,
+         (cluster_size - 1) * count(*) as n_docs_removable
+       FROM sizes GROUP BY cluster_size"""
 
   def minhashLshSql(shingleK: Int, numPerm: Int, bands: Int,
                     threshold: Double): String =

@@ -200,4 +200,22 @@ object Clusters {
         col("cluster_size"),
         (col("id") === col("label")).as("is_canonical"))
   }
+
+  /** Cluster-size histogram: the dedup OUTCOME report — how much of
+    * the corpus is duplicated, at what cluster granularity, and how
+    * many docs the apply step removes. One row per distinct cluster
+    * size; `n_docs_removable` sums to (corpus − survivors).
+    *
+    * Scale shape: the canonical filter reduces to one row per
+    * cluster, then a map-side-combined groupBy over cluster sizes —
+    * output is O(distinct sizes), a frame small enough to inspect by
+    * hand at any corpus scale. */
+  def clusterStats(clusters: DataFrame): DataFrame =
+    clusters.filter(col("is_canonical"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters"))
+          .as("n_docs_removable"))
 }

@@ -33,4 +33,38 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew audit: the heaviest `topN` keys with their share
+    * of the table (ppm) and the salt factor that would spread each
+    * back to average-task volume — the diagnostic run BEFORE picking
+    * `saltFactor` for [[saltedJoin]] (or deciding AQE will cope).
+    *
+    * All integer arithmetic (integral `div`, exact counts) so the
+    * report is engine-reproducible. Scale shape: per-key counts are
+    * ONE map-side-combined shuffle; the totals row broadcasts; the
+    * global top-N prunes per task via `WindowGroupLimit` over the
+    * already-aggregated |keys| frame — no full sort of the key
+    * census. */
+  def skewReport(df: DataFrame, keyCol: String,
+                 topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, "topN is the number of heavy keys to report")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("t"),
+      count(lit(1)).as("d"))
+    val w = Window.orderBy(col("cnt").desc, col(keyCol))
+    counts.withColumn("key_rank", row_number().over(w).cast("long"))
+      .filter(col("key_rank") <= topN)
+      .crossJoin(broadcast(totals))
+      .select(col("key_rank"), col(keyCol), col("cnt"),
+        // widen through decimal(38,0) BEFORE the multiply: cnt·10⁶
+        // (and cnt·d) wrap a long once a key holds ~10¹³ rows — the
+        // silent-overflow class the 100 TB posture bans; `div` takes
+        // the exact integral quotient back to long
+        expr("cast(cnt as decimal(38,0)) * 1000000 div t")
+          .as("share_ppm"),
+        // ceil(cnt / (t/d)) = how many average keys this key weighs
+        expr("(cast(cnt as decimal(38,0)) * d + t - 1) div t")
+          .as("salt_factor"))
+  }
 }

@@ -89,4 +89,22 @@ class ClustersSpec extends SparkSpec {
     // cluster ids are members of their own cluster
     assert(a.filter(col("cluster_id") > col("doc_id")).count() == 0)
   }
+
+  test("clusterStats histogram accounts for every doc and every removal") {
+    val docs = tables.documents
+    val clusters = Clusters.duplicateClusters(docs, Dedup.minhashLsh(docs))
+    val stats = Clusters.clusterStats(clusters).collect()
+    // n_docs sums back to the corpus; removable sums to corpus − survivors
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val survivors = clusters.filter(col("is_canonical")).count()
+    assert(stats.map(_.getAs[Long]("n_docs_removable")).sum ==
+      docs.count() - survivors)
+    // each histogram row is internally consistent
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_docs_removable") ==
+        (r.getAs[Long]("cluster_size") - 1) * r.getAs[Long]("n_clusters"))
+    }
+  }
 }

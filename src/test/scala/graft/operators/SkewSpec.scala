@@ -25,6 +25,25 @@ class SkewSpec extends SparkSpec {
     assert(s.size > 1)
   }
 
+  test("skewReport: hand-computed shares, salt factors, and rank order") {
+    import spark.implicits._
+    // key a: 6 rows, b: 2, c: 1, d: 1 → t=10, d=4, avg=2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val out = Skew.skewReport(df, "k", topN = 3).orderBy("key_rank")
+      .collect()
+    assert(out.map(_.getAs[String]("k")).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_.getAs[Long]("cnt")).toSeq == Seq(6L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("share_ppm")).toSeq ==
+      Seq(600000L, 200000L, 100000L))
+    // ceil(cnt·d/t): a → ceil(24/10)=3, b → ceil(8/10)=1, c → 1
+    assert(out.map(_.getAs[Long]("salt_factor")).toSeq == Seq(3L, 1L, 1L))
+    // rank ties break by key: equal-count keys order deterministically
+    val tied = Skew.skewReport(Seq("x", "y", "z").toDF("k"), "k", 2)
+      .orderBy("key_rank").collect().map(_.getAs[String]("k")).toSeq
+    assert(tied == Seq("x", "y"))
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val r = tables.events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx"),
