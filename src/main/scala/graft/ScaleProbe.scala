@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Clusters, CorpusClean, Dedup, Gold, Similarity, TextAnalysis}
+import graft.operators.{Clusters, CorpusClean, Dedup, Gold, Similarity, Skew, TextAnalysis}
 
 /** Scaling probe: runs representative queries at 1× and 10× the input
   * (10× = ten disjoint copies, ids shifted where identity matters) and
@@ -194,7 +194,21 @@ object ScaleProbe {
         base10.count()
       }, () => Dedup.dedupAgainstIndex(
         t.documents.filter(col("doc_id") % 10 >= 8),
-        "/tmp/graft_scaleprobe/lshidx_10x", threshold = 0.5).count()))
+        "/tmp/graft_scaleprobe/lshidx_10x", threshold = 0.5).count()),
+      // round-6 third wave: the curriculum's two-phase band rank (its
+      // only unpartitioned window is the ≤21-row band-count frame) and
+      // the skew audit's aggregated-census top-N must both hold
+      // rows/sec at 10×
+      ("curriculum_order", t.documents.count(),
+        () => TextAnalysis.curriculumOrder(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.curriculumOrder(
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      ("skew_report", t.events.count(),
+        () => Skew.skewReport(t.events, "user_id").count(),
+        t.events.count() * 10,
+        () => Skew.skewReport(replicate(t.events, 10, Some("event_id")),
+          "user_id").count()))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())
