@@ -1986,6 +1986,20 @@ object Queries {
           count(*) < 10 as at_risk
         FROM customer GROUP BY 1, 2""")),
 
+    Q("l_diversity",
+      // k_anonymity's follow-on gate: a big group still leaks when
+      // everyone shares one sensitive value (homogeneity attack) —
+      // per-group distinct sensitive count via two nested map-side-
+      // combined groupBys (raw rows shuffle once, on the value combo)
+      (s, d) => Profile.lDiversity(Tables(s, d).customer,
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 3L),
+      Some("""
+        SELECT c_nationkey, c_mktsegment,
+          count(*) as group_size,
+          count(DISTINCT c_acctbal) as n_sensitive_values,
+          count(DISTINCT c_acctbal) < 3 as at_risk
+        FROM customer GROUP BY 1, 2""")),
+
     Q("profile_diff",
       // snapshot drift gate: profile of the committed documents drop
       // vs a synthetic incoming drop (10% of rows gone, lang nulled on

@@ -82,6 +82,33 @@ object Profile {
       .withColumn("at_risk", col("group_size") < k)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s follow-on gate: a group can
+    * be large (k-anonymous) yet still leak if everyone in it shares
+    * one sensitive value (a homogeneity attack reads the attribute
+    * off the group without re-identifying anyone). Reports, per
+    * quasi-identifier group, its size, the count of DISTINCT
+    * sensitive values, and the under-`l` flag.
+    *
+    * Scale shape: one groupBy over (quasi × sensitive) with map-side
+    * combine collapses the table to distinct value combinations, then
+    * a second tiny groupBy folds those to the group frame — the
+    * sensitive column never shuffles raw rows twice.
+    *
+    * NULL is counted as a sensitive value of its own (privacy-
+    * conservative: "value withheld" is itself observable), unlike
+    * SQL's `count(DISTINCT …)` which skips NULLs — on a nullable
+    * sensitive column the two can differ by one. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("c")).as("group_size"),
+        count(lit(1)).as("n_sensitive_values"))
+      .withColumn("at_risk", col("n_sensitive_values") < l)
+  }
+
   /** Snapshot drift report: the profiles of two table versions (the
     * committed drop vs the incoming one) full-joined per column —
     * added/removed columns, null-fraction drift, and numeric-range

@@ -83,4 +83,25 @@ class ProfileSpec extends SparkSpec {
     // added/removed rows carry NULL drift metrics
     assert(out("tag").isNullAt(8) && out("flag").isNullAt(8))
   }
+
+  test("lDiversity flags homogeneous groups; NULL counts as a value") {
+    import spark.implicits._
+    // group a: 3 rows, 1 sensitive value → at risk even though big;
+    // group b: 2 rows, 2 values → diverse; group c: value + NULL →
+    // NULL is its own observable value → 2 values, not at risk
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "y"),
+      ("c", "x"), ("c", null)).toDF("qi", "s")
+    val out = Profile.lDiversity(df, Seq("qi"), "s", l = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("group_size") == 3 &&
+      out("a").getAs[Long]("n_sensitive_values") == 1 &&
+      out("a").getAs[Boolean]("at_risk"))
+    assert(out("b").getAs[Long]("n_sensitive_values") == 2 &&
+      !out("b").getAs[Boolean]("at_risk"))
+    assert(out("c").getAs[Long]("group_size") == 2 &&
+      out("c").getAs[Long]("n_sensitive_values") == 2 &&
+      !out("c").getAs[Boolean]("at_risk"))
+  }
 }
