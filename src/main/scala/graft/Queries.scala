@@ -937,6 +937,33 @@ object Queries {
         WHERE ${TextOracleSql.Sha60.format("'sample:' || doc_id")} % 100 <
           CASE WHEN lang = 'en' THEN 50 ELSE 10 END""")),
 
+    Q("corpus_report",
+      // the one-row corpus dashboard: volume, token mass, language/
+      // source spread, mean doc length — the summary every curation
+      // run logs; one full-scan aggregate (two-distinct expand is 2×
+      // map rows, collapsed by partial aggregation before the single
+      // 1-row exchange)
+      (s, d) => Tables(s, d).documents
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars_d"),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars_d")).as("n_chars_total"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (sum(col("n_tok")).cast("double") / count(lit(1)))
+            .as("mean_doc_tokens")),
+      Some("""
+        SELECT count(*) as n_docs,
+          sum(len(string_split(text, ' '))) as n_tokens,
+          sum(length(text)) as n_chars_total,
+          count(DISTINCT lang) as n_langs,
+          count(DISTINCT source) as n_sources,
+          cast(sum(len(string_split(text, ' '))) as double) / count(*)
+            as mean_doc_tokens
+        FROM documents""")),
+
     Q("corpus_sample_exact",
       // fixed-budget eval-set carve-out: exactly 25 docs per language
       // in salted-hash order; row_number<=k compiles to

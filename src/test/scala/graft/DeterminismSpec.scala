@@ -71,6 +71,7 @@ class DeterminismSpec extends SparkSpec {
     // curriculum ranks, normalization hashes and the JSONL round-trip
     // must be fan-out-independent
     "corpus_sample_exact", "curriculum_order", "text_normalize",
-    "export_jsonl", "skew_report", "dedup_stats", "l_diversity"))
+    "export_jsonl", "skew_report", "dedup_stats", "l_diversity",
+    "corpus_report"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
