@@ -714,7 +714,13 @@ object TextAnalysis {
       coalesce(sum(col("c")).over(wb), lit(0L)))
     val wi = Window.partitionBy(col("band"))
       .orderBy(col("h"), col("doc_id"))
-    scored.join(broadcast(offsets.select(col("band"), col("off"))), "band")
+    // LEFT join, though every band has an offsets row by construction:
+    // an inner join makes Catalyst infer IsNotNull(band) on the corpus
+    // side, and that filter re-evaluates the whole classifier
+    // aggregate a second time per row — left-outer keeps the single
+    // evaluation and is result-identical (band is never null)
+    scored.join(broadcast(offsets.select(col("band"), col("off"))),
+        Seq("band"), "left")
       .withColumn("curriculum_rank",
         col("off") + row_number().over(wi).cast("long") - 1)
       .select(col("doc_id"), col("band"), col("curriculum_rank"))
