@@ -1001,6 +1001,13 @@ object Queries {
               '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g'))) as norm_text
           FROM documents)""")),
 
+    Q("quality_resample",
+      // soft quality filter: keep probability ∝ classifier score
+      // (borderline docs survive at reduced rate — no cliff edge);
+      // map-only score+rate+hash test in one projection
+      (s, d) => TextAnalysis.qualityResample(Tables(s, d).documents),
+      Some(TextOracleSql.qualityResampleSql("resample"))),
+
     Q("curriculum_order",
       // quality-curriculum training order: classifier-score bands
       // best-first, salted-hash shuffle within a band — a dense

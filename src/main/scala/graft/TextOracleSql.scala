@@ -398,6 +398,20 @@ object TextOracleSql {
         as curriculum_rank
     FROM s"""
 
+  /** Soft quality filter (mirrors TextAnalysis.qualityResample):
+    * keep probability ∝ clamped classifier score, membership by
+    * salted hash — the same IEEE divide/multiply/floor chain. */
+  def qualityResampleSql(salt: String): String = s"""
+    WITH ${clfCtes(0L)},
+    s AS (SELECT k.doc_id,
+            least(greatest(cast(floor((0.5 + cast(w.score_raw as double)
+              / (len(k.toks) * 1000.0)) * 1000000.0) as bigint), 0),
+              1000000) as keep_ppm
+          FROM toks k JOIN w USING (doc_id))
+    SELECT doc_id, keep_ppm FROM s
+    WHERE ${sha60(s"'$salt:' || cast(doc_id as varchar)")} % 1000000
+      < keep_ppm"""
+
   /** Hashed-token linear classifier (mirrors
     * TextAnalysis.qualityClassifier): integer weight sum, one final
     * IEEE division. */

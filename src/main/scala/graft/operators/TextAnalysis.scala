@@ -681,6 +681,32 @@ object TextAnalysis {
         normHash.as("norm_hash"))
   }
 
+  /** Soft quality filter (CCNet-style): keep probability proportional
+    * to the classifier score instead of a hard threshold — borderline
+    * documents survive at reduced rate, preserving distributional
+    * coverage a cliff-edge cut destroys. keep_ppm =
+    * clamp(floor((0.5 + clf_score)·10⁶), 0, 10⁶) — a score-neutral
+    * doc keeps at 50%, strongly positive approaches certainty,
+    * strongly negative approaches zero; membership is the salted
+    * hash against that rate, so the decision is a pure function of
+    * (salt, doc) — reproducible across runs, partitionings, engines.
+    *
+    * Scale shape: map-only — score, rate and hash test evaluate in
+    * one projection at scan speed; no shuffle at any corpus size. */
+  def qualityResample(documents: DataFrame,
+                      salt: String = "resample"): DataFrame = {
+    val scored = documents
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        clfScoreRaw(col("toks")).as("score_raw"))
+      .withColumn("keep_ppm",
+        least(greatest(floor((lit(0.5) + col("score_raw").cast("double") /
+          (col("n_tokens") * lit(1000.0))) * lit(1000000.0)), lit(0L)),
+          lit(1000000L)))
+    scored.filter(pmod(saltedSha60(salt), lit(1000000L)) < col("keep_ppm"))
+      .select(col("doc_id"), col("keep_ppm"))
+  }
+
   /** Deterministic curriculum ordering: every document gets a dense
     * 0-based `curriculum_rank`, best-quality-first — the training-
     * order analog of [[corpusShuffle]] with a semantic primary key.

@@ -72,6 +72,6 @@ class DeterminismSpec extends SparkSpec {
     // must be fan-out-independent
     "corpus_sample_exact", "curriculum_order", "text_normalize",
     "export_jsonl", "skew_report", "dedup_stats", "l_diversity",
-    "corpus_report"))
+    "corpus_report", "quality_resample"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

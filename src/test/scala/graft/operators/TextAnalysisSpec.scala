@@ -405,6 +405,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(renorm == out)
   }
 
+  test("qualityResample: rate proportional to score, bounded, stable") {
+    val docs = tables.documents
+    val out = TextAnalysis.qualityResample(docs)
+    // rates are valid ppm and the kept fraction is plausible for
+    // scores centered near zero (≈50% ± spread)
+    assert(out.filter(col("keep_ppm") < 0 || col("keep_ppm") > 1000000L)
+      .count() == 0)
+    val frac = out.count().toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.85, s"kept fraction $frac")
+    // pure function of (salt, doc): identical across runs
+    val again = TextAnalysis.qualityResample(docs)
+    assert(out.exceptAll(again).count() == 0)
+    // monotone: the kept set's mean score must exceed the corpus mean
+    // (that is the point of proportional sampling)
+    val scored = TextAnalysis.qualityClassifier(docs)
+      .select(col("doc_id"), col("clf_score"))
+    val keptMean = scored.join(out, "doc_id")
+      .agg(avg("clf_score")).head.getDouble(0)
+    val allMean = scored.agg(avg("clf_score")).head.getDouble(0)
+    assert(keptMean > allMean,
+      s"kept mean $keptMean not above corpus mean $allMean")
+  }
+
   test("curriculumOrder: dense global permutation, bands ordered best-first") {
     val docs = tables.documents
     val out = TextAnalysis.curriculumOrder(docs)
