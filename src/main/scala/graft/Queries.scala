@@ -720,6 +720,41 @@ object Queries {
       Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
         sampleBudget = 128, queryPred = "vec_id < 8"))),
 
+    Q("stream_ann_probe",
+      // ONLINE retrieval against the persisted IVF index: query
+      // vectors arrive as parquet micro-batches, each probes the
+      // static index (partition-pruned list scan, broadcast queries)
+      // and lands idempotently under batch=<id>; the index never
+      // mutates during serving, so the accumulated results equal the
+      // one-shot batch probe — the ann_ivf oracle checks the whole
+      // streaming lifecycle
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val emb = Tables(s, d).embeddings
+        val sf = new java.io.File(d).getName
+        val idx = s"/tmp/graft_cache/ivfidx_$sf"
+        Similarity.buildIvfIndex(emb, idx, cacheKey = Some(d))
+        val src = s"/tmp/graft_cache/sap_src_$sf"
+        val out = s"/tmp/graft_cache/sap_out_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(out))
+        // 4 files / 2-per-trigger → 2 micro-batches of 8 queries each
+        emb.filter(col("vec_id") < 16).select("vec_id", "embedding")
+          .repartition(4).write.mode("overwrite").parquet(src)
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sap_ckpt").toString
+        graft.streaming.Streams.annProbeStream(s, src, schema, idx, out,
+          ckpt).awaitTermination(120000)
+        s.read.parquet(out)
+          .select("query_id", "neighbor_id", "cluster", "rank", "cosine")
+      },
+      // identical semantics to ann_ivf over the same query set
+      Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
+        sampleBudget = 128, queryPred = "vec_id < 16"))),
+
     Q("ann_pq_indexed",
       // the SERVING artifact: codes-only index hive-partitioned by
       // coarse cell (+persisted quantizer/codebooks); queries read

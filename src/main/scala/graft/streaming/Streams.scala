@@ -283,6 +283,44 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the streaming ANN probe sink — the SERVING
+    * side of the persisted IVF index run continuously: each arriving
+    * batch of query vectors probes the static index
+    * ([[graft.operators.Similarity.annIvfIndexed]] — centroid
+    * resolution, partition-pruned list scan, top-k) and lands its
+    * results under `batch=<id>` with directory overwrite, so a
+    * retried micro-batch is idempotent. The index never mutates
+    * during serving, so the union of per-batch results is independent
+    * of how queries split into batches — the batch `ann_ivf` oracle
+    * checks the whole streaming lifecycle. */
+  def annProbeBatch(indexPath: String, outDir: String, nprobe: Int,
+                    k: Int)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.Similarity
+        .annIvfIndexed(batch.sparkSession, indexPath,
+          batch.select("vec_id", "embedding"), nprobe, k)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Continuous online retrieval: query vectors arrive as parquet
+    * file micro-batches and probe the persisted IVF index via
+    * [[annProbeBatch]]. Queries per trigger stay broadcast-small (the
+    * [[graft.operators.Similarity.annIvfIndexed]] contract); the
+    * index partitions read per batch are only the probed lists. */
+  def annProbeStream(spark: SparkSession, srcPath: String,
+                     schema: StructType, indexPath: String,
+                     outDir: String, checkpoint: String,
+                     nprobe: Int = 4, k: Int = 5,
+                     maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema, format = "parquet",
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(annProbeBatch(indexPath, outDir, nprobe, k) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous corpus curation: document micro-batches pass the
     * hashed-token quality classifier map-side, then cross-batch
     * EXACT duplicates are suppressed in the state store

@@ -295,6 +295,39 @@ class StreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("ann probe stream: results are batch-split independent and equal the one-shot probe") {
+    import graft.operators.Similarity
+    val emb = tables.embeddings
+    val idx = Files.createTempDirectory("graft_sap_idx").toString + "/i"
+    Similarity.buildIvfIndex(emb, idx)
+    val queries = emb.filter(col("vec_id") < 16)
+      .select("vec_id", "embedding")
+    val src = Files.createTempDirectory("graft_sap_src").toString
+    queries.repartition(4).write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+
+    def run(maxFiles: Int): Set[(Long, Long, Long)] = {
+      val out = Files.createTempDirectory("graft_sap_out").toString + "/o"
+      val ckpt = Files.createTempDirectory("graft_sap_ck").toString
+      Streams.annProbeStream(spark, src, schema, idx, out, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      spark.read.parquet(out).select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+
+    val oneByOne = run(1)   // 4 micro-batches
+    val allAtOnce = run(32) // 1 micro-batch
+    assert(oneByOne == allAtOnce, "probe results depend on the batch split")
+    // the static index means the stream equals the one-shot probe
+    val oneShot = Similarity.annIvfIndexed(spark, idx, queries)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneByOne == oneShot, "stream probe != one-shot batch probe")
+    assert(oneShot.nonEmpty)
+  }
+
   test("dedupIndexBatch retry after a completed append emits the same pairs — no self-pairs") {
     import graft.operators.Dedup
     val idx = Files.createTempDirectory("graft_sdi_retry_idx").toString
