@@ -49,8 +49,12 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // labels only decrease → the exact decimal sum strictly decreases
     // until the fixpoint; equal sums ⟺ converged
+    // sum over an EMPTY frame is NULL — coalesce to zero so a corpus
+    // with no near-dup pairs (empty delta, singleton stratum)
+    // converges on the first check instead of NPE-ing the compare
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).collect()(0)
         .getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0

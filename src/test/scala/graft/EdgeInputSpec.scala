@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input robustness: a pipeline stage at 100 TB WILL see
+  * an empty partition, an empty delta, or a one-document stratum
+  * (a filter that matched nothing, a quiet ingest window). Operators
+  * must return empty/degenerate RESULTS, never throw — a nightly run
+  * that dies on an empty delta is an operational bug even though no
+  * data was wrong.
+  */
+class EdgeInputSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def oneDoc: DataFrame =
+    Seq((1L, "the only document here", "en", "web", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("text operators return empty results on an empty corpus") {
+    assert(TextAnalysis.tokenCount(emptyDocs).count() == 0)
+    assert(TextAnalysis.qualityClassifier(emptyDocs).count() == 0)
+    assert(TextAnalysis.qualityResample(emptyDocs).count() == 0)
+    assert(TextAnalysis.curriculumOrder(emptyDocs).count() == 0)
+    assert(TextAnalysis.corpusShuffle(emptyDocs).count() == 0)
+    assert(TextAnalysis.exactStratifiedSample(emptyDocs, "lang", 5)
+      .count() == 0)
+    assert(TextAnalysis.textNormalize(emptyDocs).count() == 0)
+    assert(TextAnalysis.vocabulary(emptyDocs).count() == 0)
+    assert(TextAnalysis.invertedIndex(emptyDocs).count() == 0)
+    assert(TextAnalysis.sequencePack(emptyDocs).count() == 0)
+    assert(TextAnalysis.domainMix(emptyDocs).count() == 0)
+  }
+
+  test("dedup operators return no pairs/clusters on an empty corpus") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    val clusters = Clusters.duplicateClusters(emptyDocs,
+      Dedup.minhashLsh(emptyDocs))
+    assert(clusters.count() == 0)
+    assert(Clusters.clusterStats(clusters).count() == 0)
+  }
+
+  test("a single-document corpus is inert everywhere it should be") {
+    // no pair-generating operator may emit anything from one doc
+    assert(Dedup.minhashLsh(oneDoc).count() == 0)
+    assert(Dedup.simhashPairs(oneDoc).count() == 0)
+    // rank/order operators emit exactly the one row, rank 0/1
+    val order = TextAnalysis.curriculumOrder(oneDoc).collect()
+    assert(order.length == 1 &&
+      order.head.getAs[Long]("curriculum_rank") == 0L)
+    val shuffle = TextAnalysis.corpusShuffle(oneDoc).collect()
+    assert(shuffle.length == 1 &&
+      shuffle.head.getAs[Long]("shuffle_rank") == 0L)
+    val sampled = TextAnalysis.exactStratifiedSample(oneDoc, "lang", 5)
+      .collect()
+    assert(sampled.length == 1 &&
+      sampled.head.getAs[Long]("sample_rank") == 1L)
+    // the cluster layer labels the singleton canonical
+    val c = Clusters.duplicateClusters(oneDoc, Dedup.minhashLsh(oneDoc))
+      .collect()
+    assert(c.length == 1 && c.head.getAs[Boolean]("is_canonical") &&
+      c.head.getAs[Long]("cluster_size") == 1L)
+  }
+
+  test("skew and governance audits behave on empty and trivial keys") {
+    val emptyKeys = Seq.empty[(Long, String)].toDF("user_id", "k")
+    assert(Skew.skewReport(emptyKeys, "user_id").count() == 0)
+    assert(Profile.kAnonymity(oneDoc, Seq("lang")).count() == 1)
+    val ld = Profile.lDiversity(oneDoc, Seq("lang"), "source").collect()
+    assert(ld.length == 1 && ld.head.getAs[Long]("n_sensitive_values") == 1L)
+  }
+}
