@@ -70,6 +70,35 @@ class EdgeInputSpec extends SparkSpec {
       c.head.getAs[Long]("cluster_size") == 1L)
   }
 
+  test("ANN search over an empty corpus returns no neighbors") {
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val queries = tables.embeddings.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding", "label")
+    assert(Similarity.annBruteForce(emptyEmb, queries).count() == 0)
+    // empty QUERY side against a real corpus is also inert
+    val emptyQ = emptyEmb
+    assert(Similarity.annBruteForce(tables.embeddings, emptyQ)
+      .count() == 0)
+  }
+
+  test("bigram LM scoring: empty eval is inert; empty train floors every transition") {
+    val emptyDocsLm = emptyDocs
+    // empty eval side → no rows
+    assert(NgramLm.scoreDocs(oneDoc, emptyDocsLm).count() == 0)
+    // empty TRAIN side: every eval transition must fall back to the
+    // smoothing floor, never divide by a null count or throw
+    val floored = NgramLm.scoreDocs(emptyDocsLm, oneDoc)
+    assert(floored.count() == 1)
+  }
+
+  test("corpus cleaning passes an empty corpus through") {
+    assert(CorpusClean.paragraphDedup(emptyDocs).count() == 0)
+    assert(CorpusClean.paragraphDedup(emptyDocs,
+      path = CorpusClean.BannedSetPath.AntiJoin).count() == 0)
+    assert(CorpusClean.intraDocDedup(emptyDocs).count() == 0)
+  }
+
   test("skew and governance audits behave on empty and trivial keys") {
     val emptyKeys = Seq.empty[(Long, String)].toDF("user_id", "k")
     assert(Skew.skewReport(emptyKeys, "user_id").count() == 0)
