@@ -1,0 +1,56 @@
+package graft
+
+/** GLOBAL plan invariants over the representative query set (the
+  * same list graft.Explain dumps to PLANS.md): properties every graft
+  * plan must hold at any scale, asserted in one sweep so a NEW query
+  * can't quietly ship a scale-killer the per-operator plan tests
+  * never look at.
+  *
+  * - no `CartesianProduct` anywhere (a data×data nested loop is never
+  *   acceptable; broadcast nested-loop of a scalar/tiny frame is);
+  * - no `InMemoryTableScan` (operators return declarative plans —
+  *   caching is the caller's decision, and persisted intermediates
+  *   break exchange reuse and pin executor memory);
+  * - at most 2 `Exchange SinglePartition` per plan (the two-phase
+  *   rank/offset pattern funnels a TINY count frame through one;
+  *   profile_diff diffs two |columns|-row frames — anything beyond
+  *   that is a full-data global sort/fold hiding in the plan);
+  * - no single-partition range sort (`rangepartitioning(..., 1)`),
+  *   the classic accidental `orderBy` on an unpartitioned frame.
+  *
+  * Streaming lifecycle queries execute side effects when built, so —
+  * like Explain — the sweep covers the batch/declarative registry
+  * surface.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] = Explain.names.map { n =>
+    n -> Queries.queries(n)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+  }.toMap
+
+  test("no representative plan contains a cartesian product") {
+    val bad = plans.filter(_._2.contains("CartesianProduct")).keys
+    assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
+  }
+
+  test("no representative plan reads a cached intermediate") {
+    val bad = plans.filter(_._2.contains("InMemoryTableScan")).keys
+    assert(bad.isEmpty, s"cached intermediates in: ${bad.mkString(", ")}")
+  }
+
+  test("single-partition exchanges stay on tiny frames (<=2 per plan)") {
+    val bad = plans.filter { case (_, p) =>
+      "Exchange SinglePartition".r.findAllIn(p).size > 2
+    }.keys
+    assert(bad.isEmpty, s"global funnels in: ${bad.mkString(", ")}")
+  }
+
+  test("no plan sorts through one range partition") {
+    val bad = plans.filter { case (_, p) =>
+      "rangepartitioning\\([^)]*, 1\\)".r.findFirstIn(p).isDefined
+    }.keys
+    assert(bad.isEmpty,
+      s"single-partition range sorts in: ${bad.mkString(", ")}")
+  }
+}
