@@ -2069,6 +2069,42 @@ object Queries {
           count(DISTINCT c_acctbal) < 3 as at_risk
         FROM customer GROUP BY 1, 2""")),
 
+    Q("t_closeness",
+      // the distributional gate after k_anonymity/l_diversity: a big,
+      // diverse group still leaks when its sensitive-value
+      // distribution skews far from the table's (skewness attack).
+      // Total-variation distance per group from ONLY the group's own
+      // (group, value) rows (the absent-value tail folds to
+      // 1 − Σ c_v/n) — never a groups × values expansion; integer
+      // numerators summed in decimal, doubles only in the final fixed
+      // op chain
+      (s, d) => Profile.tCloseness(Tables(s, d).customer,
+        Seq("c_nationkey"), "c_mktsegment", t = 0.15),
+      Some("""
+        WITH gv AS (SELECT c_nationkey, c_mktsegment AS v, count(*) AS c_gv
+                    FROM customer GROUP BY 1, 2),
+        vc AS (SELECT v, sum(c_gv) AS c_v FROM gv GROUP BY 1),
+        tot AS (SELECT sum(c_v) AS n FROM vc),
+        j AS (SELECT gv.c_nationkey, gv.c_gv, vc.c_v, tot.n,
+                sum(c_gv) OVER (PARTITION BY c_nationkey) AS n_g
+              FROM gv JOIN vc USING (v) CROSS JOIN tot),
+        g AS (SELECT c_nationkey,
+                first(n_g) AS group_size,
+                sum(abs(c_gv::HUGEINT * n - c_v::HUGEINT * n_g)) AS s_num,
+                sum(c_v) AS s_cov,
+                first(n) AS n
+              FROM j GROUP BY 1)
+        SELECT c_nationkey, group_size,
+          0.5 * (CAST(s_num AS DOUBLE)
+                   / (CAST(group_size AS DOUBLE) * CAST(n AS DOUBLE))
+                 + (1.0 - CAST(s_cov AS DOUBLE) / CAST(n AS DOUBLE)))
+            AS tvd,
+          (0.5 * (CAST(s_num AS DOUBLE)
+                   / (CAST(group_size AS DOUBLE) * CAST(n AS DOUBLE))
+                 + (1.0 - CAST(s_cov AS DOUBLE) / CAST(n AS DOUBLE)))
+           > 0.15) AS at_risk
+        FROM g""")),
+
     Q("profile_diff",
       // snapshot drift gate: profile of the committed documents drop
       // vs a synthetic incoming drop (10% of rows gone, lang nulled on

@@ -109,6 +109,70 @@ object Profile {
       .withColumn("at_risk", col("n_sensitive_values") < l)
   }
 
+  /** t-closeness audit — the distributional gate after [[kAnonymity]]
+    * and [[lDiversity]]: a group can be large AND diverse yet still
+    * leak if its sensitive-value DISTRIBUTION skews far from the
+    * table's (a skewness attack reads "this group is mostly v" even
+    * when several values appear). Reports, per quasi-identifier
+    * group, the total-variation distance between the group's and the
+    * global sensitive distribution, flagging groups above `t`.
+    *
+    * Exact-arithmetic design (oracle-portable): with c_gv = count in
+    * (group, value), n_g = group size, c_v = global value count,
+    * n = table size,
+    *   tvd_g = ½·( Σ_{v∈G} |c_gv/n_g − c_v/n|  +  Σ_{v∉G} c_v/n )
+    * and the absent-value tail is 1 − Σ_{v∈G} c_v/n, so the whole
+    * distance needs ONLY the group's own (group, value) rows — never
+    * a groups × values expansion. Numerators are integer
+    * (|c_gv·n − c_v·n_g| summed in decimal(38,0), overflow-safe to
+    * ~1e18-row tables); doubles appear only in the final fixed op
+    * chain, so the result is bit-reproducible across engines.
+    *
+    * Scale shape: one groupBy collapses the table to (group, value)
+    * combinations; the global value frame (sensitive cardinality —
+    * bounded for any attribute worth auditing) broadcasts onto it;
+    * a window sum and the final fold share one shuffle on the
+    * quasi-identifier key. Raw rows shuffle exactly once. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double = 0.3): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val quasi = quasiCols.map(col)
+    val gv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("c_gv"))
+    // global value counts and the table total both FOLD OUT of the
+    // combo frame — no second scan of df (the gv exchange is shared
+    // via ReuseExchange), and no collect_list single-row bottleneck:
+    // the value frame stays a distributed |values|-row frame that is
+    // broadcast only at the join
+    val vCounts = gv.groupBy(col(sensitiveCol))
+      .agg(sum(col("c_gv")).as("c_v"))
+    val tot = vCounts.agg(sum(col("c_v")).as("n"))
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasi: _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // null-safe value match: NULL is its own observable sensitive
+    // value (the lDiversity convention) and must carry its global
+    // count like any other
+    gv.join(broadcast(vCounts.withColumnRenamed(sensitiveCol, "__v")),
+        col(sensitiveCol) <=> col("__v"))
+      .drop("__v")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_g", sum(col("c_gv")).over(byGroup))
+      .groupBy(quasi: _*)
+      .agg(first(col("n_g")).as("group_size"),
+        sum(abs(dec(col("c_gv")) * dec(col("n")) -
+          dec(col("c_v")) * dec(col("n_g")))).as("s_num"),
+        sum(col("c_v")).as("s_cov"),
+        first(col("n")).as("n"))
+      .withColumn("tvd",
+        lit(0.5) * (col("s_num").cast("double") /
+          (col("group_size").cast("double") * col("n").cast("double")) +
+          (lit(1.0) - col("s_cov").cast("double") / col("n").cast("double"))))
+      .withColumn("at_risk", col("tvd") > t)
+      .select((quasi :+ col("group_size") :+ col("tvd") :+
+        col("at_risk")): _*)
+  }
+
   /** Snapshot drift report: the profiles of two table versions (the
     * committed drop vs the incoming one) full-joined per column —
     * added/removed columns, null-fraction drift, and numeric-range

@@ -84,6 +84,46 @@ class ProfileSpec extends SparkSpec {
     assert(out("tag").isNullAt(8) && out("flag").isNullAt(8))
   }
 
+  test("tCloseness: hand-computed TVD, absent-value tail, NULL value") {
+    import spark.implicits._
+    // p: 3×x + 1×y, r: 2×x. Global: x 5/6, y 1/6.
+    //   tvd(p) = ½(|3/4−5/6| + |1/4−1/6|) = 1/12
+    //   tvd(r) = ½(|1−5/6| + 1/6)         = 1/6   (y absent from r)
+    val df = Seq(("p", "x"), ("p", "x"), ("p", "x"), ("p", "y"),
+      ("r", "x"), ("r", "x")).toDF("qi", "s")
+    val out = Profile.tCloseness(df, Seq("qi"), "s", t = 0.1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("p").getAs[Long]("group_size") == 4)
+    assert(math.abs(out("p").getAs[Double]("tvd") - 1.0 / 12.0) < 1e-15)
+    assert(!out("p").getAs[Boolean]("at_risk"))
+    assert(out("r").getAs[Long]("group_size") == 2)
+    assert(math.abs(out("r").getAs[Double]("tvd") - 1.0 / 6.0) < 1e-15)
+    assert(out("r").getAs[Boolean]("at_risk"))
+    // NULL is its own sensitive value and keeps its global count
+    // through the null-safe join: both groups hold 1×x + 1×NULL,
+    // mirroring the global (x ½, NULL ½) mix → tvd exactly 0; a
+    // null-dropping join would lose the NULL rows and report ¼
+    val dfn = Seq(("a", "x"), ("a", null), ("b", "x"), ("b", null))
+      .toDF("qi", "s")
+    val outN = Profile.tCloseness(dfn, Seq("qi"), "s", t = 0.1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(outN("a").getAs[Double]("tvd") == 0.0)
+    assert(outN("b").getAs[Double]("tvd") == 0.0)
+    assert(outN("a").getAs[Long]("group_size") == 2)
+  }
+
+  test("tCloseness: a uniform group matches the global distribution") {
+    import spark.implicits._
+    // every group mirrors the global mix exactly → tvd 0, none at risk
+    val df = Seq.tabulate(30) { i =>
+      (s"g${i % 3}", if (i % 5 == 0) "a" else "b")
+    }.toDF("qi", "s")
+    val out = Profile.tCloseness(df, Seq("qi"), "s").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getAs[Double]("tvd") == 0.0))
+    assert(out.forall(r => !r.getAs[Boolean]("at_risk")))
+  }
+
   test("lDiversity flags homogeneous groups; NULL counts as a value") {
     import spark.implicits._
     // group a: 3 rows, 1 sensitive value → at risk even though big;
