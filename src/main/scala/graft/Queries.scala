@@ -479,6 +479,36 @@ object Queries {
           n_tokens, clf_score
         FROM scored WHERE clf_score > 0.0""")),
 
+    Q("stream_heavy_hitters",
+      // continuous corpus token statistics: each micro-batch folds a
+      // map-side-combined partial token count into a sharded store
+      // (batch=N overwrite → retry-idempotent); partial counting is
+      // associative, so the merged shards equal the exact corpus
+      // counts however arrivals were batched — checked by the same
+      // exact word-count oracle as batch heavy_hitters
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/shh_src_$sf"
+        val cnt = s"/tmp/graft_cache/shh_cnt_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
+        Tables(s, d).documents.select("doc_id", "text")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_shh_ckpt").toString
+        graft.streaming.Streams.tokenCountStream(s, src, schema, cnt, ckpt)
+          .awaitTermination(120000)
+        graft.streaming.Streams.heavyHittersFromCounts(s, cnt,
+          minCount = 500)
+      },
+      Some("""
+        SELECT word, count(*) as n_occurrences
+        FROM (SELECT unnest(string_split(text, ' ')) as word
+              FROM documents)
+        GROUP BY 1 HAVING count(*) >= 500""")),
+
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
       Some(TextOracleSql.simhashSql(maxHamming = 3))),

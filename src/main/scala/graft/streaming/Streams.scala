@@ -362,6 +362,61 @@ object Streams {
       .start()
   }
 
+  /** One micro-batch of the streaming token-count sink: the batch's
+    * token partial counts (one map-side-combined groupBy — the output
+    * is batch-vocabulary-sized, raw text never leaves the batch) land
+    * under `batch=<id>` with directory overwrite, so a retried
+    * micro-batch is idempotent. Because partial counting is
+    * associative, merging the accumulated shards reproduces the exact
+    * corpus counts HOWEVER arrivals were split into batches — the
+    * property that lets the plain batch word-count oracle check the
+    * whole streaming lifecycle. */
+  def tokenCountBatch(countsDir: String)(batch: DataFrame,
+                                         batchId: Long): Unit =
+    batch.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+
+  /** Continuous corpus token statistics — the streaming twin of
+    * `heavy_hitters`: document micro-batches fold partial token
+    * counts into a sharded count store via [[tokenCountBatch]].
+    * Steady-state per-batch cost is O(batch vocabulary); the store
+    * grows by one vocabulary-sized shard per batch and is compacted
+    * with [[compactTokenCounts]] (the same associative fold), never
+    * by re-reading text. */
+  def tokenCountStream(spark: SparkSession, srcPath: String,
+                       schema: StructType, countsDir: String,
+                       checkpoint: String,
+                       maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select("text")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(tokenCountBatch(countsDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time heavy hitters over the accumulated count shards:
+    * merge (groupBy word, sum — shuffles only count rows) and filter
+    * to `minCount`. Exactly the batch corpus answer at every batch
+    * boundary. */
+  def heavyHittersFromCounts(spark: SparkSession, countsDir: String,
+                             minCount: Long): DataFrame =
+    spark.read.parquet(countsDir)
+      .groupBy(col("word")).agg(sum(col("c")).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+
+  /** Shard compaction: fold the whole count tree into one shard at
+    * `outDir` (caller swaps it in as the new store's first batch).
+    * Associativity makes the compacted store indistinguishable from
+    * the original to every reader. */
+  def compactTokenCounts(spark: SparkSession, countsDir: String,
+                         outDir: String): Unit =
+    spark.read.parquet(countsDir)
+      .groupBy(col("word")).agg(sum(col("c")).as("c"))
+      .write.mode("overwrite").parquet(outDir)
+
   /** Batch analog of gap-based sessionization (oracle-checkable):
     * session boundaries via lag(), session ids via a running sum,
     * one aggregated row per session. Two window passes + one groupBy,

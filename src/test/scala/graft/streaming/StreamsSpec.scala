@@ -356,6 +356,51 @@ class StreamsSpec extends SparkSpec {
     assert(retried.forall { case (a, b) => a != b }, "self-pair emitted")
   }
 
+  test("tokenCountStream: merged shards are batch-split independent " +
+    "and retry-idempotent; compaction preserves every count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b"),
+      (3L, "c c c a"),
+      (4L, "d")).toDF("doc_id", "text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+
+    def run(maxFiles: Int): (String, Map[String, Long]) = {
+      val src = Files.createTempDirectory("graft_shh_src").toFile.getPath
+      val cnt = Files.createTempDirectory("graft_shh_cnt").toFile.getPath + "/c"
+      val ckpt = Files.createTempDirectory("graft_shh_ck").toFile.getPath
+      docs.repartition(4, col("doc_id")).write.mode("overwrite").json(src)
+      Streams.tokenCountStream(spark, src, schema, cnt, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      (cnt, Streams.heavyHittersFromCounts(spark, cnt, minCount = 1L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+
+    val exact = Map("a" -> 4L, "b" -> 2L, "c" -> 4L, "d" -> 1L)
+    val (cntDir, oneByOne) = run(1)
+    assert(oneByOne == exact)
+    assert(run(4)._2 == exact, "counts differ on a different batch split")
+    // threshold cuts exactly the sub-minCount words
+    assert(Streams.heavyHittersFromCounts(spark, cntDir, minCount = 2L)
+      .collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+    // a retried micro-batch overwrites its own shard — no double count
+    val retryDir = Files.createTempDirectory("graft_shh_rt").toFile
+      .getPath + "/c"
+    Streams.tokenCountBatch(retryDir)(docs.filter(col("doc_id") === 1L), 0L)
+    Streams.tokenCountBatch(retryDir)(docs.filter(col("doc_id") === 1L), 0L)
+    assert(Streams.heavyHittersFromCounts(spark, retryDir, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    // compaction folds shards without changing any reader's answer
+    val compacted = Files.createTempDirectory("graft_shh_cp").toFile
+      .getPath + "/c0"
+    Streams.compactTokenCounts(spark, cntDir, compacted)
+    assert(Streams.heavyHittersFromCounts(spark, compacted, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
+  }
+
   test("curationStream: filtered + deduped sink is batch-split independent") {
     import spark.implicits._
     val docs = Seq(
