@@ -72,6 +72,9 @@ class DeterminismSpec extends SparkSpec {
     // must be fan-out-independent
     "corpus_sample_exact", "curriculum_order", "text_normalize",
     "export_jsonl", "skew_report", "dedup_stats", "l_diversity",
-    "corpus_report", "quality_resample"))
+    "corpus_report", "quality_resample",
+    // round-6 fourth wave: the TVD audit's decimal numerators and
+    // window sums must not depend on fan-out
+    "t_closeness"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
