@@ -1264,6 +1264,14 @@ object Queries {
           JOIN unic ua ON ua.word = b.word_a
           JOIN unic ub ON ub.word = b.word_b, tot t""")),
 
+    Q("textrank_keywords",
+      // graph-structural keyword scoring: integer-ppb PageRank over
+      // the word co-occurrence graph — one corpus scan builds the
+      // persisted edge set, then 3 synchronous |E|-bounded rounds;
+      // all-integer fixpoint, bit-identical to the unrolled oracle
+      (s, d) => TextRank.textRank(Tables(s, d).documents),
+      Some(TextRank.textRankSql())),
+
     Q("text_repetition",
       (s, d) => TextAnalysis.repetition(Tables(s, d).documents),
       Some("""

@@ -74,7 +74,8 @@ class DeterminismSpec extends SparkSpec {
     "export_jsonl", "skew_report", "dedup_stats", "l_diversity",
     "corpus_report", "quality_resample",
     // round-6 fourth wave: the TVD audit's decimal numerators and
-    // window sums must not depend on fan-out
-    "t_closeness"))
+    // window sums must not depend on fan-out, and the TextRank
+    // integer fixpoint must be bit-identical under any partitioning
+    "t_closeness", "textrank_keywords"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
