@@ -383,6 +383,19 @@ object Queries {
           count(*) as n_copies
         FROM documents GROUP BY 1""")),
 
+    Q("edit_distance_join",
+      // exact ED-1 similarity self-join on customer names: FastSS
+      // deletion-neighborhood blocking + levenshtein verify ≡ the
+      // naive all-pairs oracle (blocking is complete, so the verified
+      // output is the exact pair set — never a recall trade)
+      (s, d) => EditDistance.edJoin(Tables(s, d).customer,
+        "c_custkey", "c_name", maxDist = 1),
+      Some("""
+        SELECT a.c_custkey as a_id, b.c_custkey as b_id,
+          cast(levenshtein(a.c_name, b.c_name) as bigint) as dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1""")),
+
     Q("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(Tables(s, d).documents),
       // full banded-LSH replica in DuckDB — portable sha256-prefix
