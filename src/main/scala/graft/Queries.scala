@@ -405,6 +405,15 @@ object Queries {
         bands = 16, threshold = 0.5)),
       headline = true),
 
+    Q("similarity_join_exact",
+      // guaranteed-complete prefix-filter join: the ground truth the
+      // banded-LSH path trades recall against — same shingles, same
+      // threshold, NO sketch; also the dedup-family recall audit
+      (s, d) => SetJoin.similarityJoinExact(Tables(s, d).documents,
+        shingleK = 3, tNum = 1, tDen = 2),
+      Some(TextOracleSql.exactJaccardJoinSql(shingleK = 3,
+        tNum = 1, tDen = 2))),
+
     Q("dedup_incremental",
       // nightly-dedup lifecycle: a signature-only index built from the
       // base corpus (80%), then the new batch (20%) deduped against it

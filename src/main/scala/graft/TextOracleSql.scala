@@ -649,6 +649,24 @@ object TextOracleSql {
     FROM enc"""
   }
 
+  /** Exact set-similarity self-join (mirrors SetJoin
+    * .similarityJoinExact): the naive all-pairs formulation — the
+    * Spark side's prefix filter is a complete blocking, so its
+    * verified output equals this quadratic reference exactly. Integer
+    * intersection/union sizes, one final double division. */
+  def exactJaccardJoinSql(shingleK: Int, tNum: Int, tDen: Int): String =
+    s"""WITH ${shingleCtes(shingleK)},
+       sets AS (SELECT doc_id, list_distinct(shingles) as sset FROM sh),
+       pairs AS (
+         SELECT a.doc_id as a_id, b.doc_id as b_id,
+           cast(len(list_intersect(a.sset, b.sset)) as bigint) as n_inter,
+           cast(len(a.sset) + len(b.sset)
+             - len(list_intersect(a.sset, b.sset)) as bigint) as n_union
+         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+       SELECT a_id, b_id, n_inter, n_union,
+         cast(n_inter as double) / cast(n_union as double) as jaccard
+       FROM pairs WHERE n_inter * $tDen >= n_union * $tNum"""
+
   /** Per-language tokenizer fertility (mirrors Bpe.fertility): integer
     * word/piece sums per language, one final division. */
   def bpeFertilitySql(merges: Seq[(String, String)]): String = {

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join — ALL document pairs with shingle
+  * Jaccard ≥ t, by prefix filtering (AllPairs/PPJoin family: Bayardo
+  * et al. WWW'07, Vernica et al. SIGMOD'10) instead of sketching.
+  * The exact complement of [[Dedup.minhashLsh]]: LSH trades recall
+  * for speed and its banded candidates can miss a true pair; this
+  * operator is guaranteed-complete, so it doubles as the ground truth
+  * that AUDITS the LSH path's recall (the dedup-family analog of
+  * ann_recall vs ann_lsh).
+  *
+  * Prefix filter: order every doc's shingle set by ascending document
+  * frequency (rarest first, ties on the portable hash); a pair with
+  * Jaccard ≥ t must overlap in ≥ ⌈t·|x|⌉ elements, so the globally
+  * smallest common element always lands inside both docs' first
+  * |x| − ⌈t·|x|⌉ + 1 elements — equi-joining only those PREFIX
+  * elements is a complete blocking. Rare-first ordering makes prefix
+  * buckets the SMALLEST ones (a boilerplate shingle shared by every
+  * doc sorts last and never enters a prefix), the opposite skew
+  * profile of naive token blocking.
+  *
+  * Scale: one corpus scan shingles and one df-count shuffle (8-byte
+  * hashes, map-side combined) order the tokens; the join itself
+  * shuffles only (prefix-hash, id, size) rows — prefix size is
+  * (1−t)·|x|+1, so higher thresholds shuffle LESS. Hash collisions in
+  * the join key only ADD candidates (verify kills them): completeness
+  * never depends on the hash. Candidate pairs distinct as bare id
+  * pairs; full shingle sets travel only through the two id-keyed
+  * verify joins. Verification is exact integer set arithmetic; the
+  * one double division happens after the integer threshold test, so
+  * the output hash-matches the naive all-pairs oracle bit-for-bit.
+  */
+object SetJoin {
+
+  /** All (a_id, b_id) with shingle-set Jaccard ≥ tNum/tDen, plus the
+    * exact intersection/union sizes and the Jaccard value. */
+  def similarityJoinExact(documents: DataFrame, shingleK: Int = 3,
+                          tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
+    val sets = documents.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), shingleK)).as("sset"))
+    // global rare-first order: (df, hash) per shingle hash
+    val toks = sets.select(col("doc_id"),
+      explode(col("sset")).as("tok"))
+      .withColumn("th", xxhash64(col("tok"))).drop("tok")
+    val dfreq = toks.groupBy("th").agg(count(lit(1)).as("df"))
+    // per doc: shingle hashes sorted by (df, th); prefix of length
+    // |x| - ceil(t*|x|) + 1 (ceil via integer arithmetic)
+    val ordered = toks.join(dfreq, "th")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("th"))))
+        .as("ord"), count(lit(1)).as("sz"))
+      .select(col("doc_id"), col("sz"),
+        expr(s"transform(ord, o -> o.th)").as("ohs"))
+    // prefix length |x| - ceil(t|x|) + 1, ceil as an integral div
+    val prefix = ordered.select(col("doc_id"), col("sz"),
+      explode(slice(col("ohs"), lit(1),
+        expr(s"cast(sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1" +
+          " as int)"))).as("th"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.th") === col("b.th") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // length filter: t*|x| <= |y| and t*|y| <= |x|
+        col("a.sz") * tNum <= col("b.sz") * tDen &&
+        col("b.sz") * tNum <= col("a.sz") * tDen)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")),
+        "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long")
+          .as("n_inter"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("n_both"))
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+        (col("n_both") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+  }
+}
