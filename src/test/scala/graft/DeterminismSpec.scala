@@ -76,6 +76,10 @@ class DeterminismSpec extends SparkSpec {
     // round-6 fourth wave: the TVD audit's decimal numerators and
     // window sums must not depend on fan-out, and the TextRank
     // integer fixpoint must be bit-identical under any partitioning
-    "t_closeness", "textrank_keywords"))
+    "t_closeness", "textrank_keywords",
+    // round-6 fifth wave: FastSS deletion-neighborhood blocking and
+    // the PPJoin prefix filter must emit the same exact pair sets
+    // under any fan-out
+    "edit_distance_join", "similarity_join_exact"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
