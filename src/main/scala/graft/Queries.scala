@@ -414,6 +414,14 @@ object Queries {
       Some(TextOracleSql.exactJaccardJoinSql(shingleK = 3,
         tNum = 1, tDen = 2))),
 
+    Q("dedup_lsh_recall",
+      // the one-row tuning summary: banded-LSH pairs vs the complete
+      // prefix-filter ground truth at the same shingles + threshold
+      (s, d) => SetJoin.lshRecallAudit(Tables(s, d).documents,
+        shingleK = 3, numPerm = 64, bands = 16, tNum = 1, tDen = 2),
+      Some(TextOracleSql.dedupRecallSql(shingleK = 3, numPerm = 64,
+        bands = 16, tNum = 1, tDen = 2))),
+
     Q("dedup_incremental",
       // nightly-dedup lifecycle: a signature-only index built from the
       // base corpus (80%), then the new batch (20%) deduped against it
@@ -1821,6 +1829,31 @@ object Queries {
           first_purchase_ts - first_click_ts as us_to_convert
         FROM f""")),
 
+    Q("value_winsorize",
+      // outlier TREATMENT after value_outliers flags them: clamp to
+      // per-type exact nearest-rank [p05, p95] fences — the clamp only
+      // ever COPIES an existing double, no arithmetic, so hashes match
+      (s, d) => Gold.winsorize(Tables(s, d).events, "event_type",
+        "value", pLo = 0.05, pHi = 0.95, bucketWidth = 2.0),
+      Some("""
+        WITH ranked AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value)
+              as rn,
+            count(*) OVER (PARTITION BY event_type) as n
+          FROM events),
+        fences AS (
+          SELECT event_type,
+            max(CASE WHEN rn = ceil(0.05 * n) THEN value END) as lo,
+            max(CASE WHEN rn = ceil(0.95 * n) THEN value END) as hi
+          FROM ranked GROUP BY 1)
+        SELECT e.event_id, e.event_type, e.value,
+          CASE WHEN e.value < f.lo THEN f.lo
+               WHEN e.value > f.hi THEN f.hi
+               ELSE e.value END as value_w,
+          (e.value < f.lo OR e.value > f.hi) as clipped
+        FROM events e JOIN fences f USING (event_type)""")),
+
     Q("value_outliers",
       (s, d) => {
         val ev = Tables(s, d).events
@@ -2128,6 +2161,44 @@ object Queries {
           count(DISTINCT c_acctbal) as n_sensitive_values,
           count(DISTINCT c_acctbal) < 3 as at_risk
         FROM customer GROUP BY 1, 2""")),
+
+    Q("anonymize_generalize",
+      // the REPAIR the k/l/t audit trio gates on: re-release the table
+      // at the smallest global generalization level whose minimum
+      // quasi-identifier group reaches k; all five ladder levels are
+      // costed in one Expand scan (GROUPING SETS), the release itself
+      // is a map-only projection
+      (s, d) => Profile.anonymizeGeneralize(Tables(s, d).customer,
+        k = 10L),
+      Some("""
+        WITH qi AS (SELECT c_custkey, cast(c_nationkey as bigint) as nat,
+            cast(floor(c_acctbal / 100.0) as bigint) as b100,
+            cast(floor(c_acctbal / 1000.0) as bigint) as b1000,
+            cast(c_nationkey // 5 as bigint) as n5
+          FROM customer),
+        m AS (SELECT
+          (SELECT min(c) FROM (SELECT count(*) c FROM qi
+             GROUP BY nat, b100)) as m0,
+          (SELECT min(c) FROM (SELECT count(*) c FROM qi
+             GROUP BY nat, b1000)) as m1,
+          (SELECT min(c) FROM (SELECT count(*) c FROM qi
+             GROUP BY n5, b1000)) as m2,
+          (SELECT min(c) FROM (SELECT count(*) c FROM qi
+             GROUP BY n5)) as m3,
+          (SELECT count(*) FROM qi) as m4),
+        lvl AS (SELECT CASE WHEN m0 >= 10 THEN 0 WHEN m1 >= 10 THEN 1
+            WHEN m2 >= 10 THEN 2 WHEN m3 >= 10 THEN 3 ELSE 4 END as l
+          FROM m)
+        SELECT c_custkey,
+          CASE WHEN l <= 1 THEN cast(nat as varchar)
+               WHEN l <= 3 THEN concat(cast(n5 * 5 as varchar), '-',
+                 cast(n5 * 5 + 4 as varchar))
+               ELSE '*' END as qi_nation,
+          CASE WHEN l = 0 THEN cast(b100 * 100 as varchar)
+               WHEN l <= 2 THEN cast(b1000 * 1000 as varchar)
+               ELSE '*' END as qi_acctbal,
+          cast(l as int) as gen_level
+        FROM qi, lvl""")),
 
     Q("t_closeness",
       // the distributional gate after k_anonymity/l_diversity: a big,

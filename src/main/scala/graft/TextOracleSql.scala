@@ -649,6 +649,38 @@ object TextOracleSql {
     FROM enc"""
   }
 
+  /** One-row LSH recall audit (mirrors SetJoin.lshRecallAudit): the
+    * banded-LSH pair set vs the exact all-pairs ground truth at the
+    * same shingles and threshold. Integer counts, one final double
+    * division. */
+  def dedupRecallSql(shingleK: Int, numPerm: Int, bands: Int,
+                     tNum: Int, tDen: Int): String = {
+    val thr = tNum.toDouble / tDen
+    s"""WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+       ${lshPairCtes(numPerm, bands)},
+       lshp AS (
+         SELECT least(id_a, id_b) as a_id, greatest(id_a, id_b) as b_id
+         FROM jac WHERE jaccard >= $thr),
+       ex AS (
+         SELECT a_id, b_id FROM (
+           SELECT a.doc_id as a_id, b.doc_id as b_id,
+             cast(len(list_intersect(a.sset, b.sset)) as bigint) as i,
+             cast(len(a.sset) + len(b.sset)
+               - len(list_intersect(a.sset, b.sset)) as bigint) as u
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         WHERE i * $tDen >= u * $tNum),
+       c AS (SELECT
+         (SELECT count(*) FROM ex) as n_exact,
+         (SELECT count(*) FROM lshp) as n_lsh,
+         (SELECT count(*) FROM ex JOIN lshp USING (a_id, b_id))
+           as n_common)
+       SELECT n_exact, n_lsh, n_common,
+         CASE WHEN n_exact = 0 THEN NULL
+              ELSE cast(n_common as double) / cast(n_exact as double)
+         END as recall
+       FROM c"""
+  }
+
   /** Exact set-similarity self-join (mirrors SetJoin
     * .similarityJoinExact): the naive all-pairs formulation — the
     * Spark side's prefix filter is a complete blocking, so its

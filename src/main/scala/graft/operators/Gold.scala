@@ -170,6 +170,34 @@ object Gold {
         col(valueCol).as("quantile_value"))
   }
 
+  /** Winsorization — the outlier TREATMENT step after value_outliers
+    * flags them: per-group exact nearest-rank quantile fences
+    * [pLo, pHi], values outside clamped TO the fence (never dropped —
+    * row count and joins downstream stay intact, unlike a filter).
+    * Fences come from [[exactGroupQuantiles]] (two-phase rank: no
+    * per-group global sort), pivot to one row per group, broadcast
+    * back, and the clamp is a pure when-chain that only ever COPIES an
+    * existing double — no arithmetic, so output hash-matches the
+    * oracle bit-for-bit. One histogram shuffle + a broadcast probe;
+    * the clamp itself is map-only. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double,
+                bucketWidth: Double): DataFrame = {
+    val fences = exactGroupQuantiles(df, groupCol, valueCol,
+      Seq(pLo, pHi), bucketWidth)
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("p") === pLo, col("quantile_value"))).as("lo"),
+        min(when(col("p") === pHi, col("quantile_value"))).as("hi"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .select(col("event_id"), col(groupCol), col(valueCol),
+        when(col(valueCol) < col("lo"), col("lo"))
+          .when(col(valueCol) > col("hi"), col("hi"))
+          .otherwise(col(valueCol)).as("value_w"),
+        (col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+          .as("clipped"))
+  }
+
   /** Orders × lineitem rollup by priority (count-distinct pattern from
     * the reference gold tables). */
   def orderPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =

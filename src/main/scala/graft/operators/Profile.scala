@@ -207,4 +207,68 @@ object Profile {
         "nulls_prev", "nulls_cur", "distinct_prev", "distinct_cur",
         "null_frac_drift", "range_widened")
   }
+
+  /** k-anonymity REPAIR — the action the k/l/t audit trio gates on.
+    * Global-recoding generalization over the (nation, account-balance)
+    * quasi-identifiers on a fixed 5-step ladder: each level coarsens
+    * one dimension (balance 100s → 1000s, nation → 5-nation band →
+    * suppressed, then full suppression), and the table is re-released
+    * at the SMALLEST level whose minimum group size reaches k — one
+    * global level, never per-row cell suppression, so the released
+    * schema stays uniformly interpretable and the choice is a pure
+    * deterministic function of the data.
+    *
+    * Scale: all five candidate ladders are costed in ONE scan + ONE
+    * shuffle — the level keys are projected side by side and counted
+    * under GROUPING SETS (Expand ×5 collapses map-side to group
+    * counts), then min-size per grouping id is a 5-row driver scalar
+    * (the same bounded-scalar budget as the cluster-convergence
+    * checks). The release itself is a map-only projection at the
+    * chosen level. Generalized values are released as strings
+    * (`"12"`, `"10-14"`, `"*"`) built from integer casts only, so
+    * the oracle reproduces them byte-for-byte.
+    */
+  def anonymizeGeneralize(customer: DataFrame, k: Long): DataFrame = {
+    val spark = customer.sparkSession
+    val qi = customer.select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nat"),
+      floor(col("c_acctbal") / 100.0).cast("long").as("b100"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("b1000"),
+      (col("c_nationkey").cast("long") / 5).cast("long").as("n5"))
+    val view = s"graft_anon_${System.identityHashCode(customer)}"
+    qi.createOrReplaceTempView(view)
+    // ladder levels → grouping sets, one Expand-scan; gid encodes
+    // which columns are live (grouping() bit per column)
+    val sizes = spark.sql(s"""
+      SELECT gid, min(cnt) as min_size
+      FROM (SELECT cast(grouping(nat) * 8 + grouping(b100) * 4
+                + grouping(b1000) * 2 + grouping(n5) as int) as gid,
+              count(*) as cnt
+            FROM $view
+            GROUP BY GROUPING SETS ((nat, b100), (nat, b1000),
+              (n5, b1000), (n5), ()))
+      GROUP BY 1""").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // gid: L0 (nat,b100)=0b0011=3, L1 (nat,b1000)=0b0101=5,
+    // L2 (n5,b1000)=0b1100=12, L3 (n5)=0b1110=14, L4 ()=0b1111=15
+    val ladder = Seq(3, 5, 12, 14, 15)
+    val level = ladder.indexWhere(g => sizes.getOrElse(g, 0L) >= k) match {
+      case -1 => 4 // corpus smaller than k: full suppression
+      case l => l
+    }
+    val natCol = level match {
+      case 0 | 1 => col("nat").cast("string")
+      case 2 | 3 => concat(
+        (col("n5") * 5).cast("string"), lit("-"),
+        (col("n5") * 5 + 4).cast("string"))
+      case _ => lit("*")
+    }
+    val balCol = level match {
+      case 0 => (col("b100") * 100).cast("string")
+      case 1 | 2 => (col("b1000") * 1000).cast("string")
+      case _ => lit("*")
+    }
+    qi.select(col("c_custkey"), natCol.as("qi_nation"),
+      balCol.as("qi_acctbal"), lit(level).cast("int").as("gen_level"))
+  }
 }

@@ -83,4 +83,35 @@ object SetJoin {
       .withColumn("jaccard",
         col("n_inter").cast("double") / col("n_union").cast("double"))
   }
+
+  /** The recall audit the exact join exists to power: the banded-LSH
+    * pair set measured against the complete prefix-filter ground
+    * truth at the SAME shingles and threshold — one summary row
+    * (n_exact, n_lsh, n_common, recall). LSH verifies true Jaccard on
+    * its candidates, so its pairs are always a subset and recall is
+    * the single number that tunes (numPerm, bands) — the dedup-family
+    * analog of ann_recall. Both pair sets are id-pair frames; the
+    * audit join and counts add one bounded shuffle over pair rows. */
+  def lshRecallAudit(documents: DataFrame, shingleK: Int = 3,
+                     numPerm: Int = 64, bands: Int = 16,
+                     tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val exact = similarityJoinExact(documents, shingleK, tNum, tDen)
+      .select(col("a_id"), col("b_id"))
+    val lsh = Dedup.minhashLsh(documents, shingleK, numPerm, bands,
+      tNum.toDouble / tDen)
+      .select(least(col("id_a"), col("id_b")).as("a_id"),
+        greatest(col("id_a"), col("id_b")).as("b_id"))
+    exact.withColumn("in_exact", lit(1L))
+      .join(lsh.withColumn("in_lsh", lit(1L)),
+        Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+        sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull,
+          1L).otherwise(0L)).as("n_common"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        when(col("n_exact") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_common").cast("double") /
+            col("n_exact").cast("double")).as("recall"))
+  }
 }

@@ -80,6 +80,9 @@ class DeterminismSpec extends SparkSpec {
     // round-6 fifth wave: FastSS deletion-neighborhood blocking and
     // the PPJoin prefix filter must emit the same exact pair sets
     // under any fan-out
-    "edit_distance_join", "similarity_join_exact"))
+    "edit_distance_join", "similarity_join_exact",
+    // the recall audit's full-outer pair counts, winsorize's exact
+    // fences and the generalization-level choice are all fan-out-free
+    "dedup_lsh_recall", "value_winsorize", "anonymize_generalize"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

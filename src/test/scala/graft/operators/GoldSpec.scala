@@ -61,4 +61,37 @@ class GoldSpec extends SparkSpec {
         s"approx $a too far from exact $e at ${r.getAs[String]("event_type")}/${r.getAs[Double]("p")}")
     }
   }
+
+  test("winsorize clamps to the exact fences and keeps every row") {
+    import spark.implicits._
+    // group g: values 1..20 → p10 fence = value at rank ceil(0.1*20)=2,
+    // p90 = rank 18; clamped range [2, 18]
+    val df = (1 to 20).map(v => (v.toLong, "g", v.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val out = Gold.winsorize(df, "event_type", "value", 0.1, 0.9, 2.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("value_w"), r.getAs[Boolean]("clipped"))).toMap
+    assert(out.size == 20)
+    assert(out(1L) == (2.0, true) && out(2L) == (2.0, false))
+    assert(out(19L) == (18.0, true) && out(20L) == (18.0, true))
+    assert(out(10L) == (10.0, false))
+    // clamped values are COPIES of in-group values, never new numbers
+    val vs = (1 to 20).map(_.toDouble).toSet
+    assert(out.values.forall(v => vs.contains(v._1)))
+  }
+
+  test("winsorize fences are per-group, not global") {
+    import spark.implicits._
+    val df = ((1 to 10).map(v => (v.toLong, "small", v.toDouble)) ++
+      (1 to 10).map(v => (100L + v, "big", v * 1000.0)))
+      .toDF("event_id", "event_type", "value")
+    val out = Gold.winsorize(df, "event_type", "value", 0.2, 0.8, 2.0)
+    // a big-group value that would be an extreme outlier globally is
+    // untouched inside its own group's fences
+    val bigMid = out.filter(col("event_id") === 105L).collect().head
+    assert(bigMid.getAs[Double]("value_w") == 5000.0 &&
+      !bigMid.getAs[Boolean]("clipped"))
+    // per group: 1 below the p20 fence, 2 above the p80 fence
+    assert(out.filter(col("clipped")).count() == 6)
+  }
 }

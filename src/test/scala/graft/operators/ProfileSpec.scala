@@ -124,6 +124,59 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(r => !r.getAs[Boolean]("at_risk")))
   }
 
+  test("anonymizeGeneralize picks the smallest level that reaches k") {
+    import spark.implicits._
+    // 20 customers in 2 nations, balances spread so that level 0
+    // (nation × 100-bucket) has singleton groups but level 1
+    // (nation × 1000-bucket) reaches k=10: nation 0 all in [0,1000),
+    // nation 7 all in [2000,3000), 100-buckets all distinct
+    val df = (0 until 20).map { i =>
+      val nat = if (i < 10) 0 else 7
+      val bal = if (i < 10) i * 100.0 + 1 else 2000.0 + (i - 10) * 100 + 1
+      (i.toLong, nat, bal)
+    }.toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val out = Profile.anonymizeGeneralize(df, k = 10L).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getAs[Int]("gen_level") == 1))
+    // level 1 keeps the exact nation and releases the 1000-bucket
+    val r0 = out.find(_.getAs[Long]("c_custkey") == 0L).get
+    assert(r0.getAs[String]("qi_nation") == "0" &&
+      r0.getAs[String]("qi_acctbal") == "0")
+    val r19 = out.find(_.getAs[Long]("c_custkey") == 19L).get
+    assert(r19.getAs[String]("qi_nation") == "7" &&
+      r19.getAs[String]("qi_acctbal") == "2000")
+  }
+
+  test("anonymizeGeneralize escalates to nation bands and suppression") {
+    import spark.implicits._
+    // nations 0..9, 1 customer each, balances in one 1000-bucket:
+    // levels 0-1 are singletons; level 2 bands nations 0-4 / 5-9 into
+    // groups of 5 — still < k=6 … level 3 same bands without balance
+    // is the same 5s … level 4 suppresses everything
+    val df = (0 until 10).map(i => (i.toLong, i, 500.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val out = Profile.anonymizeGeneralize(df, k = 6L).collect()
+    assert(out.forall(_.getAs[Int]("gen_level") == 4))
+    assert(out.forall(r => r.getAs[String]("qi_nation") == "*" &&
+      r.getAs[String]("qi_acctbal") == "*"))
+    // k=5 is satisfied at level 2: nation bands with the shared bucket
+    val out5 = Profile.anonymizeGeneralize(df, k = 5L).collect()
+    assert(out5.forall(_.getAs[Int]("gen_level") == 2))
+    assert(out5.map(_.getAs[String]("qi_nation")).toSet ==
+      Set("0-4", "5-9"))
+    assert(out5.forall(_.getAs[String]("qi_acctbal") == "0"))
+  }
+
+  test("anonymizeGeneralize: negative balances keep exact bucket strings") {
+    import spark.implicits._
+    val df = (0 until 12).map(i => (i.toLong, 3, -994.28))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val out = Profile.anonymizeGeneralize(df, k = 10L).collect()
+    // one nation, one 100-bucket → level 0 already holds 12 >= 10
+    assert(out.forall(_.getAs[Int]("gen_level") == 0))
+    assert(out.forall(_.getAs[String]("qi_acctbal") == "-1000"))
+  }
+
   test("lDiversity flags homogeneous groups; NULL counts as a value") {
     import spark.implicits._
     // group a: 3 rows, 1 sensitive value → at risk even though big;

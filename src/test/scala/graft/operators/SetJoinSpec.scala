@@ -78,4 +78,39 @@ class SetJoinSpec extends SparkSpec {
     // audit this operator exists to measure
     assert(exact == lsh)
   }
+
+  test("lshRecallAudit reports full recall on the test corpus") {
+    val r = SetJoin.lshRecallAudit(tables.documents).collect().head
+    val (ne, nl, nc) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh"),
+      r.getAs[Long]("n_common"))
+    assert(ne > 0 && ne == nl && nl == nc)
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
+  test("lshRecallAudit measures a real miss under a starved sketch") {
+    import spark.implicits._
+    // two docs sharing ~5/9 shingles (J ≈ 0.56 ≥ 0.5): ONE band of 16
+    // rows matches with probability J^16 — this sketch misses the pair
+    // while the exact join finds it; recall is the number that says so
+    val df = Seq(
+      1L -> "a b c d e f g h i j k",
+      2L -> "a b c d e f g h i x y").toDF("doc_id", "text")
+    val starved = SetJoin.lshRecallAudit(df, shingleK = 3, numPerm = 16,
+      bands = 1, tNum = 1, tDen = 2).collect().head
+    assert(starved.getAs[Long]("n_exact") == 1)
+    assert(starved.getAs[Long]("n_common") == 0)
+    assert(starved.getAs[Double]("recall") == 0.0)
+    // the shipped configuration (16 bands of 4) catches the same pair
+    val healthy = SetJoin.lshRecallAudit(df, shingleK = 3, numPerm = 64,
+      bands = 16, tNum = 1, tDen = 2).collect().head
+    assert(healthy.getAs[Double]("recall") == 1.0)
+  }
+
+  test("empty corpus: recall is NULL, counts are zero") {
+    import spark.implicits._
+    val r = SetJoin.lshRecallAudit(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect().head
+    assert(r.getAs[Long]("n_exact") == 0 && r.getAs[Long]("n_lsh") == 0)
+    assert(r.isNullAt(r.fieldIndex("recall")))
+  }
 }
