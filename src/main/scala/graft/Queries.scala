@@ -1383,6 +1383,32 @@ object Queries {
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),
       Some(TextOracleSql.fingerprintSql(k = 5, w = 4))),
 
+    Q("market_basket",
+      // association mining over order baskets: pair expansion is
+      // per-basket (Σ k²/2, guarded by maxBasket), never corpus²;
+      // integer support counts until one fixed double lift expression
+      (s, d) => Basket.marketBasket(Tables(s, d).lineitem,
+        minSupport = 2L, maxBasket = 64),
+      Some("""
+        WITH items AS (SELECT DISTINCT l_orderkey as ok, l_partkey as pk
+                       FROM lineitem),
+        sized AS (SELECT ok, pk FROM (
+            SELECT ok, pk, count(*) OVER (PARTITION BY ok) as bsz
+            FROM items) WHERE bsz <= 64),
+        nb AS (SELECT count(DISTINCT ok) as n FROM sized),
+        pairs AS (SELECT a.pk as part_a, b.pk as part_b,
+                    count(*) as n_co
+                  FROM sized a JOIN sized b
+                    ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        cnt AS (SELECT pk, count(*) as n FROM sized GROUP BY 1)
+        SELECT part_a, part_b, n_co, ca.n as n_a, cb.n as n_b,
+          cast(n_co as double) * cast((SELECT n FROM nb) as double)
+            / (cast(ca.n as double) * cast(cb.n as double)) as lift
+        FROM pairs
+          JOIN cnt ca ON ca.pk = part_a
+          JOIN cnt cb ON cb.pk = part_b""")),
+
     Q("gold_supplier_volume",
       (s, d) => {
         val t = Tables(s, d)
@@ -1791,6 +1817,54 @@ object Queries {
               FROM spans)
         SELECT g.event_type, g.hour_us, coalesce(h.n, 0) as n_events
         FROM grid g LEFT JOIN h USING (event_type, hour_us)""")),
+
+    Q("event_interpolate",
+      // gap REPAIR after event_resample's densification: empty hours
+      // get linearly interpolated means between the nearest observed
+      // neighbors (edges clamp); one fixed double op chain, windows
+      // run over GRID rows, never raw events
+      (s, d) => TimeSeries.interpolate(Tables(s, d).events),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts, value
+                   FROM events),
+        h AS (SELECT event_type, ts - ts % 3600000000 as hour_us,
+                cast(sum(cast(value as decimal(18,2))) as double)
+                  / count(*) as v
+              FROM e GROUP BY 1, 2),
+        spans AS (SELECT event_type,
+                min(ts) - min(ts) % 3600000000 as lo,
+                max(ts) - max(ts) % 3600000000 as hi
+              FROM e GROUP BY 1),
+        grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, 3600000000)) as hour_us
+              FROM spans),
+        j AS (SELECT g.event_type, g.hour_us, h.v
+              FROM grid g LEFT JOIN h USING (event_type, hour_us)),
+        wnd AS (SELECT event_type, hour_us, v,
+            last_value(v IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as pv,
+            last_value(CASE WHEN v IS NOT NULL THEN hour_us END
+                IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as ph,
+            first_value(v IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) as nv,
+            first_value(CASE WHEN v IS NOT NULL THEN hour_us END
+                IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) as nh
+          FROM j)
+        SELECT event_type, hour_us,
+          CASE WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv)
+                 * (cast(hour_us - ph as double)
+                    / cast(nh - ph as double)) END as value_f,
+          v IS NOT NULL as observed
+        FROM wnd""")),
 
     Q("conversion_funnel",
       (s, d) => {

@@ -83,6 +83,9 @@ class DeterminismSpec extends SparkSpec {
     "edit_distance_join", "similarity_join_exact",
     // the recall audit's full-outer pair counts, winsorize's exact
     // fences and the generalization-level choice are all fan-out-free
-    "dedup_lsh_recall", "value_winsorize", "anonymize_generalize"))
+    "dedup_lsh_recall", "value_winsorize", "anonymize_generalize",
+    // per-basket pair counts and the grid-window interpolation chain
+    // are exact whatever the fan-out
+    "market_basket", "event_interpolate"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

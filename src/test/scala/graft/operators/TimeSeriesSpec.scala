@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+
+  private val H = 3600000000L
+
+  private def ev(rows: (String, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("event_type", "ts", "value")
+  }
+
+  private def series(rows: (String, Long, Double)*): Map[(String, Long), (Double, Boolean)] =
+    TimeSeries.interpolate(ev(rows: _*)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Double]("value_f"), r.getAs[Boolean]("observed"))).toMap
+
+  test("interior gaps interpolate linearly between observed hours") {
+    // hours 0 and 3 observed (10, 40): hours 1, 2 → 20, 30
+    val out = series(("a", 0L, 10.0), ("a", 3 * H, 40.0))
+    assert(out.size == 4)
+    assert(out(("a", 0L)) == (10.0, true))
+    assert(out(("a", H)) == (20.0, false))
+    assert(out(("a", 2 * H)) == (30.0, false))
+    assert(out(("a", 3 * H)) == (40.0, true))
+  }
+
+  test("observed hours average their events exactly and stay untouched") {
+    val out = series(("a", 10L, 1.0), ("a", 20L, 2.0), ("a", H, 7.0))
+    assert(out(("a", 0L)) == (1.5, true))
+    assert(out(("a", H)) == (7.0, true))
+  }
+
+  test("grid and neighbors are per-type; spans differ per type") {
+    val out = series(
+      ("a", 0L, 1.0), ("a", 2 * H, 3.0),
+      ("b", 5 * H, 100.0), ("b", 6 * H, 200.0))
+    // a's gap interpolates from a's neighbors only
+    assert(out(("a", H)) == (2.0, false))
+    // b's grid starts at hour 5 — no phantom hours from a's span
+    assert(!out.contains(("b", 0L)) && !out.contains(("b", 4 * H)))
+    assert(out(("b", 5 * H)) == (100.0, true))
+    assert(out.size == 5)
+  }
+
+  test("uneven gap lengths weight by hour distance") {
+    // observed at hours 0 (0.0) and 4 (8.0): hour 1 → 2, hour 3 → 6
+    val out = series(("a", 0L, 0.0), ("a", 4 * H, 8.0))
+    assert(out(("a", H)) == (2.0, false))
+    assert(out(("a", 3 * H)) == (6.0, false))
+  }
+
+  test("single-observation series yields a single observed row") {
+    val out = series(("a", H + 5L, 42.0))
+    assert(out == Map(("a", H) -> (42.0, true)))
+  }
+}
