@@ -1302,6 +1302,48 @@ object Queries {
       (s, d) => TextRank.textRank(Tables(s, d).documents),
       Some(TextRank.textRankSql())),
 
+    Q("graph_triangles",
+      // cohesion complement of textrank's centrality: per-word
+      // triangle membership + local clustering over the co-occurrence
+      // graph; degree-oriented wedge join (out-degree O(√E)) — the
+      // oracle recounts naively, the triangle set is identical
+      (s, d) => Triangles.wordTriangles(Tables(s, d).documents),
+      Some("""
+        WITH toks AS (SELECT string_split(text, ' ') as w
+                      FROM documents),
+        prs AS (
+          SELECT p['a'] as a, p['b'] as b FROM (
+            SELECT unnest(list_transform(range(greatest(len(w) - 1, 0)),
+                     i -> {'a': w[i+1], 'b': w[i+2]})) as p
+            FROM toks)
+          WHERE p['a'] <> p['b']),
+        edges AS (
+          SELECT DISTINCT least(a, b) as a, greatest(a, b) as b
+          FROM prs),
+        deg AS (
+          SELECT word, count(*) as deg FROM (
+            SELECT a as word FROM edges
+            UNION ALL SELECT b as word FROM edges)
+          GROUP BY 1),
+        tri AS (
+          SELECT e1.a as va, e1.b as vb, e2.b as vc
+          FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tcount AS (
+          SELECT word, count(*) as n_tri FROM (
+            SELECT va as word FROM tri
+            UNION ALL SELECT vb as word FROM tri
+            UNION ALL SELECT vc as word FROM tri)
+          GROUP BY 1)
+        SELECT d.word, d.deg,
+          coalesce(t.n_tri, 0) as n_tri,
+          CASE WHEN d.deg < 2 THEN 0.0
+               ELSE (cast(coalesce(t.n_tri, 0) as double) * 2.0)
+                 / (cast(d.deg as double)
+                    * cast(d.deg - 1 as double)) END as clustering
+        FROM deg d LEFT JOIN tcount t USING (word)""")),
+
     Q("text_repetition",
       (s, d) => TextAnalysis.repetition(Tables(s, d).documents),
       Some("""

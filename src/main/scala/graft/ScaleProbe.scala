@@ -208,7 +208,47 @@ object ScaleProbe {
         () => Skew.skewReport(t.events, "user_id").count(),
         t.events.count() * 10,
         () => Skew.skewReport(replicate(t.events, 10, Some("event_id")),
-          "user_id").count()))
+          "user_id").count()),
+      // round-6 fifth wave. textrank: prefixed replicas keep each
+      // copy's graph structure while vocabularies stay disjoint —
+      // edges and vertices grow 10×, iteration cost must follow
+      // linearly (corpus text is read once either way)
+      ("textrank_keywords", t.documents.count(),
+        () => graft.operators.TextRank.textRank(t.documents).count(),
+        t.documents.count() * 10,
+        () => graft.operators.TextRank.textRank(
+          replicateDocs(t.documents, 10)).count()),
+      // exact similarity join: signature-disjoint replicas keep the
+      // true pair set per replica — output and prefix buckets scale
+      // linearly, never quadratically
+      ("similarity_join_exact", t.documents.count(),
+        () => graft.operators.SetJoin.similarityJoinExact(
+          t.documents).count(),
+        t.documents.count() * 10,
+        () => graft.operators.SetJoin.similarityJoinExact(
+          replicateDocs(t.documents, 10)).count()),
+      // ED join: double-digit prefixes keep replicas ≥2 edits apart,
+      // so no cross-replica pair survives d=1 — the pair set is 10
+      // disjoint copies of the base answer, input and output both 10×
+      ("edit_distance_join", t.customer.count(),
+        () => graft.operators.EditDistance.edJoin(t.customer,
+          "c_custkey", "c_name", maxDist = 1).count(),
+        t.customer.count() * 10,
+        () => graft.operators.EditDistance.edJoin(
+          (0 until 10).map { i =>
+            t.customer
+              .withColumn("c_custkey", col("c_custkey") + i * 100000000L)
+              .withColumn("c_name", concat(lit(s"$i$i"), col("c_name")))
+          }.reduce(_ unionByName _),
+          "c_custkey", "c_name", maxDist = 1).count()),
+      // basket mining: order-shifted replicas keep baskets intact and
+      // disjoint — pair expansion and support counts scale 10× with
+      // the same output pair universe
+      ("market_basket", t.lineitem.count(),
+        () => graft.operators.Basket.marketBasket(t.lineitem).count(),
+        t.lineitem.count() * 10,
+        () => graft.operators.Basket.marketBasket(
+          replicate(t.lineitem, 10, Some("l_orderkey"))).count()))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())

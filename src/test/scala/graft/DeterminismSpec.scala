@@ -86,6 +86,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup_lsh_recall", "value_winsorize", "anonymize_generalize",
     // per-basket pair counts and the grid-window interpolation chain
     // are exact whatever the fan-out
-    "market_basket", "event_interpolate"))
+    "market_basket", "event_interpolate",
+    // the oriented wedge join must find the same triangle set under
+    // any fan-out
+    "graph_triangles"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
