@@ -281,4 +281,50 @@ class PlanShapeSpec extends SparkSpec {
       s"train corpus shuffled for a join:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$p")
   }
+
+  test("edit distance join: equi-join on variant hashes, never a cross join") {
+    val p = plan(EditDistance.edJoin(tables.customer, "c_custkey",
+      "c_name", maxDist = 1))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ED join fell back to a cross join:\n$p")
+    // the verify condition rides ON the id joins — no standalone
+    // all-pairs levenshtein stage
+    assert(p.contains("levenshtein"), s"verify missing from plan:\n$p")
+  }
+
+  test("exact similarity join: all joins hash-keyed, df count pre-aggregated") {
+    val p = plan(SetJoin.similarityJoinExact(tables.documents))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated to all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"document-frequency count not map-side combined:\n$p")
+  }
+
+  test("market basket: pair expansion is a basket equi-join after distinct") {
+    val p = plan(Basket.marketBasket(tables.lineitem))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"basket expansion went quadratic:\n$p")
+    assert(p.contains("partial_count"),
+      s"support counts not map-side combined:\n$p")
+  }
+
+  test("graph triangles: wedge closure is a semi-join, no cross join") {
+    val p = plan(Triangles.wordTriangles(tables.documents))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure went quadratic:\n$p")
+    assert(p.contains("LeftSemi"), s"closure not a semi-join:\n$p")
+  }
+
+  test("event interpolation windows run over the grid, not raw events") {
+    val p = plan(TimeSeries.interpolate(tables.events))
+    // the bucket aggregation is map-side combined; the only window
+    // sort keys are (event_type, hour_us) over grid rows
+    assert(p.contains("partial_"),
+      s"hourly aggregation not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
 }
