@@ -759,6 +759,51 @@ object Queries {
       Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
         sampleBudget = 128, queryPred = "vec_id < 8"))),
 
+    Q("ann_sq8",
+      // int8 scalar quantization: one global absmax scale, tie-free
+      // floor codes, small-integer dot products (exact in any engine,
+      // any order), one final double cosine — the bit-reproducible
+      // middle rung between float brute force and PQ
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annSq8(emb, emb.filter(col("vec_id") < 8), k = 5)
+      },
+      Some("""
+        WITH am AS (SELECT max(list_max(list_transform(embedding,
+            x -> abs(cast(x as double))))) as absmax FROM embeddings),
+        codes AS (
+          SELECT vec_id, cd,
+            cast(list_sum(list_transform(cd, x -> x * x)) as bigint)
+              as n2
+          FROM (SELECT vec_id, list_transform(embedding, x ->
+              CASE WHEN am.absmax = 0 THEN 0
+                   ELSE cast(greatest(-127, least(127,
+                     floor(cast(x as double)
+                       / (am.absmax / 127.0)
+                       + 0.5))) as int) END) as cd
+            FROM embeddings, am)),
+        scored AS (
+          SELECT q.vec_id as query_id, c.vec_id as neighbor_id,
+            cast(list_sum(list_transform(range(len(q.cd)),
+              i -> q.cd[i+1] * c.cd[i+1])) as bigint) as dot_i8,
+            q.n2 as qn, c.n2 as cn
+          FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 8)
+        SELECT query_id, neighbor_id, rank, dot_i8, cosine_q FROM (
+          SELECT query_id, neighbor_id, dot_i8,
+            CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+                 ELSE cast(dot_i8 as double)
+                   / (sqrt(cast(qn as double)) * sqrt(cast(cn as double)))
+            END as cosine_q,
+            row_number() OVER (PARTITION BY query_id ORDER BY
+              CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+                   ELSE cast(dot_i8 as double)
+                     / (sqrt(cast(qn as double))
+                        * sqrt(cast(cn as double))) END DESC,
+              neighbor_id) as rank
+          FROM scored)
+        WHERE rank <= 5""")),
+
     Q("ann_lsh",
       (s, d) => {
         val emb = Tables(s, d).embeddings

@@ -40,6 +40,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Scalar-quantized (int8) ANN — the middle rung of the
+    * quantization ladder (float32 brute force → SQ8 → PQ codes):
+    * 4× smaller vectors and integer arithmetic at near-lossless
+    * recall, vs PQ's 16× at visible recall cost.
+    *
+    * One bounded driver scalar (the corpus absmax) fixes a single
+    * global scale; codes are `clamp(floor(x/scale + 0.5), ±127)` —
+    * float→double casts are exact and floor is tie-free, so both
+    * engines produce IDENTICAL codes. All dot products and norms are
+    * then small-integer sums (≤ 127²·dim ≪ 2⁵³): order-independent
+    * and exact in any engine, with ONE final double expression for
+    * the quantized cosine — the whole ranking is bit-reproducible,
+    * unlike float-accumulation cosine which needs a fixed fold order.
+    * Scale: queries broadcast, corpus scanned once, per-partition
+    * top-k prunes before the final window exchange (same posture as
+    * [[annBruteForce]]). */
+  def annSq8(corpus: DataFrame, queries: DataFrame,
+             k: Int = 5): DataFrame = {
+    val absmax = corpus.agg(max(array_max(
+      transform(col("embedding"), x => abs(x.cast("double"))))))
+      .head().getDouble(0)
+    val scale = absmax / 127.0
+    def codes(e: Column): Column =
+      if (scale == 0.0) transform(e, _ => lit(0))
+      else transform(e, x => greatest(lit(-127), least(lit(127),
+        floor(x.cast("double") / scale + 0.5).cast("int"))))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"),
+        codes(col("embedding")).as("q_codes"))
+      .withColumn("qn", idot(col("q_codes"), col("q_codes"))))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        codes(col("embedding")).as("c_codes"))
+      .withColumn("cn", idot(col("c_codes"), col("c_codes")))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot_i8", idot(col("q_codes"), col("c_codes")))
+      .withColumn("cosine_q",
+        when(col("qn") === 0L || col("cn") === 0L, lit(0.0))
+          .otherwise(col("dot_i8").cast("double") /
+            (sqrt(col("qn").cast("double")) *
+              sqrt(col("cn").cast("double")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_q").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot_i8", "cosine_q")
+  }
+
   /** Multi-table random-hyperplane signatures (array of `tables`
     * packed ints). Map-only, native codegen kernel
     * ([[graft.functions.expressions.HyperplaneSignatures]]); the

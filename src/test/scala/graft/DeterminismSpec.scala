@@ -88,7 +88,7 @@ class DeterminismSpec extends SparkSpec {
     // are exact whatever the fan-out
     "market_basket", "event_interpolate",
     // the oriented wedge join must find the same triangle set under
-    // any fan-out
-    "graph_triangles"))
+    // any fan-out; sq8's integer ranking is exact by construction
+    "graph_triangles", "ann_sq8"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

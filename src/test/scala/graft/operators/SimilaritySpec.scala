@@ -384,4 +384,54 @@ class SimilaritySpec extends SparkSpec {
     val r = corr(xs, ys)
     assert(r > 0.5, s"JL distance correlation $r")
   }
+
+  test("annSq8: near-lossless recall vs float brute force at k=5") {
+    val qs = tables.embeddings.filter(col("vec_id") < 8)
+    val exact = Similarity.annBruteForce(tables.embeddings, qs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.annSq8(tables.embeddings, qs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq8.size == exact.size)
+    val recall = (sq8 & exact).size.toDouble / exact.size
+    // 127 levels per dimension loses almost nothing — that's the
+    // point of the SQ8 rung vs PQ's measured ~0.675
+    assert(recall >= 0.9, s"sq8 recall $recall")
+  }
+
+  test("annSq8: integer ranking is bit-stable across reruns and clamps at ±127") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(-1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.annSq8(emb, emb.filter(col("vec_id") === 0L),
+      k = 4).collect()
+    // rank order: 1 (aligned), then 3/4 (orthogonal, tie broken by
+    // id), then 2 (opposed); the absmax element quantizes to ±127
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq ==
+      Seq(1L, 3L, 4L, 2L))
+    val opposed = out.find(_.getAs[Long]("neighbor_id") == 2L).get
+    assert(opposed.getAs[Long]("dot_i8") == -127L * 127L)
+    assert(opposed.getAs[Double]("cosine_q") == -1.0)
+    val ortho = out.find(_.getAs[Long]("neighbor_id") == 3L).get
+    assert(ortho.getAs[Long]("dot_i8") == 0L &&
+      ortho.getAs[Double]("cosine_q") == 0.0)
+    val rerun = Similarity.annSq8(emb,
+      emb.filter(col("vec_id") === 0L), k = 4).collect()
+    assert(out.map(_.toString).toSeq == rerun.map(_.toString).toSeq)
+  }
+
+  test("annSq8: an all-zero corpus ranks by id at cosine 0") {
+    import spark.implicits._
+    val emb = (0L to 3L).map(i => (i, Array.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annSq8(emb, emb.filter(col("vec_id") === 0L),
+      k = 3).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getAs[Double]("cosine_q") == 0.0))
+  }
 }
