@@ -1651,6 +1651,37 @@ object Queries {
         ${Seq("0.25", "0.5", "0.75").map(one).mkString("\nUNION ALL\n")}"""
       }),
 
+    Q("value_histogram_eqdepth",
+      // the equal-COUNT companion of value_histogram's equal-width
+      // buckets: per-type quartile fences (exact nearest-rank), bucket
+      // id = comparison count — values only ever compared and copied
+      (s, d) => Gold.equiDepthHistogram(Tables(s, d).events,
+        "event_type", "value", buckets = 4, bucketWidth = 2.0),
+      Some("""
+        WITH ranked AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value)
+              as rn,
+            count(*) OVER (PARTITION BY event_type) as n
+          FROM events),
+        qs AS (
+          SELECT event_type, 0.25 as p, value as qv FROM ranked
+            WHERE rn = ceil(0.25 * n)
+          UNION ALL
+          SELECT event_type, 0.5, value FROM ranked
+            WHERE rn = ceil(0.5 * n)
+          UNION ALL
+          SELECT event_type, 0.75, value FROM ranked
+            WHERE rn = ceil(0.75 * n)),
+        fences AS (SELECT event_type, list(qv ORDER BY p) as farr
+                   FROM qs GROUP BY 1)
+        SELECT e.event_type,
+          cast(len(list_filter(f.farr, x -> e.value > x)) as bigint)
+            as bucket,
+          count(*) as n, min(e.value) as lo, max(e.value) as hi
+        FROM events e JOIN fences f USING (event_type)
+        GROUP BY 1, 2""")),
+
     Q("value_histogram",
       (s, d) => Tables(s, d).events
         .select(floor(col("value") / 25.0).cast("long").as("bucket"))
@@ -2118,6 +2149,33 @@ object Queries {
           p.event_id as matched_event_id, p.value as matched_value
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts""")),
+
+    Q("asof_join_forward",
+      // the mirror lookup: each click finds the user's EARLIEST
+      // purchase at-or-after it ("what happened next") — same one
+      // union+window shuffle, direction flipped
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchasesByTs = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        AsOf.asofJoinForward(clicks, purchasesByTs, "user_id", "ts",
+          Seq("event_id", "value"))
+      },
+      Some(s"""
+        WITH e AS ($eventsNs),
+        clicks AS (SELECT event_id, user_id, ts, value FROM e
+                   WHERE event_type = 'click'),
+        purchases AS (SELECT user_id, ts, max(event_id) as event_id,
+                        max(value) as value
+                      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.ts, c.value,
+          p.event_id as matched_event_id, p.value as matched_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts""")),
 
     Q("asof_join_tolerance",
       (s, d) => {

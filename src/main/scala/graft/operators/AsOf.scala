@@ -63,4 +63,48 @@ object AsOf {
     bounded.select((left.columns.toIndexedSeq.map(col) ++
       rightCols.map(c => col(s"__match.$c").as(s"matched_$c"))): _*)
   }
+
+  /** The FORWARD as-of join: for each left row, the EARLIEST right
+    * row with right.ts >= left.ts on the same key — "what happened
+    * next" (the first purchase after a click, the next quote after an
+    * order), the mirror DuckDB writes as `ASOF ... ON l.ts <= r.ts`.
+    * Same composition, mirrored: sides sort left-before-right at
+    * equal ts (a right row exactly at left.ts IS visible, `<=`
+    * semantics) and the first right payload is pulled BACKWARD from
+    * an unbounded-following window. Still ONE shuffle on the key.
+    * `toleranceUs` bounds the look-AHEAD: a right row later than
+    * left.ts + tolerance does not match. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      tsCol: String, rightCols: Seq[String],
+                      toleranceUs: Option[Long] = None): DataFrame = {
+    val payload = struct(rightCols.map(col) :+ col(tsCol).as("__rts"): _*)
+    val l = left.withColumn("__side", lit(0)).withColumn("__r", lit(null)
+      .cast(right.select(rightCols.map(col) :+ col(tsCol).as("__rts"): _*)
+        .schema.fields
+        .foldLeft(new org.apache.spark.sql.types.StructType())(
+          (s, f) => s.add(f))))
+    val r = right.select(col(key), col(tsCol), payload.as("__r"))
+      .withColumn("__side", lit(1))
+    val lAligned = l.select(
+      (left.columns.toIndexedSeq.map(col) :+ col("__side") :+ col("__r")): _*)
+    val rAligned = {
+      val nulls = left.columns.filterNot(c => c == key || c == tsCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c))
+      val base = r.select((Seq(col(key), col(tsCol)) ++ nulls) :+
+        col("__side") :+ col("__r"): _*)
+      base.select(lAligned.columns.toIndexedSeq.map(col): _*)
+    }
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = lAligned.unionByName(rAligned)
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__r")
+    val bounded = toleranceUs.fold(matched)(tol =>
+      matched.withColumn("__match",
+        when(col("__match.__rts") <= col(tsCol) + tol, col("__match"))))
+    bounded.select((left.columns.toIndexedSeq.map(col) ++
+      rightCols.map(c => col(s"__match.$c").as(s"matched_$c"))): _*)
+  }
 }

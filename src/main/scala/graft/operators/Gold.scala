@@ -198,6 +198,34 @@ object Gold {
           .as("clipped"))
   }
 
+  /** Equi-DEPTH histogram — value_histogram's fixed-width buckets
+    * answer "how are values spread", equal-count buckets answer "where
+    * do the rows live": B buckets bounded by the exact nearest-rank
+    * i/B quantiles, each holding ~n/B rows (exactly n/B up to
+    * boundary ties, which merge deterministically). Fences come from
+    * [[exactGroupQuantiles]] (two-phase rank, no per-group global
+    * sort), collapse to one tiny array per group, broadcast back, and
+    * the bucket id is a pure comparison count — no arithmetic touches
+    * the values, so min/max/count hash-match the oracle exactly. */
+  def equiDepthHistogram(df: DataFrame, groupCol: String,
+                         valueCol: String, buckets: Int,
+                         bucketWidth: Double): DataFrame = {
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val fences = exactGroupQuantiles(df, groupCol, valueCol, ps,
+      bucketWidth)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("p"),
+        col("quantile_value")))).as("fs"))
+      .select(col(groupCol),
+        expr("transform(fs, f -> f.quantile_value)").as("farr"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .withColumn("bucket",
+        size(filter(col("farr"), f => col(valueCol) > f)).cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
   /** Orders × lineitem rollup by priority (count-distinct pattern from
     * the reference gold tables). */
   def orderPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =

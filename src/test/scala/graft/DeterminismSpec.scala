@@ -89,6 +89,9 @@ class DeterminismSpec extends SparkSpec {
     "market_basket", "event_interpolate",
     // the oriented wedge join must find the same triangle set under
     // any fan-out; sq8's integer ranking is exact by construction
-    "graph_triangles", "ann_sq8"))
+    "graph_triangles", "ann_sq8",
+    // the forward window mirror and comparison-only bucket ids are
+    // fan-out-free like their backward/width siblings
+    "asof_join_forward", "value_histogram_eqdepth"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -61,4 +61,56 @@ class AsOfSpec extends SparkSpec {
       Seq("event_id")).collect()
     assert(full.count(!_.isNullAt(full.head.fieldIndex("matched_event_id"))) == 3)
   }
+
+  test("asofJoinForward picks the earliest right row at or after each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 200L))
+      .toDF("id", "k", "ts")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (20L, 150L, "c"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.asofJoinForward(left, right, "k", "ts", Seq("tag"))
+      .orderBy("id").collect()
+    // id=1: right at exactly ts=100 matches (<= semantics)
+    assert(out(0).getAs[String]("matched_tag") == "a")
+    // id=2: nothing at or after 250 → null, row kept
+    assert(out(1).isNullAt(out(1).fieldIndex("matched_tag")))
+    // id=3: right ts=150 < 200 → no match forward
+    assert(out(2).isNullAt(out(2).fieldIndex("matched_tag")))
+  }
+
+  test("forward join is the exact mirror of backward on reversed time") {
+    import spark.implicits._
+    // negating ts turns "earliest at-or-after" into "latest at-or-
+    // before": the two directions must agree through the reflection
+    val left = Seq((1L, 5L, 100L), (2L, 5L, 150L), (3L, 5L, 320L),
+      (4L, 7L, 90L)).toDF("id", "k", "ts")
+    val right = Seq((5L, 110L, 1L), (5L, 300L, 2L), (7L, 80L, 3L))
+      .toDF("k", "ts", "rid")
+    val fwd = AsOf.asofJoinForward(left, right, "k", "ts", Seq("rid"))
+      .select("id", "matched_rid").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val bwd = AsOf.asofJoin(
+      left.withColumn("ts", -col("ts")),
+      right.withColumn("ts", -col("ts")), "k", "ts", Seq("rid"))
+      .select("id", "matched_rid").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fwd == bwd)
+    assert(fwd(1L) == Some(1L) && fwd(2L) == Some(2L) &&
+      fwd(3L).isEmpty && fwd(4L).isEmpty)
+  }
+
+  test("forward tolerance bounds the look-ahead") {
+    import spark.implicits._
+    val lefts = Seq((1L, 10L, 1000L), (1L, 20L, 400L))
+      .toDF("user_id", "event_id", "ts")
+    val rights = Seq((1L, 1100L, 77L)).toDF("user_id", "ts", "event_id")
+    val out = AsOf.asofJoinForward(lefts, rights, "user_id", "ts",
+        Seq("event_id"), toleranceUs = Some(200L))
+      .orderBy("event_id").collect()
+    // gap 100 ≤ 200 matches; gap 700 > 200 nulls but keeps the row
+    assert(out(0).getAs[Long]("matched_event_id") == 77L)
+    assert(out(1).isNullAt(out(1).fieldIndex("matched_event_id")))
+  }
 }

@@ -94,4 +94,40 @@ class GoldSpec extends SparkSpec {
     // per group: 1 below the p20 fence, 2 above the p80 fence
     assert(out.filter(col("clipped")).count() == 6)
   }
+
+  test("equi-depth histogram splits a group into equal-count buckets") {
+    import spark.implicits._
+    // 20 values 1..20, 4 buckets → fences at ranks 5/10/15 (values
+    // 5, 10, 15); bucket i holds exactly 5 rows
+    val df = (1 to 20).map(v => (v.toLong, "g", v.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val out = Gold.equiDepthHistogram(df, "event_type", "value", 4, 2.0)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .toMap
+    assert(out.size == 4)
+    assert(out(0L) == (5L, 1.0, 5.0))
+    assert(out(1L) == (5L, 6.0, 10.0))
+    assert(out(2L) == (5L, 11.0, 15.0))
+    assert(out(3L) == (5L, 16.0, 20.0))
+  }
+
+  test("equi-depth histogram: boundary ties merge deterministically") {
+    import spark.implicits._
+    // 8 identical values + 2 distinct: the constant spans several
+    // fences, ties fold into the low bucket — counts stay exact
+    val df = (Seq.fill(8)(5.0) ++ Seq(7.0, 9.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Gold.equiDepthHistogram(df, "event_type", "value", 4, 2.0)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .toMap
+    // ranks 3/5/8 all land on the constant → fences (5, 5, 5): the
+    // 5.0s beat no fence (bucket 0), 7.0 and 9.0 beat all three
+    assert(out.size == 2)
+    assert(out(0L) == (8L, 5.0, 5.0))
+    assert(out(3L) == (2L, 7.0, 9.0))
+    assert(out.values.map(_._1).sum == 10L)
+  }
 }
