@@ -106,4 +106,47 @@ class EdgeInputSpec extends SparkSpec {
     val ld = Profile.lDiversity(oneDoc, Seq("lang"), "source").collect()
     assert(ld.length == 1 && ld.head.getAs[Long]("n_sensitive_values") == 1L)
   }
+
+  test("fifth-wave operators are inert on empty and singleton inputs") {
+    // graph family: no edges, no vertices, no throw
+    assert(Triangles.wordTriangles(emptyDocs).count() == 0)
+    assert(TextRank.textRank(emptyDocs).count() == 0)
+    // a one-doc corpus has a graph but no pairs anywhere
+    assert(SetJoin.similarityJoinExact(oneDoc).count() == 0)
+    val audit = SetJoin.lshRecallAudit(oneDoc).collect().head
+    assert(audit.getAs[Long]("n_exact") == 0 &&
+      audit.isNullAt(audit.fieldIndex("recall")))
+    // ED join: empty and singleton produce no pairs
+    val emptyNames = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(EditDistance.edJoin(emptyNames, "id", "s").count() == 0)
+    assert(EditDistance.edJoin(Seq((1L, "x")).toDF("id", "s"),
+      "id", "s").count() == 0)
+    // basket mining: empty lineitem, single-item baskets → no pairs
+    val emptyLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(Basket.marketBasket(emptyLi).count() == 0)
+    assert(Basket.marketBasket(
+      Seq((1L, 10L), (2L, 20L)).toDF("l_orderkey", "l_partkey"))
+      .count() == 0)
+  }
+
+  test("value repair operators keep empty/degenerate groups intact") {
+    val emptyEv = Seq.empty[(Long, String, Long, Double)]
+      .toDF("event_id", "event_type", "ts", "value")
+    assert(Gold.winsorize(emptyEv, "event_type", "value", 0.05, 0.95,
+      2.0).count() == 0)
+    assert(Gold.equiDepthHistogram(emptyEv, "event_type", "value", 4,
+      2.0).count() == 0)
+    assert(TimeSeries.interpolate(emptyEv).count() == 0)
+    // a single-row group: every fence is the value itself — the row
+    // survives unclipped in bucket 0
+    val one = Seq((1L, "t", 0L, 42.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val w = Gold.winsorize(one, "event_type", "value", 0.05, 0.95, 2.0)
+      .collect().head
+    assert(w.getAs[Double]("value_w") == 42.0 &&
+      !w.getAs[Boolean]("clipped"))
+    val h = Gold.equiDepthHistogram(one, "event_type", "value", 4, 2.0)
+      .collect().head
+    assert(h.getAs[Long]("bucket") == 0L && h.getAs[Long]("n") == 1L)
+  }
 }
