@@ -539,6 +539,54 @@ object Queries {
               FROM documents)
         GROUP BY 1 HAVING count(*) >= 500""")),
 
+    Q("stream_profile",
+      // continuous data observability: each micro-batch lands a
+      // #columns-row mergeable profile shard (batch=N overwrite →
+      // retry-idempotent); every statistic is an associative fold, so
+      // the merged shards equal the exact whole-table profile however
+      // arrivals were batched — the batch profile SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/spf_src_$sf"
+        val prf = s"/tmp/graft_cache/spf_prof_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prf))
+        Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_spf_ckpt").toString
+        graft.streaming.Streams.profileStream(s, src, schema, prf, ckpt)
+          .awaitTermination(120000)
+        graft.streaming.Streams.profileFromShards(s, prf)
+      },
+      Some(s"""
+        WITH e AS ($eventsNs)
+        SELECT 'event_id' as col_name, count(*) as n_rows,
+          count(*) - count(event_id) as n_nulls,
+          cast(min(event_id) as double) as min_num,
+          cast(max(event_id) as double) as max_num,
+          cast(NULL as varchar) as min_str,
+          cast(NULL as varchar) as max_str
+        FROM e
+        UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+          cast(min(ts) as double), cast(max(ts) as double),
+          cast(NULL as varchar), cast(NULL as varchar) FROM e
+        UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+          cast(min(user_id) as double), cast(max(user_id) as double),
+          cast(NULL as varchar), cast(NULL as varchar) FROM e
+        UNION ALL SELECT 'event_type', count(*),
+          count(*) - count(event_type),
+          cast(NULL as double), cast(NULL as double),
+          min(event_type), max(event_type) FROM e
+        UNION ALL SELECT 'value', count(*), count(*) - count(value),
+          min(value), max(value),
+          cast(NULL as varchar), cast(NULL as varchar) FROM e""")),
+
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
       Some(TextOracleSql.simhashSql(maxHamming = 3))),

@@ -68,6 +68,54 @@ object Profile {
       .select("p.*")
   }
 
+  /** The MERGEABLE profile slice — every statistic an associative
+    * fold (row/null counts sum, min/max re-min/max), so shard
+    * profiles combine into the exact whole-table profile however the
+    * table was split. This is what a STREAMING profile can maintain
+    * exactly; `n_distinct` is deliberately absent (not mergeable
+    * without carrying sets — [[tableProfileApprox]]'s HLL is the
+    * sketch answer when an estimate suffices). One scan, one
+    * single-row agg, long form. */
+  def mergeableProfile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val aggs: Seq[Column] = fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val num = isNumeric(f.dataType)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        (if (num) min(c).cast("double") else min(lit(null).cast("double")))
+          .as(s"${f.name}__min_num"),
+        (if (num) max(c).cast("double") else max(lit(null).cast("double")))
+          .as(s"${f.name}__max_num"),
+        (if (num) min(lit(null).cast("string")) else min(c).cast("string"))
+          .as(s"${f.name}__min_str"),
+        (if (num) max(lit(null).cast("string")) else max(c).cast("string"))
+          .as(s"${f.name}__max_str"))
+    } :+ count(lit(1)).as("__n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fields.toSeq.map(f => struct(
+        lit(f.name).as("col_name"),
+        col("__n_rows").as("n_rows"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__min_num").as("min_num"),
+        col(s"${f.name}__max_num").as("max_num"),
+        col(s"${f.name}__min_str").as("min_str"),
+        col(s"${f.name}__max_str").as("max_str"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Fold accumulated per-shard mergeable profiles back into one
+    * table profile: the associative merge — shuffles only
+    * (#shards × #columns) stat rows, never data. */
+  def mergeProfiles(shards: DataFrame): DataFrame =
+    shards.groupBy(col("col_name")).agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("n_nulls")).as("n_nulls"),
+      min(col("min_num")).as("min_num"),
+      max(col("max_num")).as("max_num"),
+      min(col("min_str")).as("min_str"),
+      max(col("max_str")).as("max_str"))
+
   /** k-anonymity audit: group sizes over the quasi-identifier
     * columns, flagging groups smaller than `k` — rows in those groups
     * are re-identifiable by the quasi-identifier combination alone

@@ -417,6 +417,43 @@ object Streams {
       .groupBy(col("word")).agg(sum(col("c")).as("c"))
       .write.mode("overwrite").parquet(outDir)
 
+  /** One micro-batch of the streaming profile sink: the batch's
+    * mergeable profile (one single-row agg — the shard is
+    * #columns-sized, data never leaves the batch) lands under
+    * `batch=<id>` with directory overwrite, so a retried micro-batch
+    * is idempotent. Every statistic is an associative fold, so the
+    * merged shards equal the exact whole-table profile HOWEVER
+    * arrivals were split — the batch profile SQL is the oracle. */
+  def profileBatch(profDir: String)(batch: DataFrame,
+                                    batchId: Long): Unit =
+    graft.operators.Profile.mergeableProfile(batch)
+      .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
+
+  /** Continuous data observability — the streaming twin of
+    * `table_profile`: micro-batches fold mergeable column statistics
+    * into a sharded store via [[profileBatch]]. Steady-state
+    * per-batch cost is one map-side-combined single-row agg; the
+    * store grows by #columns rows per batch and compacts with the
+    * same merge ([[graft.operators.Profile.mergeProfiles]]). */
+  def profileStream(spark: SparkSession, srcPath: String,
+                    schema: StructType, profDir: String,
+                    checkpoint: String,
+                    maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      // profile the DATA columns, not the ingest lineage decoration
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(profileBatch(profDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time table profile from the accumulated shards. */
+  def profileFromShards(spark: SparkSession,
+                        profDir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Profile.mergeProfiles(spark.read.parquet(profDir))
+
   /** Batch analog of gap-based sessionization (oracle-checkable):
     * session boundaries via lag(), session ids via a running sum,
     * one aggregated row per session. Two window passes + one groupBy,

@@ -401,6 +401,52 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
   }
 
+  test("profileStream: merged shards equal the one-shot profile on any batch split") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", Some(10.0)),
+      (2L, "b", None),
+      (3L, "a", Some(-4.5)),
+      (4L, "c", Some(99.0))).toDF("id", "tag", "v")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("tag", StringType), StructField("v", DoubleType)))
+
+    def run(maxFiles: Int): Map[String, (Long, Long, Any, Any, Any, Any)] = {
+      val src = Files.createTempDirectory("graft_spf_src").toFile.getPath
+      val prf = Files.createTempDirectory("graft_spf_p").toFile.getPath + "/p"
+      val ckpt = Files.createTempDirectory("graft_spf_ck").toFile.getPath
+      rows.repartition(4, col("id")).write.mode("overwrite").json(src)
+      Streams.profileStream(spark, src, schema, prf, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      Streams.profileFromShards(spark, prf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.get(3), r.get(4), r.get(5), r.get(6))).toMap
+    }
+
+    val oneShot = graft.operators.Profile.mergeableProfile(rows)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.get(3), r.get(4), r.get(5), r.get(6))).toMap
+    val split = run(1)
+    assert(split == oneShot, "shard merge differs from the one-shot profile")
+    assert(run(4) == oneShot, "profile depends on the batch split")
+    assert(split("v") == (4L, 1L, -4.5, 99.0, null, null))
+    assert(split("tag") == (4L, 0L, null, null, "a", "c"))
+    // a retried batch id overwrites its own shard — stats never double
+    val rt = Files.createTempDirectory("graft_spf_rt").toFile.getPath + "/p"
+    Streams.profileBatch(rt)(rows.filter(col("id") <= 2L), 0L)
+    Streams.profileBatch(rt)(rows.filter(col("id") <= 2L), 0L)
+    val merged = Streams.profileFromShards(spark, rt).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged("id") == 2L)
+    // the mergeable slice agrees with the full profile on every
+    // shared statistic (distinct is the deliberate difference)
+    val full = graft.operators.Profile.tableProfile(rows)
+      .drop("n_distinct").collect().map(_.toSeq).toSet
+    val slice = graft.operators.Profile.mergeableProfile(rows)
+      .collect().map(_.toSeq).toSet
+    assert(full == slice)
+  }
+
   test("curationStream: filtered + deduped sink is batch-split independent") {
     import spark.implicits._
     val docs = Seq(
