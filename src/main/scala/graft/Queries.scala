@@ -601,6 +601,18 @@ object Queries {
       Some(TextOracleSql.ngramContainmentSql(shingleK = 3, numPerm = 64,
         bands = 16))),
 
+    Q("dedup_golden",
+      // the MDM step after clustering: one merged record per cluster,
+      // each field by its own survivorship rule (canonical text from
+      // the min-id survivor, most-complete n_chars, mode lang with a
+      // deterministic tie-break, source spread)
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Clusters.goldenRecords(docs, Dedup.minhashLsh(docs))
+      },
+      Some(TextOracleSql.goldenRecordsSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5))),
+
     Q("dedup_clusters",
       (s, d) => {
         val docs = Tables(s, d).documents

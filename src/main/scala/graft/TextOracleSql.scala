@@ -121,6 +121,33 @@ object TextOracleSql {
          doc_id = cluster_id as is_canonical
        FROM cc JOIN sizes USING (cluster_id)"""
 
+  /** Golden-record survivorship over the SAME closure (mirrors
+    * Clusters.goldenRecords ∘ duplicateClusters): per-cluster merged
+    * record — canonical text from the min-id survivor, max n_chars,
+    * mode lang with smallest-value tie-break, distinct sources. */
+  def goldenRecordsSql(shingleK: Int, numPerm: Int, bands: Int,
+                       threshold: Double): String =
+    s"""${clusterCtes(shingleK, numPerm, bands, threshold)},
+       j AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+               cc.cluster_id
+             FROM documents d JOIN cc ON cc.doc_id = d.doc_id),
+       lm AS (SELECT cluster_id, lang as lang_mode FROM (
+           SELECT cluster_id, lang,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY count(*) DESC, lang) as rk
+           FROM j GROUP BY cluster_id, lang)
+         WHERE rk = 1),
+       ag AS (SELECT cluster_id, count(*) as n_docs,
+                max(n_chars) as max_n_chars,
+                count(DISTINCT source) as n_sources
+              FROM j GROUP BY 1)
+       SELECT ag.cluster_id as canonical_doc_id, ag.n_docs,
+         ag.max_n_chars, ag.n_sources, lm.lang_mode,
+         d.text as canonical_text
+       FROM ag
+         JOIN lm USING (cluster_id)
+         JOIN documents d ON d.doc_id = ag.cluster_id"""
+
   /** Cluster-size histogram over the SAME closure (mirrors
     * Clusters.clusterStats ∘ duplicateClusters): the dedup outcome
     * report — how much of the corpus is duplicated, at what cluster

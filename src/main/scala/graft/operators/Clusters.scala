@@ -205,6 +205,45 @@ object Clusters {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** Golden-record survivorship — the MDM step AFTER clustering: one
+    * merged record per duplicate cluster, each field resolved by its
+    * own survivorship rule rather than dropping whole duplicate rows.
+    * Rules here: canonical text from the min-doc_id survivor (the
+    * cluster label IS the min id under min-label propagation),
+    * "most complete" for n_chars (max), "most frequent, ties to the
+    * smallest value" for lang (the mode), plus the source spread.
+    * Every rule is an exact aggregate or a deterministic windowed
+    * pick, so the whole merge is oracle-replicable.
+    *
+    * Scale: one doc→cluster join keyed on doc_id, then cluster-keyed
+    * map-side-combined aggregates; the mode's window runs over the
+    * (cluster, lang) COUNT frame, never raw docs; the canonical text
+    * join is cluster-keyed against the documents table. */
+  def goldenRecords(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val cl = duplicateClusters(documents, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val j = documents.join(cl, "doc_id")
+    val langMode = j.groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("c").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("lang").as("lang_mode"))
+    val agg = j.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("n_docs"),
+      max(col("n_chars")).as("max_n_chars"),
+      countDistinct(col("source")).as("n_sources"))
+    agg
+      .join(langMode, "cluster_id")
+      .join(documents.select(col("doc_id").as("cluster_id"),
+        col("text").as("canonical_text")), "cluster_id")
+      .select(col("cluster_id").as("canonical_doc_id"), col("n_docs"),
+        col("max_n_chars"), col("n_sources"), col("lang_mode"),
+        col("canonical_text"))
+  }
+
   /** Cluster-size histogram: the dedup OUTCOME report — how much of
     * the corpus is duplicated, at what cluster granularity, and how
     * many docs the apply step removes. One row per distinct cluster

@@ -92,6 +92,9 @@ class DeterminismSpec extends SparkSpec {
     "graph_triangles", "ann_sq8",
     // the forward window mirror and comparison-only bucket ids are
     // fan-out-free like their backward/width siblings
-    "asof_join_forward", "value_histogram_eqdepth"))
+    "asof_join_forward", "value_histogram_eqdepth",
+    // survivorship rules are exact aggregates + a deterministic
+    // windowed mode pick
+    "dedup_golden"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -107,4 +107,44 @@ class ClustersSpec extends SparkSpec {
         (r.getAs[Long]("cluster_size") - 1) * r.getAs[Long]("n_clusters"))
     }
   }
+
+  test("goldenRecords resolves each field by its own survivorship rule") {
+    import spark.implicits._
+    // cluster {1,2,3}: canonical text from doc 1 (min id), n_chars
+    // completeness from doc 3, lang mode 'de' (2 of 3), sources a+b;
+    // doc 9 is a singleton that survives as itself
+    val docs = Seq(
+      (1L, "short", "en", "a", 5L),
+      (2L, "short v2", "de", "a", 8L),
+      (3L, "short v3 longer", "de", "b", 15L),
+      (9L, "alone", "fr", "c", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Clusters.goldenRecords(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2)
+    val g = out(1L)
+    assert(g.getAs[Long]("n_docs") == 3 &&
+      g.getAs[Long]("max_n_chars") == 15 &&
+      g.getAs[Long]("n_sources") == 2)
+    assert(g.getAs[String]("lang_mode") == "de")
+    assert(g.getAs[String]("canonical_text") == "short")
+    val s = out(9L)
+    assert(s.getAs[Long]("n_docs") == 1 &&
+      s.getAs[String]("canonical_text") == "alone" &&
+      s.getAs[String]("lang_mode") == "fr")
+  }
+
+  test("goldenRecords: lang-mode ties break to the smallest value") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1", "fr", "a", 2L),
+      (2L, "t2", "de", "a", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Clusters.goldenRecords(docs, pairs).collect()
+    assert(out.length == 1)
+    // counts tie 1-1 → 'de' < 'fr' wins deterministically
+    assert(out.head.getAs[String]("lang_mode") == "de")
+  }
 }
