@@ -2081,6 +2081,80 @@ object Queries {
           first_purchase_ts - first_click_ts as us_to_convert
         FROM f""")),
 
+    Q("event_transitions",
+      // first-order Markov matrix over per-user event sequences:
+      // P(next type | current type). Raw events shuffle once on
+      // user_id (the session/funnel key); the matrix frame is at most
+      // |types|² rows and its normalizer windows over THAT, never
+      // events. Successors use the total (ts, event_id) order, so the
+      // matrix is reorder-proof; the single division is the only
+      // double
+      (s, d) => Transitions.matrix(Tables(s, d).events),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id,
+                     event_type FROM events),
+        p AS (SELECT event_type as from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) as to_type
+              FROM e),
+        c AS (SELECT from_type, to_type, count(*) as n_pairs FROM p
+              WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n_pairs,
+          cast(n_pairs as double) /
+            cast(sum(n_pairs) OVER (PARTITION BY from_type) as double)
+            as p_next
+        FROM c""")),
+
+    Q("ts_anomaly",
+      // online-frame anomaly detection on the dense hourly series:
+      // each hour z-scored against the PRECEDING 24 hours only (its
+      // own value excluded — the monitoring frame), zero-filled so
+      // outages score like spikes. Integer/decimal moments until one
+      // fixed double chain ending in IEEE-exact sqrt; windows run
+      // over series rows, never raw events
+      (s, d) => TimeSeries.anomaly(Tables(s, d).events),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        h AS (SELECT event_type, ts - ts % 3600000000 as hour_us,
+                count(*) as n_raw
+              FROM e GROUP BY 1, 2),
+        spans AS (SELECT event_type,
+                min(ts) - min(ts) % 3600000000 as lo,
+                max(ts) - max(ts) % 3600000000 as hi
+              FROM e GROUP BY 1),
+        grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, 3600000000)) as hour_us
+              FROM spans),
+        s AS (SELECT g.event_type, g.hour_us,
+                coalesce(h.n_raw, 0) as n_events
+              FROM grid g LEFT JOIN h USING (event_type, hour_us)),
+        w AS (SELECT event_type, hour_us, n_events,
+                count(*) OVER tw as n_hist,
+                sum(n_events) OVER tw as s1,
+                sum(cast(n_events as decimal(19,0))
+                  * cast(n_events as decimal(19,0))) OVER tw as s2
+              FROM s WINDOW tw AS (PARTITION BY event_type
+                ORDER BY hour_us
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        m AS (SELECT *,
+                cast(s1 as double) / cast(n_hist as double) as mu,
+                sqrt(greatest(
+                  cast(s2 as double) / cast(n_hist as double)
+                    - (cast(s1 as double) / cast(n_hist as double))
+                      * (cast(s1 as double) / cast(n_hist as double)),
+                  0.0)) as sd
+              FROM w)
+        SELECT event_type, hour_us, n_events, n_hist,
+          CASE WHEN n_hist >= 12 THEN mu END as mean_trail,
+          CASE WHEN n_hist >= 12 THEN sd END as std_trail,
+          CASE WHEN n_hist >= 12 AND sd > 0 THEN
+            (cast(n_events as double) - mu) / sd END as z_score,
+          (n_hist >= 12 AND ((sd > 0 AND
+              abs((cast(n_events as double) - mu) / sd) > 3.0)
+            OR (sd = 0.0 AND cast(n_events as double) <> mu)))
+            as is_anomaly
+        FROM m""")),
+
     Q("value_winsorize",
       // outlier TREATMENT after value_outliers flags them: clamp to
       // per-type exact nearest-rank [p05, p95] fences — the clamp only
@@ -2514,6 +2588,30 @@ object Queries {
                  + (1.0 - CAST(s_cov AS DOUBLE) / CAST(n AS DOUBLE)))
            > 0.15) AS at_risk
         FROM g""")),
+
+    Q("dp_release",
+      // the MECHANISM the k/l/t audit trio motivates: per-nation
+      // in-debt counts released under randomized response (every
+      // customer's bit reported truthfully with p = 3/4 → ε = ln 3
+      // deniability), debiased with the standard estimator. The coin
+      // is the salted portable hash, so the release — noise included
+      // — is byte-for-byte reproducible (fresh randomness would let
+      // an observer average the noise away across re-runs); map-only
+      // flip + one map-side-combined groupBy
+      (s, d) => Profile.dpRelease(Tables(s, d).customer, "c_custkey",
+        col("c_acctbal") < 0, Seq("c_nationkey")),
+      Some(s"""
+        WITH f AS (SELECT c_nationkey,
+                (c_acctbal < 0) as truth,
+                (${TextOracleSql.Sha60.format("'dp:' || c_custkey")} % 4
+                  = 0) as flip
+              FROM customer)
+        SELECT c_nationkey, count(*) as n,
+          sum(cast(truth as bigint)) as n_true,
+          sum(cast(truth <> flip as bigint)) as n_reported,
+          (cast(sum(cast(truth <> flip as bigint)) as double)
+            - cast(count(*) as double) * 0.25) / 0.5 as n_estimated
+        FROM f GROUP BY 1""")),
 
     Q("profile_diff",
       // snapshot drift gate: profile of the committed documents drop

@@ -319,4 +319,58 @@ object Profile {
     qi.select(col("c_custkey"), natCol.as("qi_nation"),
       balCol.as("qi_acctbal"), lit(level).cast("int").as("gen_level"))
   }
+
+  /** Differentially-private count release via randomized response —
+    * the MECHANISM the k/l/t audit trio motivates: instead of
+    * generalizing until groups are safe, each individual's sensitive
+    * bit is reported truthfully only with probability
+    * p = 1 − 1/flipDenom (flip otherwise), giving every respondent
+    * ε = ln(p/(1−p)) deniability, and the released per-group counts
+    * are debiased with the standard unbiased estimator
+    * est = (obs − n·q) / (1 − 2q), q = 1/flipDenom.
+    *
+    * The coin is the engine-portable salted content hash (the
+    * corpus_sample idiom): membership of a row in the flip set is a
+    * pure function of (salt, id), so the release is byte-for-byte
+    * reproducible — a re-run releases the SAME noise, which is
+    * exactly what a privacy audit trail needs (fresh randomness per
+    * run would let an observer average the noise away).
+    *
+    * Determinism: flip decisions are integer hash comparisons;
+    * counts are integers; the estimator is one fixed double op
+    * chain. `flipDenom` must be a power of two so q is an exact
+    * double and the SQL literal round-trips.
+    *
+    * Scale shape: map-only hash + flip, then one map-side-combined
+    * groupBy on the release key. Nothing is collected; the noise
+    * needs no driver-side RNG state.
+    *
+    * `n_true` is emitted ONLY so the oracle can verify the mechanism
+    * end-to-end; a production release would drop that column (and
+    * the per-row `__truth`/`__report` bits never leave the
+    * aggregation).
+    */
+  def dpRelease(df: DataFrame, idCol: String, sensitive: Column,
+                groupCols: Seq[String], flipDenom: Int = 4,
+                salt: String = "dp"): DataFrame = {
+    require(flipDenom >= 4 && (flipDenom & (flipDenom - 1)) == 0,
+      "flipDenom must be a power of two >= 4 (q exact in double)")
+    require(groupCols.nonEmpty, "need at least one release key column")
+    val sha60 = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(lit(s"$salt:"), col(idCol).cast("string")))))
+    val q = 1.0 / flipDenom
+    val flipped = df
+      .withColumn("__truth", sensitive.cast("boolean"))
+      .withColumn("__flip", pmod(sha60, lit(flipDenom)) === 0)
+      .withColumn("__report", col("__truth") =!= col("__flip"))
+    flipped.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__truth").cast("long")).as("n_true"),
+        sum(col("__report").cast("long")).as("n_reported"))
+      .withColumn("n_estimated",
+        (col("n_reported").cast("double") -
+          col("n").cast("double") * lit(q)) / lit(1.0 - 2 * q))
+  }
 }

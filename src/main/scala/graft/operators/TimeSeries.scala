@@ -62,4 +62,70 @@ object TimeSeries {
           .as("value_f"),
         col("v").isNotNull.as("observed"))
   }
+
+  /** Trailing-window anomaly detection over the dense hourly count
+    * series: each hour's event count is z-scored against the
+    * PRECEDING `trailing` hours only (never its own value, never the
+    * future — the online-monitoring frame), and flagged when the
+    * score exceeds `zThresh`. Runs on the zero-filled grid so silent
+    * hours are visible both as history (a quiet baseline) and as
+    * anomalies (a traffic outage scores just like a spike).
+    *
+    * Determinism: counts are integers; the trailing moments stay
+    * integer/decimal (squares in decimal(38,0) — no long wrap even at
+    * ~1e9 events/hour) until ONE fixed double op chain
+    * (mean = s1/n; var = s2/n − mean²; std = √max(var,0);
+    * z = (c − mean)/std). IEEE requires sqrt correctly rounded, so
+    * both engines produce bit-identical scores (the value_outliers
+    * precedent). A flat history (std = 0) flags any departure from
+    * the constant instead of dividing by zero.
+    *
+    * Scale shape: one map-side-combined shuffle to (type, hour)
+    * counts; the grid and every window run over SERIES rows (bounded
+    * by types × span hours), never raw events. The window partition
+    * is the series — exactly the unit a monitoring consumer reads
+    * together.
+    */
+  def anomaly(events: DataFrame, trailing: Int = 24,
+              zThresh: Double = 3.0, minHist: Int = 12): DataFrame = {
+    require(trailing >= minHist && minHist >= 2,
+      "need trailing >= minHist >= 2 hours of history")
+    val hourUs = 3600000000L
+    val hourly = events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw"))
+    val grid = events.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("event_type"), explode(sequence(
+        col("lo") - pmod(col("lo"), lit(hourUs)),
+        col("hi") - pmod(col("hi"), lit(hourUs)),
+        lit(hourUs))).as("hour_us"))
+    val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n_raw"), lit(0L)).as("n_events"))
+    val trail = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(-trailing, -1)
+    val dec = col("n_events").cast("decimal(19,0)")
+    val stats = series
+      .withColumn("n_hist", count(lit(1)).over(trail))
+      .withColumn("s1", sum(col("n_events")).over(trail))
+      .withColumn("s2", sum(dec * dec).over(trail))
+    val nD = col("n_hist").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val variance = col("s2").cast("double") / nD - col("m") * col("m")
+    val cD = col("n_events").cast("double")
+    stats
+      .withColumn("m", mean)
+      .withColumn("sd", sqrt(greatest(variance, lit(0.0))))
+      .select(col("event_type"), col("hour_us"), col("n_events"),
+        col("n_hist"),
+        when(col("n_hist") >= minHist, col("m")).as("mean_trail"),
+        when(col("n_hist") >= minHist, col("sd")).as("std_trail"),
+        when(col("n_hist") >= minHist && col("sd") > 0,
+          (cD - col("m")) / col("sd")).as("z_score"),
+        (col("n_hist") >= minHist &&
+          ((col("sd") > 0 && abs((cD - col("m")) / col("sd")) > zThresh) ||
+            (col("sd") === 0.0 && cD =!= col("m")))).as("is_anomaly"))
+  }
 }

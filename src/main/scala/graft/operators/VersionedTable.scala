@@ -290,6 +290,27 @@ object VersionedTable {
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
 
+  /** CDC consumption — the inverse of [[changes]]: applying the
+    * change feed between two versions onto the OLDER snapshot
+    * reconstructs the newer one exactly (multiset semantics mirror
+    * the diff's `exceptAll`). This is how a downstream consumer
+    * follows a versioned table without re-reading full snapshots:
+    * ship the (typically tiny) feed, apply it locally.
+    *
+    * Scale shape: `exceptAll` shuffles on the full row — unavoidable
+    * for row-level CDC without a declared key, and the shuffled
+    * volume is bounded by |snapshot| + |feed| with the feed side
+    * proportional to the CHANGE, not the table. A keyed consumer
+    * should prefer MERGE ([[upsert]]); this operator is the exact
+    * replay path for feeds that may carry duplicate rows. */
+  def applyChanges(snapshot: DataFrame, feed: DataFrame): DataFrame = {
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    snapshot.exceptAll(deletes).unionByName(inserts)
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old
     * snapshot as the new latest version (history keeps everything). */
   def restore(spark: SparkSession, path: String, toVersion: Int): Int =
