@@ -42,7 +42,12 @@ object Bench {
           case e: Throwable =>
             errors ::= name
             failed = true
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            // first line only: a full AnalysisException message is a
+            // multi-line plan dump, and 50 of those drowned the r6
+            // results JSON out of the artifact's tail window
+            val firstLine = Option(e.getMessage).getOrElse(e.toString)
+              .linesIterator.take(1).mkString
+            System.err.println(s"[bench] $name FAILED: $firstLine")
         }
         times += (System.nanoTime() - t0) / 1e9
         rep += 1
@@ -53,7 +58,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // flush stderr first so per-query failure lines can't interleave
+    // after (and displace) the one machine-read results line; the JSON
+    // line is the last thing this process writes to stdout
+    System.err.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -1156,8 +1156,8 @@ object Queries {
             .as("mean_doc_tokens")),
       Some("""
         SELECT count(*) as n_docs,
-          sum(len(string_split(text, ' '))) as n_tokens,
-          sum(length(text)) as n_chars_total,
+          cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
+          cast(sum(length(text)) as bigint) as n_chars_total,
           count(DISTINCT lang) as n_langs,
           count(DISTINCT source) as n_sources,
           cast(sum(len(string_split(text, ' '))) as double) / count(*)
@@ -2578,7 +2578,7 @@ object Queries {
                 sum(c_v) AS s_cov,
                 first(n) AS n
               FROM j GROUP BY 1)
-        SELECT c_nationkey, group_size,
+        SELECT c_nationkey, CAST(group_size AS BIGINT) AS group_size,
           0.5 * (CAST(s_num AS DOUBLE)
                    / (CAST(group_size AS DOUBLE) * CAST(n AS DOUBLE))
                  + (1.0 - CAST(s_cov AS DOUBLE) / CAST(n AS DOUBLE)))
@@ -2607,8 +2607,8 @@ object Queries {
                   = 0) as flip
               FROM customer)
         SELECT c_nationkey, count(*) as n,
-          sum(cast(truth as bigint)) as n_true,
-          sum(cast(truth <> flip as bigint)) as n_reported,
+          cast(sum(cast(truth as bigint)) as bigint) as n_true,
+          cast(sum(cast(truth <> flip as bigint)) as bigint) as n_reported,
           (cast(sum(cast(truth <> flip as bigint)) as double)
             - cast(count(*) as double) * 0.25) / 0.5 as n_estimated
         FROM f GROUP BY 1""")),
@@ -3503,13 +3503,37 @@ object Queries {
     Q("multimodal_mixed",
       (s, d) => {
         implicit val sp: SparkSession = s
-        // mixed-kind dispatch surface: image rows decode for real,
-        // audio/video flow through the stub (no codecs in-container)
-        // — rows-only by design
+        // mixed-kind dispatch: every row carries a REAL container for
+        // its kind (PNG / GAUD / GVID) and the decode parses actual
+        // bytes — image via ImageIO, audio/video via header parse
+        // (codec synthetic, plumbing real). All selected columns are
+        // pure functions of media_id, so the dispatch is hash-checked
+        // end-to-end. byte_len is omitted only because PNG compressed
+        // size isn't SQL-derivable; it's asserted >0 in the spec.
         Multimodal.decodeFeatures(Multimodal.asMedia(Tables(s, d).documents))
-          .toDF().select("media_id", "kind", "byte_len", "width", "height",
-            "n_frames")
-      }, None),
+          .toDF().select("media_id", "kind", "width", "height", "n_frames")
+      },
+      Some("""
+        SELECT doc_id as media_id,
+          CASE cast(doc_id % 3 as int)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+          END as kind,
+          CASE cast(doc_id % 3 as int)
+            WHEN 0 THEN cast(8 + doc_id % 32 as int)
+            WHEN 1 THEN 0
+            ELSE cast(4 + doc_id % 8 as int)
+          END as width,
+          CASE cast(doc_id % 3 as int)
+            WHEN 0 THEN cast(8 + doc_id % 16 as int)
+            WHEN 1 THEN 0
+            ELSE cast(4 + doc_id % 4 as int)
+          END as height,
+          CASE cast(doc_id % 3 as int)
+            WHEN 0 THEN 1
+            WHEN 1 THEN cast(100 + doc_id % 400 as int)
+            ELSE cast(4 + doc_id % 12 as int)
+          END as n_frames
+        FROM documents""")),
 
     // ---------- A. Ingestion ----------
     Q("ingest_csv",

@@ -18,15 +18,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a LongType of
-    * epoch-nanoseconds (runtime-settable legacy conf) and canonicalize
-    * to epoch-MICROseconds — Spark's native timestamp precision, and
-    * what DuckDB's parquet reader keeps (`epoch_us(ts)`), so oracle
-    * comparisons are exact. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as LongType epoch-nanos
+    * via the legacy `nanosAsLong` conf, since the vectorized reader
+    * rejects nanos) and parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read natively as TIMESTAMP_NTZ). Branch on the dtype Spark actually
+    * read and canonicalize both to a LongType of epoch-MICROseconds —
+    * Spark's native timestamp precision, and what DuckDB's parquet reader
+    * keeps (`epoch_us(ts)`), so oracle comparisons are exact. The session
+    * timezone is pinned to UTC in every entry point, so the NTZ→timestamp
+    * cast below is an exact reinterpretation. */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val raw = t("events")
+    val tsMicros = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // epoch-nanos → micros
+      case TimestampNTZType | TimestampType => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet-read type $other (expected INT64 nanos or TIMESTAMP)")
+    }
+    raw.withColumn("ts", tsMicros)
   }
 
   /** events with `ts` as a proper TimestampType column (µs). */

@@ -25,7 +25,11 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // first line only — a full AnalysisException message is a
+        // multi-line plan dump that buries the per-query signal
+        val firstLine = Option(e.getMessage).getOrElse(e.toString)
+          .linesIterator.take(1).mkString
+        System.err.println(s"[verify] $name failed: $firstLine")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

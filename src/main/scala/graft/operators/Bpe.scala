@@ -26,14 +26,27 @@ object Bpe {
     * deterministic corpus sample (`doc_id % sampleMod == 0`). Pair
     * counts weight by word frequency and count every adjacent
     * position; the best pair is (max count, then lexicographic
-    * (a, b)) — fully deterministic. Stops early when no pair repeats. */
+    * (a, b)) — fully deterministic. Stops early when no pair repeats.
+    *
+    * The driver only ever holds the TOP-`dictBudget` words by (count
+    * desc, word asc) — the `orderBy.limit` compiles to
+    * TakeOrderedAndProject, a distributed top-K with per-partition
+    * pruning, so the collect is O(dictBudget) no matter how many
+    * distinct words the corpus has (a raw distinct-word collect is
+    * billions of entries at 100 TB). Standard BPE trainers truncate
+    * the word dictionary anyway: merges are driven by high-frequency
+    * words, and the singleton tail can never win a merge. */
   def train(documents: DataFrame, numMerges: Int,
-            sampleMod: Int = 5): Seq[(String, String)] = {
+            sampleMod: Int = 5,
+            dictBudget: Int = 1 << 16): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be positive")
+    require(dictBudget >= 1, "dictBudget must be positive")
     val wordCounts: Array[(Array[String], Long)] = documents
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(dictBudget)
       .collect()
       .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
       .sortBy(_._1.mkString)

@@ -27,12 +27,14 @@ final case class ImageMeta(media_id: Long, byte_len: Int, width: Int,
   * `javax.imageio`, so `asImages` stages genuine PNG bytes into the
   * binary column and `decodeImages`/`decodeFeatures` decode them with
   * `ImageIO.read` — actual pixels, not pseudo-metadata. Audio/video
-  * REMAIN STUBS (this container has no PCM/video codecs):
-  * `fakeDecode` derives deterministic pseudo-metadata from the bytes.
-  * The Spark-side plumbing — binary schema, typed Encoder,
-  * partition-wise batching, feature vector shape — is identical for
-  * both paths; a production deployment swaps `fakeDecode` for its
-  * codec call without touching the dataflow.
+  * CODECS remain stubs (this JVM has no PCM/video codecs), but their
+  * containers are real: `audioBytes`/`videoBytes` stage GAUD/GVID
+  * binary containers whose headers and payload bytes the decode path
+  * genuinely parses and reads; `fakeDecode` is only the fallback for
+  * unrecognized payloads. The Spark-side plumbing — binary schema,
+  * typed Encoder, partition-wise batching, feature vector shape — is
+  * identical for all paths; a production deployment swaps the
+  * synthetic codec for its demuxer call without touching the dataflow.
   */
 object Multimodal {
 
@@ -330,16 +332,43 @@ object Multimodal {
     }
   }
 
-  /** Wrap documents as media rows: payload = utf-8 bytes, kind cycles
-    * image/audio/video by id (synthetic corpus has no real media). */
+  // deterministic audio geometry per id — like the image/video helpers,
+  // pure functions the oracle recomputes
+  def audSamples(id: Long): Int = 100 + (id % 400).toInt
+
+  /** Stub PCM container ("GAUD"): 4-byte magic, int32-BE sample rate,
+    * int32-BE sample count, then `n` 8-bit samples with sample i =
+    * `(id·37 + i·11) mod 256`. Same contract as [[videoBytes]]: the
+    * bytes, header parse and offset math are real; only the codec is
+    * synthetic. A production deployment swaps this for its PCM/OGG
+    * demuxer without touching the dataflow. */
+  def audioBytes(id: Long): Array[Byte] = {
+    val n = audSamples(id)
+    val buf = java.nio.ByteBuffer.allocate(12 + n)
+    buf.put("GAUD".getBytes("US-ASCII"))
+    buf.putInt(8000).putInt(n)
+    var i = 0
+    while (i < n) { buf.put(((id * 37 + i * 11) % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Wrap documents as MIXED media rows, kind cycling image/audio/video
+    * by id: each row carries a REAL container for its kind — encoded
+    * PNG bytes, a GAUD audio container, or a GVID video container — so
+    * the mixed-kind dispatch downstream exercises a genuine per-kind
+    * header parse, not a text-bytes placeholder. Map-only. */
   def asMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(
-      col("doc_id").as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("source")).as[MediaRow]
+    documents.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, src) =>
+        (id % 3) match {
+          case 0 => MediaRow(id, "image",
+            pngBytes(imgWidth(id), imgHeight(id), imgRed(id), imgGreen(id),
+              imgBlue(id)), src)
+          case 1 => MediaRow(id, "audio", audioBytes(id), src)
+          case _ => MediaRow(id, "video", videoBytes(id), src)
+        }
+      })
   }
 
   /** STUB decoder for the codec-less kinds (audio/video, or image
@@ -365,24 +394,49 @@ object Multimodal {
   }
 
   /** Per-kind dispatch: REAL `ImageIO` decode for decodable image
-    * payloads, stub features otherwise. */
-  private[operators] def decodeAny(m: MediaRow): MediaFeatures =
-    if (m.kind == "image") {
-      val img =
-        try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
-        catch { case _: Exception => null }
-      if (img == null) fakeDecode(m)
-      else {
-        val px = img.getRGB(img.getWidth - 1, img.getHeight - 1)
-        val feat = Array(
-          ((px >> 16) & 0xff) / 255.0f, ((px >> 8) & 0xff) / 255.0f,
-          (px & 0xff) / 255.0f, img.getWidth / 4096.0f,
-          img.getHeight / 4096.0f, 1.0f, 0.0f, 0.0f)
-        MediaFeatures(m.media_id, m.kind, m.payload.length, img.getWidth,
-          img.getHeight, 1, feat)
-      }
-    } else fakeDecode(m)
+    * payloads; REAL header parse + byte reads for GAUD/GVID container
+    * payloads (only the codec inside is synthetic); stub features for
+    * anything unrecognized. Every emitted field is a pure function of
+    * the payload bytes, so the mixed path is oracle-checkable. */
+  private[operators] def decodeAny(m: MediaRow): MediaFeatures = {
+    def magicIs(tag: String): Boolean =
+      m.payload.length >= 12 &&
+        new String(m.payload, 0, 4, "US-ASCII") == tag
+    m.kind match {
+      case "image" =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null) fakeDecode(m)
+        else {
+          val px = img.getRGB(img.getWidth - 1, img.getHeight - 1)
+          val feat = Array(
+            ((px >> 16) & 0xff) / 255.0f, ((px >> 8) & 0xff) / 255.0f,
+            (px & 0xff) / 255.0f, img.getWidth / 4096.0f,
+            img.getHeight / 4096.0f, 1.0f, 0.0f, 0.0f)
+          MediaFeatures(m.media_id, m.kind, m.payload.length, img.getWidth,
+            img.getHeight, 1, feat)
+        }
+      case "audio" if magicIs("GAUD") =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload, 4, 8)
+        buf.getInt // sample rate (fixed 8 kHz in the stub container)
+        val n = buf.getInt
+        // feature = the first 8 ACTUAL samples, normalized
+        val feat = Array.tabulate(8)(j =>
+          (m.payload(12 + (j % n)) & 0xff) / 255.0f)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, 0, 0, n, feat)
+      case "video" if magicIs("GVID") =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload, 4, 12)
+        val nf = buf.getInt; val w = buf.getInt; val h = buf.getInt
+        // feature = the first 8 ACTUAL pixels of frame 0, normalized
+        val frameLen = w * h
+        val feat = Array.tabulate(8)(j =>
+          (m.payload(16 + (j % frameLen)) & 0xff) / 255.0f)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, w, h, nf, feat)
+      case _ => fakeDecode(m)
+    }
+  }
 
   /** Batch decode: one decoder instance per partition (the expensive
     * codec init happens once per partition, not per row — the shape a

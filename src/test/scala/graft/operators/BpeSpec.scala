@@ -57,6 +57,24 @@ class BpeSpec extends SparkSpec {
     assert(m === Bpe.train(tables.documents, numMerges = 4, sampleMod = 5))
   }
 
+  test("train's driver dictionary is capped at dictBudget words (top-K by count)") {
+    import spark.implicits._
+    // "aa" repeats 3×, "zz" 2×, plus a distinct-word tail. With
+    // dictBudget = 1 only "aa" survives the distributed top-K, so the
+    // (z, z) pair — which the full dictionary WOULD merge — must not
+    // appear: proof the trainer never saw the words beyond the budget.
+    val docs = Seq((0L, "aa aa aa zz zz q r s t u v w"))
+      .toDF("doc_id", "text")
+    val full = Bpe.train(docs, numMerges = 4, sampleMod = 1)
+    assert(full.contains(("a", "a")) && full.contains(("z", "z")))
+    val capped = Bpe.train(docs, numMerges = 4, sampleMod = 1, dictBudget = 1)
+    assert(capped === Seq(("a", "a")))
+    // the budget is a cap, not a quota: a corpus smaller than the
+    // budget trains identically to the unbounded default
+    assert(Bpe.train(docs, numMerges = 4, sampleMod = 1,
+      dictBudget = 1 << 20) === full)
+  }
+
   test("encode output is consistent: piece counts re-derivable from text") {
     val out = Bpe.encode(tables.documents).cache()
     try {
