@@ -29,10 +29,16 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // optional comma-separated name filter for single-query iteration
+    // (SPARK_GRAFT_BENCH_ONLY=stream_dedup_index sbt "runMain graft.Bench")
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // fixed name order: Map iteration order shifts as queries are
     // added, which would move warmup/cache effects between queries
     // and add noise to round-over-round comparisons
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var rep = 0
       var failed = false
