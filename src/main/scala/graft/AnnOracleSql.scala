@@ -87,6 +87,19 @@ object AnnOracleSql {
           FROM fused)
     WHERE hybrid_rank <= $k"""
 
+  /** IVF index-health audit (mirrors Similarity.cellStats): per-cell
+    * population, corpus share, and imbalance factor in ppm — all
+    * integer division, bit-portable. */
+  def cellStatsSql(nlist: Int, iters: Int, sampleBudget: Int): String =
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
+       sz AS (SELECT cluster, count(*) as n FROM tagged GROUP BY 1),
+       tot AS (SELECT cast(sum(n) as bigint) as t FROM sz)
+       SELECT cast(cluster as bigint) as cluster,
+         cast(n as bigint) as n_vectors,
+         cast(n * 1000000 // t as bigint) as share_ppm,
+         cast(n * $nlist * 1000000 // t as bigint) as imbalance_ppm
+       FROM sz, tot"""
+
   /** Frozen-quantizer k-means assignment + cell sizes (mirrors
     * Similarity.kmeansAssign). */
   def kmeansAssignSql(nlist: Int, iters: Int, sampleBudget: Int): String =

@@ -422,6 +422,26 @@ object Queries {
       Some(TextOracleSql.dedupRecallSql(shingleK = 3, numPerm = 64,
         bands = 16, tNum = 1, tDen = 2))),
 
+    Q("dedup_param_sweep",
+      // the LSH tuning sweep run the only way 100 TB affords: shingle
+      // + sign ONCE into a materialized signature table (~0.5 KB/doc),
+      // then evaluate every (bands × rows) factorization from the
+      // signatures alone — candidate volume and surviving-pair counts
+      // per config, one summary row each
+      (s, d) => Dedup.paramSweep(Tables(s, d).documents,
+        s"/tmp/graft_cache/sweep_sigs_${new java.io.File(d).getName}"),
+      Some(TextOracleSql.paramSweepSql(shingleK = 3, numPerm = 64,
+        bandConfigs = Seq(8, 16, 32), threshold = 0.5))),
+
+    Q("dedup_threshold_curve",
+      // the OTHER tuning axis from the same single pass: the exact
+      // distribution of estimated Jaccard over candidate pairs, with
+      // the cumulative pairs-surviving-any-cutoff column — integer
+      // ppm bins, bit-portable
+      (s, d) => Dedup.thresholdCurve(Tables(s, d).documents),
+      Some(TextOracleSql.thresholdCurveSql(shingleK = 3, numPerm = 64,
+        bands = 16))),
+
     Q("dedup_incremental",
       // nightly-dedup lifecycle: a signature-only index built from the
       // base corpus (80%), then the new batch (20%) deduped against it
@@ -987,6 +1007,17 @@ object Queries {
         dim = 64, outDim = 16),
       Some(AnnOracleSql.projectionSql(dim = 64, outDim = 16))),
 
+    Q("ivf_cell_stats",
+      // index-health audit of the shared IVF quantizer: per-cell
+      // population, corpus share, imbalance factor (ppm integer
+      // arithmetic) — hot cells ARE the tail latency of a cell-pruned
+      // index, and drift shows up here before recall gates trip; one
+      // assignment pass + a ≤nlist-row aggregate
+      (s, d) => Similarity.cellStats(Tables(s, d).embeddings,
+        cacheKey = Some(d)),
+      Some(AnnOracleSql.cellStatsSql(nlist = 16, iters = 3,
+        sampleBudget = 128))),
+
     // ---------- I. LLM-pipeline: text analysis ----------
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables(s, d).documents),
@@ -1525,6 +1556,59 @@ object Queries {
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ips,
           len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) as n_phones
         FROM withpii""")),
+
+    Q("pii_report",
+      // the governance dashboard pii_scrub's detectors feed: per
+      // source, how many documents leak which PII types and how much
+      // — published before scrubbing, re-run after as the regression
+      // gate. Injection is CONDITIONAL (email on even ids, IP on %3,
+      // phone on %5) so the with-PII fraction varies per source and
+      // the report is non-degenerate
+      (s, d) => {
+        val withPii = Tables(s, d).documents.select(col("source"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@mail.example.com"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" from 10.0."),
+                (col("doc_id") % 256).cast("string"), lit(".7")))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(" call 555-01"),
+                lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.piiReport(withPii)
+      },
+      Some("""
+        WITH withpii AS (
+          SELECT source,
+            text ||
+            CASE WHEN doc_id % 2 = 0
+              THEN ' contact user' || doc_id || '@mail.example.com'
+              ELSE '' END ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.7'
+              ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-01' || lpad(cast(doc_id % 100 as varchar), 2, '0')
+              ELSE '' END as text
+          FROM documents),
+        c AS (
+          SELECT source,
+            len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as ne,
+            len(regexp_extract_all(text,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as ni,
+            len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) as np
+          FROM withpii)
+        SELECT source, count(*) as n_docs,
+          cast(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) as bigint)
+            as n_docs_with_pii,
+          cast(sum(ne) as bigint) as n_emails,
+          cast(sum(ni) as bigint) as n_ips,
+          cast(sum(np) as bigint) as n_phones
+        FROM c GROUP BY 1""")),
 
     Q("doc_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d).documents),

@@ -43,11 +43,10 @@ object TextOracleSql {
     * `jac(id_a, id_b, jaccard)`. Mirrors Dedup.minhashLsh: xor-mask-
     * multiply-shift mix per permutation, 31-bit multiply-accumulate
     * band fold, token-set Jaccard on candidates only. */
-  /** MinHash signature + band CTEs `shx, hs, minv, sigl, bands`
-    * shared by the pairwise and incremental dedup oracles. */
-  private def sigBandCtes(numPerm: Int, bands: Int): String = {
-    val r = numPerm / bands
-    s"""
+  /** MinHash signature CTEs `shx, hs, minv, sigl` — band-layout
+    * independent (signatures depend only on numPerm), so one set
+    * serves any number of band configurations. */
+  private def sigCtes(numPerm: Int): String = s"""
     shx AS (SELECT doc_id, unnest(list_distinct(shingles)) as s FROM sh),
     hs AS (SELECT doc_id, ${sha60("s")} as h FROM shx),
     minv AS (
@@ -55,8 +54,16 @@ object TextOracleSql {
         min(xor((xor(h, p.c) & 2147483647) * 2654435761,
                 ((xor(h, p.c) & 2147483647) * 2654435761) >> 31)) as m
       FROM hs CROSS JOIN perms p GROUP BY 1, 2),
-    sigl AS (SELECT doc_id, list(m ORDER BY i) as sig FROM minv GROUP BY 1),
-    bands AS (
+    sigl AS (SELECT doc_id, list(m ORDER BY i) as sig FROM minv GROUP BY 1)"""
+
+  /** One banded-LSH CTE (default name `bands`) over `sigl` for a given
+    * (bands, rowsPerBand) factorization — suffix the name to evaluate
+    * several configurations against the SAME signatures. */
+  private def bandCte(numPerm: Int, bands: Int,
+                      name: String = "bands"): String = {
+    val r = numPerm / bands
+    s"""
+    $name AS (
       SELECT doc_id, j.j as band_id,
         list_reduce(list_prepend(0, sig[j.j*$r+1 : j.j*$r+$r]),
           (acc, v) -> (acc * 2654435761 + (v & 2147483647)) % 2147483648)
@@ -64,18 +71,27 @@ object TextOracleSql {
       FROM sigl, (SELECT unnest(range($bands)) as j) j)"""
   }
 
+  /** MinHash signature + band CTEs `shx, hs, minv, sigl, bands`
+    * shared by the pairwise and incremental dedup oracles. */
+  private def sigBandCtes(numPerm: Int, bands: Int): String =
+    sigCtes(numPerm) + "," + bandCte(numPerm, bands)
+
   /** Over-cap bucket skip list + capped candidate pairs (mirrors
-    * Dedup.lshCandidates' maxBucket guard). */
-  private def cappedCandCte(maxBucket: Int): String = s"""
-    bigb AS (
-      SELECT band_id, band_hash FROM bands
+    * Dedup.lshCandidates' maxBucket guard). CTE names are
+    * parameterized so several band configurations can coexist in one
+    * query (the parameter sweep). */
+  private def cappedCandCte(maxBucket: Int, bandsName: String = "bands",
+                            bigbName: String = "bigb",
+                            candName: String = "cand"): String = s"""
+    $bigbName AS (
+      SELECT band_id, band_hash FROM $bandsName
       GROUP BY 1, 2 HAVING count(*) > $maxBucket),
-    cand AS (
+    $candName AS (
       SELECT a.doc_id as id_a, b.doc_id as id_b
-      FROM bands a JOIN bands b
+      FROM $bandsName a JOIN $bandsName b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-      WHERE NOT EXISTS (SELECT 1 FROM bigb g
+      WHERE NOT EXISTS (SELECT 1 FROM $bigbName g
         WHERE g.band_id = a.band_id AND g.band_hash = a.band_hash)
       GROUP BY 1, 2)"""
 
@@ -532,6 +548,59 @@ object TextOracleSql {
         JOIN sigl sb ON sb.doc_id = id_b)
     SELECT id_a, id_b, est_jaccard FROM est
     WHERE est_jaccard >= $threshold"""
+
+  /** One-pass LSH parameter sweep (mirrors Dedup.paramSweep): shared
+    * signature CTEs, one band/candidate/estimate chain per bands
+    * configuration, one summary row each — UNION ALL'd. */
+  def paramSweepSql(shingleK: Int, numPerm: Int, bandConfigs: Seq[Int],
+                    threshold: Double, maxBucket: Int = 4096): String = {
+    val perConfig = bandConfigs.map { b =>
+      s"""${bandCte(numPerm, b, s"bands_$b")},
+      ${cappedCandCte(maxBucket, s"bands_$b", s"bigb_$b", s"cand_$b")},
+      est_$b AS (
+        SELECT cast(len(list_filter(range($numPerm),
+                 i -> sa.sig[i+1] = sb.sig[i+1])) as bigint) as m
+        FROM cand_$b
+          JOIN sigl sa ON sa.doc_id = id_a
+          JOIN sigl sb ON sb.doc_id = id_b)"""
+    }.mkString(",")
+    val rows = bandConfigs.map { b =>
+      s"""SELECT cast($b as int) as bands,
+        cast(${numPerm / b} as int) as rows_per_band,
+        (SELECT count(*) FROM est_$b) as n_candidates,
+        (SELECT count(*) FROM est_$b
+         WHERE cast(m as double) / $numPerm >= $threshold) as n_dup_pairs"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${sigCtes(numPerm)},
+    $perConfig
+    $rows"""
+  }
+
+  /** Estimated-Jaccard histogram over capped LSH candidates (mirrors
+    * Dedup.thresholdCurve): est_ppm = ⌊m·10⁶/numPerm⌋ is exact (m
+    * integer, ·10⁶ exact in double, ÷ power of two exact), so both
+    * engines land on identical bins. */
+  def thresholdCurveSql(shingleK: Int, numPerm: Int, bands: Int,
+                        maxBucket: Int = 4096): String = s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${sigBandCtes(numPerm, bands)},
+    ${cappedCandCte(maxBucket)},
+    est AS (
+      SELECT cast(len(list_filter(range($numPerm),
+               i -> sa.sig[i+1] = sb.sig[i+1])) as bigint) as m
+      FROM cand
+        JOIN sigl sa ON sa.doc_id = id_a
+        JOIN sigl sb ON sb.doc_id = id_b),
+    g AS (
+      SELECT cast(floor(m * 1000000.0 / $numPerm) as bigint) as est_ppm,
+        count(*) as n_pairs
+      FROM est GROUP BY 1)
+    SELECT est_ppm, n_pairs,
+      cast(sum(n_pairs) OVER (ORDER BY est_ppm DESC) as bigint)
+        as n_pairs_at_or_above
+    FROM g"""
 
   /** Incremental index dedup (mirrors Dedup.dedupAgainstIndex over a
     * Dedup.buildLshIndex of the `basePred` subset): delta docs that

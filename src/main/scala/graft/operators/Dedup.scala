@@ -558,6 +558,59 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** One-pass LSH parameter sweep: the corpus is shingled and signed
+    * exactly ONCE into a materialized signature table (~0.5 KB/doc —
+    * a rounding error next to the text), then every candidate
+    * (bands × rowsPerBand) factorization is evaluated from the
+    * signatures alone. This is the tuning question every dedup
+    * deployment asks — "how do candidate volume and surviving pairs
+    * move as I trade precision for recall?" — and at 100 TB the only
+    * affordable way to answer it: signing is the dominant cost of the
+    * whole MinHash family, so the sweep must never re-touch text.
+    * One summary row per config: (bands, rows_per_band,
+    * n_candidates, n_dup_pairs). */
+  def paramSweep(documents: DataFrame, stagingDir: String,
+                 shingleK: Int = 3, numPerm: Int = 64,
+                 bandConfigs: Seq[Int] = Seq(8, 16, 32),
+                 threshold: Double = 0.5): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b => numPerm % b == 0),
+      s"every bands config must divide numPerm=$numPerm")
+    val spark = documents.sparkSession
+    documents.select(col("doc_id"),
+        minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+      .write.mode("overwrite").parquet(stagingDir)
+    val signed = spark.read.parquet(stagingDir)
+    bandConfigs.map { b =>
+      estimatePairsSigned(signed, numPerm, b, threshold = 0.0)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("est_jaccard") >= threshold, 1L).otherwise(0L))
+            .as("dups"))
+        .select(lit(b).as("bands"), lit(numPerm / b).as("rows_per_band"),
+          col("n_candidates"),
+          coalesce(col("dups"), lit(0L)).as("n_dup_pairs"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Estimated-Jaccard distribution over LSH candidate pairs — the
+    * threshold-tuning curve from ONE signing + candidate pass: how
+    * many pairs sit at each estimate level, and how many survive any
+    * given cutoff (`n_pairs_at_or_above`). est_ppm = ⌊est·10⁶⌋ is
+    * exact integer arithmetic in disguise (est = m/numPerm with m an
+    * integer match count), so the histogram is bit-portable. The
+    * cumulative window runs over ≤ numPerm+1 aggregated rows — a
+    * driver-sized frame, not the pair set. */
+  def thresholdCurve(documents: DataFrame, shingleK: Int = 3,
+                     numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val signed = documents.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), shingleK), numPerm).as("sig"))
+    val g = estimatePairsSigned(signed, numPerm, bands, threshold = 0.0)
+      .select(floor(col("est_jaccard") * 1000000L).cast("long").as("est_ppm"))
+      .groupBy(col("est_ppm")).agg(count(lit(1)).as("n_pairs"))
+    g.withColumn("n_pairs_at_or_above",
+      sum(col("n_pairs")).over(Window.orderBy(col("est_ppm").desc)))
+  }
+
   /** Cross-document duplicate substring spans ("Deduplicating
     * Training Data Makes Language Models Better"-style substring
     * dedup, token granularity): every maximal run of k-gram positions

@@ -277,6 +277,33 @@ object Similarity {
         col("cluster_size"))
   }
 
+  /** IVF index-health audit: per-cell population, corpus share, and
+    * imbalance factor (cell size ÷ perfectly-balanced size, in ppm —
+    * integer arithmetic, bit-portable). Imbalance is THE operational
+    * metric of a cell-pruned index: a hot cell is scanned by every
+    * query that probes it, so tail latency tracks max(imbalance), and
+    * a cold quantizer (data drift since training) shows up here long
+    * before recall gates catch it. One map-only assignment pass + a
+    * ≤ nlist-row aggregate; the totals frame is a broadcast one-row
+    * cross join (the skew_report pattern). Cells the quantizer never
+    * assigns simply don't appear — also a finding (dead centroids). */
+  def cellStats(embeddings: DataFrame, nlist: Int = 16, iters: Int = 3,
+                sampleBudget: Int = 128,
+                cacheKey: Option[String] = None): DataFrame = {
+    val cents = trainCentroids(embeddings, nlist, iters, sampleBudget,
+      cacheKey)
+    val sz = embeddings
+      .select(clusterOf(col("embedding"), cents).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+    val tot = sz.agg(sum(col("n_vectors")).as("t"))
+    sz.crossJoin(broadcast(tot))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_vectors"),
+        // integer DIV, not `/`: Spark's `/` is always double division
+        expr("n_vectors * 1000000 div t").as("share_ppm"),
+        expr(s"n_vectors * $nlist * 1000000 div t").as("imbalance_ppm"))
+  }
+
   /** Sample modulus for an `n`-row corpus under `sampleBudget`. */
   def sampleModulus(n: Long, sampleBudget: Int): Long =
     math.max(1L, (n + sampleBudget - 1) / sampleBudget)

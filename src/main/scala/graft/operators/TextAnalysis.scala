@@ -441,6 +441,30 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"))
 
+  /** PII incidence report per source — the governance dashboard over
+    * [[piiScrub]]'s detectors: document counts, documents-with-PII,
+    * and per-type match totals. This is the artifact a curation run
+    * publishes BEFORE scrubbing (which sources leak, what types, how
+    * much), and the regression gate after (re-run on clean_text must
+    * go to zero). Map-only regex counting at scan speed + one
+    * |sources|-row map-side-combined aggregate. */
+  def piiReport(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("ne"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("ni"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("np"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("ni") + col("np") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("ni")).as("n_ips"),
+        sum(col("np")).as("n_phones"))
+  }
+
   /** Frequent-word mining (heavy hitters) WITHOUT a full-vocabulary
     * shuffle: per-partition Misra-Gries summaries (bounded memory —
     * `mgCapacity` counters per task, a few KB) produce a candidate

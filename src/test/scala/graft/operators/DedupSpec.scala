@@ -351,4 +351,42 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getLong(0) == 10L && out.head.getLong(1) == 2L)
   }
+
+  test("paramSweep: one row per config, dup pairs bounded by candidates, " +
+       "finer banding never loses candidates") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sweep_spec").toString
+    val rows = Dedup.paramSweep(docsWithCopies, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(8, 16, 32))
+    rows.foreach { case (b, (r, cand, dups)) =>
+      assert(r == 64 / b)
+      assert(dups <= cand)
+      // the 20 injected verbatim copies collide in EVERY band of any
+      // config (identical signatures), so each config reports ≥20
+      // surviving pairs
+      assert(dups >= 20L, s"config bands=$b found only $dups dup pairs")
+    }
+    // more, narrower bands = higher collision probability per pair:
+    // the candidate set can only grow 8 → 16 → 32 on the SAME corpus
+    // (a pair colliding on an 8-row band also collides on both its
+    // 4-row halves, and so on down)
+    assert(rows(8)._2 <= rows(16)._2 && rows(16)._2 <= rows(32)._2)
+  }
+
+  test("thresholdCurve: exact-copy pairs land in the top bin and the " +
+       "cumulative column is the suffix sum") {
+    val out = Dedup.thresholdCurve(docsWithCopies)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    // 20 verbatim copies → ≥20 pairs at est_jaccard = 1.0 (ppm 10⁶)
+    assert(out.head._1 == 1000000L && out.head._2 >= 20L)
+    // n_pairs_at_or_above is the running sum from the top bin down,
+    // and the bottom row's cumulative equals the total pair count
+    val running = out.scanLeft(0L)(_ + _._2).tail
+    out.zip(running).foreach { case ((ppm, _, atOrAbove), cum) =>
+      assert(atOrAbove == cum, s"cumulative mismatch at ppm=$ppm")
+    }
+  }
 }

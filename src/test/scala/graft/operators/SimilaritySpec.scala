@@ -434,4 +434,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
     assert(out.forall(_.getAs[Double]("cosine_q") == 0.0))
   }
+
+  test("cellStats: populations cover the corpus, shares sum to ~1e6, " +
+       "imbalance is the share times nlist") {
+    val emb = tables.embeddings
+    val rows = Similarity.cellStats(emb, cacheKey = Some(sfDir)).collect()
+    val total = emb.count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total)
+    // each floor-divided share loses < 1 ppm; nonempty cells ≤ nlist
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      assert(r.getAs[Long]("share_ppm") == n * 1000000L / total)
+      assert(r.getAs[Long]("imbalance_ppm") == n * 16L * 1000000L / total)
+    }
+    // same frozen quantizer as the cluster surface: cell populations
+    // must agree with kmeansAssign's cluster_size frame
+    val sizes = Similarity.kmeansAssign(emb, cacheKey = Some(sfDir))
+      .select("cluster", "cluster_size").distinct().collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("cluster_size"))
+      .toMap
+    rows.foreach { r =>
+      assert(sizes(r.getAs[Long]("cluster")) == r.getAs[Long]("n_vectors"))
+    }
+  }
 }

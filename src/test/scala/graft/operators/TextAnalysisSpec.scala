@@ -460,4 +460,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(serial.filter(col("serial_rank") =!= col("curriculum_rank"))
       .count() == 0)
   }
+
+  test("piiReport aggregates exactly what piiScrub counts per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a", "mail me x@y.example.com or z@w.example.org"),
+      (1L, "a", "server 10.0.0.1 and 192.168.1.1 up"),
+      (2L, "b", "call 555-0142 now"),
+      (3L, "b", "nothing sensitive here at all"))
+      .toDF("doc_id", "source", "text")
+    val byClass = TextAnalysis.piiReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = byClass("a")
+    assert(a.getAs[Long]("n_docs") == 2 &&
+      a.getAs[Long]("n_docs_with_pii") == 2 &&
+      a.getAs[Long]("n_emails") == 2 && a.getAs[Long]("n_ips") == 2 &&
+      a.getAs[Long]("n_phones") == 0)
+    val b = byClass("b")
+    assert(b.getAs[Long]("n_docs") == 2 &&
+      b.getAs[Long]("n_docs_with_pii") == 1 &&
+      b.getAs[Long]("n_emails") == 0 && b.getAs[Long]("n_ips") == 0 &&
+      b.getAs[Long]("n_phones") == 1)
+    // the regression direction: scrubbed text reports zero PII
+    val clean = TextAnalysis.piiScrub(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("clean_text").as("text"))
+    val after = TextAnalysis.piiReport(clean).collect()
+    assert(after.forall(_.getAs[Long]("n_docs_with_pii") == 0L))
+  }
 }
