@@ -1018,6 +1018,34 @@ object Queries {
       Some(AnnOracleSql.cellStatsSql(nlist = 16, iters = 3,
         sampleBudget = 128))),
 
+    Q("stream_cell_stats",
+      // the same audit maintained CONTINUOUSLY during ingest: each
+      // embedding micro-batch assigns under the frozen quantizer and
+      // lands a ≤nlist-row count shard (batch=N overwrite →
+      // retry-idempotent); counts merge associatively, so the
+      // accumulated store equals the one-shot audit on any batch
+      // split — the batch cellStats SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/scs_src_$sf"
+        val cnt = s"/tmp/graft_cache/scs_counts_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
+        val emb = Tables(s, d).embeddings
+        val cents = Similarity.trainCentroids(emb, cacheKey = Some(d))
+        emb.select("vec_id", "embedding")
+          .repartition(4).write.mode("overwrite").parquet(src)
+        val schema = StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_scs_ckpt").toString
+        graft.streaming.Streams.cellStatsStream(s, src, schema, cents,
+          cnt, ckpt).awaitTermination(120000)
+        graft.streaming.Streams.cellStatsFromShards(s, cnt, nlist = 16)
+      },
+      Some(AnnOracleSql.cellStatsSql(nlist = 16, iters = 3,
+        sampleBudget = 128))),
+
     // ---------- I. LLM-pipeline: text analysis ----------
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables(s, d).documents),

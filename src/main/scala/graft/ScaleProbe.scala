@@ -248,7 +248,23 @@ object ScaleProbe {
         () => graft.operators.Basket.marketBasket(t.lineitem).count(),
         t.lineitem.count() * 10,
         () => graft.operators.Basket.marketBasket(
-          replicate(t.lineitem, 10, Some("l_orderkey"))).count()))
+          replicate(t.lineitem, 10, Some("l_orderkey"))).count()),
+      // the sweep's claim: text is signed once, every config then works
+      // off fixed-width signatures — cost linear in docs, independent
+      // of how many configs ride on one signing
+      ("dedup_param_sweep", t.documents.count(),
+        () => Dedup.paramSweep(t.documents,
+          "/tmp/graft_cache/probe_sweep_1x").count(),
+        t.documents.count() * 10,
+        () => Dedup.paramSweep(replicateDocs(t.documents, 10),
+          "/tmp/graft_cache/probe_sweep_10x").count()),
+      // quantizer training is bounded by the absolute sample budget;
+      // assignment is map-only — the audit should scale like the scan
+      ("ivf_cell_stats", t.embeddings.count(),
+        () => Similarity.cellStats(t.embeddings).count(),
+        t.embeddings.count() * 10,
+        () => Similarity.cellStats(
+          replicate(t.embeddings, 10, Some("vec_id"))).count()))
 
     probes.foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())

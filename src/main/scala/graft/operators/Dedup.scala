@@ -461,7 +461,7 @@ object Dedup {
       signed.withColumn("sbucket", sigBucket(col("doc_id")))
         .repartition(col("sbucket"))
         .write.mode(mode).partitionBy("sbucket").parquet(s"$dir/sigs")
-    } finally { signed.unpersist(); () }
+    } finally { signed.unpersist(blocking = true); () }
   }
 
   /** Dedup a delta batch against a persisted index WITHOUT touching

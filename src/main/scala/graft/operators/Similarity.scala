@@ -292,11 +292,18 @@ object Similarity {
                 cacheKey: Option[String] = None): DataFrame = {
     val cents = trainCentroids(embeddings, nlist, iters, sampleBudget,
       cacheKey)
-    val sz = embeddings
-      .select(clusterOf(col("embedding"), cents).as("cluster"))
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
-    val tot = sz.agg(sum(col("n_vectors")).as("t"))
-    sz.crossJoin(broadcast(tot))
+    cellStatsFromCounts(
+      embeddings.select(clusterOf(col("embedding"), cents).as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors")),
+      nlist)
+  }
+
+  /** The stats tail of [[cellStats]] over an already-aggregated
+    * (cluster, n_vectors) frame — shared with the streaming shard
+    * store, whose merged per-batch counts land here. */
+  def cellStatsFromCounts(counts: DataFrame, nlist: Int): DataFrame = {
+    val tot = counts.agg(sum(col("n_vectors")).as("t"))
+    counts.crossJoin(broadcast(tot))
       .select(col("cluster").cast("long").as("cluster"),
         col("n_vectors"),
         // integer DIV, not `/`: Spark's `/` is always double division
@@ -353,7 +360,7 @@ object Similarity {
       }
       cents = next
     }
-    sample.unpersist()
+    sample.unpersist(blocking = true)
     cents
   }
 
@@ -446,7 +453,7 @@ object Similarity {
       }
       books = next
     }
-    sample.unpersist()
+    sample.unpersist(blocking = true)
     books
   }
 

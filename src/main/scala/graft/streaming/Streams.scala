@@ -259,7 +259,7 @@ object Streams {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$indexDir/bands/batch=$batchId")
-    } finally { signed.unpersist(); () }
+    } finally { signed.unpersist(blocking = true); () }
   }
 
   /** Streaming near-dup detection against a growing signature index:
@@ -453,6 +453,52 @@ object Streams {
   def profileFromShards(spark: SparkSession,
                         profDir: String): org.apache.spark.sql.DataFrame =
     graft.operators.Profile.mergeProfiles(spark.read.parquet(profDir))
+
+  /** One micro-batch of continuous IVF index health: assign the
+    * batch's vectors under the FROZEN quantizer (centroids are an
+    * argument — a serving quantizer never retrains per trigger) and
+    * land the per-cell counts under `batch=<id>` with directory
+    * overwrite, so a retried micro-batch is idempotent. Counts are
+    * associative, so the merged shard store equals the one-shot
+    * [[graft.operators.Similarity.cellStats]] audit on ANY batch
+    * split — which is what lets the batch oracle check the stream. */
+  def cellCountBatch(cents: Array[Array[Double]], countsDir: String)
+                    (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      batch.select(graft.operators.Similarity
+          .clusterOf(col("embedding"), cents).as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+    }
+
+  /** Continuous index-health maintenance — the streaming twin of
+    * `ivf_cell_stats`: embedding micro-batches fold per-cell counts
+    * into a sharded store via [[cellCountBatch]]. Steady-state cost
+    * per trigger is one map-only assignment + a ≤nlist-row
+    * map-side-combined agg; the store grows ≤nlist rows per batch and
+    * compacts with the same sum. At 100 TB this is how the index's
+    * imbalance stays observable during ingest without ever rescanning
+    * the corpus. */
+  def cellStatsStream(spark: SparkSession, srcPath: String,
+                      schema: StructType, cents: Array[Array[Double]],
+                      countsDir: String, checkpoint: String,
+                      maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema, format = "parquet",
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(cellCountBatch(cents, countsDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time index health from the accumulated count shards. */
+  def cellStatsFromShards(spark: SparkSession, countsDir: String,
+                          nlist: Int): org.apache.spark.sql.DataFrame =
+    graft.operators.Similarity.cellStatsFromCounts(
+      spark.read.parquet(countsDir)
+        .groupBy(col("cluster")).agg(sum(col("n")).as("n_vectors")),
+      nlist)
 
   /** Batch analog of gap-based sessionization (oracle-checkable):
     * session boundaries via lag(), session ids via a running sum,

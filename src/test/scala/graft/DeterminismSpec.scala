@@ -95,6 +95,11 @@ class DeterminismSpec extends SparkSpec {
     "asof_join_forward", "value_histogram_eqdepth",
     // survivorship rules are exact aggregates + a deterministic
     // windowed mode pick
-    "dedup_golden"))
+    "dedup_golden",
+    // round-7: the sign-once sweep's per-config counts, the ppm
+    // histogram bins, integer-DIV cell shares and per-source regex
+    // totals are all exact whatever the fan-out
+    "dedup_param_sweep", "dedup_threshold_curve", "ivf_cell_stats",
+    "pii_report"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

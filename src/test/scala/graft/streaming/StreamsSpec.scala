@@ -447,6 +447,38 @@ class StreamsSpec extends SparkSpec {
     assert(full == slice)
   }
 
+  test("cellStatsStream: merged count shards equal the one-shot audit " +
+       "on any batch split; a retried batch never double-counts") {
+    val emb = tables.embeddings
+    val cents = graft.operators.Similarity
+      .trainCentroids(emb, cacheKey = Some(sfDir))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    val oneShot = canon(graft.operators.Similarity
+      .cellStats(emb, cacheKey = Some(sfDir)))
+    def run(maxFiles: Int): Set[Seq[Any]] = {
+      val src = Files.createTempDirectory("graft_scs_src").toFile.getPath
+      val cnt = Files.createTempDirectory("graft_scs_c").toFile.getPath + "/c"
+      val ckpt = Files.createTempDirectory("graft_scs_ck").toFile.getPath
+      emb.select("vec_id", "embedding").repartition(4)
+        .write.mode("overwrite").parquet(src)
+      Streams.cellStatsStream(spark, src, schema, cents, cnt, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      canon(Streams.cellStatsFromShards(spark, cnt, nlist = 16))
+    }
+    assert(run(1) == oneShot, "shard merge differs from one-shot audit")
+    assert(run(4) == oneShot, "cell stats depend on the batch split")
+    // retried batch id overwrites its own shard — counts never double
+    val rt = Files.createTempDirectory("graft_scs_rt").toFile.getPath + "/c"
+    Streams.cellCountBatch(cents, rt)(emb.limit(10), 0L)
+    Streams.cellCountBatch(cents, rt)(emb.limit(10), 0L)
+    val n = spark.read.parquet(rt).agg(sum(col("n"))).head().getLong(0)
+    assert(n == 10L, s"retried batch double-counted: $n")
+  }
+
   test("curationStream: filtered + deduped sink is batch-split independent") {
     import spark.implicits._
     val docs = Seq(
