@@ -266,7 +266,11 @@ object ScaleProbe {
         () => Similarity.cellStats(
           replicate(t.embeddings, 10, Some("vec_id"))).count()))
 
-    probes.foreach { case (name, rows1, run1, rows10, run10) =>
+    // optional comma-separated probe filter for single-probe iteration
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    probes.filter(p => only.forall(_.contains(p._1)))
+      .foreach { case (name, rows1, run1, rows10, run10) =>
       val (_, s1) = time(run1())
       val (_, s10) = time(run10())
       val r1 = rows1 / s1
@@ -274,7 +278,7 @@ object ScaleProbe {
       println(f"""{"probe":"$name","rows_1x":$rows1,"sec_1x":$s1%.2f,"rows_10x":$rows10,"sec_10x":$s10%.2f,"rows_per_sec_1x":$r1%.0f,"rows_per_sec_10x":$r10%.0f,"scaling_efficiency":${r10 / r1}%.2f}""")
     }
 
-    skewProbe(spark, t)
+    if (only.isEmpty) skewProbe(spark, t)
     spark.stop()
   }
 
