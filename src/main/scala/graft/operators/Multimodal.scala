@@ -207,16 +207,38 @@ object Multimodal {
 
   /** Stage one PNG file per document under `dir` (media_<id>.png) —
     * the object-storage layout a real media corpus lands in. Written
-    * per-partition from the executors, not a driver loop. */
+    * per-partition from the executors, not a driver loop.
+    *
+    * IDEMPOTENT: staging is skipped when the directory already holds
+    * exactly the expected drop, checked against the corpus's
+    * (count, min id, max id) — three aggregates the scan computes from
+    * parquet statistics, so re-validation stays cheap at any corpus
+    * size. Any mismatch (shrunk corpus, partial prior write, foreign
+    * files) clears the directory and re-stages from scratch — and a
+    * FAILED delete must fail loudly, not silently re-ingest stale
+    * media_<id>.png files as phantom rows. */
   def stageImageFiles(documents: DataFrame, dir: String)
                      (implicit spark: SparkSession): Unit = {
     import spark.implicits._
-    // clear stale files: a shrunk corpus would otherwise leave old
-    // media_<id>.png behind and ingest them as phantom rows — and a
-    // FAILED delete must fail loudly, not silently re-ingest them
     val d = new java.io.File(dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(d)
-    require(!d.exists, s"could not clear stale staging dir $dir")
+    val row = documents.agg(count(col("doc_id")), min(col("doc_id")),
+      max(col("doc_id")), sum(col("doc_id"))).head()
+    val (n, lo, hi, idSum) =
+      (row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1),
+        if (row.isNullAt(2)) 0L else row.getLong(2),
+        if (row.isNullAt(3)) 0L else row.getLong(3))
+    if (d.exists) {
+      val names = Option(d.list()).getOrElse(Array.empty[String])
+      val ids = names.collect {
+        case s if s.matches("media_\\d+\\.png") =>
+          s.stripPrefix("media_").stripSuffix(".png").toLong
+      }
+      if (n > 0 && ids.length == n && names.length == n &&
+          ids.min == lo && ids.max == hi && ids.sum == idSum) return
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      require(!d.exists, s"could not clear stale staging dir $dir")
+    }
     d.mkdirs()
     documents.select(col("doc_id")).as[Long].foreachPartition {
       (it: Iterator[Long]) =>

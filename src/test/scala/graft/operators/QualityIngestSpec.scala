@@ -396,6 +396,29 @@ class QualityIngestSpec extends SparkSpec {
     }
   }
 
+  test("image staging is idempotent on a valid drop and re-stages on any mismatch") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dir = Files.createTempDirectory("graft_png_idem").toFile.getPath
+    val docs = tables.documents.limit(20)
+    Multimodal.stageImageFiles(docs, dir)
+    val f = java.nio.file.Paths.get(dir, "media_0.png")
+    val t0 = java.nio.file.Files.getLastModifiedTime(f)
+    // valid drop → second call must not rewrite
+    Multimodal.stageImageFiles(docs, dir)
+    assert(java.nio.file.Files.getLastModifiedTime(f) == t0,
+      "idempotent staging rewrote a valid drop")
+    // foreign file breaks validity → full clear + re-stage
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "stale.txt"), "x".getBytes)
+    Multimodal.stageImageFiles(docs, dir)
+    assert(!new java.io.File(dir, "stale.txt").exists,
+      "mismatched drop was not cleared")
+    // shrunk corpus → old ids must disappear, not linger as phantoms
+    Multimodal.stageImageFiles(docs.filter(col("doc_id") < 10), dir)
+    assert(Option(new java.io.File(dir).list()).get
+      .count(_.matches("media_\\d+\\.png")) == 10)
+  }
+
   test("binaryFile ingestion parses ids off paths and feeds the real decoder") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val dir = Files.createTempDirectory("graft_png").toFile.getPath
