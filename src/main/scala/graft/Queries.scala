@@ -422,6 +422,17 @@ object Queries {
       Some(TextOracleSql.dedupRecallSql(shingleK = 3, numPerm = 64,
         bands = 16, tNum = 1, tDen = 2))),
 
+    Q("dedup_sweep_recall",
+      // the QUALITY axis of the parameter sweep: per band config, how
+      // many TRUE pairs (the prefix-filter exact ground truth) the
+      // verified banded sketch recovers. Ground truth and signatures
+      // each computed once and materialized; configs pay only their
+      // own candidate generation + verification
+      (s, d) => SetJoin.sweepRecall(Tables(s, d).documents,
+        s"/tmp/graft_cache/sweep_recall_${new java.io.File(d).getName}"),
+      Some(TextOracleSql.sweepRecallSql(shingleK = 3, numPerm = 64,
+        bandConfigs = Seq(8, 16, 32), tNum = 1, tDen = 2))),
+
     Q("dedup_param_sweep",
       // the LSH tuning sweep run the only way 100 TB affords: shingle
       // + sign ONCE into a materialized signature table (~0.5 KB/doc),

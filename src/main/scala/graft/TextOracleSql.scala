@@ -777,6 +777,59 @@ object TextOracleSql {
        FROM c"""
   }
 
+  /** Per-band-config recall audit (mirrors SetJoin.sweepRecall):
+    * shared signature + exact-pair CTEs, one verified-LSH chain per
+    * configuration, one summary row each. */
+  def sweepRecallSql(shingleK: Int, numPerm: Int, bandConfigs: Seq[Int],
+                     tNum: Int, tDen: Int,
+                     maxBucket: Int = 4096): String = {
+    val thr = tNum.toDouble / tDen
+    val perConfig = bandConfigs.map { b =>
+      s"""${bandCte(numPerm, b, s"bands_$b")},
+      ${cappedCandCte(maxBucket, s"bands_$b", s"bigb_$b", s"cand_$b")},
+      lshp_$b AS (
+        SELECT least(id_a, id_b) as a_id, greatest(id_a, id_b) as b_id
+        FROM (
+          SELECT id_a, id_b,
+            cast(len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))
+              as double)
+            / (len(sa.sset) + len(sb.sset)
+               - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))))
+              as jaccard
+          FROM cand_$b
+            JOIN sets sa ON sa.doc_id = id_a
+            JOIN sets sb ON sb.doc_id = id_b)
+        WHERE jaccard >= $thr)"""
+    }.mkString(",")
+    val rows = bandConfigs.map { b =>
+      s"""SELECT cast($b as int) as bands,
+        cast(${numPerm / b} as int) as rows_per_band,
+        (SELECT count(*) FROM ex) as n_exact,
+        (SELECT count(*) FROM lshp_$b) as n_lsh,
+        (SELECT count(*) FROM ex JOIN lshp_$b USING (a_id, b_id))
+          as n_common,
+        CASE WHEN (SELECT count(*) FROM ex) = 0 THEN NULL
+             ELSE cast((SELECT count(*) FROM ex JOIN lshp_$b
+                        USING (a_id, b_id)) as double)
+                  / cast((SELECT count(*) FROM ex) as double)
+        END as recall"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${sigCtes(numPerm)},
+    sets AS (SELECT doc_id, list_distinct(shingles) as sset FROM sh),
+    ex AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id as a_id, b.doc_id as b_id,
+          cast(len(list_intersect(a.sset, b.sset)) as bigint) as i,
+          cast(len(a.sset) + len(b.sset)
+            - len(list_intersect(a.sset, b.sset)) as bigint) as u
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      WHERE i * $tDen >= u * $tNum),
+    $perConfig
+    $rows"""
+  }
+
   /** Exact set-similarity self-join (mirrors SetJoin
     * .similarityJoinExact): the naive all-pairs formulation — the
     * Spark side's prefix filter is a complete blocking, so its

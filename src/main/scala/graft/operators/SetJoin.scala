@@ -114,4 +114,53 @@ object SetJoin {
           .otherwise(col("n_common").cast("double") /
             col("n_exact").cast("double")).as("recall"))
   }
+
+  /** [[lshRecallAudit]] swept across band configurations — the
+    * QUALITY axis of [[graft.operators.Dedup.paramSweep]]'s volume
+    * numbers, and together with it the full tuning picture: per
+    * (bands, rowsPerBand), how many true pairs the banded sketch
+    * recovers. Both expensive legs are computed ONCE and
+    * materialized — the exact ground truth (the prefix-filter join)
+    * and the signature table — so each config pays only its own
+    * candidate generation + verification, never a re-shingle or a
+    * re-join of the ground truth. One summary row per config. */
+  def sweepRecall(documents: DataFrame, stagingDir: String,
+                  shingleK: Int = 3, numPerm: Int = 64,
+                  bandConfigs: Seq[Int] = Seq(8, 16, 32),
+                  tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b => numPerm % b == 0),
+      s"every bands config must divide numPerm=$numPerm")
+    val spark = documents.sparkSession
+    similarityJoinExact(documents, shingleK, tNum, tDen)
+      .select("a_id", "b_id")
+      .write.mode("overwrite").parquet(s"$stagingDir/exact")
+    documents.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), shingleK),
+          numPerm).as("sig"))
+      .write.mode("overwrite").parquet(s"$stagingDir/sigs")
+    val exact = spark.read.parquet(s"$stagingDir/exact")
+    val signed = spark.read.parquet(s"$stagingDir/sigs")
+    val thr = tNum.toDouble / tDen
+    bandConfigs.map { b =>
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(signed, "doc_id", "sig", b, numPerm / b), "doc_id")
+      val lsh = Dedup.jaccardVerify(cands, documents, shingleK)
+        .filter(col("jaccard") >= thr)
+        .select(least(col("id_a"), col("id_b")).as("a_id"),
+          greatest(col("id_a"), col("id_b")).as("b_id"))
+      exact.withColumn("in_exact", lit(1L))
+        .join(lsh.withColumn("in_lsh", lit(1L)),
+          Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull,
+            1L).otherwise(0L)).as("n_common"))
+        .select(lit(b).as("bands"), lit(numPerm / b).as("rows_per_band"),
+          col("n_exact"), col("n_lsh"), col("n_common"),
+          when(col("n_exact") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_common").cast("double") /
+              col("n_exact").cast("double")).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -113,4 +113,34 @@ class SetJoinSpec extends SparkSpec {
     assert(r.getAs[Long]("n_exact") == 0 && r.getAs[Long]("n_lsh") == 0)
     assert(r.isNullAt(r.fieldIndex("recall")))
   }
+
+  test("sweepRecall: verified pairs are a ground-truth subset per config, " +
+       "recall rises with finer banding, shipped config matches the audit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sweeprec").toString
+    val docs = tables.documents
+    val rows = SetJoin.sweepRecall(docs, dir).collect()
+      .map(r => r.getAs[Int]("bands") -> r).toMap
+    assert(rows.keySet == Set(8, 16, 32))
+    val nExact = rows(8).getAs[Long]("n_exact")
+    rows.values.foreach { r =>
+      // LSH verifies TRUE Jaccard at the same threshold, so its pair
+      // set is a subset of the exact ground truth: common == lsh
+      assert(r.getAs[Long]("n_common") == r.getAs[Long]("n_lsh"))
+      assert(r.getAs[Long]("n_exact") == nExact)
+      if (nExact > 0)
+        assert(r.getAs[Double]("recall") ==
+          r.getAs[Long]("n_common").toDouble / nExact)
+    }
+    // finer banding can only ADD candidates → verified recall is
+    // monotone non-decreasing 8 → 16 → 32
+    if (nExact > 0) {
+      val rec = Seq(8, 16, 32).map(b => rows(b).getAs[Double]("recall"))
+      assert(rec(0) <= rec(1) && rec(1) <= rec(2), s"recall not monotone: $rec")
+    }
+    // the 16-band row IS lshRecallAudit's summary
+    val audit = SetJoin.lshRecallAudit(docs).collect().head
+    assert(rows(16).getAs[Long]("n_lsh") == audit.getAs[Long]("n_lsh"))
+    assert(rows(16).getAs[Long]("n_common") == audit.getAs[Long]("n_common"))
+  }
 }
