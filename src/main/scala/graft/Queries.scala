@@ -1599,6 +1599,49 @@ object Queries {
           len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) as n_phones
         FROM withpii""")),
 
+    Q("script_mix",
+      // per-doc Unicode-script composition — the routing signal a
+      // multilingual crawl applies BEFORE language ID (which only
+      // separates Latin-script languages): CJK to its own tokenizer,
+      // mixed-script spam to review. The ASCII test corpus gets a
+      // deterministic Cyrillic/Han injection per doc_id so all three
+      // script classes and the dominant-script tie order are
+      // exercised and oracle-checked
+      (s, d) => {
+        val withScripts = Tables(s, d).documents.select(col("doc_id"),
+          concat(col("text"),
+            expr("repeat('ж', cast(doc_id % 4 as int))"),
+            expr("repeat('中', cast(doc_id % 3 as int))")).as("text"))
+        TextAnalysis.scriptMix(withScripts)
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id,
+            text || repeat('ж', cast(doc_id % 4 as int)) ||
+              repeat('中', cast(doc_id % 3 as int)) as text
+          FROM documents)
+        SELECT doc_id,
+          cast(len(regexp_extract_all(text, '\p{Latin}')) as bigint)
+            as n_latin,
+          cast(len(regexp_extract_all(text, '\p{Cyrillic}')) as bigint)
+            as n_cyrillic,
+          cast(len(regexp_extract_all(text, '\p{Han}')) as bigint)
+            as n_han,
+          cast(len(regexp_extract_all(text, '[0-9]')) as bigint)
+            as n_digit,
+          CASE
+            WHEN len(regexp_extract_all(text, '\p{Latin}'))
+                   >= len(regexp_extract_all(text, '\p{Cyrillic}'))
+             AND len(regexp_extract_all(text, '\p{Latin}'))
+                   >= len(regexp_extract_all(text, '\p{Han}'))
+              THEN 'latin'
+            WHEN len(regexp_extract_all(text, '\p{Cyrillic}'))
+                   >= len(regexp_extract_all(text, '\p{Han}'))
+              THEN 'cyrillic'
+            ELSE 'han'
+          END as main_script
+        FROM ws""")),
+
     Q("pii_report",
       // the governance dashboard pii_scrub's detectors feed: per
       // source, how many documents leak which PII types and how much

@@ -441,6 +441,31 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"))
 
+  /** Unicode-script composition per document: counts of Latin /
+    * Cyrillic / Han script characters and decimal digits, plus the
+    * dominant script under a fixed tie order. The script axis is
+    * orthogonal to [[langId]]'s stopword heuristic (which only
+    * separates LATIN languages): a multilingual crawl routes on
+    * script FIRST — CJK to its own tokenizer budget, mixed-script
+    * spam to review — before any language model sees the text.
+    * Map-only regex counting at scan speed; `\p{IsX}` (Java) and
+    * `\p{X}` (RE2) agree on script membership, so the oracle
+    * replicates counts exactly. */
+  def scriptMix(documents: DataFrame): DataFrame = {
+    def n(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    documents.select(col("doc_id"),
+        n("\\p{IsLatin}").as("n_latin"),
+        n("\\p{IsCyrillic}").as("n_cyrillic"),
+        n("\\p{IsHan}").as("n_han"),
+        n("[0-9]").as("n_digit"))
+      .withColumn("main_script",
+        when(col("n_latin") >= col("n_cyrillic") &&
+             col("n_latin") >= col("n_han"), "latin")
+          .when(col("n_cyrillic") >= col("n_han"), "cyrillic")
+          .otherwise("han"))
+  }
+
   /** PII incidence report per source — the governance dashboard over
     * [[piiScrub]]'s detectors: document counts, documents-with-PII,
     * and per-type match totals. This is the artifact a curation run

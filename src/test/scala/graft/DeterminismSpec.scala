@@ -100,6 +100,6 @@ class DeterminismSpec extends SparkSpec {
     // histogram bins, integer-DIV cell shares and per-source regex
     // totals are all exact whatever the fan-out
     "dedup_param_sweep", "dedup_threshold_curve", "ivf_cell_stats",
-    "pii_report"))
+    "pii_report", "dedup_sweep_recall", "script_mix"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -461,6 +461,34 @@ class TextAnalysisSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("scriptMix counts per-script chars and picks the dominant script") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hello world 42"),          // latin + digits
+      (1L, "привет мир"),              // cyrillic
+      (2L, "你好世界"),                 // han
+      (3L, "abc жжж 中中中中"),         // mixed, han wins
+      (4L, ""))                        // empty → tie → latin
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.scriptMix(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(0L).getAs[Long]("n_latin") == 10 &&
+      m(0L).getAs[Long]("n_digit") == 2 &&
+      m(0L).getAs[String]("main_script") == "latin")
+    assert(m(1L).getAs[Long]("n_cyrillic") == 9 &&
+      m(1L).getAs[String]("main_script") == "cyrillic")
+    assert(m(2L).getAs[Long]("n_han") == 4 &&
+      m(2L).getAs[Long]("n_latin") == 0 &&
+      m(2L).getAs[String]("main_script") == "han")
+    assert(m(3L).getAs[Long]("n_latin") == 3 &&
+      m(3L).getAs[Long]("n_cyrillic") == 3 &&
+      m(3L).getAs[Long]("n_han") == 4 &&
+      m(3L).getAs[String]("main_script") == "han")
+    // all-zero counts fall through the >= chain to latin — the fixed
+    // tie order the oracle mirrors
+    assert(m(4L).getAs[String]("main_script") == "latin")
+  }
+
   test("piiReport aggregates exactly what piiScrub counts per doc") {
     import spark.implicits._
     val docs = Seq(
