@@ -149,4 +149,29 @@ class EdgeInputSpec extends SparkSpec {
       .collect().head
     assert(h.getAs[Long]("bucket") == 0L && h.getAs[Long]("n") == 1L)
   }
+
+  test("round-7 operators are inert on empty and singleton inputs") {
+    // the sweeps: an empty corpus still reports one row per config,
+    // all counts zero (a sweep that dies on a quiet ingest window is
+    // an operational bug); a one-doc corpus likewise has no pairs
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_sweep").toString
+    val sweepEmpty = Dedup.paramSweep(emptyDocs, s"$dir/pe").collect()
+    assert(sweepEmpty.length == 3 &&
+      sweepEmpty.forall(r => r.getAs[Long]("n_candidates") == 0L &&
+        r.getAs[Long]("n_dup_pairs") == 0L))
+    assert(Dedup.thresholdCurve(emptyDocs).count() == 0)
+    val recOne = SetJoin.sweepRecall(oneDoc, s"$dir/r1").collect()
+    assert(recOne.length == 3 &&
+      recOne.forall(r => r.getAs[Long]("n_exact") == 0L &&
+        r.isNullAt(r.fieldIndex("recall"))))
+    // map-only text reports pass empties through
+    assert(TextAnalysis.scriptMix(emptyDocs).count() == 0)
+    assert(TextAnalysis.piiReport(emptyDocs).count() == 0)
+    // a one-vector index: the audit is one cell holding everything
+    val oneEmb = tables.embeddings.filter(col("vec_id") === 0L)
+    val cs = Similarity.cellStats(oneEmb).collect()
+    assert(cs.length == 1 && cs.head.getAs[Long]("n_vectors") == 1L &&
+      cs.head.getAs[Long]("share_ppm") == 1000000L)
+  }
 }
