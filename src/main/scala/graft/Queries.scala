@@ -3225,6 +3225,104 @@ object Queries {
         FROM events GROUP BY 1, 2"""),
       headline = true),
 
+    Q("stream_window_agg",
+      // the watermarked streaming window pipeline end-to-end: file
+      // source → event-time tumbling windows → append-mode parquet of
+      // CLOSED windows. One far-future sentinel event advances the
+      // watermark past every real window (AvailableNow runs the
+      // no-data flush batch), so the emitted set equals the batch
+      // aggregate — which is the oracle. The sentinel's own window
+      // stays open and is filtered by type
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/swa_src_$sf"
+        val out = s"/tmp/graft_cache/swa_out_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        val ev = Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value",
+            "props")
+        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+        val sentinelTs = maxTs + 24L * 3600L * 1000000L + 1L
+        val sentinel = ev.limit(1).select(lit(-1L).as("event_id"),
+          lit(sentinelTs).as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+        ev.unionByName(sentinel).repartition(4)
+          .write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_swa_ckpt").toString
+        graft.streaming.Streams.windowAggFileStream(s, src, schema, out,
+          ckpt).awaitTermination(120000)
+        s.read.parquet(out).filter(col("event_type") =!= "sentinel")
+      },
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) as window_start_us,
+          event_type, count(*) as n_events,
+          cast(sum(cast(value as decimal(12,2))) as double) as total_value
+        FROM events GROUP BY 1, 2""")),
+
+    Q("stream_sessionize",
+      // gap-based sessionization run as a REAL stream end-to-end:
+      // file source → flatMapGroupsWithState per-user session state →
+      // append-mode parquet of closed sessions. Per-user closing
+      // sentinels (10 gaps after everything) close every real session
+      // inline, so the emitted set equals the batch window-islands
+      // analog — the oracle; sentinel sessions stay open and are
+      // never emitted
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val gap = 1800000000L
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/ssz_src_$sf"
+        val out = s"/tmp/graft_cache/ssz_out_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        val ev = Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value",
+            "props")
+        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+        val sentinelTs = maxTs + 10L * gap
+        val sentinels = ev.select(col("user_id")).distinct()
+          .select((lit(-1L) - col("user_id")).as("event_id"),
+            lit(sentinelTs).as("ts"), col("user_id"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"),
+            lit("{}").as("props"))
+        ev.unionByName(sentinels).repartition(4)
+          .write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ssz_ckpt").toString
+        graft.streaming.Streams.sessionizeFileStream(s, src, schema, out,
+          ckpt, gap).awaitTermination(120000)
+        s.read.parquet(out).filter(col("session_start") < sentinelTs)
+      },
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id FROM events),
+        marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > 1800000000 THEN 1
+                 ELSE 0 END as new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as session_seq
+          FROM marked)
+        SELECT user_id, min(ts) as session_start,
+          max(ts) as session_end, cast(count(*) as int) as n_events
+        FROM sess GROUP BY user_id, session_seq""")),
+
     Q("click_attribution",
       (s, d) => graft.streaming.Streams.attributionBatch(
         Tables(s, d).events, windowUs = 1800000000L),

@@ -500,6 +500,56 @@ object Streams {
         .groupBy(col("cluster")).agg(sum(col("n")).as("n_vectors")),
       nlist)
 
+  /** [[sessionize]] driven end-to-end from a FILE source into an
+    * append-mode parquet sink: the full production wiring (file
+    * discovery → event-time state store → checkpointed exactly-once
+    * sink). Sessions close on the gap rule inline or via event-time
+    * timeout when the watermark passes; the caller stages per-user
+    * closing sentinels when it needs every real session flushed in
+    * one run (the oracle-checked query does). */
+  def sessionizeFileStream(spark: SparkSession, srcPath: String,
+                           schema: StructType, outDir: String,
+                           checkpoint: String, gapUs: Long,
+                           maxFilesPerTrigger: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val events = fileIngest(spark, srcPath, schema,
+        maxFilesPerTrigger = maxFilesPerTrigger)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow]
+    sessionize(events, gapUs).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .option("path", outDir)
+      .format("parquet")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** [[windowAgg]] driven end-to-end from a FILE source into an
+    * append-mode parquet sink — closed windows only, emitted when the
+    * watermark passes each window end (AvailableNow runs the no-data
+    * flush batch after the last file batch). */
+  def windowAggFileStream(spark: SparkSession, srcPath: String,
+                          schema: StructType, outDir: String,
+                          checkpoint: String,
+                          windowLen: String = "1 hour",
+                          watermark: String = "0 seconds",
+                          maxFilesPerTrigger: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    windowAgg(
+      fileIngest(spark, srcPath, schema,
+          maxFilesPerTrigger = maxFilesPerTrigger)
+        .withColumn("ts", timestamp_micros(col("ts"))),
+      windowLen, Some(watermark))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .option("path", outDir)
+      .format("parquet")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batch analog of gap-based sessionization (oracle-checkable):
     * session boundaries via lag(), session ids via a running sum,
     * one aggregated row per session. Two window passes + one groupBy,
