@@ -3506,6 +3506,61 @@ object Queries {
         WHERE tier <> 'delinquent'""")),
 
     // ---------- F. Maintenance (rows-only; layout asserted in specs) ----------
+    Q("upsert_evolve",
+      // schema-evolving MERGE (Delta autoMerge semantics) through the
+      // oracle gate: updates carry a NEW column (existing rows read
+      // null) and a changed value; keys only in the base survive
+      // untouched. The committed snapshot equals one anti-join +
+      // widened union — the oracle
+      (s, d) => {
+        val path = s"/tmp/graft_cache/ue_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val cust = Tables(s, d).customer
+        VersionedTable.write(
+          cust.select("c_custkey", "c_name", "c_acctbal"), path)
+        val updates = cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 10.0).as("c_acctbal"),
+            lit("gold").as("c_tier"))
+        VersionedTable.upsertEvolve(s, path, updates, Seq("c_custkey"))
+        VersionedTable.read(s, path)
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal,
+          cast(NULL as varchar) as c_tier
+        FROM customer WHERE c_custkey % 5 <> 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 10.0, 'gold'
+        FROM customer WHERE c_custkey % 5 = 0""")),
+
+    Q("dedup_clusters_star",
+      // the O(log n) large-star/small-star component rewrite (for
+      // adversarial graph diameters where plain propagation pays
+      // O(diameter) rounds) must land on EXACTLY the same clusters,
+      // sizes and canonical survivors as the propagation path — same
+      // oracle as dedup_clusters
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Clusters.duplicateClusters(docs, Dedup.minhashLsh(docs),
+          deep = true)
+      },
+      Some(TextOracleSql.dedupClustersSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5))),
+
+    Q("zorder_write",
+      // the Morton-curve clustered write through the oracle gate:
+      // z-ordering is a pure LAYOUT change (one min/max agg + one
+      // range shuffle), so the table round-trips bit-for-bit; the
+      // 2-D pruning benefit stays plan/spec-verified (zonemap +
+      // ZOrderSpec)
+      (s, d) => {
+        val path = s"/tmp/graft_cache/zw_${new java.io.File(d).getName}"
+        Maintenance.writeZOrdered(Tables(s, d).lineitem, path,
+          "l_partkey", "l_suppkey", numFiles = 8)
+        Maintenance.read(s, path)
+      },
+      Some("SELECT * FROM lineitem")),
+
     Q("compact_sorted_write",
       (s, d) => {
         val path = s"/tmp/graft_cache/compact_${new java.io.File(d).getName}"
