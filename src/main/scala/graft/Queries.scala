@@ -3561,6 +3561,30 @@ object Queries {
       },
       Some("SELECT * FROM lineitem")),
 
+    Q("bucketed_join",
+      // pre-bucketed co-located join through the oracle gate: both
+      // sides written bucketed on the join key (the one-time shuffle
+      // is the WRITE), so the join itself runs exchange-free — the
+      // property PlanShapeSpec asserts; here the RESULT is
+      // hash-checked against the plain SQL join
+      (s, d) => {
+        for (t <- Seq("li_bkt_q", "ord_bkt_q")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          VersionedTable.destroy(s"spark-warehouse/$t")
+        }
+        Maintenance.writeBucketed(Tables(s, d).lineitem
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+          "li_bkt_q", "l_orderkey", 4)
+        Maintenance.writeBucketed(Tables(s, d).orders
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "ord_bkt_q", "l_orderkey", 4)
+        s.table("li_bkt_q").join(s.table("ord_bkt_q"), "l_orderkey")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")),
+
     Q("compact_sorted_write",
       (s, d) => {
         val path = s"/tmp/graft_cache/compact_${new java.io.File(d).getName}"
