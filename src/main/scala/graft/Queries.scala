@@ -2274,6 +2274,43 @@ object Queries {
             as p_next
         FROM c""")),
 
+    Q("ts_forecast",
+      // the forecasting baseline on the same dense hourly series:
+      // seasonal-naive (repeat the last observed period) + the
+      // last-period mean — the two no-model baselines every real
+      // forecaster is judged against; integer moves except one mean
+      // division, so the forecast is bit-portable
+      (s, d) => TimeSeries.forecastSeasonalNaive(Tables(s, d).events),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        h AS (SELECT event_type, ts - ts % 3600000000 as hour_us,
+                count(*) as n_raw
+              FROM e GROUP BY 1, 2),
+        spans AS (SELECT event_type,
+                min(ts) - min(ts) % 3600000000 as lo,
+                max(ts) - max(ts) % 3600000000 as hi
+              FROM e GROUP BY 1),
+        grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, 3600000000)) as hour_us
+              FROM spans),
+        s AS (SELECT g.event_type, g.hour_us,
+                coalesce(h.n_raw, 0) as n_events
+              FROM grid g LEFT JOIN h USING (event_type, hour_us)),
+        l AS (SELECT event_type, max(hour_us) as t_last
+              FROM s GROUP BY 1),
+        w AS (SELECT s.event_type, s.hour_us, s.n_events, l.t_last
+              FROM s JOIN l USING (event_type)
+              WHERE s.hour_us > l.t_last - 24 * 3600000000),
+        m AS (SELECT event_type, avg(n_events) as mean_baseline
+              FROM w GROUP BY 1)
+        SELECT w.event_type,
+          w.hour_us + 24 * 3600000000 as hour_us,
+          w.hour_us as source_hour_us,
+          cast(w.n_events as bigint) as forecast_n,
+          m.mean_baseline
+        FROM w JOIN m USING (event_type)
+        WHERE w.hour_us + 24 * 3600000000 <= w.t_last + 24 * 3600000000""")),
+
     Q("ts_anomaly",
       // online-frame anomaly detection on the dense hourly series:
       // each hour z-scored against the PRECEDING 24 hours only (its

@@ -63,6 +63,54 @@ object TimeSeries {
         col("v").isNotNull.as("observed"))
   }
 
+  /** Seasonal-naive forecast over the dense hourly count series: the
+    * next `horizon` hours are predicted by repeating the LAST
+    * observed period (forecast(T+h) = n(T+h−period)) — the classic
+    * no-model baseline every real forecaster must beat, plus the
+    * last-period mean as the even-dumber constant baseline. All
+    * integer moves except the one mean division, so the forecast is
+    * bit-portable.
+    *
+    * Scale shape: one map-side-combined shuffle to (type, hour)
+    * counts; the grid, the last-period window and both baselines are
+    * SERIES-row frames (types × period rows), broadcast where joined
+    * back. Raw events are scanned once. */
+  def forecastSeasonalNaive(events: DataFrame, period: Int = 24,
+                            horizon: Int = 24): DataFrame = {
+    require(horizon >= 1 && horizon <= period,
+      "horizon must be in [1, period] — seasonal-naive repeats the last observed period")
+    val hourUs = 3600000000L
+    val periodUs = period.toLong * hourUs
+    val hourly = events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw"))
+    val grid = events.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("event_type"), explode(sequence(
+        col("lo") - pmod(col("lo"), lit(hourUs)),
+        col("hi") - pmod(col("hi"), lit(hourUs)),
+        lit(hourUs))).as("hour_us"))
+    val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n_raw"), lit(0L)).as("n_events"))
+    val lastH = series.groupBy(col("event_type"))
+      .agg(max(col("hour_us")).as("t_last"))
+    val lastPeriod = series.join(broadcast(lastH), "event_type")
+      .filter(col("hour_us") > col("t_last") - periodUs)
+    val baseline = lastPeriod.groupBy(col("event_type"))
+      .agg(avg(col("n_events")).as("mean_baseline"))
+    lastPeriod
+      .filter(col("hour_us") + periodUs <= col("t_last") +
+        horizon.toLong * hourUs)
+      .join(broadcast(baseline), "event_type")
+      .select(col("event_type"),
+        (col("hour_us") + periodUs).as("hour_us"),
+        col("hour_us").as("source_hour_us"),
+        col("n_events").as("forecast_n"),
+        col("mean_baseline"))
+  }
+
   /** Trailing-window anomaly detection over the dense hourly count
     * series: each hour's event count is z-scored against the
     * PRECEDING `trailing` hours only (never its own value, never the

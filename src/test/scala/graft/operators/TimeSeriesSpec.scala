@@ -56,4 +56,31 @@ class TimeSeriesSpec extends SparkSpec {
     val out = series(("a", H + 5L, 42.0))
     assert(out == Map(("a", H) -> (42.0, true)))
   }
+
+  test("seasonal-naive forecast repeats the last observed period") {
+    // 48 observed hours for type a: counts 1 in hours 0-23, then
+    // hour 24+k carries k+1 events — the forecast must repeat the
+    // SECOND day, not the first
+    val rows = (0 until 24).map(h => ("a", h * H + 1L, 1.0)) ++
+      (0 until 24).flatMap(h =>
+        (0 to h).map(i => ("a", (24 + h) * H + 10L + i, 1.0)))
+    val out = TimeSeries.forecastSeasonalNaive(ev(rows: _*))
+      .collect()
+      .map(r => r.getAs[Long]("hour_us") ->
+        (r.getAs[Long]("source_hour_us"), r.getAs[Long]("forecast_n"),
+          r.getAs[Double]("mean_baseline"))).toMap
+    assert(out.size == 24)
+    (0 until 24).foreach { h =>
+      val fcHour = (48 + h) * H
+      val (src, n, mb) = out(fcHour)
+      assert(src == (24 + h) * H, s"hour $h sourced from the wrong day")
+      assert(n == h + 1L, s"hour $h forecast $n != ${h + 1}")
+      // mean of 1..24 = 12.5 — one exact division
+      assert(mb == 12.5)
+    }
+    // a shorter horizon truncates, never shifts
+    val short = TimeSeries.forecastSeasonalNaive(ev(rows: _*), horizon = 6)
+      .collect().map(_.getAs[Long]("hour_us")).sorted
+    assert(short.toSeq == (0 until 6).map(h => (48 + h) * H))
+  }
 }
