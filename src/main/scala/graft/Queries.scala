@@ -3622,6 +3622,18 @@ object Queries {
         SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")),
 
+    Q("zorder3_write",
+      // the 3-D Morton generalization round-trips content exactly
+      // like the 2-D curve; the third-coordinate pruning win stays
+      // spec-verified (ZOrderSpec)
+      (s, d) => {
+        val path = s"/tmp/graft_cache/zw3_${new java.io.File(d).getName}"
+        Maintenance.writeZOrdered3(Tables(s, d).lineitem, path,
+          "l_partkey", "l_suppkey", "l_orderkey", numFiles = 8)
+        Maintenance.read(s, path)
+      },
+      Some("SELECT * FROM lineitem")),
+
     Q("compact_sorted_write",
       (s, d) => {
         val path = s"/tmp/graft_cache/compact_${new java.io.File(d).getName}"
