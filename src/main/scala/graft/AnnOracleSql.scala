@@ -87,6 +87,34 @@ object AnnOracleSql {
           FROM fused)
     WHERE hybrid_rank <= $k"""
 
+  /** Per-label centroid outliers (mirrors
+    * Similarity.centroidOutliers): dyadic-exact per-label means
+    * (identical to the label_centroids oracle), `list(... ORDER BY
+    * dim)` assembles the centroid, and each cosine is the same fixed
+    * sequential-fold / sqrt / multiply / divide chain as the Spark
+    * side. */
+  def centroidOutliersSql(k: Int): String = s"""
+    WITH el AS (SELECT vec_id, label, cast(embedding as double[]) as emb
+                FROM embeddings),
+    cl AS (SELECT label, dim,
+             (cast(sum(cast(v * 281474976710656.0 as decimal(28,0)))
+                 as double) / 281474976710656.0) / count(*) as mean
+           FROM (SELECT label, generate_subscripts(embedding, 1) - 1 as dim,
+                   unnest(cast(embedding as double[])) as v
+                 FROM embeddings)
+           GROUP BY 1, 2),
+    cent AS (SELECT label, list(mean ORDER BY dim) as cvec
+             FROM cl GROUP BY 1),
+    sc AS (SELECT e.label, e.vec_id,
+             list_dot_product(e.emb, c.cvec) /
+               (sqrt(list_dot_product(e.emb, e.emb)) *
+                sqrt(list_dot_product(c.cvec, c.cvec))) as cosine
+           FROM el e JOIN cent c USING (label))
+    SELECT label, vec_id, cosine, cast(rn as bigint) as outlier_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+            ORDER BY cosine ASC, vec_id) as rn FROM sc)
+    WHERE rn <= $k"""
+
   /** IVF index-health audit (mirrors Similarity.cellStats): per-cell
     * population, corpus share, and imbalance factor in ppm — all
     * integer division, bit-portable. */

@@ -4029,7 +4029,115 @@ object Queries {
           .select(col("doc_id").cast("long"), col("text"), col("lang"),
             col("source"), col("n_chars").cast("long"))
       },
-      Some("SELECT * FROM documents"))
+      Some("SELECT * FROM documents")),
+
+    // ---------- wave 10: curation-signal operators ----------
+
+    Q("ts_changepoint",
+      // offline CUSUM single-changepoint estimation on the dense
+      // hourly count series: S_t = cum_t − t·μ peaks at the most
+      // likely mean shift; all moves integer until the one fixed
+      // two-op double chain, argmax tie-breaks on earliest hour
+      (s, d) => TimeSeries.changepoint(Tables(s, d).events),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        h AS (SELECT event_type, ts - ts % 3600000000 as hour_us,
+                count(*) as n_raw
+              FROM e GROUP BY 1, 2),
+        spans AS (SELECT event_type,
+                min(ts) - min(ts) % 3600000000 as lo,
+                max(ts) - max(ts) % 3600000000 as hi
+              FROM e GROUP BY 1),
+        grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, 3600000000)) as hour_us
+              FROM spans),
+        s AS (SELECT g.event_type, g.hour_us,
+                coalesce(h.n_raw, 0) as n_events
+              FROM grid g LEFT JOIN h USING (event_type, hour_us)),
+        t AS (SELECT event_type, cast(sum(n_events) as bigint) as n_total,
+                cast(count(*) as bigint) as n_hours
+              FROM s GROUP BY 1),
+        sc AS (SELECT s.event_type, s.hour_us,
+                cast(row_number() OVER w as bigint) as t_idx,
+                cast(sum(s.n_events) OVER (PARTITION BY s.event_type
+                  ORDER BY s.hour_us ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) as bigint) as cum_n,
+                t.n_total, t.n_hours,
+                cast(t.n_total as double) / cast(t.n_hours as double) as mu
+              FROM s JOIN t USING (event_type)
+              WINDOW w AS (PARTITION BY s.event_type ORDER BY s.hour_us)),
+        cu AS (SELECT *,
+                cast(cum_n as double) - cast(t_idx as double) * mu as cusum
+              FROM sc)
+        SELECT event_type, hour_us as change_hour_us, cusum,
+          n_hours, n_total,
+          cast(cum_n as double) / cast(t_idx as double) as mean_before,
+          CASE WHEN n_hours > t_idx THEN
+            cast(n_total - cum_n as double)
+              / cast(n_hours - t_idx as double) END as mean_after
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(cusum) DESC, hour_us) as pick FROM cu)
+        WHERE pick = 1""")),
+
+    Q("decayed_popularity",
+      // "what is hot NOW": per-day-halving dyadic decay in exact
+      // integer ppm (1000000 >> age_days) — order-independent long
+      // sums, no float drift at any row count; rank-by-decayed vs
+      // rank-by-count divergence is the signal
+      (s, d) => TimeSeries.decayedPopularity(Tables(s, d).events),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        tr AS (SELECT max(ts) as t_ref FROM e),
+        w AS (SELECT event_type,
+                cast(1000000 as bigint)
+                  >> least((t_ref - ts) // 86400000000, 62) as w_ppm
+              FROM e, tr),
+        agg AS (SELECT event_type, count(*) as n_events,
+                  cast(sum(w_ppm) as bigint) as decayed_mass
+                FROM w GROUP BY 1),
+        tot AS (SELECT cast(sum(decayed_mass) as bigint) as t_mass FROM agg)
+        SELECT event_type, n_events, decayed_mass,
+          cast(decayed_mass * 1000000 // t_mass as bigint)
+            as decayed_share_ppm,
+          cast(row_number() OVER (ORDER BY decayed_mass DESC, event_type)
+            as bigint) as decay_rank
+        FROM agg, tot""")),
+
+    Q("stratified_kfold",
+      // reproducible cross-validation folds: fold = salted content
+      // hash mod k — append-stable (old docs never migrate folds),
+      // engine-portable, map-side; the one shuffle is the in-fold rank
+      (s, d) => TextAnalysis.stratifiedKFold(Tables(s, d).documents,
+        strataCol = "lang", k = 5, salt = "fold"),
+      Some(TextOracleSql.stratifiedKFoldSql("lang", k = 5, salt = "fold"))),
+
+    Q("ngram_novelty",
+      // cross-document freshness: per doc, the ppm of its distinct
+      // bigrams whose global FIRST occurrence (min doc_id) is this
+      // doc — the redundancy curve that shows where marginal data
+      // stops adding content; only 8-byte hashes ever shuffle
+      (s, d) => TextAnalysis.ngramNovelty(Tables(s, d).documents),
+      Some(TextOracleSql.ngramNoveltySql)),
+
+    Q("boilerplate_source",
+      // per-SOURCE template removal: chunks in > maxDocs distinct
+      // docs of the SAME source stripped from that source (cookie
+      // banners, nav headers) — the per-domain pass a corpus-global
+      // frequency cap can't express; distributed anti-join on
+      // (source, hash), no broadcast ceiling
+      (s, d) => CorpusClean.boilerplatePerSource(Tables(s, d).documents,
+        chunkTokens = 10, maxDocs = 2),
+      Some(TextOracleSql.boilerplatePerSourceSql(chunkTokens = 10,
+        maxDocs = 2))),
+
+    Q("centroid_outliers",
+      // embedding-space curation: the k vectors per label farthest
+      // from their label's dyadic-exact mean — mislabeled /
+      // off-distribution / junk vectors surface first; prototypes
+      // collect to a literal CASE so the cosine is map-side, and the
+      // top-k window prunes via WindowGroupLimit
+      (s, d) => Similarity.centroidOutliers(Tables(s, d).embeddings, k = 5),
+      Some(AnnOracleSql.centroidOutliersSql(k = 5)))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -264,6 +264,39 @@ object ScaleProbe {
         () => Similarity.cellStats(t.embeddings).count(),
         t.embeddings.count() * 10,
         () => Similarity.cellStats(
+          replicate(t.embeddings, 10, Some("vec_id"))).count()),
+      // event-id-shifted replicas densify the SAME hourly grid 10× —
+      // series frames stay span-bounded, so cost tracks the scan
+      ("ts_changepoint", t.events.count(),
+        () => graft.operators.TimeSeries.changepoint(t.events).count(),
+        t.events.count() * 10,
+        () => graft.operators.TimeSeries.changepoint(
+          replicate(t.events, 10, Some("event_id"))).count()),
+      ("decayed_popularity", t.events.count(),
+        () => graft.operators.TimeSeries.decayedPopularity(t.events).count(),
+        t.events.count() * 10,
+        () => graft.operators.TimeSeries.decayedPopularity(
+          replicate(t.events, 10, Some("event_id"))).count()),
+      // token-prefixed replicas keep bigram sets replica-disjoint —
+      // the novelty structure (first-owner distribution) is preserved
+      // per shard while hash volume grows 10×
+      ("ngram_novelty", t.documents.count(),
+        () => TextAnalysis.ngramNovelty(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.ngramNovelty(replicateDocs(t.documents, 10))
+          .count()),
+      ("boilerplate_source", t.documents.count(),
+        () => CorpusClean.boilerplatePerSource(t.documents).count(),
+        t.documents.count() * 10,
+        () => CorpusClean.boilerplatePerSource(
+          replicateDocs(t.documents, 10)).count()),
+      // identical vectors ×10 leave every label mean EXACTLY in place
+      // (integer sums scale by 10 with the count) — the probe isolates
+      // the map-side cosine + top-k cost
+      ("centroid_outliers", t.embeddings.count(),
+        () => Similarity.centroidOutliers(t.embeddings).count(),
+        t.embeddings.count() * 10,
+        () => Similarity.centroidOutliers(
           replicate(t.embeddings, 10, Some("vec_id"))).count()))
 
     // optional comma-separated probe filter for single-probe iteration

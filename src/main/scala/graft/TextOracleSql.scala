@@ -350,6 +350,73 @@ object TextOracleSql {
       cast(a.n_kept as bigint) as n_chunks_kept
     FROM ch c JOIN agg a USING (doc_id)"""
 
+  /** Per-source boilerplate strip (mirrors
+    * CorpusClean.boilerplatePerSource): chunks in more than `maxDocs`
+    * DISTINCT docs of the same source are removed from that source's
+    * documents. */
+  def boilerplatePerSourceSql(chunkTokens: Int, maxDocs: Long): String = s"""
+    WITH docs AS (SELECT doc_id, source, string_split(text, ' ') as toks
+                  FROM documents),
+    ch AS (
+      SELECT doc_id, source,
+        list_transform(range((len(toks) + ${chunkTokens - 1}) // $chunkTokens),
+          i -> array_to_string(
+                 toks[i*$chunkTokens+1 : i*$chunkTokens+$chunkTokens], ' '))
+          as chunks
+      FROM docs),
+    ex AS (SELECT doc_id, source,
+             generate_subscripts(chunks, 1) as chunk_id,
+             unnest(chunks) as chunk FROM ch),
+    exh AS (SELECT doc_id, source, chunk_id, chunk,
+              ${sha60("chunk")} as h FROM ex),
+    occ AS (SELECT DISTINCT source, h, doc_id FROM exh),
+    banned AS (SELECT source, h FROM occ
+               GROUP BY 1, 2 HAVING count(*) > $maxDocs),
+    kept AS (SELECT e.doc_id, e.chunk_id, e.chunk
+             FROM exh e LEFT JOIN banned b
+               ON b.source = e.source AND b.h = e.h
+             WHERE b.h IS NULL),
+    agg AS (SELECT doc_id,
+              string_agg(chunk, ' ' ORDER BY chunk_id) as text_clean,
+              count(*) as n_kept
+            FROM kept GROUP BY 1)
+    SELECT c.doc_id, c.source, coalesce(a.text_clean, '') as text_clean,
+      cast(len(c.chunks) as bigint) as n_chunks,
+      cast(coalesce(a.n_kept, 0) as bigint) as n_chunks_kept
+    FROM ch c LEFT JOIN agg a USING (doc_id)"""
+
+  /** Per-doc distinct-bigram novelty (mirrors
+    * TextAnalysis.ngramNovelty): grouping by the portable 60-bit
+    * bigram hash, first owner = min doc_id, all-integer ppm. */
+  def ngramNoveltySql: String = s"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') as toks
+                  FROM documents),
+    bg AS (SELECT DISTINCT doc_id,
+             ${sha60("toks[i] || ' ' || toks[i+1]")} as h
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) as i
+                 FROM docs WHERE len(toks) >= 2)),
+    fo AS (SELECT h, min(doc_id) as first_doc FROM bg GROUP BY 1)
+    SELECT doc_id,
+      cast(count(*) as bigint) as n_distinct_bigrams,
+      cast(sum(case when first_doc = doc_id then 1 else 0 end) as bigint)
+        as n_novel,
+      cast(sum(case when first_doc = doc_id then 1 else 0 end) * 1000000
+        // count(*) as bigint) as novelty_ppm
+    FROM bg JOIN fo USING (h)
+    GROUP BY 1"""
+
+  /** Stratified k-fold assignment (mirrors
+    * TextAnalysis.stratifiedKFold): fold = salted hash mod k, rank =
+    * row_number over (stratum, fold) by doc_id. */
+  def stratifiedKFoldSql(strataCol: String, k: Int, salt: String): String = s"""
+    SELECT doc_id, $strataCol,
+      ${sha60(s"'$salt:' || cast(doc_id as varchar)")} % $k as fold,
+      cast(row_number() OVER (
+        PARTITION BY $strataCol,
+          ${sha60(s"'$salt:' || cast(doc_id as varchar)")} % $k
+        ORDER BY doc_id) as bigint) as fold_rank
+    FROM documents"""
+
   /** Shared bigram-LM CTEs: token lists, unigram counts, vocab size,
     * per-doc adjacent pairs, bigram-type counts (mirrors
     * NgramLm.bigrams/uniCounts). */

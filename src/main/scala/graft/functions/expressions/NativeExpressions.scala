@@ -72,6 +72,115 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential-fold dot product over two `array<double>` columns —
+  * the [[FloatDotProduct]] kernel for inputs that are already double
+  * (e.g. a float vector lifted via `transform(_.cast("double"))`
+  * against an exact-mean centroid literal, which is NOT float-
+  * representable). Same element order and accumulation as DuckDB's
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`; NULL on length
+  * mismatch or null elements, like the zip_with formulation. */
+case class DoubleDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  // null on length mismatch even when both inputs are non-null
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ddot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Mixed-type sequential-fold dot product: `array<float>` left ×
+  * `array<double>` right, accumulated in double — the raw-embedding ×
+  * exact-mean-centroid case, WITHOUT an interpreted `transform()`
+  * lift of the float side (HOFs are CodegenFallback; this stays
+  * inside whole-stage codegen). Element promotion float→double is
+  * exact, so the result is bit-identical to lifting first. */
+case class FloatDoubleDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  // null on length mismatch even when both inputs are non-null
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fddot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashConstants {
   /** Per-permutation xor constants (splitmix64 of the index) —
     * literals baked into the plan, no executor RNG state. The VALUES

@@ -144,6 +144,61 @@ object CorpusClean {
       throw new IllegalStateException("Auto resolves before assemble")
   }
 
+  /** Per-SOURCE boilerplate strip: a chunk that occurs in more than
+    * `maxDocs` DISTINCT documents of the SAME source is that site's
+    * boilerplate (cookie banner, nav header, license footer) and is
+    * removed from every document of that source — the CCNet-style
+    * per-domain pass that [[paragraphDedup]]'s corpus-global
+    * frequency can't express: a phrase ubiquitous on one site but
+    * rare globally survives the global cap yet is pure template
+    * noise within its domain. Counting DISTINCT documents (not raw
+    * occurrences) keeps a chunk repeated inside one document from
+    * being mistaken for cross-document template.
+    *
+    * Scale shape: occurrence dedup and frequency counting shuffle
+    * ONLY (source, 8-byte hash, doc_id) triples with map-side
+    * combine; the banned set stays distributed — the strip is a
+    * LEFT ANTI hash join on (source, hash), no single-task fold, no
+    * broadcast ceiling (a big crawl's per-domain template set is
+    * exactly the case that outgrows a broadcast). Ordered re-group
+    * restores chunk order per document. */
+  def boilerplatePerSource(documents: DataFrame, chunkTokens: Int = 20,
+                           maxDocs: Long = 1): DataFrame = {
+    val ch = documents
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr(s"""transform(
+            sequence(0, int((size(toks) + ${chunkTokens - 1}) div $chunkTokens) - 1),
+            i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, $chunkTokens)))""")
+          .as("chunks"))
+    val ex = ch
+      .select(col("doc_id"), col("source"),
+        posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("source"), col("chunk_id"), col("chunk"),
+        sha60(col("chunk")).as("h"))
+    val banned = ex
+      .select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("source"), col("h"))
+    val re = ex.join(banned, Seq("source", "h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_clean"),
+        count(lit(1)).as("n_chunks_kept"))
+    ch.select(col("doc_id"), col("source"),
+        size(col("chunks")).cast("long").as("n_chunks"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_chunks"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"))
+  }
+
   /** Intra-document duplicate-paragraph removal: keep each chunk's
     * FIRST occurrence within its document, preserving order. Pure
     * map-only — no shuffle at any scale (the quadratic first-index

@@ -236,4 +236,63 @@ object Gold {
         countDistinct(col("o_orderkey")).as("order_count"),
         count(lit(1)).as("line_count"),
         sum(money(col("l_quantity"))).cast("double").as("total_qty"))
+
+  /** RFM customer segmentation over the event stream: per user,
+    * Recency (days since last event, vs the table's newest event),
+    * Frequency (event count) and Monetary (exact-decimal value sum),
+    * each scored into quintiles 1–5 against EXACT nearest-rank
+    * fences, concatenated into the classic "RFM" segment label
+    * ("555" = recent + frequent + high-value).
+    *
+    * Determinism: recency/frequency are integers; monetary is the
+    * exact decimal(18,2) sum cast once to double (the value_outliers
+    * idiom); fences are type-1 exact quantiles (value AT rank
+    * ceil(p·n) — [[exactGroupQuantiles]]), and a score is `1 + #
+    * fences strictly below the value` (recency inverted: newer =
+    * higher) — pure comparisons against copied values, no arithmetic,
+    * so both engines agree exactly.
+    *
+    * Scale shape: one user-keyed map-side-combined aggregate (the
+    * same key the session/funnel family shuffles on), then three
+    * two-phase quantile selections over USER-metric rows (histogram
+    * shuffle + in-bucket offset — never a global sort), fences
+    * broadcast back, scoring map-side. No driver state, no single-
+    * partition window at any size. */
+  def userRfm(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val tRef = events.agg(max(col("ts")).as("t_ref"))
+    val perUser = events.crossJoin(broadcast(tRef))
+      .groupBy(col("user_id"))
+      .agg(
+        ((first(col("t_ref")) - max(col("ts"))).cast("long")).as("age_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("monetary"))
+      .select(col("user_id"),
+        expr(s"age_us div $dayUs").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("g", lit(1))
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    // 4-row driver scalar per metric (the anonymize_generalize
+    // pattern) — fences are broadcast-by-literal into the scoring map
+    def fences(valueCol: String, bucketWidth: Double): Column = {
+      val f = exactGroupQuantiles(perUser, "g", valueCol, ps, bucketWidth)
+        .select(col("p"), col("quantile_value").cast("double").as("qv"))
+        .orderBy("p").collect().map(_.getAs[Double]("qv"))
+      array(f.map(lit): _*)
+    }
+    val rF = fences("recency_days", 1.0)
+    val fF = fences("frequency", 1.0)
+    val mF = fences("monetary", 10.0)
+    def above(v: Column, fs: Column): Column =
+      size(filter(fs, f => v > f)).cast("long")
+    perUser
+      .withColumn("r_score", lit(5L) - above(col("recency_days").cast("double"), rF))
+      .withColumn("f_score", lit(1L) + above(col("frequency").cast("double"), fF))
+      .withColumn("m_score", lit(1L) + above(col("monetary"), mF))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score"))
+          .as("rfm_segment"))
+  }
 }

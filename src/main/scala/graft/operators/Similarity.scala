@@ -577,6 +577,67 @@ object Similarity {
         col("n_vectors"))
   }
 
+  /** Per-label centroid OUTLIERS: the `k` vectors per label farthest
+    * (lowest cosine) from their label's exact mean embedding — the
+    * embedding-space complement of text quality filters: mislabeled,
+    * off-distribution, or junk vectors surface first (the CCNet /
+    * SemDeDup-style "distance to prototype" curation signal).
+    *
+    * Determinism: centroids come from [[labelCentroids]]'s dyadic-
+    * exact integer mean (order-independent), then each cosine is ONE
+    * fixed chain — sequential-fold dots in double, two sqrt (IEEE
+    * correctly rounded), one multiply, one divide — bit-identical to
+    * DuckDB's `list_dot_product` formulation. Ranking ties break on
+    * vec_id.
+    *
+    * Scale shape: the prototype table is |labels| × dim (tiny by
+    * construction — labels are a classification space, not an id
+    * space); it collects to a literal CASE so the cosine is MAP-SIDE
+    * against the scan. The only shuffle is the per-label top-k
+    * window, which compiles to WindowGroupLimit (every task prunes
+    * to its local k before the exchange). */
+  def centroidOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    // float-embedding × double-centroid kernel: stays in codegen, no
+    // interpreted transform() lift; promotion is exact either way
+    val fddot = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.FloatDoubleDotProduct(
+          org.apache.spark.sql.graft.GraftBridge.expression(a),
+          org.apache.spark.sql.graft.GraftBridge.expression(b)))
+    val cents: Seq[(Int, Array[Double])] = labelCentroids(embeddings)
+      .select(col("label"), col("dim"), col("mean"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }.toSeq.sortBy(_._1)
+    if (cents.isEmpty)
+      // empty input: emit the output schema, zero rows
+      return embeddings.select(col("label"), col("vec_id"),
+        lit(0.0).as("cosine"), lit(0L).as("outlier_rank")).limit(0)
+    val centCol = cents.foldLeft(lit(null).cast("array<double>")) {
+      case (acc, (l, arr)) =>
+        when(col("label") === l, typedLit(arr.toSeq)).otherwise(acc)
+    }
+    // centroid norms pre-folded in Scala — same sequential order as
+    // the in-plan fold, so bit-equal to sqrt(list_dot_product(c, c))
+    val normCol = cents.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, arr)) =>
+        when(col("label") === l,
+          lit(math.sqrt(arr.foldLeft(0.0)((s, v) => s + v * v))))
+          .otherwise(acc)
+    }
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cosine").asc, col("vec_id"))
+    embeddings
+      .select(col("label"), col("vec_id"),
+        (fddot(col("embedding"), centCol) /
+          (VectorFunctions.l2Norm(col("embedding")) * normCol))
+          .as("cosine"))
+      .withColumn("outlier_rank", row_number().over(w).cast("long"))
+      .filter(col("outlier_rank") <= k)
+  }
+
   /** IVF ANN: corpus rows live in their nearest-centroid list; each
     * query probes its `nprobe` closest lists and ranks exact cosine
     * only within them. At 100 TB the corpus side is partitioned by

@@ -706,6 +706,81 @@ object TextAnalysis {
       .select(col("doc_id"), col(strataCol), col("sample_rank"))
   }
 
+  /** Deterministic stratified k-fold assignment: every document gets
+    * a fold in [0, k) from its salted content hash, plus its position
+    * within (stratum, fold) — the reproducible cross-validation /
+    * eval-holdout split. Unlike a rate sample, ALL rows are assigned
+    * (the full partition of the corpus), and because membership is a
+    * pure function of (salt, doc_id), folds are stable across runs,
+    * partitionings, engines, and — critically for a growing corpus —
+    * across incremental appends: old documents never migrate folds
+    * when new ones arrive.
+    *
+    * Scale shape: the fold is map-side (hash mod k at scan speed);
+    * the in-fold rank is `row_number` over (stratum, fold) — the one
+    * shuffle, keyed fine enough (strata × k) to spread. Consumers
+    * that only need the fold column can drop the rank projection and
+    * run shuffle-free. */
+  def stratifiedKFold(documents: DataFrame, strataCol: String = "lang",
+                      k: Int = 5, salt: String = "fold"): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("fold"))
+      .orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), col(strataCol),
+        pmod(saltedSha60(salt), lit(k.toLong)).as("fold"))
+      .withColumn("fold_rank", row_number().over(w).cast("long"))
+  }
+
+  /** Per-document n-gram novelty: of a document's DISTINCT bigrams,
+    * the fraction (in ppm) whose globally FIRST occurrence — minimum
+    * doc_id over the corpus — is this document. Early documents score
+    * high, late near-copies score ~0; the redundancy/freshness curve
+    * that tells a curation pipeline where marginal data stops adding
+    * content (and a cheap cross-document complement to intra-doc
+    * repetition metrics).
+    *
+    * Determinism: grouping is by the portable 60-bit content hash of
+    * the bigram (the paragraphDedup idiom — the oracle groups by the
+    * same hash, so engines agree exactly); counts and the ppm are
+    * pure integer arithmetic.
+    *
+    * Scale shape: documents → distinct (doc, bigram-hash) pairs is
+    * one map-side-combined shuffle of 8-byte hashes; first-owner is
+    * a whole-partition `min over (partition by hash)` WINDOW — one
+    * more 16-byte-row shuffle, but NO self-join and NO second corpus
+    * scan (the agg-then-join formulation re-reads and re-hashes the
+    * whole corpus for the ownership side); the per-doc rollup is the
+    * final combine. The text itself never shuffles — only hashes. */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val sha60 = (c: Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val pairs = documents
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      // sequence(1, 0) DESCENDS in Spark — guard sub-bigram docs to
+      // an empty array instead (explode then drops them, same as SQL)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> concat(toks[i - 1], ' ', toks[i]))
+           ELSE array() END""")).as("bg"))
+      .select(col("doc_id"), sha60(col("bg")).as("h"))
+      .distinct()
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    pairs
+      .withColumn("first_doc", min(col("doc_id")).over(byHash))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_distinct_bigrams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_distinct_bigrams")
+          .as("novelty_ppm"))
+  }
+
   /** Deterministic text normalization: control bytes → space,
     * whitespace runs collapsed to one space, edges trimmed, text
     * lowercased — the canonical-form pass that runs before exact

@@ -111,6 +111,161 @@ object TimeSeries {
         col("mean_baseline"))
   }
 
+  /** CUSUM mean-shift changepoint detection over the dense hourly
+    * count series: per event_type, the cumulative sum of deviations
+    * from the series mean S_t = Σ_{i≤t}(n_i − μ) peaks (in absolute
+    * value) at the most likely single change point — the standard
+    * offline CUSUM estimator. Emits one row per type: the argmax
+    * hour, the CUSUM value there, and the mean level on each side of
+    * the split (the "before → after" shift a monitoring consumer
+    * acts on).
+    *
+    * Determinism: counts and their running sums are exact integers;
+    * μ is ONE IEEE division, and S_t is the fixed two-op chain
+    * `cum − t·μ` (multiply then subtract, each correctly rounded) —
+    * bit-identical in any engine. The argmax tie-breaks on the
+    * earliest hour; abs() of bit-identical doubles is order-safe.
+    * mean_before/mean_after are single divisions of exact integers.
+    *
+    * Scale shape: one map-side-combined shuffle to (type, hour)
+    * counts; the grid, the running sums and the argmax all run over
+    * SERIES rows (types × span hours — thousands, not the raw event
+    * count), partitioned by the series key. Raw events are scanned
+    * once. */
+  def changepoint(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw"))
+    val grid = events.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("event_type"), explode(sequence(
+        col("lo") - pmod(col("lo"), lit(hourUs)),
+        col("hi") - pmod(col("hi"), lit(hourUs)),
+        lit(hourUs))).as("hour_us"))
+    val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n_raw"), lit(0L)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = series.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_total"),
+        count(lit(1)).as("n_hours"))
+    val scored = series
+      .withColumn("t_idx", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n_events")).over(cum))
+      .join(broadcast(totals), "event_type")
+      .withColumn("mu",
+        col("n_total").cast("double") / col("n_hours").cast("double"))
+      .withColumn("cusum",
+        col("cum_n").cast("double") - col("t_idx").cast("double") * col("mu"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("hour_us"))
+    scored
+      .withColumn("r", row_number().over(pick))
+      .filter(col("r") === 1)
+      .select(col("event_type"),
+        col("hour_us").as("change_hour_us"),
+        col("cusum"),
+        col("n_hours"), col("n_total"),
+        (col("cum_n").cast("double") / col("t_idx").cast("double"))
+          .as("mean_before"),
+        when(col("n_hours") > col("t_idx"),
+          (col("n_total") - col("cum_n")).cast("double") /
+            (col("n_hours") - col("t_idx")).cast("double"))
+          .as("mean_after"))
+  }
+
+  /** Hour-of-day seasonal profile over the dense hourly series: per
+    * (event_type, hour-of-day 0–23), how many grid hours carry that
+    * slot, the total events landing in it, and the slot's mean rate —
+    * plus a peak rank per type (rank 1 = busiest slot). The seasonal
+    * shape is what ts_anomaly's flat trailing window can NOT see: a
+    * nightly lull that trips a naive threshold is perfectly ordinary
+    * once the profile is known, and capacity planning reads the peak
+    * slots directly.
+    *
+    * Determinism: slot membership is integer arithmetic on the UTC-
+    * pinned epoch-micros grid; counts are exact integers; the mean is
+    * ONE IEEE division; ranks tie-break on the slot index.
+    *
+    * Scale shape: one map-side-combined shuffle to (type, hour)
+    * counts; the grid is span-bounded; the profile collapse and the
+    * peak rank run over at most |types| × 24 rows. */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw"))
+    val grid = events.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("event_type"), explode(sequence(
+        col("lo") - pmod(col("lo"), lit(hourUs)),
+        col("hi") - pmod(col("hi"), lit(hourUs)),
+        lit(hourUs))).as("hour_us"))
+    val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n_raw"), lit(0L)).as("n_events"))
+    val prof = series
+      .withColumn("hour_of_day",
+        pmod(expr(s"hour_us div $hourUs"), lit(24L)))
+      .groupBy(col("event_type"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("n_events"))
+      .withColumn("mean_events",
+        col("n_events").cast("double") / col("n_hours").cast("double"))
+    val rk = Window.partitionBy("event_type")
+      .orderBy(col("mean_events").desc, col("hour_of_day"))
+    prof.withColumn("peak_rank", row_number().over(rk).cast("long"))
+  }
+
+  /** Time-decayed popularity: each event contributes a weight that
+    * halves per day of age relative to the newest event in the table
+    * (half-life = 1 day), aggregated per event_type — the "what is
+    * hot NOW" ranking that a plain count can't express. Pure integer
+    * arithmetic: the weight is `1000000 >> age_days` (an exact
+    * dyadic decay in parts-per-million), so sums are exact,
+    * order-independent longs — bit-portable to any engine, immune to
+    * float-summation drift at any row count.
+    *
+    * Emits per type: raw count, decayed mass, the decayed share of
+    * the whole table in ppm (integer floor division), and the rank
+    * by decayed mass. Note rank-by-decayed ≠ rank-by-count whenever
+    * activity shifted — that divergence is the operator's point.
+    *
+    * Scale shape: the reference timestamp is one scalar aggregate
+    * broadcast to the scan; the weight is map-side; one map-side-
+    * combined shuffle to |event_type| rows; the share and rank run
+    * over TYPE rows. Raw events are scanned once. */
+  def decayedPopularity(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val tRef = events.agg(max(col("ts")).as("t_ref"))
+    val weighted = events.crossJoin(broadcast(tRef))
+      .select(col("event_type"),
+        expr(s"shiftright(cast(1000000 as bigint), " +
+          s"cast(least((t_ref - ts) div $dayUs, 62) as int))").as("w_ppm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w_ppm")).as("decayed_mass"))
+    // total mass and rank share ONE single-partition pass over the
+    // |type| frame (whole-frame sum rides the rank window's sort) —
+    // a separate scalar agg + cross join would add a third global
+    // funnel to the plan for the same 5-row result
+    val rk = Window.orderBy(col("decayed_mass").desc, col("event_type"))
+    weighted
+      .withColumn("t_mass", sum(col("decayed_mass")).over(
+        rk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decay_rank", row_number().over(rk).cast("long"))
+      .select(col("event_type"), col("n_events"), col("decayed_mass"),
+        // decimal(38,0) `div` keeps the ×1e6 exact past long range
+        // (the Skew.skewReport share idiom) — no wrap at any scale
+        expr("cast(cast(decayed_mass as decimal(38,0)) * 1000000" +
+          " div t_mass as bigint)").as("decayed_share_ppm"),
+        col("decay_rank"))
+  }
+
   /** Trailing-window anomaly detection over the dense hourly count
     * series: each hour's event count is z-scored against the
     * PRECEDING `trailing` hours only (never its own value, never the

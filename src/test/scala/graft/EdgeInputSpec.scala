@@ -174,4 +174,41 @@ class EdgeInputSpec extends SparkSpec {
     assert(cs.length == 1 && cs.head.getAs[Long]("n_vectors") == 1L &&
       cs.head.getAs[Long]("share_ppm") == 1000000L)
   }
+
+  test("wave-10 operators are inert on empty and singleton inputs") {
+    val emptyEvents = Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(TimeSeries.changepoint(emptyEvents).count() == 0)
+    assert(TimeSeries.decayedPopularity(emptyEvents).count() == 0)
+    assert(TextAnalysis.stratifiedKFold(emptyDocs, "lang", 5).count() == 0)
+    assert(TextAnalysis.ngramNovelty(emptyDocs).count() == 0)
+    assert(CorpusClean.boilerplatePerSource(emptyDocs).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.centroidOutliers(emptyEmb).count() == 0)
+    // a one-doc corpus: every bigram is novel; no chunk can be
+    // cross-document template; the single doc owns fold_rank 1
+    val nov = TextAnalysis.ngramNovelty(oneDoc).collect()
+    assert(nov.length == 1 &&
+      nov.head.getAs[Long]("novelty_ppm") == 1000000L)
+    val bp = CorpusClean.boilerplatePerSource(oneDoc).collect()
+    assert(bp.length == 1 &&
+      bp.head.getAs[String]("text_clean") == "the only document here")
+    val kf = TextAnalysis.stratifiedKFold(oneDoc, "lang", 5).collect()
+    assert(kf.length == 1 && kf.head.getAs[Long]("fold_rank") == 1L)
+    // a sub-bigram doc drops from novelty (no bigrams), not throws
+    val tiny = Seq((7L, "word", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextAnalysis.ngramNovelty(tiny).count() == 0)
+    // single-event series: one hour, cusum 0, no after-side mean
+    val oneEvent = Seq((1L, 3600000005L, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cp = TimeSeries.changepoint(oneEvent).collect()
+    assert(cp.length == 1 && cp.head.getAs[Double]("cusum") == 0.0 &&
+      cp.head.isNullAt(cp.head.fieldIndex("mean_after")))
+    val dp = TimeSeries.decayedPopularity(oneEvent).collect()
+    assert(dp.length == 1 &&
+      dp.head.getAs[Long]("decayed_mass") == 1000000L &&
+      dp.head.getAs[Long]("decayed_share_ppm") == 1000000L)
+  }
 }

@@ -95,4 +95,43 @@ class CorpusCleanSpec extends SparkSpec {
       chunkTokens = 20, maxFreq = 1)
     assert(out.filter(col("n_chunks_kept") < col("n_chunks")).count() > 0)
   }
+
+  test("boilerplatePerSource bans within a source, never across sources") {
+    val docs = Seq(
+      // site1's cookie banner appears in 3 of its docs (> maxDocs=2)
+      (1L, "accept all cookies body one two", "site1"),
+      (2L, "accept all cookies body three four", "site1"),
+      (3L, "accept all cookies body five six", "site1"),
+      // the SAME chunk on site2 is below site2's own threshold → kept
+      (4L, "accept all cookies body seven eight", "site2"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusClean.boilerplatePerSource(docs, chunkTokens = 3,
+        maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // site1 docs lose exactly the banner chunk ("accept all cookies")
+    Seq(1L, 2L, 3L).foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Long]("n_chunks") == 2 &&
+        r.getAs[Long]("n_chunks_kept") == 1)
+      assert(!r.getAs[String]("text_clean").contains("accept"))
+    }
+    // site2's copy survives untouched
+    assert(out(4L).getAs[String]("text_clean") ==
+      "accept all cookies body seven eight")
+    assert(out(4L).getAs[Long]("n_chunks_kept") == 2)
+  }
+
+  test("boilerplatePerSource counts DISTINCT docs, not raw occurrences") {
+    // one doc repeating a chunk 3× is NOT cross-document template
+    val docs = Seq(
+      (1L, "la la la la la la", "site1"),  // chunk "la la" × 3, 1 doc
+      (2L, "other words entirely here now", "site1"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusClean.boilerplatePerSource(docs, chunkTokens = 2,
+        maxDocs = 1).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_chunks_kept") == 3 &&
+      out(1L).getAs[String]("text_clean") == "la la la la la la")
+  }
 }

@@ -459,4 +459,51 @@ class SimilaritySpec extends SparkSpec {
       assert(sizes(r.getAs[Long]("cluster")) == r.getAs[Long]("n_vectors"))
     }
   }
+
+  test("centroidOutliers ranks the farthest-from-prototype vectors first") {
+    import spark.implicits._
+    val df = Seq(
+      // label 0: two aligned vectors and one pointing the other way
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.5f, 0.0f), 0),
+      (3L, Seq(-1.0f, 0.0f), 0),
+      // label 1: all identical → cosine 1, ranks break on vec_id
+      (4L, Seq(0.0f, 0.25f), 1),
+      (5L, Seq(0.0f, 0.25f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, k = 2).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("outlier_rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toMap
+    // label-0 centroid is (1/6, 0): vec 3 is anti-aligned (cos −1)
+    assert(out((0, 1L))._1 == 3L && out((0, 1L))._2 == -1.0)
+    // vecs 1 and 2 are both perfectly aligned (cos 1) — rank 2 goes
+    // to the lower vec_id
+    assert(out((0, 2L))._1 == 1L && out((0, 2L))._2 == 1.0)
+    assert(out((1, 1L))._1 == 4L && out((1, 1L))._2 == 1.0)
+    assert(out((1, 2L))._1 == 5L)
+    // k caps the per-label output
+    assert(out.size == 4)
+  }
+
+  test("centroidOutliers surfaces injected junk in the corpus embeddings") {
+    import spark.implicits._
+    // anti-centroid junk at TINY magnitude: cosine to the prototype
+    // ≈ −1 (scale-invariant) while the mean barely moves (mean is
+    // NOT scale-invariant — a large junk vector would drag the
+    // centroid onto itself and invert the test). Components under
+    // the float-2^-24 dyadic grid snap to 0 for the exact-mean guard.
+    val c = Similarity.labelCentroids(tables.embeddings)
+      .filter(col("label") === 0).orderBy("dim")
+      .collect().map(_.getAs[Double]("mean"))
+    val norm = math.sqrt(c.map(v => v * v).sum)
+    val junkVec = c.map { v =>
+      val f = (-v / norm / 64.0).toFloat
+      if (math.abs(f) < 6e-8f) 0.0f else f
+    }.toSeq
+    val junk = Seq((999999L, junkVec, 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(
+      tables.embeddings.unionByName(junk), k = 3)
+    val top = out.filter(col("label") === 0 && col("outlier_rank") === 1L)
+      .select("vec_id").first().getLong(0)
+    assert(top == 999999L)
+  }
 }

@@ -516,4 +516,51 @@ class TextAnalysisSpec extends SparkSpec {
     val after = TextAnalysis.piiReport(clean).collect()
     assert(after.forall(_.getAs[Long]("n_docs_with_pii") == 0L))
   }
+
+  test("stratifiedKFold assigns every doc, stable under corpus growth") {
+    import spark.implicits._
+    val docs = tables.documents
+    val out = TextAnalysis.stratifiedKFold(docs, "lang", k = 5)
+    assert(out.count() == 500)
+    // folds cover [0, 5) and are non-degenerate
+    val folds = out.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.keySet.subsetOf((0L until 5L).toSet) && folds.size == 5)
+    // append stability — THE property a rate sample can't give:
+    // re-running on corpus ∪ new docs never moves an old doc's fold
+    val before = out.select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grown = docs.unionByName(
+      Seq((1000001L, "brand new text", "en", "web", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    TextAnalysis.stratifiedKFold(grown, "lang", k = 5)
+      .filter(col("doc_id") <= 1000000L)
+      .select("doc_id", "fold").collect()
+      .foreach(r => assert(before(r.getLong(0)) == r.getLong(1)))
+    // fold_rank is dense 1..n within each (stratum, fold)
+    val ranks = out.filter(col("lang") === "en" && col("fold") === 0L)
+      .select("fold_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to ranks.length).toSeq)
+  }
+
+  test("ngramNovelty credits first owners and halves on a half-copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "web", 5L),      // bigrams: "a b", "b c"
+      (2L, "a b d", "en", "web", 5L),      // "a b" seen, "b d" novel
+      (3L, "a b c", "en", "web", 5L),      // exact copy: zero novel
+      (4L, "x x x x", "en", "web", 7L))    // one DISTINCT bigram, novel
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_distinct_bigrams") == 2 &&
+      out(1L).getAs[Long]("novelty_ppm") == 1000000L)
+    assert(out(2L).getAs[Long]("n_novel") == 1 &&
+      out(2L).getAs[Long]("novelty_ppm") == 500000L)
+    assert(out(3L).getAs[Long]("n_novel") == 0 &&
+      out(3L).getAs[Long]("novelty_ppm") == 0L)
+    // intra-doc repetition counts once (distinct bigrams)
+    assert(out(4L).getAs[Long]("n_distinct_bigrams") == 1 &&
+      out(4L).getAs[Long]("novelty_ppm") == 1000000L)
+  }
 }

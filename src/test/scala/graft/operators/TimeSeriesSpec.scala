@@ -83,4 +83,58 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("hour_us")).sorted
     assert(short.toSeq == (0 until 6).map(h => (48 + h) * H))
   }
+
+  test("CUSUM changepoint lands on a clean mean shift") {
+    // 4 hours at 1 event/hour then 4 hours at 5/hour: μ = 3,
+    // S_t = cum − 3t = (−2,−4,−6,−8,−6,−4,−2,0) — argmax |S| at
+    // t = 4 (hour 3), mean_before = 1, mean_after = 5
+    val rows = (0 until 4).map(h => ("a", h * H + 1L, 0.0)) ++
+      (4 until 8).flatMap(h => (0 until 5).map(i => ("a", h * H + i + 1L, 0.0)))
+    val out = TimeSeries.changepoint(ev(rows: _*)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("change_hour_us") == 3 * H)
+    assert(r.getAs[Double]("cusum") == -8.0)
+    assert(r.getAs[Long]("n_hours") == 8 && r.getAs[Long]("n_total") == 24)
+    assert(r.getAs[Double]("mean_before") == 1.0)
+    assert(r.getAs[Double]("mean_after") == 5.0)
+  }
+
+  test("CUSUM on a flat series picks the earliest hour with zero shift") {
+    val rows = (0 until 6).map(h => ("a", h * H + 1L, 0.0))
+    val r = TimeSeries.changepoint(ev(rows: _*)).collect().head
+    assert(r.getAs[Double]("cusum") == 0.0)
+    assert(r.getAs[Long]("change_hour_us") == 0L)
+    assert(r.getAs[Double]("mean_before") == 1.0)
+    // argmax at t = 1 → after-side mean over the remaining 5 flat hours
+    assert(r.getAs[Double]("mean_after") == 1.0)
+  }
+
+  test("decayed popularity halves per day and outranks raw counts") {
+    val D = 86400000000L
+    // b has MORE events but they are 2 days old: 6 × (1000000 >> 2)
+    // = 1.5e6 < a's 3 fresh × 1e6 = 3e6 — decay must invert the
+    // raw-count ranking
+    val rows = (0 until 3).map(i => ("a", 10 * D + i + 1L, 0.0)) ++
+      (0 until 6).map(i => ("b", 8 * D - 100 + i.toLong, 0.0))
+    val out = TimeSeries.decayedPopularity(ev(rows: _*)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_events") == 3 &&
+      out("a").getAs[Long]("decayed_mass") == 3000000L)
+    assert(out("b").getAs[Long]("n_events") == 6 &&
+      out("b").getAs[Long]("decayed_mass") == 1500000L)
+    assert(out("a").getAs[Long]("decay_rank") == 1L &&
+      out("b").getAs[Long]("decay_rank") == 2L)
+    // shares: 3e6/4.5e6 and 1.5e6/4.5e6 in floor ppm
+    assert(out("a").getAs[Long]("decayed_share_ppm") == 666666L)
+    assert(out("b").getAs[Long]("decayed_share_ppm") == 333333L)
+  }
+
+  test("decay clamps: ancient events weigh zero, never shift-overflow") {
+    val D = 86400000000L
+    val rows = Seq(("a", 200 * D, 0.0), ("a", 0L, 0.0))
+    val out = TimeSeries.decayedPopularity(ev(rows: _*)).collect().head
+    // fresh event contributes 1e6; the 200-day-old one shifts ≥ 62 → 0
+    assert(out.getAs[Long]("decayed_mass") == 1000000L)
+  }
 }
