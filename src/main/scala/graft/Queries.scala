@@ -4137,7 +4137,128 @@ object Queries {
       // collect to a literal CASE so the cosine is map-side, and the
       // top-k window prunes via WindowGroupLimit
       (s, d) => Similarity.centroidOutliers(Tables(s, d).embeddings, k = 5),
-      Some(AnnOracleSql.centroidOutliersSql(k = 5)))
+      Some(AnnOracleSql.centroidOutliersSql(k = 5))),
+
+    Q("doclen_histogram",
+      // per-language log2 length histogram with within-language ppm
+      // shares — the length-distribution read before choosing packing
+      // lengths; bucket is the INTEGER floor(log2) via binary-string
+      // length (float log2 mis-buckets exact powers of two)
+      (s, d) => TextAnalysis.doclenHistogram(Tables(s, d).documents),
+      Some("""
+        WITH b AS (
+          SELECT lang,
+            cast(length(bin(greatest(
+              cast(len(string_split(text, ' ')) as bigint), 1))) - 1
+              as bigint) as bucket
+          FROM documents),
+        c AS (SELECT lang, bucket, count(*) as n_docs
+              FROM b GROUP BY 1, 2),
+        t AS (SELECT lang, cast(sum(n_docs) as bigint) as lang_docs
+              FROM c GROUP BY 1)
+        SELECT c.lang, c.bucket,
+          cast(1::BIGINT << cast(bucket as int) as bigint) as lo_tokens,
+          cast((1::BIGINT << (cast(bucket as int) + 1)) - 1 as bigint)
+            as hi_tokens,
+          n_docs,
+          cast((n_docs * 1000000) // lang_docs as bigint) as share_ppm
+        FROM c JOIN t USING (lang)""")),
+
+    Q("corpus_drift",
+      // categorical mix drift between the committed corpus and an
+      // incoming drop (10% of rows gone, one doc_id stripe re-sourced
+      // — the synthetic "crawl changed under me"): per (lang, source)
+      // cell counts, floor-ppm shares, signed share delta; vanished /
+      // newborn cells surface via the full-outer cell join
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val cur = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("source", when(col("doc_id") % 7 === 0,
+            lit("web-rescrape")).otherwise(col("source")))
+        TextAnalysis.mixDrift(docs, cur)
+      },
+      Some("""
+        WITH curr AS (
+          SELECT lang, CASE WHEN doc_id % 7 = 0 THEN 'web-rescrape'
+                            ELSE source END as source
+          FROM documents WHERE doc_id % 10 <> 0),
+        p AS (SELECT lang, source, count(*) as n_prev
+              FROM documents GROUP BY 1, 2),
+        c AS (SELECT lang, source, count(*) as n_cur
+              FROM curr GROUP BY 1, 2),
+        j AS (SELECT coalesce(p.lang, c.lang) as lang,
+                coalesce(p.source, c.source) as source,
+                coalesce(n_prev, 0) as n_prev,
+                coalesce(n_cur, 0) as n_cur
+              FROM p FULL OUTER JOIN c
+                ON p.lang = c.lang AND p.source = c.source),
+        t AS (SELECT cast(sum(n_prev) as bigint) as t_prev,
+                cast(sum(n_cur) as bigint) as t_cur FROM j)
+        SELECT lang, source, n_prev, n_cur,
+          cast((n_prev * 1000000) // t_prev as bigint) as prev_ppm,
+          cast((n_cur * 1000000) // t_cur as bigint) as cur_ppm,
+          cast((n_cur * 1000000) // t_cur
+            - (n_prev * 1000000) // t_prev as bigint) as drift_ppm
+        FROM j, t""")),
+
+    Q("ks_drift",
+      // two-sample Kolmogorov-Smirnov gate on the doc-length
+      // distribution: committed corpus vs an incoming drop where one
+      // doc_id stripe got truncated (the synthetic extraction bug a
+      // KS gate exists to catch); max |CDF gap| in floor-ppm with the
+      // value where it peaks
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val n = size(split(col("text"), " ")).cast("long")
+        val prev = docs.select(n.as("v"))
+        val cur = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(when(col("doc_id") % 4 === 0, least(n, lit(5L)))
+            .otherwise(n).as("v"))
+        TextAnalysis.ksDrift(prev, cur, "v")
+      },
+      Some("""
+        WITH p0 AS (SELECT cast(len(string_split(text, ' ')) as bigint)
+                      as v FROM documents),
+        c0 AS (SELECT CASE WHEN doc_id % 4 = 0 THEN least(v, 5)
+                           ELSE v END as v
+               FROM (SELECT doc_id,
+                       cast(len(string_split(text, ' ')) as bigint) as v
+                     FROM documents WHERE doc_id % 10 <> 0)),
+        pc AS (SELECT v, count(*) as c_prev FROM p0 GROUP BY 1),
+        cc AS (SELECT v, count(*) as c_cur FROM c0 GROUP BY 1),
+        j AS (SELECT coalesce(pc.v, cc.v) as v,
+                coalesce(c_prev, 0) as c_prev,
+                coalesce(c_cur, 0) as c_cur
+              FROM pc FULL OUTER JOIN cc ON pc.v = cc.v),
+        t AS (SELECT cast(sum(c_prev) as bigint) as n_prev,
+                cast(sum(c_cur) as bigint) as n_cur FROM j),
+        k AS (SELECT v,
+                abs(cast((sum(c_prev) OVER (ORDER BY v) * 1000000)
+                      // t.n_prev as bigint)
+                  - cast((sum(c_cur) OVER (ORDER BY v) * 1000000)
+                      // t.n_cur as bigint)) as gap_ppm,
+                t.n_prev, t.n_cur
+              FROM j, t)
+        SELECT gap_ppm as ks_ppm, v as at_value, n_prev, n_cur
+        FROM k ORDER BY gap_ppm DESC, v LIMIT 1""")),
+
+    Q("shard_balance",
+      // data-loader sharding: global (token count desc, doc_id) rank
+      // dealt round-robin over 16 shards bounds per-shard token
+      // imbalance by one document; the rank is the two-phase
+      // log2-band prefix sum — NO global sort at any corpus size
+      (s, d) => TextAnalysis.shardAssign(Tables(s, d).documents,
+        nShards = 16),
+      Some("""
+        SELECT doc_id, n_tok,
+          cast(size_rank as bigint) as size_rank,
+          cast(size_rank % 16 as bigint) as shard
+        FROM (SELECT doc_id,
+                cast(len(string_split(text, ' ')) as bigint) as n_tok,
+                row_number() OVER (ORDER BY
+                  len(string_split(text, ' ')) DESC, doc_id) - 1
+                  as size_rank
+              FROM documents)"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

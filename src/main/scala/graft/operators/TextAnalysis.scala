@@ -875,4 +875,156 @@ object TextAnalysis {
         col("off") + row_number().over(wi).cast("long") - 1)
       .select(col("doc_id"), col("band"), col("curriculum_rank"))
   }
+
+  /** Per-language doc-length histogram on LOG2 buckets: bucket b holds
+    * documents of [2^b, 2^(b+1)) whitespace tokens, with each bucket's
+    * within-language share in ppm — the length-distribution dashboard
+    * a curation run reads before choosing packing lengths and
+    * truncation cutoffs (doc lengths are heavy-tailed; linear buckets
+    * waste 90% of their range on the tail).
+    *
+    * Determinism: the bucket is `length(bin(n)) - 1` — an INTEGER
+    * floor(log2) via the binary-string length, identical in any
+    * engine, where float `floor(log2(n))` mis-buckets exact powers of
+    * two (Spark computes log2 as ln/ln2: log2(8) = 2.9999…96 → 2).
+    * Shares are integer-floor ppm.
+    *
+    * Scale shape: map-only bucketing at scan speed, one map-side-
+    * combined (lang, bucket) groupBy — the aggregate frame is ≤
+    * |langs| × 64 rows, so the share window runs on a trivially small
+    * frame. */
+  def doclenHistogram(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(wsTokens(col("text"))).cast("long")
+    val counts = documents
+      .select(col("lang"),
+        (length(bin(greatest(n, lit(1L)))) - 1).cast("long").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("lang_docs",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("bucket"),
+        expr("shiftleft(1L, cast(bucket as int))").as("lo_tokens"),
+        (expr("shiftleft(1L, cast(bucket as int) + 1)") - 1).as("hi_tokens"),
+        col("n_docs"),
+        expr("(n_docs * 1000000L) div lang_docs").as("share_ppm"))
+  }
+
+  /** Categorical corpus-mix drift between two snapshots: per
+    * (lang, source) cell, the document count and corpus share (ppm)
+    * on each side and the signed share delta — the "did the crawl mix
+    * shift under me" gate a training-data pipeline runs before
+    * blessing a new drop ([[ksDrift]] is the continuous-distribution
+    * complement). Cells present on only one side appear with a zero
+    * count on the other (full outer cell join), which is exactly the
+    * alarm case: a source that vanished or a new one that appeared.
+    *
+    * Determinism: counts and floor-ppm shares are pure integer
+    * arithmetic (count·10⁶ ≤ 9.2·10¹² even at a trillion docs).
+    *
+    * Scale shape: two map-side-combined (lang, source) groupBys — the
+    * joined cell frame is |langs|×|sources| rows, so the outer join
+    * and total-share windows run on a tiny frame; the corpora
+    * themselves are scanned once each and never joined. */
+  def mixDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cells(df: DataFrame, cnt: String): DataFrame = df
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as(cnt))
+    val joined = cells(prev, "n_prev").join(cells(cur, "n_cur"),
+        Seq("lang", "source"), "full_outer")
+      .na.fill(0L, Seq("n_prev", "n_cur"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    joined
+      .withColumn("t_prev", sum(col("n_prev")).over(w))
+      .withColumn("t_cur", sum(col("n_cur")).over(w))
+      .select(col("lang"), col("source"), col("n_prev"), col("n_cur"),
+        expr("(n_prev * 1000000L) div t_prev").as("prev_ppm"),
+        expr("(n_cur * 1000000L) div t_cur").as("cur_ppm"),
+        (expr("(n_cur * 1000000L) div t_cur") -
+          expr("(n_prev * 1000000L) div t_prev")).as("drift_ppm"))
+  }
+
+  /** Kolmogorov-Smirnov drift between two snapshots of a discrete
+    * numeric column (doc token counts, quality scores): the maximum
+    * absolute gap between the two empirical CDFs, in ppm, plus the
+    * value where it occurs — the standard two-sample
+    * distribution-shift test, run as a gate next to [[mixDrift]]'s
+    * categorical check.
+    *
+    * Determinism: CDFs are integer cumulative counts quantized to
+    * floor-ppm BEFORE differencing (documented quantization ≤ 1 ppm
+    * per side — the exact-rational cross-product |c₁n₂ − c₂n₁| needs
+    * 128-bit arithmetic whose floor-division semantics differ across
+    * engines); max is argmax with smallest-value tie-break.
+    *
+    * Scale shape: each corpus collapses to per-value counts in one
+    * map-side-combined groupBy; the CDF windows and the final argmax
+    * run over the joined ≤|distinct values| frame, never the corpora.
+    * cum·10⁶ stays in-range until ~9.2 trillion rows per side. */
+  def ksDrift(prev: DataFrame, cur: DataFrame,
+              valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, cnt: String): DataFrame = df
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as(cnt))
+    val joined = counts(prev, "c_prev").join(counts(cur, "c_cur"),
+        Seq("v"), "full_outer")
+      .na.fill(0L, Seq("c_prev", "c_cur"))
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    joined
+      .withColumn("cum_prev", sum(col("c_prev")).over(wc))
+      .withColumn("cum_cur", sum(col("c_cur")).over(wc))
+      .withColumn("n_prev", sum(col("c_prev")).over(wt))
+      .withColumn("n_cur", sum(col("c_cur")).over(wt))
+      .select(col("v"),
+        expr("abs((cum_prev * 1000000L) div n_prev - " +
+          "(cum_cur * 1000000L) div n_cur)").as("gap_ppm"),
+        col("n_prev"), col("n_cur"))
+      .orderBy(col("gap_ppm").desc, col("v"))
+      .limit(1)
+      .select(col("gap_ppm").as("ks_ppm"), col("v").as("at_value"),
+        col("n_prev"), col("n_cur"))
+  }
+
+  /** Deterministic balanced sharding: documents ranked globally by
+    * (token count desc, doc_id) and dealt round-robin across
+    * `nShards` — the classic LPT-flavoured greedy that bounds
+    * per-shard token imbalance by one document, so every data-loader
+    * worker finishes its shard at the same time (a doc_id-hash
+    * assignment balances COUNTS but lets token mass skew). Emits the
+    * per-doc assignment.
+    *
+    * Scale shape: NO global sort — the rank is the two-phase
+    * prefix-sum discipline shared with [[corpusShuffle]] /
+    * [[curriculumOrder]]: docs band by the integer log2 of their
+    * token count (≤64 bands, ordered descending = coarse length
+    * order), band counts make broadcast offsets, and within-band
+    * ranks run per band partition. */
+  def shardAssign(documents: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, "nShards must be positive")
+    val n = size(wsTokens(col("text"))).cast("long")
+    val sized = documents.select(col("doc_id"), n.as("n_tok"))
+      .withColumn("band",
+        (length(bin(greatest(col("n_tok"), lit(1L)))) - 1).cast("long"))
+    val counts = sized.groupBy(col("band")).agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("c")).over(wb), lit(0L)))
+    val wi = Window.partitionBy(col("band"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    sized.join(broadcast(offsets.select(col("band"), col("off"))),
+        Seq("band"), "left")
+      .withColumn("size_rank",
+        col("off") + row_number().over(wi).cast("long") - 1)
+      .select(col("doc_id"), col("n_tok"), col("size_rank"),
+        pmod(col("size_rank"), lit(nShards.toLong)).as("shard"))
+  }
 }

@@ -563,4 +563,84 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("n_distinct_bigrams") == 1 &&
       out(4L).getAs[Long]("novelty_ppm") == 1000000L)
   }
+
+  test("doclenHistogram: integer log2 buckets, exact power-of-two edges") {
+    import spark.implicits._
+    // 8 tokens must land in bucket 3 [8,15] — the case float log2
+    // mis-buckets (ln8/ln2 = 2.9999…96 → floor 2)
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "web", 15L),       // 8 tok → b3
+      (2L, "a b c d e f g", "en", "web", 13L),         // 7 tok → b2
+      (3L, "a", "en", "web", 1L),                      // 1 tok → b0
+      (4L, "a b", "de", "web", 3L))                    // 2 tok → b1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.doclenHistogram(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("en", 3L)).getAs[Long]("n_docs") == 1)
+    assert(out(("en", 3L)).getAs[Long]("lo_tokens") == 8 &&
+      out(("en", 3L)).getAs[Long]("hi_tokens") == 15)
+    assert(out(("en", 2L)).getAs[Long]("n_docs") == 1)
+    assert(out(("en", 0L)).getAs[Long]("share_ppm") == 333333L)
+    assert(out(("de", 1L)).getAs[Long]("share_ppm") == 1000000L)
+    // buckets partition each language: shares sum to ~1e6 (floor loss)
+    val enShare = out.collect { case (("en", _), r) =>
+      r.getAs[Long]("share_ppm") }.sum
+    assert(enShare > 999900L && enShare <= 1000000L)
+  }
+
+  test("mixDrift: identical snapshots drift zero; vanished and newborn cells surface") {
+    val docs = tables.documents
+    val same = TextAnalysis.mixDrift(docs, docs)
+    assert(same.filter(col("drift_ppm") =!= 0L).count() == 0)
+    // drop one source entirely and invent another: both must appear
+    // as full-outer cells with a zero side
+    val cur = docs.withColumn("source",
+      when(col("source") === "src0", lit("web-v2")).otherwise(col("source")))
+    val out = TextAnalysis.mixDrift(docs, cur)
+    val vanished = out.filter(col("source") === "src0" && col("n_cur") === 0L)
+    val newborn = out.filter(col("source") === "web-v2" && col("n_prev") === 0L)
+    assert(vanished.count() > 0 && newborn.count() > 0)
+    // counts conserve: total prev == total cur (pure relabel)
+    val sums = out.agg(sum("n_prev"), sum("n_cur")).collect()(0)
+    assert(sums.getLong(0) == sums.getLong(1))
+  }
+
+  test("ksDrift: identical ≤1ppm, disjoint ≈1e6, detects a truncation stripe") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i % 50) + 10).toDF("v")
+    val same = TextAnalysis.ksDrift(a, a, "v").collect()(0)
+    assert(same.getAs[Long]("ks_ppm") <= 1L)
+    // disjoint supports: the gap reaches the full CDF separation
+    val b = (1L to 100L).map(i => (i % 50) + 1000).toDF("v")
+    val disj = TextAnalysis.ksDrift(a, b, "v").collect()(0)
+    assert(disj.getAs[Long]("ks_ppm") >= 999999L)
+    assert(disj.getAs[Long]("n_prev") == 100L && disj.getAs[Long]("n_cur") == 100L)
+    // a truncation stripe (25% of values clamped to 5) must move the
+    // KS stat by about that mass, peaking at the clamp value
+    val c = (1L to 100L).map(i => if (i % 4 == 0) 5L else (i % 50) + 10).toDF("v")
+    val trunc = TextAnalysis.ksDrift(a, c, "v").collect()(0)
+    assert(trunc.getAs[Long]("ks_ppm") >= 200000L &&
+      trunc.getAs[Long]("at_value") >= 5L)
+  }
+
+  test("shardAssign: two-phase rank equals the global sort; token mass balances") {
+    val docs = tables.documents
+    val out = TextAnalysis.shardAssign(docs, nShards = 8)
+    assert(out.count() == docs.count())
+    // the banded two-phase rank must EQUAL row_number over the global
+    // (n_tok desc, doc_id) order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_tok").desc, col("doc_id"))
+    val expected = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("size_rank", row_number().over(w).cast("long") - 1)
+    assert(out.select("doc_id", "size_rank")
+      .exceptAll(expected.select("doc_id", "size_rank")).count() == 0)
+    // round-robin LPT: shard token masses within one max-doc of each other
+    val masses = out.groupBy("shard").agg(sum("n_tok").as("m"))
+      .collect().map(_.getLong(1))
+    val maxDoc = out.agg(max("n_tok")).collect()(0).getLong(0)
+    assert(masses.length == 8 && masses.max - masses.min <= maxDoc)
+  }
 }
