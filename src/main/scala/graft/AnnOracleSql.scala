@@ -459,6 +459,52 @@ object AnnOracleSql {
          JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
       ON h.query_id = q.vec_id"""
 
+  /** Two-stage retrieval (mirrors Similarity.annTwoStage): PQ-ADC
+    * shortlist of `shortlist` candidates, exact-cosine re-rank to
+    * top-k. */
+  def twoStageSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                  sampleBudget: Int, shortlist: Int, k: Int,
+                  queryPred: String): String = s"""
+    WITH $EmbCte,
+    ${pqCtes(dim, m, ksub, iters, sampleBudget, shortlist, queryPred)},
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+        ${cosine("q.emb", "c.emb")} as cosine
+      FROM pq_topk s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cast(rank as bigint) as rank, cosine
+    FROM (SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) as rank
+          FROM rr)
+    WHERE rank <= $k"""
+
+  /** k-NN majority-vote classification (mirrors
+    * Similarity.knnClassify): held-out queries, exact top-k over the
+    * train side, (votes desc, label) tie-broken majority. */
+  def knnClassifySql(k: Int, testMod: Int): String = s"""
+    WITH $EmbCte,
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id as query_id, c.vec_id as neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${cosine("q.emb", "c.emb")} DESC, c.vec_id) as rank
+        FROM e q JOIN e c ON c.vec_id % $testMod <> 0
+        WHERE q.vec_id % $testMod = 0) WHERE rank <= $k),
+    v AS (SELECT query_id, l.label, count(*) as n_votes
+          FROM knn JOIN embeddings l ON neighbor_id = l.vec_id
+          GROUP BY 1, 2),
+    p AS (SELECT query_id, label as pred_label, n_votes,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY n_votes DESC, label) as rn
+          FROM v)
+    SELECT p.query_id, q.label as true_label, p.pred_label,
+      cast(p.n_votes as bigint) as n_votes,
+      (q.label = p.pred_label) as correct
+    FROM p JOIN embeddings q ON p.query_id = q.vec_id
+    WHERE rn = 1"""
+
   def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
              queryPred: String): String =
     s"""WITH $EmbCte, ${sigCtes(dim, bits, tables)}, ${lshTopkCtes(k, queryPred)}

@@ -4242,6 +4242,53 @@ object Queries {
         SELECT gap_ppm as ks_ppm, v as at_value, n_prev, n_cur
         FROM k ORDER BY gap_ppm DESC, v LIMIT 1""")),
 
+    Q("dedup_bloom_ingest",
+      // bloom-prefiltered incremental exact dedup: incoming docs
+      // (doc_id stripe) vs the committed base — a bloom MISS proves
+      // novelty map-side (no false negatives), only possible hits pay
+      // the anti-join exchange; false positives die in the join so
+      // the result is EXACTLY the plain anti-join the oracle runs
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        Dedup.bloomIngestDedup(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0))
+      },
+      Some(s"""
+        WITH bh AS (SELECT ${TextOracleSql.Sha60.format("text")}
+                      as content_hash
+                    FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (SELECT doc_id, ${TextOracleSql.Sha60.format("text")}
+                  as content_hash
+                FROM documents WHERE doc_id % 3 = 0)
+        SELECT inc.doc_id, inc.content_hash
+        FROM inc ANTI JOIN bh ON inc.content_hash = bh.content_hash""")),
+
+    Q("ann_twostage",
+      // the production ANN serving pattern: PQ-ADC shortlist (20
+      // candidates from 16-byte codes) then EXACT cosine re-rank of
+      // only those — most of brute-force's recall at compressed-scan
+      // cost; raw vectors are touched shortlist-per-query, never
+      // corpus-wide
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annTwoStage(emb, emb.filter(col("vec_id") < 8),
+          k = 5, shortlist = 20, m = 16, ksub = 64,
+          sampleBudget = 512, cacheKey = Some(d))
+      },
+      Some(AnnOracleSql.twoStageSql(dim = 64, m = 16, ksub = 64,
+        iters = 3, sampleBudget = 512, shortlist = 20, k = 5,
+        queryPred = "vec_id < 8"))),
+
+    Q("knn_classify",
+      // label-quality probe: vec_id % 20 == 0 held out, each
+      // classified by the majority label of its 5 exact nearest
+      // train neighbors (ties → smaller label); per-query truth +
+      // prediction so accuracy slices any way downstream
+      (s, d) => Similarity.knnClassify(Tables(s, d).embeddings,
+        k = 5, testMod = 20),
+      Some(AnnOracleSql.knnClassifySql(k = 5, testMod = 20))),
+
     Q("shard_balance",
       // data-loader sharding: global (token count desc, doc_id) rank
       // dealt round-robin over 16 shards bounds per-shard token

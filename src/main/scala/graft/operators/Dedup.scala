@@ -735,4 +735,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_bench_hits"),
         max(col("est_jaccard")).as("max_est_jaccard"))
   }
+
+  /** Bloom-prefiltered incremental exact dedup: the new documents of
+    * `incoming` relative to `base`, by portable 60-bit content hash —
+    * with the shuffle anti-join paid ONLY by rows the bloom filter
+    * cannot rule out. A bloom filter has no false negatives, so a
+    * miss proves the document is new and those rows skip the join
+    * entirely; the (dup-rate + fpp) fraction that might match is
+    * verified exactly. Result is IDENTICAL to the plain anti-join —
+    * the filter routes, it never decides (false positives die in the
+    * join), which is what keeps the output oracle-checkable.
+    *
+    * Scale shape: at a steady-state ingest where most arrivals are
+    * new, the anti-join exchange shrinks from |incoming| to
+    * ~(dup + fpp)·|incoming| rows of 16-byte pairs; the filter
+    * itself is ~1 byte/base-doc (the [[RuntimeFilter]] economics,
+    * applied to content hashes instead of join keys). In production
+    * the base hash set would be the persisted dedup index
+    * ([[buildLshIndex]]'s sigs frame); here it is derived inline. */
+  def bloomIngestDedup(base: DataFrame, incoming: DataFrame,
+                       expectedItems: Long = 1L << 20,
+                       fpp: Double = 0.03): DataFrame = {
+    val sha60 = (g: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(g)))
+    val baseHashes = base.select(sha60(col("text")).as("content_hash"))
+    val bloomBytes = RuntimeFilter.keyBloom(baseHashes, "content_hash",
+      expectedItems, fpp)
+    val inc = incoming.select(col("doc_id"),
+      sha60(col("text")).as("content_hash"))
+    val probe = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.LongBloomMightContain(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          col("content_hash")), bloomBytes))
+    // miss ⇒ provably new (no bloom false negatives): map-only pass
+    val definitelyNew = inc.filter(!probe)
+    // possible hit ⇒ exact verification via anti-join on the hash
+    val verified = inc.filter(probe)
+      .join(baseHashes, Seq("content_hash"), "left_anti")
+    definitelyNew.unionByName(verified)
+      .select("doc_id", "content_hash")
+  }
 }

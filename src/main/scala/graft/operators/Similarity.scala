@@ -915,4 +915,78 @@ object Similarity {
             col("n_exact"))
           .as("recall"))
   }
+
+  /** Two-stage retrieval — the production ANN serving pattern: a
+    * cheap compressed-domain PQ shortlist (`shortlist` candidates by
+    * ADC estimate, reading 16 bytes/vector) followed by an EXACT
+    * cosine re-rank of only those candidates against their raw
+    * embeddings. Recovers most of the recall PQ loses at the
+    * estimate stage while touching raw vectors for a per-query
+    * constant (shortlist) instead of the corpus.
+    *
+    * Scale shape: stage 1 is [[annPq]]'s single compressed scan;
+    * stage 2 joins the (|queries|·shortlist)-row candidate frame back
+    * to the corpus on vec_id — at 100 TB that's a semi-join keyed on
+    * ids that touches shortlist rows per query, not a second scan
+    * (with a persisted PQ index, stage 1 never reads raw vectors at
+    * all — [[annPqIndexed]]). The re-rank window is per query over
+    * ≤shortlist rows. */
+  def annTwoStage(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                  shortlist: Int = 20, dim: Int = 64, m: Int = 8,
+                  ksub: Int = 16, iters: Int = 3, sampleBudget: Int = 128,
+                  cacheKey: Option[String] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = annPq(corpus, queries, shortlist, dim, m, ksub, iters,
+      sampleBudget, cacheKey).select("query_id", "neighbor_id")
+    val cemb = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("c_norm"))
+    val qemb = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(cemb, "neighbor_id").join(qemb, "query_id")
+      .withColumn("cosine",
+        VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** k-NN majority-vote classification over the labeled embedding
+    * table: vectors with `vec_id % testMod == 0` are held out as the
+    * eval set, each classified by the majority label of its k exact
+    * nearest train neighbors (ties → smaller label) — the standard
+    * label-quality / embedding-quality probe ("can the space's
+    * neighborhoods recover the labels"), emitted per query with the
+    * truth so accuracy slices any way downstream.
+    *
+    * Scale shape: the held-out set is a bounded fraction and rides
+    * [[annBruteForce]]'s broadcast-queries single corpus scan (at
+    * index scale, swap the stage for [[annTwoStage]]/[[annIvf]] —
+    * the vote is unchanged); votes aggregate the (|test|·k)-row
+    * neighbor frame, the label join keys on vec_id. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+                  testMod: Int = 20): DataFrame = {
+    require(testMod >= 2, "testMod must leave a train side")
+    val test = embeddings.filter(pmod(col("vec_id"), lit(testMod.toLong)) === 0)
+    val train = embeddings.filter(pmod(col("vec_id"), lit(testMod.toLong)) =!= 0)
+    val topk = annBruteForce(train, test, k)
+    val votes = topk
+      .join(train.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+      .join(test.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
 }

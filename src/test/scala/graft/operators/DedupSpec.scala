@@ -389,4 +389,31 @@ class DedupSpec extends SparkSpec {
       assert(atOrAbove == cum, s"cumulative mismatch at ppm=$ppm")
     }
   }
+
+  test("bloomIngestDedup equals the plain anti-join and drops known copies") {
+    val docs = tables.documents
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    // incoming: the real stripe plus verbatim copies of 10 base docs
+    // under fresh ids — those MUST be identified as already-present
+    val copies = base.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val incoming = docs.filter(col("doc_id") % 3 === 0).unionByName(copies)
+    val out = Dedup.bloomIngestDedup(base, incoming)
+    // exactness: identical row set to the unfiltered anti-join
+    val sha = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val expected = incoming
+      .select(col("doc_id"), sha(col("text")).as("content_hash"))
+      .join(base.select(sha(col("text")).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+    assert(out.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(out).count() == 0)
+    // every injected copy is recognized as a duplicate of the base
+    assert(out.filter(col("doc_id") >= 20000).count() == 0)
+    // and genuinely new texts survive
+    assert(out.count() > 0)
+  }
 }

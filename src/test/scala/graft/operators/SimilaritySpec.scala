@@ -506,4 +506,66 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").first().getLong(0)
     assert(top == 999999L)
   }
+
+  test("annTwoStage re-ranks the PQ shortlist exactly and lifts recall") {
+    val emb = tables.embeddings
+    val queries = emb.filter(col("vec_id") < 8)
+    val two = Similarity.annTwoStage(emb, queries, k = 5, shortlist = 20,
+      m = 16, ksub = 64, sampleBudget = 512)
+    val short = Similarity.annPq(emb, queries, k = 20,
+      m = 16, ksub = 64, sampleBudget = 512)
+    // stage 2 only reorders stage 1's candidates
+    assert(two.select("query_id", "neighbor_id")
+      .exceptAll(short.select("query_id", "neighbor_id")).count() == 0)
+    // within each query, rank order IS exact-cosine order
+    val rows = two.collect()
+      .groupBy(_.getAs[Long]("query_id")).values
+    rows.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rs.size))
+    }
+    // re-ranking cannot lose to raw PQ order truncated at k, measured
+    // against the exact top-k: every exact hit PQ's top-5 finds is in
+    // the shortlist too, so the exact re-rank keeps it
+    val exact = Similarity.annBruteForce(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq5 = Similarity.annPq(emb, queries, k = 5,
+      m = 16, ksub = 64, sampleBudget = 512)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two5 = two.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((two5 & exact).size >= (pq5 & exact).size)
+  }
+
+  test("knnClassify: constructed clusters classify perfectly, ties break low") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; test ids are multiples
+    // of 20 sitting inside each cluster
+    val df = Seq(
+      (20L, Seq(1.0f, 0.0f), 7),  // test, true label 7
+      (1L, Seq(0.9f, 0.1f), 7), (2L, Seq(0.95f, 0.05f), 7),
+      (3L, Seq(0.85f, 0.15f), 7),
+      (40L, Seq(0.0f, 1.0f), 9),  // test, true label 9
+      (4L, Seq(0.1f, 0.9f), 9), (5L, Seq(0.05f, 0.95f), 9),
+      (6L, Seq(0.15f, 0.85f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(df, k = 3, testMod = 20)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out(20L).getAs[Int]("pred_label") == 7 &&
+      out(20L).getAs[Boolean]("correct"))
+    assert(out(40L).getAs[Int]("pred_label") == 9 &&
+      out(40L).getAs[Boolean]("correct"))
+    assert(out(20L).getAs[Long]("n_votes") == 3L)
+    // tie case: k=2 over one neighbor of each label → smaller label
+    val tie = Seq(
+      (20L, Seq(1.0f, 1.0f), 5),
+      (1L, Seq(1.0f, 0.99f), 5), (2L, Seq(0.99f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.knnClassify(tie, k = 2, testMod = 20).collect()(0)
+    assert(t.getAs[Int]("pred_label") == 3 && !t.getAs[Boolean]("correct"))
+  }
 }
