@@ -4242,6 +4242,20 @@ object Queries {
         SELECT gap_ppm as ks_ppm, v as at_value, n_prev, n_cur
         FROM k ORDER BY gap_ppm DESC, v LIMIT 1""")),
 
+    Q("hilbert_write",
+      // the Hilbert-curve clustered write through the oracle gate:
+      // like zorder_write a pure LAYOUT change (min/max agg + one
+      // range shuffle on the codegen'd curve key), so content
+      // round-trips bit-for-bit; the locality advantage over Morton
+      // (unit-step adjacency, tighter rectangles) is spec-proven
+      (s, d) => {
+        val path = s"/tmp/graft_cache/hw_${new java.io.File(d).getName}"
+        Maintenance.writeHilbert(Tables(s, d).lineitem, path,
+          "l_partkey", "l_suppkey", numFiles = 8)
+        Maintenance.read(s, path)
+      },
+      Some("SELECT * FROM lineitem")),
+
     Q("dedup_bloom_ingest",
       // bloom-prefiltered incremental exact dedup: incoming docs
       // (doc_id stripe) vs the committed base — a bloom MISS proves

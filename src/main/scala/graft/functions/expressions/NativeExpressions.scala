@@ -870,3 +870,66 @@ case class PqLut(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): PqLut =
     copy(child = newChild)
 }
+
+/** Hilbert-curve index math shared by interpreted eval and generated
+  * code (the [[Sha60]]/TextHash pattern: a static kernel the codegen
+  * calls directly). */
+object HilbertCurve {
+  /** Order-`order` Hilbert index of (x, y) ∈ [0, 2^order)²: the
+    * classic iterative quadrant walk — at each scale s the quadrant
+    * id contributes s² steps and the sub-square is rotated/reflected
+    * into canonical orientation (the s-masked rotation variant; a
+    * spec proves bijection and unit-step adjacency). O(order) integer
+    * ops, loop bound is a compile-time constant in practice. */
+  def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Order-16 Hilbert-curve key of two 16-bit normalized coordinates —
+  * the locality-preserving alternative to [[graft.operators.Maintenance.mortonKey]]:
+  * consecutive key values are ALWAYS grid-adjacent (Morton takes long
+  * diagonal jumps at power-of-two boundaries), so equal key ranges
+  * make slightly tighter (a, b) rectangles. A ~16-iteration integer
+  * loop doesn't express as a Column tree; the kernel runs inside
+  * whole-stage codegen via a static call. */
+case class HilbertKey(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT coordinates, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertCurve.xy2d(16, a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.HilbertCurve.xy2d(16, $a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertKey =
+    copy(left = newLeft, right = newRight)
+}

@@ -124,6 +124,41 @@ object Maintenance {
     zOrderedFrame(df, colA, colB, numFiles)
       .write.mode("overwrite").parquet(path)
 
+  /** 2-D Hilbert-curve key over two 16-bit normalized coordinates —
+    * [[mortonKey]]'s locality-preserving sibling: consecutive key
+    * values are always grid-ADJACENT (spec-proven bijection +
+    * unit-step walk), where the Z curve jumps across the plane at
+    * every power-of-two boundary — so an equal-size key range tiles
+    * into a slightly tighter rectangle. Runs as the codegen'd
+    * [[graft.functions.expressions.HilbertKey]] kernel (a 16-step
+    * integer loop has no Column-tree form). */
+  def hilbertKey(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.HilbertKey(
+        org.apache.spark.sql.graft.GraftBridge.expression(a),
+        org.apache.spark.sql.graft.GraftBridge.expression(b)))
+
+  /** `df` clustered along the Hilbert curve of (`colA`, `colB`) —
+    * same min/max agg + one range shuffle as [[zOrderedFrame]], a
+    * different space-filling curve. */
+  def hilbertFrame(df: DataFrame, colA: String, colB: String,
+                   numFiles: Int): DataFrame = {
+    val mm = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    df.withColumn("__h", hilbertKey(
+        normalize16(col(colA), mm.getLong(0), mm.getLong(1)),
+        normalize16(col(colB), mm.getLong(2), mm.getLong(3))))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
+  /** Hilbert-clustered write: [[hilbertFrame]] to parquet. */
+  def writeHilbert(df: DataFrame, path: String, colA: String,
+                   colB: String, numFiles: Int): Unit =
+    hilbertFrame(df, colA, colB, numFiles)
+      .write.mode("overwrite").parquet(path)
+
   /** Hive-partitioned write: one directory per `partitionCol` value —
     * reads filtered on it prune whole directories. */
   def writePartitioned(df: DataFrame, path: String,

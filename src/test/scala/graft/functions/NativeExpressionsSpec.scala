@@ -240,4 +240,53 @@ class NativeExpressionsSpec extends SparkSpec {
       assert(fromProj == s)
     }
   }
+
+  test("hilbert curve: bijective, unit-step adjacent (unlike Morton), codegen parity") {
+    import graft.functions.expressions.HilbertCurve
+    // order-5 grid: every cell visited exactly once, and every
+    // consecutive pair of indices is GRID-ADJACENT — the locality
+    // property that distinguishes Hilbert from Morton
+    val order = 5
+    val n = 1 << order
+    val cells = (for (x <- 0 until n; y <- 0 until n)
+      yield HilbertCurve.xy2d(order, x, y) -> (x, y)).toMap
+    assert(cells.size == n * n, "hilbert index must be a bijection")
+    assert(cells.keys.min == 0L && cells.keys.max == (n * n - 1).toLong)
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x1, y1) = cells(d)
+      val (x2, y2) = cells(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step at d=$d")
+    }
+    // Morton on the same grid takes non-adjacent jumps (what Hilbert
+    // fixes): d=1 → (1,0), d=2 → (0,1) is already a diagonal
+    import org.apache.spark.sql.graft.GraftBridge
+    import graft.operators.Maintenance
+    val grid = spark.range(0, n.toLong * n).select(
+      (col("id") % n).as("x"), expr(s"id div $n").as("y"))
+    val mortonCells = grid.select(Maintenance.mortonKey(col("x"),
+        col("y")).as("d"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mortonJumps = (0L until (n * n - 1).toLong).count { d =>
+      val (x1, y1) = mortonCells(d)
+      val (x2, y2) = mortonCells(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(mortonJumps > 0, "Morton should have non-adjacent steps")
+    // the Column kernel matches the static math under codegen AND
+    // interpreted eval
+    val key = GraftBridge.column(graft.functions.expressions.HilbertKey(
+      GraftBridge.expression(col("x")), GraftBridge.expression(col("y"))))
+    val big = spark.range(0, 2000).select(
+      (col("id") * 37 % 65536).as("x"), (col("id") * 101 % 65536).as("y"))
+    val withCodegen = big.select(col("x"), col("y"), key.as("d")).collect()
+    withCodegen.foreach { r =>
+      assert(r.getLong(2) == HilbertCurve.xy2d(16, r.getLong(0), r.getLong(1)))
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = big.select(key.as("d")).collect().map(_.getLong(0))
+      assert(withCodegen.map(_.getLong(2)).sameElements(interpreted))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }

@@ -196,6 +196,37 @@ class QualityIngestSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count() == li.count())
   }
 
+  test("hilbert layout prunes the secondary dimension and round-trips content") {
+    val hdir = Files.createTempDirectory("graft_hil").toFile.getPath
+    val ldir = Files.createTempDirectory("graft_lin_h").toFile.getPath
+    val li = tables.lineitem
+    Maintenance.writeHilbert(li, hdir, "l_partkey", "l_suppkey",
+      numFiles = 16)
+    Maintenance.writeClustered(li, ldir, Seq("l_partkey", "l_suppkey"),
+      numFiles = 16)
+    // same box as the Morton spec: full partkey range, middle eighth
+    // of suppkey — unprunable under the partkey-major linear sort
+    val mm = li.agg(min(col("l_suppkey")).cast("long"),
+      max(col("l_suppkey")).cast("long")).head
+    val (sLo, sHi) = (mm.getLong(0), mm.getLong(1))
+    val (qLo, qHi) = (sLo + (sHi - sLo) * 7 / 16, sLo + (sHi - sLo) * 9 / 16)
+    def overlapping(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val d = spark.read.parquet(f.getPath)
+            .agg(min(col("l_suppkey")).cast("long"),
+              max(col("l_suppkey")).cast("long")).head
+          !(d.getLong(1) < qLo || d.getLong(0) > qHi)
+        }
+    val (h, l) = (overlapping(hdir), overlapping(ldir))
+    assert(l == 16, s"expected linear layout to span the box in all files, got $l")
+    assert(h < l, s"hilbert ($h files) must beat linear ($l files)")
+    assert(h <= 12, s"hilbert should prune at least a quarter, got $h")
+    // layout changes must not change content
+    assert(spark.read.parquet(hdir).exceptAll(li).isEmpty)
+    assert(li.exceptAll(spark.read.parquet(hdir)).isEmpty)
+  }
+
   test("3-D z-order keeps the SECOND and THIRD dimensions prunable") {
     val zdir = Files.createTempDirectory("graft_z3").toFile.getPath
     val ldir = Files.createTempDirectory("graft_lin3").toFile.getPath
