@@ -4201,6 +4201,59 @@ object Queries {
             - (n_prev * 1000000) // t_prev as bigint) as drift_ppm
         FROM j, t""")),
 
+    Q("stream_mix_drift",
+      // the mix gate run CONTINUOUSLY: the synthetic incoming drop
+      // streams in micro-batches, each folding a ≤|langs|×|sources|-
+      // row cell-count shard (batch=N overwrite → retry-idempotent);
+      // counting is associative so the accumulated mix vs the
+      // committed base equals batch corpus_drift however arrivals
+      // were split — corpus_drift's oracle IS this oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/smx_src_$sf"
+        val cells = s"/tmp/graft_cache/smx_cells_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(cells))
+        val docs = Tables(s, d).documents
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("source", when(col("doc_id") % 7 === 0,
+            lit("web-rescrape")).otherwise(col("source")))
+          .select("doc_id", "lang", "source")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("source", StringType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_smx_ckpt").toString
+        graft.streaming.Streams.mixStream(s, src, schema, cells, ckpt)
+          .awaitTermination(120000)
+        graft.streaming.Streams.mixDriftVsBase(s, cells, docs)
+      },
+      Some("""
+        WITH curr AS (
+          SELECT lang, CASE WHEN doc_id % 7 = 0 THEN 'web-rescrape'
+                            ELSE source END as source
+          FROM documents WHERE doc_id % 10 <> 0),
+        p AS (SELECT lang, source, count(*) as n_prev
+              FROM documents GROUP BY 1, 2),
+        c AS (SELECT lang, source, count(*) as n_cur
+              FROM curr GROUP BY 1, 2),
+        j AS (SELECT coalesce(p.lang, c.lang) as lang,
+                coalesce(p.source, c.source) as source,
+                coalesce(n_prev, 0) as n_prev,
+                coalesce(n_cur, 0) as n_cur
+              FROM p FULL OUTER JOIN c
+                ON p.lang = c.lang AND p.source = c.source),
+        t AS (SELECT cast(sum(n_prev) as bigint) as t_prev,
+                cast(sum(n_cur) as bigint) as t_cur FROM j)
+        SELECT lang, source, n_prev, n_cur,
+          cast((n_prev * 1000000) // t_prev as bigint) as prev_ppm,
+          cast((n_cur * 1000000) // t_cur as bigint) as cur_ppm,
+          cast((n_cur * 1000000) // t_cur
+            - (n_prev * 1000000) // t_prev as bigint) as drift_ppm
+        FROM j, t""")),
+
     Q("ks_drift",
       // two-sample Kolmogorov-Smirnov gate on the doc-length
       // distribution: committed corpus vs an incoming drop where one
@@ -4241,6 +4294,49 @@ object Queries {
               FROM j, t)
         SELECT gap_ppm as ks_ppm, v as at_value, n_prev, n_cur
         FROM k ORDER BY gap_ppm DESC, v LIMIT 1""")),
+
+    Q("skyline_2d",
+      // Pareto frontier of customers over (order count, total spend):
+      // the textbook quadratic NOT-EXISTS self-join (the oracle)
+      // collapsed to per-count maxima + a running max over the tiny
+      // count frame — no self-join at any scale
+      (s, d) => Gold.skyline2d(Tables(s, d).orders),
+      Some("""
+        WITH a AS (SELECT o_custkey, count(*) as n_orders,
+            cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+              as total_spend
+          FROM orders GROUP BY 1)
+        SELECT r.o_custkey, r.n_orders, r.total_spend FROM a r
+        WHERE NOT EXISTS (SELECT 1 FROM a s
+          WHERE s.n_orders >= r.n_orders
+            AND s.total_spend >= r.total_spend
+            AND (s.n_orders > r.n_orders
+              OR s.total_spend > r.total_spend))""")),
+
+    Q("token_gini",
+      // per-language token-mass inequality: Gini via the sorted-rank
+      // identity — "do a few huge docs dominate this language"; the
+      // i·x product sum widens to decimal(38,0), the Gini is one
+      // fixed-shape double chain
+      (s, d) => TextAnalysis.tokenGini(Tables(s, d).documents),
+      Some("""
+        WITH s AS (SELECT lang, doc_id,
+                cast(len(string_split(text, ' ')) as bigint) as n_tok
+              FROM documents),
+        r AS (SELECT lang, n_tok,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY n_tok, doc_id) as i
+              FROM s),
+        g AS (SELECT lang, count(*) as n_docs,
+                cast(sum(n_tok) as bigint) as total_tokens,
+                sum(cast(i as hugeint) * n_tok) as iwx
+              FROM r GROUP BY 1)
+        SELECT lang, n_docs, total_tokens,
+          (2.0 * cast(iwx as double)
+            - cast(n_docs + 1 as double) * cast(total_tokens as double))
+          / (cast(n_docs as double) * cast(total_tokens as double))
+            as gini
+        FROM g""")),
 
     Q("hilbert_write",
       // the Hilbert-curve clustered write through the oracle gate:

@@ -295,4 +295,34 @@ object Gold {
         concat(col("r_score"), col("f_score"), col("m_score"))
           .as("rfm_segment"))
   }
+
+  /** 2-D skyline (Pareto frontier) of customers over (order count,
+    * total spend) — the rows no other row dominates in BOTH
+    * dimensions (≥ in both, > in at least one): "best customers" with
+    * no single ranking function imposed. The textbook formulation is
+    * a quadratic NOT-EXISTS self-join (the oracle); in 2-D it
+    * collapses to maxima bookkeeping: a row survives iff its spend
+    * equals its count-group's max AND strictly exceeds every
+    * higher-count group's max.
+    *
+    * Scale shape: one per-customer aggregate (the only full-data
+    * shuffle), then per-count maxima — a ≤|distinct counts| frame
+    * whose running-max window is the plan's one tiny single-partition
+    * exchange — broadcast back for a map-side filter. NO self-join at
+    * any size; the n-D generalization would partition on a grid. */
+  def skyline2d(orders: DataFrame): DataFrame = {
+    val a = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total_spend"))
+    val nmax = a.groupBy(col("n_orders"))
+      .agg(max(col("total_spend")).as("mx_same"))
+    val wAbove = Window.orderBy(col("n_orders").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fronts = nmax.withColumn("mx_above",
+      max(col("mx_same")).over(wAbove))
+    a.join(broadcast(fronts), "n_orders")
+      .filter(col("total_spend") === col("mx_same") &&
+        (col("mx_above").isNull || col("total_spend") > col("mx_above")))
+      .select(col("o_custkey"), col("n_orders"), col("total_spend"))
+  }
 }

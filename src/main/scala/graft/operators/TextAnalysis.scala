@@ -927,12 +927,24 @@ object TextAnalysis {
     * joined cell frame is |langs|×|sources| rows, so the outer join
     * and total-share windows run on a tiny frame; the corpora
     * themselves are scanned once each and never joined. */
-  def mixDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+  def mixDrift(prev: DataFrame, cur: DataFrame): DataFrame =
+    mixDriftFromCells(mixCells(prev, "n_prev"), mixCells(cur, "n_cur"))
+
+  /** (lang, source) cell counts — the mergeable summary [[mixDrift]]
+    * compares (and what its streaming twin accumulates per batch:
+    * counting is associative, so shards merge to the one-shot
+    * answer). */
+  def mixCells(df: DataFrame, cnt: String): DataFrame = df
+    .groupBy(col("lang"), col("source"))
+    .agg(count(lit(1)).as(cnt))
+
+  /** [[mixDrift]] over pre-counted cell frames (`n_prev` / `n_cur`
+    * columns) — the entry point for callers whose counts come from a
+    * shard store instead of a corpus scan. */
+  def mixDriftFromCells(prevCells: DataFrame,
+                        curCells: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def cells(df: DataFrame, cnt: String): DataFrame = df
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as(cnt))
-    val joined = cells(prev, "n_prev").join(cells(cur, "n_cur"),
+    val joined = prevCells.join(curCells,
         Seq("lang", "source"), "full_outer")
       .na.fill(0L, Seq("n_prev", "n_cur"))
     val w = Window.rowsBetween(Window.unboundedPreceding,
@@ -990,6 +1002,42 @@ object TextAnalysis {
       .limit(1)
       .select(col("gap_ppm").as("ks_ppm"), col("v").as("at_value"),
         col("n_prev"), col("n_cur"))
+  }
+
+  /** Per-language Gini coefficient of token mass across documents —
+    * "does 1% of the corpus carry half the tokens": the inequality
+    * summary that tells a curation run whether a handful of huge
+    * documents dominate a language's training signal (packing,
+    * sampling and dedup all behave differently at high concentration).
+    * Uses the sorted-rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx).
+    *
+    * Determinism: Σ i·xᵢ is invariant under permuting equal-value
+    * ranks, so the doc_id tie-break changes nothing; the product sum
+    * widens to decimal(38,0) (i·x reaches ~10¹⁷ per row at corpus
+    * scale — a long Σ wraps); the Gini itself is one fixed-shape
+    * double chain replicated by the oracle.
+    *
+    * Scale shape: one rank window per language (the exact-group-
+    * quantiles discipline — sort keyed on the group) + one map-side-
+    * combined rollup to |langs| rows. */
+  def tokenGini(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val sized = documents.select(col("lang"), col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    sized.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum((col("i") * col("n_tok")).cast(DecimalType(38, 0))).as("iwx"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        ((lit(2.0) * col("iwx").cast("double") -
+          (col("n_docs") + 1).cast("double") *
+            col("total_tokens").cast("double")) /
+          (col("n_docs").cast("double") *
+            col("total_tokens").cast("double"))).as("gini"))
   }
 
   /** Deterministic balanced sharding: documents ranked globally by

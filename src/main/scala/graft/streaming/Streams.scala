@@ -417,6 +417,47 @@ object Streams {
       .groupBy(col("word")).agg(sum(col("c")).as("c"))
       .write.mode("overwrite").parquet(outDir)
 
+  /** One micro-batch of the continuous corpus-mix monitor: the
+    * batch's (lang, source) cell counts land under `batch=<id>` with
+    * directory overwrite (retried micro-batch → idempotent). Counting
+    * is associative, so the accumulated shards merge to the one-shot
+    * cell census on any batch split. */
+  def mixCellsBatch(cellsDir: String)(batch: DataFrame,
+                                      batchId: Long): Unit =
+    graft.operators.TextAnalysis.mixCells(batch, "c")
+      .write.mode("overwrite").parquet(s"$cellsDir/batch=$batchId")
+
+  /** Continuous corpus-mix monitoring — the streaming twin of
+    * `corpus_drift`: incoming document micro-batches fold
+    * (lang, source) cell-count shards into a store via
+    * [[mixCellsBatch]]; at any point [[mixDriftVsBase]] compares the
+    * accumulated mix against a committed base snapshot. Steady-state
+    * per-batch cost is one map-side-combined ≤|langs|×|sources|-row
+    * agg — the corpus itself is never rescanned. */
+  def mixStream(spark: SparkSession, srcPath: String,
+                schema: StructType, cellsDir: String,
+                checkpoint: String,
+                maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select("lang", "source")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(mixCellsBatch(cellsDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time mix drift of the accumulated incoming shards vs a
+    * committed base corpus — identical output to the batch
+    * `TextAnalysis.mixDrift(base, incoming)`. */
+  def mixDriftVsBase(spark: SparkSession, cellsDir: String,
+                     base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.TextAnalysis.mixDriftFromCells(
+      graft.operators.TextAnalysis.mixCells(base, "n_prev"),
+      spark.read.parquet(cellsDir)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("c")).as("n_cur")))
+
   /** One micro-batch of the streaming profile sink: the batch's
     * mergeable profile (one single-row agg — the shard is
     * #columns-sized, data never leaves the batch) lands under

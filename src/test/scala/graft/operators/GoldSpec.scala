@@ -130,4 +130,24 @@ class GoldSpec extends SparkSpec {
     assert(out(3L) == (2L, 7.0, 9.0))
     assert(out.values.map(_._1).sum == 10L)
   }
+
+  test("skyline2d: frontier keeps ties, strict domination removes equals") {
+    import spark.implicits._
+    // customer → n orders of a fixed price (spend = n·price):
+    //   c1,c2: (5, 100) tie — both survive     c3: (5, 90) dominated
+    //   c4: (3, 150) — dominated by c8's (4, 150): equal spend,
+    //       strictly more orders               c6: (6, 90) top count
+    //   c7: (2, 80) dominated                  c8: (4, 150) survives
+    val rows = Seq(1L -> (5, 20.0), 2L -> (5, 20.0), 3L -> (5, 18.0),
+      4L -> (3, 50.0), 6L -> (6, 15.0), 7L -> (2, 40.0),
+      8L -> (4, 37.5))
+    val orders = rows.flatMap { case (c, (n, p)) =>
+      (1 to n).map(i => (c * 100 + i, c, p)) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Gold.skyline2d(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 6L, 8L))
+    assert(out(6L) == ((6L, 90.0)) && out(8L) == ((4L, 150.0)))
+    assert(out(1L) == ((5L, 100.0)) && out(2L) == ((5L, 100.0)))
+  }
 }

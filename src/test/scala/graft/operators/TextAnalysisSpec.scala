@@ -623,6 +623,23 @@ class TextAnalysisSpec extends SparkSpec {
       trunc.getAs[Long]("at_value") >= 5L)
   }
 
+  test("tokenGini: zero on uniform lengths, hand-checked on a skewed pair") {
+    import spark.implicits._
+    def doc(id: Long, nTok: Int, lang: String) =
+      (id, Seq.fill(nTok)("w").mkString(" "), lang, "web", nTok.toLong)
+    // uniform: every doc 5 tokens → gini exactly 0
+    val uniform = (1L to 10L).map(doc(_, 5, "en"))
+    // skewed: (1, 99) → G = (2·(1·1+2·99) − 3·100)/(2·100) = 0.49
+    val skewed = Seq(doc(100L, 1, "de"), doc(101L, 99, "de"))
+    val out = TextAnalysis.tokenGini(
+      (uniform ++ skewed).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Double]("gini") == 0.0)
+    assert(out("en").getAs[Long]("total_tokens") == 50L)
+    assert(out("de").getAs[Double]("gini") == 0.49)
+    assert(out("de").getAs[Long]("n_docs") == 2L)
+  }
+
   test("shardAssign: two-phase rank equals the global sort; token mass balances") {
     val docs = tables.documents
     val out = TextAnalysis.shardAssign(docs, nShards = 8)

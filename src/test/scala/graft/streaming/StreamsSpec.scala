@@ -479,6 +479,36 @@ class StreamsSpec extends SparkSpec {
     assert(n == 10L, s"retried batch double-counted: $n")
   }
 
+  test("mixStream: accumulated cells equal the batch drift on any split; " +
+       "retry never double-counts") {
+    val docs = tables.documents
+    val incoming = docs.filter(col("doc_id") % 2 === 0)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val oneShot = canon(
+      graft.operators.TextAnalysis.mixDrift(docs, incoming))
+    def run(maxFiles: Int): Set[Seq[Any]] = {
+      val src = Files.createTempDirectory("graft_smx_src").toFile.getPath
+      val cel = Files.createTempDirectory("graft_smx_c").toFile.getPath + "/c"
+      val ckpt = Files.createTempDirectory("graft_smx_ck").toFile.getPath
+      incoming.select("doc_id", "lang", "source").repartition(4)
+        .write.mode("overwrite").json(src)
+      Streams.mixStream(spark, src, schema, cel, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      canon(Streams.mixDriftVsBase(spark, cel, docs))
+    }
+    assert(run(1) == oneShot, "shard merge differs from the batch drift")
+    assert(run(4) == oneShot, "mix drift depends on the batch split")
+    // a retried batch id overwrites its own shard
+    val rt = Files.createTempDirectory("graft_smx_rt").toFile.getPath + "/c"
+    Streams.mixCellsBatch(rt)(docs.limit(10), 0L)
+    Streams.mixCellsBatch(rt)(docs.limit(10), 0L)
+    val n = spark.read.parquet(rt).agg(sum(col("c"))).head().getLong(0)
+    assert(n == 10L, s"retried batch double-counted: $n")
+  }
+
   test("curationStream: filtered + deduped sink is batch-split independent") {
     import spark.implicits._
     val docs = Seq(
