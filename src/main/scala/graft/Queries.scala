@@ -4295,6 +4295,53 @@ object Queries {
         SELECT gap_ppm as ks_ppm, v as at_value, n_prev, n_cur
         FROM k ORDER BY gap_ppm DESC, v LIMIT 1""")),
 
+    Q("bm25_search",
+      // BM25 lexical retrieval with ratio idf (N/df — no ln in the
+      // hash) and k1/b length saturation; query docs' distinct terms
+      // vs the corpus, per-pair sum folded in TERM order so the
+      // double chain replicates exactly; top-10 via WindowGroupLimit
+      (s, d) => TextAnalysis.bm25Search(Tables(s, d).documents,
+        _ < 4, k = 10),
+      Some("""
+        WITH sized AS (SELECT doc_id, text,
+                cast(len(string_split(text, ' ')) as bigint) as dl
+              FROM documents),
+        postings AS (SELECT doc_id, dl, word, count(*) as tf
+              FROM (SELECT doc_id, dl,
+                      unnest(string_split(text, ' ')) as word
+                    FROM sized)
+              GROUP BY 1, 2, 3),
+        dfreq AS (SELECT word, count(*) as df FROM postings GROUP BY 1),
+        totals AS (SELECT count(*) as n_docs_total,
+                cast(sum(dl) as bigint) as total_tokens
+              FROM sized),
+        qterms AS (SELECT DISTINCT doc_id as query_id, word
+              FROM postings WHERE doc_id < 4),
+        contribs AS (
+          SELECT q.query_id, p.doc_id, p.word,
+            (cast(t.n_docs_total as double) / cast(f.df as double)) *
+              ((cast(p.tf as double) * 2.2) /
+                (cast(p.tf as double) + 1.2 *
+                  (0.25 + 0.75 * cast(p.dl as double) /
+                    (cast(t.total_tokens as double)
+                      / cast(t.n_docs_total as double))))) as contrib
+          FROM postings p
+            JOIN qterms q USING (word)
+            JOIN dfreq f USING (word)
+            CROSS JOIN totals t
+          WHERE p.doc_id <> q.query_id),
+        summed AS (
+          SELECT query_id, doc_id,
+            list_reduce(list_prepend(0.0,
+              list(contrib ORDER BY word)), (a, x) -> a + x) as bm25
+          FROM contribs GROUP BY 1, 2)
+        SELECT query_id, doc_id, cast(rank as bigint) as rank, bm25
+        FROM (SELECT query_id, doc_id, bm25,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25 DESC, doc_id) as rank
+              FROM summed)
+        WHERE rank <= 10""")),
+
     Q("skyline_2d",
       // Pareto frontier of customers over (order count, total spend):
       // the textbook quadratic NOT-EXISTS self-join (the oracle)

@@ -1004,6 +1004,70 @@ object TextAnalysis {
         col("n_prev"), col("n_cur"))
   }
 
+  /** BM25 lexical retrieval — the search-engine scoring the tf·tf
+    * overlap leg of hybridSearch approximates: per (query, doc) pair
+    * sharing terms, Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    * with the RATIO idf (N/df — the tfidfTopTerms discipline: no
+    * engine-specific ln in the hash) and the classic k1/b saturation
+    * (long docs don't win on bulk, repeated terms saturate). Queries
+    * are documents matching `queryPred`; their DISTINCT terms form
+    * the query.
+    *
+    * Determinism: each term contribution is one fixed-shape double
+    * chain; the per-pair sum folds contributions in TERM order
+    * (collect_list → sort → seeded fold — the Bpe/list_reduce oracle
+    * idiom; 0.0+x is exact in IEEE so the seed shapes match across
+    * engines). The per-pair term array is ≤|query terms|.
+    *
+    * Scale shape: postings + doc lengths are one (doc, word) shuffle;
+    * df is a vocab-keyed aggregate; the query-term frame broadcasts;
+    * corpus totals ride a 1-row broadcast; per-query top-k prunes
+    * through WindowGroupLimit. */
+  def bm25Search(documents: DataFrame, queryPred: Column => Column,
+                 k: Int = 10, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = documents.select(col("doc_id"), col("text"),
+      size(wsTokens(col("text"))).cast("long").as("dl"))
+    val postings = sized
+      .select(col("doc_id"), col("dl"),
+        explode(wsTokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    val totals = sized.agg(count(lit(1)).as("n_docs_total"),
+      sum(col("dl")).as("total_tokens"))
+    val qTerms = postings.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val scoredTerms = postings
+      .join(broadcast(qTerms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(df, "word")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") /
+          col("n_docs_total").cast("double"))
+      .withColumn("contrib",
+        (col("n_docs_total").cast("double") / col("df").cast("double")) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+                col("avgdl")))))
+    val summed = scoredTerms
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("word"), col("contrib"))))
+        .as("cs"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x("contrib")).as("bm25"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    summed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "bm25")
+  }
+
   /** Per-language Gini coefficient of token mass across documents —
     * "does 1% of the corpus carry half the tokens": the inequality
     * summary that tells a curation run whether a handful of huge

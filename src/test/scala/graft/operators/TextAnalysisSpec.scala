@@ -623,6 +623,34 @@ class TextAnalysisSpec extends SparkSpec {
       trunc.getAs[Long]("at_value") >= 5L)
   }
 
+  test("bm25Search: tf saturation, idf ordering, and length penalty") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "rare common"),                // the query doc
+      (1L, "rare x x x"),                 // rare once, short
+      (2L, "common x x x"),               // common once, short
+      (3L, "rare rare x x"),              // rare twice
+      (4L, "rare x x x x x x x"),         // rare once, LONG
+      (5L, "common y z w"), (6L, "common y z w"),
+      (7L, "common y z w"), (8L, "common y z w"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bm25Search(docs, _ === 0L, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("rank"))).toMap
+    // higher tf wins (but saturates: < 2x)
+    assert(out(3L)._1 > out(1L)._1 && out(3L)._1 < 2 * out(1L)._1)
+    // rarer term out-scores the common one at equal tf and dl
+    assert(out(1L)._1 > out(2L)._1)
+    // longer doc with the same tf is penalized
+    assert(out(1L)._1 > out(4L)._1)
+    // rank order follows the scores with doc_id tie-break
+    val byRank = out.toSeq.sortBy(_._2._2).map(_._2._1)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    // self is never scored
+    assert(!out.contains(0L))
+  }
+
   test("tokenGini: zero on uniform lengths, hand-checked on a skewed pair") {
     import spark.implicits._
     def doc(id: Long, nTok: Int, lang: String) =
