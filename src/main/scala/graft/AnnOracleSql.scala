@@ -459,26 +459,94 @@ object AnnOracleSql {
          JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
       ON h.query_id = q.vec_id"""
 
-  /** Two-stage retrieval (mirrors Similarity.annTwoStage): PQ-ADC
-    * shortlist of `shortlist` candidates, exact-cosine re-rank to
-    * top-k. */
-  def twoStageSql(dim: Int, m: Int, ksub: Int, iters: Int,
-                  sampleBudget: Int, shortlist: Int, k: Int,
-                  queryPred: String): String = s"""
-    WITH $EmbCte,
+  /** CTEs for two-stage retrieval (mirrors Similarity.annTwoStage):
+    * `pq_topk` at `shortlist`, exact-cosine re-rank →
+    * `ts_topk(query_id, neighbor_id, rank, cosine)`. */
+  def twoStageCtes(dim: Int, m: Int, ksub: Int, iters: Int,
+                   sampleBudget: Int, shortlist: Int, k: Int,
+                   queryPred: String): String = s"""
     ${pqCtes(dim, m, ksub, iters, sampleBudget, shortlist, queryPred)},
     rr AS (
       SELECT s.query_id, s.neighbor_id,
         ${cosine("q.emb", "c.emb")} as cosine
       FROM pq_topk s
         JOIN e q ON q.vec_id = s.query_id
-        JOIN e c ON c.vec_id = s.neighbor_id)
-    SELECT query_id, neighbor_id, cast(rank as bigint) as rank, cosine
-    FROM (SELECT query_id, neighbor_id, cosine,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, neighbor_id) as rank
-          FROM rr)
-    WHERE rank <= $k"""
+        JOIN e c ON c.vec_id = s.neighbor_id),
+    ts_topk AS (
+      SELECT query_id, neighbor_id, cast(rank as bigint) as rank, cosine
+      FROM (SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) as rank
+            FROM rr)
+      WHERE rank <= $k)"""
+
+  def twoStageSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                  sampleBudget: Int, shortlist: Int, k: Int,
+                  queryPred: String): String = s"""
+    WITH $EmbCte,
+    ${twoStageCtes(dim, m, ksub, iters, sampleBudget, shortlist, k, queryPred)}
+    SELECT query_id, neighbor_id, rank, cosine FROM ts_topk"""
+
+  /** Recall of pq-alone AND twostage vs exact top-k, one row per
+    * (query, method) — mirrors Similarity.annTwoStageRecall. The
+    * pq-at-k set is pq_topk truncated to rank ≤ k (same est_ip
+    * ordering). */
+  def twoStageRecallSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                        sampleBudget: Int, shortlist: Int, k: Int,
+                        queryPred: String): String = s"""
+    WITH $EmbCte, ${bfCtes(k, queryPred)},
+    ${twoStageCtes(dim, m, ksub, iters, sampleBudget, shortlist, k, queryPred)},
+    bfn AS (SELECT query_id, count(*) as n_ex FROM bf GROUP BY 1),
+    qs AS (SELECT vec_id FROM e WHERE $queryPred),
+    pqh AS (SELECT query_id, count(*) as n
+            FROM (SELECT query_id, neighbor_id FROM pq_topk
+                  WHERE rank <= $k)
+            JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+    tsh AS (SELECT query_id, count(*) as n FROM ts_topk
+            JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT q.vec_id as query_id, 'pq' as method,
+      CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0
+           ELSE cast(coalesce(h.n, 0) as double) / b.n_ex END as recall
+    FROM qs q LEFT JOIN bfn b ON b.query_id = q.vec_id
+      LEFT JOIN pqh h ON h.query_id = q.vec_id
+    UNION ALL
+    SELECT q.vec_id as query_id, 'twostage' as method,
+      CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0
+           ELSE cast(coalesce(h.n, 0) as double) / b.n_ex END as recall
+    FROM qs q LEFT JOIN bfn b ON b.query_id = q.vec_id
+      LEFT JOIN tsh h ON h.query_id = q.vec_id"""
+
+  /** Per-label centroid drift (mirrors Similarity.centroidDrift):
+    * dyadic-exact means per snapshot, cosine folded in dim order.
+    * `curFrom` is a FROM-clause SQL fragment producing the current
+    * snapshot's (label, embedding) rows. */
+  def centroidDriftSql(curFrom: String): String = {
+    def cents(src: String): String = s"""(
+      SELECT label, dim,
+        (cast(sum(cast(v * 281474976710656.0 as decimal(28,0)))
+            as double) / 281474976710656.0) / count(*) as mean,
+        count(*) as n_vectors
+      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 as dim,
+              unnest(cast(embedding as double[])) as v
+            FROM $src)
+      GROUP BY 1, 2)"""
+    s"""
+    WITH a AS ${cents("embeddings")},
+    b AS ${cents(s"($curFrom)")},
+    j AS (SELECT a.label, a.dim, a.n_vectors as n_prev,
+            b.n_vectors as n_cur,
+            a.mean * b.mean as pp, a.mean * a.mean as aa,
+            b.mean * b.mean as bb
+          FROM a JOIN b ON a.label = b.label AND a.dim = b.dim)
+    SELECT label, n_prev, n_cur,
+      list_reduce(list_prepend(0.0, list(pp ORDER BY dim)),
+          (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(0.0, list(aa ORDER BY dim)),
+            (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, list(bb ORDER BY dim)),
+            (x, y) -> x + y))) as centroid_cosine
+    FROM j GROUP BY 1, 2, 3"""
+  }
 
   /** k-NN majority-vote classification (mirrors
     * Similarity.knnClassify): held-out queries, exact top-k over the

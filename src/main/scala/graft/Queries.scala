@@ -4437,6 +4437,41 @@ object Queries {
         iters = 3, sampleBudget = 512, shortlist = 20, k = 5,
         queryPred = "vec_id < 8"))),
 
+    Q("ann_twostage_recall",
+      // the measurement that justifies the re-rank stage: recall@5 of
+      // pq-alone AND twostage against the exact top-5, one row per
+      // (query, method) — the lift reads off directly; pq-at-5 is the
+      // shortlist truncated (same est_ip order), so stage 1 is shared
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annTwoStageRecall(emb, emb.filter(col("vec_id") < 8),
+          k = 5, shortlist = 20, m = 16, ksub = 64,
+          sampleBudget = 512, cacheKey = Some(d))
+      },
+      Some(AnnOracleSql.twoStageRecallSql(dim = 64, m = 16, ksub = 64,
+        iters = 3, sampleBudget = 512, shortlist = 20, k = 5,
+        queryPred = "vec_id < 8"))),
+
+    Q("centroid_drift",
+      // embedding-space stability gate: per-label cosine between the
+      // committed snapshot's prototype and an incoming drop's (10% of
+      // vectors gone, one vec_id stripe relabeled — the synthetic
+      // label-shift a drift gate exists to catch); dyadic-exact means,
+      // dim-ordered cosine folds
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        val cur = emb.filter(col("vec_id") % 10 =!= 0)
+          .withColumn("label", when(col("vec_id") % 7 === 0,
+            (col("label") + 1) % 10).otherwise(col("label")))
+        Similarity.centroidDrift(emb, cur)
+      },
+      Some(AnnOracleSql.centroidDriftSql(
+        """SELECT vec_id,
+             CASE WHEN vec_id % 7 = 0 THEN cast((label + 1) % 10 as int)
+                  ELSE label END as label,
+             embedding
+           FROM embeddings WHERE vec_id % 10 <> 0"""))),
+
     Q("knn_classify",
       // label-quality probe: vec_id % 20 == 0 held out, each
       // classified by the majority label of its 5 exact nearest

@@ -297,7 +297,42 @@ object ScaleProbe {
         () => Similarity.centroidOutliers(t.embeddings).count(),
         t.embeddings.count() * 10,
         () => Similarity.centroidOutliers(
-          replicate(t.embeddings, 10, Some("vec_id"))).count()))
+          replicate(t.embeddings, 10, Some("vec_id"))).count()),
+      // prefixed replicas keep query terms (replica-0 doc ids) hitting
+      // only replica-0 postings: the probe isolates the INDEXING side
+      // (postings + df build scale 10×, per-query cost stays constant
+      // — exactly the serving economics)
+      ("bm25_search", t.documents.count(),
+        () => TextAnalysis.bm25Search(t.documents, _ < 4).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.bm25Search(replicateDocs(t.documents, 10),
+          _ < 4).count()),
+      // hash + bloom probe + routed anti-join are all linear in rows;
+      // replicas are content-disjoint so dup structure is preserved
+      ("dedup_bloom_ingest", t.documents.count(),
+        () => {
+          val d = t.documents
+          Dedup.bloomIngestDedup(d.filter(col("doc_id") % 3 =!= 0),
+            d.filter(col("doc_id") % 3 === 0)).count()
+        },
+        t.documents.count() * 10,
+        () => {
+          val d = replicateDocs(t.documents, 10)
+          Dedup.bloomIngestDedup(d.filter(col("doc_id") % 3 =!= 0),
+            d.filter(col("doc_id") % 3 === 0)).count()
+        }),
+      // the two-phase banded rank: band counts stay ≤64 rows at any
+      // size, so cost tracks the within-band window shuffle
+      ("shard_balance", t.documents.count(),
+        () => TextAnalysis.shardAssign(t.documents, 16).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.shardAssign(
+          replicate(t.documents, 10, Some("doc_id")), 16).count()),
+      ("token_gini", t.documents.count(),
+        () => TextAnalysis.tokenGini(t.documents).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.tokenGini(
+          replicate(t.documents, 10, Some("doc_id"))).count()))
 
     // optional comma-separated probe filter for single-probe iteration
     val only: Option[Set[String]] =

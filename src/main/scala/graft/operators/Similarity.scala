@@ -955,6 +955,73 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Recall of the two-stage path vs PQ-alone, both against the exact
+    * top-k — the measurement that justifies the re-rank stage: one
+    * frame with method ∈ {pq, twostage} per query, so the recall LIFT
+    * reads off directly. Shares the signature discipline of
+    * [[annRecall]]/[[annPqRecall]] (per-query exact-neighbor
+    * normalization; empty exact set → recall 1). */
+  def annTwoStageRecall(corpus: DataFrame, queries: DataFrame,
+                        k: Int = 5, shortlist: Int = 20, dim: Int = 64,
+                        m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                        sampleBudget: Int = 128,
+                        cacheKey: Option[String] = None): DataFrame = {
+    val exact = annBruteForce(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"))
+    def recallOf(approx: DataFrame, method: String): DataFrame =
+      queries.select(col("vec_id").as("query_id"))
+        .join(exactN, Seq("query_id"), "left")
+        .join(approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), lit(method).as("method"),
+          when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+            .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_exact"))
+            .as("recall"))
+    recallOf(annPq(corpus, queries, k, dim, m, ksub, iters,
+        sampleBudget, cacheKey), "pq")
+      .unionByName(recallOf(annTwoStage(corpus, queries, k, shortlist,
+        dim, m, ksub, iters, sampleBudget, cacheKey), "twostage"))
+  }
+
+  /** Per-label centroid drift between two embedding snapshots: the
+    * cosine between each label's old and new dyadic-exact prototype
+    * (plus member counts) — the "did the embedding space move under
+    * me" gate run after a model refresh or a big ingest, next to the
+    * data-side [[graft.operators.TextAnalysis.mixDrift]]. Cosine near
+    * 1 = stable class; a dropped cosine flags relabeled/shifted mass
+    * before any recall gate trips.
+    *
+    * Determinism: the means are [[labelCentroids]]' order-independent
+    * exact sums; the cosine folds (m₁·m₂, m₁², m₂²) in DIM order over
+    * the collected ≤dim-row array (the bm25/Bpe seeded-fold idiom) —
+    * one fixed double chain per label.
+    *
+    * Scale shape: two label-centroid aggregates (the corpora's only
+    * scans) to |labels|×dim rows; everything downstream runs on that
+    * tiny frame. */
+  def centroidDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val a = labelCentroids(prev).select(col("label"), col("dim"),
+      col("mean").as("m_prev"), col("n_vectors").as("n_prev"))
+    val b = labelCentroids(cur).select(col("label"), col("dim"),
+      col("mean").as("m_cur"), col("n_vectors").as("n_cur"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"), col("n_prev"), col("n_cur"))
+      .agg(sort_array(collect_list(struct(col("dim"),
+        (col("m_prev") * col("m_cur")).as("pp"),
+        (col("m_prev") * col("m_prev")).as("aa"),
+        (col("m_cur") * col("m_cur")).as("bb")))).as("xs"))
+      .select(col("label"), col("n_prev"), col("n_cur"),
+        (aggregate(col("xs"), lit(0.0), (acc, x) => acc + x("pp")) /
+          (sqrt(aggregate(col("xs"), lit(0.0), (acc, x) => acc + x("aa"))) *
+            sqrt(aggregate(col("xs"), lit(0.0), (acc, x) => acc + x("bb")))))
+          .as("centroid_cosine"))
+  }
+
   /** k-NN majority-vote classification over the labeled embedding
     * table: vectors with `vec_id % testMod == 0` are held out as the
     * eval set, each classified by the majority label of its k exact

@@ -541,6 +541,46 @@ class SimilaritySpec extends SparkSpec {
     assert((two5 & exact).size >= (pq5 & exact).size)
   }
 
+  test("annTwoStageRecall: twostage recall dominates pq pointwise") {
+    val emb = tables.embeddings
+    val out = Similarity.annTwoStageRecall(emb,
+      emb.filter(col("vec_id") < 8), k = 5, shortlist = 20,
+      m = 16, ksub = 64, sampleBudget = 512)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("method")) ->
+        r.getAs[Double]("recall")).toMap
+    val queries = out.keys.map(_._1).toSet
+    assert(queries.size == 8 && out.size == 16)
+    // an exact hit in pq's top-5 is in the shortlist, and only exact
+    // top-5 members can out-cosine it — the re-rank keeps every pq
+    // hit, so twostage recall ≥ pq recall for EVERY query
+    queries.foreach { q =>
+      assert(out((q, "twostage")) >= out((q, "pq")),
+        s"query $q: twostage ${out((q, "twostage"))} < pq ${out((q, "pq"))}")
+    }
+  }
+
+  test("centroidDrift: identical snapshots ~1, inverted label ~-1") {
+    import spark.implicits._
+    val emb = tables.embeddings
+    val same = Similarity.centroidDrift(emb, emb).collect()
+    assert(same.length == 10)
+    same.foreach { r =>
+      assert(r.getAs[Double]("centroid_cosine") > 0.999999)
+      assert(r.getAs[Long]("n_prev") == r.getAs[Long]("n_cur"))
+    }
+    // flip label 0's vectors: its prototype inverts, cosine → −1;
+    // untouched labels stay at 1
+    val flipped = emb.withColumn("embedding",
+      when(col("label") === 0,
+        transform(col("embedding"), v => -v)).otherwise(col("embedding")))
+    val out = Similarity.centroidDrift(emb, flipped).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("centroid_cosine"))
+      .toMap
+    assert(out(0) < -0.999999)
+    assert(out(1) > 0.999999)
+  }
+
   test("knnClassify: constructed clusters classify perfectly, ties break low") {
     import spark.implicits._
     // two tight clusters on orthogonal axes; test ids are multiples
