@@ -4295,6 +4295,101 @@ object Queries {
         SELECT gap_ppm as ks_ppm, v as at_value, n_prev, n_cur
         FROM k ORDER BY gap_ppm DESC, v LIMIT 1""")),
 
+    Q("table_diff",
+      // row-level data diff before promoting a rebuilt table: per
+      // key added/removed/changed (content-hash inequality) — WHICH
+      // rows moved, where profile_diff answers whether the SHAPE
+      // moved; sides collapse to (key, hash) before the one
+      // full-outer shuffle, unchanged rows (the 100 TB majority)
+      // never emit
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val cur = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("lang", when(col("doc_id") % 7 === 0, lit("xx"))
+            .otherwise(col("lang")))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        Medallion.tableDiff(docs, cur, "doc_id",
+          Seq("text", "lang", "source"))
+      },
+      Some("""
+        WITH curr AS (
+          SELECT doc_id, text,
+            CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END as lang,
+            source
+          FROM documents WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text, lang, source
+          FROM documents WHERE doc_id < 10)
+        SELECT doc_id, diff_status FROM (
+          SELECT coalesce(p.doc_id, c.doc_id) as doc_id,
+            CASE WHEN p.doc_id IS NULL THEN 'added'
+                 WHEN c.doc_id IS NULL THEN 'removed'
+                 WHEN p.text <> c.text OR p.lang <> c.lang
+                   OR p.source <> c.source THEN 'changed' END
+              as diff_status
+          FROM documents p FULL OUTER JOIN curr c
+            ON p.doc_id = c.doc_id)
+        WHERE diff_status IS NOT NULL""")),
+
+    Q("event_paths",
+      // path discovery — "what do users actually DO": every length-3
+      // window of consecutive event types per user counted
+      // corpus-wide, top-20 with floor-ppm share; same single
+      // user-keyed window shuffle as event_transitions (lead() chains
+      // add columns, not passes), rank/share over the tiny path frame
+      (s, d) => Transitions.topPaths(Tables(s, d).events,
+        len = 3, topN = 20),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id,
+                event_type FROM events),
+        w AS (SELECT event_type as e0,
+                lead(event_type, 1) OVER u as e1,
+                lead(event_type, 2) OVER u as e2
+              FROM e
+              WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        p AS (SELECT e0 || '>' || e1 || '>' || e2 as path,
+                count(*) as n_paths
+              FROM w WHERE e2 IS NOT NULL GROUP BY 1),
+        t AS (SELECT cast(sum(n_paths) as bigint) as tt FROM p)
+        SELECT path, n_paths, share_ppm, path_rank FROM (
+          SELECT path, n_paths,
+            cast((n_paths * 1000000) // t.tt as bigint) as share_ppm,
+            cast(row_number() OVER (ORDER BY n_paths DESC, path)
+              as bigint) as path_rank
+          FROM p, t)
+        WHERE path_rank <= 20""")),
+
+    Q("value_outliers_mad",
+      // robust outliers: MAD modified z-score (0.6745·|x−med|/MAD >
+      // 3.5) — the 50%-breakdown companion to value_outliers' 2σ
+      // fence (which outliers themselves inflate); median and MAD are
+      // exact two-phase quantile COPIES, the score one fixed double
+      // chain
+      (s, d) => Gold.madOutliers(Tables(s, d).events),
+      Some("""
+        WITH med AS (
+          SELECT event_type, value as med FROM (
+            SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY value) as rn,
+              count(*) OVER (PARTITION BY event_type) as n
+            FROM events) WHERE rn = ceil(0.5 * n)),
+        dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                  abs(e.value - m.med) as dev
+                FROM events e JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, dev as mad FROM (
+            SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY dev) as rn,
+              count(*) OVER (PARTITION BY event_type) as n
+            FROM dev) WHERE rn = ceil(0.5 * n))
+        SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+          0.6745 * d.dev / a.mad as mod_z
+        FROM dev d JOIN mad a USING (event_type)
+        WHERE a.mad > 0 AND 0.6745 * d.dev / a.mad > 3.5""")),
+
     Q("bm25_search",
       // BM25 lexical retrieval with ratio idf (N/df — no ln in the
       // hash) and k1/b length saturation; query docs' distinct terms

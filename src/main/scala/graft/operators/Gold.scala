@@ -296,6 +296,40 @@ object Gold {
           .as("rfm_segment"))
   }
 
+  /** Robust outlier detection via the MAD modified z-score
+    * (Iglewicz-Hoaglin): rows where 0.6745·|x − median|/MAD exceeds
+    * `threshold` — the robust companion to the 2σ `value_outliers`
+    * (mean/std are themselves dragged by the outliers they hunt;
+    * median/MAD have a 50% breakdown point, so one wild stripe can't
+    * hide itself by inflating the fence).
+    *
+    * Determinism: both the median and the MAD come from
+    * [[exactGroupQuantiles]] — COPIES of existing data values, never
+    * arithmetic — and the z-score is one fixed double chain. Groups
+    * where MAD = 0 (over half the values identical) are skipped: the
+    * score is undefined there and flagging "everything ≠ mode" is a
+    * different operator.
+    *
+    * Scale shape: two two-phase quantile passes (histogram shuffle +
+    * broadcast rank probe each — no per-group global sort) and two
+    * broadcast joins of |groups|-row fence frames; the flag filter is
+    * map-side. */
+  def madOutliers(df: DataFrame, groupCol: String = "event_type",
+                  valueCol: String = "value", idCol: String = "event_id",
+                  threshold: Double = 3.5): DataFrame = {
+    val med = exactGroupQuantiles(df, groupCol, valueCol, Seq(0.5), 2.0)
+      .select(col(groupCol), col("quantile_value").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = exactGroupQuantiles(dev, groupCol, "dev", Seq(0.5), 0.5)
+      .select(col(groupCol), col("quantile_value").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("mod_z", lit(0.6745) * col("dev") / col("mad"))
+      .filter(col("mad") > 0 && col("mod_z") > threshold)
+      .select(col(idCol), col(groupCol), col(valueCol), col("med"),
+        col("mad"), col("mod_z"))
+  }
+
   /** 2-D skyline (Pareto frontier) of customers over (order count,
     * total spend) — the rows no other row dominates in BOTH
     * dimensions (≥ in both, > in at least one): "best customers" with

@@ -93,4 +93,30 @@ object Medallion {
       .withColumn("valid_to_version", lead(col("version"), 1).over(w))
       .withColumn("is_current", col("valid_to_version").isNull)
   }
+
+  /** Row-level diff between two snapshots of a keyed table: per key,
+    * `added` / `removed` / `changed` (same key, different content
+    * hash over `cols`) — the data-diff a pipeline runs before
+    * promoting a rebuilt table, where [[graft.operators.Profile]]'s
+    * profile_diff answers "did the SHAPE move" this answers "WHICH
+    * rows moved". Unchanged rows are omitted (at 100 TB they are the
+    * overwhelming majority — emitting them would make the diff as big
+    * as the table).
+    *
+    * Scale shape: each side collapses to (key, row_hash) — 40-byte
+    * rows — before the one full-outer join shuffle on the key; the
+    * content columns never shuffle. */
+  def tableDiff(prev: DataFrame, cur: DataFrame, key: String,
+                cols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, h: String): DataFrame =
+      withRowHash(df, cols).select(col(key), col("row_hash").as(h))
+    hashed(prev, "h_prev").join(hashed(cur, "h_cur"),
+        Seq(key), "full_outer")
+      .withColumn("diff_status",
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_prev") =!= col("h_cur"), lit("changed")))
+      .filter(col("diff_status").isNotNull)
+      .select(col(key), col("diff_status"))
+  }
 }

@@ -42,4 +42,43 @@ object Transitions {
       .withColumn("p_next", col("n_pairs").cast("double") /
         sum(col("n_pairs")).over(byFrom).cast("double"))
   }
+
+  /** Top event PATHS of length `len` — the second-order extension of
+    * [[matrix]]: every window of `len` consecutive event types per
+    * user (ordered by (ts, event_id)) counted corpus-wide, with
+    * corpus share in floor-ppm and a global frequency rank — "what
+    * do users actually DO", the path-discovery complement of a
+    * hand-specified funnel.
+    *
+    * Scale shape: the same single user_id-keyed window shuffle as
+    * [[matrix]] (lead() chains add columns, not passes), then a
+    * map-side-combined groupBy to ≤|types|^len path rows; rank and
+    * share run over that tiny frame. */
+  def topPaths(events: DataFrame, len: Int = 3,
+               topN: Int = 20): DataFrame = {
+    require(len >= 2 && len <= 5, "path length in [2,5]")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    val withLeads = (1 until len).foldLeft(base) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("event_type"), i).over(byUser))
+    }
+    val pathCol = concat_ws(">",
+      (col("event_type") +: (1 until len).map(i => col(s"t$i"))): _*)
+    val paths = withLeads
+      .filter(col(s"t${len - 1}").isNotNull)
+      .select(pathCol.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+    val total = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    paths
+      .withColumn("t", sum(col("n_paths")).over(total))
+      .withColumn("path_rank", row_number().over(
+        Window.orderBy(col("n_paths").desc, col("path"))).cast("long"))
+      .filter(col("path_rank") <= topN)
+      .select(col("path"), col("n_paths"),
+        expr("(n_paths * 1000000L) div t").as("share_ppm"),
+        col("path_rank"))
+  }
 }

@@ -131,6 +131,35 @@ class GoldSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == 10L)
   }
 
+  test("madOutliers flags what the 2-sigma fence misses; MAD=0 groups skip") {
+    import spark.implicits._
+    // group "g": 20 values at 10±1 plus TWO wild points — the wild
+    // pair inflates std enough that 2σ keeps one of them inside, but
+    // the median/MAD fence (breakdown 50%) flags both
+    val base = (1 to 20).map(i => (i.toLong, "g", 10.0 + (i % 3) - 1))
+    val wild = Seq((100L, "g", 500.0), (101L, "g", 5000.0))
+    // group "flat": >half identical → MAD = 0 → skipped entirely
+    val flat = (200 to 210).map(i => (i.toLong, "flat", 7.0)) ++
+      Seq((211L, "flat", 9000.0))
+    val df = (base ++ wild ++ flat)
+      .toDF("event_id", "event_type", "value")
+    val out = Gold.madOutliers(df).collect()
+    val flagged = out.map(_.getAs[Long]("event_id")).toSet
+    assert(flagged == Set(100L, 101L), s"flagged $flagged")
+    out.foreach { r =>
+      assert(r.getAs[Double]("mod_z") > 3.5)
+      assert(r.getAs[String]("event_type") == "g")
+    }
+    // the classic 2σ fence misses the smaller wild point: the bigger
+    // one drags std to ~1000, hiding its 500-valued companion inside
+    // the fence — exactly the masking MAD's 50% breakdown resists
+    val stats = df.filter(col("event_type") === "g")
+      .agg(avg("value"), stddev_pop("value")).head
+    val (mu, sd) = (stats.getDouble(0), stats.getDouble(1))
+    assert(math.abs(500.0 - mu) < 2 * sd,
+      "test premise: 2-sigma should miss the smaller wild point")
+  }
+
   test("skyline2d: frontier keeps ties, strict domination removes equals") {
     import spark.implicits._
     // customer → n orders of a fixed price (spend = n·price):

@@ -61,4 +61,19 @@ class MedallionSpec extends SparkSpec {
     assert(out.filter(col("region_code").isNull).count() == 0)
     assert(out.filter(col("unique_id").isNull).count() == 0)
   }
+
+  test("tableDiff: added/removed/changed exact, unchanged rows omitted") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"),
+      (4L, "d", "fr")).toDF("id", "text", "lang")
+    val cur = Seq((1L, "a", "en"),          // unchanged → omitted
+      (2L, "b2", "en"),                     // changed (text)
+      (3L, "c", "zh"),                      // changed (lang)
+      (5L, "e", "es"))                      // added; 4 removed
+      .toDF("id", "text", "lang")
+    val out = Medallion.tableDiff(prev, cur, "id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
 }
