@@ -573,6 +573,58 @@ object AnnOracleSql {
     FROM p JOIN embeddings q ON p.query_id = q.vec_id
     WHERE rn = 1"""
 
+  /** MMR greedy selection (mirrors Similarity.mmrRerank): exact
+    * top-`pool` candidates, k unrolled greedy rounds — the same
+    * compile-time unrolling the Scala loop does, CTE per round. The
+    * (1−λ) literal is the Scala double's exact decimal repr, so both
+    * engines score with the identical constant. */
+  def mmrSql(pool: Int, k: Int, lambda: Double,
+             queryPred: String): String = {
+    val lb = 1.0 - lambda
+    val rounds = (2 to k).map { r =>
+      s"""sel$r AS (
+        SELECT query_id, neighbor_id, rel, $r as mmr_round FROM (
+          SELECT c.query_id, c.neighbor_id, c.rel,
+            row_number() OVER (PARTITION BY c.query_id
+              ORDER BY $lambda * c.rel - $lb * m.ms DESC,
+                c.neighbor_id) as rn
+          FROM cand c
+          JOIN (SELECT s.query_id, si.ca, max(si.sim) as ms
+                FROM selu${r - 1} s JOIN sims si
+                  ON si.query_id = s.query_id
+                  AND si.cb = s.neighbor_id
+                GROUP BY 1, 2) m
+            ON m.query_id = c.query_id AND m.ca = c.neighbor_id
+          WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s2
+            WHERE s2.query_id = c.query_id
+              AND s2.neighbor_id = c.neighbor_id))
+        WHERE rn = 1),
+      selu$r AS (SELECT * FROM selu${r - 1}
+        UNION ALL SELECT * FROM sel$r)"""
+    }.mkString(",\n")
+    s"""
+    WITH $EmbCte, ${bfCtes(pool, queryPred)},
+    cand AS (SELECT query_id, neighbor_id, cosine as rel FROM bf),
+    sims AS (
+      SELECT x.query_id, x.neighbor_id as ca, y.neighbor_id as cb,
+        ${cosine("ea.emb", "eb.emb")} as sim
+      FROM cand x JOIN cand y ON x.query_id = y.query_id
+        AND x.neighbor_id <> y.neighbor_id
+        JOIN e ea ON ea.vec_id = x.neighbor_id
+        JOIN e eb ON eb.vec_id = y.neighbor_id),
+    sel1 AS (
+      SELECT query_id, neighbor_id, rel, 1 as mmr_round FROM (
+        SELECT query_id, neighbor_id, rel,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, neighbor_id) as rn
+        FROM cand) WHERE rn = 1),
+    selu1 AS (SELECT * FROM sel1),
+    $rounds
+    SELECT query_id, neighbor_id, rel,
+      cast(mmr_round as bigint) as mmr_round
+    FROM selu$k"""
+  }
+
   def lshSql(dim: Int, bits: Int, tables: Int, k: Int,
              queryPred: String): String =
     s"""WITH $EmbCte, ${sigCtes(dim, bits, tables)}, ${lshTopkCtes(k, queryPred)}

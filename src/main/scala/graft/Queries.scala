@@ -4567,6 +4567,21 @@ object Queries {
              embedding
            FROM embeddings WHERE vec_id % 10 <> 0"""))),
 
+    Q("mmr_rerank",
+      // retrieval diversity: greedy Maximal-Marginal-Relevance over
+      // each query's exact top-20 — λ·rel − (1−λ)·max-sim-to-selected
+      // per round, ties to the smaller id; candidate pool + pairwise
+      // sims localCheckpoint once (Clusters discipline — k lazy
+      // rounds would square the plan), rounds run on per-query-
+      // constant frames; oracle unrolls the same 5 rounds as CTEs
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 8),
+          k = 5, pool = 20, lambda = 0.7)
+      },
+      Some(AnnOracleSql.mmrSql(pool = 20, k = 5, lambda = 0.7,
+        queryPred = "vec_id < 8"))),
+
     Q("knn_classify",
       // label-quality probe: vec_id % 20 == 0 held out, each
       // classified by the majority label of its 5 exact nearest

@@ -1022,6 +1022,75 @@ object Similarity {
           .as("centroid_cosine"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking — retrieval DIVERSITY:
+    * from each query's exact top-`pool` candidates, greedily select k
+    * by `λ·relevance − (1−λ)·max-similarity-to-already-selected`
+    * (ties → smaller id) — near-duplicate results stop crowding out
+    * coverage (the classic redundancy fix in RAG/search serving,
+    * Carbonell & Goldstein '98).
+    *
+    * Determinism: relevance and candidate-pair similarities are the
+    * portable exact cosines; the score is one fixed double chain
+    * (the 1−λ literal is computed ONCE and reproduced digit-exact in
+    * the oracle); max-over-selected is order-independent; every
+    * argmax tie-breaks on neighbor_id.
+    *
+    * Scale shape: the candidate pool and its ≤pool² pairwise-sim
+    * frame are per-query CONSTANTS — they localCheckpoint once (the
+    * Clusters lineage-truncation discipline: k greedy rounds over
+    * lazily-recomputed frames would square the plan per round), and
+    * each round is windows/joins over (|queries|·pool)-row frames.
+    * The corpus is touched only by the stage-1 top-pool scan. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                pool: Int = 20, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && pool >= k, "need pool >= k >= 1")
+    val lambdaBar = 1.0 - lambda
+    val cand = annBruteForce(corpus, queries, pool)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      .localCheckpoint(true)
+    val emb = corpus.select(col("vec_id"), col("embedding"),
+      VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    val a = cand.select(col("query_id"), col("neighbor_id").as("ca"))
+      .join(emb.select(col("vec_id").as("ca"), col("embedding").as("ea"),
+        col("nrm").as("na")), "ca")
+    val b = cand.select(col("query_id"), col("neighbor_id").as("cb"))
+      .join(emb.select(col("vec_id").as("cb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "cb")
+    val sims = a.join(b, Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        (VectorFunctions.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("sim"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    var selected = cand
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        lit(1L).as("mmr_round"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val ms = sims
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("cb")), Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+        .agg(max(col("sim")).as("ms"))
+      val pickW = Window.partitionBy(col("query_id"))
+        .orderBy((lit(lambda) * col("rel") -
+          lit(lambdaBar) * col("ms")).desc, col("neighbor_id"))
+      val pick = cand
+        .join(selected.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          lit(r.toLong).as("mmr_round"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** k-NN majority-vote classification over the labeled embedding
     * table: vectors with `vec_id % testMod == 0` are held out as the
     * eval set, each classified by the majority label of its k exact

@@ -581,6 +581,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) > 0.999999)
   }
 
+  test("mmrRerank diversifies: a duplicate result yields its slot; λ=1 is pure relevance") {
+    import spark.implicits._
+    // query 0 at (1,0); ids 1,2 are DUPLICATE perfect matches; id 3
+    // is diverse at rel 0.8 with sim(1,3) = 0.8
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.8f, 0.6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id") === 0)
+    // λ=0.4: round 2 scores — dup 2: .4·1 − .6·1 = −0.2;
+    // diverse 3: .4·.8 − .6·.8 = −0.16 → diversity wins the slot
+    val mmr = Similarity.mmrRerank(df, q, k = 2, pool = 3, lambda = 0.4)
+      .collect().map(r => r.getAs[Long]("mmr_round") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(mmr == Map(1L -> 1L, 2L -> 3L), s"got $mmr")
+    // λ=1 degenerates to pure relevance: the duplicate keeps slot 2
+    val pure = Similarity.mmrRerank(df, q, k = 2, pool = 3, lambda = 1.0)
+      .collect().map(r => r.getAs[Long]("mmr_round") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(pure == Map(1L -> 1L, 2L -> 2L), s"got $pure")
+    // rounds are distinct picks
+    val full = Similarity.mmrRerank(tables.embeddings,
+      tables.embeddings.filter(col("vec_id") < 4), k = 5, pool = 20)
+    val perQ = full.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size == 4)
+    perQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      assert(rs.map(_.getAs[Long]("mmr_round")).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
   test("knnClassify: constructed clusters classify perfectly, ties break low") {
     import spark.implicits._
     // two tight clusters on orthogonal axes; test ids are multiples
