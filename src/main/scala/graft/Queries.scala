@@ -4295,6 +4295,86 @@ object Queries {
         SELECT gap_ppm as ks_ppm, v as at_value, n_prev, n_cur
         FROM k ORDER BY gap_ppm DESC, v LIMIT 1""")),
 
+    Q("user_rfm",
+      // the product-analytics RFM segmentation: per-user recency /
+      // frequency / monetary, scored 1-5 against nearest-rank
+      // quintile fences (exact two-phase quantiles, 4-row driver
+      // scalar per metric — the anonymize_generalize pattern);
+      // fence comparisons only ever COPY data values
+      (s, d) => Gold.userRfm(Tables(s, d).events),
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, value
+              FROM events),
+        tr AS (SELECT max(ts) as t_ref FROM e),
+        pu AS (SELECT user_id,
+                cast((t.t_ref - max(ts)) // 86400000000 as bigint)
+                  as recency_days,
+                count(*) as frequency,
+                cast(sum(cast(value as decimal(18,2))) as double)
+                  as monetary
+              FROM e, tr t GROUP BY user_id, t.t_ref),
+        nn AS (SELECT count(*) as n FROM pu),
+        rr AS (SELECT recency_days as v,
+                row_number() OVER (ORDER BY recency_days) as rn FROM pu),
+        fr AS (SELECT v FROM rr, nn WHERE rn = ceil(0.2 * n)
+               UNION ALL SELECT v FROM rr, nn WHERE rn = ceil(0.4 * n)
+               UNION ALL SELECT v FROM rr, nn WHERE rn = ceil(0.6 * n)
+               UNION ALL SELECT v FROM rr, nn WHERE rn = ceil(0.8 * n)),
+        ff0 AS (SELECT frequency as v,
+                row_number() OVER (ORDER BY frequency) as rn FROM pu),
+        ff AS (SELECT v FROM ff0, nn WHERE rn = ceil(0.2 * n)
+               UNION ALL SELECT v FROM ff0, nn WHERE rn = ceil(0.4 * n)
+               UNION ALL SELECT v FROM ff0, nn WHERE rn = ceil(0.6 * n)
+               UNION ALL SELECT v FROM ff0, nn WHERE rn = ceil(0.8 * n)),
+        fm0 AS (SELECT monetary as v,
+                row_number() OVER (ORDER BY monetary) as rn FROM pu),
+        fm AS (SELECT v FROM fm0, nn WHERE rn = ceil(0.2 * n)
+               UNION ALL SELECT v FROM fm0, nn WHERE rn = ceil(0.4 * n)
+               UNION ALL SELECT v FROM fm0, nn WHERE rn = ceil(0.6 * n)
+               UNION ALL SELECT v FROM fm0, nn WHERE rn = ceil(0.8 * n))
+        SELECT user_id, recency_days, frequency, monetary,
+          r_score, f_score, m_score,
+          concat(cast(r_score as varchar), cast(f_score as varchar),
+            cast(m_score as varchar)) as rfm_segment
+        FROM (SELECT u.*,
+            cast(5 - (SELECT count(*) FROM fr
+              WHERE cast(u.recency_days as double) > cast(fr.v as double))
+              as bigint) as r_score,
+            cast(1 + (SELECT count(*) FROM ff
+              WHERE cast(u.frequency as double) > cast(ff.v as double))
+              as bigint) as f_score,
+            cast(1 + (SELECT count(*) FROM fm WHERE u.monetary > fm.v)
+              as bigint) as m_score
+          FROM pu u)""")),
+
+    Q("image_dedup",
+      // exact dedup RIDING THE REAL DECODE: PNGs decode per partition
+      // (ImageIO), groups form on the decoded content descriptor
+      // (dimensions + fill color — the full content of these
+      // solid-fill images), keep = min media_id; the oracle derives
+      // the same groups from the closed-form content functions, so a
+      // wrong decode breaks the hash
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.decodeImages(
+            Multimodal.asImages(Tables(s, d).documents))
+          .toDF()
+          .groupBy("width", "height", "red", "green", "blue")
+          .agg(min(col("media_id")).as("keep_media_id"),
+            count(lit(1)).as("n_copies"))
+      },
+      Some("""
+        SELECT width, height, red, green, blue,
+          min(media_id) as keep_media_id, count(*) as n_copies
+        FROM (SELECT doc_id as media_id,
+                cast(8 + doc_id % 32 as int) as width,
+                cast(8 + doc_id % 16 as int) as height,
+                cast(doc_id % 256 as int) as red,
+                cast(doc_id * 7 % 256 as int) as green,
+                cast(doc_id * 13 % 256 as int) as blue
+              FROM documents)
+        GROUP BY 1, 2, 3, 4, 5""")),
+
     Q("table_diff",
       // row-level data diff before promoting a rebuilt table: per
       // key added/removed/changed (content-hash inequality) — WHICH
