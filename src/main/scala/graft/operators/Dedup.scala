@@ -754,14 +754,21 @@ object Dedup {
     * the base hash set would be the persisted dedup index
     * ([[buildLshIndex]]'s sigs frame); here it is derived inline. */
   def bloomIngestDedup(base: DataFrame, incoming: DataFrame,
-                       expectedItems: Long = 1L << 20,
+                       expectedItems: Long = -1L,
                        fpp: Double = 0.03): DataFrame = {
     val sha60 = (g: Column) => org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.Sha60(
         org.apache.spark.sql.graft.GraftBridge.expression(g)))
     val baseHashes = base.select(sha60(col("text")).as("content_hash"))
+    // auto-size by default: a fixed capacity silently degrades fpp —
+    // and with it the whole routing benefit — once the base outgrows
+    // it (the count is one statistics-cheap aggregate next to the
+    // filter-build scan itself)
+    val capacity =
+      if (expectedItems > 0) expectedItems
+      else math.max(base.count(), 1024L)
     val bloomBytes = RuntimeFilter.keyBloom(baseHashes, "content_hash",
-      expectedItems, fpp)
+      capacity, fpp)
     val inc = incoming.select(col("doc_id"),
       sha60(col("text")).as("content_hash"))
     val probe = org.apache.spark.sql.graft.GraftBridge.column(
