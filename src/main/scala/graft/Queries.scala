@@ -4687,7 +4687,131 @@ object Queries {
                 row_number() OVER (ORDER BY
                   len(string_split(text, ' ')) DESC, doc_id) - 1
                   as size_rank
-              FROM documents)"""))
+              FROM documents)""")),
+
+    Q("dsir_resample",
+      // DSIR importance resampling toward the en sub-corpus: hashed-
+      // bigram bin ratios in exact integer ppm, count-weighted doc
+      // scores, salted-hash Bernoulli keep — the classifier-free
+      // domain-targeting pass; the bin table broadcasts so scoring
+      // is map-side at any corpus size
+      (s, d) => Importance.dsirResample(Tables(s, d).documents,
+        targetCol = "lang", targetVal = "en", buckets = 1024,
+        salt = "dsir"),
+      Some(TextOracleSql.dsirResampleSql("lang", "en", 1024, "dsir"))),
+
+    Q("vocab_coverage",
+      // per-language OOV mass against the global top-1000-word vocab
+      // (count desc, word asc): the shared-tokenizer fairness audit;
+      // top-k via TakeOrderedAndProject, vocab broadcasts
+      (s, d) => TextAnalysis.vocabCoverage(Tables(s, d).documents,
+        k = 1000),
+      Some(TextOracleSql.vocabCoverageSql(k = 1000))),
+
+    Q("moments_profile",
+      // mergeable per-source moment statistics: exact integer power
+      // sums (n, Σx, Σx², Σx³) with mean/variance derived in one
+      // final division each and skew direction as an exact integer
+      // sign — single map-side-combined groupBy
+      (s, d) => Profile.groupedMoments(Tables(s, d).documents,
+        groupCol = "source"),
+      Some("""
+        WITH m AS (SELECT source, cast(count(*) as bigint) as n,
+            cast(sum(len(string_split(text, ' '))) as bigint) as s1,
+            cast(sum(len(string_split(text, ' '))
+              * len(string_split(text, ' '))) as bigint) as s2,
+            cast(sum(len(string_split(text, ' '))
+              * len(string_split(text, ' '))
+              * len(string_split(text, ' '))) as bigint) as s3
+          FROM documents GROUP BY 1)
+        SELECT source, n, s1, s2, s3,
+          cast(s1 as double) / cast(n as double) as mean_tokens,
+          n * s2 - s1 * s1 as var_num,
+          cast(n * s2 - s1 * s1 as double) / cast(n * n as double)
+            as var_tokens,
+          cast(sign(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+            as bigint) as skew_sign
+        FROM m""")),
+
+    Q("ab_test",
+      // deterministic A/B readout on events: salted-hash user
+      // assignment, purchase conversion, exact ppm rates/lift and
+      // the pooled two-proportion z² as the one mirrored double
+      // chain; one user-keyed shuffle then a 1-row aggregate
+      (s, d) => Experiment.abTest(Tables(s, d).events,
+        convertType = "purchase", minCount = 14L, salt = "ab"),
+      Some(s"""
+        WITH pu AS (
+          SELECT user_id,
+            CASE WHEN sum(CASE WHEN event_type = 'purchase'
+              THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END as conv,
+            ${TextOracleSql.Sha60.format(
+              "'ab:' || cast(user_id as varchar)")} % 2 as v
+          FROM events GROUP BY 1),
+        c AS (SELECT
+            cast(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) as bigint)
+              as n_control,
+            cast(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) as bigint)
+              as conv_control,
+            cast(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) as bigint)
+              as n_treat,
+            cast(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) as bigint)
+              as conv_treat
+          FROM pu)
+        SELECT n_control, conv_control, n_treat, conv_treat,
+          conv_control * 1000000 // n_control as conv_control_ppm,
+          conv_treat * 1000000 // n_treat as conv_treat_ppm,
+          conv_treat * 1000000 // n_treat
+            - conv_control * 1000000 // n_control as lift_ppm,
+          CASE WHEN conv_treat + conv_control = 0
+            OR conv_treat + conv_control = n_treat + n_control THEN NULL
+          ELSE
+            ((cast(conv_treat as double) / cast(n_treat as double)
+              - cast(conv_control as double) / cast(n_control as double))
+             * (cast(conv_treat as double) / cast(n_treat as double)
+              - cast(conv_control as double) / cast(n_control as double)))
+            / (((cast(conv_treat + conv_control as double)
+                 / cast(n_treat + n_control as double))
+                * (1.0 - cast(conv_treat + conv_control as double)
+                   / cast(n_treat + n_control as double))
+                * cast(n_treat + n_control as double))
+               / cast(n_treat * n_control as double))
+          END as z_squared
+        FROM c""")),
+
+    Q("join_size_estimate",
+      // planner-statistics join-cardinality estimate for the
+      // lineitem self-join on l_partkey: top-50 heavy hitters exact
+      // + integral-uniform residual, graded against the census-
+      // derived truth in exact ppm — O(|keys|), never O(|output|)
+      (s, d) => Skew.joinSizeEstimate(Tables(s, d).lineitem,
+        keyCol = "l_partkey", hh = 50),
+      Some("""
+        WITH c AS (SELECT l_partkey, cast(count(*) as bigint) as cnt
+                   FROM lineitem GROUP BY 1),
+        r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, l_partkey)
+                as key_rank FROM c),
+        h AS (SELECT cast(count(*) as bigint) as n_hh,
+                cast(coalesce(sum(cnt), 0) as bigint) as hh_rows,
+                cast(coalesce(sum(cnt * cnt), 0) as bigint) as hh_pairs
+              FROM r WHERE key_rank <= 50),
+        t AS (SELECT cast(count(*) as bigint) as n_keys,
+                cast(sum(cnt) as bigint) as n_rows,
+                cast(sum(cnt * cnt) as bigint) as actual_pairs FROM c),
+        e AS (SELECT n_rows, n_keys, n_hh, actual_pairs,
+                cast(hh_pairs + CASE WHEN n_keys > n_hh THEN
+                  (n_rows - hh_rows) % (n_keys - n_hh)
+                    * ((n_rows - hh_rows) // (n_keys - n_hh) + 1)
+                    * ((n_rows - hh_rows) // (n_keys - n_hh) + 1)
+                  + (n_keys - n_hh - (n_rows - hh_rows) % (n_keys - n_hh))
+                    * ((n_rows - hh_rows) // (n_keys - n_hh))
+                    * ((n_rows - hh_rows) // (n_keys - n_hh))
+                ELSE 0 END as bigint) as est_pairs
+              FROM t, h)
+        SELECT n_rows, n_keys, n_hh, actual_pairs, est_pairs,
+          abs(est_pairs - actual_pairs) * 1000000 // actual_pairs
+            as err_ppm
+        FROM e"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

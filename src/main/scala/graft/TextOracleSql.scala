@@ -934,4 +934,63 @@ object TextOracleSql {
         as fertility
     FROM enc GROUP BY 1"""
   }
+
+  /** DSIR importance resampling (mirrors Importance.dsirResample):
+    * hashed-bigram bin counts, add-one-smoothed target/corpus ratio
+    * in integer ppm, count-weighted mean score per doc, salted-hash
+    * Bernoulli keep against the share-normalized probability. */
+  def dsirResampleSql(targetCol: String, targetVal: String,
+                      buckets: Int, salt: String): String = s"""
+    WITH docs AS (SELECT doc_id, ($targetCol = '$targetVal') as is_target,
+                    string_split(text, ' ') as toks FROM documents),
+    occ AS (SELECT doc_id, is_target,
+              ${sha60("toks[i] || ' ' || toks[i+1]")} % $buckets as bucket
+            FROM (SELECT doc_id, is_target, toks,
+                    unnest(range(1, len(toks))) as i
+                  FROM docs WHERE len(toks) >= 2)),
+    db AS (SELECT doc_id, is_target, bucket,
+             cast(count(*) as bigint) as cnt
+           FROM occ GROUP BY 1, 2, 3),
+    bs AS (SELECT bucket, cast(sum(cnt) as bigint) as n_corpus,
+             cast(sum(case when is_target then cnt else 0 end) as bigint)
+               as n_target
+           FROM db GROUP BY 1),
+    bsr AS (SELECT bucket,
+              (n_target + 1) * 1000000 // (n_corpus + 1) as ratio_ppm
+            FROM bs),
+    sh AS (SELECT greatest(cast(sum(n_target) as bigint) * 1000000
+             // cast(sum(n_corpus) as bigint), 1) as share_ppm FROM bs),
+    sc AS (SELECT doc_id, cast(sum(cnt) as bigint) as n_feats,
+             cast(sum(cnt * ratio_ppm) as bigint)
+               // cast(sum(cnt) as bigint) as score_ppm
+           FROM db JOIN bsr USING (bucket) GROUP BY 1),
+    base AS (
+      SELECT d.doc_id, d.$targetCol,
+        coalesce(sc.n_feats, 0) as n_feats,
+        coalesce(sc.score_ppm, 0) as score_ppm,
+        least(coalesce(sc.score_ppm * 1000000 // sh.share_ppm, 0), 1000000)
+          as keep_prob_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id), sh)
+    SELECT *,
+      ${sha60(s"'$salt:' || cast(doc_id as varchar)")} % 1000000
+        < keep_prob_ppm as kept
+    FROM base"""
+
+  /** Vocabulary coverage audit (mirrors TextAnalysis.vocabCoverage):
+    * vocab = global top-`k` words (count desc, word asc), then
+    * per-language in/out-of-vocab token mass in exact integers. */
+  def vocabCoverageSql(k: Int): String = s"""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) as w
+                  FROM documents),
+    wc AS (SELECT w, cast(count(*) as bigint) as cnt FROM toks GROUP BY 1),
+    vocab AS (SELECT w FROM wc
+              QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= $k)
+    SELECT lang,
+      cast(count(*) as bigint) as n_tokens,
+      cast(sum(case when v.w IS NOT NULL then 1 else 0 end) as bigint)
+        as n_in_vocab,
+      cast((count(*) - sum(case when v.w IS NOT NULL then 1 else 0 end))
+        * 1000000 // count(*) as bigint) as oov_ppm
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY 1"""
 }

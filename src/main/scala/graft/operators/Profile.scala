@@ -373,4 +373,42 @@ object Profile {
         (col("n_reported").cast("double") -
           col("n").cast("double") * lit(q)) / lit(1.0 - 2 * q))
   }
+
+  /** Mergeable grouped moment statistics over an integer measure
+    * (here: whitespace token counts per document, grouped by
+    * `groupCol`): the raw power sums (n, Σx, Σx², Σx³) are exact
+    * 63-bit integers — associative, commutative, retry-safe — so any
+    * shard layout merges to the same global answer, which is the
+    * whole trick behind single-pass distributed variance. Mean and
+    * variance are derived LAST: variance's numerator n·Σx² − (Σx)²
+    * stays an exact bigint and only the final division is a double
+    * (one fixed op — bit-identical in any engine), and the skewness
+    * direction is reported as the exact integer SIGN of the third
+    * central moment's numerator n²Σx³ − 3nΣxΣx² + 2(Σx)³ — no cube
+    * roots, no float pipeline.
+    *
+    * Scale: one map-side combined groupBy over #groups keys; power
+    * sums overflow 63 bits only past ~10¹⁸ token-cubed mass per
+    * group — at that point widen to decimal(38,0) sums, same shape.
+    * (Doc token counts are bounded by doc size; the cube of a 10⁵
+    * token doc is 10¹⁵, so ~1000 such docs per group fit before
+    * widening is needed at this precision.) */
+  def groupedMoments(documents: DataFrame,
+                     groupCol: String = "source"): DataFrame = {
+    val x = size(split(col("text"), " ")).cast("long")
+    documents.select(col(groupCol), x.as("x"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"))
+      .select(col(groupCol), col("n"), col("s1"), col("s2"), col("s3"),
+        (col("s1").cast("double") / col("n").cast("double"))
+          .as("mean_tokens"),
+        expr("n * s2 - s1 * s1").as("var_num"),
+        (expr("n * s2 - s1 * s1").cast("double") /
+          expr("n * n").cast("double")).as("var_tokens"),
+        signum(expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1")
+          .cast("double")).cast("long").as("skew_sign"))
+  }
 }

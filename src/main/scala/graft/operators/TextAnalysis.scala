@@ -1139,4 +1139,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("size_rank"),
         pmod(col("size_rank"), lit(nShards.toLong)).as("shard"))
   }
+
+  /** Tokenizer-vocabulary coverage audit: with vocab = the corpus's
+    * global top-`k` words (count desc, word asc tie-break — the list
+    * a frequency-truncated tokenizer would keep), report per-language
+    * token mass in / out of vocab and the OOV rate in exact integer
+    * ppm. The curation signal that shows which languages a shared
+    * vocabulary shortchanges before any training run pays for it.
+    *
+    * Scale: one token-count shuffle (map-side combined), then the
+    * top-k resolves per-partition before one tiny k-row exchange
+    * (TakeOrderedAndProject — never a global sort), the k-row vocab
+    * broadcasts, and the coverage roll-up is a second map-side
+    * combined groupBy over #langs keys. The corpus is scanned twice
+    * (count pass + coverage pass) — both map-only scans; at 100 TB
+    * the token-count pass can be sampled upstream if vocab stability
+    * allows, but the audit itself is exact by design. */
+  def vocabCoverage(documents: DataFrame, k: Int = 1000): DataFrame = {
+    val toks = documents.select(col("lang"),
+      explode(wsTokens(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(k)
+      .select(col("w"), lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+      .select(col("lang"), col("n_tokens"), col("n_in_vocab"),
+        expr("(n_tokens - n_in_vocab) * 1000000 div n_tokens")
+          .as("oov_ppm"))
+  }
 }

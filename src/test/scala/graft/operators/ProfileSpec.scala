@@ -197,4 +197,34 @@ class ProfileSpec extends SparkSpec {
       out("c").getAs[Long]("n_sensitive_values") == 2 &&
       !out("c").getAs[Boolean]("at_risk"))
   }
+
+  test("groupedMoments: hand-computed power sums, variance, and skew sign") {
+    import spark.implicits._
+    // group g: token counts 1, 2, 3 → n=3 s1=6 s2=14 s3=36,
+    // var_num = 3·14 − 36 = 6, var = 6/9, third-moment num = 0
+    val d = Seq((1L, "a", "g"), (2L, "a b", "g"), (3L, "a b c", "g"))
+      .toDF("doc_id", "text", "source")
+    val r = Profile.groupedMoments(d, "source").collect().head
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("s1") == 6L &&
+      r.getAs[Long]("s2") == 14L && r.getAs[Long]("s3") == 36L)
+    assert(r.getAs[Long]("var_num") == 6L)
+    assert(r.getAs[Double]("var_tokens") == 6.0 / 9.0)
+    assert(r.getAs[Long]("skew_sign") == 0L)
+  }
+
+  test("groupedMoments: shard moments merge to the global answer") {
+    val docs = tables.documents
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Profile.groupedMoments(half1, "source")
+      .select("source", "n", "s1", "s2", "s3")
+      .unionByName(Profile.groupedMoments(half2, "source")
+        .select("source", "n", "s1", "s2", "s3"))
+      .groupBy("source").agg(sum("n").as("n"), sum("s1").as("s1"),
+        sum("s2").as("s2"), sum("s3").as("s3"))
+    val direct = Profile.groupedMoments(docs, "source")
+      .select("source", "n", "s1", "s2", "s3")
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
 }

@@ -44,6 +44,39 @@ class SkewSpec extends SparkSpec {
     assert(tied == Seq("x", "y"))
   }
 
+  test("joinSizeEstimate: exact when heavy hitters cover all keys") {
+    import spark.implicits._
+    val df = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val r = Skew.joinSizeEstimate(df, "k", hh = 10).collect().head
+    assert(r.getAs[Long]("actual_pairs") == 16L + 9L + 1L)
+    assert(r.getAs[Long]("est_pairs") == r.getAs[Long]("actual_pairs"))
+    assert(r.getAs[Long]("err_ppm") == 0L)
+  }
+
+  test("joinSizeEstimate: integral-uniform residual, hand-computed error") {
+    import spark.implicits._
+    // hh=1 captures a(×4); residual b(×3), c(×1): rest_rows=4 over 2
+    // keys → q=2 r=0 → est_rest = 2·2² = 8; est = 16+8 = 24 vs
+    // actual 16+9+1 = 26 → err = 2e6/26
+    val df = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val r = Skew.joinSizeEstimate(df, "k", hh = 1).collect().head
+    assert(r.getAs[Long]("n_hh") == 1L)
+    assert(r.getAs[Long]("est_pairs") == 24L)
+    assert(r.getAs[Long]("actual_pairs") == 26L)
+    assert(r.getAs[Long]("err_ppm") == 2L * 1000000L / 26L)
+  }
+
+  test("joinSizeEstimate: ragged residual uses the integral split") {
+    import spark.implicits._
+    // hh=1 → a(×5); residual b×3, c×2, d×2: rest_rows=7 over 3 keys
+    // → q=2 r=1 → est_rest = 1·3² + 2·2² = 17
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+      ++ Seq.fill(2)("d")).toDF("k")
+    val r = Skew.joinSizeEstimate(df, "k", hh = 1).collect().head
+    assert(r.getAs[Long]("est_pairs") == 25L + 17L)
+    assert(r.getAs[Long]("actual_pairs") == 25L + 9L + 4L + 4L)
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val r = tables.events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx"),

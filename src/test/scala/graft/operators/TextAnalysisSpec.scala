@@ -688,4 +688,35 @@ class TextAnalysisSpec extends SparkSpec {
     val maxDoc = out.agg(max("n_tok")).collect()(0).getLong(0)
     assert(masses.length == 8 && masses.max - masses.min <= maxDoc)
   }
+
+  test("vocabCoverage: rare-word languages show higher OOV against a " +
+    "small vocab; a full vocab covers everything") {
+    import spark.implicits._
+    // "common" appears 8×; lang B's words appear once each → with
+    // k=1 the vocab is exactly {common}
+    val d = (
+      (1L to 4L).map(i => (i, "common common", "A")) ++
+      Seq((5L, "rare1 rare2", "B"), (6L, "rare3 rare4", "B"))).toDF(
+      "doc_id", "text", "lang")
+    val small = TextAnalysis.vocabCoverage(d, k = 1)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(small("A").getAs[Long]("oov_ppm") == 0L)
+    assert(small("B").getAs[Long]("oov_ppm") == 1000000L)
+    assert(small("A").getAs[Long]("n_tokens") == 8L &&
+      small("A").getAs[Long]("n_in_vocab") == 8L)
+    val full = TextAnalysis.vocabCoverage(d, k = 100)
+      .agg(sum(col("n_tokens") - col("n_in_vocab"))).collect().head
+    assert(full.getLong(0) == 0L)
+  }
+
+  test("vocabCoverage: vocab boundary tie-breaks deterministically " +
+    "(count desc, word asc)") {
+    import spark.implicits._
+    // x and y both appear twice; k=2 must keep {x, top} not {y, top}
+    val d = Seq((1L, "top top top x y", "A"), (2L, "x y", "A"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.vocabCoverage(d, k = 2).collect().head
+    // in-vocab mass: top×3 + x×2 = 5 of 7 tokens
+    assert(r.getAs[Long]("n_in_vocab") == 5L)
+  }
 }
