@@ -661,4 +661,49 @@ object AnnOracleSql {
       (SELECT query_id, count(*) as n FROM ivf_topk
          JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
       ON h.query_id = q.vec_id"""
+
+  /** Per-label cluster-quality audit (mirrors
+    * Similarity.clusterQuality): dyadic-exact centroids, every
+    * vector scored against every centroid with the portable cosine
+    * chain, confusion = closer-to-another-centroid, nearest other
+    * centroid by (cosine desc, label). */
+  val clusterQualitySql: String = {
+    val cc = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    s"""
+    WITH el AS (SELECT vec_id, label, cast(embedding as double[]) as emb
+                FROM embeddings),
+    cl AS (SELECT label, dim,
+             (cast(sum(cast(v * 281474976710656.0 as decimal(28,0)))
+                 as double) / 281474976710656.0) / count(*) as mean
+           FROM (SELECT label, generate_subscripts(embedding, 1) - 1 as dim,
+                   unnest(cast(embedding as double[])) as v
+                 FROM embeddings)
+           GROUP BY 1, 2),
+    cent AS (SELECT label, list(mean ORDER BY dim) as cvec
+             FROM cl GROUP BY 1),
+    sc AS (SELECT e.vec_id, e.label, c.label as clabel,
+             ${cc("e.emb", "c.cvec")} as cos
+           FROM el e CROSS JOIN cent c),
+    per AS (SELECT o.label, o.vec_id, o.cos as own_cos, t.other_max
+            FROM (SELECT vec_id, label, cos FROM sc
+                  WHERE label = clabel) o
+            JOIN (SELECT vec_id, max(cos) as other_max FROM sc
+                  WHERE label <> clabel GROUP BY 1) t USING (vec_id)),
+    agg AS (SELECT label, cast(count(*) as bigint) as n_vectors,
+              min(own_cos) as min_cos_own,
+              cast(sum(CASE WHEN other_max > own_cos THEN 1 ELSE 0 END)
+                as bigint) as n_confused
+            FROM per GROUP BY 1),
+    cc AS (SELECT a.label, b.label as nearest_label,
+             ${cc("a.cvec", "b.cvec")} as nearest_centroid_cos,
+             row_number() OVER (PARTITION BY a.label ORDER BY
+               ${cc("a.cvec", "b.cvec")} DESC, b.label) as rn
+           FROM cent a JOIN cent b ON a.label <> b.label)
+    SELECT agg.label, n_vectors, min_cos_own, n_confused,
+      n_confused * 1000000 // n_vectors as confused_ppm,
+      cc.nearest_label, cc.nearest_centroid_cos
+    FROM agg LEFT JOIN cc ON cc.label = agg.label AND cc.rn = 1"""
+  }
 }

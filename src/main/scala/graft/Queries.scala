@@ -4733,6 +4733,118 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("ivm_delta_gold",
+      // incremental view maintenance of an ADDITIVE gold aggregate:
+      // the nation × month revenue view maintained as
+      // merge(partial(base), partial(delta)) over a 90/10 orderkey
+      // split — exact decimal partials add associatively, so
+      // maintained ≡ full recompute (the oracle) at delta cost
+      (s, d) => {
+        val t = Tables(s, d)
+        val base = t.lineitem.filter(expr("l_orderkey % 10 != 0"))
+        val delta = t.lineitem.filter(expr("l_orderkey % 10 = 0"))
+        Ivm.maintain(base, delta, t.orders, t.customer, t.nation)
+      },
+      Some("""
+        WITH g AS (
+          SELECT n_name,
+            strftime(o_orderdate, '%Y-%m') as sales_month,
+            sum(cast(l_extendedprice as decimal(12,2))
+              * (cast(1 as decimal(4,2))
+                 - cast(l_discount as decimal(4,2)))) as rev,
+            count(*) as n_items
+          FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT n_name, sales_month, cast(rev as double) as total_revenue,
+          cast(n_items as bigint) as n_items
+        FROM g""")),
+
+    Q("cluster_quality",
+      // per-label embedding-space audit: worst own-centroid cosine,
+      // confused mass (closer to another centroid), nearest other
+      // centroid — prototypes collect to literal CASE columns so all
+      // L cosines are map-side; one |labels|-row shuffle
+      (s, d) => Similarity.clusterQuality(Tables(s, d).embeddings),
+      Some(AnnOracleSql.clusterQualitySql)),
+
+    Q("late_arrival_audit",
+      // watermark sizing study: replay events in a deterministic
+      // hash-permuted arrival order and count what a 7-day watermark
+      // would drop per type; the exclusive running max is two-phase
+      // (band maxima + tiny broadcast prefix) — no global sort
+      (s, d) => {
+        val arr = org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.expressions.Sha60(
+            org.apache.spark.sql.graft.GraftBridge.expression(
+              concat(lit("arr:"), col("event_id").cast("string")))))
+        TimeSeries.lateArrivalAudit(Tables(s, d).events,
+          delayUs = 604800000000L, arrivalCol = arr)
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, event_type, epoch_us(ts) as ts,
+            ${TextOracleSql.Sha60.format(
+              "'arr:' || cast(event_id as varchar)")} as arr
+          FROM events),
+        w AS (SELECT *, max(ts) OVER (ORDER BY arr, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as wm
+          FROM e),
+        f AS (SELECT event_type,
+            CASE WHEN wm IS NOT NULL AND ts < wm - 604800000000
+              THEN 1 ELSE 0 END as late,
+            CASE WHEN wm IS NOT NULL AND ts < wm - 604800000000
+              THEN wm - 604800000000 - ts ELSE 0 END as lateness
+          FROM w)
+        SELECT event_type, cast(count(*) as bigint) as n_events,
+          cast(sum(late) as bigint) as n_late,
+          cast(sum(late) * 1000000 // count(*) as bigint) as late_ppm,
+          cast(max(lateness) as bigint) as max_late_us
+        FROM f GROUP BY 1""")),
+
+    Q("stream_moments",
+      // continuous distribution observability: each micro-batch
+      // lands its per-source exact power sums (associative longs,
+      // batch=N overwrite → retry-idempotent); the merged shards
+      // equal the one-shot moments however arrivals were batched —
+      // the batch moments SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/smo_src_$sf"
+        val mom = s"/tmp/graft_cache/smo_mom_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mom))
+        Tables(s, d).documents
+          .select("doc_id", "text", "source")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("source", StringType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_smo_ckpt").toString
+        graft.streaming.Streams.momentsStream(s, src, schema, mom,
+          "source", ckpt).awaitTermination(120000)
+        graft.streaming.Streams.momentsFromShards(s, mom, "source")
+      },
+      Some("""
+        WITH m AS (SELECT source, cast(count(*) as bigint) as n,
+            cast(sum(len(string_split(text, ' '))) as bigint) as s1,
+            cast(sum(len(string_split(text, ' '))
+              * len(string_split(text, ' '))) as bigint) as s2,
+            cast(sum(len(string_split(text, ' '))
+              * len(string_split(text, ' '))
+              * len(string_split(text, ' '))) as bigint) as s3
+          FROM documents GROUP BY 1)
+        SELECT source, n, s1, s2, s3,
+          cast(s1 as double) / cast(n as double) as mean_tokens,
+          n * s2 - s1 * s1 as var_num,
+          cast(n * s2 - s1 * s1 as double) / cast(n * n as double)
+            as var_tokens,
+          cast(sign(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+            as bigint) as skew_sign
+        FROM m""")),
+
     Q("ab_test",
       // deterministic A/B readout on events: salted-hash user
       // assignment, purchase conversion, exact ppm rates/lift and

@@ -394,7 +394,13 @@ object Profile {
     * token doc is 10¹⁵, so ~1000 such docs per group fit before
     * widening is needed at this precision.) */
   def groupedMoments(documents: DataFrame,
-                     groupCol: String = "source"): DataFrame = {
+                     groupCol: String = "source"): DataFrame =
+    deriveMoments(rawMoments(documents, groupCol), groupCol)
+
+  /** The mergeable core of [[groupedMoments]]: exact integer power
+    * sums per group — the shard any arrival slice can land and any
+    * union of shards can re-sum to the global answer. */
+  def rawMoments(documents: DataFrame, groupCol: String): DataFrame = {
     val x = size(split(col("text"), " ")).cast("long")
     documents.select(col(groupCol), x.as("x"))
       .groupBy(groupCol)
@@ -402,13 +408,24 @@ object Profile {
         sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"),
         sum(col("x") * col("x") * col("x")).as("s3"))
-      .select(col(groupCol), col("n"), col("s1"), col("s2"), col("s3"),
-        (col("s1").cast("double") / col("n").cast("double"))
-          .as("mean_tokens"),
-        expr("n * s2 - s1 * s1").as("var_num"),
-        (expr("n * s2 - s1 * s1").cast("double") /
-          expr("n * n").cast("double")).as("var_tokens"),
-        signum(expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1")
-          .cast("double")).cast("long").as("skew_sign"))
   }
+
+  /** Fold power-sum shards back to one row per group (associative
+    * long sums), exposed for the streaming monitor. */
+  def mergeMoments(shards: DataFrame, groupCol: String): DataFrame =
+    shards.groupBy(groupCol).agg(sum("n").as("n"), sum("s1").as("s1"),
+      sum("s2").as("s2"), sum("s3").as("s3"))
+
+  /** Derive mean/variance/skew-sign from exact power sums — shared
+    * by the batch operator and the streaming merge so both emit the
+    * identical final row. */
+  def deriveMoments(sums: DataFrame, groupCol: String): DataFrame =
+    sums.select(col(groupCol), col("n"), col("s1"), col("s2"), col("s3"),
+      (col("s1").cast("double") / col("n").cast("double"))
+        .as("mean_tokens"),
+      expr("n * s2 - s1 * s1").as("var_num"),
+      (expr("n * s2 - s1 * s1").cast("double") /
+        expr("n * n").cast("double")).as("var_tokens"),
+      signum(expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1")
+        .cast("double")).cast("long").as("skew_sign"))
 }

@@ -1125,4 +1125,103 @@ object Similarity {
         col("n_votes"),
         (col("true_label") === col("pred_label")).as("correct"))
   }
+
+  /** Per-label cluster-quality audit: how COHERENT is each label's
+    * region of embedding space, and how SEPARATED is it from its
+    * neighbors? Emits per label: population, worst own-centroid
+    * cosine (min — order-independent), the count/ppm of vectors that
+    * sit closer to ANOTHER label's centroid than their own (the
+    * "confused" mass a classifier or router would mislabel), and the
+    * nearest other centroid with its cosine (argmax over L−1 pairs,
+    * ties → smaller label). The audit run after clustering/labeling
+    * and before trusting either.
+    *
+    * Determinism: centroids are [[labelCentroids]]' dyadic-exact
+    * means; every vector→centroid cosine is the established fixed
+    * chain (sequential-fold dots, IEEE sqrt/mul/div) so both engines
+    * produce identical doubles, and "confused" is a comparison of
+    * identical doubles; centroid↔centroid cosines are folded
+    * driver-side in dim order — the same sequence of IEEE ops DuckDB
+    * applies to its `list_dot_product` of the centroid lists.
+    *
+    * Scale shape: the L×dim prototype table collects to literal CASE
+    * columns, so all L cosines per vector are MAP-SIDE against the
+    * scan (L is a label space, not an id space); the only shuffle is
+    * the |labels|-row aggregate; the L² centroid-pair argmax is
+    * driver arithmetic on the already-collected prototypes. */
+  def clusterQuality(embeddings: DataFrame): DataFrame = {
+    val fddot = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.FloatDoubleDotProduct(
+          org.apache.spark.sql.graft.GraftBridge.expression(a),
+          org.apache.spark.sql.graft.GraftBridge.expression(b)))
+    val cents: Seq[(Int, Array[Double])] = labelCentroids(embeddings)
+      .select(col("label"), col("dim"), col("mean"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }.toSeq.sortBy(_._1)
+    if (cents.isEmpty)
+      return embeddings.select(col("label"),
+        lit(0L).as("n_vectors"), lit(0.0).as("min_cos_own"),
+        lit(0L).as("n_confused"), lit(0L).as("confused_ppm"),
+        lit(null).cast("int").as("nearest_label"),
+        lit(null).cast("double").as("nearest_centroid_cos")).limit(0)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms: Map[Int, Double] =
+      cents.map { case (l, arr) => l -> math.sqrt(dotSeq(arr, arr)) }.toMap
+    // per-label cosine columns (map-side: centroid is a literal)
+    val cosCols: Seq[(Int, Column)] = cents.map { case (l, arr) =>
+      l -> (fddot(col("embedding"), typedLit(arr.toSeq)) /
+        (VectorFunctions.l2Norm(col("embedding")) * lit(norms(l))))
+    }
+    val ownCos = cosCols.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, c)) => when(col("label") === l, c).otherwise(acc)
+    }
+    val otherCols = cosCols.map { case (l, c) =>
+      when(col("label") =!= l, c).otherwise(lit(null))
+    }
+    val otherMax =
+      if (otherCols.size == 1) otherCols.head
+      else greatest(otherCols: _*)
+    // nearest other centroid per label: L² pairs of driver doubles,
+    // folded with the exact op sequence the oracle's
+    // list_dot_product / sqrt / divide chain applies
+    val nearest: Map[Int, (Int, Double)] = cents.map { case (l, a) =>
+      val best = cents.filter(_._1 != l).map { case (m, b) =>
+        (m, dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) *
+          math.sqrt(dotSeq(b, b))))
+      }.sortBy { case (m, c) => (-c, m) }.headOption
+      l -> best.getOrElse((-1, Double.NaN))
+    }.toMap
+    val nearestLabelCol = cents.foldLeft(lit(null).cast("int")) {
+      case (acc, (l, _)) =>
+        val (m, _) = nearest(l)
+        when(col("label") === l,
+          if (m >= 0) lit(m) else lit(null).cast("int")).otherwise(acc)
+    }
+    val nearestCosCol = cents.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, _)) =>
+        val (m, c) = nearest(l)
+        when(col("label") === l,
+          if (m >= 0) lit(c) else lit(null).cast("double")).otherwise(acc)
+    }
+    embeddings
+      .select(col("label"), ownCos.as("own_cos"), otherMax.as("other_max"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("own_cos")).as("min_cos_own"),
+        sum(when(col("other_max") > col("own_cos"), 1L).otherwise(0L))
+          .as("n_confused"))
+      .select(col("label"), col("n_vectors"), col("min_cos_own"),
+        col("n_confused"),
+        expr("n_confused * 1000000 div n_vectors").as("confused_ppm"),
+        nearestLabelCol.as("nearest_label"),
+        nearestCosCol.as("nearest_centroid_cos"))
+  }
 }

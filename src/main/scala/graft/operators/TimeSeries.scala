@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -330,5 +330,58 @@ object TimeSeries {
         (col("n_hist") >= minHist &&
           ((col("sd") > 0 && abs((cD - col("m")) / col("sd")) > zThresh) ||
             (col("sd") === 0.0 && cD =!= col("m")))).as("is_anomaly"))
+  }
+
+  /** Watermark-lateness audit: replay the stream in `arrivalCol`
+    * order and count, per event_type, the events a
+    * `withWatermark(delay)` policy would DROP — event-time older
+    * than (max event-time seen over all STRICTLY EARLIER arrivals)
+    * minus the delay. The sizing study a team runs BEFORE picking a
+    * watermark: too tight silently drops the tail this audit
+    * surfaces, too loose holds state forever.
+    *
+    * Scale: the exclusive running max over arrival order is computed
+    * two-phase — per-band maxima (one tiny #bands frame gets the
+    * exclusive band-prefix max and broadcasts back) + an in-band
+    * exclusive running max whose window partition is the band — so
+    * NO global sort at any event count; band count is fixed by the
+    * arrival key's high bits. All arithmetic integer micros.
+    *
+    * `arrivalCol` must be non-negative and unique-ish below 2^60
+    * (ties break on event_id); `bandShift` splits its high bits into
+    * bands. */
+  def lateArrivalAudit(events: DataFrame, delayUs: Long,
+                       arrivalCol: Column,
+                       bandShift: Int = 52): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"), col("ts"),
+        arrivalCol.as("arr"))
+      .withColumn("band", expr(s"arr div ${1L << bandShift}"))
+    val bandMax = e.groupBy("band").agg(max("ts").as("bmax"))
+    val wb = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandPrefix = bandMax
+      .withColumn("pmax", max(col("bmax")).over(wb))
+      .select("band", "pmax")
+    val wi = Window.partitionBy("band").orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val audited = e
+      .join(broadcast(bandPrefix), Seq("band"))
+      .withColumn("imax", max(col("ts")).over(wi))
+      // explicit null folding — no reliance on engine-specific
+      // greatest-with-null semantics
+      .withColumn("wm",
+        when(col("pmax").isNull, col("imax"))
+          .when(col("imax").isNull, col("pmax"))
+          .otherwise(greatest(col("pmax"), col("imax"))))
+      .withColumn("late",
+        col("wm").isNotNull && col("ts") < col("wm") - delayUs)
+    audited.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("late"), col("wm") - delayUs - col("ts"))
+          .otherwise(0L)).as("max_late_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("n_late * 1000000 div n_events").as("late_ppm"),
+        col("max_late_us"))
   }
 }

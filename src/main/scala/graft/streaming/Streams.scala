@@ -495,6 +495,43 @@ object Streams {
                         profDir: String): org.apache.spark.sql.DataFrame =
     graft.operators.Profile.mergeProfiles(spark.read.parquet(profDir))
 
+  /** One micro-batch of the continuous moment monitor: the batch's
+    * exact integer power sums per group (#groups rows) land under
+    * `batch=<id>` with directory overwrite — retry-idempotent, and
+    * power sums are associative longs, so the shard store re-sums to
+    * the one-shot answer on ANY arrival split. */
+  def momentsBatch(momDir: String, groupCol: String)
+                  (batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Profile.rawMoments(batch, groupCol)
+      .write.mode("overwrite").parquet(s"$momDir/batch=$batchId")
+
+  /** Continuous distribution observability — the streaming twin of
+    * `moments_profile`: micro-batches fold per-group power sums via
+    * [[momentsBatch]]; per-batch cost is one map-side-combined
+    * #groups-row aggregate and the store compacts with the same
+    * associative merge. */
+  def momentsStream(spark: SparkSession, srcPath: String,
+                    schema: StructType, momDir: String, groupCol: String,
+                    checkpoint: String,
+                    maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(momentsBatch(momDir, groupCol) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time grouped moment statistics from the accumulated
+    * shards — identical derivation to the batch operator, so the
+    * batch SQL is the oracle. */
+  def momentsFromShards(spark: SparkSession, momDir: String,
+                        groupCol: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Profile.deriveMoments(
+      graft.operators.Profile.mergeMoments(
+        spark.read.parquet(momDir), groupCol), groupCol)
+
   /** One micro-batch of continuous IVF index health: assign the
     * batch's vectors under the FROZEN quantizer (centroids are an
     * argument — a serving quantizer never retrains per trigger) and

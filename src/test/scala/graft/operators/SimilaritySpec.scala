@@ -642,4 +642,37 @@ class SimilaritySpec extends SparkSpec {
     val t = Similarity.knnClassify(tie, k = 2, testMod = 20).collect()(0)
     assert(t.getAs[Int]("pred_label") == 3 && !t.getAs[Boolean]("correct"))
   }
+
+  test("clusterQuality: confused vectors counted, nearest labels mutual") {
+    import spark.implicits._
+    // label 0 lives on the x-axis, label 1 on the y-axis; vec 3 is
+    // labeled 0 but points straight at label 1's centroid
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.75f, 0.25f), 0),
+      (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(0.0f, 1.0f), 1), (5L, Seq(0.25f, 0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterQuality(d)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(out(0).getAs[Long]("n_vectors") == 3L)
+    assert(out(0).getAs[Long]("n_confused") == 1L)
+    assert(out(0).getAs[Long]("confused_ppm") == 333333L)
+    assert(out(1).getAs[Long]("n_confused") == 0L)
+    // with two labels, nearest is mutual
+    assert(out(0).getAs[Int]("nearest_label") == 1)
+    assert(out(1).getAs[Int]("nearest_label") == 0)
+    // the misplaced vector drags label 0's worst own-cosine down
+    assert(out(0).getAs[Double]("min_cos_own") <
+      out(1).getAs[Double]("min_cos_own"))
+  }
+
+  test("clusterQuality: a single label has no confusion and no neighbor") {
+    import spark.implicits._
+    val d = Seq((1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.5f, 0.5f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterQuality(d).collect().head
+    assert(r.getAs[Long]("n_confused") == 0L)
+    assert(r.isNullAt(r.fieldIndex("nearest_label")))
+    assert(r.isNullAt(r.fieldIndex("nearest_centroid_cos")))
+  }
 }

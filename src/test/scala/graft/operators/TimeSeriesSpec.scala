@@ -137,4 +137,37 @@ class TimeSeriesSpec extends SparkSpec {
     // fresh event contributes 1e6; the 200-day-old one shifts ≥ 62 → 0
     assert(out.getAs[Long]("decayed_mass") == 1000000L)
   }
+
+  test("lateArrivalAudit: hand-computed exclusive watermark across bands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arrival = event_id, bandShift=1 → bands of 2 ids: the two-phase
+    // max must equal the straight exclusive prefix max
+    // ts by arrival: 100, 50, 200, 90, 210, 10; delay 20
+    // wm-excl:      none, 100, 100, 200, 200, 210
+    // late:          -,   yes,  no, yes,  no, yes (lateness 30/90/180)
+    val d = Seq((1L, "x", 100L), (2L, "x", 50L), (3L, "x", 200L),
+      (4L, "x", 90L), (5L, "x", 210L), (6L, "x", 10L))
+      .toDF("event_id", "event_type", "ts")
+    val r = TimeSeries.lateArrivalAudit(d, delayUs = 20L,
+      arrivalCol = col("event_id"), bandShift = 1).collect().head
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("n_late") == 3L)
+    assert(r.getAs[Long]("late_ppm") == 500000L)
+    assert(r.getAs[Long]("max_late_us") == 180L)
+  }
+
+  test("lateArrivalAudit: the first arrival is never late; per-type rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, "a", 1000L), (2L, "b", 0L))
+      .toDF("event_id", "event_type", "ts")
+    val out = TimeSeries.lateArrivalAudit(d, delayUs = 10L,
+      arrivalCol = col("event_id"), bandShift = 1)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("a").getAs[Long]("n_late") == 0L)
+    // b arrived after a's ts=1000 watermark: 0 < 1000-10 → late 990
+    assert(out("b").getAs[Long]("n_late") == 1L &&
+      out("b").getAs[Long]("max_late_us") == 990L)
+  }
 }
