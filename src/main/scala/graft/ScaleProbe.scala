@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Clusters, CorpusClean, Dedup, Gold, Similarity, Skew, TextAnalysis}
+import graft.operators.{Clusters, CorpusClean, Dedup, Gold, Importance, Ivm, Similarity, Skew, TextAnalysis, TimeSeries}
 
 /** Scaling probe: runs representative queries at 1× and 10× the input
   * (10× = ten disjoint copies, ids shifted where identity matters) and
@@ -332,7 +332,44 @@ object ScaleProbe {
         () => TextAnalysis.tokenGini(t.documents).count(),
         t.documents.count() * 10,
         () => TextAnalysis.tokenGini(
-          replicate(t.documents, 10, Some("doc_id"))).count()))
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      // round-7 wave 17/18: DSIR's bin table is a fixed 1024 rows at
+      // any corpus size (broadcast scoring must hold rows/sec); the
+      // lateness audit's two-phase prefix max must never degenerate
+      // to a global sort; IVM pays one delta aggregation + a
+      // |groups|-keyed merge regardless of base size
+      ("dsir_resample", t.documents.count(),
+        () => Importance.dsirResample(t.documents).count(),
+        t.documents.count() * 10,
+        () => Importance.dsirResample(
+          replicate(t.documents, 10, Some("doc_id"))).count()),
+      ("late_arrival_audit", t.events.count(), () => {
+        val arr = org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.expressions.Sha60(
+            org.apache.spark.sql.graft.GraftBridge.expression(
+              concat(lit("arr:"), col("event_id").cast("string")))))
+        TimeSeries.lateArrivalAudit(t.events, 604800000000L, arr).count()
+      },
+        t.events.count() * 10, () => {
+          val arr = org.apache.spark.sql.graft.GraftBridge.column(
+            graft.functions.expressions.Sha60(
+              org.apache.spark.sql.graft.GraftBridge.expression(
+                concat(lit("arr:"), col("event_id").cast("string")))))
+          TimeSeries.lateArrivalAudit(
+            replicate(t.events, 10, Some("event_id")),
+            604800000000L, arr).count()
+        }),
+      ("ivm_delta_gold", t.lineitem.count(), () => {
+        Ivm.maintain(t.lineitem.filter(expr("l_orderkey % 10 != 0")),
+          t.lineitem.filter(expr("l_orderkey % 10 = 0")),
+          t.orders, t.customer, t.nation).count()
+      },
+        t.lineitem.count() * 10, () => {
+          val l10 = replicate(t.lineitem, 10, None)
+          Ivm.maintain(l10.filter(expr("l_orderkey % 10 != 0")),
+            l10.filter(expr("l_orderkey % 10 = 0")),
+            t.orders, t.customer, t.nation).count()
+        }))
 
     // optional comma-separated probe filter for single-probe iteration
     val only: Option[Set[String]] =
