@@ -2425,11 +2425,24 @@ object Queries {
         WHERE abs(value - mean_value) > 2.0 * std_value""")),
 
     Q("approx_distinct",
+      // HLL++ sketch next to the exact count, published as the exact
+      // count + an in-engine-verified error-band claim: the sketch
+      // value itself is engine-specific (DuckDB's approx sketch
+      // differs by design), so the ORACLE checks the exact count and
+      // the ≤5%-relative-error contract — the property a consumer
+      // actually relies on — rather than the sketch's raw estimate
       (s, d) => Tables(s, d).events
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users")),
-      None),
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) * lit(100L) <=
+            col("exact_users") * lit(5L)).as("approx_within_5pct")),
+      Some("""
+        SELECT event_type,
+          cast(count(DISTINCT user_id) as bigint) as exact_users,
+          TRUE as approx_within_5pct
+        FROM events GROUP BY 1""")),
 
     // ---------- A2. SQL surface (temp views + spark.sql, the
     // reference's primary idiom) ----------
@@ -4871,11 +4884,16 @@ object Queries {
               as conv_treat
           FROM pu)
         SELECT n_control, conv_control, n_treat, conv_treat,
-          conv_control * 1000000 // n_control as conv_control_ppm,
-          conv_treat * 1000000 // n_treat as conv_treat_ppm,
-          conv_treat * 1000000 // n_treat
-            - conv_control * 1000000 // n_control as lift_ppm,
-          CASE WHEN conv_treat + conv_control = 0
+          CASE WHEN n_control > 0
+            THEN conv_control * 1000000 // n_control END
+            as conv_control_ppm,
+          CASE WHEN n_treat > 0
+            THEN conv_treat * 1000000 // n_treat END as conv_treat_ppm,
+          CASE WHEN n_control > 0 AND n_treat > 0
+            THEN conv_treat * 1000000 // n_treat
+              - conv_control * 1000000 // n_control END as lift_ppm,
+          CASE WHEN n_control = 0 OR n_treat = 0
+            OR conv_treat + conv_control = 0
             OR conv_treat + conv_control = n_treat + n_control THEN NULL
           ELSE
             ((cast(conv_treat as double) / cast(n_treat as double)

@@ -51,12 +51,18 @@ object Experiment {
     // the one double chain — mirrored token-for-token in the oracle
     counts.select(
       col("n_control"), col("conv_control"), col("n_treat"), col("conv_treat"),
-      expr("conv_control * 1000000 div n_control").as("conv_control_ppm"),
-      expr("conv_treat * 1000000 div n_treat").as("conv_treat_ppm"),
-      expr("conv_treat * 1000000 div n_treat " +
-        "- conv_control * 1000000 div n_control").as("lift_ppm"),
+      // empty-arm guard: a degenerate population (no users in an
+      // arm) reports NULL rates, never a division error
+      expr("CASE WHEN n_control > 0 THEN conv_control * 1000000 div n_control END")
+        .as("conv_control_ppm"),
+      expr("CASE WHEN n_treat > 0 THEN conv_treat * 1000000 div n_treat END")
+        .as("conv_treat_ppm"),
+      expr("CASE WHEN n_control > 0 AND n_treat > 0 THEN " +
+        "conv_treat * 1000000 div n_treat " +
+        "- conv_control * 1000000 div n_control END").as("lift_ppm"),
       expr("""
-        CASE WHEN conv_treat + conv_control = 0
+        CASE WHEN n_control = 0 OR n_treat = 0
+          OR conv_treat + conv_control = 0
           OR conv_treat + conv_control = n_treat + n_control THEN NULL
         ELSE
           ((cast(conv_treat as double) / cast(n_treat as double)

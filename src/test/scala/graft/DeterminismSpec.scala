@@ -100,6 +100,12 @@ class DeterminismSpec extends SparkSpec {
     // histogram bins, integer-DIV cell shares and per-source regex
     // totals are all exact whatever the fan-out
     "dedup_param_sweep", "dedup_threshold_curve", "ivf_cell_stats",
-    "pii_report", "dedup_sweep_recall", "script_mix"))
+    "pii_report", "dedup_sweep_recall", "script_mix",
+    // wave 17/18: integer bin ratios and hash keeps; decimal IVM
+    // partials; the two-phase exclusive prefix max (windows are the
+    // classic parallelism hazard); map-side centroid comparisons
+    "dsir_resample", "vocab_coverage", "moments_profile", "ab_test",
+    "join_size_estimate", "ivm_delta_gold", "cluster_quality",
+    "late_arrival_audit"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -211,4 +211,42 @@ class EdgeInputSpec extends SparkSpec {
       dp.head.getAs[Long]("decayed_mass") == 1000000L &&
       dp.head.getAs[Long]("decayed_share_ppm") == 1000000L)
   }
+
+  test("wave-17/18 operators are inert on empty and degenerate inputs") {
+    import org.apache.spark.sql.functions.col
+    assert(Importance.dsirResample(emptyDocs).count() == 0)
+    assert(TextAnalysis.vocabCoverage(emptyDocs).count() == 0)
+    assert(Profile.groupedMoments(emptyDocs).count() == 0)
+    val emptyEvents = Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(TimeSeries.lateArrivalAudit(emptyEvents, 10L,
+      col("event_id")).count() == 0)
+    // a one-doc corpus: every bigram is self-typical → full keep prob
+    val d1 = Importance.dsirResample(oneDoc).collect()
+    assert(d1.length == 1 &&
+      d1.head.getAs[Long]("keep_prob_ppm") == 1000000L)
+    // a degenerate single-arm population reports NULL rates and z²,
+    // never a division error
+    val oneUser = Seq((1L, "purchase")).toDF("user_id", "event_type")
+    val ab = Experiment.abTest(oneUser, "purchase", minCount = 1L)
+      .collect().head
+    assert(ab.getAs[Long]("n_control") + ab.getAs[Long]("n_treat") == 1L)
+    assert(ab.isNullAt(ab.fieldIndex("lift_ppm")) &&
+      ab.isNullAt(ab.fieldIndex("z_squared")))
+    // one doc, one source: zero variance, centered skew
+    val m1 = Profile.groupedMoments(oneDoc).collect().head
+    assert(m1.getAs[Long]("var_num") == 0L &&
+      m1.getAs[Double]("var_tokens") == 0.0 &&
+      m1.getAs[Long]("skew_sign") == 0L)
+    // a single arrival is never late
+    val oneEv = Seq((1L, 100L, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val la = TimeSeries.lateArrivalAudit(oneEv, 10L,
+      col("event_id")).collect().head
+    assert(la.getAs[Long]("n_late") == 0L)
+    // IVM over empty base and delta publishes an empty view
+    val t = tables
+    assert(Ivm.maintain(t.lineitem.limit(0), t.lineitem.limit(0),
+      t.orders, t.customer, t.nation).count() == 0)
+  }
 }
