@@ -4746,6 +4746,106 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("compaction_plan",
+      // OPTIMIZE planning: bin adjacent event days into ~2000-row
+      // compaction groups via exclusive prefix sum over the
+      // metadata-sized per-day frame — the work list a rewrite job
+      // executes bin by bin, time-locality preserved
+      (s, d) => Maintenance.compactionPlan(Tables(s, d).events,
+        targetRows = 2000L),
+      Some("""
+        WITH e AS (SELECT epoch_us(ts) as ts FROM events),
+        pd AS (SELECT ts - ts % 86400000000 as day_us,
+            cast(count(*) as bigint) as n_rows
+          FROM e GROUP BY 1),
+        b AS (SELECT day_us, n_rows,
+            cast(coalesce(sum(n_rows) OVER (ORDER BY day_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // 2000 as bigint) as bin_id
+          FROM pd)
+        SELECT day_us, n_rows, bin_id,
+          cast(sum(n_rows) OVER (PARTITION BY bin_id) as bigint)
+            as bin_rows,
+          cast(count(*) OVER (PARTITION BY bin_id) as bigint)
+            as bin_parts
+        FROM b""")),
+
+    Q("image_phash_dedup",
+      // perceptual image dedup over the REAL ImageIO decode path:
+      // 8×8 average-hash from actual pixels (integer luminance sums,
+      // cross-multiplied threshold — no float, no mean rounding),
+      // exact-signature groups keep min media_id; the oracle
+      // re-derives every bit from the closed-form image definition,
+      // so a wrong decode or wrong cell mapping breaks the hash
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.imagePhashDedup(Tables(s, d).documents)
+      },
+      Some("""
+        WITH m AS (SELECT doc_id as media_id,
+            8 + doc_id % 32 as w, 8 + doc_id % 16 as h,
+            (doc_id % 256) + (doc_id * 7 % 256)
+              + (doc_id * 13 % 256) as luma,
+            (doc_id * 17 % 256) + (doc_id * 23 % 256)
+              + (doc_id * 29 % 256) as lumb
+          FROM documents),
+        g AS (SELECT *, w // 2 as half FROM m),
+        colc AS (SELECT media_id, x * 8 // w as cx,
+            sum(CASE WHEN x < half THEN 1 ELSE 0 END) as na,
+            sum(CASE WHEN x >= half THEN 1 ELSE 0 END) as nb
+          FROM (SELECT media_id, w, half, unnest(range(w)) as x FROM g)
+          GROUP BY 1, 2),
+        rowc AS (SELECT media_id, y * 8 // h as cy, count(*) as rowspan
+          FROM (SELECT media_id, h, unnest(range(h)) as y FROM g)
+          GROUP BY 1, 2),
+        tot AS (SELECT media_id, w, h,
+            h * (half * luma + (w - half) * lumb) as total,
+            luma, lumb
+          FROM g),
+        bits AS (SELECT c.media_id, r.cy, c.cx,
+            CASE WHEN r.rowspan * (c.na * t.luma + c.nb * t.lumb) * 64
+              > t.total THEN 1 ELSE 0 END as bit
+          FROM colc c JOIN rowc r USING (media_id)
+            JOIN tot t USING (media_id)),
+        bytes AS (SELECT media_id, cy,
+            cast(sum(bit * (1 << cx)) as int) as b
+          FROM bits GROUP BY 1, 2),
+        hashed AS (SELECT t.media_id, cast(t.w as int) as width,
+            cast(t.h as int) as height,
+            (SELECT string_agg(printf('%02x', b), '' ORDER BY cy)
+             FROM bytes y WHERE y.media_id = t.media_id) as ahash
+          FROM tot t)
+        SELECT media_id, width, height, ahash,
+          min(media_id) OVER (PARTITION BY ahash) as canonical_id,
+          cast(count(*) OVER (PARTITION BY ahash) as bigint) as group_size,
+          media_id = min(media_id) OVER (PARTITION BY ahash)
+            as is_canonical
+        FROM hashed""")),
+
+    Q("multimodal_audio_features",
+      // the audio FEATURE-EXTRACT step off real GAUD container bytes:
+      // header parse + 8-bit sample reads, fixed 50-sample windows
+      // aggregated to exact-integer (count, sum, min, max); the
+      // closed-form sample function is the oracle, so a mis-parsed
+      // header or offset shows up as a hash break
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.audioFeatures(
+          Multimodal.asAudio(Tables(s, d).documents)).toDF()
+      },
+      Some("""
+        WITH m AS (SELECT doc_id as media_id, 100 + doc_id % 400 as n
+          FROM documents),
+        s AS (SELECT media_id, cast(i // 50 as int) as window_idx,
+            (media_id * 37 + i * 11) % 256 as amp
+          FROM (SELECT media_id, n, unnest(range(n)) as i FROM m))
+        SELECT media_id, window_idx,
+          cast(count(*) as bigint) as n_samples,
+          cast(sum(amp) as bigint) as sum_amp,
+          cast(min(amp) as bigint) as min_amp,
+          cast(max(amp) as bigint) as max_amp
+        FROM s GROUP BY 1, 2""")),
+
     Q("ivm_delta_gold",
       // incremental view maintenance of an ADDITIVE gold aggregate:
       // the nation × month revenue view maintained as

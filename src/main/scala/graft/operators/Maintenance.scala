@@ -233,4 +233,37 @@ object Maintenance {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** OPTIMIZE planning — the step BEFORE a compaction rewrite: given
+    * a day-partitioned event layout, bin adjacent days into
+    * compaction groups of ~`targetRows` rows each (contiguous
+    * binning via exclusive prefix sum — preserves time-locality, so
+    * a compacted file still zone-map-prunes on ts). Emits per day:
+    * row count, assigned bin, bin totals — the work list a rewrite
+    * job executes one bin at a time.
+    *
+    * Scale: per-day counts are one map-side combined shuffle whose
+    * key space is the PARTITION count (metadata-sized — days, not
+    * rows); the prefix-sum window runs over that same tiny frame.
+    * All integer arithmetic. */
+  def compactionPlan(events: DataFrame,
+                     targetRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetRows > 0, "targetRows must be positive")
+    val dayUs = 86400000000L
+    val perDay = events
+      .select((col("ts") - pmod(col("ts"), lit(dayUs))).as("day_us"))
+      .groupBy("day_us").agg(count(lit(1)).as("n_rows"))
+    val wc = Window.orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = perDay
+      .withColumn("__cum_excl",
+        coalesce(sum(col("n_rows")).over(wc), lit(0L)))
+      .withColumn("bin_id", expr(s"__cum_excl div $targetRows"))
+      .drop("__cum_excl")
+    val wb = Window.partitionBy("bin_id")
+    binned
+      .withColumn("bin_rows", sum(col("n_rows")).over(wb))
+      .withColumn("bin_parts", count(lit(1)).over(wb))
+  }
 }

@@ -482,4 +482,119 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(everyK))).as("frame_idx"))
+
+  /** 8×8 average-hash over REAL decoded pixels: luminance = r+g+b
+    * (integer, no weights → no division), each grid cell's luminance
+    * SUM compared against the global sum by cross-multiplication
+    * (`cellSum·64 > totalSum` — all integer, no mean rounding), one
+    * bit per cell, packed row-major into 16 hex chars. The classic
+    * perceptual near-dup signature (aHash), here bit-exact and
+    * engine-portable because every comparison is integer. */
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+                             ahash: String)
+
+  /** Decode each image payload with ImageIO and compute its aHash
+    * from the actual pixel buffer. Map-only, one decoder codepath
+    * per partition. */
+  def imageAHash(media: Dataset[MediaRow])
+                (implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable image payload: media ${m.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var total = 0L
+        val cell = Array.ofDim[Long](8, 8)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            val lum = (((px >> 16) & 0xff) + ((px >> 8) & 0xff) +
+              (px & 0xff)).toLong
+            cell(cy)(x * 8 / w) += lum
+            total += lum
+            x += 1
+          }
+          y += 1
+        }
+        val sb = new StringBuilder(16)
+        var cy = 0
+        while (cy < 8) {
+          var byte = 0
+          var cx = 0
+          while (cx < 8) {
+            if (cell(cy)(cx) * 64 > total) byte |= 1 << cx
+            cx += 1
+          }
+          sb.append(f"$byte%02x")
+          cy += 1
+        }
+        ImageHash(m.media_id, w, h, sb.toString)
+      }
+    }
+  }
+
+  /** Perceptual image dedup RIDING THE REAL DECODE: two-band PNGs
+    * decode per partition, aHash from actual pixels, exact-signature
+    * groups with keep = min media_id. The cell mapping `x·8/w` floors
+    * like the oracle's integer division, so every bit is closed-form
+    * recomputable from (media_id → geometry/colors). One shuffle on
+    * the 16-char signature; the decode is map-only. */
+  def imagePhashDedup(documents: DataFrame)
+                     (implicit spark: SparkSession): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))
+    imageAHash(asPatternImages(documents)).toDF()
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("media_id") === col("canonical_id"))
+  }
+
+  /** Windowed per-media audio features off the REAL container bytes:
+    * parse the GAUD header, read the 8-bit samples, aggregate fixed
+    * 50-sample windows to (count, sum, min, max) — the
+    * feature-extract step of the audio path, exact-integer so the
+    * closed-form sample function is the oracle. Map-only + explode;
+    * a production system swaps the synthetic codec for its PCM
+    * demuxer without touching the window shape. */
+  final case class AudioWindow(media_id: Long, window_idx: Int,
+                               n_samples: Long, sum_amp: Long,
+                               min_amp: Long, max_amp: Long)
+
+  def audioFeatures(media: Dataset[MediaRow], windowSize: Int = 50)
+                   (implicit spark: SparkSession): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload)
+        val magic = new Array[Byte](4)
+        buf.get(magic)
+        require(new String(magic, "US-ASCII") == "GAUD",
+          s"not a GAUD container: media ${m.media_id}")
+        buf.getInt() // sample rate
+        val n = buf.getInt()
+        (0 until n).map { i =>
+          (i / windowSize, (buf.get(12 + i) & 0xff).toLong)
+        }.groupBy(_._1).toSeq.sortBy(_._1).map { case (wi, xs) =>
+          val amps = xs.map(_._2)
+          AudioWindow(m.media_id, wi, amps.length.toLong, amps.sum,
+            amps.min, amps.max)
+        }
+      }
+    }
+  }
+
+  /** Documents as audio media rows with real GAUD containers. */
+  def asAudio(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          MediaRow(id, "audio", audioBytes(id), src)
+        }
+      }
+  }
 }

@@ -503,4 +503,69 @@ class QualityIngestSpec extends SparkSpec {
       assert(frames.length == Multimodal.vidFrames(id))
     }
   }
+
+  test("aHash: solid images are all-zero bits; a bright half sets its columns") {
+    implicit val sp = spark
+    import spark.implicits._
+    // uniform luminance: no cell can strictly exceed the mean → 0x00×8
+    val solid = Seq(MediaRow(1L, "image",
+      Multimodal.pngBytes(16, 16, 10, 10, 10), "s")).toDS()
+    assert(Multimodal.imageAHash(solid).collect().head.ahash == "00" * 8)
+    // dark left half, bright right half: every row byte = 0xf0
+    // (bits cx 4..7), from REAL decoded pixels
+    val pat = Seq(MediaRow(2L, "image",
+      Multimodal.pngBytesPattern(16, 16, (0, 0, 0), (255, 255, 255)),
+      "s")).toDS()
+    assert(Multimodal.imageAHash(pat).collect().head.ahash == "f0" * 8)
+  }
+
+  test("imagePhashDedup: generative period-256 twins share a hash and " +
+    "collapse to the min id") {
+    implicit val sp = spark
+    // all geometry/color functions have period 256 in doc_id, so doc
+    // 0 and doc 256 encode pixel-identical PNGs
+    val out = Multimodal.imagePhashDedup(tables.documents)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(0L).getAs[String]("ahash") == out(256L).getAs[String]("ahash"))
+    assert(out(256L).getAs[Long]("canonical_id") == 0L)
+    assert(out(0L).getAs[Boolean]("is_canonical") &&
+      !out(256L).getAs[Boolean]("is_canonical"))
+  }
+
+  test("audioFeatures: window aggregates match the sample formula") {
+    implicit val sp = spark
+    import spark.implicits._
+    val id = 7L
+    val media = Seq(MediaRow(id, "audio", Multimodal.audioBytes(id), "s"))
+      .toDS()
+    val n = Multimodal.audSamples(id) // 107
+    val rows = Multimodal.audioFeatures(media).collect()
+      .map(w => w.window_idx -> w).toMap
+    assert(rows.size == (n + 49) / 50)
+    def amp(i: Int): Long = (id * 37 + i * 11) % 256
+    val w0 = (0 until 50).map(amp)
+    assert(rows(0).n_samples == 50L && rows(0).sum_amp == w0.sum &&
+      rows(0).min_amp == w0.min && rows(0).max_amp == w0.max)
+    val last = rows.keys.max
+    assert(rows(last).n_samples == (n - last * 50).toLong)
+  }
+
+  test("compactionPlan: contiguous bins by exclusive prefix sum") {
+    import spark.implicits._
+    val D = 86400000000L
+    // day 0: 3 rows, day 1: 2, day 2: 2; target 4 →
+    // cum-excl 0/3/5 → bins 0/0/1
+    val ev = (Seq.fill(3)(10L) ++ Seq.fill(2)(D + 5L) ++
+      Seq.fill(2)(2 * D + 1L)).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }.toDF("event_id", "ts")
+    val out = Maintenance.compactionPlan(ev, targetRows = 4L)
+      .collect().map(r => r.getAs[Long]("day_us") -> r).toMap
+    assert(out(0L).getAs[Long]("bin_id") == 0L &&
+      out(D).getAs[Long]("bin_id") == 0L &&
+      out(2 * D).getAs[Long]("bin_id") == 1L)
+    assert(out(0L).getAs[Long]("bin_rows") == 5L &&
+      out(0L).getAs[Long]("bin_parts") == 2L)
+    assert(out(2 * D).getAs[Long]("bin_rows") == 2L &&
+      out(2 * D).getAs[Long]("bin_parts") == 1L)
+  }
 }
