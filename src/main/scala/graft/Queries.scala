@@ -4746,6 +4746,51 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("approx_quantiles_audit",
+      // mergeable-sketch quantile audit: percentile_approx's raw
+      // estimate is engine/merge-order-specific, so the published
+      // row is the EXACT nearest-rank value plus the in-band
+      // contract approx ∈ [exact(p−2%), exact(p+2%)] — which any
+      // partitioning satisfies (sketch rank error 1e-4 ≪ band)
+      (s, d) => Gold.approxQuantilesAudit(Tables(s, d).events),
+      Some {
+        val one = (pct: Int) => {
+          val (lo, hi) = (pct - 2, math.min(pct + 2, 100))
+          s"""SELECT event_type, cast($pct as bigint) as pct,
+            max(CASE WHEN rn = ceil($pct / 100.0 * n) THEN value END)
+              as exact_value,
+            max(CASE WHEN rn = ceil($lo / 100.0 * n) THEN value END)
+              as band_lo,
+            max(CASE WHEN rn = ceil($hi / 100.0 * n) THEN value END)
+              as band_hi,
+            TRUE as approx_in_band
+          FROM ranked GROUP BY 1"""
+        }
+        s"""
+        WITH ranked AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value)
+              as rn,
+            count(*) OVER (PARTITION BY event_type) as n
+          FROM events)
+        ${Seq(50, 90, 99).map(one).mkString("\nUNION ALL\n")}"""
+      }),
+
+    Q("bloom_fpp_audit",
+      // bloom-filter health: exact member/probe sizes + the
+      // false-positive contract (measured ≤ 3× configured) — the
+      // property ingest-dedup routing efficiency depends on; the raw
+      // fp count is engine-layout-specific, the contract is not
+      (s, d) => Dedup.bloomFppAudit(Tables(s, d).documents),
+      Some("""
+        SELECT
+          cast((SELECT count(*) FROM documents WHERE doc_id % 3 != 0)
+            as bigint) as n_base,
+          cast((SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+            as bigint) as n_probes,
+          cast(30000 as bigint) as fpp_configured_ppm,
+          TRUE as fpp_ok""")),
+
     Q("compaction_plan",
       // OPTIMIZE planning: bin adjacent event days into ~2000-row
       // compaction groups via exclusive prefix sum over the

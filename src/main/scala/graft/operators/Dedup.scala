@@ -783,4 +783,46 @@ object Dedup {
     definitelyNew.unionByName(verified)
       .select("doc_id", "content_hash")
   }
+
+  /** Bloom-filter health audit — the approx_distinct/quantile-audit
+    * pattern applied to the ingest-dedup routing filter: build the
+    * bloom on a member set, probe with a DISJOINT set, and publish
+    * exact set sizes plus the false-positive CONTRACT (measured fpp ≤
+    * 3× configured — the raw measured count is a function of the
+    * engine's bloom layout, the contract is what routing efficiency
+    * depends on). Bit-array insertion is order-independent (OR), so
+    * the measurement is deterministic under any partitioning.
+    *
+    * Scale: build = one aggregate over member hashes; probe =
+    * map-only against the broadcast filter; verification anti-join
+    * guards the ~2⁻⁶⁰-probability hash-collision case so "false"
+    * positives are counted against true membership, not hash luck. */
+  def bloomFppAudit(documents: DataFrame, fpp: Double = 0.03): DataFrame = {
+    val sha60 = (g: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(g)))
+    val keyed = documents.select(col("doc_id"),
+      sha60(concat(lit("fpp:"), col("doc_id").cast("string")))
+        .as("content_hash"))
+    val members = keyed.filter(col("doc_id") % 3 =!= 0)
+      .select("content_hash")
+    val probes = keyed.filter(col("doc_id") % 3 === 0)
+      .select("content_hash")
+    val nBase = members.count()
+    val bloomBytes = RuntimeFilter.keyBloom(members, "content_hash",
+      math.max(nBase, 1024L), fpp)
+    val mightContain = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.LongBloomMightContain(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          col("content_hash")), bloomBytes))
+    val hits = probes.filter(mightContain)
+      .join(members, Seq("content_hash"), "left_anti")
+    val fppPpm = math.round(fpp * 1000000).toInt
+    hits.agg(count(lit(1)).as("n_false_positive"))
+      .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+      .select(lit(nBase).as("n_base"), col("n_probes"),
+        lit(fppPpm.toLong).as("fpp_configured_ppm"),
+        (col("n_false_positive") * lit(1000000L) <=
+          col("n_probes") * lit(3L * fppPpm)).as("fpp_ok"))
+  }
 }

@@ -170,6 +170,64 @@ object Gold {
         col(valueCol).as("quantile_value"))
   }
 
+  /** Mergeable-sketch quantile audit — the approx_distinct pattern
+    * applied to quantiles: `percentile_approx` (the mergeable GK-style
+    * sketch every 100 TB pipeline actually serves percentiles from) is
+    * engine- and merge-order-specific in its raw estimate, so the
+    * audit publishes the EXACT nearest-rank value at each percentile
+    * plus the sketch-in-band CONTRACT — approx ∈ [exact(p−slack),
+    * exact(p+slack)] — which holds for ANY partitioning because the
+    * sketch's rank-error guarantee (1/accuracy, here 1e-4) is far
+    * inside the band. Percentiles arrive as integer percents and
+    * become doubles via one `pct/100.0` division — the identical
+    * IEEE double the oracle's literal parses to, so rank cutoffs
+    * agree exactly.
+    *
+    * Scale: exact fences via [[exactGroupQuantiles]]'s two-phase rank
+    * (histogram shuffle + in-bucket top-k — no per-group sort); the
+    * sketch side is one map-side-combined aggregate. */
+  def approxQuantilesAudit(events: DataFrame,
+                           pcts: Seq[Int] = Seq(50, 90, 99),
+                           slackPct: Int = 2,
+                           accuracy: Int = 10000,
+                           bucketWidth: Double = 2.0): DataFrame = {
+    require(pcts.forall(p => p - slackPct > 0 && p <= 100))
+    val allPcts = (pcts ++ pcts.map(_ - slackPct) ++
+      pcts.map(p => math.min(p + slackPct, 100))).distinct
+    val exact = exactGroupQuantiles(events, "event_type", "value",
+      allPcts.map(_ / 100.0), bucketWidth)
+    val approx = events.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(pcts.map(p => lit(p / 100.0)): _*), lit(accuracy))
+        .as("approx"))
+    val perP = approx.select(col("event_type"),
+      posexplode(col("approx")).as(Seq("i", "approx_v")))
+      // index → integer percent, then the SAME pct/100.0 division
+      // the exact frame's keys were built with
+      .withColumn("pct", pcts.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (p, i)) => when(col("i") === i, lit(p)).otherwise(acc)
+      })
+      .withColumn("p_mid", col("pct").cast("double") / 100.0)
+      .withColumn("p_lo",
+        (col("pct") - slackPct).cast("double") / 100.0)
+      .withColumn("p_hi",
+        least(col("pct") + slackPct, lit(100)).cast("double") / 100.0)
+    val mid = exact.select(col("event_type"), col("p").as("p_mid"),
+      col("quantile_value").as("exact_value"))
+    val lo = exact.select(col("event_type"), col("p").as("p_lo"),
+      col("quantile_value").as("band_lo"))
+    val hi = exact.select(col("event_type"), col("p").as("p_hi"),
+      col("quantile_value").as("band_hi"))
+    perP
+      .join(mid, Seq("event_type", "p_mid"))
+      .join(lo, Seq("event_type", "p_lo"))
+      .join(hi, Seq("event_type", "p_hi"))
+      .select(col("event_type"), col("pct").cast("long").as("pct"),
+        col("exact_value"), col("band_lo"), col("band_hi"),
+        (col("approx_v") >= col("band_lo") &&
+          col("approx_v") <= col("band_hi")).as("approx_in_band"))
+  }
+
   /** Winsorization — the outlier TREATMENT step after value_outliers
     * flags them: per-group exact nearest-rank quantile fences
     * [pLo, pHi], values outside clamped TO the fence (never dropped —

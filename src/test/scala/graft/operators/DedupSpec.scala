@@ -416,4 +416,12 @@ class DedupSpec extends SparkSpec {
     // and genuinely new texts survive
     assert(out.count() > 0)
   }
+
+  test("bloomFppAudit: exact split sizes and the fp contract hold") {
+    val r = Dedup.bloomFppAudit(tables.documents).collect().head
+    val n = tables.documents.count()
+    assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_probes") == n)
+    assert(r.getAs[Long]("fpp_configured_ppm") == 30000L)
+    assert(r.getAs[Boolean]("fpp_ok"))
+  }
 }

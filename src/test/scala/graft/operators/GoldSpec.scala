@@ -179,4 +179,29 @@ class GoldSpec extends SparkSpec {
     assert(out(6L) == ((6L, 90.0)) && out(8L) == ((4L, 150.0)))
     assert(out(1L) == ((5L, 100.0)) && out(2L) == ((5L, 100.0)))
   }
+
+  test("approxQuantilesAudit: hand-known fences, sketch inside the band") {
+    import spark.implicits._
+    // values 1..100 in one group: nearest-rank p50=50, band [48, 52]
+    val ev = (1 to 100).map(v => ("a", v.toDouble))
+      .toDF("event_type", "value")
+    val out = Gold.approxQuantilesAudit(ev)
+      .collect().map(r => r.getAs[Long]("pct") -> r).toMap
+    assert(out(50L).getAs[Double]("exact_value") == 50.0)
+    assert(out(50L).getAs[Double]("band_lo") == 48.0 &&
+      out(50L).getAs[Double]("band_hi") == 52.0)
+    assert(out(90L).getAs[Double]("exact_value") == 90.0)
+    assert(out(99L).getAs[Double]("band_hi") == 100.0) // clamped p+2 → 100
+    assert(out.values.forall(_.getAs[Boolean]("approx_in_band")))
+  }
+
+  test("approxQuantilesAudit: real events — bands ordered, contract holds") {
+    val out = Gold.approxQuantilesAudit(tables.events).collect()
+    assert(out.length == 15) // 5 types × 3 percentiles
+    out.foreach { r =>
+      assert(r.getAs[Double]("band_lo") <= r.getAs[Double]("exact_value"))
+      assert(r.getAs[Double]("exact_value") <= r.getAs[Double]("band_hi"))
+      assert(r.getAs[Boolean]("approx_in_band"))
+    }
+  }
 }
