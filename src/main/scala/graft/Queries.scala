@@ -4746,6 +4746,59 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("langid_confusion",
+      // the language router's confusion matrix against the labeled
+      // lang column: per (true, predicted) cell, doc count and exact
+      // ppm share of the true language — which languages leak where,
+      // before anyone trusts the router; two map-side shuffles
+      (s, d) => TextAnalysis.langIdConfusion(Tables(s, d).documents),
+      Some(s"""
+        WITH pred AS (
+          SELECT doc_id, lang, CASE $langCascadeSql END as predicted_lang
+          FROM (SELECT doc_id, lang, $langScoresSql FROM documents)),
+        cells AS (
+          SELECT lang, predicted_lang, cast(count(*) as bigint) as n_docs
+          FROM pred GROUP BY 1, 2)
+        SELECT lang, predicted_lang, n_docs,
+          cast(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang)
+            as bigint) as share_of_true_ppm,
+          lang = predicted_lang as is_correct
+        FROM cells""")),
+
+    Q("session_stats",
+      // engagement histogram off the session islands: sessions per
+      // size with exact total duration and one fixed mean division —
+      // bounce rate is the n_events=1 row; O(distinct sizes) output
+      (s, d) => graft.streaming.Streams.sessionStatsBatch(
+        Tables(s, d).events, gapUs = 1800000000L),
+      Some(s"""
+        WITH e AS (SELECT user_id, epoch_us(ts) as ts, event_id
+                   FROM events),
+        marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > 1800000000 THEN 1
+                 ELSE 0 END as new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              as session_seq
+          FROM marked),
+        islands AS (
+          SELECT user_id, session_seq, min(ts) as session_start,
+            max(ts) as session_end, count(*) as n_ev
+          FROM sess GROUP BY 1, 2)
+        SELECT cast(n_ev as bigint) as n_events,
+          cast(count(*) as bigint) as n_sessions,
+          cast(sum(session_end - session_start) as bigint)
+            as total_duration_us,
+          cast(sum(session_end - session_start) as double)
+            / cast(count(*) as double) as mean_duration_us
+        FROM islands GROUP BY 1""")),
+
     Q("approx_quantiles_audit",
       // mergeable-sketch quantile audit: percentile_approx's raw
       // estimate is engine/merge-order-specific, so the published

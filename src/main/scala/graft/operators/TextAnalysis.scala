@@ -1140,6 +1140,26 @@ object TextAnalysis {
         pmod(col("size_rank"), lit(nShards.toLong)).as("shard"))
   }
 
+  /** Language-ID confusion matrix — the EVALUATION of [[langId]]
+    * against the corpus's labeled `lang` column: per (true, predicted)
+    * cell, document count and share of the true language in exact
+    * integer ppm. The matrix a curation team reads before trusting
+    * the router: which languages leak into which, and how much mass
+    * a threshold would misroute. Two map-side-combined shuffles
+    * (cells, then the |langs|-row true-language totals via window). */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = langId(documents)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("n_true", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        expr("n_docs * 1000000 div n_true").as("share_of_true_ppm"),
+        (col("lang") === col("predicted_lang")).as("is_correct"))
+  }
+
   /** Tokenizer-vocabulary coverage audit: with vocab = the corpus's
     * global top-`k` words (count desc, word asc tie-break — the list
     * a frequency-truncated tokenizer would keep), report per-language

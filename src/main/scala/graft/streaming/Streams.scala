@@ -648,4 +648,21 @@ object Streams {
         max(col("ts")).as("session_end"),
         count(lit(1)).cast("int").as("n_events"))
   }
+
+  /** Session-shape report over [[sessionizeBatch]]'s islands: per
+    * events-per-session size, how many sessions, their exact total
+    * duration, and the mean duration as one fixed division — the
+    * engagement histogram (bounce rate = the n_events=1 row) read
+    * off the session table. Durations are integer micros, sums
+    * order-independent; output is O(distinct session sizes). */
+  def sessionStatsBatch(events: DataFrame, gapUs: Long): DataFrame =
+    sessionizeBatch(events, gapUs)
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("session_end") - col("session_start"))
+          .as("total_duration_us"))
+      .select(col("n_events").cast("long").as("n_events"),
+        col("n_sessions"), col("total_duration_us"),
+        (col("total_duration_us").cast("double") /
+          col("n_sessions").cast("double")).as("mean_duration_us"))
 }

@@ -106,6 +106,12 @@ class DeterminismSpec extends SparkSpec {
     // classic parallelism hazard); map-side centroid comparisons
     "dsir_resample", "vocab_coverage", "moments_profile", "ab_test",
     "join_size_estimate", "ivm_delta_gold", "cluster_quality",
-    "late_arrival_audit"))
+    "late_arrival_audit",
+    // waves 19/20: real-decode hashes, container byte reads, prefix
+    // binning, and the sketch CONTRACTS (the booleans must hold at
+    // any fan-out even though raw sketch internals may move)
+    "image_phash_dedup", "multimodal_audio_features", "compaction_plan",
+    "approx_quantiles_audit", "bloom_fpp_audit", "langid_confusion",
+    "session_stats"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

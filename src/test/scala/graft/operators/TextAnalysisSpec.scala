@@ -709,6 +709,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full.getLong(0) == 0L)
   }
 
+  test("langIdConfusion: shares sum to 1e6 per true language, " +
+    "diagonal flagged correct") {
+    val out = TextAnalysis.langIdConfusion(tables.documents).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rows) =>
+      // integer-div shares can undershoot 1e6 by at most #cells
+      val s = rows.map(_.getAs[Long]("share_of_true_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_correct") ==
+        (r.getAs[String]("lang") == r.getAs[String]("predicted_lang")))
+    }
+    // marker-bearing English text routes to the en cell
+    import spark.implicits._
+    val d = Seq((1L, "the cat and the dog is here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val one = TextAnalysis.langIdConfusion(d).collect().head
+    assert(one.getAs[String]("predicted_lang") == "en" &&
+      one.getAs[Long]("share_of_true_ppm") == 1000000L)
+  }
+
   test("vocabCoverage: vocab boundary tie-breaks deterministically " +
     "(count desc, word asc)") {
     import spark.implicits._

@@ -264,6 +264,24 @@ class StreamsSpec extends SparkSpec {
     assert(out.filter(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("sessionStatsBatch: hand-computed engagement histogram") {
+    import spark.implicits._
+    val gap = 100L
+    // user 1: events at 0, 50, 60 (one 3-event session, duration 60)
+    //         then 500 (a 1-event session)
+    // user 2: events at 0 (1-event session)
+    val ev = Seq((1L, 0L, 1L), (2L, 50L, 1L), (3L, 60L, 1L),
+      (4L, 500L, 1L), (5L, 0L, 2L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Streams.sessionStatsBatch(ev, gap)
+      .collect().map(r => r.getAs[Long]("n_events") -> r).toMap
+    assert(out(3L).getAs[Long]("n_sessions") == 1L &&
+      out(3L).getAs[Long]("total_duration_us") == 60L &&
+      out(3L).getAs[Double]("mean_duration_us") == 60.0)
+    assert(out(1L).getAs[Long]("n_sessions") == 2L &&
+      out(1L).getAs[Long]("total_duration_us") == 0L)
+  }
+
   test("indexed dedup stream: pair set is batch-split independent and equals the batch estimate") {
     import graft.operators.Dedup
     val docs = tables.documents.select("doc_id", "text")
