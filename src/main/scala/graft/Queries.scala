@@ -4746,6 +4746,75 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("watermark_curve",
+      // the watermark SIZING table: one trajectory pass, every event
+      // scored against three candidate delays (1h / 1d / 7d) via a
+      // tiny literal explode — drop rate vs state horizon per
+      // candidate, O(|delays| × |types|) output
+      (s, d) => {
+        val arr = org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.expressions.Sha60(
+            org.apache.spark.sql.graft.GraftBridge.expression(
+              concat(lit("arr:"), col("event_id").cast("string")))))
+        TimeSeries.watermarkCurve(Tables(s, d).events,
+          delaysUs = Seq(3600000000L, 86400000000L, 604800000000L),
+          arrivalCol = arr)
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, event_type, epoch_us(ts) as ts,
+            ${TextOracleSql.Sha60.format(
+              "'arr:' || cast(event_id as varchar)")} as arr
+          FROM events),
+        w AS (SELECT *, max(ts) OVER (ORDER BY arr, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as wm
+          FROM e),
+        dl AS (SELECT * FROM (VALUES (3600000000), (86400000000),
+            (604800000000)) AS t(delay_us)),
+        f AS (SELECT event_type, delay_us,
+            CASE WHEN wm IS NOT NULL AND ts < wm - delay_us
+              THEN 1 ELSE 0 END as late,
+            CASE WHEN wm IS NOT NULL AND ts < wm - delay_us
+              THEN wm - delay_us - ts ELSE 0 END as lateness
+          FROM w, dl)
+        SELECT event_type, cast(delay_us as bigint) as delay_us,
+          cast(count(*) as bigint) as n_events,
+          cast(sum(late) as bigint) as n_late,
+          cast(sum(late) * 1000000 // count(*) as bigint) as late_ppm,
+          cast(max(lateness) as bigint) as max_late_us
+        FROM f GROUP BY 1, 2""")),
+
+    Q("ivm_delta_retract",
+      // IVM under inserts AND deletes: merge(partial(base),
+      // −partial(deletes), +partial(inserts)) — signed decimal
+      // partials cancel exactly, fully-retracted groups vanish; ≡
+      // the full recompute over (base ∖ deletes) ∪ inserts (oracle)
+      (s, d) => {
+        val t = Tables(s, d)
+        val base = t.lineitem.filter(expr("l_orderkey % 10 != 0"))
+        val deletes = t.lineitem.filter(expr("l_orderkey % 20 = 1"))
+        val inserts = t.lineitem.filter(expr("l_orderkey % 10 = 0"))
+        Ivm.maintainWithRetractions(base, deletes, inserts,
+          t.orders, t.customer, t.nation)
+      },
+      Some("""
+        WITH g AS (
+          SELECT n_name,
+            strftime(o_orderdate, '%Y-%m') as sales_month,
+            sum(cast(l_extendedprice as decimal(12,2))
+              * (cast(1 as decimal(4,2))
+                 - cast(l_discount as decimal(4,2)))) as rev,
+            count(*) as n_items
+          FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          WHERE (l_orderkey % 10 != 0 AND l_orderkey % 20 != 1)
+            OR l_orderkey % 10 = 0
+          GROUP BY 1, 2)
+        SELECT n_name, sales_month, cast(rev as double) as total_revenue,
+          cast(n_items as bigint) as n_items
+        FROM g""")),
+
     Q("langid_confusion",
       // the language router's confusion matrix against the labeled
       // lang column: per (true, predicted) cell, doc count and exact

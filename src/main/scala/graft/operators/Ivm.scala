@@ -65,4 +65,43 @@ object Ivm {
     mergePartials(
       goldPartial(baseLineitem, orders, customer, nation),
       goldPartial(deltaLineitem, orders, customer, nation))
+
+  /** Signed partial for RETRACTIONS: the same aggregation with every
+    * contribution multiplied by `sign` (+1 insert / −1 delete) —
+    * decimal sums and counts both negate exactly, so a delete delta
+    * cancels its insert bit-for-bit in the merge. */
+  def goldPartialSigned(lineitem: DataFrame, sign: Int,
+                        orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("sales_month"))
+      .agg((sum(revenue) * lit(sign)).as("rev_dec"),
+        (count(lit(1)) * lit(sign.toLong)).as("n_items"))
+
+  /** Maintenance under inserts AND deletes: merge(partial(base),
+    * −partial(deletes), +partial(inserts)); groups whose row count
+    * retracts to zero vanish — exactly as a full recompute over
+    * (base ∖ deletes) ∪ inserts would never emit them. */
+  def maintainWithRetractions(baseLineitem: DataFrame,
+                              deleteLineitem: DataFrame,
+                              insertLineitem: DataFrame,
+                              orders: DataFrame, customer: DataFrame,
+                              nation: DataFrame): DataFrame =
+    Seq(goldPartial(baseLineitem, orders, customer, nation),
+      goldPartialSigned(deleteLineitem, -1, orders, customer, nation),
+      goldPartialSigned(insertLineitem, 1, orders, customer, nation))
+      .reduce(_.unionByName(_))
+      .groupBy(col("n_name"), col("sales_month"))
+      .agg(sum(col("rev_dec")).as("rev_dec"),
+        sum(col("n_items")).as("n_items"))
+      .filter(col("n_items") > 0)
+      .select(col("n_name"), col("sales_month"),
+        col("rev_dec").cast("double").as("total_revenue"), col("n_items"))
 }

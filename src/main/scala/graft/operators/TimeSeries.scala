@@ -352,7 +352,26 @@ object TimeSeries {
     * bands. */
   def lateArrivalAudit(events: DataFrame, delayUs: Long,
                        arrivalCol: Column,
-                       bandShift: Int = 52): DataFrame = {
+                       bandShift: Int = 52): DataFrame =
+    withExclusiveWatermark(events, arrivalCol, bandShift)
+      .withColumn("late",
+        col("wm").isNotNull && col("ts") < col("wm") - delayUs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("late"), col("wm") - delayUs - col("ts"))
+          .otherwise(0L)).as("max_late_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("n_late * 1000000 div n_events").as("late_ppm"),
+        col("max_late_us"))
+
+  /** The two-phase exclusive running event-time max over arrival
+    * order (shared by [[lateArrivalAudit]] and [[watermarkCurve]]):
+    * per-band maxima + a tiny broadcast exclusive band prefix + an
+    * in-band window partitioned by band — no global sort. */
+  private def withExclusiveWatermark(events: DataFrame,
+                                     arrivalCol: Column,
+                                     bandShift: Int): DataFrame = {
     val e = events.select(col("event_id"), col("event_type"), col("ts"),
         arrivalCol.as("arr"))
       .withColumn("band", expr(s"arr div ${1L << bandShift}"))
@@ -364,8 +383,7 @@ object TimeSeries {
       .select("band", "pmax")
     val wi = Window.partitionBy("band").orderBy(col("arr"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val audited = e
-      .join(broadcast(bandPrefix), Seq("band"))
+    e.join(broadcast(bandPrefix), Seq("band"))
       .withColumn("imax", max(col("ts")).over(wi))
       // explicit null folding — no reliance on engine-specific
       // greatest-with-null semantics
@@ -373,14 +391,30 @@ object TimeSeries {
         when(col("pmax").isNull, col("imax"))
           .when(col("imax").isNull, col("pmax"))
           .otherwise(greatest(col("pmax"), col("imax"))))
+  }
+
+  /** The watermark SIZING curve: [[lateArrivalAudit]] swept over a
+    * set of candidate delays in ONE pass — the watermark trajectory
+    * is computed once and each event is scored against every
+    * candidate via an explode over the (tiny, literal) delay list.
+    * The table a team reads to pick the delay: drop rate vs state
+    * horizon, per candidate. Output O(|delays| × |event types|). */
+  def watermarkCurve(events: DataFrame, delaysUs: Seq[Long],
+                     arrivalCol: Column,
+                     bandShift: Int = 52): DataFrame = {
+    require(delaysUs.nonEmpty, "need at least one candidate delay")
+    withExclusiveWatermark(events, arrivalCol, bandShift)
+      .select(col("event_type"), col("ts"), col("wm"),
+        explode(array(delaysUs.map(lit): _*)).as("delay_us"))
       .withColumn("late",
-        col("wm").isNotNull && col("ts") < col("wm") - delayUs)
-    audited.groupBy("event_type")
+        col("wm").isNotNull && col("ts") < col("wm") - col("delay_us"))
+      .groupBy("event_type", "delay_us")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
-        max(when(col("late"), col("wm") - delayUs - col("ts"))
+        max(when(col("late"), col("wm") - col("delay_us") - col("ts"))
           .otherwise(0L)).as("max_late_us"))
-      .select(col("event_type"), col("n_events"), col("n_late"),
+      .select(col("event_type"), col("delay_us"), col("n_events"),
+        col("n_late"),
         expr("n_late * 1000000 div n_events").as("late_ppm"),
         col("max_late_us"))
   }

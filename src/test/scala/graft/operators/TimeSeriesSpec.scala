@@ -157,6 +157,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("max_late_us") == 180L)
   }
 
+  test("watermarkCurve: longer delays drop monotonically less; the " +
+    "single-delay slice equals lateArrivalAudit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq((1L, "x", 100L), (2L, "x", 50L), (3L, "x", 200L),
+      (4L, "x", 90L), (5L, "x", 210L), (6L, "x", 10L))
+      .toDF("event_id", "event_type", "ts")
+    val curve = TimeSeries.watermarkCurve(d, Seq(20L, 120L, 1000L),
+      arrivalCol = col("event_id"), bandShift = 1)
+      .collect().map(r => r.getAs[Long]("delay_us") -> r).toMap
+    assert(curve(20L).getAs[Long]("n_late") >=
+      curve(120L).getAs[Long]("n_late"))
+    assert(curve(120L).getAs[Long]("n_late") >=
+      curve(1000L).getAs[Long]("n_late"))
+    assert(curve(1000L).getAs[Long]("n_late") == 0L)
+    val single = TimeSeries.lateArrivalAudit(d, 20L,
+      arrivalCol = col("event_id"), bandShift = 1).collect().head
+    assert(curve(20L).getAs[Long]("n_late") ==
+      single.getAs[Long]("n_late") &&
+      curve(20L).getAs[Long]("max_late_us") ==
+        single.getAs[Long]("max_late_us"))
+  }
+
   test("lateArrivalAudit: the first arrival is never late; per-type rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
