@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.expressions.NativeDotRewrite)
     // opt-in binned range-join rewrite (spark.graft.rangeJoin.bucketWidth)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // opt-in exact→HLL distinct-count rewrite (spark.graft.approxDistinct.rsd)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
 

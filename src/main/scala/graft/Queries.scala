@@ -4746,6 +4746,76 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("training_epoch",
+      // the END PRODUCT composed end-to-end: curation survivors
+      // (language → quality → repetition → exact-dedup canonical)
+      // flow straight into sequence packing — the (doc → sequence,
+      // offset) layout a trainer actually reads; every stage is the
+      // already-oracled operator, the composition itself is what's
+      // hash-checked here
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val lang = TextAnalysis.langId(docs)
+          .select(col("doc_id"), col("predicted_lang"))
+        val quality = TextAnalysis.quality(docs)
+          .select(col("doc_id"), col("quality_score"))
+        val rep = TextAnalysis.repetition(docs)
+          .select(col("doc_id"), col("dup_bigram_frac"))
+        val canon = Dedup.exact(docs)
+          .select(col("keep_doc_id").as("doc_id"))
+        val survivors = lang.join(quality, "doc_id").join(rep, "doc_id")
+          .filter(col("predicted_lang") === "en" &&
+            col("quality_score") >= 0.1 &&
+            col("dup_bigram_frac") <= 0.05)
+          .join(canon, Seq("doc_id"), "left_semi")
+          .select("doc_id")
+        TextAnalysis.sequencePack(
+          docs.join(survivors, Seq("doc_id"), "left_semi"))
+      },
+      Some(s"""
+        WITH lang AS (
+          SELECT doc_id, CASE $langCascadeSql END as predicted_lang
+          FROM (SELECT doc_id, lang, $langScoresSql FROM documents)),
+        q AS (SELECT doc_id,
+          least(cast(len(string_split(text, ' ')) as double) / 100.0, 1.0)
+            * (1.0 - cast(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) as double)
+                / cast(length(text) as double))
+            * least(cast(len(list_filter(string_split(text, ' '),
+                t -> t in ('the','a','of','and','to','in','is','it'))) as double)
+                / cast(len(string_split(text, ' ')) as double) * 4.0, 1.0)
+            as quality_score
+          FROM documents),
+        rep AS (SELECT doc_id,
+            (cast(len(bg) as double) - len(list_distinct(bg)))
+              / cast(len(bg) as double) as dup_bigram_frac
+          FROM (SELECT doc_id,
+              CASE WHEN len(toks) >= 2
+                THEN list_transform(range(len(toks) - 1),
+                       i -> array_to_string(toks[i+1:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END as bg
+            FROM (SELECT doc_id, string_split(text, ' ') as toks
+                  FROM documents))),
+        canon AS (SELECT min(doc_id) as doc_id FROM documents
+                  GROUP BY sha256(text)),
+        surv AS (
+          SELECT l.doc_id
+          FROM lang l JOIN q USING (doc_id) JOIN rep USING (doc_id)
+          WHERE predicted_lang = 'en' AND quality_score >= 0.1
+            AND dup_bigram_frac <= 0.05
+            AND EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = l.doc_id)),
+        t AS (SELECT d.doc_id,
+                cast(len(string_split(d.text, ' ')) as bigint) as n_tokens
+              FROM documents d JOIN surv USING (doc_id)),
+        c AS (SELECT doc_id, n_tokens,
+                cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  as bigint) as token_start
+              FROM t)
+        SELECT doc_id, n_tokens, token_start,
+          token_start // 2048 as seq_id,
+          token_start % 2048 as seq_offset
+        FROM c""")),
+
     Q("watermark_curve",
       // the watermark SIZING table: one trajectory pass, every event
       // scored against three candidate delays (1h / 1d / 7d) via a
