@@ -359,6 +359,30 @@ object ScaleProbe {
             replicate(t.events, 10, Some("event_id")),
             604800000000L, arr).count()
         }),
+      // the composed end product: curation scorers are map-only, the
+      // dedup canonical and pack prefix-sum are the only shuffles —
+      // rows/sec must hold as the corpus grows
+      ("training_epoch", t.documents.count(),
+        () => graft.Queries.queries("training_epoch")(spark, sfDir).count(),
+        t.documents.count() * 10, () => {
+          val d10 = replicateDocs(t.documents, 10)
+          val lang = TextAnalysis.langId(d10)
+            .select(col("doc_id"), col("predicted_lang"))
+          val quality = TextAnalysis.quality(d10)
+            .select(col("doc_id"), col("quality_score"))
+          val rep = TextAnalysis.repetition(d10)
+            .select(col("doc_id"), col("dup_bigram_frac"))
+          val canon = Dedup.exact(d10)
+            .select(col("keep_doc_id").as("doc_id"))
+          val surv = lang.join(quality, "doc_id").join(rep, "doc_id")
+            .filter(col("predicted_lang") === "en" &&
+              col("quality_score") >= 0.1 &&
+              col("dup_bigram_frac") <= 0.05)
+            .join(canon, Seq("doc_id"), "left_semi")
+            .select("doc_id")
+          TextAnalysis.sequencePack(
+            d10.join(surv, Seq("doc_id"), "left_semi")).count()
+        }),
       ("ivm_delta_gold", t.lineitem.count(), () => {
         Ivm.maintain(t.lineitem.filter(expr("l_orderkey % 10 != 0")),
           t.lineitem.filter(expr("l_orderkey % 10 = 0")),

@@ -112,6 +112,7 @@ class DeterminismSpec extends SparkSpec {
     // any fan-out even though raw sketch internals may move)
     "image_phash_dedup", "multimodal_audio_features", "compaction_plan",
     "approx_quantiles_audit", "bloom_fpp_audit", "langid_confusion",
-    "session_stats", "watermark_curve", "ivm_delta_retract"))
+    "session_stats", "watermark_curve", "ivm_delta_retract",
+    "training_epoch"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
