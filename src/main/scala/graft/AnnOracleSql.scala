@@ -299,6 +299,34 @@ object AnnOracleSql {
            as pruned_frac
        FROM flags GROUP BY 1"""
 
+  /** SemDeDup threshold curve (mirrors Dedup.semdedupCurve): pairs
+    * built once at the loosest cutoff, each candidate threshold a
+    * filter + aggregate over the same pair rows. */
+  def semdedupCurveSql(thresholds: Seq[Double], nlist: Int, iters: Int,
+                       sampleBudget: Int): String = {
+    val tList = thresholds.mkString(", ")
+    s"""WITH $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
+       pairs AS (
+         SELECT a.neighbor_id as id_a, b.neighbor_id as id_b,
+           ${cosine("a.emb", "b.emb")} as cosine
+         FROM tagged a JOIN tagged b
+           ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+         WHERE ${cosine("a.emb", "b.emb")} >= ${thresholds.min}),
+       th AS (SELECT unnest(cast([$tList] as double[])) as threshold),
+       hits AS (
+         SELECT threshold, cast(count(*) as bigint) as n_pairs,
+           cast(count(DISTINCT id_b) as bigint) as n_dropped
+         FROM pairs, th WHERE cosine >= threshold GROUP BY 1),
+       tot AS (SELECT cast(count(*) as bigint) as n_vectors
+               FROM embeddings)
+       SELECT t.threshold, n_vectors,
+         coalesce(n_pairs, 0) as n_pairs,
+         coalesce(n_dropped, 0) as n_dropped,
+         n_vectors - coalesce(n_dropped, 0) as n_survivors,
+         coalesce(n_dropped, 0) * 1000000 // n_vectors as pruned_ppm
+       FROM th t LEFT JOIN hits USING (threshold), tot"""
+  }
+
   /** The unrolled ADC estimate over codebook list `l.lut` and code
     * row `x.codes` — a left-associated sum of m entries (matching
     * Spark's reduceLeft fold). */

@@ -3635,6 +3635,30 @@ object Queries {
         SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")),
 
+    Q("bucketed_agg",
+      // the aggregation twin of bucketed_join: groupBy on the bucket
+      // column of a pre-bucketed table runs WITHOUT a shuffle (the
+      // one-time shuffle was the write) — PlanShapeSpec asserts the
+      // exchange-free plan; here the RESULT is hash-checked against
+      // the plain SQL aggregate
+      (s, d) => {
+        s.sql("DROP TABLE IF EXISTS li_bkt_agg")
+        VersionedTable.destroy("spark-warehouse/li_bkt_agg")
+        Maintenance.writeBucketed(Tables(s, d).lineitem
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+          "li_bkt_agg", "l_orderkey", 4)
+        s.table("li_bkt_agg")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+              .as("sum_qty"))
+      },
+      Some("""
+        SELECT l_orderkey, cast(count(*) as bigint) as n_lines,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double)
+            as sum_qty
+        FROM lineitem GROUP BY 1""")),
+
     Q("zorder3_write",
       // the 3-D Morton generalization round-trips content exactly
       // like the 2-D curve; the third-coordinate pruning win stays
@@ -4745,6 +4769,17 @@ object Queries {
           cast(sign(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
             as bigint) as skew_sign
         FROM m""")),
+
+    Q("semdedup_curve",
+      // the SemDeDup tuning table: candidate cosine cutoffs swept
+      // over the quantizer-blocked pair frame built ONCE at the
+      // loosest threshold — pairs fired and corpus dropped per
+      // cutoff, before anyone pays for a corpus-wide prune
+      (s, d) => Dedup.semdedupCurve(Tables(s, d).embeddings,
+        thresholds = Seq(0.35, 0.5, 0.7, 0.9),
+        cacheKey = Some(s"sdc_$d")),
+      Some(AnnOracleSql.semdedupCurveSql(Seq(0.35, 0.5, 0.7, 0.9),
+        nlist = 16, iters = 3, sampleBudget = 128))),
 
     Q("training_epoch",
       // the END PRODUCT composed end-to-end: curation survivors

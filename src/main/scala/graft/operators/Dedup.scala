@@ -398,6 +398,49 @@ object Dedup {
       .withColumn("pruned_frac",
         col("n_pruned").cast("double") / col("n_vectors"))
 
+  /** The SemDeDup THRESHOLD CURVE — dedup_threshold_curve's
+    * embedding-space sibling: sweep candidate cosine cutoffs over the
+    * quantizer-blocked pair frame computed ONCE at the loosest
+    * threshold, reporting per cutoff how many pairs fire and how
+    * much of the corpus a greedy keep-first prune would drop. The
+    * table a team reads to pick the SemDeDup threshold before paying
+    * for a corpus-wide prune.
+    *
+    * Scale: one intra-cell pair join (work ∝ Σ cell²) ever — each
+    * additional candidate threshold costs only a filter over the
+    * already-built pair rows via a tiny literal explode; corpus size
+    * arrives as a broadcast 1-row frame, never a driver scalar. */
+  def semdedupCurve(embeddings: DataFrame,
+                    thresholds: Seq[Double] = Seq(0.35, 0.5, 0.7, 0.9),
+                    nlist: Int = 16, iters: Int = 3,
+                    sampleBudget: Int = 128,
+                    cacheKey: Option[String] = None): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one candidate threshold")
+    val pairs = embeddingNearDupQuantized(embeddings, thresholds.min,
+      nlist, iters, sampleBudget, cacheKey)
+    val perT = pairs
+      .select(col("id_b"), col("cosine"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("cosine") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+    val tFrame = embeddings.sparkSession
+      .createDataFrame(thresholds.map(Tuple1(_)))
+      .toDF("threshold")
+    val total = embeddings.agg(count(lit(1)).as("n_vectors"))
+    tFrame
+      .join(perT, Seq("threshold"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("n_vectors"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L)))
+          .as("n_survivors"),
+        expr("coalesce(n_dropped, 0) * 1000000 div n_vectors")
+          .as("pruned_ppm"))
+  }
+
   // ---------- incremental MinHash index ----------
 
   /** Hash-partition key for the persisted band index: band rows land

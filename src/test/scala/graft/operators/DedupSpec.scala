@@ -417,6 +417,23 @@ class DedupSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("semdedupCurve: monotone in the cutoff, agrees with semdedupKeep") {
+    val curve = Dedup.semdedupCurve(tables.embeddings,
+      thresholds = Seq(0.35, 0.5, 0.7, 0.9))
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    // tighter cutoffs fire fewer pairs and drop less
+    assert(curve(0.35).getAs[Long]("n_dropped") >=
+      curve(0.5).getAs[Long]("n_dropped"))
+    assert(curve(0.5).getAs[Long]("n_dropped") >=
+      curve(0.9).getAs[Long]("n_dropped"))
+    // each point equals the single-threshold keep pass
+    val dropAt35 = Dedup.semdedupKeep(tables.embeddings, threshold = 0.35)
+      .filter(!org.apache.spark.sql.functions.col("kept")).count()
+    assert(curve(0.35).getAs[Long]("n_dropped") == dropAt35)
+    assert(curve(0.35).getAs[Long]("n_survivors") ==
+      tables.embeddings.count() - dropAt35)
+  }
+
   test("bloomFppAudit: exact split sizes and the fp contract hold") {
     val r = Dedup.bloomFppAudit(tables.documents).collect().head
     val n = tables.documents.count()

@@ -319,6 +319,20 @@ class QualityIngestSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("bucketed aggregation runs without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_bkt_aggspec")
+    graft.operators.VersionedTable.destroy("spark-warehouse/li_bkt_aggspec")
+    Maintenance.writeBucketed(tables.lineitem
+      .select("l_orderkey", "l_quantity"), "li_bkt_aggspec",
+      "l_orderkey", 4)
+    val agg = spark.table("li_bkt_aggspec").groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed aggregation still shuffles:\n$plan")
+    assert(agg.agg(sum("n")).head.getLong(0) == tables.lineitem.count())
+  }
+
   test("multimodal decode preserves ids, kinds and emits fixed-width features") {
     implicit val sp = spark
     val media = Multimodal.asMedia(tables.documents)
