@@ -4770,6 +4770,40 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("stream_watermark_drop",
+      // the engine's REAL watermark-drop semantics, hash-checked: a
+      // deterministic event sample replays through an actual
+      // watermarked windowed aggregation (MemoryStream, exact batch
+      // boundaries) and the oracle re-derives the calibrated accept
+      // rule — window_end > (max earlier-batch event-time − delay) —
+      // closing the loop on the closed-form lateness audits
+      (s, d) => graft.streaming.Streams.watermarkDropRun(s,
+        Tables(s, d).events, delayUs = 86400000000L,
+        windowUs = 3600000000L, nBatches = 4, sampleMod = 5L,
+        outDir = s"/tmp/graft_cache/wmd_${new java.io.File(d).getName}"),
+      Some(s"""
+        WITH e AS (SELECT event_id, epoch_us(ts) as ts,
+            ${TextOracleSql.Sha60.format(
+              "'arr:' || cast(event_id as varchar)")} as arr
+          FROM events
+          WHERE ${TextOracleSql.Sha60.format(
+            "'wmd:' || cast(event_id as varchar)")} % 5 = 0),
+        r AS (SELECT *, row_number() OVER (ORDER BY arr, event_id) as rn,
+                count(*) OVER () as n FROM e),
+        b AS (SELECT *,
+                (rn - 1) // greatest((n + 3) // 4, 1) as batch FROM r),
+        mx AS (SELECT batch, max(ts) as mt FROM b GROUP BY 1),
+        wmb AS (SELECT batch, max(mt) OVER (ORDER BY batch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            - 86400000000 as wm
+          FROM mx),
+        acc AS (SELECT b.ts - b.ts % 3600000000 as ws
+          FROM b JOIN wmb USING (batch)
+          WHERE wm IS NULL
+            OR b.ts - b.ts % 3600000000 + 3600000000 > wm)
+        SELECT ws as window_start_us, cast(count(*) as bigint) as n
+        FROM acc GROUP BY 1""")),
+
     Q("semdedup_curve",
       // the SemDeDup tuning table: candidate cosine cutoffs swept
       // over the quantizer-blocked pair frame built ONCE at the

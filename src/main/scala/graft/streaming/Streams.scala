@@ -649,6 +649,76 @@ object Streams {
         count(lit(1)).cast("int").as("n_events"))
   }
 
+  /** REAL watermark-drop semantics, end to end: replay a
+    * deterministic sample of events through an actual Structured
+    * Streaming windowed aggregation (MemoryStream source — exact
+    * batch boundaries, one batch per chunk) with
+    * `withWatermark(delay)`, and emit the per-window counts the
+    * engine produces in APPEND mode. A closing sentinel advances the
+    * watermark past every real window so they all finalize.
+    *
+    * This is the SEMANTIC-FIDELITY proof for the closed-form
+    * lateness model (late_arrival_audit / watermark_curve): the
+    * oracle re-derives the engine's exact accept rule — a row
+    * survives iff its window END is strictly later than
+    * (max event-time over strictly earlier batches − delay), the
+    * watermark being fixed within a batch — calibrated empirically
+    * against Spark 4 and pinned here. Second-aligned windows +
+    * whole-second delays make the engine's ms-floored watermark
+    * indistinguishable from the exact-µs model (proof in the oracle
+    * comment), so the comparison is bit-exact.
+    *
+    * Scale note: this is a REPLAY HARNESS (the sample collects to
+    * the driver to drive exact batch boundaries) — the production
+    * path is the file-source streams; the closed-form audits are the
+    * 100 TB-scale tools this run validates. */
+  def watermarkDropRun(spark: SparkSession, events: DataFrame,
+                       delayUs: Long, windowUs: Long, nBatches: Int,
+                       sampleMod: Long, outDir: String): org.apache.spark.sql.DataFrame = {
+    require(delayUs % 1000000L == 0 && windowUs % 1000000L == 0,
+      "whole-second delay/window keep the ms-floored watermark exact")
+    import spark.implicits._
+    val sha60 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val ordered = events
+      .filter(pmod(sha60(concat(lit("wmd:"), col("event_id").cast("string"))),
+        lit(sampleMod)) === 0)
+      .select(col("event_id"), col("ts"),
+        sha60(concat(lit("arr:"), col("event_id").cast("string"))).as("arr"))
+      .orderBy(col("arr"), col("event_id"))
+      .select("event_id", "ts").as[(Long, Long)].collect()
+    val chunkSize = math.max(1, (ordered.length + nBatches - 1) / nBatches)
+    val chunks = ordered.grouped(chunkSize).toSeq
+    val maxTs = if (ordered.isEmpty) 0L else ordered.map(_._2).max
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val counted = ms.toDF().toDF("event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"${delayUs / 1000000L} seconds")
+      .groupBy(window(col("ts"), s"${windowUs / 1000000L} seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_wmd_ckpt").toString
+    val q = counted.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", outDir)
+      .start()
+    chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    val sentinelTs = maxTs + delayUs + 2L * windowUs + windowUs
+    ms.addData(Seq((-1L, sentinelTs)))
+    q.processAllAvailable()
+    q.stop()
+    val sentinelWindowStart = sentinelTs - sentinelTs % windowUs
+    spark.read.parquet(outDir)
+      .filter(col("window_start_us") < lit(sentinelWindowStart))
+  }
+
   /** Session-shape report over [[sessionizeBatch]]'s islands: per
     * events-per-session size, how many sessions, their exact total
     * duration, and the mean duration as one fixed division — the

@@ -264,6 +264,52 @@ class StreamsSpec extends SparkSpec {
     assert(out.filter(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("watermarkDropRun pins the engine's boundary semantics: " +
+    "window_end == watermark drops, window_end > watermark survives") {
+    import spark.implicits._
+    val S = 1000000L
+    // arrival order is hash-permuted by the harness; with sampleMod=1
+    // and nBatches=2 the FIRST batch (by arrival hash) sets the
+    // watermark for the second. Construct events whose hash order we
+    // don't control but whose SEMANTICS the oracle rule fixes: just
+    // assert the run equals the rule evaluated in-JVM.
+    val ev = Seq((1L, 100 * S), (2L, 95 * S), (3L, 79 * S),
+      (4L, 80 * S), (5L, 90 * S), (6L, 99 * S))
+      .toDF("event_id", "ts")
+    val out = graft.streaming.Streams.watermarkDropRun(spark, ev,
+      delayUs = 10 * S, windowUs = 10 * S, nBatches = 2, sampleMod = 1L,
+      outDir = java.nio.file.Files
+        .createTempDirectory("graft_wmd_spec").toString + "/out")
+      .collect().map(r => r.getAs[Long]("window_start_us") ->
+        r.getAs[Long]("n")).toMap
+    // replicate the calibrated rule in plain Scala
+    def sha60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      var acc = 0L; var i = 0
+      while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+      acc >>> 4
+    }
+    val rows = Seq((1L, 100 * S), (2L, 95 * S), (3L, 79 * S),
+      (4L, 80 * S), (5L, 90 * S), (6L, 99 * S))
+      .sortBy { case (id, _) => (sha60(s"arr:$id"), id) }
+    val chunk = (rows.length + 1) / 2
+    val batches = rows.grouped(chunk).toSeq
+    var wm = Option.empty[Long]
+    val accepted = scala.collection.mutable.Map[Long, Long]()
+    batches.foreach { b =>
+      b.foreach { case (_, ts) =>
+        val ws = ts - ts % (10 * S)
+        if (wm.forall(w => ws + 10 * S > w - 10 * S))
+          accepted(ws) = accepted.getOrElse(ws, 0L) + 1L
+      }
+      val mt = b.map(_._2).max
+      wm = Some(wm.fold(mt)(math.max(_, mt)))
+    }
+    assert(out == accepted.toMap,
+      s"engine $out vs calibrated rule ${accepted.toMap}")
+  }
+
   test("sessionStatsBatch: hand-computed engagement histogram") {
     import spark.implicits._
     val gap = 100L
