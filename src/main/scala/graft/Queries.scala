@@ -791,6 +791,34 @@ object Queries {
         WHERE rank <= 5"""),
       headline = true),
 
+    Q("ann_filtered",
+      // FILTERED vector search — the vector-DB feature class where a
+      // metadata predicate (here: even labels) restricts the corpus
+      // BEFORE the top-k: the filter composes with the scan so
+      // pruning happens at the source, and ranks are dense within
+      // the filtered set (what a filtered index returns — not a
+      // post-filtered global top-k with holes)
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annBruteForce(emb.filter(col("label") % 2 === 0),
+          emb.filter(col("vec_id") < 8), k = 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id as query_id, cast(embedding as double[]) as q_emb
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id as neighbor_id, cast(embedding as double[]) as emb
+              FROM embeddings WHERE label % 2 = 0)
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) as rank, cosine
+          FROM (SELECT query_id, neighbor_id,
+              list_dot_product(q_emb, emb) /
+                (sqrt(list_dot_product(q_emb, q_emb)) *
+                 sqrt(list_dot_product(emb, emb))) as cosine
+            FROM q JOIN c ON neighbor_id != query_id))
+        WHERE rank <= 5""")),
+
     Q("ann_pq",
       // PQ-ADC ANN: corpus compressed to 8 codes/vector by the native
       // kernel (one map-only scan), queries carry an m×ksub dot-product

@@ -113,6 +113,7 @@ class DeterminismSpec extends SparkSpec {
     "image_phash_dedup", "multimodal_audio_features", "compaction_plan",
     "approx_quantiles_audit", "bloom_fpp_audit", "langid_confusion",
     "session_stats", "watermark_curve", "ivm_delta_retract",
-    "training_epoch"))
+    "training_epoch", "semdedup_curve", "bucketed_agg", "ann_filtered",
+    "stream_watermark_drop"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -643,6 +643,23 @@ class SimilaritySpec extends SparkSpec {
     assert(t.getAs[Int]("pred_label") == 3 && !t.getAs[Boolean]("correct"))
   }
 
+  test("filtered search: only matching-metadata neighbors, dense ranks") {
+    import org.apache.spark.sql.functions._
+    val emb = tables.embeddings
+    val filtered = Similarity.annBruteForce(
+      emb.filter(col("label") % 2 === 0), emb.filter(col("vec_id") < 8),
+      k = 5)
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    // every neighbor satisfies the predicate
+    assert(filtered.join(labels, "neighbor_id")
+      .filter(col("label") % 2 =!= 0).count() == 0)
+    // ranks dense 1..5 per query (a filtered INDEX, not a
+    // post-filtered global top-k with holes)
+    val ranks = filtered.groupBy("query_id")
+      .agg(collect_set(col("rank")).as("rs")).collect()
+    assert(ranks.forall(_.getAs[Seq[Long]]("rs").sorted == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("clusterQuality: confused vectors counted, nearest labels mutual") {
     import spark.implicits._
     // label 0 lives on the x-axis, label 1 on the y-axis; vec 3 is
