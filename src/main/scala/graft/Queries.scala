@@ -4805,10 +4805,12 @@ object Queries {
       // boundaries) and the oracle re-derives the calibrated accept
       // rule — window_end > (max earlier-batch event-time − delay) —
       // closing the loop on the closed-form lateness audits
-      (s, d) => graft.streaming.Streams.watermarkDropRun(s,
-        Tables(s, d).events, delayUs = 86400000000L,
-        windowUs = 3600000000L, nBatches = 4, sampleMod = 5L,
-        outDir = s"/tmp/graft_cache/wmd_${new java.io.File(d).getName}"),
+      (s, d) => withShufflePartitions(s, 4) {
+        graft.streaming.Streams.watermarkDropRun(s,
+          Tables(s, d).events, delayUs = 86400000000L,
+          windowUs = 3600000000L, nBatches = 4, sampleMod = 5L,
+          outDir = s"/tmp/graft_cache/wmd_${new java.io.File(d).getName}")
+      },
       Some(s"""
         WITH e AS (SELECT event_id, epoch_us(ts) as ts,
             ${TextOracleSql.Sha60.format(
