@@ -383,6 +383,19 @@ object ScaleProbe {
           TextAnalysis.sequencePack(
             d10.join(surv, Seq("doc_id"), "left_semi")).count()
         }),
+      // the SemDeDup sweep reuses ONE blocked pair frame across all
+      // cutoffs; cluster_quality's cosines are map-side literals —
+      // both must hold rows/sec at 10× vectors
+      ("semdedup_curve", t.embeddings.count(),
+        () => Dedup.semdedupCurve(t.embeddings).count(),
+        t.embeddings.count() * 10,
+        () => Dedup.semdedupCurve(
+          replicate(t.embeddings, 10, Some("vec_id"))).count()),
+      ("cluster_quality", t.embeddings.count(),
+        () => Similarity.clusterQuality(t.embeddings).count(),
+        t.embeddings.count() * 10,
+        () => Similarity.clusterQuality(
+          replicate(t.embeddings, 10, Some("vec_id"))).count()),
       ("ivm_delta_gold", t.lineitem.count(), () => {
         Ivm.maintain(t.lineitem.filter(expr("l_orderkey % 10 != 0")),
           t.lineitem.filter(expr("l_orderkey % 10 = 0")),
