@@ -4798,6 +4798,16 @@ object Queries {
             as bigint) as skew_sign
         FROM m""")),
 
+    Q("split_leakage_audit",
+      // eval hygiene for the split itself: near-dup pairs (the
+      // corpus's own LSH dedup signal) counted per unordered split
+      // pair — cross-split rows are silent benchmark contamination a
+      // doc-level split can't see; rides the banded pipeline, ≤6
+      // output rows
+      (s, d) => Dedup.splitLeakageAudit(Tables(s, d).documents),
+      Some(TextOracleSql.splitLeakageSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5, trainPct = 80, valPct = 10))),
+
     Q("stream_watermark_drop",
       // the engine's REAL watermark-drop semantics, hash-checked: a
       // deterministic event sample replays through an actual

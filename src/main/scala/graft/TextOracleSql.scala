@@ -935,6 +935,31 @@ object TextOracleSql {
     FROM enc GROUP BY 1"""
   }
 
+  /** Train/test leakage audit (mirrors Dedup.splitLeakageAudit):
+    * banded-LSH near-dup pairs × the hash train/val/test split,
+    * counted per unordered split pair. */
+  def splitLeakageSql(shingleK: Int, numPerm: Int, bands: Int,
+                      threshold: Double, trainPct: Int,
+                      valPct: Int): String = s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${lshPairCtes(numPerm, bands)},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $threshold),
+    sp AS (SELECT doc_id,
+        CASE WHEN b < $trainPct THEN 'train'
+             WHEN b < ${trainPct + valPct} THEN 'val'
+             ELSE 'test' END as split
+      FROM (SELECT doc_id,
+              ${sha60("cast(doc_id as varchar)")} % 100 as b
+            FROM documents)),
+    j AS (SELECT least(sa.split, sb.split) as split_lo,
+            greatest(sa.split, sb.split) as split_hi
+          FROM pairs
+            JOIN sp sa ON sa.doc_id = pairs.id_a
+            JOIN sp sb ON sb.doc_id = pairs.id_b)
+    SELECT split_lo, split_hi, cast(count(*) as bigint) as n_pairs,
+      split_lo != split_hi as is_leak
+    FROM j GROUP BY 1, 2"""
+
   /** DSIR importance resampling (mirrors Importance.dsirResample):
     * hashed-bigram bin counts, add-one-smoothed target/corpus ratio
     * in integer ppm, count-weighted mean score per doc, salted-hash

@@ -398,6 +398,31 @@ object Dedup {
       .withColumn("pruned_frac",
         col("n_pruned").cast("double") / col("n_vectors"))
 
+  /** Train/test LEAKAGE audit — eval hygiene for the split itself:
+    * near-duplicate pairs (banded MinHash-LSH, the corpus's own dedup
+    * signal) joined against the deterministic train/val/test
+    * assignment, counted per unordered split pair. A near-dup of a
+    * test document sitting in train is silent eval contamination a
+    * doc-level split cannot see; the cross-split rows here are
+    * exactly that mass, BEFORE anyone reports a benchmark number.
+    *
+    * Scale: rides the banded-LSH pair pipeline (never all-pairs);
+    * the split is a map-side hash; the audit joins carry only
+    * (id, split) pairs keyed on doc id; output is ≤6 rows. */
+  def splitLeakageAudit(documents: DataFrame, trainPct: Int = 80,
+                        valPct: Int = 10): DataFrame = {
+    val pairs = minhashLsh(documents)
+    val split = TextAnalysis.trainValTestSplit(documents, trainPct, valPct)
+    val a = split.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val b = split.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+  }
+
   /** The SemDeDup THRESHOLD CURVE — dedup_threshold_curve's
     * embedding-space sibling: sweep candidate cosine cutoffs over the
     * quantizer-blocked pair frame computed ONCE at the loosest

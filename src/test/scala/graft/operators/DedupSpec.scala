@@ -417,6 +417,33 @@ class DedupSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("splitLeakageAudit: injected cross-split near-dups are counted " +
+    "as leaks") {
+    import spark.implicits._
+    // find two ids landing in different splits, give them near-dup
+    // texts; a third pair within one split must NOT flag
+    val split = TextAnalysis.trainValTestSplit(tables.documents)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    val train = split.filter(_._2 == "train").map(_._1)
+    val test = split.filter(_._2 == "test").map(_._1)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (train(0), base), (test(0), base + " phi"), // cross-split near-dup
+      (train(1), "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (train(2), "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen seventeen") // intra-train
+    ).toDF("doc_id", "text")
+    val out = Dedup.splitLeakageAudit(docs)
+      .collect().map(r => (r.getAs[String]("split_lo"),
+        r.getAs[String]("split_hi")) -> r).toMap
+    assert(out(("test", "train")).getAs[Long]("n_pairs") >= 1L &&
+      out(("test", "train")).getAs[Boolean]("is_leak"))
+    assert(out(("train", "train")).getAs[Long]("n_pairs") >= 1L &&
+      !out(("train", "train")).getAs[Boolean]("is_leak"))
+  }
+
   test("semdedupCurve: monotone in the cutoff, agrees with semdedupKeep") {
     val curve = Dedup.semdedupCurve(tables.embeddings,
       thresholds = Seq(0.35, 0.5, 0.7, 0.9))
