@@ -4808,6 +4808,15 @@ object Queries {
       Some(TextOracleSql.splitLeakageSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5, trainPct = 80, valPct = 10))),
 
+    Q("split_leakage_fix",
+      // the audit's REPAIR: drop the eval-side member of every
+      // cross-split near-dup pair (precedence train > val > test —
+      // training data never touched, eval sets end clean); kept
+      // subset re-audits to zero cross-split mass (spec)
+      (s, d) => Dedup.splitLeakageFix(Tables(s, d).documents),
+      Some(TextOracleSql.splitLeakageFixSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5, trainPct = 80, valPct = 10))),
+
     Q("stream_watermark_drop",
       // the engine's REAL watermark-drop semantics, hash-checked: a
       // deterministic event sample replays through an actual

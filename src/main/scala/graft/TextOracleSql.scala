@@ -960,6 +960,36 @@ object TextOracleSql {
       split_lo != split_hi as is_leak
     FROM j GROUP BY 1, 2"""
 
+  /** Leakage repair (mirrors Dedup.splitLeakageFix): drop the
+    * lower-precedence member of every cross-split near-dup pair
+    * (train > val > test), emit every doc with its kept flag. */
+  def splitLeakageFixSql(shingleK: Int, numPerm: Int, bands: Int,
+                         threshold: Double, trainPct: Int,
+                         valPct: Int): String = s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${lshPairCtes(numPerm, bands)},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $threshold),
+    sp AS (SELECT doc_id,
+        CASE WHEN b < $trainPct THEN 'train'
+             WHEN b < ${trainPct + valPct} THEN 'val'
+             ELSE 'test' END as split
+      FROM (SELECT doc_id,
+              ${sha60("cast(doc_id as varchar)")} % 100 as b
+            FROM documents)),
+    pr AS (SELECT doc_id, split,
+        CASE split WHEN 'train' THEN 2 WHEN 'val' THEN 1
+          ELSE 0 END as prec
+      FROM sp),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN pa.prec < pb.prec THEN pairs.id_a
+        WHEN pb.prec < pa.prec THEN pairs.id_b END as doc_id
+      FROM pairs
+        JOIN pr pa ON pa.doc_id = pairs.id_a
+        JOIN pr pb ON pb.doc_id = pairs.id_b
+      WHERE pa.prec != pb.prec)
+    SELECT sp.doc_id, sp.split, d.doc_id IS NULL as kept
+    FROM sp LEFT JOIN dropped d ON d.doc_id = sp.doc_id"""
+
   /** DSIR importance resampling (mirrors Importance.dsirResample):
     * hashed-bigram bin counts, add-one-smoothed target/corpus ratio
     * in integer ppm, count-weighted mean score per doc, salted-hash

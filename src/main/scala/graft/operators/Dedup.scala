@@ -423,6 +423,38 @@ object Dedup {
       .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
   }
 
+  /** The REPAIR for [[splitLeakageAudit]] (the audit→treatment
+    * symmetry of expectations→drop and outliers→winsorize): for every
+    * cross-split near-dup pair, drop the EVAL-side member — split
+    * precedence train > val > test, so training data is never
+    * touched and each eval set ends clean of near-dups it shares
+    * with any higher-precedence set. Emits every doc with its split
+    * and a kept flag (the audit's cross-split mass goes to zero on
+    * the kept subset — spec-proven).
+    *
+    * Scale: the leak pairs ride the banded-LSH pipeline; the dropped
+    * set (a minority by construction) is a distinct over pair rows,
+    * joined back on doc_id. */
+  def splitLeakageFix(documents: DataFrame, trainPct: Int = 80,
+                      valPct: Int = 10): DataFrame = {
+    val split = TextAnalysis.trainValTestSplit(documents, trainPct, valPct)
+    val prec = (c: Column) => when(c === "train", 2)
+      .when(c === "val", 1).otherwise(0)
+    val a = split.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val b = split.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    val dropped = minhashLsh(documents)
+      .join(a, "id_a").join(b, "id_b")
+      .select(when(prec(col("split_a")) < prec(col("split_b")), col("id_a"))
+        .when(prec(col("split_b")) < prec(col("split_a")), col("id_b"))
+        .as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    split.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        col("is_dropped").isNull.as("kept"))
+  }
+
   /** The SemDeDup THRESHOLD CURVE — dedup_threshold_curve's
     * embedding-space sibling: sweep candidate cosine cutoffs over the
     * quantizer-blocked pair frame computed ONCE at the loosest

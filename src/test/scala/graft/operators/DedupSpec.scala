@@ -444,6 +444,21 @@ class DedupSpec extends SparkSpec {
       !out(("train", "train")).getAs[Boolean]("is_leak"))
   }
 
+  test("splitLeakageFix: kept subset re-audits clean; train never dropped") {
+    val docs = tables.documents
+    val fixed = Dedup.splitLeakageFix(docs)
+    // training docs are never the dropped side
+    assert(fixed.filter(col("split") === "train" && !col("kept"))
+      .count() == 0)
+    // the kept subset has zero cross-split near-dup mass
+    val keptDocs = docs.join(fixed.filter(col("kept")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val reaudit = Dedup.splitLeakageAudit(keptDocs)
+      .filter(col("is_leak")).agg(sum("n_pairs")).collect().head
+    assert(reaudit.isNullAt(0) || reaudit.getLong(0) == 0L,
+      s"cross-split pairs survive the fix: $reaudit")
+  }
+
   test("semdedupCurve: monotone in the cutoff, agrees with semdedupKeep") {
     val curve = Dedup.semdedupCurve(tables.embeddings,
       thresholds = Seq(0.35, 0.5, 0.7, 0.9))
