@@ -4765,6 +4765,59 @@ object Queries {
         salt = "dsir"),
       Some(TextOracleSql.dsirResampleSql("lang", "en", 1024, "dsir"))),
 
+    Q("dsir_mix_report",
+      // the resampler's effect: per-language corpus share before vs
+      // after DSIR's keep decisions, exact integer ppm — how hard
+      // the mix actually skewed toward the target, read before
+      // training on the output
+      (s, d) => Importance.dsirMixReport(Tables(s, d).documents,
+        targetCol = "lang", targetVal = "en", buckets = 1024,
+        salt = "dsir"),
+      Some(s"""
+        WITH scored AS (
+          SELECT * FROM (${TextOracleSql.dsirResampleSql(
+            "lang", "en", 1024, "dsir")})),
+        pl AS (SELECT lang, cast(count(*) as bigint) as n_docs,
+            cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint)
+              as n_kept
+          FROM scored GROUP BY 1),
+        tot AS (SELECT cast(sum(n_docs) as bigint) as t_docs,
+            greatest(cast(sum(n_kept) as bigint), 1) as t_kept
+          FROM pl)
+        SELECT lang, n_docs, n_kept,
+          n_kept * 1000000 // n_docs as kept_ppm,
+          n_docs * 1000000 // t_docs as share_before_ppm,
+          n_kept * 1000000 // t_kept as share_after_ppm
+        FROM pl, tot""")),
+
+    Q("source_dedup_report",
+      // which source sends duplicates: per source, docs vs distinct
+      // content hashes and the duplicate mass in exact ppm — the
+      // ingest-side accountability view of exact dedup; one
+      // map-side-combined shuffle over (source, hash)
+      (s, d) => {
+        val sha60 = org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.expressions.Sha60(
+            org.apache.spark.sql.graft.GraftBridge.expression(
+              col("text"))))
+        Tables(s, d).documents
+          .select(col("source"), sha60.as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_distinct"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            expr("(n_docs - n_distinct) * 1000000 div n_docs")
+              .as("dup_ppm"))
+      },
+      Some(s"""
+        SELECT source, cast(count(*) as bigint) as n_docs,
+          cast(count(DISTINCT ${TextOracleSql.Sha60.format("text")})
+            as bigint) as n_distinct,
+          cast((count(*) - count(DISTINCT
+            ${TextOracleSql.Sha60.format("text")})) * 1000000
+            // count(*) as bigint) as dup_ppm
+        FROM documents GROUP BY 1""")),
+
     Q("vocab_coverage",
       // per-language OOV mass against the global top-1000-word vocab
       // (count desc, word asc): the shared-tokenizer fairness audit;

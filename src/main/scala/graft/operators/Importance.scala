@@ -88,4 +88,26 @@ object Importance {
         pmod(sha60(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
           lit(1000000L)) < col("keep_prob_ppm"))
   }
+
+  /** The resampler's EFFECT, summarized: per language, corpus share
+    * before vs after [[dsirResample]]'s keep decisions — the table
+    * that shows how hard DSIR actually skewed the mix toward the
+    * target (and what it did to every other language) before anyone
+    * trains on the output. Exact integer ppm shares; totals are a
+    * broadcast 1-row frame. */
+  def dsirMixReport(documents: DataFrame, targetCol: String = "lang",
+                    targetVal: String = "en", buckets: Int = 1024,
+                    salt: String = "dsir"): DataFrame = {
+    val scored = dsirResample(documents, targetCol, targetVal, buckets, salt)
+    val perLang = scored.groupBy(targetCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    val totals = perLang.agg(sum(col("n_docs")).as("t_docs"),
+      greatest(sum(col("n_kept")), lit(1L)).as("t_kept"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col(targetCol), col("n_docs"), col("n_kept"),
+        expr("n_kept * 1000000 div n_docs").as("kept_ppm"),
+        expr("n_docs * 1000000 div t_docs").as("share_before_ppm"),
+        expr("n_kept * 1000000 div t_kept").as("share_after_ppm"))
+  }
 }

@@ -114,6 +114,7 @@ class DeterminismSpec extends SparkSpec {
     "approx_quantiles_audit", "bloom_fpp_audit", "langid_confusion",
     "session_stats", "watermark_curve", "ivm_delta_retract",
     "training_epoch", "semdedup_curve", "bucketed_agg", "ann_filtered",
-    "stream_watermark_drop", "split_leakage_audit", "split_leakage_fix"))
+    "stream_watermark_drop", "split_leakage_audit", "split_leakage_fix",
+    "dsir_mix_report", "source_dedup_report"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

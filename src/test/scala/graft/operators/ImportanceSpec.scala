@@ -40,6 +40,33 @@ class ImportanceSpec extends SparkSpec {
     assert(rows(3L).getAs[Long]("n_feats") == 2L)
   }
 
+  test("dsirMixReport: a distinct target vocabulary pulls the mix " +
+    "toward the target; no signal → no skew") {
+    // constructed corpus with a REAL distributional difference
+    val d = docs(
+      (0L until 6L).map(i => (i, "alpha beta gamma delta", "en")) ++
+      (6L until 18L).map(i => (i, "zig zag zip zap", "zz")))
+    val rep = Importance.dsirMixReport(d, "lang", "en", 1024, "t")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rep("en").getAs[Long]("share_after_ppm") >
+      rep("en").getAs[Long]("share_before_ppm"),
+      s"target share must rise on separable data: $rep")
+    // shares are ppm partitions (integer-div undershoot ≤ #langs)
+    val after = rep.values.map(_.getAs[Long]("share_after_ppm")).sum
+    assert(after > 1000000L - rep.size && after <= 1000000L)
+    // the driver-synthesized corpus shares ONE word pool across langs
+    // — no distributional signal, so DSIR must NOT manufacture skew:
+    // target share stays within noise of its input share
+    val real = Importance.dsirMixReport(tables.documents)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = real("en")
+    assert(en.getAs[Long]("share_after_ppm") >=
+      en.getAs[Long]("share_before_ppm") - 20000L,
+      s"no-signal corpus must not lose target mass: $en")
+    assert(real.values.forall(r =>
+      r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+  }
+
   test("dsir: every doc emits exactly one row and probs stay in [0, 1e6]") {
     val out = Importance.dsirResample(tables.documents)
     assert(out.count() == tables.documents.count())
