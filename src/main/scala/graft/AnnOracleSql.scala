@@ -323,7 +323,8 @@ object AnnOracleSql {
          coalesce(n_pairs, 0) as n_pairs,
          coalesce(n_dropped, 0) as n_dropped,
          n_vectors - coalesce(n_dropped, 0) as n_survivors,
-         coalesce(n_dropped, 0) * 1000000 // n_vectors as pruned_ppm
+         CASE WHEN n_vectors > 0 THEN
+           coalesce(n_dropped, 0) * 1000000 // n_vectors END as pruned_ppm
        FROM th t LEFT JOIN hits USING (threshold), tot"""
   }
 

@@ -494,7 +494,8 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         (col("n_vectors") - coalesce(col("n_dropped"), lit(0L)))
           .as("n_survivors"),
-        expr("coalesce(n_dropped, 0) * 1000000 div n_vectors")
+        expr("CASE WHEN n_vectors > 0 THEN " +
+          "coalesce(n_dropped, 0) * 1000000 div n_vectors END")
           .as("pruned_ppm"))
   }
 

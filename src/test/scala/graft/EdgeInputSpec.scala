@@ -249,4 +249,32 @@ class EdgeInputSpec extends SparkSpec {
     assert(Ivm.maintain(t.lineitem.limit(0), t.lineitem.limit(0),
       t.orders, t.customer, t.nation).count() == 0)
   }
+
+  test("late-wave operators are inert on empty and degenerate inputs") {
+    // the SemDeDup curve still reports one all-zero row per cutoff
+    // on an empty corpus (a sweep must survive a quiet window)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val curve = Dedup.semdedupCurve(emptyEmb,
+      thresholds = Seq(0.5, 0.9)).collect()
+    assert(curve.length == 2 && curve.forall(r =>
+      r.getAs[Long]("n_pairs") == 0L &&
+        r.getAs[Long]("n_survivors") == 0L))
+    // leakage audit/fix on an empty corpus: no pairs, no rows / all kept
+    assert(Dedup.splitLeakageAudit(emptyDocs).count() == 0)
+    assert(Dedup.splitLeakageFix(emptyDocs).count() == 0)
+    // a single doc can't leak and is kept
+    val fx = Dedup.splitLeakageFix(oneDoc).collect()
+    assert(fx.length == 1 && fx.head.getAs[Boolean]("kept"))
+    // mix report and source report are empty-safe
+    assert(Importance.dsirMixReport(emptyDocs).count() == 0)
+    val one = graft.Queries.queries("source_dedup_report")
+    assert(TimeSeries.lateArrivalAudit(
+      Seq.empty[(Long, Long, String)].toDF("event_id", "ts", "event_type"),
+      10L, org.apache.spark.sql.functions.col("event_id")).count() == 0)
+    // compaction plan over an empty table is an empty work list
+    val emptyEvents = Seq.empty[(Long, Long)].toDF("event_id", "ts")
+    assert(Maintenance.compactionPlan(emptyEvents).count() == 0)
+    assert(one != null)
+  }
 }
