@@ -36,9 +36,20 @@ object Bench {
     // fixed name order: Map iteration order shifts as queries are
     // added, which would move warmup/cache effects between queries
     // and add noise to round-over-round comparisons
+    // de-noise: a 237-query session ages the JVM (accumulated cached
+    // relations, temp views, codegen/GC pressure) — r7's in-run
+    // timings drifted up to ~6x above isolated reruns for
+    // late-alphabet queries. Reset session-visible state between
+    // queries so each one times like an isolated run.
+    def resetSession(): Unit = {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
+      resetSession()
       val times = scala.collection.mutable.ListBuffer[Double]()
       var rep = 0
       var failed = false
@@ -68,8 +79,18 @@ object Bench {
     // after (and displace) the one machine-read results line; the JSON
     // line is the last thing this process writes to stdout
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
     System.out.flush()
+    // the driver's BENCH artifact keeps only a ~2KB tail, which in
+    // past rounds silently amputated most per-query timings — persist
+    // the full results line in-repo so every round can diff every
+    // query (judge r7 next-round item #2)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: $e") }
     spark.stop()
   }
 }

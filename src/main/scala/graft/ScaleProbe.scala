@@ -85,6 +85,19 @@ object ScaleProbe {
           val d10 = replicateDocs(t.documents, 10)
           Clusters.duplicateClusters(d10, Dedup.minhashLsh(d10)).count()
         }),
+      // the large-star/small-star path: signature-disjoint replicas
+      // keep components per-replica, so edge volume and round count
+      // stay per-shard — cost should track the 10× edge set, not the
+      // graph diameter
+      ("dedup_clusters_star", t.documents.count(), () => {
+        Clusters.duplicateClusters(t.documents,
+          Dedup.minhashLsh(t.documents), deep = true).count()
+      },
+        t.documents.count() * 10, () => {
+          val d10 = replicateDocs(t.documents, 10)
+          Clusters.duplicateClusters(d10, Dedup.minhashLsh(d10),
+            deep = true).count()
+        }),
       ("tfidf_topterms", t.documents.count(),
         () => TextAnalysis.tfidfTopTerms(t.documents).count(),
         t.documents.count() * 10,

@@ -458,10 +458,18 @@ object Dedup {
   /** The SemDeDup THRESHOLD CURVE — dedup_threshold_curve's
     * embedding-space sibling: sweep candidate cosine cutoffs over the
     * quantizer-blocked pair frame computed ONCE at the loosest
-    * threshold, reporting per cutoff how many pairs fire and how
-    * much of the corpus a greedy keep-first prune would drop. The
-    * table a team reads to pick the SemDeDup threshold before paying
-    * for a corpus-wide prune.
+    * threshold, reporting per cutoff how many pairs fire and an
+    * UPPER BOUND on the prune mass: `n_dropped` counts every vector
+    * with at least one lower-id over-threshold neighbor. On chains
+    * (1~2, 2~3 without 1~3) a sequential greedy keep-first prune
+    * would keep 3 after dropping 2, so the true greedy drop count
+    * can be lower — the bound is what one pass over the pair frame
+    * can compute without iterating components, and it is exact
+    * whenever duplicate groups are cliques (the common case for
+    * embedding near-dups). The table a team reads to pick the
+    * SemDeDup threshold before paying for a corpus-wide prune;
+    * [[semdedupKeep]] materializes the same rule, so curve and
+    * prune agree by construction.
     *
     * Scale: one intra-cell pair join (work ∝ Σ cell²) ever — each
     * additional candidate threshold costs only a filter over the

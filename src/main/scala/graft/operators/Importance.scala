@@ -3,11 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
-  * weight every raw document by how target-like its hashed-n-gram
-  * profile is, then keep each doc with probability proportional to
-  * that weight — the standard recipe for skewing a 100 TB crawl
-  * toward a curated target domain without training a classifier.
+/** DSIR-STYLE importance resampling (after Xie et al. 2023): weight
+  * every raw document by how target-like its hashed-n-gram profile
+  * is, then keep each doc with probability proportional to that
+  * weight — the standard recipe for skewing a 100 TB crawl toward a
+  * curated target domain without training a classifier.
+  *
+  * NOT the paper's estimator, deliberately: DSIR proper scores a doc
+  * by the PRODUCT of per-feature likelihood ratios between
+  * separately-normalized target and raw bag-of-ngrams models (a
+  * log-ratio SUM over occurrences), which rewards conjunctions of
+  * target-typical features multiplicatively. This implementation
+  * scores by the count-weighted arithmetic MEAN of per-bin smoothed
+  * target-share ratios n_target/n_corpus — a mean-ratio variant
+  * whose selection behavior differs materially on docs mixing very
+  * target-typical and very atypical features (mean dampens what a
+  * product amplifies). The trade is integer-exactness: the mean is
+  * computable in pure 63-bit integer sums and reproduces bit-for-bit
+  * in any engine, while a log-ratio sum needs a float log pipeline
+  * whose rounding is engine-specific. Same monotone intent, different
+  * estimator — cite accordingly.
   *
   * This implementation keeps the whole computation oracle-exact:
   * features are sha60-hashed bigram occurrences folded into

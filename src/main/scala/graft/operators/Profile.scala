@@ -387,12 +387,14 @@ object Profile {
     * central moment's numerator n²Σx³ − 3nΣxΣx² + 2(Σx)³ — no cube
     * roots, no float pipeline.
     *
-    * Scale: one map-side combined groupBy over #groups keys; power
-    * sums overflow 63 bits only past ~10¹⁸ token-cubed mass per
-    * group — at that point widen to decimal(38,0) sums, same shape.
-    * (Doc token counts are bounded by doc size; the cube of a 10⁵
-    * token doc is 10¹⁵, so ~1000 such docs per group fit before
-    * widening is needed at this precision.) */
+    * Scale: one map-side combined groupBy over #groups keys. The RAW
+    * power sums overflow 63 bits only past ~10¹⁸ token-cubed mass per
+    * group, but the DERIVED skew numerator n²·s3 − 3n·s1·s2 + 2·s1³
+    * wraps much earlier (n≈10⁶ docs of ~100 tokens → s3≈10¹² →
+    * n²·s3≈10²⁴), so [[deriveMoments]] widens every derived numerator
+    * through decimal(38,0) before sign/division — safe to ~10³⁸
+    * numerator mass, i.e. any corpus whose raw sums still fit a
+    * long. */
   def groupedMoments(documents: DataFrame,
                      groupCol: String = "source"): DataFrame =
     deriveMoments(rawMoments(documents, groupCol), groupCol)
@@ -418,14 +420,27 @@ object Profile {
 
   /** Derive mean/variance/skew-sign from exact power sums — shared
     * by the batch operator and the streaming merge so both emit the
-    * identical final row. */
-  def deriveMoments(sums: DataFrame, groupCol: String): DataFrame =
+    * identical final row. The derived numerators (n·s2 − s1² and
+    * n²·s3 − 3n·s1·s2 + 2·s1³) are computed in decimal(38,0), NOT
+    * long: they wrap 63 bits around ~10⁶ average-length docs per
+    * group even when the raw sums are nowhere near overflow. The
+    * exact decimal sign (no double round-trip) is the skew
+    * direction; var_num ships as decimal(38,0) and only the final
+    * variance division is a double. */
+  def deriveMoments(sums: DataFrame, groupCol: String): DataFrame = {
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val varNum = d("n") * d("s2") - d("s1") * d("s1")
+    val skewNum = d("n") * d("n") * d("s3") -
+      lit(3).cast("decimal(38,0)") * d("n") * d("s1") * d("s2") +
+      lit(2).cast("decimal(38,0)") * d("s1") * d("s1") * d("s1")
     sums.select(col(groupCol), col("n"), col("s1"), col("s2"), col("s3"),
       (col("s1").cast("double") / col("n").cast("double"))
         .as("mean_tokens"),
-      expr("n * s2 - s1 * s1").as("var_num"),
-      (expr("n * s2 - s1 * s1").cast("double") /
-        expr("n * n").cast("double")).as("var_tokens"),
-      signum(expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1")
-        .cast("double")).cast("long").as("skew_sign"))
+      varNum.as("var_num"),
+      (varNum.cast("double") /
+        (col("n").cast("double") * col("n").cast("double")))
+        .as("var_tokens"),
+      when(skewNum > 0, 1L).when(skewNum < 0, -1L).otherwise(0L)
+        .as("skew_sign"))
+  }
 }

@@ -33,8 +33,39 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 
   val RsdConf = "spark.graft.approxDistinct.rsd"
 
+  /** HLL++ needs precision p ≥ 4, i.e. rsd < 1.106/2^1.5 ≈ 0.391 —
+    * validated HERE with a message naming the conf, not later as a
+    * bare require inside the aggregate's constructor mid-query. */
+  private val MaxRsd = 0.39
+
+  /** Parse-once cache: the rule runs on every plan in the session,
+    * so a malformed value must not throw a bare
+    * NumberFormatException per query (and a well-formed one should
+    * not re-parse per query). Malformed → warn once, treat as
+    * disabled; out-of-range → fail fast with the conf name. */
+  @volatile private var lastParsed: (String, Double) = ("0", 0.0)
+
+  private def rsdFor(raw: String): Double = {
+    val cached = lastParsed
+    if (cached._1 == raw) cached._2
+    else {
+      val v = try raw.trim.toDouble catch {
+        case _: NumberFormatException =>
+          logWarning(s"ignoring malformed $RsdConf='$raw' (expected a " +
+            "double in (0, 0.39)); approx-distinct rewrite disabled")
+          0.0
+      }
+      if (v >= MaxRsd) throw new IllegalArgumentException(
+        s"$RsdConf=$raw out of range: HyperLogLog++ supports a relative " +
+          s"standard deviation below $MaxRsd (precision >= 4); unset or " +
+          "lower the value")
+      lastParsed = (raw, v)
+      v
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val rsd = conf.getConfString(RsdConf, "0").toDouble
+    val rsd = rsdFor(conf.getConfString(RsdConf, "0"))
     if (rsd <= 0) plan
     else plan.transformUp {
       case agg: Aggregate if !agg.isStreaming =>

@@ -671,12 +671,20 @@ object Streams {
     * Scale note: this is a REPLAY HARNESS (the sample collects to
     * the driver to drive exact batch boundaries) — the production
     * path is the file-source streams; the closed-form audits are the
-    * 100 TB-scale tools this run validates. */
+    * 100 TB-scale tools this run validates. The driver-side sample
+    * is bounded by an ABSOLUTE row budget, not a proportion: the
+    * hash modulus is ceil(n / sampleBudget)
+    * ([[graft.operators.Similarity.sampleModulus]]), so the expected
+    * replay size stays ≈ sampleBudget rows at ANY input cardinality
+    * — 100×ing the events table cannot OOM the driver. */
   def watermarkDropRun(spark: SparkSession, events: DataFrame,
                        delayUs: Long, windowUs: Long, nBatches: Int,
-                       sampleMod: Long, outDir: String): org.apache.spark.sql.DataFrame = {
+                       sampleBudget: Int, outDir: String): org.apache.spark.sql.DataFrame = {
     require(delayUs % 1000000L == 0 && windowUs % 1000000L == 0,
       "whole-second delay/window keep the ms-floored watermark exact")
+    require(sampleBudget >= 1, "sampleBudget must be positive")
+    val sampleMod = graft.operators.Similarity
+      .sampleModulus(events.count(), sampleBudget)
     import spark.implicits._
     val sha60 = (c: org.apache.spark.sql.Column) =>
       org.apache.spark.sql.graft.GraftBridge.column(
@@ -714,6 +722,7 @@ object Streams {
     ms.addData(Seq((-1L, sentinelTs)))
     q.processAllAvailable()
     q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val sentinelWindowStart = sentinelTs - sentinelTs % windowUs
     spark.read.parquet(outDir)
       .filter(col("window_start_us") < lit(sentinelWindowStart))

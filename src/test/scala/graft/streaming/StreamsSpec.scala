@@ -268,16 +268,17 @@ class StreamsSpec extends SparkSpec {
     "window_end == watermark drops, window_end > watermark survives") {
     import spark.implicits._
     val S = 1000000L
-    // arrival order is hash-permuted by the harness; with sampleMod=1
-    // and nBatches=2 the FIRST batch (by arrival hash) sets the
-    // watermark for the second. Construct events whose hash order we
-    // don't control but whose SEMANTICS the oracle rule fixes: just
-    // assert the run equals the rule evaluated in-JVM.
+    // arrival order is hash-permuted by the harness; a budget >= n
+    // makes the modulus 1 (whole input replays) and nBatches=2 means
+    // the FIRST batch (by arrival hash) sets the watermark for the
+    // second. Construct events whose hash order we don't control but
+    // whose SEMANTICS the oracle rule fixes: just assert the run
+    // equals the rule evaluated in-JVM.
     val ev = Seq((1L, 100 * S), (2L, 95 * S), (3L, 79 * S),
       (4L, 80 * S), (5L, 90 * S), (6L, 99 * S))
       .toDF("event_id", "ts")
     val out = graft.streaming.Streams.watermarkDropRun(spark, ev,
-      delayUs = 10 * S, windowUs = 10 * S, nBatches = 2, sampleMod = 1L,
+      delayUs = 10 * S, windowUs = 10 * S, nBatches = 2, sampleBudget = 100,
       outDir = java.nio.file.Files
         .createTempDirectory("graft_wmd_spec").toString + "/out")
       .collect().map(r => r.getAs[Long]("window_start_us") ->
@@ -308,6 +309,33 @@ class StreamsSpec extends SparkSpec {
     }
     assert(out == accepted.toMap,
       s"engine $out vs calibrated rule ${accepted.toMap}")
+  }
+
+  test("watermarkDropRun replay sample is bounded by an ABSOLUTE row " +
+    "budget at any input cardinality") {
+    import graft.operators.Similarity.sampleModulus
+    // modulus = ceil(n / budget) ⇒ expected sample n/m <= budget for
+    // EVERY n — the driver collect cannot grow with the corpus
+    for (n <- Seq(1L, 1999L, 2000L, 2001L, 123456789L,
+        1000000000000L, Long.MaxValue / 4))
+      assert(n / sampleModulus(n, 2000) <= 2000L,
+        s"expected sample for n=$n exceeds the 2000-row budget")
+    // realized sample on the events table: the exact filter the
+    // harness applies, at two budgets — deterministic (sha60-keyed),
+    // concentrated at ~budget, asserted within 2x
+    val sha60 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val n = tables.events.count()
+    for (b <- Seq(50, 500)) {
+      val m = sampleModulus(n, b)
+      val c = tables.events.filter(
+        pmod(sha60(concat(lit("wmd:"), col("event_id").cast("string"))),
+          lit(m)) === 0).count()
+      assert(c >= 1L && c <= 2L * b,
+        s"realized sample $c outside (0, ${2 * b}] for budget $b (mod $m)")
+    }
   }
 
   test("sessionStatsBatch: hand-computed engagement histogram") {
