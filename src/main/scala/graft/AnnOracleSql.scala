@@ -328,6 +328,40 @@ object AnnOracleSql {
        FROM th t LEFT JOIN hits USING (threshold), tot"""
   }
 
+  /** Transitive-closure vs pairwise prune mass over one pair graph
+    * (mirrors Dedup.semdedupComponentDrop): connected components via
+    * a recursive reachability CTE, one survivor per component, next
+    * to the lower-id-neighbor pairwise count. */
+  def semdedupComponentDropSql(threshold: Double, nlist: Int, iters: Int,
+                               sampleBudget: Int): String =
+    s"""WITH RECURSIVE $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
+       pairs AS (
+         SELECT a.neighbor_id as id_a, b.neighbor_id as id_b
+         FROM tagged a JOIN tagged b
+           ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+         WHERE ${cosine("a.emb", "b.emb")} >= $threshold),
+       edges AS (SELECT id_a as s, id_b as t FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT id_a as id FROM pairs
+                 UNION SELECT id_b FROM pairs),
+       reach(id, r) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r),
+       cc AS (SELECT id, min(r) as label FROM reach GROUP BY 1),
+       agg AS (SELECT cast(count(*) as bigint) as n_in_pairs,
+                 cast(count(DISTINCT label) as bigint) as n_components
+               FROM cc),
+       pw AS (SELECT cast(count(DISTINCT id_b) as bigint)
+                as n_dropped_pairwise FROM pairs),
+       tot AS (SELECT cast(count(*) as bigint) as n_vectors
+               FROM embeddings)
+       SELECT n_vectors, n_in_pairs, n_components,
+         n_in_pairs - n_components as n_dropped_component,
+         n_dropped_pairwise,
+         n_vectors - (n_in_pairs - n_components) as n_survivors_component
+       FROM agg, pw, tot"""
+
   /** The unrolled ADC estimate over codebook list `l.lut` and code
     * row `x.codes` — a left-associated sum of m entries (matching
     * Spark's reduceLeft fold). */

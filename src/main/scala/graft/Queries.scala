@@ -3573,6 +3573,19 @@ object Queries {
       Some(AnnOracleSql.semdedupCurveSql(Seq(0.35, 0.5, 0.7, 0.9),
         nlist = 16, iters = 3, sampleBudget = 128))),
 
+    Q("semdedup_component_drop",
+      // the two prune semantics CALIBRATED against each other on one
+      // pair graph: transitive-closure component drop (one survivor
+      // per component, the dedup_clusters rule) vs the pairwise
+      // lower-id-neighbor drop the curve reports — pairwise <=
+      // component always (per component of size k pairwise drops
+      // <= k-1), equal on cliques; the measured gap is the
+      // chain/star mass; CC runs on pair ENDPOINTS only
+      (s, d) => Dedup.semdedupComponentDrop(Tables(s, d).embeddings,
+        threshold = 0.5, cacheKey = Some(s"sdc_$d")),
+      Some(AnnOracleSql.semdedupComponentDropSql(threshold = 0.5,
+        nlist = 16, iters = 3, sampleBudget = 128))),
+
     Q("training_epoch",
       // the END PRODUCT composed end-to-end: curation survivors
       // (language → quality → repetition → exact-dedup canonical)

@@ -507,6 +507,50 @@ object Dedup {
           .as("pruned_ppm"))
   }
 
+  /** The TWO prune semantics over one over-threshold pair graph,
+    * side by side — the calibration row a team reads before picking
+    * which prune to pay for:
+    *  - `n_dropped_pairwise`: what [[semdedupKeep]] (and the curve's
+    *    `n_dropped`) removes — any vector with a lower-id
+    *    over-threshold neighbor. Conservative: two vectors linked
+    *    only TRANSITIVELY (through a shared near-dup, star graphs)
+    *    both survive.
+    *  - `n_dropped_component`: one survivor per CONNECTED COMPONENT
+    *    (the transitive-closure prune [[Clusters.duplicateClusters]]
+    *    applies to text dups) = n_in_pairs − n_components.
+    * Per component of size k the pairwise rule drops ≤ k−1 (the
+    * component minimum never has a lower-id neighbor), so pairwise ≤
+    * component ALWAYS, with equality on cliques — the common shape
+    * for embedding near-dups; the measured gap is the chain/star mass
+    * in the corpus. One row out; cost = the pair join (shared shape
+    * with the curve) + CC rounds on pair ENDPOINTS only (anything
+    * duplicate-free never enters the loop). */
+  def semdedupComponentDrop(embeddings: DataFrame, threshold: Double = 0.5,
+                            nlist: Int = 16, iters: Int = 3,
+                            sampleBudget: Int = 128,
+                            cacheKey: Option[String] = None): DataFrame = {
+    val pairs = embeddingNearDupQuantized(embeddings, threshold,
+      nlist, iters, sampleBudget, cacheKey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val comps = Clusters.connectedComponents(pairs, nodes)
+    val compAgg = comps.agg(count(lit(1)).as("n_in_pairs"),
+      countDistinct(col("label")).as("n_components"))
+    val pw = pairs.agg(
+      coalesce(countDistinct(col("id_b")), lit(0L)).as("n_dropped_pairwise"))
+    val tot = embeddings.agg(count(lit(1)).as("n_vectors"))
+    val out = compAgg.crossJoin(broadcast(pw)).crossJoin(broadcast(tot))
+      .select(col("n_vectors"), col("n_in_pairs"), col("n_components"),
+        (col("n_in_pairs") - col("n_components")).as("n_dropped_component"),
+        col("n_dropped_pairwise"),
+        (col("n_vectors") - (col("n_in_pairs") - col("n_components")))
+          .as("n_survivors_component"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    out
+  }
+
   // ---------- incremental MinHash index ----------
 
   /** Hash-partition key for the persisted band index: band rows land

@@ -115,6 +115,11 @@ class DeterminismSpec extends SparkSpec {
     "session_stats", "watermark_curve", "ivm_delta_retract",
     "training_epoch", "semdedup_curve", "bucketed_agg", "ann_filtered",
     "stream_watermark_drop", "split_leakage_audit", "split_leakage_fix",
-    "dsir_mix_report", "source_dedup_report"))
+    "dsir_mix_report", "source_dedup_report",
+    // r8: the CC-vs-pairwise calibration (iterative min-label loop),
+    // the schema-store lifecycle, and the restartable file-sink
+    // ingest must all be fan-out-independent
+    "semdedup_component_drop", "ingest_schema_location",
+    "stream_file_ingest"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

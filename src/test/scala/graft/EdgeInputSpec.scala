@@ -235,7 +235,7 @@ class EdgeInputSpec extends SparkSpec {
       ab.isNullAt(ab.fieldIndex("z_squared")))
     // one doc, one source: zero variance, centered skew
     val m1 = Profile.groupedMoments(oneDoc).collect().head
-    assert(m1.getAs[Long]("var_num") == 0L &&
+    assert(m1.getAs[java.math.BigDecimal]("var_num").longValueExact == 0L &&
       m1.getAs[Double]("var_tokens") == 0.0 &&
       m1.getAs[Long]("skew_sign") == 0L)
     // a single arrival is never late
@@ -260,6 +260,13 @@ class EdgeInputSpec extends SparkSpec {
     assert(curve.length == 2 && curve.forall(r =>
       r.getAs[Long]("n_pairs") == 0L &&
         r.getAs[Long]("n_survivors") == 0L))
+    // the component-vs-pairwise calibration row survives an empty
+    // corpus as one all-zero row (no pairs, no components)
+    val cd = Dedup.semdedupComponentDrop(emptyEmb).collect()
+    assert(cd.length == 1 &&
+      cd.head.getAs[Long]("n_dropped_component") == 0L &&
+      cd.head.getAs[Long]("n_dropped_pairwise") == 0L &&
+      cd.head.getAs[Long]("n_survivors_component") == 0L)
     // leakage audit/fix on an empty corpus: no pairs, no rows / all kept
     assert(Dedup.splitLeakageAudit(emptyDocs).count() == 0)
     assert(Dedup.splitLeakageFix(emptyDocs).count() == 0)

@@ -476,6 +476,49 @@ class DedupSpec extends SparkSpec {
       tables.embeddings.count() - dropAt35)
   }
 
+  test("semdedupComponentDrop: pairwise <= component, both within the " +
+    "pair graph; clique equality and star strict gap hand-checked") {
+    val r = Dedup.semdedupComponentDrop(tables.embeddings, threshold = 0.5)
+      .collect().head
+    val n = tables.embeddings.count()
+    assert(r.getAs[Long]("n_vectors") == n)
+    val comp = r.getAs[Long]("n_dropped_component")
+    val pw = r.getAs[Long]("n_dropped_pairwise")
+    // per component of size k the pairwise rule drops <= k-1 (the
+    // component minimum never has a lower-id neighbor), so pairwise
+    // <= component always
+    assert(pw <= comp, s"pairwise $pw above component $comp")
+    assert(comp == r.getAs[Long]("n_in_pairs") -
+      r.getAs[Long]("n_components"))
+    assert(comp <= r.getAs[Long]("n_in_pairs"))
+    assert(r.getAs[Long]("n_survivors_component") == n - comp)
+    import spark.implicits._
+    // clique {1,2,3} + singleton 4: both semantics drop exactly 2
+    val clique = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Dedup.semdedupComponentDrop(clique, threshold = 0.9,
+      nlist = 1, iters = 1, sampleBudget = 4).collect().head
+    assert(c.getAs[Long]("n_dropped_component") == 2L)
+    assert(c.getAs[Long]("n_dropped_pairwise") == 2L)
+    assert(c.getAs[Long]("n_components") == 1L)
+    assert(c.getAs[Long]("n_survivors_component") == 2L)
+    // star 1-3, 2-3 WITHOUT 1-2 (leaves orthogonal, center at 45°):
+    // pairwise drops only {3} (1 and 2 have no lower-id neighbor),
+    // the component prune drops 2 of {1,2,3} — strict gap
+    val s2 = (math.sqrt(2.0) / 2).toFloat
+    val star = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(s2, s2)))
+      .toDF("vec_id", "embedding")
+    val st = Dedup.semdedupComponentDrop(star, threshold = 0.6,
+      nlist = 1, iters = 1, sampleBudget = 4).collect().head
+    assert(st.getAs[Long]("n_dropped_pairwise") == 1L)
+    assert(st.getAs[Long]("n_dropped_component") == 2L)
+    assert(st.getAs[Long]("n_components") == 1L)
+  }
+
   test("bloomFppAudit: exact split sizes and the fp contract hold") {
     val r = Dedup.bloomFppAudit(tables.documents).collect().head
     val n = tables.documents.count()

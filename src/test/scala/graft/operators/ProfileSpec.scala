@@ -207,9 +207,24 @@ class ProfileSpec extends SparkSpec {
     val r = Profile.groupedMoments(d, "source").collect().head
     assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("s1") == 6L &&
       r.getAs[Long]("s2") == 14L && r.getAs[Long]("s3") == 36L)
-    assert(r.getAs[Long]("var_num") == 6L)
+    // var_num ships as decimal(38,0) since r8 (long wrapped ~10^24)
+    assert(r.getAs[java.math.BigDecimal]("var_num").longValueExact == 6L)
     assert(r.getAs[Double]("var_tokens") == 6.0 / 9.0)
     assert(r.getAs[Long]("skew_sign") == 0L)
+  }
+
+  test("deriveMoments survives numerators past the 63-bit wrap " +
+    "(n~10^6 docs of ~100 tokens: n^2*s3 ~ 10^24)") {
+    import spark.implicits._
+    // skew numerator = 1.05e24 - 3.06e24 + 2e24 = -1e22 < 0; long
+    // arithmetic wraps n^2*s3 alone and emits a garbage sign
+    val sums = Seq(("g", 1000000L, 100000000L, 10200000000L,
+      1050000000000L)).toDF("source", "n", "s1", "s2", "s3")
+    val r = Profile.deriveMoments(sums, "source").collect().head
+    assert(r.getAs[Long]("skew_sign") == -1L)
+    assert(r.getAs[java.math.BigDecimal]("var_num")
+      .compareTo(new java.math.BigDecimal("200000000000000")) == 0)
+    assert(math.abs(r.getAs[Double]("var_tokens") - 2e14 / 1e12) < 1e-9)
   }
 
   test("groupedMoments: shard moments merge to the global answer") {
