@@ -2689,6 +2689,38 @@ object Queries {
       Some(TextOracleSql.dedupClustersSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5))),
 
+    Q("dedup_clusters_fold",
+      // the nightly-crawl cluster UPDATE: yesterday's (id, label) map
+      // + only the pairs touching today's delta, folded by
+      // incrementalClusters — old labels enter as a diameter-2 star
+      // per component (|old nodes| edges, never |old pairs|), so the
+      // historical pair graph is never re-read and convergence is ~2
+      // rounds; the fold is BATCH-EQUIVALENT, hash-checked against
+      // the same full-graph oracle as dedup_clusters (the LSH pair
+      // rule is per-pair deterministic, so the split loses nothing)
+      (s, d) => {
+        val docs = Tables(s, d).documents
+        val allPairs = Dedup.minhashLsh(docs)
+          .localCheckpoint(true)
+        val isOld = (c: org.apache.spark.sql.Column) => c % 4 =!= 0
+        val oldDocs = docs.filter(isOld(col("doc_id")))
+        val oldLabels = Clusters.duplicateClusters(oldDocs,
+          allPairs.filter(isOld(col("id_a")) && isOld(col("id_b"))))
+          .select(col("doc_id").as("id"), col("cluster_id").as("label"))
+        val folded = Clusters.incrementalClusters(oldLabels,
+          allPairs.filter(!isOld(col("id_a")) || !isOld(col("id_b"))),
+          docs.filter(!isOld(col("doc_id")))
+            .select(col("doc_id").as("id")))
+        val sizes = folded.groupBy(col("label"))
+          .agg(count(lit(1)).as("cluster_size"))
+        folded.join(sizes, "label")
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            col("cluster_size"),
+            (col("id") === col("label")).as("is_canonical"))
+      },
+      Some(TextOracleSql.dedupClustersSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5))),
+
     Q("zorder_write",
       // the Morton-curve clustered write through the oracle gate:
       // z-ordering is a pure LAYOUT change (one min/max agg + one

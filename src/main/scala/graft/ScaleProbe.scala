@@ -52,6 +52,21 @@ object ScaleProbe {
             regexp_replace(col("text"), "(^| )", s"$$1r${i}_"))
       }.reduce(_ unionByName _)
 
+    // incremental cluster fold over a 75/25 old/delta split — the
+    // dedup_clusters_fold registry pipeline, returned as a row count
+    def foldClusters(docs: DataFrame): Long = {
+      val pairs = Dedup.minhashLsh(docs).localCheckpoint(true)
+      val isOld = (c: org.apache.spark.sql.Column) => c % 4 =!= 0
+      val oldLabels = Clusters.duplicateClusters(
+          docs.filter(isOld(col("doc_id"))),
+          pairs.filter(isOld(col("id_a")) && isOld(col("id_b"))))
+        .select(col("doc_id").as("id"), col("cluster_id").as("label"))
+      Clusters.incrementalClusters(oldLabels,
+        pairs.filter(!isOld(col("id_a")) || !isOld(col("id_b"))),
+        docs.filter(!isOld(col("doc_id"))).select(col("doc_id").as("id")))
+        .count()
+    }
+
     val probes: Seq[(String, Long, () => Long, Long, () => Long)] = Seq(
       ("q1_pricing", {
         val base = t.lineitem
@@ -98,6 +113,13 @@ object ScaleProbe {
           Clusters.duplicateClusters(d10, Dedup.minhashLsh(d10),
             deep = true).count()
         }),
+      // the fold's claim: history enters as |nodes| label edges (a
+      // diameter-2 star per component), so the update cost tracks the
+      // delta + node count, never the historical pair volume
+      ("dedup_clusters_fold", t.documents.count(), () =>
+        foldClusters(t.documents),
+        t.documents.count() * 10, () =>
+          foldClusters(replicateDocs(t.documents, 10))),
       ("tfidf_topterms", t.documents.count(),
         () => TextAnalysis.tfidfTopTerms(t.documents).count(),
         t.documents.count() * 10,

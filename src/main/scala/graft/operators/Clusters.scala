@@ -205,6 +205,31 @@ object Clusters {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** Fold a DELTA's near-dup pairs into an existing (id, label)
+    * cluster map WITHOUT revisiting the historical pair graph — the
+    * nightly-crawl counterpart to [[duplicateClusters]]. The old
+    * labels enter the union graph as id→label edges: a star per
+    * existing component (diameter ≤ 2, edge count = |old nodes|, not
+    * |old pairs|), so convergence needs ~2 rounds however deep the
+    * original graph was, and the historical PAIR set — the expensive
+    * thing at 100 TB — is never re-read or re-shuffled. Because the
+    * label values are original member ids, the union's components and
+    * their minima equal the full-graph answer exactly: folding is
+    * BATCH-EQUIVALENT (the registry oracle), not an approximation.
+    * `deltaNodes` carries the new ids (singletons included). Returns
+    * (id, label) over old ∪ delta like [[connectedComponents]]. */
+  def incrementalClusters(labels: DataFrame, deltaPairs: DataFrame,
+                          deltaNodes: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    val labelEdges = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("id_a"), col("label").as("id_b"))
+    val nodes = labels.select(col("id"))
+      .unionByName(deltaNodes.select(col("id"))).distinct()
+    connectedComponents(
+      labelEdges.unionByName(deltaPairs.select(col("id_a"), col("id_b"))),
+      nodes, maxIters)
+  }
+
   /** Golden-record survivorship — the MDM step AFTER clustering: one
     * merged record per duplicate cluster, each field resolved by its
     * own survivorship rule rather than dropping whole duplicate rows.

@@ -36,6 +36,46 @@ class ClustersSpec extends SparkSpec {
     assert(labels.values.toSet == Set(10L))
   }
 
+  test("incrementalClusters folds a delta into existing labels = " +
+    "the full-graph answer (merge, bridge, delta-only, singleton)") {
+    import spark.implicits._
+    // day 1: components {1,2,3} and {5,6}, singleton 8
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (8L, 8L)).toDF("id", "label")
+    // day 2 delta {4, 7, 9}: 4 bridges the two old components
+    // (4~3, 4~5), 7~9 is a delta-only pair, 9 also attaches to 8
+    val deltaPairs = Seq((3L, 4L), (4L, 5L), (7L, 9L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val folded = Clusters.incrementalClusters(labels, deltaPairs,
+      Seq(4L, 7L, 9L).toDF("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label"))
+      .toMap
+    val full = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 4L), (4L, 5L),
+      (7L, 9L), (8L, 9L)), Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(folded == full)
+    assert(folded == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("incrementalClusters on the corpus pair graph equals " +
+    "duplicateClusters run from scratch") {
+    val docs = tables.documents
+    val pairs = Dedup.minhashLsh(docs)
+    val isOld = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(4L)) =!= 0L
+    val oldLabels = Clusters.duplicateClusters(
+        docs.filter(isOld(col("doc_id"))),
+        pairs.filter(isOld(col("id_a")) && isOld(col("id_b"))))
+      .select(col("doc_id").as("id"), col("cluster_id").as("label"))
+    val folded = Clusters.incrementalClusters(oldLabels,
+      pairs.filter(!isOld(col("id_a")) || !isOld(col("id_b"))),
+      docs.filter(!isOld(col("doc_id"))).select(col("doc_id").as("id")))
+    val scratch = Clusters.duplicateClusters(docs, pairs)
+      .select(col("doc_id").as("id"), col("cluster_id").as("label"))
+    assert(folded.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(folded).isEmpty)
+  }
+
   private def ccStar(pairs: Seq[(Long, Long)], nodes: Seq[Long],
                      maxIters: Int = 40) = {
     import spark.implicits._
