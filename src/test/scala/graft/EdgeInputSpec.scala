@@ -267,6 +267,18 @@ class EdgeInputSpec extends SparkSpec {
       cd.head.getAs[Long]("n_dropped_component") == 0L &&
       cd.head.getAs[Long]("n_dropped_pairwise") == 0L &&
       cd.head.getAs[Long]("n_survivors_component") == 0L)
+    // cluster folding: an empty history + empty delta is empty, and a
+    // cold start (no labels yet, everything is delta) equals scratch
+    val emptyIds = Seq.empty[Long].toDF("id")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(operators.Clusters.incrementalClusters(
+      emptyIds.withColumn("label", col("id")), emptyPairs,
+      emptyIds).count() == 0)
+    val cold = operators.Clusters.incrementalClusters(
+      emptyIds.withColumn("label", col("id")),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), Seq(1L, 2L, 3L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
     // leakage audit/fix on an empty corpus: no pairs, no rows / all kept
     assert(Dedup.splitLeakageAudit(emptyDocs).count() == 0)
     assert(Dedup.splitLeakageFix(emptyDocs).count() == 0)

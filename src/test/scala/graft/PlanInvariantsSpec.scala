@@ -29,6 +29,26 @@ class PlanInvariantsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
   }.toMap
 
+  test("registry invariants: unique names, total oracle coverage, " +
+    "SparkEntry maps aligned") {
+    val names = Queries.all.map(_.name)
+    assert(names.distinct.size == names.size, {
+      val dup = names.groupBy(identity).filter(_._2.size > 1).keys
+      s"duplicate registry names: ${dup.mkString(", ")}"
+    })
+    // the driver's hash gate only covers queries that declare an
+    // oracle — a Q without one silently downgrades to rows-only
+    val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty,
+      s"queries without a DuckDB oracle: ${noOracle.mkString(", ")}")
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet &&
+      SparkEntry.queries.keySet == names.toSet,
+      "SparkEntry.queries / oracleSql / Queries.all disagree")
+    // every Explain sweep name must exist in the registry
+    val ghost = Explain.names.filterNot(names.contains)
+    assert(ghost.isEmpty, s"Explain names not in registry: $ghost")
+  }
+
   test("no representative plan contains a cartesian product") {
     val bad = plans.filter(_._2.contains("CartesianProduct")).keys
     assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
