@@ -349,6 +349,43 @@ object InlineOracles {
             ORDER BY score DESC, word) as term_rank FROM scored)
         WHERE term_rank <= 3"""
 
+  /** Same injected-addresses CTE as pii_pseudonymize/pii_pseudonym_map
+    * (one shared address per doc_id%50 cohort + one unique). */
+  private[graft] val pseudoPiiCte: String = """
+        withpii AS (
+          SELECT doc_id,
+            text || ' contact user' || (doc_id % 50) ||
+            '@mail.example.com or admin' || doc_id ||
+            '@corp.example.org' as text
+          FROM documents)"""
+
+  private[graft] val emailReSql: String =
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+
+  val pii_pseudonymize: String = s"""
+        WITH $pseudoPiiCte
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(text, regexp_extract_all(text, '$emailReSql')),
+            (acc, e) -> replace(acc, e,
+              '<EMAIL_' || substr(sha256(e), 1, 8) || '>'))
+            as pseudo_text,
+          cast(len(regexp_extract_all(text, '$emailReSql')) as bigint)
+            as n_entities,
+          cast(len(list_distinct(regexp_extract_all(text, '$emailReSql')))
+            as bigint) as n_distinct_entities
+        FROM withpii"""
+
+  val pii_pseudonym_map: String = s"""
+        WITH $pseudoPiiCte,
+        ents AS (
+          SELECT DISTINCT unnest(regexp_extract_all(text, '$emailReSql'))
+            as entity
+          FROM withpii)
+        SELECT entity,
+          '<EMAIL_' || substr(sha256(entity), 1, 8) || '>' as token
+        FROM ents"""
+
   val pii_scrub: String = """
         WITH withpii AS (
           SELECT doc_id,

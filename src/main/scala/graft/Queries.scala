@@ -1199,6 +1199,41 @@ object Queries {
       },
       Some(InlineOracles.pii_scrub)),
 
+    Q("pii_pseudonymize",
+      // redaction that PRESERVES entity identity: each email replaced
+      // by its own-hash token <EMAIL_xxxxxxxx> (first 8 sha256 hex
+      // chars), so the same address tokenizes identically in every
+      // doc — joins/frequency/dedup still work on the redacted
+      // corpus; map-only left fold, zero shuffle. Injection: one
+      // SHARED address per doc_id%50 cohort + one unique one, so both
+      // consistency regimes are exercised
+      (s, d) => {
+        val withPii = Tables(s, d).documents.select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            (col("doc_id") % 50).cast("string"),
+            lit("@mail.example.com or admin"),
+            col("doc_id").cast("string"),
+            lit("@corp.example.org")).as("text"))
+        TextAnalysis.piiPseudonymize(withPii)
+      },
+      Some(InlineOracles.pii_pseudonymize)),
+
+    Q("pii_pseudonym_map",
+      // the authorized-reidentification half: the (entity -> token)
+      // lookup, one row per DISTINCT matched address — the only
+      // shuffle in the pseudonymization story, sized by distinct PII
+      // values, never the corpus
+      (s, d) => {
+        val withPii = Tables(s, d).documents.select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            (col("doc_id") % 50).cast("string"),
+            lit("@mail.example.com or admin"),
+            col("doc_id").cast("string"),
+            lit("@corp.example.org")).as("text"))
+        TextAnalysis.piiPseudonymMap(withPii)
+      },
+      Some(InlineOracles.pii_pseudonym_map)),
+
     Q("script_mix",
       // per-doc Unicode-script composition — the routing signal a
       // multilingual crawl applies BEFORE language ID (which only
@@ -3556,6 +3591,24 @@ object Queries {
       (s, d) => Profile.groupedMoments(Tables(s, d).documents,
         groupCol = "source"),
       Some(InlineOracles.moments_profile)),
+
+    Q("dataset_fingerprint",
+      // the provenance row a training run pins: per source, exact
+      // doc/token mass, distinct content rows, and an
+      // ORDER-INDEPENDENT decimal checksum (sum of per-row sha60) —
+      // any permutation/partitioning/engine re-derives the identical
+      // value; one map-side-combined groupBy over #sources keys
+      (s, d) => Profile.datasetFingerprint(Tables(s, d).documents),
+      Some(s"""
+        SELECT source, cast(count(*) as bigint) as n_docs,
+          cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
+          cast(sum(${TextOracleSql.Sha60.format(
+            "cast(doc_id as varchar) || ':' || text")})
+            as decimal(38,0)) as content_sum,
+          cast(count(DISTINCT ${TextOracleSql.Sha60.format(
+            "cast(doc_id as varchar) || ':' || text")}) as bigint)
+            as n_distinct_rows
+        FROM documents GROUP BY 1""")),
 
     Q("split_leakage_audit",
       // eval hygiene for the split itself: near-dup pairs (the

@@ -374,6 +374,32 @@ object Profile {
           col("n").cast("double") * lit(q)) / lit(1.0 - 2 * q))
   }
 
+  /** Reproducible dataset fingerprint — the provenance row a training
+    * run pins in its data card: per source, exact doc and token mass,
+    * the number of DISTINCT content rows, and an ORDER-INDEPENDENT
+    * content checksum (decimal(38,0) sum of each row's
+    * sha60(doc_id‖':'‖text)). Sums of per-row hashes are associative
+    * and commutative, so any permutation, partitioning, or engine
+    * re-derives the identical value — two snapshots are row-identical
+    * iff (n_docs, content_sum, n_distinct_rows) all match, and a
+    * single changed/duplicated/dropped row moves the checksum.
+    * One map-side-combined groupBy over #sources keys; decimal sum
+    * can't overflow (n·2⁶⁰ ≪ 10³⁸ for any real corpus). */
+  def datasetFingerprint(documents: DataFrame): DataFrame = {
+    val h = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")))))
+    documents.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h.as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("h").cast("decimal(38,0)")).as("content_sum"),
+        countDistinct(col("h")).as("n_distinct_rows"))
+  }
+
   /** Mergeable grouped moment statistics over an integer measure
     * (here: whitespace token counts per document, grouped by
     * `groupCol`): the raw power sums (n, Σx, Σx², Σx³) are exact

@@ -441,6 +441,42 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
         .cast("long").as("n_phones"))
 
+  /** Consistent PII pseudonymization — redaction that PRESERVES
+    * entity identity where [[piiScrub]] erases it: every email is
+    * replaced by a token derived from ITS OWN hash
+    * (`<EMAIL_xxxxxxxx>`, first 8 hex chars of sha256), so the same
+    * address maps to the same token in every document — cross-doc
+    * joins, frequency analyses and dedup still work on the redacted
+    * corpus while the raw value is gone. The rewrite left-folds the
+    * doc's matches over its text with replace-all (duplicate matches
+    * fold to no-ops; tokens contain no `@`, so no new matches
+    * appear) — map-only, scan speed, zero shuffle; sha256 is
+    * bit-identical in any engine, so the fold reproduces exactly. */
+  def piiPseudonymize(documents: DataFrame): DataFrame = {
+    val ents = regexp_extract_all(col("text"), lit(EmailRe), lit(0))
+    documents.select(col("doc_id"),
+      aggregate(ents, col("text"),
+        (acc, e) => replace(acc, e, pseudoToken(e))).as("pseudo_text"),
+      size(ents).cast("long").as("n_entities"),
+      size(array_distinct(ents)).cast("long").as("n_distinct_entities"))
+  }
+
+  private def pseudoToken(e: Column): Column =
+    concat(lit("<EMAIL_"), substring(sha2(e, 256), 1, 8), lit(">"))
+
+  /** The inverse half of [[piiPseudonymize]]: the (entity → token)
+    * lookup an AUTHORIZED re-identification needs, and the audit
+    * surface proving token consistency (one token per entity, ever).
+    * One distinct over matched entities — the only shuffle in the
+    * pseudonymization story, sized by distinct PII values, not the
+    * corpus. */
+  def piiPseudonymMap(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(regexp_extract_all(col("text"), lit(EmailRe),
+        lit(0))).as("entity"))
+      .distinct()
+      .select(col("entity"), pseudoToken(col("entity")).as("token"))
+
   /** Unicode-script composition per document: counts of Latin /
     * Cyrillic / Han script characters and decimal digits, plus the
     * dominant script under a fixed tie order. The script axis is

@@ -120,6 +120,7 @@ class DeterminismSpec extends SparkSpec {
     // the schema-store lifecycle, and the restartable file-sink
     // ingest must all be fan-out-independent
     "semdedup_component_drop", "ingest_schema_location",
-    "stream_file_ingest", "dedup_clusters_fold"))
+    "stream_file_ingest", "dedup_clusters_fold",
+    "dataset_fingerprint", "pii_pseudonymize", "pii_pseudonym_map"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -213,6 +213,35 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("skew_sign") == 0L)
   }
 
+  test("datasetFingerprint: order-independent, row-sensitive, " +
+    "duplicate-aware") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s1"), (2L, "d e", "s1"),
+      (3L, "f", "s2")).toDF("doc_id", "text", "source")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.datasetFingerprint(df).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[java.math.BigDecimal]("content_sum"),
+            r.getAs[Long]("n_distinct_rows")))).toMap
+    val base = fp(docs)
+    assert(base("s1")._1 == 2 && base("s1")._2 == 5)
+    // any row order / partitioning re-derives the identical checksum
+    val shuffled = fp(docs.orderBy(org.apache.spark.sql.functions
+      .col("text").desc).repartition(7))
+    assert(shuffled == base)
+    // one changed row moves the checksum but not the counts
+    val mutated = fp(Seq((1L, "a b x", "s1"), (2L, "d e", "s1"),
+      (3L, "f", "s2")).toDF("doc_id", "text", "source"))
+    assert(mutated("s1")._1 == base("s1")._1 &&
+      mutated("s1")._3.compareTo(base("s1")._3) != 0)
+    assert(mutated("s2") == base("s2"))
+    // an exact duplicated row shows as n_docs > n_distinct_rows
+    val dup = fp(docs.unionAll(Seq((1L, "a b c", "s1"))
+      .toDF("doc_id", "text", "source")))
+    assert(dup("s1")._1 == 3 && dup("s1")._4 == 2)
+  }
+
   test("deriveMoments survives numerators past the 63-bit wrap " +
     "(n~10^6 docs of ~100 tokens: n^2*s3 ~ 10^24)") {
     import spark.implicits._

@@ -153,6 +153,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_emails") == 0)
   }
 
+  test("piiPseudonymize: one token per address everywhere, raw values " +
+    "gone, map inverts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write bob@x.org and sue@y.net today"),
+      (2L, "ping bob@x.org again bob@x.org"),
+      (3L, "clean words only")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiPseudonymize(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // no raw address survives
+    assert(!out.values.exists(_.getAs[String]("pseudo_text").contains("@")))
+    // the SAME address yields the SAME token in both docs
+    val tokenRe = "<EMAIL_[0-9a-f]{8}>".r
+    val t1 = tokenRe.findAllIn(out(1L).getAs[String]("pseudo_text")).toSeq
+    val t2 = tokenRe.findAllIn(out(2L).getAs[String]("pseudo_text")).toSeq
+    assert(t1.size == 2 && t1.distinct.size == 2)  // bob + sue differ
+    assert(t2.size == 2 && t2.distinct.size == 1)  // bob twice, one token
+    assert(t2.head == t1.head)                     // bob's token is global
+    assert(out(1L).getAs[Long]("n_entities") == 2 &&
+      out(1L).getAs[Long]("n_distinct_entities") == 2)
+    assert(out(2L).getAs[Long]("n_entities") == 2 &&
+      out(2L).getAs[Long]("n_distinct_entities") == 1)
+    assert(out(3L).getAs[String]("pseudo_text") == "clean words only")
+    // the lookup table: one row per distinct address, tokens match the
+    // in-text rewrite (authorized re-identification closes the loop)
+    val map = TextAnalysis.piiPseudonymMap(docs).collect()
+      .map(r => r.getAs[String]("entity") -> r.getAs[String]("token"))
+      .toMap
+    assert(map.keySet == Set("bob@x.org", "sue@y.net"))
+    assert(map("bob@x.org") == t1.head && map("sue@y.net") == t1(1))
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones") {
     import spark.implicits._
     // "rare" appears in 1 of 3 docs, "common" in all 3: within doc 1
