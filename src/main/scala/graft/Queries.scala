@@ -3888,6 +3888,36 @@ object Queries {
       },
       Some(InlineOracles.stream_moments)),
 
+    Q("stream_fingerprint",
+      // continuous provenance: each micro-batch lands its per-source
+      // (docs, tokens, checksum) shard (associative long/decimal
+      // sums, batch=N overwrite → retry-idempotent); the merged
+      // shards equal the one-shot data-card row however arrivals
+      // were batched — the batch fingerprint SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sfp_src_$sf"
+        val fpd = s"/tmp/graft_cache/sfp_fp_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpd))
+        Tables(s, d).documents.select("doc_id", "text", "source")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("source", StringType)))
+        val ckpt = freshCheckpoint("sfp", d)
+        graft.streaming.Streams.fingerprintStream(s, src, schema, fpd,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.fingerprintFromShards(s, fpd)
+      },
+      Some(s"""
+        SELECT source, cast(count(*) as bigint) as n_docs,
+          cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
+          cast(sum(${TextOracleSql.Sha60.format(
+            "cast(doc_id as varchar) || ':' || text")})
+            as decimal(38,0)) as content_sum
+        FROM documents GROUP BY 1""")),
+
     Q("ab_test",
       // deterministic A/B readout on events: salted-hash user
       // assignment, purchase conversion, exact ppm rates/lift and

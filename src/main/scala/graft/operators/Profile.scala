@@ -400,6 +400,35 @@ object Profile {
         countDistinct(col("h")).as("n_distinct_rows"))
   }
 
+  /** The mergeable core of [[datasetFingerprint]]: per-source shard
+    * (n_docs, n_tokens, content_sum) — associative long/decimal sums
+    * any batch split re-merges to the global fingerprint, which is
+    * what lets a STREAM maintain the data-card row per micro-batch.
+    * The distinct-rows count is deliberately NOT in the shard
+    * (distincts don't merge); the batch operator reports it from its
+    * one full scan. */
+  def rawFingerprint(documents: DataFrame): DataFrame = {
+    val h = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")))))
+    documents.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h.as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("h").cast("decimal(38,0)")).as("content_sum"))
+  }
+
+  /** Fold fingerprint shards back to one row per source (associative
+    * sums), exposed for the streaming monitor. */
+  def mergeFingerprint(shards: DataFrame): DataFrame =
+    shards.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("content_sum")).cast("decimal(38,0)").as("content_sum"))
+
   /** Mergeable grouped moment statistics over an integer measure
     * (here: whitespace token counts per document, grouped by
     * `groupCol`): the raw power sums (n, Σx, Σx², Σx³) are exact

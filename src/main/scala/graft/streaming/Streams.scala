@@ -532,6 +532,43 @@ object Streams {
       graft.operators.Profile.mergeMoments(
         spark.read.parquet(momDir), groupCol), groupCol)
 
+  /** One micro-batch of the continuous dataset fingerprint: land the
+    * batch's per-source (n_docs, n_tokens, content_sum) shard under
+    * `batch=<id>` with directory overwrite — a retried micro-batch is
+    * idempotent, and the associative sums merge to the global
+    * data-card row on ANY batch split. */
+  def fingerprintBatch(fpDir: String)
+                      (batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Profile.rawFingerprint(batch)
+      .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
+
+  /** Continuous provenance — the streaming twin of
+    * `dataset_fingerprint`: document micro-batches fold per-source
+    * mass + checksum shards via [[fingerprintBatch]]; per-trigger cost
+    * is one map-side-combined #sources-row aggregate, and the store
+    * compacts with the same associative merge. At 100 TB the corpus
+    * fingerprint stays current during ingest without ever rescanning
+    * landed data. */
+  def fingerprintStream(spark: SparkSession, srcPath: String,
+                        schema: StructType, fpDir: String,
+                        checkpoint: String,
+                        maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(fingerprintBatch(fpDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time fingerprint from the accumulated shards —
+    * identical sums to the batch operator, so the batch SQL is the
+    * oracle. */
+  def fingerprintFromShards(spark: SparkSession,
+                            fpDir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Profile.mergeFingerprint(spark.read.parquet(fpDir))
+
   /** One micro-batch of continuous IVF index health: assign the
     * batch's vectors under the FROZEN quantizer (centroids are an
     * argument — a serving quantizer never retrains per trigger) and

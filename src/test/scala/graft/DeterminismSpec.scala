@@ -121,6 +121,7 @@ class DeterminismSpec extends SparkSpec {
     // ingest must all be fan-out-independent
     "semdedup_component_drop", "ingest_schema_location",
     "stream_file_ingest", "dedup_clusters_fold",
-    "dataset_fingerprint", "pii_pseudonymize", "pii_pseudonym_map"))
+    "dataset_fingerprint", "pii_pseudonymize", "pii_pseudonym_map",
+    "stream_fingerprint"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

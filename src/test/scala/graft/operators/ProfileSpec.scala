@@ -242,6 +242,18 @@ class ProfileSpec extends SparkSpec {
     assert(dup("s1")._1 == 3 && dup("s1")._4 == 2)
   }
 
+  test("rawFingerprint shards merge to the one-shot fingerprint mass") {
+    val docs = tables.documents
+    val h1 = docs.filter(col("doc_id") % 2 === 0)
+    val h2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Profile.mergeFingerprint(
+      Profile.rawFingerprint(h1).unionByName(Profile.rawFingerprint(h2)))
+    val direct = Profile.datasetFingerprint(docs)
+      .select("source", "n_docs", "n_tokens", "content_sum")
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty)
+  }
+
   test("deriveMoments survives numerators past the 63-bit wrap " +
     "(n~10^6 docs of ~100 tokens: n^2*s3 ~ 10^24)") {
     import spark.implicits._
