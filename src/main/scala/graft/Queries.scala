@@ -1072,6 +1072,62 @@ object Queries {
       (s, d) => TextAnalysis.domainMix(Tables(s, d).documents),
       Some(TextOracleSql.domainMixSql(budgetPpm = 500000L, salt = "mix"))),
 
+    Q("token_budget_fit",
+      // exact waterfilling mixture allocation: at sf0.01 (~27k
+      // tokens, caps = 3 epochs) the 75k budget SATURATES the
+      // small-ratio sources and redistributes — both CASE branches
+      // of the waterline execute; at sf0.1 nothing saturates
+      (s, d) => Mixture.tokenBudgetFit(Tables(s, d).documents,
+        budgetTokens = 75000L, maxEpochsPct = 300L),
+      Some(TextOracleSql.tokenBudgetFitSql(
+        budgetTokens = 75000L, maxEpochsPct = 300L))),
+
+    Q("budget_sample",
+      // the allocation materialized: bucket-refined two-phase select
+      // (whole buckets by broadcast classification, ONE ~1/4096
+      // sliver window-sorted) vs the oracle's direct per-source
+      // window cumsum — must match row-for-row
+      (s, d) => Mixture.budgetSample(Tables(s, d).documents,
+        budgetTokens = 15000L),
+      Some(TextOracleSql.budgetSampleSql(
+        budgetTokens = 15000L, salt = "budget"))),
+
+    Q("epoch_expand",
+      // upsampling materialized: at sf0.01 (~27k tokens) the 50k
+      // budget gives most sources full_epochs ≥ 1 plus a fractional
+      // prefix (both UNION branches live); at sf0.1 (~270k) every
+      // source is sub-epoch — full copies empty, all fractional
+      (s, d) => Mixture.epochExpand(Tables(s, d).documents,
+        budgetTokens = 50000L, maxEpochsPct = 300L),
+      Some(TextOracleSql.epochExpandSql(
+        budgetTokens = 50000L, maxEpochsPct = 300L, salt = "budget"))),
+
+    Q("mixture_manifest",
+      // the mixture pipeline's end product composed end-to-end:
+      // fit → epoch expansion → exact global token layout; a doc's
+      // repeats land at decorrelated stream positions (pack hash
+      // over (doc_id, epoch)) yet the manifest is reproducible from
+      // the salts; the oracle is the SERIAL global cumsum the
+      // two-phase bucketed prefix sum must reproduce offset-for-offset
+      (s, d) => Mixture.mixtureManifest(Tables(s, d).documents,
+        budgetTokens = 50000L, maxEpochsPct = 300L, seqTokens = 2048L),
+      Some(TextOracleSql.mixtureManifestSql(
+        budgetTokens = 50000L, maxEpochsPct = 300L, salt = "budget",
+        seqTokens = 2048L, packSalt = "pack"))),
+
+    Q("mixture_curve",
+      // budget-ladder saturation curve in ONE pass (the prefix
+      // structure is budget-independent): at sf0.01 the 200k rung
+      // exceeds every cap (NULL-waterline branch, all saturated)
+      // while 5k saturates nothing — every CASE branch lives at
+      // both SFs
+      (s, d) => Mixture.mixtureCurve(Tables(s, d).documents,
+        budgets = Seq(5000L, 20000L, 50000L, 100000L, 200000L),
+        maxEpochsPct = 300L),
+      Some(TextOracleSql.mixtureCurveSql(
+        budgets = Seq(5000L, 20000L, 50000L, 100000L, 200000L),
+        maxEpochsPct = 300L))),
+
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
         // capacity 1024 keeps the exactness guarantee airtight at every
@@ -3917,6 +3973,32 @@ object Queries {
             "cast(doc_id as varchar) || ':' || text")})
             as decimal(38,0)) as content_sum
         FROM documents GROUP BY 1""")),
+
+    Q("stream_budget_fit",
+      // continuous mixture planning: micro-batches fold per-source
+      // token-mass shards (associative long sums, batch=N overwrite
+      // → retry-idempotent); the waterfilling fit re-solved from the
+      // merged store equals the one-shot fit however arrivals were
+      // batched — the batch fit SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sbf_src_$sf"
+        val msd = s"/tmp/graft_cache/sbf_mass_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(msd))
+        Tables(s, d).documents.select("doc_id", "text", "source")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("source", StringType)))
+        val ckpt = freshCheckpoint("sbf", d)
+        graft.streaming.Streams.massStream(s, src, schema, msd,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.fitFromShards(s, msd,
+          budgetTokens = 75000L, maxEpochsPct = 300L)
+      },
+      Some(TextOracleSql.tokenBudgetFitSql(
+        budgetTokens = 75000L, maxEpochsPct = 300L))),
 
     Q("ab_test",
       // deterministic A/B readout on events: salted-hash user

@@ -130,6 +130,18 @@ object ScaleProbe {
         t.documents.count() * 10,
         () => TextAnalysis.sequencePack(
           replicate(t.documents, 10, Some("doc_id"))).count()),
+      // the manifest's claim: fit (|sources| frame), epoch expansion
+      // (bounded explode) and the two-phase pack layout are all
+      // linear in the token stream — no global sort ever
+      // materializes; budget scales with the corpus so per-source
+      // epoch shape is held fixed across 1×/10×
+      ("mixture_manifest", t.documents.count(),
+        () => graft.operators.Mixture.mixtureManifest(t.documents,
+          budgetTokens = 500000L, maxEpochsPct = 300L).count(),
+        t.documents.count() * 10,
+        () => graft.operators.Mixture.mixtureManifest(
+          replicate(t.documents, 10, Some("doc_id")),
+          budgetTokens = 5000000L, maxEpochsPct = 300L).count()),
       // round-4 rewrites: the zero-join pigeonhole SimHash and the
       // two-phase quantile — both must hold rows/sec at 10×
       ("dedup_simhash", t.documents.count(),

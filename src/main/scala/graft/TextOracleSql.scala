@@ -1048,4 +1048,168 @@ object TextOracleSql {
         * 1000000 // count(*) as bigint) as oov_ppm
     FROM toks t LEFT JOIN vocab v ON t.w = v.w
     GROUP BY 1"""
+
+  /** Shared waterfilling CTE chain (mirrors Mixture.tokenBudgetFit):
+    * per-source masses → floor∘sqrt weights → caps → prefix sums in
+    * cap/weight order → first waterline candidate under its own
+    * ratio → per-source allocation. All sums exact bigint; the
+    * waterline and allocation replicate Spark's double-op chain
+    * (one subtract + one divide; one multiply + one floor). */
+  /** The budget-INDEPENDENT prefix of the waterfilling chain:
+    * per-source masses → weights/caps → cap/weight order → prefix
+    * sums → weight total. Shared by the single-budget fit and the
+    * budget-ladder curve. */
+  private def massCtes(maxEpochsPct: Long): String = s"""
+    sz AS (SELECT source,
+             cast(sum(len(string_split(text, ' '))) as bigint) as m
+           FROM documents GROUP BY 1
+           HAVING sum(len(string_split(text, ' '))) > 0),
+    base AS (SELECT source, m,
+               cast(floor(sqrt(cast(m as double))) as bigint) as w,
+               (m * $maxEpochsPct) // 100 as cap FROM sz),
+    ordd AS (SELECT *, cast(cap as double) / cast(w as double) as r
+             FROM base),
+    pre AS (SELECT *,
+              cast(coalesce(sum(cap) OVER wl, 0) as bigint) as cum_cap,
+              cast(coalesce(sum(w) OVER wl, 0) as bigint) as cum_w
+            FROM ordd
+            WINDOW wl AS (ORDER BY r, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    tot AS (SELECT cast(sum(w) as bigint) as w_total FROM base)"""
+
+  private def fitCtes(budgetTokens: Long, maxEpochsPct: Long): String = s"""
+    ${massCtes(maxEpochsPct)},
+    cand AS (SELECT cast($budgetTokens - cum_cap as double)
+                      / cast(w_total - cum_w as double) as lambda,
+                    r, source
+             FROM pre, tot
+             WHERE cast($budgetTokens - cum_cap as double)
+                     / cast(w_total - cum_w as double) < r
+             ORDER BY r, source LIMIT 1),
+    lam AS (SELECT min(lambda) as lambda FROM cand),
+    fit AS (SELECT b.source, b.m as m_tokens, b.w as weight,
+              b.cap as cap_tokens,
+              cast(CASE WHEN l.lambda IS NULL THEN b.cap
+                   ELSE least(b.cap,
+                     cast(floor(cast(b.w as double) * l.lambda) as bigint))
+                   END as bigint) as alloc_tokens
+            FROM ordd b, lam l)"""
+
+  /** Mirrors Mixture.tokenBudgetFit. */
+  def tokenBudgetFitSql(budgetTokens: Long, maxEpochsPct: Long): String = s"""
+    WITH ${fitCtes(budgetTokens, maxEpochsPct)}
+    SELECT source, m_tokens, weight, cap_tokens, alloc_tokens,
+      cast(floor(1000000.0 * cast(alloc_tokens as double)
+             / cast(m_tokens as double)) as bigint) as epochs_ppm
+    FROM fit"""
+
+  /** Mirrors Mixture.budgetSample — deliberately the DIRECT
+    * per-source window cumsum in salted-hash order (the semantics),
+    * which the engine's bucket-refined two-phase plan must reproduce
+    * row-for-row. */
+  def budgetSampleSql(budgetTokens: Long, salt: String): String = s"""
+    WITH ${fitCtes(budgetTokens, maxEpochsPct = 100L)},
+    tok AS (SELECT doc_id, source,
+              cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+              ${sha60(s"'$salt:' || cast(doc_id as varchar)")} as h
+            FROM documents),
+    c AS (SELECT t.*,
+            cast(coalesce(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              as bigint) as cum_before
+          FROM tok t)
+    SELECT c.doc_id, c.source, c.n_tokens
+    FROM c JOIN fit USING (source)
+    WHERE c.cum_before < fit.alloc_tokens"""
+
+  /** Shared expansion CTE chain (mirrors Mixture.epochExpand):
+    * `alloc div m` full copies of every document (epoch 0…full−1) +
+    * the `alloc mod m` fractional epoch as the direct per-source
+    * hash-order cumsum prefix at epoch = full. */
+  private def expandCtes(budgetTokens: Long, maxEpochsPct: Long,
+                         salt: String): String = s"""
+    ${fitCtes(budgetTokens, maxEpochsPct)},
+    ep AS (SELECT source, alloc_tokens // m_tokens as full_epochs,
+             alloc_tokens % m_tokens as rem_tokens FROM fit),
+    tok AS (SELECT doc_id, source,
+              cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+              ${sha60(s"'$salt:' || cast(doc_id as varchar)")} as h
+            FROM documents),
+    c AS (SELECT t.*,
+            cast(coalesce(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              as bigint) as cum_before
+          FROM tok t),
+    fullc AS (SELECT t.doc_id, t.source, t.n_tokens,
+                unnest(range(e.full_epochs)) as epoch
+              FROM tok t JOIN ep e USING (source)
+              WHERE e.full_epochs > 0),
+    fracc AS (SELECT c.doc_id, c.source, c.n_tokens,
+                e.full_epochs as epoch
+              FROM c JOIN ep e USING (source)
+              WHERE c.cum_before < e.rem_tokens)"""
+
+  /** Mirrors Mixture.epochExpand. */
+  def epochExpandSql(budgetTokens: Long, maxEpochsPct: Long,
+                     salt: String): String = s"""
+    WITH ${expandCtes(budgetTokens, maxEpochsPct, salt)}
+    SELECT * FROM fullc UNION ALL SELECT * FROM fracc"""
+
+  /** Mirrors Mixture.mixtureManifest — the oracle is the SERIAL
+    * global cumsum in (pack-hash, doc_id, epoch) order; the engine's
+    * two-phase bucketed prefix sum must reproduce every offset. */
+  def mixtureManifestSql(budgetTokens: Long, maxEpochsPct: Long,
+                         salt: String, seqTokens: Long,
+                         packSalt: String): String = s"""
+    WITH ${expandCtes(budgetTokens, maxEpochsPct, salt)},
+    expd2 AS (SELECT * FROM fullc UNION ALL SELECT * FROM fracc),
+    man AS (SELECT doc_id, source, epoch, n_tokens,
+              ${sha60(s"'$packSalt:' || cast(doc_id as varchar) || " +
+                "':' || cast(epoch as varchar)")} as ph
+            FROM expd2),
+    pos AS (SELECT doc_id, source, epoch, n_tokens,
+              cast(coalesce(sum(n_tokens) OVER (ORDER BY ph, doc_id, epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                as bigint) as token_start
+            FROM man)
+    SELECT doc_id, source, epoch, n_tokens, token_start,
+      token_start // $seqTokens as seq_id
+    FROM pos"""
+
+  /** Mirrors Mixture.mixtureCurve: the budget-independent prefix
+    * once, then per-budget first-valid-candidate selection (filter
+    * before rank — identical to the single-budget ORDER BY … LIMIT 1
+    * semantics) and the same allocation double chain. */
+  def mixtureCurveSql(budgets: Seq[Long], maxEpochsPct: Long): String = {
+    val vals = budgets.distinct.sorted
+      .map(b => s"(cast($b as bigint))").mkString(", ")
+    s"""
+    WITH ${massCtes(maxEpochsPct)},
+    bud AS (SELECT * FROM (VALUES $vals) v(budget_tokens)),
+    expd AS (SELECT p.*, t.w_total, b.budget_tokens
+             FROM pre p, tot t, bud b),
+    lamc AS (SELECT budget_tokens, lambda, r, source,
+               row_number() OVER (PARTITION BY budget_tokens
+                 ORDER BY r, source) as rn
+             FROM (SELECT budget_tokens, r, source,
+                     cast(budget_tokens - cum_cap as double)
+                       / cast(w_total - cum_w as double) as lambda
+                   FROM expd) q
+             WHERE lambda < r),
+    lam2 AS (SELECT budget_tokens, lambda FROM lamc WHERE rn = 1),
+    curve AS (SELECT e.budget_tokens, e.source, e.m, e.cap,
+                cast(CASE WHEN l.lambda IS NULL THEN e.cap
+                     ELSE least(e.cap,
+                       cast(floor(cast(e.w as double) * l.lambda)
+                         as bigint))
+                     END as bigint) as alloc_tokens
+              FROM expd e LEFT JOIN lam2 l USING (budget_tokens))
+    SELECT budget_tokens, source, alloc_tokens,
+      cast(floor(1000000.0 * cast(alloc_tokens as double)
+             / cast(m as double)) as bigint) as epochs_ppm,
+      alloc_tokens = cap as saturated
+    FROM curve"""
+  }
 }

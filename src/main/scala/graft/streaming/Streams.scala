@@ -569,6 +569,50 @@ object Streams {
                             fpDir: String): org.apache.spark.sql.DataFrame =
     graft.operators.Profile.mergeFingerprint(spark.read.parquet(fpDir))
 
+  /** One micro-batch of the continuous mixture-mass store: land the
+    * batch's per-source exact token masses under `batch=<id>` with
+    * directory overwrite — a retried micro-batch is idempotent, and
+    * the masses are associative long sums, so the merged store equals
+    * the one-shot [[graft.operators.Mixture.sourceMasses]] on ANY
+    * batch split. */
+  def massBatch(massDir: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.Mixture.sourceMasses(batch)
+        .write.mode("overwrite").parquet(s"$massDir/batch=$batchId")
+    }
+
+  /** Continuous mixture planning — the streaming twin of
+    * `token_budget_fit`: document micro-batches fold per-source
+    * token-mass shards via [[massBatch]] (per-trigger cost one
+    * map-side-combined |sources|-row aggregate), and the waterfilling
+    * fit re-solves at ANY point from the tiny mass store — the corpus
+    * itself is never rescanned. At 100 TB this is how "can we still
+    * hit the token budget, and at what epoch mix?" stays answerable
+    * during ingest. */
+  def massStream(spark: SparkSession, srcPath: String,
+                 schema: StructType, massDir: String,
+                 checkpoint: String,
+                 maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(massBatch(massDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time waterfilling fit from the accumulated mass
+    * shards — identical sums to the batch operator, so the batch fit
+    * SQL is the oracle. */
+  def fitFromShards(spark: SparkSession, massDir: String,
+                    budgetTokens: Long,
+                    maxEpochsPct: Long): org.apache.spark.sql.DataFrame =
+    graft.operators.Mixture.fitMasses(
+      spark.read.parquet(massDir)
+        .groupBy(col("source")).agg(sum(col("m")).as("m")),
+      budgetTokens, maxEpochsPct)
+
   /** One micro-batch of continuous IVF index health: assign the
     * batch's vectors under the FROZEN quantizer (centroids are an
     * argument — a serving quantizer never retrains per trigger) and

@@ -122,6 +122,12 @@ class DeterminismSpec extends SparkSpec {
     "semdedup_component_drop", "ingest_schema_location",
     "stream_file_ingest", "dedup_clusters_fold",
     "dataset_fingerprint", "pii_pseudonymize", "pii_pseudonym_map",
-    "stream_fingerprint"))
+    "stream_fingerprint",
+    // r8 mixture wave: the waterfilling prefix scan (single-partition
+    // window, exact long cumsums) and the bucket-refined budget
+    // select (whole-bucket broadcast classification + sliver window)
+    // must pick the same allocation and document set at any fan-out
+    "token_budget_fit", "budget_sample", "epoch_expand",
+    "mixture_curve", "stream_budget_fit", "mixture_manifest"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
