@@ -769,4 +769,76 @@ object AnnOracleSql {
       cc.nearest_label, cc.nearest_centroid_cos
     FROM agg LEFT JOIN cc ON cc.label = agg.label AND cc.rn = 1"""
   }
+
+  // ——— spectral family (graft.operators.Spectral) ———————————————
+  // Exact power-of-two quantization (floor(x·2¹⁰) — float multiply by
+  // a power of two is exact) makes every moment an order-independent
+  // integer sum; products run 19×18 / 17×19 / 4×34 wide so DuckDB
+  // leaves its overflow-prone int64 multiply path (an operand ≤ 18
+  // digits wide keeps the physical bigint kernel) while staying
+  // inside decimal(38).
+
+  /** Quantized-code CTEs `qv(vec_id, qs)` + indexed pairs
+    * `pe(i, j, qi, qj)` for j ≥ i (two-level correlated unnest —
+    * DuckDB zips same-SELECT unnests, so the j range gets its own
+    * level). */
+  private val SpectralCtes: String = """
+    qv AS (SELECT vec_id,
+             list_transform(cast(embedding as double[]),
+               x -> cast(floor(x * 1024.0) as bigint)) as qs
+           FROM embeddings),
+    eiv AS (SELECT vec_id, qs,
+              unnest(generate_series(1, len(qs))) as ii FROM qv),
+    prv AS (SELECT ii - 1 as i, qs[ii] as qi, qs,
+              unnest(generate_series(ii, len(qs))) as jj FROM eiv),
+    pe AS (SELECT cast(i as int) as i, cast(jj - 1 as int) as j,
+             qi, qs[jj] as qj FROM prv),
+    cov AS (SELECT i, j, cast(count(*) as bigint) as n_rows,
+              cast(sum(qi * qj) as bigint) as s_ij,
+              cast(sum(qi) as bigint) as s_i,
+              cast(sum(qj) as bigint) as s_j
+            FROM pe GROUP BY 1, 2),
+    covn AS (SELECT *,
+               cast(cast(n_rows as decimal(19,0))
+                      * cast(s_ij as decimal(18,0))
+                    - cast(s_i as decimal(19,0))
+                      * cast(s_j as decimal(18,0))
+                 as decimal(38,0)) as cov_num
+             FROM cov)"""
+
+  /** Mirrors Spectral.covariance. */
+  def covarianceSql(): String = s"""
+    WITH $SpectralCtes
+    SELECT i, j, n_rows, s_ij, s_i, s_j, cov_num FROM covn"""
+
+  /** Full-matrix + two unnormalized power steps (mirrors
+    * Spectral.powerIterate). */
+  private val PowerCtes: String = s"""
+    $SpectralCtes,
+    mfull AS (SELECT i, j, cast(cov_num as decimal(17,0)) as c FROM covn
+              UNION ALL
+              SELECT j, i, cast(cov_num as decimal(17,0)) FROM covn
+              WHERE i <> j),
+    pv1 AS (SELECT i as dim, cast(sum(c) as decimal(19,0)) as v1
+            FROM mfull GROUP BY 1),
+    pv2 AS (SELECT m.i as dim, cast(sum(m.c * p.v1) as decimal(34,0)) as v2
+            FROM mfull m JOIN pv1 p ON m.j = p.dim GROUP BY 1)"""
+
+  /** Mirrors Spectral.powerIterate. */
+  def powerIterateSql(): String = s"""
+    WITH $PowerCtes
+    SELECT pv2.dim, cast(pv1.v1 as decimal(38,0)) as v1,
+      cast(pv2.v2 as decimal(38,0)) as v2
+    FROM pv2 JOIN pv1 ON pv2.dim = pv1.dim"""
+
+  /** Mirrors Spectral.project. */
+  def projectSql(): String = s"""
+    WITH $PowerCtes,
+    qd AS (SELECT vec_id, generate_subscripts(qs, 1) - 1 as dim,
+             unnest(qs) as q FROM qv)
+    SELECT qd.vec_id,
+      cast(sum(cast(qd.q as decimal(4,0)) * cast(pv2.v2 as decimal(34,0)))
+        as decimal(38,0)) as score
+    FROM qd JOIN pv2 ON qd.dim = pv2.dim
+    GROUP BY 1"""
 }

@@ -811,6 +811,31 @@ object Queries {
         dim = 64, outDim = 16),
       Some(AnnOracleSql.projectionSql(dim = 64, outDim = 16))),
 
+    Q("embedding_covariance",
+      // integer-exact second moments under PCA/whitening/rotation
+      // decisions: ONE corpus pass, pairs generated map-side from
+      // each row's own tail (never a self-join), (i,j) aggregate
+      // map-side-combined — the shuffle carries ≤ d²/2 rows per
+      // partition; cov numerator widened 19×18 through decimal
+      (s, d) => Spectral.covariance(Tables(s, d).embeddings),
+      Some(AnnOracleSql.covarianceSql())),
+
+    Q("embedding_pca",
+      // dominant principal direction by two UNNORMALIZED power steps
+      // on the covariance numerator — exact decimal integers end to
+      // end (no norm, no division, no float), all work on the d²-row
+      // matrix frame; the oracle replays both matrix-vector products
+      (s, d) => Spectral.powerIterate(Tables(s, d).embeddings),
+      Some(AnnOracleSql.powerIterateSql())),
+
+    Q("pca_project",
+      // every vector's exact position along the dominant axis
+      // (curriculum / diversity-binning / outlier fences): second
+      // corpus scan with the d-row loading broadcast, per-vector sum
+      // map-side-combined before the vec_id exchange
+      (s, d) => Spectral.project(Tables(s, d).embeddings),
+      Some(AnnOracleSql.projectSql())),
+
     Q("ivf_cell_stats",
       // index-health audit of the shared IVF quantizer: per-cell
       // population, corpus share, imbalance factor (ppm integer

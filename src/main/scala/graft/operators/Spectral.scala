@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Integer-exact spectral analytics over the embedding column: the
+  * second-moment layer under PCA/whitening/OPQ-rotation decisions
+  * (reference keeps no vector analytics — its gold layer is
+  * relational aggregates, 3-Silver-to-Gold.sql:1; this family is the
+  * scale-path generalization the mandated similarity surface needs).
+  *
+  * Why integer-exact: a float covariance is an order-dependent float
+  * sum — irreproducible across partitionings and engines. Instead
+  * embeddings are quantized by ONE exact power-of-two step
+  * (q = floor(x·2¹⁰): the multiply is exact for every float32, floor
+  * is tie-free), so every moment is an order-independent integer sum
+  * and the whole chain — covariance numerator, power-iterate
+  * loadings, projections — is bit-reproducible in any engine with NO
+  * terminal float expression at all (decimal end to end).
+  *
+  * Precision envelope (for unit-norm embeddings, ‖x‖₂ ≤ 1, so
+  * |q| < 2¹⁰ and Σ_d q_d² ≤ 2²⁰ per row; d ≤ 64):
+  *  - s_ij ≤ n·2²⁰ — long-safe to n ≈ 8·10¹² rows ([[covariance]]
+  *    holds at any realistic corpus size).
+  *  - cov_num = n·s_ij − s_i·s_j ≤ n²·2²⁰ — wraps a long near
+  *    n = 10⁸, so it is widened through decimal(18,0)² = decimal(37,0)
+  *    (the moments_profile discipline), exact to n ≈ 3·10⁸.
+  *  - power iterates (spectral-norm bound λ ≤ trace ≤ n²·2²⁰):
+  *    |v1| ≤ √d·λ ≤ 8n²2²⁰ and |v2| ≤ √d·λ² — the decimal(17/19/34)
+  *    ladder below is exact to n ≈ 10⁵ fit rows. Beyond that the fit
+  *    belongs on a bounded sample (the quantizer-training contract,
+  *    Similarity.sampleModulus); [[project]] then scans the FULL
+  *    corpus under the sample's loading — projection magnitudes
+  *    depend only on the fit frame, not the projected one.
+  *
+  * Scale shape: [[covariance]] touches the corpus ONCE — the pair
+  * explode is map-side (d²/2 terms per row) and the (i,j) aggregate
+  * map-side-combines, so the shuffle carries ≤ d²/2 rows per
+  * partition, never the corpus. [[powerIterate]] runs entirely on the
+  * d²-row matrix frame. [[project]] is a second corpus scan with a
+  * broadcast d-row loading frame and a vec_id-keyed partial
+  * aggregate. */
+object Spectral {
+
+  /** One exact quantization step: q = floor(x·2¹⁰) — multiplying a
+    * float32 (cast exactly to double) by a power of two is exact, so
+    * codes are identical in every engine. */
+  private[graft] def quant(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1024.0)).cast("long"))
+
+  /** Upper-triangle exact second moments of the quantized embedding:
+    * one row per dimension pair (i ≤ j) with
+    * (n_rows, s_ij = Σ qᵢqⱼ, s_i = Σ qᵢ, s_j = Σ qⱼ) as longs and the
+    * covariance NUMERATOR cov_num = n·s_ij − s_i·s_j (= n²·cov, same
+    * eigenvectors) widened through decimal — the matrix every PCA /
+    * whitening / rotation decision starts from, computed in one
+    * corpus pass. */
+  def covariance(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(quant(col("embedding")).as("qs"))
+    val ei = q.select(col("qs"), posexplode(col("qs")).as(Seq("i", "qi")))
+    // j ≥ i pairs generated map-side: slice keeps the row's tail in
+    // scope so no self-join ever materializes
+    val pairs = ei.select(col("i"), col("qi"),
+      explode(expr(
+        "transform(slice(qs, i + 1, size(qs) - i), " +
+          "(x, k) -> struct(i + k as j, x as qj))")).as("p"))
+      .select(col("i"), col("p.j").as("j"), col("qi"),
+        col("p.qj").as("qj"))
+    // 19×18-wide products: wide enough for the envelope, and DuckDB
+    // only leaves its overflow-prone int64 multiply path when an
+    // operand is wider than 18 digits
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    pairs.groupBy(col("i"), col("j")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("qi") * col("qj")).as("s_ij"),
+      sum(col("qi")).as("s_i"),
+      sum(col("qj")).as("s_j"))
+      .withColumn("cov_num",
+        (d19(col("n_rows")) * d18(col("s_ij")) -
+          d19(col("s_i")) * d18(col("s_j"))).cast("decimal(38,0)"))
+  }
+
+  /** The covariance numerator as the FULL d×d matrix frame
+    * `(i, j, c)` — triangle mirrored (covariance is symmetric).
+    * Entries narrowed to decimal(17,0): exact within the documented
+    * n ≈ 10⁵ fit envelope, and sized so every later product stays
+    * inside decimal(38) in BOTH engines (DuckDB multiplies widths). */
+  private def fullMatrix(cov: DataFrame): DataFrame = {
+    val tri = cov.select(col("i"), col("j"),
+      col("cov_num").cast("decimal(17,0)").as("c"))
+    tri.unionByName(
+      tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+  }
+
+  /** Two exact power-iteration steps on the covariance numerator from
+    * the all-ones vector: v1 = C·1, v2 = C·v1 — the dominant-
+    * eigenvector estimate (C is PSD, so iteration converges toward
+    * the top principal direction) kept UNNORMALIZED so every entry is
+    * an exact decimal integer: no norm, no division, no float
+    * anywhere; the oracle replays the same two matrix-vector products.
+    * Output one row per dimension: (dim, v1, v2) — v2 is the loading
+    * used by [[project]]. All work is on the d²-row matrix frame. */
+  def powerIterate(embeddings: DataFrame): DataFrame = {
+    val m = fullMatrix(covariance(embeddings))
+    // c is decimal(17,0) and v1 decimal(19,0): the 17×19 product is
+    // exact HUGEINT width 36 in DuckDB and decimal(37,0) in Spark
+    val v1 = m.groupBy(col("i").as("dim"))
+      .agg(sum(col("c")).cast("decimal(19,0)").as("v1"))
+    m.join(broadcast(v1), m("j") === v1("dim"))
+      .groupBy(m("i").as("dim"))
+      .agg(sum(col("c") * col("v1")).cast("decimal(34,0)").as("v2"))
+      .join(broadcast(v1.withColumnRenamed("dim", "d2")),
+        col("dim") === col("d2"))
+      .select(col("dim"), col("v1").cast("decimal(38,0)").as("v1"),
+        col("v2").cast("decimal(38,0)").as("v2"))
+  }
+
+  /** Project every embedding onto the [[powerIterate]] v2 loading:
+    * score_v = Σ_d q_vd·v2_d — the exact position of each vector
+    * along the dominant principal axis (curriculum ordering,
+    * diversity binning, outlier fences all start here). `fitOn`
+    * bounds the fit frame (the sample contract above); projection is
+    * a second corpus scan with the d-row loading broadcast and the
+    * per-vector sum map-side-combined before the vec_id exchange. */
+  def project(embeddings: DataFrame,
+              fitOn: DataFrame => DataFrame = identity): DataFrame = {
+    val load = broadcast(powerIterate(fitOn(embeddings))
+      .select(col("dim"), col("v2").cast("decimal(34,0)").as("v2")))
+    embeddings
+      .select(col("vec_id"), posexplode(quant(col("embedding")))
+        .as(Seq("dim", "q")))
+      .join(load, "dim")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q").cast("decimal(4,0)") * col("v2"))
+        .cast("decimal(38,0)").as("score"))
+  }
+}

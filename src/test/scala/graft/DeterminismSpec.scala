@@ -128,6 +128,9 @@ class DeterminismSpec extends SparkSpec {
     // select (whole-bucket broadcast classification + sliver window)
     // must pick the same allocation and document set at any fan-out
     "token_budget_fit", "budget_sample", "epoch_expand",
-    "mixture_curve", "stream_budget_fit", "mixture_manifest"))
+    "mixture_curve", "stream_budget_fit", "mixture_manifest",
+    // spectral wave: integer-exact moments — any fan-out must emit
+    // identical longs/decimals (order-independent sums by design)
+    "embedding_covariance", "embedding_pca", "pca_project"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
