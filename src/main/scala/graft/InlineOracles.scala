@@ -1466,6 +1466,29 @@ object InlineOracles {
             + 2 * cast(s1 as hugeint) * s1 * s1) as bigint) as skew_sign
         FROM m"""
 
+  /** Mirrors the histogram-quantile readout (Profile.histQuantiles
+    * over merged stream shards): exact equi-width bin counts, integer
+    * ceil selection, one exact power-of-two multiply for bin_lo. */
+  val stream_quantiles: String = """
+        WITH h AS (SELECT event_type,
+            cast(floor(value / 4.0) as bigint) as bin,
+            cast(count(*) as bigint) as cnt
+          FROM events GROUP BY 1, 2),
+        c AS (SELECT *,
+            cast(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+              as bigint) as cum,
+            cast(sum(cnt) OVER (PARTITION BY event_type)
+              as bigint) as n
+          FROM h),
+        q AS (SELECT unnest(cast([250000, 500000, 750000, 900000,
+            990000] as bigint[])) as q_ppm)
+        SELECT c.event_type, q.q_ppm, c.n,
+          (q.q_ppm * c.n + 999999) // 1000000 as k,
+          c.bin, cast(c.bin as double) * 4.0 as bin_lo
+        FROM c, q
+        WHERE c.cum >= (q.q_ppm * c.n + 999999) // 1000000
+          AND c.cum - c.cnt < (q.q_ppm * c.n + 999999) // 1000000"""
+
   val join_size_estimate: String = """
         WITH c AS (SELECT l_partkey, cast(count(*) as bigint) as cnt
                    FROM lineitem GROUP BY 1),

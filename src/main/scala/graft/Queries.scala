@@ -3944,6 +3944,33 @@ object Queries {
       },
       Some(InlineOracles.late_arrival_audit)),
 
+    Q("stream_quantiles",
+      // continuous quantile observability ("where is the p99 right
+      // now"): micro-batches fold exact equi-width histogram shards
+      // (per-(type, bin) long counts, batch=N overwrite →
+      // retry-idempotent); the merged store answers the whole ppm
+      // ladder from the tiny histogram frame without rescanning the
+      // stream, and unlike t-digest/KLL the merge is EXACT — the
+      // one-shot batch derivation is the oracle on ANY arrival split
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sqn_src_$sf"
+        val hd = s"/tmp/graft_cache/sqn_hist_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hd))
+        Tables(s, d).events.select("event_id", "event_type", "value")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val ckpt = freshCheckpoint("sqn", d)
+        graft.streaming.Streams.histStream(s, src, schema, hd,
+          "event_type", "value", width = 4.0, ckpt).awaitTermination(120000)
+        graft.streaming.Streams.quantilesFromShards(s, hd, "event_type",
+          Seq(250000L, 500000L, 750000L, 900000L, 990000L), width = 4.0)
+      },
+      Some(InlineOracles.stream_quantiles)),
+
     Q("stream_moments",
       // continuous distribution observability: each micro-batch
       // lands its per-source exact power sums (associative longs,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -497,5 +498,62 @@ object Profile {
         .as("var_tokens"),
       when(skewNum > 0, 1L).when(skewNum < 0, -1L).otherwise(0L)
         .as("skew_sign"))
+  }
+
+  /** Equi-width histogram shard: exact per-(group, bin) counts with
+    * bin = floor(value / width). `width` must be a power of two so
+    * the division is exact for every double and the binning is
+    * bit-identical in any engine. Counts are associative longs — any
+    * arrival slice can land a shard and any union of shards re-sums
+    * to the one-shot histogram (the mergeable quantile-sketch core:
+    * unlike t-digest/KLL, the merge is EXACT, the only approximation
+    * is the fixed bin width). */
+  def histShard(events: DataFrame, groupCol: String = "event_type",
+                valueCol: String = "value",
+                width: Double = 4.0): DataFrame = {
+    require(width > 0 && java.lang.Math.getExponent(width) >= -500 &&
+      width == java.lang.Math.scalb(1.0, java.lang.Math.getExponent(width)),
+      "width must be a positive power of two (exact division)")
+    events.select(col(groupCol),
+        floor(col(valueCol) / lit(width)).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold histogram shards back to one row per (group, bin) —
+    * associative long sums, exposed for the streaming monitor. */
+  def mergeHist(shards: DataFrame, groupCol: String): DataFrame =
+    shards.groupBy(col(groupCol), col("bin")).agg(sum("cnt").as("cnt"))
+
+  /** Quantile readout from a merged histogram: for each q in the
+    * ppm ladder, the bin holding the ⌈q·n/10⁶⌉-th order statistic of
+    * the group — so the TRUE quantile provably lies in
+    * [bin_lo, bin_lo + width) by construction; the histogram answer
+    * is exact at bin granularity, no error estimate needed. All
+    * selection arithmetic is integer (ceil as (q·n + 999999) div 10⁶,
+    * cumulative counts as longs); the only double is bin_lo =
+    * bin·width, one exact power-of-two multiply. Runs entirely on the
+    * ≤|groups|·|bins|-row histogram frame — the windows are
+    * group-partitioned hash exchanges, never a global funnel. */
+  def histQuantiles(hist: DataFrame, groupCol: String,
+                    qPpm: Seq[Long] = Seq(250000L, 500000L, 750000L,
+                      900000L, 990000L),
+                    width: Double = 4.0): DataFrame = {
+    require(qPpm.nonEmpty && qPpm.forall(q => q > 0 && q <= 1000000L),
+      "quantile ladder entries are ppm in (0, 1000000]")
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mergeHist(hist, groupCol)
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("q_ppm", explode(array(qPpm.map(lit(_)): _*)))
+      .withColumn("k", expr("(q_ppm * n + 999999) div 1000000"))
+      .filter(col("cum") >= col("k") &&
+        col("cum") - col("cnt") < col("k"))
+      .select(col(groupCol), col("q_ppm"), col("n"), col("k"),
+        col("bin"),
+        (col("bin").cast("double") * lit(width)).as("bin_lo"))
   }
 }

@@ -532,6 +532,49 @@ object Streams {
       graft.operators.Profile.mergeMoments(
         spark.read.parquet(momDir), groupCol), groupCol)
 
+  /** One micro-batch of the continuous quantile monitor: the batch's
+    * exact equi-width histogram shard (per-(group, bin) long counts)
+    * lands under `batch=<id>` with directory overwrite —
+    * retry-idempotent, and counts are associative, so the merged
+    * store equals the one-shot histogram on ANY arrival split. */
+  def histBatch(histDir: String, groupCol: String, valueCol: String,
+                width: Double)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.Profile.histShard(batch, groupCol, valueCol, width)
+        .write.mode("overwrite").parquet(s"$histDir/batch=$batchId")
+    }
+
+  /** Continuous quantile observability — the streaming twin of the
+    * histogram-quantile readout: micro-batches fold exact equi-width
+    * bin counts via [[histBatch]] (per-trigger cost one
+    * map-side-combined ≤|groups|·|bins|-row aggregate), and
+    * [[quantilesFromShards]] answers "where is the p99 right now"
+    * at ANY point from the tiny store — the raw stream is never
+    * rescanned, and unlike t-digest/KLL the merge is EXACT (the only
+    * approximation is the fixed bin width, which the readout exposes
+    * as the [bin_lo, bin_lo + width) bracket). */
+  def histStream(spark: SparkSession, srcPath: String,
+                 schema: StructType, histDir: String, groupCol: String,
+                 valueCol: String, width: Double, checkpoint: String,
+                 maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(histBatch(histDir, groupCol, valueCol, width) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time quantile brackets from the accumulated histogram
+    * shards — identical integer selection to the batch derivation,
+    * so the batch SQL is the oracle. */
+  def quantilesFromShards(spark: SparkSession, histDir: String,
+                          groupCol: String, qPpm: Seq[Long],
+                          width: Double): org.apache.spark.sql.DataFrame =
+    graft.operators.Profile.histQuantiles(
+      spark.read.parquet(histDir), groupCol, qPpm, width)
+
   /** One micro-batch of the continuous dataset fingerprint: land the
     * batch's per-source (n_docs, n_tokens, content_sum) shard under
     * `batch=<id>` with directory overwrite — a retried micro-batch is

@@ -131,6 +131,7 @@ class DeterminismSpec extends SparkSpec {
     "mixture_curve", "stream_budget_fit", "mixture_manifest",
     // spectral wave: integer-exact moments — any fan-out must emit
     // identical longs/decimals (order-independent sums by design)
-    "embedding_covariance", "embedding_pca", "pca_project"))
+    "embedding_covariance", "embedding_pca", "pca_project",
+    "stream_quantiles"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

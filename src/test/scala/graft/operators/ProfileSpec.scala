@@ -283,4 +283,64 @@ class ProfileSpec extends SparkSpec {
     assert(merged.exceptAll(direct).count() == 0 &&
       direct.exceptAll(merged).count() == 0)
   }
+
+  test("histQuantiles: every bracket contains the true order statistic") {
+    val ev = tables.events
+    val got = Profile.histQuantiles(
+      Profile.histShard(ev), "event_type").collect()
+    // exact k-th order statistic per (type, q) by local sort
+    val byType = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val vs = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == vs.length)
+      val k = r.getAs[Long]("k").toInt
+      val exact = vs(k - 1)
+      val lo = r.getAs[Double]("bin_lo")
+      assert(exact >= lo && exact < lo + 4.0,
+        s"q=${r.getAs[Long]("q_ppm")}: exact $exact outside [$lo, ${lo + 4.0})")
+    }
+  }
+
+  test("histShard: shards merge to the one-shot histogram on any split") {
+    val ev = tables.events
+    val parts = (0L until 3L).map(i =>
+      Profile.histShard(ev.filter(col("event_id") % 3 === i)))
+    val merged = Profile.mergeHist(
+      parts.reduce(_ unionByName _), "event_type")
+    val direct = Profile.histShard(ev)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+    // and the quantile readout off the merged shards is identical
+    val qm = Profile.histQuantiles(merged, "event_type")
+    val qd = Profile.histQuantiles(direct, "event_type")
+    assert(qm.exceptAll(qd).count() == 0 && qd.exceptAll(qm).count() == 0)
+  }
+
+  test("histShard rejects a non-power-of-two width") {
+    intercept[IllegalArgumentException] {
+      Profile.histShard(tables.events, width = 3.0)
+    }
+    // q ladder bounds enforced
+    intercept[IllegalArgumentException] {
+      Profile.histQuantiles(Profile.histShard(tables.events),
+        "event_type", qPpm = Seq(0L))
+    }
+  }
+
+  test("histQuantiles: q_ppm = 1000000 lands in each group's last " +
+    "occupied bin") {
+    val ev = tables.events
+    val got = Profile.histQuantiles(Profile.histShard(ev),
+      "event_type", qPpm = Seq(1000000L)).collect()
+    val maxBin = ev.select(col("event_type"),
+      floor(col("value") / 4.0).cast("long").as("b"))
+      .groupBy("event_type").agg(max("b").as("mb")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    for (r <- got)
+      assert(r.getAs[Long]("bin") == maxBin(r.getAs[String]("event_type")))
+  }
 }
