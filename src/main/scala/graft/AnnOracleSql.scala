@@ -770,6 +770,36 @@ object AnnOracleSql {
     FROM agg LEFT JOIN cc ON cc.label = agg.label AND cc.rn = 1"""
   }
 
+  /** Mirrors Similarity.retrievalMrr: first same-label hit rank in
+    * the exact and PQ-ADC top-k, reciprocal scaled by 2520 (exact
+    * integer division for every rank ≤ 10). */
+  def retrievalMrrSql(k: Int, dim: Int, m: Int, ksub: Int, iters: Int,
+                      sampleBudget: Int, queryPred: String): String = s"""
+    WITH $EmbCte,
+    ${bfCtes(k, queryPred)},
+    ${pqCtes(dim, m, ksub, iters, sampleBudget, k, queryPred)},
+    lab AS (SELECT vec_id as neighbor_id, label as n_label
+            FROM embeddings),
+    ql AS (SELECT vec_id as query_id, label as q_label
+           FROM embeddings WHERE $queryPred),
+    hits AS (
+      SELECT 'exact' as method, t.query_id,
+        cast(min(t.rank) as bigint) as first_hit
+      FROM bf t JOIN lab USING (neighbor_id) JOIN ql USING (query_id)
+      WHERE n_label = q_label GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pq' as method, t.query_id,
+        cast(min(t.rank) as bigint) as first_hit
+      FROM pq_topk t JOIN lab USING (neighbor_id) JOIN ql USING (query_id)
+      WHERE n_label = q_label GROUP BY 1, 2),
+    meth AS (SELECT 'exact' as method UNION ALL SELECT 'pq')
+    SELECT q.query_id, meth.method,
+      cast(coalesce(h.first_hit, 0) as bigint) as first_hit_rank,
+      cast(coalesce(2520 // h.first_hit, 0) as bigint) as rr_x2520
+    FROM ql q CROSS JOIN meth
+    LEFT JOIN hits h ON h.query_id = q.query_id
+      AND h.method = meth.method"""
+
   // ——— spectral family (graft.operators.Spectral) ———————————————
   // Exact power-of-two quantization (floor(x·2¹⁰) — float multiply by
   // a power of two is exact) makes every moment an order-independent

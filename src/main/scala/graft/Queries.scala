@@ -811,6 +811,21 @@ object Queries {
         dim = 64, outDim = 16),
       Some(AnnOracleSql.projectionSql(dim = 64, outDim = 16))),
 
+    Q("retrieval_mrr",
+      // label-grounded rank quality, exact vs compressed-domain:
+      // first same-label hit rank per (query, method) with the
+      // reciprocal scaled by lcm(1..10) — integer-exact MRR, the
+      // task-level cost of quantization next to ann_pq_recall's
+      // overlap number
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.retrievalMrr(emb, emb.filter(col("vec_id") < 8),
+          cacheKey = Some(d))
+      },
+      Some(AnnOracleSql.retrievalMrrSql(k = 10, dim = 64, m = 8,
+        ksub = 16, iters = 3, sampleBudget = 128,
+        queryPred = "vec_id < 8"))),
+
     Q("embedding_covariance",
       // integer-exact second moments under PCA/whitening/rotation
       // decisions: ONE corpus pass, pairs generated map-side from

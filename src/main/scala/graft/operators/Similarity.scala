@@ -916,6 +916,46 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Label-grounded rank-quality eval — the MRR complement of the
+    * recall gates: per (query, method), the rank of the FIRST
+    * same-label neighbor in the top-k and its reciprocal scaled by
+    * 2520 = lcm(1..10), so for k ≤ 10 the reciprocal rank is an
+    * EXACT integer (no float MRR to drift between engines; the mean
+    * over queries is Σ rr_x2520 / (2520·|Q|), computed by the
+    * reader). Methods compared: exact cosine vs the compressed-domain
+    * PQ-ADC ranking — the number that says what quantization costs
+    * in task-grounded rank quality, not just neighbor overlap.
+    * first_hit_rank = 0 means no same-label neighbor surfaced in the
+    * top-k at all. Scale shape: both legs are the existing
+    * broadcast-queries single-scan searchers; the label join adds an
+    * id-keyed lookup on the (|queries|·k)-row result frames. */
+  def retrievalMrr(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                   dim: Int = 64, m: Int = 8, ksub: Int = 16,
+                   iters: Int = 3, sampleBudget: Int = 128,
+                   cacheKey: Option[String] = None): DataFrame = {
+    require(k >= 1 && k <= 10, "2520 = lcm(1..10): ranks past 10 " +
+      "would not divide exactly")
+    val labels = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"))
+    def mrrOf(ranked: DataFrame, method: String): DataFrame =
+      qs.join(
+        ranked.select(col("query_id"), col("neighbor_id"), col("rank"))
+          .join(labels, "neighbor_id")
+          .join(qs, "query_id")
+          .filter(col("n_label") === col("q_label"))
+          .groupBy("query_id").agg(min(col("rank")).as("first_hit")),
+        Seq("query_id"), "left")
+        .select(col("query_id"), lit(method).as("method"),
+          coalesce(col("first_hit"), lit(0L)).as("first_hit_rank"),
+          coalesce(expr("2520 div first_hit"), lit(0L)).as("rr_x2520"))
+    mrrOf(annBruteForce(corpus, queries, k), "exact")
+      .unionByName(mrrOf(
+        annPq(corpus, queries, k, dim, m, ksub, iters, sampleBudget,
+          cacheKey), "pq"))
+  }
+
   /** Two-stage retrieval — the production ANN serving pattern: a
     * cheap compressed-domain PQ shortlist (`shortlist` candidates by
     * ADC estimate, reading 16 bytes/vector) followed by an EXACT

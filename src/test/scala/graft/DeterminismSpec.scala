@@ -132,6 +132,6 @@ class DeterminismSpec extends SparkSpec {
     // spectral wave: integer-exact moments — any fan-out must emit
     // identical longs/decimals (order-independent sums by design)
     "embedding_covariance", "embedding_pca", "pca_project",
-    "stream_quantiles"))
+    "stream_quantiles", "retrieval_mrr"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -19,6 +19,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrievalMrr: planted same-label twin ranks first, rr exact") {
+    import spark.implicits._
+    // label-0 queries have a near-identical label-0 twin; label-1
+    // vectors point the other way — exact leg must hit at rank 1
+    val base = (0 until 12).map { i =>
+      val lab = i % 2
+      val x = if (lab == 0) 0.9f else -0.9f
+      (i.toLong, Seq(x, 0.1f * (i % 3), 0.05f * (i % 5)), lab)
+    }
+    val emb = base.toDF("vec_id", "embedding", "label")
+    val out = Similarity.retrievalMrr(emb,
+      emb.filter(col("vec_id") < 2), k = 5, dim = 3, m = 1, ksub = 4,
+      sampleBudget = 12).collect()
+    assert(out.length == 4, "2 queries x 2 methods")
+    for (r <- out) {
+      val fh = r.getAs[Long]("first_hit_rank")
+      val rr = r.getAs[Long]("rr_x2520")
+      if (fh == 0L) assert(rr == 0L)
+      else assert(rr * fh == 2520L - (2520L % fh) && rr == 2520L / fh,
+        s"rr must be the exact scaled reciprocal (fh=$fh rr=$rr)")
+    }
+    val exact = out.filter(_.getAs[String]("method") == "exact")
+    assert(exact.forall(_.getAs[Long]("first_hit_rank") == 1L),
+      "clustered labels: the exact top neighbor shares the label")
+  }
+
+  test("retrievalMrr rejects k past the lcm window") {
+    val emb = tables.embeddings
+    intercept[IllegalArgumentException] {
+      Similarity.retrievalMrr(emb, emb.filter(col("vec_id") < 2), k = 11)
+    }
+  }
+
   test("a vector's top-1 neighbor of itself-in-corpus is itself (sanity via self-inclusion)") {
     val emb = tables.embeddings
     // query vec 0 against a corpus containing a copy of it under id -1
