@@ -1466,6 +1466,62 @@ object InlineOracles {
             + 2 * cast(s1 as hugeint) * s1 * s1) as bigint) as skew_sign
         FROM m"""
 
+  /** Mirrors Expectations.refIntegrity over the star schema's five
+    * declared relationships. */
+  val ref_integrity: String = """
+        WITH f AS (
+          SELECT 'orders_customer' as relation, o_custkey as key
+          FROM orders
+          UNION ALL SELECT 'lineitem_orders', l_orderkey FROM lineitem
+          UNION ALL SELECT 'lineitem_part', l_partkey FROM lineitem
+          UNION ALL SELECT 'lineitem_supplier', l_suppkey FROM lineitem
+          UNION ALL SELECT 'customer_nation', c_nationkey FROM customer),
+        p AS (
+          SELECT 'orders_customer' as relation, c_custkey as key
+          FROM customer
+          UNION ALL SELECT 'lineitem_orders', o_orderkey FROM orders
+          UNION ALL SELECT 'lineitem_part', p_partkey FROM part
+          UNION ALL SELECT 'lineitem_supplier', s_suppkey FROM supplier
+          UNION ALL SELECT 'customer_nation', n_nationkey FROM nation),
+        pd AS (SELECT DISTINCT relation, key FROM p),
+        fc AS (SELECT f.relation,
+                 cast(count(*) as bigint) as n_fk_rows,
+                 cast(sum(CASE WHEN f.key IS NULL THEN 1 ELSE 0 END)
+                   as bigint) as n_null_fk,
+                 cast(sum(CASE WHEN f.key IS NOT NULL
+                     AND pd.key IS NULL THEN 1 ELSE 0 END)
+                   as bigint) as n_orphan_rows
+               FROM f LEFT JOIN pd ON f.relation = pd.relation
+                 AND f.key = pd.key
+               GROUP BY 1),
+        rf AS (SELECT DISTINCT relation, key FROM f
+               WHERE key IS NOT NULL),
+        pc AS (SELECT p.relation,
+                 cast(count(*) as bigint) as n_pk_rows,
+                 cast(sum(CASE WHEN rf.key IS NULL THEN 1 ELSE 0 END)
+                   as bigint) as n_unreferenced_pk
+               FROM p LEFT JOIN rf ON p.relation = rf.relation
+                 AND p.key = rf.key
+               GROUP BY 1)
+        SELECT fc.relation, n_fk_rows, n_null_fk, n_orphan_rows,
+          n_orphan_rows * 1000000 // n_fk_rows as orphan_ppm,
+          n_pk_rows, n_unreferenced_pk
+        FROM fc JOIN pc ON fc.relation = pc.relation"""
+
+  /** Mirrors Expectations.freshnessAudit on events (30 min
+    * threshold). */
+  val freshness_audit: String = """
+        WITH a AS (SELECT event_type,
+            cast(count(*) as bigint) as n_events,
+            cast(max(epoch_us(ts)) as bigint) as max_ts_us
+          FROM events GROUP BY 1)
+        SELECT event_type, n_events, max_ts_us,
+          cast((SELECT max(max_ts_us) FROM a) - max_ts_us as bigint)
+            as lag_us,
+          ((SELECT max(max_ts_us) FROM a) - max_ts_us) > 1800000000
+            as stale
+        FROM a"""
+
   /** Mirrors the histogram-quantile readout (Profile.histQuantiles
     * over merged stream shards): exact equi-width bin counts, integer
     * ceil selection, one exact power-of-two multiply for bin_lo. */

@@ -1991,6 +1991,35 @@ object Queries {
       Some(InlineOracles.interval_join)),
 
     // ---------- D. Data quality ----------
+    Q("ref_integrity",
+      // star-schema referential integrity in ONE pass per side:
+      // all five relationships' fact keys union into one tagged
+      // frame, the dims broadcast as one lookup, orphan flags are
+      // map-side — no per-relation scans, no driver loop
+      (s, d) => {
+        val t = Tables(s, d)
+        Expectations.refIntegrity(Seq(
+          Relation("orders_customer", t.orders, "o_custkey",
+            t.customer, "c_custkey"),
+          Relation("lineitem_orders", t.lineitem, "l_orderkey",
+            t.orders, "o_orderkey"),
+          Relation("lineitem_part", t.lineitem, "l_partkey",
+            t.part, "p_partkey"),
+          Relation("lineitem_supplier", t.lineitem, "l_suppkey",
+            t.supplier, "s_suppkey"),
+          Relation("customer_nation", t.customer, "c_nationkey",
+            t.nation, "n_nationkey")))
+      },
+      Some(InlineOracles.ref_integrity)),
+
+    Q("freshness_audit",
+      // per-type arrival freshness: newest event vs the globally
+      // newest, integer epoch-micros lags, stale gate at 30 min —
+      // one |types|-row aggregate + a window over that tiny frame
+      (s, d) => Expectations.freshnessAudit(Tables(s, d).events,
+        staleUs = 1800000000L),
+      Some(InlineOracles.freshness_audit)),
+
     Q("expectations",
       (s, d) => Expectations.metrics(Tables(s, d).events,
         Expectations.EventSuite),

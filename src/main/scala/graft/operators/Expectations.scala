@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 final case class Expectation(name: String, predicateSql: String)
 
+/** One declared foreign-key relationship for [[Expectations.refIntegrity]]:
+  * `fk(fkCol)` should reference `pk(pkCol)`. */
+final case class Relation(name: String, fk: DataFrame, fkCol: String,
+                          pk: DataFrame, pkCol: String)
+
 class ExpectationViolation(msg: String) extends RuntimeException(msg)
 
 object Expectations {
@@ -74,4 +79,73 @@ object Expectations {
       "event_type in ('click','view','purchase','signup','error')"),
     Expectation("no error events", "event_type <> 'error'"),
     Expectation("user present", "user_id is not null"))
+
+  /** Cross-table referential-integrity audit — the star-schema
+    * health check row-level expectations can't express: one row per
+    * declared relationship with the fact-side row/NULL/orphan counts
+    * (an orphan is a non-NULL fk with no pk match), orphan_ppm, and
+    * the dimension-side unreferenced-key count.
+    *
+    * Scale shape: every fact side is scanned ONCE — all relations'
+    * keys union into a single tagged frame, the pk sides (dimensions,
+    * broadcast-small by star-schema construction) union into one
+    * broadcast lookup, orphan flags are map-side and the only
+    * fact-sized shuffles are one groupBy(relation) counter aggregate
+    * and one (relation, key) map-side-combined distinct for the
+    * unreferenced-pk leg. No per-relation passes, no driver loop. */
+  def refIntegrity(rels: Seq[Relation]): DataFrame = {
+    require(rels.nonEmpty, "declare at least one relationship")
+    require(rels.map(_.name).distinct.length == rels.length,
+      "relationship names must be unique")
+    def tagged(sel: Relation => DataFrame): DataFrame =
+      rels.map(sel).reduce(_ unionByName _)
+    val fk = tagged(r => r.fk.select(lit(r.name).as("relation"),
+      col(r.fkCol).cast("long").as("key")))
+    val pk = tagged(r => r.pk.select(lit(r.name).as("relation"),
+      col(r.pkCol).cast("long").as("key")))
+    val pkTagged = broadcast(pk.distinct()
+      .withColumn("matched", lit(1L)))
+    val factCounts = fk
+      .join(pkTagged, Seq("relation", "key"), "left")
+      .groupBy(col("relation"))
+      .agg(count(lit(1)).as("n_fk_rows"),
+        sum(when(col("key").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        sum(when(col("key").isNotNull && col("matched").isNull, 1L)
+          .otherwise(0L)).as("n_orphan_rows"))
+      .withColumn("orphan_ppm",
+        expr("n_orphan_rows * 1000000 div n_fk_rows"))
+    val referenced = fk.filter(col("key").isNotNull).distinct()
+    val pkCounts = pk
+      .join(referenced.withColumn("seen", lit(1L)),
+        Seq("relation", "key"), "left")
+      .groupBy(col("relation"))
+      .agg(count(lit(1)).as("n_pk_rows"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L))
+          .as("n_unreferenced_pk"))
+    factCounts.join(pkCounts, "relation")
+  }
+
+  /** Per-group freshness audit over an event stream: row count,
+    * newest event time, and the lag behind the globally newest event
+    * — the "did source X stop arriving" gate a multi-source ingest
+    * needs (DLT surfaces this as pipeline event-log timestamps;
+    * here it is a first-class query on the data itself). All integer
+    * (epoch-micros longs); `staleUs` marks groups whose lag exceeds
+    * the threshold. One map-side-combined |groups|-row aggregate +
+    * a window over that tiny frame. */
+  def freshnessAudit(events: DataFrame, groupCol: String = "event_type",
+                     tsCol: String = "ts",
+                     staleUs: Long = 3600000000L): DataFrame = {
+    require(staleUs >= 0, "staleUs is the lag threshold in micros")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(col(tsCol)).as("max_ts_us"))
+      .withColumn("lag_us",
+        max(col("max_ts_us")).over(w) - col("max_ts_us"))
+      .withColumn("stale", col("lag_us") > staleUs)
+  }
 }

@@ -132,6 +132,7 @@ class DeterminismSpec extends SparkSpec {
     // spectral wave: integer-exact moments — any fan-out must emit
     // identical longs/decimals (order-independent sums by design)
     "embedding_covariance", "embedding_pca", "pca_project",
-    "stream_quantiles", "retrieval_mrr"))
+    "stream_quantiles", "retrieval_mrr", "ref_integrity",
+    "freshness_audit"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

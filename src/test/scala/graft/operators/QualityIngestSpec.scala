@@ -22,6 +22,56 @@ class QualityIngestSpec extends SparkSpec {
     assert(errs.getAs[Long]("failed_records") > 0)
   }
 
+  test("refIntegrity: planted orphans, NULL fks and unreferenced pks " +
+    "are counted exactly") {
+    import spark.implicits._
+    val fact = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (1L, "c"), (99L, "orphan1"),
+      (98L, "orphan2"), (null, "nullfk")).toDF("cust_id", "tag")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "unreferenced"))
+      .toDF("id", "name")
+    val r = Expectations.refIntegrity(Seq(
+      Relation("fact_dim", fact, "cust_id", dim, "id"))).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_fk_rows") == 6L)
+    assert(row.getAs[Long]("n_null_fk") == 1L)
+    assert(row.getAs[Long]("n_orphan_rows") == 2L)
+    assert(row.getAs[Long]("orphan_ppm") == 2000000L / 6L)
+    assert(row.getAs[Long]("n_pk_rows") == 3L)
+    assert(row.getAs[Long]("n_unreferenced_pk") == 1L)
+  }
+
+  test("refIntegrity: the star schema's declared relationships are " +
+    "clean on testdata") {
+    val t = tables
+    val out = Expectations.refIntegrity(Seq(
+      Relation("orders_customer", t.orders, "o_custkey",
+        t.customer, "c_custkey"),
+      Relation("lineitem_orders", t.lineitem, "l_orderkey",
+        t.orders, "o_orderkey"))).collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_orphan_rows") == 0L,
+        s"${r.getAs[String]("relation")} must have no orphans")
+      assert(r.getAs[Long]("n_null_fk") == 0L)
+    }
+  }
+
+  test("freshnessAudit: lags are relative to the global newest and " +
+    "the stale gate splits on the threshold") {
+    import spark.implicits._
+    val ev = Seq(("a", 1000L), ("a", 5000L), ("b", 2000L), ("c", 4000L))
+      .toDF("event_type", "ts")
+    val out = Expectations.freshnessAudit(ev, staleUs = 1000L)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("lag_us"),
+          r.getAs[Boolean]("stale")))).toMap
+    assert(out("a") == ((2L, 0L, false)))
+    assert(out("b") == ((1L, 3000L, true)))
+    assert(out("c") == ((1L, 1000L, false)), "lag == threshold is fresh")
+  }
+
   test("dropInvalid + quarantine partition the input") {
     val suite = Expectations.EventSuite
     val kept = Expectations.dropInvalid(tables.events, suite).count()
