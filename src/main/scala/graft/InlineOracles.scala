@@ -1466,6 +1466,54 @@ object InlineOracles {
             + 2 * cast(s1 as hugeint) * s1 * s1) as bigint) as skew_sign
         FROM m"""
 
+  /** Mirrors Expectations.metrics over EventSuite — shared by the
+    * batch `expectations` row and its streaming twin (associative
+    * counters: merged micro-batch shards equal the one-shot pass). */
+  val expectations_metrics: String = {
+    val cases = Seq(
+      ("value is non-negative", "value >= 0"),
+      ("value within sane bound", "value <= 400"),
+      ("event_type is known",
+        "event_type in ('click','view','purchase','signup','error')"),
+      ("no error events", "event_type <> 'error'"),
+      ("user present", "user_id is not null"))
+    cases.map { case (n, p) =>
+      s"""SELECT '$n' as constraint_name,
+         cast(sum(case when $p then 1 else 0 end) as bigint) as passed_records,
+         cast(sum(case when $p then 0 else 1 end) as bigint) as failed_records
+         FROM events"""
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Mirrors the fact-side orphan counters of Expectations.refIntegrity
+    * for lineitem's three dimension relationships — the oracle of the
+    * streaming orphan monitor (frozen dims ⇒ associative counts). */
+  val stream_ref_integrity: String = """
+        WITH f AS (
+          SELECT 'lineitem_orders' as relation, l_orderkey as key
+          FROM lineitem
+          UNION ALL SELECT 'lineitem_part', l_partkey FROM lineitem
+          UNION ALL SELECT 'lineitem_supplier', l_suppkey FROM lineitem),
+        p AS (
+          SELECT 'lineitem_orders' as relation, o_orderkey as key
+          FROM orders
+          UNION ALL SELECT 'lineitem_part', p_partkey FROM part
+          UNION ALL SELECT 'lineitem_supplier', s_suppkey FROM supplier),
+        pd AS (SELECT DISTINCT relation, key FROM p),
+        fc AS (SELECT f.relation,
+                 cast(count(*) as bigint) as n_fk_rows,
+                 cast(sum(CASE WHEN f.key IS NULL THEN 1 ELSE 0 END)
+                   as bigint) as n_null_fk,
+                 cast(sum(CASE WHEN f.key IS NOT NULL
+                     AND pd.key IS NULL THEN 1 ELSE 0 END)
+                   as bigint) as n_orphan_rows
+               FROM f LEFT JOIN pd ON f.relation = pd.relation
+                 AND f.key = pd.key
+               GROUP BY 1)
+        SELECT relation, n_fk_rows, n_null_fk, n_orphan_rows,
+          n_orphan_rows * 1000000 // n_fk_rows as orphan_ppm
+        FROM fc"""
+
   /** Mirrors Expectations.refIntegrity over the star schema's five
     * declared relationships. */
   val ref_integrity: String = """

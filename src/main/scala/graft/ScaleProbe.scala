@@ -135,6 +135,14 @@ object ScaleProbe {
       // linear in the token stream — no global sort ever
       // materializes; budget scales with the corpus so per-source
       // epoch shape is held fixed across 1×/10×
+      // covariance's claim: the d²/2-per-row pair explode stays
+      // map-side and the aggregate map-side-combines — rows/sec must
+      // hold at 10× vectors
+      ("embedding_covariance", t.embeddings.count(),
+        () => graft.operators.Spectral.covariance(t.embeddings).count(),
+        t.embeddings.count() * 10,
+        () => graft.operators.Spectral.covariance(
+          replicate(t.embeddings, 10, Some("vec_id"))).count()),
       ("mixture_manifest", t.documents.count(),
         () => graft.operators.Mixture.mixtureManifest(t.documents,
           budgetTokens = 500000L, maxEpochsPct = 300L).count(),

@@ -94,24 +94,9 @@ object Expectations {
     * and one (relation, key) map-side-combined distinct for the
     * unreferenced-pk leg. No per-relation passes, no driver loop. */
   def refIntegrity(rels: Seq[Relation]): DataFrame = {
-    require(rels.nonEmpty, "declare at least one relationship")
-    require(rels.map(_.name).distinct.length == rels.length,
-      "relationship names must be unique")
-    def tagged(sel: Relation => DataFrame): DataFrame =
-      rels.map(sel).reduce(_ unionByName _)
-    val fk = tagged(r => r.fk.select(lit(r.name).as("relation"),
-      col(r.fkCol).cast("long").as("key")))
-    val pk = tagged(r => r.pk.select(lit(r.name).as("relation"),
-      col(r.pkCol).cast("long").as("key")))
-    val pkTagged = broadcast(pk.distinct()
-      .withColumn("matched", lit(1L)))
-    val factCounts = fk
-      .join(pkTagged, Seq("relation", "key"), "left")
-      .groupBy(col("relation"))
-      .agg(count(lit(1)).as("n_fk_rows"),
-        sum(when(col("key").isNull, 1L).otherwise(0L)).as("n_null_fk"),
-        sum(when(col("key").isNotNull && col("matched").isNull, 1L)
-          .otherwise(0L)).as("n_orphan_rows"))
+    val fk = taggedKeys(rels, r => (r.fk, r.fkCol))
+    val pk = taggedKeys(rels, r => (r.pk, r.pkCol))
+    val factCounts = orphanCounts(rels)
       .withColumn("orphan_ppm",
         expr("n_orphan_rows * 1000000 div n_fk_rows"))
     val referenced = fk.filter(col("key").isNotNull).distinct()
@@ -123,6 +108,45 @@ object Expectations {
         sum(when(col("seen").isNull, 1L).otherwise(0L))
           .as("n_unreferenced_pk"))
     factCounts.join(pkCounts, "relation")
+  }
+
+  private def taggedKeys(rels: Seq[Relation],
+                         sel: Relation => (DataFrame, String)): DataFrame = {
+    require(rels.nonEmpty, "declare at least one relationship")
+    require(rels.map(_.name).distinct.length == rels.length,
+      "relationship names must be unique")
+    rels.map { r =>
+      val (df, c) = sel(r)
+      df.select(lit(r.name).as("relation"), col(c).cast("long").as("key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The fact-side counters of [[refIntegrity]] alone: per relation
+    * (n_fk_rows, n_null_fk, n_orphan_rows). Associative — against
+    * FROZEN dimensions the counts sum across any arrival split, which
+    * is what lets the streaming orphan monitor fold per-batch shards.
+    * Emits a zero row for relations whose fact side is empty, so a
+    * shard is never silently missing a relation. */
+  def orphanCounts(rels: Seq[Relation]): DataFrame = {
+    val fk = taggedKeys(rels, r => (r.fk, r.fkCol))
+    val pk = taggedKeys(rels, r => (r.pk, r.pkCol))
+    val pkTagged = broadcast(pk.distinct()
+      .withColumn("matched", lit(1L)))
+    val names = rels.map(_.name).sorted
+    val spark = rels.head.fk.sparkSession
+    import spark.implicits._
+    val all = names.toDF("relation")
+    fk.join(pkTagged, Seq("relation", "key"), "left")
+      .groupBy(col("relation"))
+      .agg(count(lit(1)).as("n_fk_rows"),
+        sum(when(col("key").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        sum(when(col("key").isNotNull && col("matched").isNull, 1L)
+          .otherwise(0L)).as("n_orphan_rows"))
+      .join(all, Seq("relation"), "right")
+      .select(col("relation"),
+        coalesce(col("n_fk_rows"), lit(0L)).as("n_fk_rows"),
+        coalesce(col("n_null_fk"), lit(0L)).as("n_null_fk"),
+        coalesce(col("n_orphan_rows"), lit(0L)).as("n_orphan_rows"))
   }
 
   /** Per-group freshness audit over an event stream: row count,

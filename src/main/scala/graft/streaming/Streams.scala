@@ -532,6 +532,99 @@ object Streams {
       graft.operators.Profile.mergeMoments(
         spark.read.parquet(momDir), groupCol), groupCol)
 
+  /** One micro-batch of continuous expectation metrics: the batch's
+    * per-constraint (passed, failed) counters land under `batch=<id>`
+    * with directory overwrite — retry-idempotent, and counters are
+    * associative longs, so the merged store equals the one-shot DLT
+    * metrics on ANY arrival split. */
+  def expectationsBatch(metDir: String,
+                        exps: Seq[graft.operators.Expectation])
+                       (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.Expectations.metrics(batch, exps)
+        .write.mode("overwrite").parquet(s"$metDir/batch=$batchId")
+    }
+
+  /** Continuous data-quality metrics — the streaming twin of
+    * `expectations` (DLT's live expectation counters, reference
+    * 4:102-123): each micro-batch folds its one-pass conditional-
+    * aggregation counters via [[expectationsBatch]]; the violation
+    * trajectory is readable at any point from the tiny metric store
+    * without rescanning landed data. */
+  def expectationsStream(spark: SparkSession, srcPath: String,
+                         schema: StructType, metDir: String,
+                         exps: Seq[graft.operators.Expectation],
+                         checkpoint: String,
+                         maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(expectationsBatch(metDir, exps) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time expectation counters from the accumulated shards —
+    * associative sums, so the batch metrics SQL is the oracle. */
+  def expectationsFromShards(spark: SparkSession,
+                             metDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(metDir)
+      .groupBy(col("constraint_name"))
+      .agg(sum(col("passed_records")).as("passed_records"),
+        sum(col("failed_records")).as("failed_records"))
+
+  /** One micro-batch of the continuous orphan monitor: the batch's
+    * per-relation fact-side counters (rows / NULL fks / orphans
+    * against the FROZEN dimension lookups) land under `batch=<id>`
+    * with directory overwrite — retry-idempotent; with frozen dims
+    * the counts are associative, so the merged store equals the
+    * one-shot audit on ANY arrival split. `rels` maps each
+    * relationship name to (fkCol, dim, pkCol); the batch is the fact
+    * side of every relationship. */
+  def refIntegrityBatch(riDir: String,
+                        rels: Seq[(String, String, DataFrame, String)])
+                       (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.Expectations.orphanCounts(rels.map {
+        case (name, fkCol, dim, pkCol) =>
+          graft.operators.Relation(name, batch, fkCol, dim, pkCol)
+      }).write.mode("overwrite").parquet(s"$riDir/batch=$batchId")
+    }
+
+  /** Continuous referential integrity — the streaming twin of
+    * `ref_integrity`'s fact side: fact micro-batches are checked
+    * against frozen broadcast dimensions as they land (per-trigger
+    * cost: one broadcast join + a |relations|-row aggregate), so
+    * orphan spikes surface DURING ingest, not at the next full
+    * audit. */
+  def refIntegrityStream(spark: SparkSession, srcPath: String,
+                         schema: StructType, riDir: String,
+                         rels: Seq[(String, String, DataFrame, String)],
+                         checkpoint: String,
+                         maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(refIntegrityBatch(riDir, rels) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time orphan counters from the accumulated shards —
+    * identical sums to the batch fact-side audit, so its SQL is the
+    * oracle. */
+  def refIntegrityFromShards(spark: SparkSession,
+                             riDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(riDir)
+      .groupBy(col("relation"))
+      .agg(sum(col("n_fk_rows")).as("n_fk_rows"),
+        sum(col("n_null_fk")).as("n_null_fk"),
+        sum(col("n_orphan_rows")).as("n_orphan_rows"))
+      .withColumn("orphan_ppm",
+        expr("n_orphan_rows * 1000000 div n_fk_rows"))
+
   /** One micro-batch of the continuous quantile monitor: the batch's
     * exact equi-width histogram shard (per-(group, bin) long counts)
     * lands under `batch=<id>` with directory overwrite —

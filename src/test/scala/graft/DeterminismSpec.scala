@@ -133,6 +133,6 @@ class DeterminismSpec extends SparkSpec {
     // identical longs/decimals (order-independent sums by design)
     "embedding_covariance", "embedding_pca", "pca_project",
     "stream_quantiles", "retrieval_mrr", "ref_integrity",
-    "freshness_audit"))
+    "freshness_audit", "stream_expectations", "stream_ref_integrity"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

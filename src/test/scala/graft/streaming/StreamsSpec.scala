@@ -493,6 +493,75 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
   }
 
+  test("expectationsStream: merged counters are batch-split independent " +
+    "and a retried batch never double-counts") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 5.0, 10L),
+      (2L, "error", -1.0, 11L),
+      (3L, "view", 500.0, 12L),
+      (4L, "click", 7.0, 13L)).toDF("event_id", "event_type", "value",
+      "user_id")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("user_id", LongType)))
+    val exact = graft.operators.Expectations.metrics(ev,
+      graft.operators.Expectations.EventSuite).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    def run(maxFiles: Int): Map[String, (Long, Long)] = {
+      val src = Files.createTempDirectory("graft_sxp_src").toFile.getPath
+      val md = Files.createTempDirectory("graft_sxp_md").toFile.getPath + "/m"
+      val ckpt = Files.createTempDirectory("graft_sxp_ck").toFile.getPath
+      ev.repartition(4, col("event_id")).write.mode("overwrite").json(src)
+      Streams.expectationsStream(spark, src, schema, md,
+        graft.operators.Expectations.EventSuite, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      Streams.expectationsFromShards(spark, md).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(run(1) == exact, "1-file batches must fold to the batch truth")
+    assert(run(4) == exact, "one big batch must fold to the batch truth")
+    // retry: same batch id twice overwrites, never doubles
+    val rt = Files.createTempDirectory("graft_sxp_rt").toFile.getPath + "/m"
+    Streams.expectationsBatch(rt, graft.operators.Expectations.EventSuite)(ev, 0L)
+    Streams.expectationsBatch(rt, graft.operators.Expectations.EventSuite)(ev, 0L)
+    assert(Streams.expectationsFromShards(spark, rt).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      == exact)
+  }
+
+  test("refIntegrityStream: orphan counters fold to the one-shot audit " +
+    "against frozen dims on any split") {
+    import spark.implicits._
+    val fact = Seq((1L, 100L), (2L, 100L), (3L, 999L), (4L, 101L))
+      .toDF("fk_id", "cust")
+    val dim = Seq((100L, "x"), (101L, "y"), (102L, "z")).toDF("id", "nm")
+    val schema = StructType(Seq(StructField("fk_id", LongType),
+      StructField("cust", LongType)))
+    val rels = Seq(("fact_dim", "cust", dim, "id"))
+    val exact = graft.operators.Expectations.orphanCounts(Seq(
+      graft.operators.Relation("fact_dim", fact, "cust", dim, "id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    def run(maxFiles: Int): Set[(String, Long, Long, Long)] = {
+      val src = Files.createTempDirectory("graft_sri_src").toFile.getPath
+      val rd = Files.createTempDirectory("graft_sri_rd").toFile.getPath + "/r"
+      val ckpt = Files.createTempDirectory("graft_sri_ck").toFile.getPath
+      fact.repartition(4, col("fk_id")).write.mode("overwrite").json(src)
+      Streams.refIntegrityStream(spark, src, schema, rd, rels, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      Streams.refIntegrityFromShards(spark, rd).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    assert(exact == Set(("fact_dim", 4L, 0L, 1L)))
+    assert(run(1) == exact)
+    assert(run(4) == exact)
+  }
+
   test("profileStream: merged shards equal the one-shot profile on any batch split") {
     import spark.implicits._
     val rows = Seq(
