@@ -861,6 +861,27 @@ object AnnOracleSql {
       cast(pv2.v2 as decimal(38,0)) as v2
     FROM pv2 JOIN pv1 ON pv2.dim = pv1.dim"""
 
+  /** Mirrors Spectral.isotropyAudit. */
+  def isotropySql(): String = s"""
+    WITH $SpectralCtes,
+    ab AS (SELECT i, j, cov_num,
+             CASE WHEN cov_num < 0 THEN -cov_num ELSE cov_num END as a
+           FROM covn),
+    tot AS (SELECT
+              cast(sum(CASE WHEN i = j THEN 1 END) as bigint) as n_dims,
+              cast(sum(CASE WHEN i = j THEN cov_num END)
+                as decimal(38,0)) as trace,
+              cast(sum(CASE WHEN i <> j THEN a END)
+                as decimal(38,0)) as offdiag_abs
+            FROM ab),
+    topp AS (SELECT i as top_i, j as top_j,
+               cast(a as decimal(38,0)) as top_abs
+             FROM (SELECT *, row_number() OVER (ORDER BY a DESC, i, j)
+                     as rn FROM ab WHERE i <> j) q
+             WHERE rn = 1)
+    SELECT n_dims, trace, offdiag_abs, top_i, top_j, top_abs
+    FROM tot, topp"""
+
   /** Mirrors Spectral.project. */
   def projectSql(): String = s"""
     WITH $PowerCtes,

@@ -843,6 +843,14 @@ object Queries {
       (s, d) => Spectral.powerIterate(Tables(s, d).embeddings),
       Some(AnnOracleSql.powerIterateSql())),
 
+    Q("embedding_isotropy",
+      // one-row anisotropy gate under every cosine-based operator:
+      // exact decimal trace vs off-diagonal |cov| mass + the most
+      // correlated dimension pair; ratios left to the reader so no
+      // engine-specific division enters the hash
+      (s, d) => Spectral.isotropyAudit(Tables(s, d).embeddings),
+      Some(AnnOracleSql.isotropySql())),
+
     Q("pca_project",
       // every vector's exact position along the dominant axis
       // (curriculum / diversity-binning / outlier fences): second

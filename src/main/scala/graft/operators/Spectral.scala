@@ -117,6 +117,36 @@ object Spectral {
         col("v2").cast("decimal(38,0)").as("v2"))
   }
 
+  /** One-row isotropy readout of the embedding space — the health
+    * check under every cosine-based operator (ANN, SemDeDup,
+    * clustering): highly anisotropic spaces concentrate cosine mass
+    * and quietly break threshold calibrations. Reports exact decimal
+    * sums off the covariance triangle — diagonal mass (trace),
+    * total off-diagonal |cov| mass, and the single most correlated
+    * dimension pair (ties to the smallest (i, j)) — leaving ratios to
+    * the reader so no engine-specific division enters the hash. Runs
+    * entirely on the d²/2-row triangle frame. */
+  def isotropyAudit(embeddings: DataFrame): DataFrame = {
+    val ab = covariance(embeddings).select(col("i"), col("j"),
+      col("cov_num"),
+      when(col("cov_num") < 0, -col("cov_num"))
+        .otherwise(col("cov_num")).as("a"))
+    val tot = ab.agg(
+      sum(when(col("i") === col("j"), 1L)).as("n_dims"),
+      sum(when(col("i") === col("j"), col("cov_num")))
+        .cast("decimal(38,0)").as("trace"),
+      sum(when(col("i") =!= col("j"), col("a")))
+        .cast("decimal(38,0)").as("offdiag_abs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("a").desc, col("i"), col("j"))
+    val top = ab.filter(col("i") =!= col("j"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("i").as("top_i"), col("j").as("top_j"),
+        col("a").cast("decimal(38,0)").as("top_abs"))
+    tot.crossJoin(top)
+  }
+
   /** Project every embedding onto the [[powerIterate]] v2 loading:
     * score_v = Σ_d q_vd·v2_d — the exact position of each vector
     * along the dominant principal axis (curriculum ordering,

@@ -133,6 +133,7 @@ class DeterminismSpec extends SparkSpec {
     // identical longs/decimals (order-independent sums by design)
     "embedding_covariance", "embedding_pca", "pca_project",
     "stream_quantiles", "retrieval_mrr", "ref_integrity",
-    "freshness_audit", "stream_expectations", "stream_ref_integrity"))
+    "freshness_audit", "stream_expectations", "stream_ref_integrity",
+    "embedding_isotropy"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -91,6 +91,39 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("isotropyAudit: trace/offdiag masses replay the triangle and " +
+    "the top pair is the planted correlated one") {
+    val d = anisotropic(40)
+    val expect = brute(d)
+    val covNum = (i: Int, j: Int) => {
+      val (n, sij, si, sj) = expect((i, j))
+      BigInt(n) * BigInt(sij) - BigInt(si) * BigInt(sj)
+    }
+    val dims = 3
+    val trace = (0 until dims).map(i => covNum(i, i)).sum
+    val off = (for (i <- 0 until dims; j <- i + 1 until dims)
+      yield covNum(i, j).abs).sum
+    val r = Spectral.isotropyAudit(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_dims") == dims.toLong)
+    assert(BigInt(row.getAs[java.math.BigDecimal]("trace")
+      .toBigInteger) == trace)
+    assert(BigInt(row.getAs[java.math.BigDecimal]("offdiag_abs")
+      .toBigInteger) == off)
+    val pairs = for (i <- 0 until dims; j <- i + 1 until dims)
+      yield (covNum(i, j).abs, i, j)
+    // the operator's tie-break: highest |cov|, then SMALLEST (i, j)
+    val top = pairs.sortWith { (x, y) =>
+      x._1 > y._1 || (x._1 == y._1 &&
+        (x._2 < y._2 || (x._2 == y._2 && x._3 < y._3)))
+    }.head
+    assert(row.getAs[Int]("top_i") == top._2 &&
+      row.getAs[Int]("top_j") == top._3)
+    assert(BigInt(row.getAs[java.math.BigDecimal]("top_abs")
+      .toBigInteger) == top._1)
+  }
+
   test("project separates the two planted clusters along the axis") {
     val d = anisotropic(50)
     val scored = Spectral.project(d)
