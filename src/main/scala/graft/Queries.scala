@@ -843,6 +843,31 @@ object Queries {
       (s, d) => Spectral.powerIterate(Tables(s, d).embeddings),
       Some(AnnOracleSql.powerIterateSql())),
 
+    Q("stream_covariance",
+      // continuous embedding-space observability: vector micro-
+      // batches fold per-(i,j) exact moment shards (associative
+      // longs, batch=N overwrite → retry-idempotent); the covariance
+      // — and the PCA/isotropy derived from it — stays current
+      // DURING ingest without rescanning landed vectors; the merged
+      // store re-derives the one-shot matrix on ANY batch split, so
+      // the batch covariance SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/scv_src_$sf"
+        val cd = s"/tmp/graft_cache/scv_cov_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cd))
+        Tables(s, d).embeddings.select("vec_id", "embedding")
+          .repartition(6).write.mode("overwrite").parquet(src)
+        val schema = StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val ckpt = freshCheckpoint("scv", d)
+        graft.streaming.Streams.covarianceStream(s, src, schema, cd,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.covarianceFromShards(s, cd)
+      },
+      Some(AnnOracleSql.covarianceSql())),
+
     Q("embedding_isotropy",
       // one-row anisotropy gate under every cosine-based operator:
       // exact decimal trace vs off-diagonal |cov| mass + the most

@@ -117,6 +117,32 @@ object Spectral {
         col("v2").cast("decimal(38,0)").as("v2"))
   }
 
+  /** The mergeable core of [[covariance]]: the raw per-(i, j) moment
+    * sums WITHOUT the derived numerator — n_rows/s_ij/s_i/s_j are all
+    * associative long sums, so any arrival slice can land a shard and
+    * any union of shards re-sums to the one-shot moments (what lets
+    * the streaming monitor maintain an exact covariance — and
+    * therefore a current PCA — during ingest without rescanning
+    * landed vectors). */
+  def rawCovariance(embeddings: DataFrame): DataFrame =
+    covariance(embeddings).drop("cov_num")
+
+  /** Fold covariance-moment shards back to one row per (i, j) and
+    * re-derive the covariance numerator — identical arithmetic to the
+    * one-shot [[covariance]], so the batch SQL is its oracle. */
+  def mergeCovariance(shards: DataFrame): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    shards.groupBy(col("i"), col("j")).agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("s_ij")).as("s_ij"),
+      sum(col("s_i")).as("s_i"),
+      sum(col("s_j")).as("s_j"))
+      .withColumn("cov_num",
+        (d19(col("n_rows")) * d18(col("s_ij")) -
+          d19(col("s_i")) * d18(col("s_j"))).cast("decimal(38,0)"))
+  }
+
   /** One-row isotropy readout of the embedding space — the health
     * check under every cosine-based operator (ANN, SemDeDup,
     * clustering): highly anisotropic spaces concentrate cosine mass

@@ -532,6 +532,48 @@ object Streams {
       graft.operators.Profile.mergeMoments(
         spark.read.parquet(momDir), groupCol), groupCol)
 
+  /** One micro-batch of the continuous covariance monitor: the
+    * batch's exact per-(i, j) embedding moment sums land under
+    * `batch=<id>` with directory overwrite — retry-idempotent, and
+    * the moments are associative longs, so the merged store re-derives
+    * the one-shot covariance (and therefore a CURRENT PCA/isotropy
+    * readout) on ANY arrival split. */
+  def covarianceBatch(covDir: String)
+                     (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.Spectral.rawCovariance(batch)
+        .write.mode("overwrite").parquet(s"$covDir/batch=$batchId")
+    }
+
+  /** Continuous embedding-space observability — the streaming twin of
+    * `embedding_covariance`: vector micro-batches fold per-(i, j)
+    * moment shards (per-trigger cost one map-side-combined ≤ d²/2-row
+    * aggregate); the covariance — and everything derived from it
+    * (dominant axis, anisotropy) — stays answerable DURING ingest
+    * without rescanning landed vectors. */
+  def covarianceStream(spark: SparkSession, srcPath: String,
+                       schema: StructType, covDir: String,
+                       checkpoint: String,
+                       maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    // parquet staging: float vectors roundtrip bit-exactly (json
+    // would re-parse decimal strings)
+    fileIngest(spark, srcPath, schema, format = "parquet",
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(covarianceBatch(covDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time covariance from the accumulated moment shards —
+    * identical derivation to the batch operator, so the batch SQL is
+    * the oracle. */
+  def covarianceFromShards(spark: SparkSession,
+                           covDir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Spectral.mergeCovariance(
+      spark.read.parquet(covDir))
+
   /** One micro-batch of continuous expectation metrics: the batch's
     * per-constraint (passed, failed) counters land under `batch=<id>`
     * with directory overwrite — retry-idempotent, and counters are

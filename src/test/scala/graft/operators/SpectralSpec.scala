@@ -124,6 +124,16 @@ class SpectralSpec extends SparkSpec {
       .toBigInteger) == top._1)
   }
 
+  test("rawCovariance shards merge to the one-shot covariance on any split") {
+    val d = anisotropic(40)
+    val parts = (0L until 3L).map(i =>
+      Spectral.rawCovariance(d.filter(col("vec_id") % 3 === i)))
+    val merged = Spectral.mergeCovariance(parts.reduce(_ unionByName _))
+    val direct = Spectral.covariance(d)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
+
   test("project separates the two planted clusters along the axis") {
     val d = anisotropic(50)
     val scored = Spectral.project(d)
