@@ -1201,6 +1201,16 @@ object Queries {
         budgets = Seq(5000L, 20000L, 50000L, 100000L, 200000L),
         maxEpochsPct = 300L))),
 
+    Q("source_overlap",
+      // cross-source contamination triage: exact pairwise content
+      // Jaccard AND its KMV sketch estimate side by side — the
+      // calibration contract that lets 100 TB runs trust the
+      // k·|sources|-row sketch leg alone (exact leg = one content-
+      // hash self-join, sketch leg = WindowGroupLimit k-min
+      // signatures + per-pair coincidence count)
+      (s, d) => Overlap.sourceOverlap(Tables(s, d).documents, k = 128),
+      Some(TextOracleSql.sourceOverlapSql(k = 128))),
+
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
         // capacity 1024 keeps the exactness guarantee airtight at every

@@ -1212,4 +1212,52 @@ object TextOracleSql {
       alloc_tokens = cap as saturated
     FROM curve"""
   }
+
+  /** Mirrors Overlap.sourceOverlap: exact pairwise content Jaccard +
+    * the KMV coincidence estimate off k-min sha60 signatures. */
+  def sourceOverlapSql(k: Int): String = s"""
+    WITH hh AS (SELECT DISTINCT source, ${sha60("text")} as h
+                FROM documents),
+    sz AS (SELECT source, cast(count(*) as bigint) as n
+           FROM hh GROUP BY 1),
+    prs AS (SELECT a.source as source_a, a.n as n_a,
+              b.source as source_b, b.n as n_b
+            FROM sz a JOIN sz b ON a.source < b.source),
+    itr AS (SELECT x.source as source_a, y.source as source_b,
+              cast(count(*) as bigint) as n_inter
+            FROM hh x JOIN hh y
+              ON x.h = y.h AND x.source < y.source
+            GROUP BY 1, 2),
+    ex AS (SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+             cast(coalesce(i.n_inter, 0) as bigint) as n_inter
+           FROM prs p LEFT JOIN itr i
+             ON p.source_a = i.source_a AND p.source_b = i.source_b),
+    sig AS (SELECT source, h FROM (
+              SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) as rn
+              FROM hh) q WHERE rn <= $k),
+    tg AS (SELECT p.source_a, p.source_b, s.h,
+             max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END)
+               as in_a,
+             max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END)
+               as in_b
+           FROM sig s JOIN prs p
+             ON s.source = p.source_a OR s.source = p.source_b
+           GROUP BY 1, 2, 3),
+    km AS (SELECT source_a, source_b,
+             cast(count(*) as bigint) as m,
+             cast(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               as bigint) as m_both
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY source_a, source_b ORDER BY h) as rn
+                 FROM tg) q
+           WHERE rn <= $k GROUP BY 1, 2)
+    SELECT e.source_a, e.source_b, e.n_a, e.n_b, e.n_inter,
+      e.n_inter * 1000000 // (e.n_a + e.n_b - e.n_inter)
+        as jaccard_ppm,
+      w.m_both * 1000000 // w.m as kmv_est_ppm,
+      abs(w.m_both * 1000000 // w.m
+        - e.n_inter * 1000000 // (e.n_a + e.n_b - e.n_inter))
+        as kmv_err_ppm
+    FROM ex e JOIN km w USING (source_a, source_b)"""
 }
