@@ -67,7 +67,7 @@ object Explain {
       "mixture_curve", "mixture_manifest",
       "embedding_covariance", "embedding_pca", "pca_project",
       "retrieval_mrr", "ref_integrity", "freshness_audit",
-      "embedding_isotropy", "source_overlap",
+      "embedding_isotropy", "source_overlap", "bootstrap_ci",
       // dsir_mix_report composes dsir_resample (swept above) with a
       // |langs|-row totals fold — its plan carries THREE tiny
       // single-partition frames (1024-row bin stats, 1-row share,

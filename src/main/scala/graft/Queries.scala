@@ -1201,6 +1201,16 @@ object Queries {
         budgets = Seq(5000L, 20000L, 50000L, 100000L, 200000L),
         maxEpochsPct = 300L))),
 
+    Q("bootstrap_ci",
+      // error bars at corpus scale without resampling the data:
+      // Poisson-bootstrap weights from a salted (resample, doc_id)
+      // hash — deterministic in any engine, map-side combinable;
+      // rank-based ~94% bracket over the 32 resample means, all off
+      // ONE corpus scan with a |sources|·32-row shuffle
+      (s, d) => Experiment.bootstrapCi(Tables(s, d).documents),
+      Some(TextOracleSql.bootstrapCiSql(b = 32, trim = 1,
+        salt = "boot"))),
+
     Q("source_overlap",
       // cross-source contamination triage: exact pairwise content
       // Jaccard AND its KMV sketch estimate side by side — the

@@ -1213,6 +1213,51 @@ object TextOracleSql {
     FROM curve"""
   }
 
+  /** Mirrors Experiment.bootstrapCi: deterministic Poisson-bootstrap
+    * bracket for the per-source mean token count. */
+  def bootstrapCiSql(b: Int, trim: Int, salt: String): String = {
+    val (t0, t1, t2) = operators.Experiment.BootThresholds
+    s"""
+    WITH base AS (SELECT source,
+             cast(len(string_split(text, ' ')) as bigint) as x, doc_id
+           FROM documents),
+    rs AS (SELECT rr.r, base.source, base.x, base.doc_id
+           FROM base, (SELECT unnest(range(0, $b)) as r) rr),
+    wu AS (SELECT source, r, x,
+             ${sha60(s"'$salt:' || cast(r as varchar) || ':' || " +
+      "cast(doc_id as varchar)")} % 1000000 as u
+           FROM rs),
+    ww AS (SELECT source, r, x,
+             CASE WHEN u < $t0 THEN 0 WHEN u < $t1 THEN 1
+                  WHEN u < $t2 THEN 2 ELSE 3 END as wt
+           FROM wu),
+    pr AS (SELECT source, r, cast(sum(wt * x) as bigint) as ws,
+             cast(sum(wt) as bigint) as wn
+           FROM ww GROUP BY 1, 2),
+    pm AS (SELECT source, r,
+             CASE WHEN wn = 0 THEN 0.0
+                  ELSE cast(ws as double) / cast(wn as double) END
+               as rmean
+           FROM pr),
+    rk AS (SELECT source, rmean,
+             row_number() OVER (PARTITION BY source
+               ORDER BY rmean, r) as ra,
+             row_number() OVER (PARTITION BY source
+               ORDER BY rmean DESC, r) as rd
+           FROM pm),
+    br AS (SELECT source,
+             min(CASE WHEN ra = ${trim + 1} THEN rmean END) as ci_lo,
+             min(CASE WHEN rd = ${trim + 1} THEN rmean END) as ci_hi
+           FROM rk GROUP BY 1),
+    tot AS (SELECT source, cast(count(*) as bigint) as n,
+              cast(sum(x) as bigint) as sx
+            FROM base GROUP BY 1)
+    SELECT t.source, t.n,
+      cast(t.sx as double) / cast(t.n as double) as mean,
+      cast($b as bigint) as b, br.ci_lo, br.ci_hi
+    FROM tot t JOIN br USING (source)"""
+  }
+
   /** Mirrors Overlap.sourceOverlap: exact pairwise content Jaccard +
     * the KMV coincidence estimate off k-min sha60 signatures. */
   def sourceOverlapSql(k: Int): String = s"""

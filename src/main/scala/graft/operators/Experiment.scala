@@ -77,4 +77,75 @@ object Experiment {
              / cast(n_treat * n_control as double))
         END""").as("z_squared"))
   }
+
+  /** Poisson(1) weight thresholds in ppm of the hash space: P(0) and
+    * P(1) = e⁻¹ ≈ 0.367879, P(2) ≈ 0.183940, P(≥3) lumped at 3 —
+    * fixed INTEGER constants, so both engines draw identical weights
+    * from identical hashes. */
+  val BootThresholds: (Long, Long, Long) = (367879L, 735758L, 919698L)
+
+  /** Deterministic Poisson-bootstrap confidence bracket for the
+    * per-group mean token count — error bars at corpus scale without
+    * resampling the data: each of `b` virtual resamples weights every
+    * row by a Poisson(1)-approximating integer w ∈ {0,1,2,3} drawn
+    * from a salted hash of (resample, doc_id) — the standard
+    * map-side-combinable bootstrap (Chamandy et al.'s "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012) made
+    * engine-portable: no RNG state, identical weights in any engine,
+    * append-stable.
+    *
+    * Output one row per group: n, mean (one exact-integer division
+    * chain), b, and the rank-based bracket [ci_lo, ci_hi] = the
+    * `trim+1`-th smallest / largest of the b resample means (for
+    * b = 32, trim = 1 that is a ~94% interval). Resample means are
+    * divisions of exact longs — bit-identical doubles in any engine,
+    * so their order statistics match too.
+    *
+    * Scale shape: ONE corpus scan; the b-way explode is map-side and
+    * the (group, resample) aggregate map-side-combines, so the
+    * shuffle carries |groups|·b rows; the bracket windows run over
+    * that tiny frame. */
+  def bootstrapCi(documents: DataFrame, groupCol: String = "source",
+                  b: Int = 32, trim: Int = 1,
+                  salt: String = "boot"): DataFrame = {
+    require(b >= 2 && trim >= 0 && 2 * (trim + 1) <= b,
+      "need at least trim+1 resamples on each flank")
+    val (t0, t1, t2) = BootThresholds
+    val base = documents.select(col(groupCol),
+      size(split(col("text"), " ")).cast("long").as("x"),
+      col("doc_id"))
+    val resampled = base
+      .withColumn("r", explode(array((0 until b).map(lit(_)): _*)))
+      .withColumn("u",
+        pmod(sha60(concat(lit(s"$salt:"), col("r").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), lit(1000000L)))
+      .withColumn("w",
+        when(col("u") < t0, 0L).when(col("u") < t1, 1L)
+          .when(col("u") < t2, 2L).otherwise(3L))
+    val perResample = resampled
+      .groupBy(col(groupCol), col("r"))
+      .agg(sum(col("w") * col("x")).as("ws"), sum(col("w")).as("wn"))
+      // an all-zero-weight resample (vanishing probability past a few
+      // rows) contributes the empty mean 0 rather than a NULL hole
+      .withColumn("rmean",
+        when(col("wn") === 0L, lit(0.0))
+          .otherwise(col("ws").cast("double") / col("wn").cast("double")))
+    val asc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("rmean"), col("r"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("rmean").desc, col("r"))
+    val bracket = perResample
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("ra") === trim + 1, col("rmean"))).as("ci_lo"),
+        min(when(col("rd") === trim + 1, col("rmean"))).as("ci_hi"))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("mean",
+        col("sx").cast("double") / col("n").cast("double"))
+      .drop("sx")
+      .withColumn("b", lit(b.toLong))
+      .join(bracket, groupCol)
+  }
 }

@@ -134,6 +134,7 @@ class DeterminismSpec extends SparkSpec {
     "embedding_covariance", "embedding_pca", "pca_project",
     "stream_quantiles", "retrieval_mrr", "ref_integrity",
     "freshness_audit", "stream_expectations", "stream_ref_integrity",
-    "embedding_isotropy", "stream_covariance", "source_overlap"))
+    "embedding_isotropy", "stream_covariance", "source_overlap",
+    "bootstrap_ci"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

