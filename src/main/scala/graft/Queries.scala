@@ -4021,6 +4021,28 @@ object Queries {
         targetRows = 2000L),
       Some(InlineOracles.compaction_plan)),
 
+    Q("stream_image_dedup",
+      // continuous media ingest: pattern PNGs arrive through the
+      // binaryFile FILE STREAM (the cloudFiles-for-media analog),
+      // each micro-batch pays the ImageIO decode exactly ONCE and
+      // lands its signature shard idempotently; dedup groups derive
+      // from the signature store at any point without re-reading or
+      // re-decoding landed bytes — the batch phash oracle checks the
+      // whole streaming lifecycle
+      (s, d) => withShufflePartitions(s, 4) {
+        implicit val sp: SparkSession = s
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/ppng_$sf"
+        val sg = s"/tmp/graft_cache/ppng_sig_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
+        Multimodal.stagePatternImageFiles(Tables(s, d).documents, src)
+        val ckpt = freshCheckpoint("sid", d)
+        graft.streaming.Streams.imageHashStream(s, src, sg, ckpt)
+          .awaitTermination(180000)
+        graft.streaming.Streams.imageDedupFromShards(s, sg)
+      },
+      Some(InlineOracles.image_phash_dedup)),
+
     Q("image_phash_dedup",
       // perceptual image dedup over the REAL ImageIO decode path:
       // 8×8 average-hash from actual pixels (integer luminance sums,

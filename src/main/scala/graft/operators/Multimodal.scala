@@ -251,6 +251,45 @@ object Multimodal {
     }
   }
 
+  /** Stage the two-band PATTERN PNGs one-per-doc on storage — the
+    * file-shaped twin of [[asPatternImages]], feeding the STREAMING
+    * media front end (same idempotence contract as
+    * [[stageImageFiles]]: a complete prior staging is reused). */
+  def stagePatternImageFiles(documents: DataFrame, dir: String)
+                            (implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val d = new java.io.File(dir)
+    val row = documents.agg(count(col("doc_id")), min(col("doc_id")),
+      max(col("doc_id")), sum(col("doc_id"))).head()
+    val (n, lo, hi, idSum) =
+      (row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1),
+        if (row.isNullAt(2)) 0L else row.getLong(2),
+        if (row.isNullAt(3)) 0L else row.getLong(3))
+    if (d.exists) {
+      val names = Option(d.list()).getOrElse(Array.empty[String])
+      val ids = names.collect {
+        case s if s.matches("pmedia_\\d+\\.png") =>
+          s.stripPrefix("pmedia_").stripSuffix(".png").toLong
+      }
+      if (n > 0 && ids.length == n && names.length == n &&
+          ids.min == lo && ids.max == hi && ids.sum == idSum) return
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      require(!d.exists, s"could not clear stale staging dir $dir")
+    }
+    d.mkdirs()
+    documents.select(col("doc_id")).as[Long].foreachPartition {
+      (it: Iterator[Long]) =>
+        it.foreach { id =>
+          val bytes = pngBytesPattern(imgWidth(id), imgHeight(id),
+            (imgRed(id), imgGreen(id), imgBlue(id)),
+            (imgRed2(id), imgGreen2(id), imgBlue2(id)))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"pmedia_$id.png"), bytes)
+        }
+    }
+  }
+
   /** Media ingestion through Spark's `binaryFile` source: blobs land
     * as (path, length, content) rows, the id parses off the file
     * name, and the payload flows into the SAME decode path the

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Event row as carried by the streaming operators (`ts` =
   * epoch-micros, matching graft.Tables.events). */
@@ -531,6 +531,70 @@ object Streams {
     graft.operators.Profile.deriveMoments(
       graft.operators.Profile.mergeMoments(
         spark.read.parquet(momDir), groupCol), groupCol)
+
+  /** One micro-batch of the continuous media signature store: decode
+    * the batch's PNG blobs (ImageIO per partition — the one genuinely
+    * imperative step, decode-ONCE at ingest), aHash them, and land
+    * the (media_id, width, height, ahash) rows under `batch=<id>`
+    * with directory overwrite — retry-idempotent; signatures are
+    * per-row facts, so the accumulated store is split-independent by
+    * construction. */
+  def imageHashBatch(sigDir: String)
+                    (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val media = batch.select(
+        regexp_extract(col("path"), "pmedia_(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"),
+        lit("image").as("kind"),
+        col("content").as("payload"),
+        lit("binary_file").as("source")).as[graft.operators.MediaRow]
+      graft.operators.Multimodal.imageAHash(media)(spark).toDF()
+        .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+    }
+
+  /** Continuous media ingest + perceptual signatures — the streaming
+    * front half of `image_phash_dedup`: PNG blobs arrive through the
+    * binaryFile file source (the cloudFiles analog for media), each
+    * micro-batch pays the decode exactly once, and dedup groups are
+    * derivable at ANY point from the signature store without ever
+    * re-reading (or re-decoding) landed bytes — at 100 TB the decode
+    * is the dominant cost, so decode-once-at-ingest is the whole
+    * game. */
+  def imageHashStream(spark: SparkSession, srcDir: String,
+                      sigDir: String, checkpoint: String,
+                      maxFilesPerTrigger: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.png")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(imageHashBatch(sigDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Point-in-time perceptual dedup groups off the accumulated
+    * signature store — the same window derivation as the batch
+    * operator, so its oracle checks the whole streaming lifecycle. */
+  def imageDedupFromShards(spark: SparkSession,
+                           sigDir: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ahash"))
+    spark.read.parquet(sigDir)
+      .select(col("media_id"), col("width"), col("height"), col("ahash"))
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("media_id") === col("canonical_id"))
+  }
 
   /** One micro-batch of the continuous covariance monitor: the
     * batch's exact per-(i, j) embedding moment sums land under

@@ -493,6 +493,36 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
   }
 
+  test("imageHashStream: signature store reproduces the batch phash " +
+    "dedup groups at any trigger size") {
+    implicit val sp = spark
+    val docs = tables.documents.filter(col("doc_id") % 7 === 0)
+    val src = Files.createTempDirectory("graft_sid_src").toFile.getPath
+    graft.operators.Multimodal.stagePatternImageFiles(docs, src)
+    val batchRows = graft.operators.Multimodal.imagePhashDedup(docs)
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        r.getAs[String]("ahash"), r.getAs[Long]("canonical_id"),
+        r.getAs[Long]("group_size"),
+        r.getAs[Boolean]("is_canonical"))).toSet
+
+    def run(maxFiles: Int): Set[(Long, String, Long, Long, Boolean)] = {
+      val sg = Files.createTempDirectory("graft_sid_sig").toFile
+        .getPath + "/s"
+      val ckpt = Files.createTempDirectory("graft_sid_ck").toFile.getPath
+      Streams.imageHashStream(spark, src, sg, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(120000)
+      Streams.imageDedupFromShards(spark, sg).collect()
+        .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("ahash"),
+          r.getAs[Long]("canonical_id"), r.getAs[Long]("group_size"),
+          r.getAs[Boolean]("is_canonical"))).toSet
+    }
+    assert(batchRows.nonEmpty)
+    assert(run(16) == batchRows,
+      "multi-batch ingest must derive the batch dedup groups")
+    assert(run(1000) == batchRows,
+      "single-batch ingest must derive the batch dedup groups")
+  }
+
   test("expectationsStream: merged counters are batch-split independent " +
     "and a retried batch never double-counts") {
     import spark.implicits._
