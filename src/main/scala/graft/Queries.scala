@@ -832,7 +832,8 @@ object Queries {
       // each row's own tail (never a self-join), (i,j) aggregate
       // map-side-combined — the shuffle carries ≤ d²/2 rows per
       // partition; cov numerator widened 19×18 through decimal
-      (s, d) => Spectral.covariance(Tables(s, d).embeddings),
+      (s, d) => Spectral.covariance(Tables(s, d).embeddings,
+        cacheKey = Some(d)),
       Some(AnnOracleSql.covarianceSql())),
 
     Q("embedding_pca",
@@ -840,7 +841,8 @@ object Queries {
       // on the covariance numerator — exact decimal integers end to
       // end (no norm, no division, no float), all work on the d²-row
       // matrix frame; the oracle replays both matrix-vector products
-      (s, d) => Spectral.powerIterate(Tables(s, d).embeddings),
+      (s, d) => Spectral.powerIterate(Tables(s, d).embeddings,
+        cacheKey = Some(d)),
       Some(AnnOracleSql.powerIterateSql())),
 
     Q("stream_covariance",
@@ -873,7 +875,8 @@ object Queries {
       // exact decimal trace vs off-diagonal |cov| mass + the most
       // correlated dimension pair; ratios left to the reader so no
       // engine-specific division enters the hash
-      (s, d) => Spectral.isotropyAudit(Tables(s, d).embeddings),
+      (s, d) => Spectral.isotropyAudit(Tables(s, d).embeddings,
+        cacheKey = Some(d)),
       Some(AnnOracleSql.isotropySql())),
 
     Q("pca_project",
@@ -881,7 +884,8 @@ object Queries {
       // (curriculum / diversity-binning / outlier fences): second
       // corpus scan with the d-row loading broadcast, per-vector sum
       // map-side-combined before the vec_id exchange
-      (s, d) => Spectral.project(Tables(s, d).embeddings),
+      (s, d) => Spectral.project(Tables(s, d).embeddings,
+        cacheKey = Some(d)),
       Some(AnnOracleSql.projectSql())),
 
     Q("ivf_cell_stats",

@@ -55,7 +55,36 @@ object Spectral {
     * eigenvectors) widened through decimal — the matrix every PCA /
     * whitening / rotation decision starts from, computed in one
     * corpus pass. */
-  def covariance(embeddings: DataFrame): DataFrame = {
+  def covariance(embeddings: DataFrame,
+                 cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case Some(k) =>
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        // the fit-once pattern (Similarity.trainCentroids): the
+        // triangle is a bounded d²/2-row control frame, collected
+        // once per corpus key and re-entering later plans as a local
+        // relation — PCA, projection and the isotropy gate share one
+        // corpus scan instead of paying it each
+        covCache.getOrElseUpdate(k, covarianceUncached(embeddings)
+          .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"),
+            r.getAs[Long]("n_rows"), r.getAs[Long]("s_ij"),
+            r.getAs[Long]("s_i"), r.getAs[Long]("s_j"),
+            r.getAs[java.math.BigDecimal]("cov_num").toBigInteger
+              .toString)))
+          .toSeq
+          .toDF("i", "j", "n_rows", "s_ij", "s_i", "s_j", "cov_str")
+          .withColumn("cov_num",
+            col("cov_str").cast("decimal(38,0)")).drop("cov_str")
+      case None => covarianceUncached(embeddings)
+    }
+
+  /** Per-corpus triangle cache — tiny (d²/2 rows) and keyed
+    * explicitly, like Similarity's quantizer caches. */
+  private val covCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Int, Int, Long, Long, Long, Long, String)]]
+
+  private def covarianceUncached(embeddings: DataFrame): DataFrame = {
     val q = embeddings.select(quant(col("embedding")).as("qs"))
     val ei = q.select(col("qs"), posexplode(col("qs")).as(Seq("i", "qi")))
     // j ≥ i pairs generated map-side: slice keeps the row's tail in
@@ -102,8 +131,9 @@ object Spectral {
     * anywhere; the oracle replays the same two matrix-vector products.
     * Output one row per dimension: (dim, v1, v2) — v2 is the loading
     * used by [[project]]. All work is on the d²-row matrix frame. */
-  def powerIterate(embeddings: DataFrame): DataFrame = {
-    val m = fullMatrix(covariance(embeddings))
+  def powerIterate(embeddings: DataFrame,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val m = fullMatrix(covariance(embeddings, cacheKey))
     // c is decimal(17,0) and v1 decimal(19,0): the 17×19 product is
     // exact HUGEINT width 36 in DuckDB and decimal(37,0) in Spark
     val v1 = m.groupBy(col("i").as("dim"))
@@ -125,7 +155,7 @@ object Spectral {
     * therefore a current PCA — during ingest without rescanning
     * landed vectors). */
   def rawCovariance(embeddings: DataFrame): DataFrame =
-    covariance(embeddings).drop("cov_num")
+    covarianceUncached(embeddings).drop("cov_num")
 
   /** Fold covariance-moment shards back to one row per (i, j) and
     * re-derive the covariance numerator — identical arithmetic to the
@@ -152,8 +182,9 @@ object Spectral {
     * dimension pair (ties to the smallest (i, j)) — leaving ratios to
     * the reader so no engine-specific division enters the hash. Runs
     * entirely on the d²/2-row triangle frame. */
-  def isotropyAudit(embeddings: DataFrame): DataFrame = {
-    val ab = covariance(embeddings).select(col("i"), col("j"),
+  def isotropyAudit(embeddings: DataFrame,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val ab = covariance(embeddings, cacheKey).select(col("i"), col("j"),
       col("cov_num"),
       when(col("cov_num") < 0, -col("cov_num"))
         .otherwise(col("cov_num")).as("a"))
@@ -181,8 +212,9 @@ object Spectral {
     * a second corpus scan with the d-row loading broadcast and the
     * per-vector sum map-side-combined before the vec_id exchange. */
   def project(embeddings: DataFrame,
-              fitOn: DataFrame => DataFrame = identity): DataFrame = {
-    val load = broadcast(powerIterate(fitOn(embeddings))
+              fitOn: DataFrame => DataFrame = identity,
+              cacheKey: Option[String] = None): DataFrame = {
+    val load = broadcast(powerIterate(fitOn(embeddings), cacheKey)
       .select(col("dim"), col("v2").cast("decimal(34,0)").as("v2")))
     embeddings
       .select(col("vec_id"), posexplode(quant(col("embedding")))
