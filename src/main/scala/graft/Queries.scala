@@ -1225,6 +1225,25 @@ object Queries {
       (s, d) => Overlap.sourceOverlap(Tables(s, d).documents, k = 128),
       Some(TextOracleSql.sourceOverlapSql(k = 128))),
 
+    Q("manifest_shards",
+      // the storage-layout end of the mixture pipeline: the manifest
+      // written as hive-partitioned physical shards (shard = seq_id
+      // div 8), read back PRUNED to one shard — a trainer restart
+      // reads exactly the shards it needs; layout must prune but
+      // never change content (the oracle is the manifest filtered to
+      // that shard)
+      (s, d) => {
+        val path = s"/tmp/graft_cache/mshards_${new java.io.File(d).getName}"
+        Mixture.writeManifestShards(Tables(s, d).documents, path,
+          budgetTokens = 50000L, maxEpochsPct = 300L,
+          seqTokens = 2048L, seqsPerShard = 8L)
+        s.read.parquet(path).filter(col("shard") === 1)
+          .withColumn("shard", col("shard").cast("long"))
+      },
+      Some(TextOracleSql.manifestShardSql(budgetTokens = 50000L,
+        maxEpochsPct = 300L, salt = "budget", seqTokens = 2048L,
+        packSalt = "pack", seqsPerShard = 8L, shard = 1L))),
+
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
         // capacity 1024 keeps the exactness guarantee airtight at every

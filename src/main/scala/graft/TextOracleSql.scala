@@ -1213,6 +1213,17 @@ object TextOracleSql {
     FROM curve"""
   }
 
+  /** Mirrors the read-back of ONE Mixture.writeManifestShards shard:
+    * the manifest rows whose seq_id lands in the given shard (layout
+    * must prune but never change content). */
+  def manifestShardSql(budgetTokens: Long, maxEpochsPct: Long,
+                       salt: String, seqTokens: Long, packSalt: String,
+                       seqsPerShard: Long, shard: Long): String = s"""
+    SELECT *, cast($shard as bigint) as shard FROM (
+      ${mixtureManifestSql(budgetTokens, maxEpochsPct, salt, seqTokens,
+        packSalt)}
+    ) m WHERE m.seq_id // $seqsPerShard = $shard"""
+
   /** Mirrors Experiment.bootstrapCi: deterministic Poisson-bootstrap
     * bracket for the per-source mean token count. */
   def bootstrapCiSql(b: Int, trim: Int, salt: String): String = {

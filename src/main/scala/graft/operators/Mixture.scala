@@ -339,6 +339,24 @@ object Mixture {
     fullCopies.unionByName(fractional)
   }
 
+  /** Materialize the [[mixtureManifest]] as PHYSICAL training shards:
+    * hive-partitioned by shard = seq_id div seqsPerShard, so a
+    * trainer (or a resume-from-step-N restart) reads exactly the
+    * shards it needs via partition pruning — the storage-layout end
+    * of the mixture pipeline (plan → token layout → files). Shards
+    * inherit the manifest's determinism: same salts, same files. */
+  def writeManifestShards(documents: DataFrame, path: String,
+                          budgetTokens: Long, maxEpochsPct: Long = 400,
+                          seqTokens: Long = 2048,
+                          seqsPerShard: Long = 1024,
+                          packSalt: String = "pack"): Unit = {
+    require(seqsPerShard > 0, "seqsPerShard sizes the output shards")
+    mixtureManifest(documents, budgetTokens, maxEpochsPct, seqTokens,
+      packSalt)
+      .withColumn("shard", expr(s"seq_id div $seqsPerShard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** The end product of the mixture pipeline composed end-to-end:
     * fit → [[epochExpand]] → global token layout. Every (doc, epoch)
     * copy is placed in the training token stream by a salted hash of

@@ -197,6 +197,27 @@ class MixtureSpec extends SparkSpec {
     assert(e1min < e0max, "epochs interleave rather than concatenate")
   }
 
+  test("writeManifestShards: shard read is partition-pruned and " +
+    "content-exact vs the in-memory manifest") {
+    val d = tables.documents
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mshards").toFile.getPath + "/m"
+    Mixture.writeManifestShards(d, path, budgetTokens = 50000L,
+      maxEpochsPct = 300L, seqTokens = 2048L, seqsPerShard = 8L)
+    val read = spark.read.parquet(path).filter(col("shard") === 1)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      "one-shard read must prune at the partition level")
+    val expect = Mixture.mixtureManifest(d, 50000L, 300L, 2048L)
+      .filter(expr("seq_id div 8") === 1)
+      .select("doc_id", "epoch", "token_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = read.select("doc_id", "epoch", "token_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty,
+      "layout prunes but never changes content")
+  }
+
   test("budgetSample: kept set is append-stable under corpus growth " +
     "for untouched allocations") {
     // fixing the allocation fixes the kept set prefix: growing a
