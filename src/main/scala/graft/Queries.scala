@@ -1244,6 +1244,31 @@ object Queries {
         maxEpochsPct = 300L, salt = "budget", seqTokens = 2048L,
         packSalt = "pack", seqsPerShard = 8L, shard = 1L))),
 
+    Q("stream_overlap",
+      // continuous cross-source overlap triage: micro-batches fold
+      // per-source k-min signature shards; k-min sets are order
+      // statistics, so the shard merge is EXACT and the streamed
+      // pairwise KMV estimate equals the one-shot batch estimate
+      // bit-for-bit on any arrival split — that batch derivation is
+      // the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sov_src_$sf"
+        val sg = s"/tmp/graft_cache/sov_sig_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
+        Tables(s, d).documents.select("doc_id", "text", "source")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("source", StringType)))
+        val ckpt = freshCheckpoint("sov", d)
+        graft.streaming.Streams.kminStream(s, src, schema, sg, 128,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.overlapFromShards(s, sg, 128)
+      },
+      Some(TextOracleSql.kmvOverlapSql(k = 128))),
+
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
         // capacity 1024 keeps the exactness guarantee airtight at every
@@ -4060,8 +4085,11 @@ object Queries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
         Multimodal.stagePatternImageFiles(Tables(s, d).documents, src)
         val ckpt = freshCheckpoint("sid", d)
-        graft.streaming.Streams.imageHashStream(s, src, sg, ckpt)
-          .awaitTermination(180000)
+        // large trigger: one-file-per-doc staging makes per-batch
+        // fixed cost the bottleneck at bench scale; StreamsSpec
+        // proves the signature store is trigger-size independent
+        graft.streaming.Streams.imageHashStream(s, src, sg, ckpt,
+          maxFilesPerTrigger = 2048).awaitTermination(180000)
         graft.streaming.Streams.imageDedupFromShards(s, sg)
       },
       Some(InlineOracles.image_phash_dedup)),

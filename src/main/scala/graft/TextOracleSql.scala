@@ -1269,6 +1269,40 @@ object TextOracleSql {
     FROM tot t JOIN br USING (source)"""
   }
 
+  /** Mirrors the sketch leg alone (Overlap.kmvEstimateFromShards over
+    * merged stream shards): per-pair KMV estimate with the signature
+    * sizes — the streaming overlap monitor's oracle (k-min merge is
+    * exact, so the batch derivation is the answer on any split). */
+  def kmvOverlapSql(k: Int): String = s"""
+    WITH hh AS (SELECT DISTINCT source, ${sha60("text")} as h
+                FROM documents),
+    sig AS (SELECT source, h FROM (
+              SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) as rn
+              FROM hh) q WHERE rn <= $k),
+    srcs AS (SELECT DISTINCT source FROM sig),
+    prs AS (SELECT a.source as source_a, b.source as source_b
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+    tg AS (SELECT p.source_a, p.source_b, s.h,
+             max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END)
+               as in_a,
+             max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END)
+               as in_b
+           FROM sig s JOIN prs p
+             ON s.source = p.source_a OR s.source = p.source_b
+           GROUP BY 1, 2, 3)
+    SELECT source_a, source_b,
+      cast(count(*) as bigint) as m,
+      cast(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        as bigint) as m_both,
+      cast(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        as bigint) * 1000000
+        // cast(count(*) as bigint) as kmv_est_ppm
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY source_a, source_b ORDER BY h) as rn
+          FROM tg) q
+    WHERE rn <= $k GROUP BY 1, 2"""
+
   /** Mirrors Overlap.sourceOverlap: exact pairwise content Jaccard +
     * the KMV coincidence estimate off k-min sha60 signatures. */
   def sourceOverlapSql(k: Int): String = s"""

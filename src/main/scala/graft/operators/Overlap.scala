@@ -31,6 +31,60 @@ object Overlap {
       graft.functions.expressions.Sha60(
         org.apache.spark.sql.graft.GraftBridge.expression(c)))
 
+  /** The mergeable core of the sketch leg: each arrival slice's
+    * per-source k smallest distinct content hashes. k-min sets are
+    * order statistics, so the k smallest of a UNION of per-batch
+    * k-min sets equal the k smallest of the union of the batches —
+    * the merge is EXACT (not approximate), which is what lets the
+    * streaming monitor fold signature shards and still reproduce the
+    * one-shot estimate bit-for-bit. */
+  def kminShard(documents: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k sizes the KMV signature")
+    val wk = Window.partitionBy(col("source")).orderBy(col("h"))
+    documents
+      .select(col("source"), sha60(col("text")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  /** Fold k-min shards back to one exact per-source signature and
+    * emit the per-pair KMV Jaccard estimate — identical integers to
+    * the batch sketch leg on ANY arrival split. */
+  def kmvEstimateFromShards(shards: DataFrame, k: Int): DataFrame = {
+    val wk = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sigs = shards.select(col("source"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+    val srcs = sigs.select(col("source")).distinct()
+    val pairs = broadcast(srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") < col("source_b")))
+    val tagged = sigs
+      .join(pairs,
+        col("source") === col("source_a") ||
+          col("source") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(max(when(col("source") === col("source_a"), 1L)
+        .otherwise(0L)).as("in_a"),
+        max(when(col("source") === col("source_b"), 1L)
+          .otherwise(0L)).as("in_b"))
+    val wp = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("h"))
+    tagged
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= k)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("m_both"))
+      .withColumn("kmv_est_ppm", expr("m_both * 1000000 div m"))
+      .select(col("source_a"), col("source_b"), col("m"),
+        col("m_both"), col("kmv_est_ppm"))
+  }
+
   /** Per ordered source pair (a < b lexicographically):
     * (source_a, source_b, n_a, n_b, n_inter, jaccard_ppm,
     * kmv_est_ppm, kmv_err_ppm). `k` sizes the sketch. */

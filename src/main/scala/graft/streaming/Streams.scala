@@ -532,6 +532,48 @@ object Streams {
       graft.operators.Profile.mergeMoments(
         spark.read.parquet(momDir), groupCol), groupCol)
 
+  /** One micro-batch of the continuous overlap monitor: the batch's
+    * per-source k smallest distinct content hashes land under
+    * `batch=<id>` with directory overwrite — retry-idempotent, and
+    * k-min sets are order statistics (the k smallest of a union of
+    * k-min shards ARE the k smallest of the union), so the merged
+    * store reproduces the one-shot signatures EXACTLY on any arrival
+    * split. */
+  def kminBatch(sigDir: String, k: Int)
+               (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.Overlap.kminShard(batch, k)
+        .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+    }
+
+  /** Continuous cross-source overlap triage — the streaming twin of
+    * `source_overlap`'s sketch leg: document micro-batches fold
+    * per-source k-min signature shards (per-trigger cost one
+    * hash+top-k over the batch), and the pairwise KMV Jaccard
+    * estimate re-derives at ANY point from the ≤ k·|sources|·batches
+    * row store — the corpus is never rescanned, and because the
+    * k-min merge is exact the streamed estimate equals the one-shot
+    * batch estimate bit-for-bit. */
+  def kminStream(spark: SparkSession, srcPath: String,
+                 schema: StructType, sigDir: String, k: Int,
+                 checkpoint: String,
+                 maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(kminBatch(sigDir, k) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time pairwise overlap estimates from the accumulated
+    * signature shards. */
+  def overlapFromShards(spark: SparkSession, sigDir: String,
+                        k: Int): org.apache.spark.sql.DataFrame =
+    graft.operators.Overlap.kmvEstimateFromShards(
+      spark.read.parquet(sigDir), k)
+
   /** One micro-batch of the continuous media signature store: decode
     * the batch's PNG blobs (ImageIO per partition — the one genuinely
     * imperative step, decode-ONCE at ingest), aHash them, and land

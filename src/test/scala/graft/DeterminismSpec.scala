@@ -135,6 +135,7 @@ class DeterminismSpec extends SparkSpec {
     "stream_quantiles", "retrieval_mrr", "ref_integrity",
     "freshness_audit", "stream_expectations", "stream_ref_integrity",
     "embedding_isotropy", "stream_covariance", "source_overlap",
-    "bootstrap_ci", "stream_image_dedup", "manifest_shards"))
+    "bootstrap_ci", "stream_image_dedup", "manifest_shards",
+    "stream_overlap"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -48,6 +48,27 @@ class OverlapSpec extends SparkSpec {
     }
   }
 
+  test("kminShard merge is EXACT: shards from any split fold to the " +
+    "one-shot signatures and the same estimate") {
+    val d = tables.documents
+    val k = 16
+    val parts = (0L until 3L).map(i =>
+      Overlap.kminShard(d.filter(col("doc_id") % 3 === i), k))
+    val merged = Overlap.kmvEstimateFromShards(
+      parts.reduce(_ unionByName _), k).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("m"), r.getAs[Long]("m_both"),
+          r.getAs[Long]("kmv_est_ppm")))).toMap
+    val direct = Overlap.kmvEstimateFromShards(Overlap.kminShard(d, k), k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("m"), r.getAs[Long]("m_both"),
+          r.getAs[Long]("kmv_est_ppm")))).toMap
+    assert(merged.nonEmpty)
+    assert(merged == direct,
+      "k-min is an order statistic — the shard merge must be exact")
+  }
+
   test("sourceOverlap: small-k estimate stays a valid ppm and the " +
     "error column is consistent on the real corpus") {
     val out = Overlap.sourceOverlap(tables.documents, k = 16).collect()
