@@ -135,6 +135,27 @@ object ScaleProbe {
       // linear in the token stream — no global sort ever
       // materializes; budget scales with the corpus so per-source
       // epoch shape is held fixed across 1×/10×
+      // budget_sample's claim: whole buckets classify by broadcast
+      // and only the ~1/4096 boundary sliver pays a window sort — no
+      // global corpus sort at any size (budget scales with the corpus
+      // so the selection fraction is held fixed)
+      ("budget_sample", t.documents.count(),
+        () => graft.operators.Mixture.budgetSample(t.documents,
+          budgetTokens = 100000L).count(),
+        t.documents.count() * 10,
+        () => graft.operators.Mixture.budgetSample(
+          replicate(t.documents, 10, Some("doc_id")),
+          budgetTokens = 1000000L).count()),
+      // source_overlap: the sketch leg is k·|sources| rows however
+      // large the corpus; the exact leg self-joins only distinct
+      // content hashes — replicas are content-disjoint so the
+      // intersection structure (and pair output) stays linear
+      ("source_overlap", t.documents.count(),
+        () => graft.operators.Overlap.sourceOverlap(t.documents,
+          k = 128).count(),
+        t.documents.count() * 10,
+        () => graft.operators.Overlap.sourceOverlap(
+          replicateDocs(t.documents, 10), k = 128).count()),
       // covariance's claim: the d²/2-per-row pair explode stays
       // map-side and the aggregate map-side-combines — rows/sec must
       // hold at 10× vectors
