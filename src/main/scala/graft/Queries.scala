@@ -2951,6 +2951,71 @@ object Queries {
           FROM customer)
         WHERE tier <> 'delinquent'""")),
 
+    Q("table_restore",
+      // RESTORE + VACUUM through the oracle gate — the rollback /
+      // retention half of the table lifecycle (write → DELETE →
+      // RESTORE the pre-delete snapshot → VACUUM all but the last 2):
+      // the commit log keeps every version's operation and EXACT row
+      // count while `readable` records which snapshots physically
+      // survive retention (Delta's post-VACUUM time-travel contract:
+      // history listable, vacuumed reads fail)
+      (s, d) => {
+        val path = s"/tmp/graft_cache/tr_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        VersionedTable.write(Tables(s, d).nation, path)
+        VersionedTable.delete(s, path, "n_regionkey = 0")
+        VersionedTable.restore(s, path, toVersion = 0)
+        VersionedTable.vacuum(path, keepLast = 2)
+        val rows = VersionedTable.logEntries(path).map {
+          case (v, op, n, _) =>
+            (v, op, n, java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$path/v=$v")))
+        }
+        import s.implicits._
+        rows.toDF("version", "operation", "num_rows", "readable")
+      },
+      // v0 = full nation, v1 = rows surviving the DELETE, v2 = the
+      // restored v0; vacuum(keepLast=2) removes only v0's snapshot
+      Some("""
+        SELECT cast(0 as int) as version, 'WRITE' as operation,
+          (SELECT count(*) FROM nation) as num_rows, false as readable
+        UNION ALL
+        SELECT cast(1 as int), 'DELETE',
+          (SELECT count(*) FROM nation WHERE n_regionkey <> 0), true
+        UNION ALL
+        SELECT cast(2 as int), 'RESTORE[v=0]',
+          (SELECT count(*) FROM nation), true""")),
+
+    Q("cdc_apply",
+      // change-data-feed CONSUMPTION oracle-gated end to end: commit
+      // v0, MERGE an update batch as v1, ship the row-level feed
+      // (delete(old)+insert(new), multiset semantics), and replay it
+      // onto the v0 snapshot — the reconstruction must equal v1
+      // exactly. This is the downstream-follower path: the feed is
+      // proportional to the CHANGE, so a consumer tracks a 100 TB
+      // table by shipping deltas, never full snapshots
+      (s, d) => {
+        val path = s"/tmp/graft_cache/ca_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val cust = Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal")
+        VersionedTable.write(cust, path)
+        val updates = cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+        VersionedTable.upsert(s, path, updates, Seq("c_custkey"))
+        val feed = VersionedTable.changes(s, path, 0, 1)
+        VersionedTable.applyChanges(
+          VersionedTable.read(s, path, Some(0)), feed)
+      },
+      // replaying the v0→v1 feed over v0 must yield v1 = the updated
+      // customer projection (one IEEE double add, identical on both
+      // engines per the §4 float rule)
+      Some("""
+        SELECT c_custkey, c_name,
+          CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+               ELSE c_acctbal END as c_acctbal
+        FROM customer""")),
+
     // ---------- F. Maintenance (rows-only; layout asserted in specs) ----------
     Q("upsert_evolve",
       // schema-evolving MERGE (Delta autoMerge semantics) through the

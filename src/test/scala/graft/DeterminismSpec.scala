@@ -136,6 +136,10 @@ class DeterminismSpec extends SparkSpec {
     "freshness_audit", "stream_expectations", "stream_ref_integrity",
     "embedding_isotropy", "stream_covariance", "source_overlap",
     "bootstrap_ci", "stream_image_dedup", "manifest_shards",
-    "stream_overlap"))
+    "stream_overlap",
+    // r8 lifecycle-completion wave: the commit-log readout after
+    // DELETE/RESTORE/VACUUM and the CDC replay's exceptAll multiset
+    // algebra must be fan-out-independent
+    "table_restore", "cdc_apply"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -190,6 +190,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.operations(path).last == "RESTORE[v=0]")
   }
 
+  test("applyChanges replays a feed onto the older snapshot exactly") {
+    val path = freshPath
+    VersionedTable.write(tables.nation, path)
+    // an update AND a delete between the versions — the feed must
+    // carry both shapes and the replay must reconstruct v1 exactly
+    VersionedTable.update(spark, path, "n_nationkey < 3",
+      Seq("n_name" -> "upper(n_name)"))
+    VersionedTable.delete(spark, path, "n_regionkey = 4")
+    val feed = VersionedTable.changes(spark, path, 0, 2)
+    val rebuilt = VersionedTable.applyChanges(
+      VersionedTable.read(spark, path, Some(0)), feed)
+    val v2 = VersionedTable.read(spark, path, Some(2))
+    assert(rebuilt.exceptAll(v2).isEmpty && v2.exceptAll(rebuilt).isEmpty)
+    // duplicate rows in the feed replay correctly (multiset semantics):
+    // doubling a snapshot then diffing back down must reconstruct too
+    val doubled = v2.unionByName(v2)
+    val feed2 = doubled.exceptAll(v2).withColumn("_change_type", lit("delete"))
+    val shrunk = VersionedTable.applyChanges(doubled, feed2)
+    assert(shrunk.count() == v2.count())
+  }
+
   test("vacuum removes old snapshots but keeps history and the survivors") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
