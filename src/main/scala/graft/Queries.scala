@@ -2754,6 +2754,61 @@ object Queries {
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.ts BETWEEN p.ts - 1800000000 AND p.ts""")),
 
+    Q("stream_join_outer",
+      (s, d) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        // the LEFT-OUTER stream-stream join e2e: inner pairs emit
+        // eagerly, but a zero-click purchase emits its null row only
+        // when the click-side watermark passes its event time — a
+        // watermark-CLOSURE event, not a data event. To drain state
+        // deterministically on a bounded replay, one sentinel row per
+        // side (user_id = -1, ts = max+10 h) lands in a strictly
+        // LATER file: maxFilesPerTrigger=3 puts it in its own final
+        // micro-batch (a sentinel in an early batch would raise the
+        // watermark OVER the real data and drop it as late), and the
+        // no-data batch that follows flushes every surviving outer
+        // row. Sentinels filter out of the result by user sign.
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sjo_src_$sf"
+        val ev = Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        ev.repartition(6).write.mode("overwrite").json(src)
+        val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+        import s.implicits._
+        Seq((-1L, maxTs + 36000000000L, -1L, "click", 0.0),
+            (-2L, maxTs + 36000000000L, -1L, "purchase", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").json(src)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        def side(t: String) = graft.streaming.Streams
+          .fileIngest(s, src, schema, maxFilesPerTrigger = 3)
+          .filter(col("event_type") === t)
+        val ckpt = freshCheckpoint("sjo", d)
+        val q = graft.streaming.Streams
+          .attributionOuterStream(side("click"), side("purchase"),
+            windowUs = 1800000000L)
+          .writeStream.format("memory").queryName("graft_stream_jo")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        s.table("graft_stream_jo").filter(col("user_id") >= 0)
+      },
+      // the batch left join: every purchase exactly once per matching
+      // click, or once with a null click if none in the window
+      Some("""
+        WITH e AS (SELECT event_id, epoch_us(ts) as ts, user_id,
+                     event_type FROM events)
+        SELECT p.user_id, p.event_id as purchase_id, c.event_id as click_id
+        FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts BETWEEN p.ts - 1800000000 AND p.ts""")),
+
     // ---------- E. Streaming batch-analogs ----------
     Q("event_window_agg",
       (s, d) => graft.streaming.Streams.windowAgg(

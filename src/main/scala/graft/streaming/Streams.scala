@@ -176,6 +176,35 @@ object Streams {
         col("click_id"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like
+    * [[attributionPairsStream]] but zero-click purchases ALSO emit
+    * (null `click_id`) — and only once the click-side watermark has
+    * passed the purchase's event time, i.e. when no future click can
+    * possibly match. This is the semantically hard half of
+    * stream-stream joins: inner matches emit eagerly, outer nulls are
+    * a watermark-closure event. A purchase younger than
+    * (max-event-time − delay) at stream end never flushes, so a
+    * bounded replay must advance the watermark past the data (e.g. a
+    * sentinel row per side) to drain state deterministically. */
+  def attributionOuterStream(clicks: DataFrame, purchases: DataFrame,
+                             windowUs: Long,
+                             watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        timestamp_micros(col("ts")).as("c_time"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_time", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        timestamp_micros(col("ts")).as("p_time"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_time", watermark)
+    p.join(c, expr(
+      s"""c_user = p_user AND
+          c_time BETWEEN p_time - INTERVAL $windowUs MICROSECOND
+                     AND p_time"""), "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"))
+  }
+
   /** Batch analog (oracle-checkable): per-purchase count of the same
     * user's clicks in the preceding window, zero-click purchases kept.
     * Pairs come from the bucketed range join — no nested loop. */

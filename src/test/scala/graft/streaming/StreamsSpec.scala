@@ -182,6 +182,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join: null rows are watermark-closure " +
+    "events, complete once the watermark passes the data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val windowUs = 10000000L // 10 s
+    val t = 1000000L // 1 s in µs
+    // P1 (user 1) has no click; P2 (user 2) matches C1 eagerly
+    val real = Seq(
+      EventRow(10, 95 * t, 2, "click", 0.0, "{}"),
+      EventRow(20, 100 * t, 1, "purchase", 0.0, "{}"),
+      EventRow(21, 100 * t, 2, "purchase", 0.0, "{}"))
+    def run(rows: Seq[EventRow], sink: String): Set[(Long, Option[Long])] = {
+      val mem = MemoryStream[EventRow]
+      mem.addData(rows: _*)
+      val src = mem.toDF()
+      microBatch(Streams.attributionOuterStream(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"),
+        windowUs, watermark = "10 seconds"), sink)
+      spark.sql(s"select * from $sink where user_id >= 0").collect()
+        .map(r => (r.getAs[Long]("purchase_id"),
+          Option(r.getAs[java.lang.Long]("click_id")).map(_.longValue())))
+        .toSet
+    }
+    // without a watermark advance past the purchases, the unmatched
+    // purchase may NOT emit its null row — closure never happened
+    // (the eager inner match still does)
+    val tail = run(real, "sjo_tail")
+    assert(tail == Set((21L, Some(10L))),
+      s"unmatched purchase must stay pending until closure, got $tail")
+    // sentinels on distinct users push both watermarks past the data:
+    // the no-data batch flushes the outer row exactly once
+    val far = 100000 * t
+    val flushed = run(real ++ Seq(
+      EventRow(-1, far, -1, "click", 0.0, "{}"),
+      EventRow(-2, far, -2, "purchase", 0.0, "{}")), "sjo_flush")
+    assert(flushed == Set((21L, Some(10L)), (20L, None)))
+  }
+
   test("dedupStream emits each event_id exactly once across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
