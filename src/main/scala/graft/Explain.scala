@@ -74,7 +74,9 @@ object Explain {
       // |langs|-row totals), each bounded by construction but over
       // the sweep's ≤2 global-funnel census; exempted with this
       // note rather than weakening the census for everyone
-      "split_leakage_fix", "source_dedup_report")
+      "split_leakage_fix", "source_dedup_report",
+      // r8 session-2 declarative additions
+      "gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

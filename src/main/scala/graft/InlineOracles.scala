@@ -2100,4 +2100,52 @@ object InlineOracles {
           END as z_squared
         FROM c"""
 
+  /** Gopher rule battery: mirrors TextAnalysis.gopherRules counter by
+    * counter — integer cross-multiplied thresholds, no float
+    * division, so every boolean is bit-portable. */
+  private[graft] val gopher_rules: String = """
+        WITH c AS (
+          SELECT doc_id,
+            cast(len(string_split(text, ' ')) as bigint) as n_words,
+            cast(list_sum(list_transform(string_split(text, ' '),
+              x -> len(x))) as bigint) as word_chars,
+            cast((len(text) - len(replace(text, '#', ''))) +
+              (len(text) - len(replace(text, '…', ''))) +
+              ((len(text) - len(replace(text, '...', ''))) // 3)
+              as bigint) as n_symbols,
+            cast(len(list_filter(string_split(text, ' '),
+              x -> regexp_matches(x, '[A-Za-z]'))) as bigint)
+              as n_alpha_words,
+            cast(cast(list_contains(string_split(text, ' '), 'the') as int)
+              + cast(list_contains(string_split(text, ' '), 'be') as int)
+              + cast(list_contains(string_split(text, ' '), 'to') as int)
+              + cast(list_contains(string_split(text, ' '), 'of') as int)
+              + cast(list_contains(string_split(text, ' '), 'and') as int)
+              + cast(list_contains(string_split(text, ' '), 'that') as int)
+              + cast(list_contains(string_split(text, ' '), 'have') as int)
+              + cast(list_contains(string_split(text, ' '), 'with') as int)
+              as bigint) as n_stop_hits,
+            cast(len(string_split(text, chr(10))) as bigint) as n_lines,
+            cast(len(list_filter(string_split(text, chr(10)),
+              x -> x LIKE '%...')) as bigint) as n_ellipsis_lines,
+            cast(len(list_filter(string_split(text, chr(10)),
+              x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %'))
+              as bigint) as n_bullet_lines
+          FROM documents)
+        SELECT *,
+          (r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+           r_alpha_words AND r_stopwords AND r_ellipsis_lines AND
+           r_bullet_lines) as pass
+        FROM (
+          SELECT *,
+            (n_words >= 50 AND n_words <= 100000) as r_word_count,
+            (3 * n_words <= word_chars AND
+             word_chars <= 10 * n_words) as r_mean_word_len,
+            (10 * n_symbols <= n_words) as r_symbol_ratio,
+            (5 * n_alpha_words >= 4 * n_words) as r_alpha_words,
+            (n_stop_hits >= 2) as r_stopwords,
+            (10 * n_ellipsis_lines <= 3 * n_lines) as r_ellipsis_lines,
+            (10 * n_bullet_lines <= 9 * n_lines) as r_bullet_lines
+          FROM c)"""
+
 }

@@ -969,6 +969,14 @@ object Queries {
       Some(InlineOracles.text_quality),
       headline = true),
 
+    Q("gopher_rules",
+      // the published Gopher heuristic filter battery as one map-only
+      // projection: every threshold integer-cross-multiplied so the
+      // per-rule booleans (and the raw counters shipped beside them)
+      // hash identically on both engines
+      (s, d) => TextAnalysis.gopherRules(Tables(s, d).documents),
+      Some(InlineOracles.gopher_rules)),
+
     Q("token_count",
       (s, d) => TextAnalysis.tokenCount(Tables(s, d).documents),
       Some("""

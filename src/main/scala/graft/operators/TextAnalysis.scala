@@ -30,6 +30,61 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** The Gopher rule battery's stopword set (Rae et al. 2021,
+    * Appendix A): a doc must contain at least two of these. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule battery (Rae et al. 2021, Appendix A —
+    * the published heuristic filter set for web-scale pretraining
+    * corpora): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, stopword
+    * presence, ellipsis-line and bullet-line fractions. Every
+    * threshold is applied by INTEGER cross-multiplication (3·n ≤ Σlen
+    * instead of mean ≥ 3), so the booleans are bit-portable across
+    * engines — no float division anywhere. One map-only projection;
+    * the raw counters ship alongside the rules so a corpus report can
+    * re-threshold without rescanning text. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val counted = documents.select(col("doc_id"),
+      expr("size(split(text, ' '))").cast("long").as("n_words"),
+      expr("aggregate(transform(split(text, ' '), x -> length(x)), " +
+        "0L, (a, x) -> a + x)").as("word_chars"),
+      expr("""cast((length(text) - length(replace(text, '#'))) +
+            (length(text) - length(replace(text, '…'))) +
+            ((length(text) - length(replace(text, '...'))) div 3)
+            as long)""").as("n_symbols"),
+      expr("size(filter(split(text, ' '), x -> x rlike '[A-Za-z]'))")
+        .cast("long").as("n_alpha_words"),
+      GopherStops.map(w =>
+          expr(s"cast(array_contains(split(text, ' '), '$w') as int)"))
+        .reduce(_ + _).cast("long").as("n_stop_hits"),
+      expr("size(split(text, '\\n'))").cast("long").as("n_lines"),
+      expr("size(filter(split(text, '\\n'), x -> x like '%...'))")
+        .cast("long").as("n_ellipsis_lines"),
+      expr("size(filter(split(text, '\\n'), " +
+        "x -> x like '- %' or x like '* %' or x like '• %'))")
+        .cast("long").as("n_bullet_lines"))
+    val rules = Seq(
+      "r_word_count" ->
+        (col("n_words") >= 50 && col("n_words") <= 100000),
+      "r_mean_word_len" ->
+        (lit(3) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10) * col("n_words")),
+      "r_symbol_ratio" -> (lit(10) * col("n_symbols") <= col("n_words")),
+      "r_alpha_words" ->
+        (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")),
+      "r_stopwords" -> (col("n_stop_hits") >= 2),
+      "r_ellipsis_lines" ->
+        (lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines")),
+      "r_bullet_lines" ->
+        (lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines")))
+    counted.select(
+      (counted.columns.map(col) ++
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("pass")): _*)
+  }
+
   /** Quality heuristics: length, punctuation ratio, stopword ratio,
     * mean token length, composite score. Single projection. */
   def quality(documents: DataFrame): DataFrame = {

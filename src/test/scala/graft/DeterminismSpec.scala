@@ -143,6 +143,9 @@ class DeterminismSpec extends SparkSpec {
     "table_restore", "cdc_apply",
     // the outer join's null rows are watermark-closure events — the
     // flushed set must not depend on state-store fan-out
-    "stream_join_outer"))
+    "stream_join_outer",
+    // integer cross-multiplied thresholds — booleans exact at any
+    // fan-out
+    "gopher_rules"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

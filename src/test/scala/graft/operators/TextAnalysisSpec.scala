@@ -21,6 +21,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
   }
 
+  test("gopherRules: each rule trips on its crafted violator and " +
+    "passes on a clean doc") {
+    import spark.implicits._
+    val good = (Seq("the", "with") ++ Seq.fill(60)("alpha")).mkString(" ")
+    val docs = Seq(
+      1L -> good,                                  // passes everything
+      2L -> "the with short doc",                  // < 50 words
+      3L -> (Seq("the", "with") ++                 // mean word len > 10
+        Seq.fill(60)("supercalifragilistic")).mkString(" "),
+      4L -> (good + " " + Seq.fill(10)("#").mkString(" ")), // symbols
+      5L -> (Seq("the", "with") ++                 // 40% numeric words
+        Seq.fill(36)("alpha") ++ Seq.fill(26)("123")).mkString(" "),
+      6L -> Seq.fill(60)("alpha").mkString(" "),   // no stopwords
+      7L -> (good + "\n" + Seq.fill(9)("x...").mkString("\n")), // ellipsis
+      8L -> (good + "\n" + Seq.fill(30)("- item").mkString("\n")) // bullets
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    def failsOnly(id: Long, rule: String): Unit = {
+      assert(!out(id).getAs[Boolean](rule), s"doc $id should fail $rule")
+      assert(!out(id).getAs[Boolean]("pass"))
+    }
+    failsOnly(2L, "r_word_count")
+    failsOnly(3L, "r_mean_word_len")
+    failsOnly(4L, "r_symbol_ratio")
+    failsOnly(5L, "r_alpha_words")
+    failsOnly(6L, "r_stopwords")
+    failsOnly(7L, "r_ellipsis_lines")
+    failsOnly(8L, "r_bullet_lines")
+    // the clean doc's counters: 62 words, all alphabetic, 2 stop hits
+    assert(out(1L).getAs[Long]("n_words") == 62L &&
+      out(1L).getAs[Long]("n_alpha_words") == 62L &&
+      out(1L).getAs[Long]("n_stop_hits") == 2L)
+  }
+
   test("langId predicts a language from the marker set deterministically") {
     val out = TextAnalysis.langId(tables.documents)
     assert(out.count() == 500)
