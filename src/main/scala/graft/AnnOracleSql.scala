@@ -614,6 +614,24 @@ object AnnOracleSql {
   /** k-NN majority-vote classification (mirrors
     * Similarity.knnClassify): held-out queries, exact top-k over the
     * train side, (votes desc, label) tie-broken majority. */
+  /** Hard-negative mining (mirrors Similarity.hardNegatives): exact
+    * per-anchor top-k over different-label vectors only. */
+  def hardNegativesSql(k: Int, anchorMod: Int): String = s"""
+    WITH el AS (SELECT vec_id, label,
+                  cast(embedding as double[]) as emb FROM embeddings)
+    SELECT anchor_id, anchor_label, neighbor_id, neg_label,
+      cast(rank as bigint) as rank, cosine
+    FROM (
+      SELECT q.vec_id as anchor_id, q.label as anchor_label,
+        c.vec_id as neighbor_id, c.label as neg_label,
+        ${cosine("q.emb", "c.emb")} as cosine,
+        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          ${cosine("q.emb", "c.emb")} DESC, c.vec_id) as rank
+      FROM el q JOIN el c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id % $anchorMod = 0)
+    WHERE rank <= $k"""
+
   def knnClassifySql(k: Int, testMod: Int): String = s"""
     WITH $EmbCte,
     knn AS (

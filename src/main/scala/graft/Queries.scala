@@ -3914,6 +3914,16 @@ object Queries {
         k = 5, testMod = 20),
       Some(AnnOracleSql.knnClassifySql(k = 5, testMod = 20))),
 
+    Q("hard_negatives",
+      // contrastive-pair mining: per sampled anchor, the 5 most
+      // similar DIFFERENT-label vectors — the boundary negatives
+      // triplet/InfoNCE training wants (random negatives are easy);
+      // anchors broadcast, corpus scanned once, WindowGroupLimit
+      // top-k before the single anchor exchange
+      (s, d) => Similarity.hardNegatives(Tables(s, d).embeddings,
+        k = 5, anchorMod = 20),
+      Some(AnnOracleSql.hardNegativesSql(k = 5, anchorMod = 20))),
+
     Q("shard_balance",
       // data-loader sharding: global (token count desc, doc_id) rank
       // dealt round-robin over 16 shards bounds per-shard token

@@ -1144,6 +1144,46 @@ object Similarity {
     * index scale, swap the stage for [[annTwoStage]]/[[annIvf]] —
     * the vote is unchanged); votes aggregate the (|test|·k)-row
     * neighbor frame, the label join keys on vec_id. */
+  /** Contrastive hard-negative mining: for each sampled anchor
+    * (vec_id % anchorMod == 0), the k most-similar vectors carrying a
+    * DIFFERENT label — the negatives nearest the decision boundary,
+    * which metric/contrastive training pairs with in-batch positives
+    * (the mining step behind triplet/InfoNCE datasets). Random
+    * negatives are easy and teach nothing; these are the ones the
+    * current embedding confuses.
+    *
+    * Scale shape: the anchor set is broadcast (a bounded sample, the
+    * [[annBruteForce]] posture), the corpus is scanned ONCE with the
+    * label guard applied before any scoring, and the per-anchor top-k
+    * goes through WindowGroupLimit so each partition prunes to k rows
+    * before the single anchor_id exchange. Cosines are the
+    * established fixed chain (sequential-fold dots, IEEE ops), so
+    * ranking is bit-reproducible on any engine. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+                    anchorMod: Int = 20): DataFrame = {
+    val anchors = broadcast(embeddings
+      .filter(pmod(col("vec_id"), lit(anchorMod.toLong)) === 0)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"),
+        col("embedding").as("q_emb"),
+        VectorFunctions.l2Norm(col("embedding")).as("q_norm")))
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("c_norm"))
+      .join(anchors, col("neighbor_id") =!= col("anchor_id") &&
+        col("neg_label") =!= col("anchor_label"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "anchor_label", "neighbor_id", "neg_label",
+        "rank", "cosine")
+  }
+
   def knnClassify(embeddings: DataFrame, k: Int = 5,
                   testMod: Int = 20): DataFrame = {
     require(testMod >= 2, "testMod must leave a train side")

@@ -145,7 +145,7 @@ class DeterminismSpec extends SparkSpec {
     // flushed set must not depend on state-store fan-out
     "stream_join_outer",
     // integer cross-multiplied thresholds — booleans exact at any
-    // fan-out
-    "gopher_rules"))
+    // fan-out; the mined negative set is an exact windowed top-k
+    "gopher_rules", "hard_negatives"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

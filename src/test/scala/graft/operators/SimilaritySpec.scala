@@ -648,6 +648,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: every negative crosses the label boundary and " +
+    "is the true per-anchor optimum") {
+    val emb = tables.embeddings
+    val out = Similarity.hardNegatives(emb, k = 5, anchorMod = 20)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // label guard: no negative shares its anchor's label
+    assert(rows.forall(r =>
+      r.getAs[Int]("anchor_label") != r.getAs[Int]("neg_label")))
+    // ranks are contiguous 1..k per anchor with non-increasing cosine
+    rows.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, g) =>
+      val byRank = g.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.length).toSeq, s"anchor $a ranks not contiguous")
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+    // optimality: the mined top-1 equals the max different-label
+    // cosine from an unrestricted brute-force recompute
+    val top1 = rows.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("anchor_id") -> r.getAs[Double]("cosine"))
+      .toMap
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val all = Similarity.annBruteForce(emb,
+      emb.filter(col("vec_id") % 20 === 0), k = emb.count().toInt)
+      .collect()
+    val best = all
+      .filter(r => labels(r.getAs[Long]("neighbor_id")) !=
+        labels(r.getAs[Long]("query_id")))
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, g) => q -> g.map(_.getAs[Double]("cosine")).max }
+    assert(top1 == best)
+  }
+
   test("knnClassify: constructed clusters classify perfectly, ties break low") {
     import spark.implicits._
     // two tight clusters on orthogonal axes; test ids are multiples
