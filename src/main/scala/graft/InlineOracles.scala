@@ -2100,6 +2100,47 @@ object InlineOracles {
           END as z_squared
         FROM c"""
 
+  /** Chi-square independence audit: mirrors Profile.chi2Independence
+    * width for width (19×12 decimal products keep DuckDB on its
+    * hugeint kernel; final decimal(38,0) casts align both engines'
+    * result types; the per-cell χ² is the same two-cast/mul/div IEEE
+    * chain). */
+  private[graft] val chi2_drift: String = """
+        WITH cells AS (
+          SELECT source, lang, count(*) as observed
+          FROM documents GROUP BY 1, 2),
+        rt AS (SELECT source, cast(sum(observed) as bigint) as row_total
+               FROM cells GROUP BY 1),
+        ct AS (SELECT lang, cast(sum(observed) as bigint) as col_total
+               FROM cells GROUP BY 1),
+        tot AS (SELECT cast(sum(observed) as bigint) as n_total FROM cells),
+        f AS (
+          SELECT rt.source, ct.lang,
+            cast(coalesce(c.observed, 0) as bigint) as observed,
+            rt.row_total, ct.col_total, tot.n_total
+          FROM rt CROSS JOIN ct CROSS JOIN tot
+          LEFT JOIN cells c ON c.source = rt.source AND c.lang = ct.lang),
+        d AS (
+          SELECT *,
+            cast(cast(n_total as decimal(19,0))
+                   * cast(observed as decimal(12,0)) -
+                 cast(row_total as decimal(19,0))
+                   * cast(col_total as decimal(12,0))
+                 as decimal(38,0)) as dev_num,
+            cast(cast(cast(n_total as decimal(19,0))
+                        * cast(row_total as decimal(12,0))
+                      as decimal(26,0))
+                   * cast(col_total as decimal(12,0))
+                 as decimal(38,0)) as dev_den
+          FROM f)
+        SELECT source, lang, observed, row_total, col_total, n_total,
+          dev_num, dev_den,
+          (cast(dev_num as double) * cast(dev_num as double))
+            / cast(dev_den as double) as cell_chi2,
+          ((cast(dev_num as double) * cast(dev_num as double))
+            / cast(dev_den as double)) > 6.635 as dependent_99
+        FROM d"""
+
   /** Gopher rule battery: mirrors TextAnalysis.gopherRules counter by
     * counter — integer cross-multiplied thresholds, no float
     * division, so every boolean is bit-portable. */

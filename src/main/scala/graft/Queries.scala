@@ -3713,6 +3713,18 @@ object Queries {
       },
       Some(InlineOracles.ks_drift)),
 
+    Q("chi2_drift",
+      // contingency-table independence audit: is the language mix
+      // independent of source? Per (source, lang) cell — including
+      // UNOBSERVED cells via the category cross join — exact
+      // (n·O − r·c)²/(n·r·c) algebra as decimal(38,0) numerator/
+      // denominator plus the one-IEEE-chain per-cell χ² and a 1-dof
+      // 99% dependence flag; category-space frames only after the
+      // single groupBy pass
+      (s, d) => Profile.chi2Independence(Tables(s, d).documents,
+        "source", "lang"),
+      Some(InlineOracles.chi2_drift)),
+
     Q("user_rfm",
       // the product-analytics RFM segmentation: per-user recency /
       // frequency / monetary, scored 1-5 against nearest-rank

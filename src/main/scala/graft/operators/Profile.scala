@@ -231,6 +231,55 @@ object Profile {
     *
     * Scale: each side is one [[tableProfile]] scan collapsing to
     * |columns| rows; the diff join is over those tiny frames. */
+  /** Chi-square independence audit between two categorical columns —
+    * the contingency-table complement of the KS drift gate (KS reads
+    * a numeric distribution; this reads whether two discrete
+    * attributes are associated, e.g. "is language mix independent of
+    * source?"). Per cell (a, b): observed count, both marginals, and
+    * the exact deviation algebra (O − E)²/E rewritten integer-only as
+    * (n·O − r·c)² / (n·r·c) — `dev_num`/`dev_den` ship as exact
+    * decimal(38,0), the per-cell χ² is ONE fixed IEEE chain (two
+    * decimal→double casts, one multiply, one divide) so both engines
+    * emit the identical double, and `dependent_99` compares it to the
+    * 1-dof 99% critical value. UNOBSERVED cells are included via the
+    * category cross join — a naive groupBy misses exactly the empty
+    * cells that scream dependence.
+    *
+    * Scale: one pass groupBy(a, b) collapses row-space to
+    * category-space; marginals, the total and the cross join all live
+    * on that tiny frame (broadcast). Exactness envelope: n·r·c and
+    * (n·O − r·c)² must fit decimal(38,0) — holds through n ≈ 10¹²
+    * rows for the denominator and n·O ≈ 10¹⁹ for the deviation,
+    * far beyond any single audit slice. */
+  def chi2Independence(df: DataFrame, aCol: String,
+                       bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val aTot = cells.groupBy(col(aCol))
+      .agg(sum("observed").as("row_total"))
+    val bTot = cells.groupBy(col(bCol))
+      .agg(sum("observed").as("col_total"))
+    val totals = cells.agg(sum("observed").as("n_total"))
+    val full = aTot.crossJoin(broadcast(bTot))
+      .crossJoin(broadcast(totals))
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+    val devNum = (col("n_total").cast("decimal(19,0)") *
+        col("observed").cast("decimal(12,0)") -
+      col("row_total").cast("decimal(19,0)") *
+        col("col_total").cast("decimal(12,0)")).cast("decimal(38,0)")
+    val devDen = ((col("n_total").cast("decimal(19,0)") *
+        col("row_total").cast("decimal(12,0)")).cast("decimal(26,0)") *
+      col("col_total").cast("decimal(12,0)")).cast("decimal(38,0)")
+    val chi = (col("dev_num").cast("double") *
+      col("dev_num").cast("double")) / col("dev_den").cast("double")
+    full.select(col(aCol), col(bCol), col("observed"),
+        col("row_total"), col("col_total"), col("n_total"),
+        devNum.as("dev_num"), devDen.as("dev_den"))
+      .withColumn("cell_chi2", chi)
+      .withColumn("dependent_99", col("cell_chi2") > lit(6.635))
+  }
+
   def profileDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
     val p = tableProfile(prev).select(col("col_name"),
       col("n_rows").as("rows_prev"), col("n_nulls").as("nulls_prev"),

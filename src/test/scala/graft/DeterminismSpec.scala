@@ -146,6 +146,8 @@ class DeterminismSpec extends SparkSpec {
     "stream_join_outer",
     // integer cross-multiplied thresholds — booleans exact at any
     // fan-out; the mined negative set is an exact windowed top-k
-    "gopher_rules", "hard_negatives"))
+    "gopher_rules", "hard_negatives",
+    // exact decimal contingency algebra + one IEEE chain per cell
+    "chi2_drift"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

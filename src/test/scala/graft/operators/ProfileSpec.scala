@@ -61,6 +61,28 @@ class ProfileSpec extends SparkSpec {
       }
   }
 
+  test("chi2Independence: perfect association scores χ²=n across all " +
+    "cells, independence scores 0, empty cells included") {
+    import spark.implicits._
+    // perfectly dependent 2×2 (a follows b): φ² = 1 so Σχ²-cell = n
+    val dep = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("x", "y")
+    val depOut = Profile.chi2Independence(dep, "x", "y").collect()
+    assert(depOut.length == 4, "unobserved cells must be present")
+    assert(depOut.count(_.getAs[Long]("observed") == 0L) == 2)
+    assert(depOut.forall(_.getAs[Double]("cell_chi2") == 1.0))
+    assert(math.abs(depOut.map(_.getAs[Double]("cell_chi2")).sum - 4.0)
+      < 1e-12)
+    // fully independent 2×2: every deviation is exactly zero
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("x", "y")
+    val indOut = Profile.chi2Independence(ind, "x", "y").collect()
+    assert(indOut.length == 4)
+    assert(indOut.forall(r => r.getAs[Double]("cell_chi2") == 0.0 &&
+      r.getAs[java.math.BigDecimal]("dev_num").signum == 0 &&
+      !r.getAs[Boolean]("dependent_99")))
+  }
+
   test("profileDiff classifies added/removed/common and quantifies drift") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
