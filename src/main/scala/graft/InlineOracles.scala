@@ -2100,6 +2100,56 @@ object InlineOracles {
           END as z_squared
         FROM c"""
 
+  /** Hourly-series autocorrelation: mirrors TimeSeries.autocorr —
+    * zero-filled per-type hour grid, dev = n·x − S as decimal(19,0)
+    * (19×12 keeps DuckDB on hugeint), exact decimal(38,0) sums, one
+    * IEEE division for acf. */
+  private[graft] val ts_autocorr: String = """
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        hourly AS (
+          SELECT event_type, ts - ts % 3600000000 as hour_us,
+            count(*) as n_raw
+          FROM e GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type,
+            min(ts) - min(ts) % 3600000000 as lo,
+            max(ts) - max(ts) % 3600000000 as hi
+          FROM e GROUP BY 1),
+        grid AS (
+          SELECT event_type,
+            unnest(generate_series(lo, hi, 3600000000)) as hour_us
+          FROM bounds),
+        s AS (
+          SELECT g.event_type, g.hour_us,
+            cast(coalesce(h.n_raw, 0) as bigint) as x
+          FROM grid g LEFT JOIN hourly h
+            ON h.event_type = g.event_type AND h.hour_us = g.hour_us),
+        st AS (
+          SELECT event_type, cast(count(*) as bigint) as n,
+            cast(sum(x) as bigint) as sx
+          FROM s GROUP BY 1),
+        d AS (
+          SELECT s.event_type, s.hour_us,
+            cast(cast(st.n as decimal(19,0)) * cast(s.x as decimal(12,0))
+                 - cast(st.sx as decimal(19,0)) as decimal(19,0)) as dev
+          FROM s JOIN st ON st.event_type = s.event_type),
+        lags AS (SELECT unnest(generate_series(1, 24)) as lag),
+        num AS (
+          SELECT a.event_type, l.lag, cast(count(*) as bigint) as n_terms,
+            cast(sum(a.dev * b.dev) as decimal(38,0)) as acf_num
+          FROM d a CROSS JOIN lags l
+          JOIN d b ON b.event_type = a.event_type
+                  AND b.hour_us = a.hour_us + l.lag * 3600000000
+          GROUP BY 1, 2),
+        den AS (
+          SELECT event_type, cast(sum(dev * dev) as decimal(38,0))
+            as acf_den
+          FROM d GROUP BY 1)
+        SELECT n.event_type, cast(n.lag as bigint) as lag, n.n_terms,
+          n.acf_num, d2.acf_den,
+          cast(n.acf_num as double) / cast(d2.acf_den as double) as acf
+        FROM num n JOIN den d2 ON d2.event_type = n.event_type"""
+
   /** Chi-square independence audit: mirrors Profile.chi2Independence
     * width for width (19×12 decimal products keep DuckDB on its
     * hugeint kernel; final decimal(38,0) casts align both engines'

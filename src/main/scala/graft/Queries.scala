@@ -3599,6 +3599,16 @@ object Queries {
       (s, d) => TimeSeries.changepoint(Tables(s, d).events),
       Some(InlineOracles.ts_changepoint)),
 
+    Q("ts_autocorr",
+      // per-type lag-1..24 sample autocorrelation of the hourly count
+      // series — the seasonality evidence behind forecast/anomaly's
+      // period=24; exact decimal numerator/denominator (dev_t =
+      // n·x_t − S over the zero-filled grid), one IEEE division for
+      // the acf itself; lag pairs via an equi-join on the shifted
+      // hour, never a cross product
+      (s, d) => TimeSeries.autocorr(Tables(s, d).events, maxLag = 24),
+      Some(InlineOracles.ts_autocorr)),
+
     Q("decayed_popularity",
       // "what is hot NOW": per-day-halving dyadic decay in exact
       // integer ppm (1000000 >> age_days) — order-independent long

@@ -332,6 +332,66 @@ object TimeSeries {
             (col("sd") === 0.0 && cD =!= col("m")))).as("is_anomaly"))
   }
 
+  /** Integer-exact sample autocorrelation of the hourly event-count
+    * series, per event type and lag 1..maxLag — the seasonality
+    * detector that justifies the `period` choice forecast/anomaly
+    * take as a parameter. With S = Σx over the zero-filled hour grid
+    * of length n, dev_t = n·x_t − S is the n-scaled centered count;
+    * acf_num(L) = Σ_t dev_t·dev_{t+L} and acf_den = Σ_t dev_t² are
+    * order-independent exact decimal(38,0) sums, and `acf` =
+    * num/den is ONE IEEE division — bit-identical on any engine.
+    * Exactness envelope: |dev| < 10¹⁹ (n·x ≲ 10¹⁹ — e.g. a century
+    * of hours at 10¹³ events/hour) and dev² sums < 10³⁸.
+    *
+    * Scale: row-space collapses to the hour grid in one
+    * map-side-combined groupBy; the zero-fill, the lag self-join and
+    * both sums live on the |types|·|hours| grid frame; per-type
+    * stats broadcast. No global sort anywhere. */
+  def autocorr(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1, "need at least lag 1")
+    val hourUs = 3600000000L
+    val hourly = events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw"))
+    val grid = events.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("event_type"), explode(sequence(
+        col("lo") - pmod(col("lo"), lit(hourUs)),
+        col("hi") - pmod(col("hi"), lit(hourUs)),
+        lit(hourUs))).as("hour_us"))
+    val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n_raw"), lit(0L)).as("x"))
+    val stats = series.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = series.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_us"),
+        (col("n").cast("decimal(19,0)") * col("x").cast("decimal(12,0)")
+          - col("sx").cast("decimal(19,0)")).cast("decimal(19,0)")
+          .as("dev"))
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    // equi-join on the SHIFTED hour (probe_hour precomputed) — a hash
+    // join sized |grid|·maxLag, never a per-type cross product
+    val num = dev.crossJoin(broadcast(lags))
+      .withColumn("probe_hour", col("hour_us") + col("lag") * lit(hourUs))
+      .join(dev.select(col("event_type"), col("hour_us").as("probe_hour"),
+          col("dev").as("b_dev")),
+        Seq("event_type", "probe_hour"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("dev") * col("b_dev")).cast("decimal(38,0)").as("acf_num"))
+    val den = dev.groupBy("event_type")
+      .agg(sum(col("dev") * col("dev")).cast("decimal(38,0)")
+        .as("acf_den"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"), col("n_terms"),
+        col("acf_num"), col("acf_den"),
+        (col("acf_num").cast("double") / col("acf_den").cast("double"))
+          .as("acf"))
+  }
+
   /** Watermark-lateness audit: replay the stream in `arrivalCol`
     * order and count, per event_type, the events a
     * `withWatermark(delay)` policy would DROP — event-time older

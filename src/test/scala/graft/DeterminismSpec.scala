@@ -147,7 +147,8 @@ class DeterminismSpec extends SparkSpec {
     // integer cross-multiplied thresholds — booleans exact at any
     // fan-out; the mined negative set is an exact windowed top-k
     "gopher_rules", "hard_negatives",
-    // exact decimal contingency algebra + one IEEE chain per cell
-    "chi2_drift"))
+    // exact decimal contingency algebra + one IEEE chain per cell;
+    // the ACF's decimal sums are order-independent by construction
+    "chi2_drift", "ts_autocorr"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -84,6 +84,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(short.toSeq == (0 until 6).map(h => (48 + h) * H))
   }
 
+  test("autocorr: hand-computed ACF on a period-2 series, zero hours " +
+    "grid-filled, lags beyond the span absent") {
+    // hourly counts [2, 0, 2, 0, 2]: n=5, S=6, dev = 5x−6 =
+    // [4,−6,4,−6,4], den = Σdev² = 120
+    val rows = Seq(0L, 0L, 2L, 2L, 4L, 4L).map(h => ("x", h * H, 1.0))
+    val out = TimeSeries.autocorr(ev(rows: _*), maxLag = 6).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_terms"),
+         r.getAs[java.math.BigDecimal]("acf_num").longValueExact(),
+         r.getAs[java.math.BigDecimal]("acf_den").longValueExact(),
+         r.getAs[Double]("acf"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L),
+      "lags >= series length must be absent")
+    assert(out(1L) == ((4L, -96L, 120L, -96.0 / 120.0)))
+    assert(out(2L) == ((3L, 68L, 120L, 68.0 / 120.0)))
+    assert(out(3L) == ((2L, -48L, 120L, -48.0 / 120.0)))
+    assert(out(4L) == ((1L, 16L, 120L, 16.0 / 120.0)))
+  }
+
   test("CUSUM changepoint lands on a clean mean shift") {
     // 4 hours at 1 event/hour then 4 hours at 5/hour: μ = 3,
     // S_t = cum − 3t = (−2,−4,−6,−8,−6,−4,−2,0) — argmax |S| at
