@@ -76,7 +76,8 @@ object Explain {
       // note rather than weakening the census for everyone
       "split_leakage_fix", "source_dedup_report",
       // r8 session-2 declarative additions
-      "gopher_rules", "hard_negatives", "chi2_drift", "ts_autocorr")
+      "gopher_rules", "hard_negatives", "chi2_drift", "ts_autocorr",
+      "quality_calibration")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

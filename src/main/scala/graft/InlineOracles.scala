@@ -2100,6 +2100,54 @@ object InlineOracles {
           END as z_squared
         FROM c"""
 
+  /** Quality-score calibration: mirrors TextAnalysis
+    * .qualityCalibration — the text_quality score chain binned by
+    * floor(score·10), the text_repetition bigram gate, and the
+    * dedup_exact content-hash grouping, folded to per-bin integer
+    * rates. */
+  private[graft] val quality_calibration: String = """
+        WITH qs AS (
+          SELECT doc_id,
+            least(cast(floor(
+              (least(cast(len(string_split(text, ' ')) as double) / 100.0,
+                     1.0)
+               * (1.0 - cast(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                    as double) / cast(length(text) as double))
+               * least(cast(len(list_filter(string_split(text, ' '),
+                     t -> t in ('the','a','of','and','to','in','is','it')))
+                    as double)
+                   / cast(len(string_split(text, ' ')) as double) * 4.0,
+                   1.0)) * 10.0) as bigint), 9) as score_bin
+          FROM documents),
+        bgr AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                     i -> array_to_string(toks[i+1:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END as bg
+          FROM (SELECT doc_id, string_split(text, ' ') as toks
+                FROM documents)),
+        rep AS (
+          SELECT doc_id,
+            cast((cast(len(bg) as double) - len(list_distinct(bg)))
+              / cast(len(bg) as double) > 0.2 as bigint) as is_rep
+          FROM bgr),
+        hh AS (SELECT doc_id, sha256(text) as h FROM documents),
+        sz AS (SELECT h, count(*) as n_copies FROM hh GROUP BY 1),
+        dup AS (
+          SELECT doc_id, cast(sz.n_copies > 1 as bigint) as is_dup
+          FROM hh JOIN sz USING (h)),
+        j AS (
+          SELECT qs.score_bin, dup.is_dup, rep.is_rep
+          FROM qs JOIN dup USING (doc_id) JOIN rep USING (doc_id))
+        SELECT score_bin, count(*) as n_docs,
+          cast(sum(is_dup) as bigint) as n_dup,
+          cast(sum(is_rep) as bigint) as n_repetitive,
+          (1000000 * cast(sum(is_dup) as bigint)) // count(*) as dup_ppm,
+          (1000000 * cast(sum(is_rep) as bigint)) // count(*)
+            as repetitive_ppm
+        FROM j GROUP BY 1"""
+
   /** Hourly-series autocorrelation: mirrors TimeSeries.autocorr —
     * zero-filled per-type hour grid, dev = n·x − S as decimal(19,0)
     * (19×12 keeps DuckDB on hugeint), exact decimal(38,0) sums, one

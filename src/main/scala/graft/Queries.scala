@@ -977,6 +977,14 @@ object Queries {
       (s, d) => TextAnalysis.gopherRules(Tables(s, d).documents),
       Some(InlineOracles.gopher_rules)),
 
+    Q("quality_calibration",
+      // does the quality score PREDICT badness? Fixed-width score
+      // bins (no rank sort) × two independent signals — exact-dup
+      // membership and the repetition gate — as per-bin integer
+      // floor-ppm rates; the evidence behind quality_gate's threshold
+      (s, d) => TextAnalysis.qualityCalibration(Tables(s, d).documents),
+      Some(InlineOracles.quality_calibration)),
+
     Q("token_count",
       (s, d) => TextAnalysis.tokenCount(Tables(s, d).documents),
       Some("""

@@ -117,6 +117,43 @@ object TextAnalysis {
         least(nStop / nTok * 4.0, lit(1.0))).as("quality_score"))
   }
 
+  /** Calibration audit of the heuristic quality score against two
+    * INDEPENDENT badness signals: do low-score buckets actually carry
+    * more exact duplicates and more repetitive documents? Scores land
+    * in 10 fixed-width bins (floor(score·10), capped at 9 — fixed
+    * fences, so NO global sort, unlike rank deciles); per bin: doc
+    * count, exact-duplicate members (content-hash group size > 1, the
+    * dedup_exact grouping), repetitive members (the repetition gate's
+    * own flag), and integer floor-ppm rates. A filter whose rates
+    * don't fall as the score rises is mis-calibrated — this is the
+    * evidence behind choosing quality_gate's threshold.
+    *
+    * Determinism: the score chain and the repetition flag are the
+    * established bit-identical IEEE chains; binning is floor of
+    * identical doubles; everything after is integer.
+    * Scale: two map-only scorers joined doc_id-equi, one content-hash
+    * groupBy (the dedup_exact shuffle), final ≤10-row aggregate. */
+  def qualityCalibration(documents: DataFrame): DataFrame = {
+    val bins = quality(documents).select(col("doc_id"),
+      least(floor(col("quality_score") * lit(10.0)), lit(9L))
+        .cast("long").as("score_bin"))
+    val rep = repetition(documents).select(col("doc_id"),
+      col("is_repetitive").cast("long").as("is_rep"))
+    val hashes = documents.select(col("doc_id"),
+      sha2(col("text"), 256).as("h"))
+    val sizes = hashes.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    val dup = hashes.join(sizes, "h")
+      .select(col("doc_id"), (col("n_copies") > 1).cast("long").as("is_dup"))
+    bins.join(dup, "doc_id").join(rep, "doc_id")
+      .groupBy("score_bin")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup"),
+        sum("is_rep").as("n_repetitive"))
+      .select(col("score_bin"), col("n_docs"), col("n_dup"),
+        col("n_repetitive"),
+        expr("(1000000 * n_dup) div n_docs").as("dup_ppm"),
+        expr("(1000000 * n_repetitive) div n_docs").as("repetitive_ppm"))
+  }
+
   /** Per-language marker profiles for the n-gram/stopword heuristic
     * language ID (deterministic, no model). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

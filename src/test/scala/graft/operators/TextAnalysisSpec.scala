@@ -57,6 +57,32 @@ class TextAnalysisSpec extends SparkSpec {
       out(1L).getAs[Long]("n_stop_hits") == 2L)
   }
 
+  test("qualityCalibration: duplicate pairs and repetitive docs land " +
+    "in their score bins with exact floor-ppm rates") {
+    import spark.implicits._
+    val normal = (Seq("the", "a", "of") ++
+      (1 to 60).map(i => s"w$i")).mkString(" ")
+    val docs = Seq(
+      1L -> normal,                                   // unique, varied
+      2L -> "the a of repeated words twice over",     // duplicate pair
+      3L -> "the a of repeated words twice over",
+      4L -> Seq.fill(80)("spam").mkString(" ")        // repetitive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityCalibration(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 4L)
+    assert(out.map(_.getAs[Long]("n_dup")).sum == 2L)
+    assert(out.map(_.getAs[Long]("n_repetitive")).sum == 1L)
+    // ppm columns are exactly the integer floor of the bin rates
+    out.foreach { r =>
+      assert(r.getAs[Long]("dup_ppm") ==
+        1000000L * r.getAs[Long]("n_dup") / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("repetitive_ppm") ==
+        1000000L * r.getAs[Long]("n_repetitive") / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("score_bin") >= 0L &&
+        r.getAs[Long]("score_bin") <= 9L)
+    }
+  }
+
   test("langId predicts a language from the marker set deterministically") {
     val out = TextAnalysis.langId(tables.documents)
     assert(out.count() == 500)
