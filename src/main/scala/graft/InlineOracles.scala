@@ -2100,6 +2100,66 @@ object InlineOracles {
           END as z_squared
         FROM c"""
 
+  /** Three-way branch merge: mirrors VersionedTable.threeWayMerge's
+    * null-safe image comparisons field by field (presence flag +
+    * IS NOT DISTINCT FROM per value column ≡ Spark's struct <=>,
+    * keys being non-null). */
+  private[graft] val branch_merge: String = """
+        WITH base AS (
+          SELECT c_custkey, c_name, c_acctbal FROM customer),
+        ours AS (
+          SELECT c_custkey, c_name,
+            CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 10.0
+                 ELSE c_acctbal END as c_acctbal
+          FROM base WHERE c_custkey % 7 <> 1
+          UNION ALL SELECT 3000001, 'branch-ours', 111.0),
+        theirs AS (
+          SELECT c_custkey, c_name,
+            CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 20.0
+                 ELSE c_acctbal END as c_acctbal
+          FROM base WHERE c_custkey % 9 <> 2
+          UNION ALL SELECT 3000002, 'branch-theirs', 222.0),
+        k AS (
+          SELECT c_custkey FROM base
+          UNION SELECT c_custkey FROM ours
+          UNION SELECT c_custkey FROM theirs),
+        j AS (
+          SELECT k.c_custkey,
+            b.c_custkey IS NOT NULL as bp, o.c_custkey IS NOT NULL as op,
+            t.c_custkey IS NOT NULL as tp,
+            b.c_name as bn, b.c_acctbal as bb,
+            o.c_name as o_n, o.c_acctbal as ob,
+            t.c_name as tn, t.c_acctbal as tb
+          FROM k
+          LEFT JOIN base b USING (c_custkey)
+          LEFT JOIN ours o USING (c_custkey)
+          LEFT JOIN theirs t USING (c_custkey)),
+        a AS (
+          SELECT *,
+            (op = bp AND (NOT op OR (o_n IS NOT DISTINCT FROM bn
+              AND ob IS NOT DISTINCT FROM bb))) as eq_ob,
+            (tp = bp AND (NOT tp OR (tn IS NOT DISTINCT FROM bn
+              AND tb IS NOT DISTINCT FROM bb))) as eq_tb,
+            (op = tp AND (NOT op OR (o_n IS NOT DISTINCT FROM tn
+              AND ob IS NOT DISTINCT FROM tb))) as eq_ot
+          FROM j),
+        r AS (
+          SELECT c_custkey,
+            CASE WHEN eq_ob AND eq_tb THEN 'unchanged'
+                 WHEN eq_ot THEN 'both'
+                 WHEN eq_ob THEN 'theirs'
+                 WHEN eq_tb THEN 'ours'
+                 ELSE 'conflict' END as action,
+            bn, bb, o_n, ob, tn, tb
+          FROM a)
+        SELECT c_custkey, action,
+          CASE action WHEN 'conflict' THEN NULL WHEN 'theirs' THEN tn
+               WHEN 'unchanged' THEN bn ELSE o_n END as c_name,
+          CASE action WHEN 'conflict' THEN NULL WHEN 'theirs' THEN tb
+               WHEN 'unchanged' THEN bb ELSE ob END as c_acctbal,
+          action = 'conflict' as is_conflict
+        FROM r"""
+
   /** Quality-score calibration: mirrors TextAnalysis
     * .qualityCalibration — the text_quality score chain binned by
     * floor(score·10), the text_repetition bigram gate, and the

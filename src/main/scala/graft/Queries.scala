@@ -3057,6 +3057,34 @@ object Queries {
         SELECT cast(2 as int), 'RESTORE[v=0]',
           (SELECT count(*) FROM nation), true""")),
 
+    Q("branch_merge",
+      // git-style three-way merge of two diverged branches of the
+      // customer table: one-sided edits/deletes/inserts win, identical
+      // edits merge, divergent edits (incl. delete-vs-modify on
+      // custkey % 84 ∈ {36, 64}-style overlaps) surface as conflict
+      // rows with NULL resolved values — the reconciliation step for
+      // branched write-audit-publish pipelines
+      (s, d) => {
+        import s.implicits._
+        val base = Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal")
+        val ours = base.filter(col("c_custkey") % 7 =!= 1)
+          .select(col("c_custkey"), col("c_name"),
+            when(col("c_custkey") % 4 === 0, col("c_acctbal") + lit(10.0))
+              .otherwise(col("c_acctbal")).as("c_acctbal"))
+          .unionByName(Seq((3000001L, "branch-ours", 111.0))
+            .toDF("c_custkey", "c_name", "c_acctbal"))
+        val theirs = base.filter(col("c_custkey") % 9 =!= 2)
+          .select(col("c_custkey"), col("c_name"),
+            when(col("c_custkey") % 6 === 0, col("c_acctbal") + lit(20.0))
+              .otherwise(col("c_acctbal")).as("c_acctbal"))
+          .unionByName(Seq((3000002L, "branch-theirs", 222.0))
+            .toDF("c_custkey", "c_name", "c_acctbal"))
+        VersionedTable.threeWayMerge(base, ours, theirs,
+          Seq("c_custkey"))
+      },
+      Some(InlineOracles.branch_merge)),
+
     Q("cdc_apply",
       // change-data-feed CONSUMPTION oracle-gated end to end: commit
       // v0, MERGE an update batch as v1, ship the row-level feed

@@ -311,6 +311,51 @@ object VersionedTable {
     snapshot.exceptAll(deletes).unionByName(inserts)
   }
 
+  /** Git-style THREE-WAY MERGE of two table branches that diverged
+    * from a common base snapshot, keyed on `keys`. Per key, with row
+    * images B (base), O (ours), T (theirs) — any may be absent:
+    * unchanged (O=B=T) keeps B; an edit on exactly one side wins
+    * (`ours`/`theirs` — covers inserts, updates AND deletes, since
+    * absence is an image); identical edits merge (`both`); divergent
+    * edits — including delete-vs-modify — are `conflict` rows with
+    * NULL resolved values, left for a policy layer to settle. This is
+    * the reconciliation step for branched experimentation on a
+    * versioned table (write-audit-publish, dual-pipeline migrations).
+    *
+    * Determinism: pure null-safe struct comparisons — no ordering,
+    * no floats introduced. Scale: three key-equi joins (one shuffle
+    * key), row images compared as packed structs; output is
+    * |key-universe| rows. */
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(ours.columns.sameElements(base.columns) &&
+      theirs.columns.sameElements(base.columns),
+      "branches must share the base schema")
+    val valCols = base.columns.filterNot(keys.contains).toSeq
+    def pack(df: DataFrame, tag: String) =
+      df.select(keys.map(col) :+
+        struct(valCols.map(col): _*).as(tag): _*)
+    val j = pack(base, "b")
+      .join(pack(ours, "o"), keys, "full_outer")
+      .join(pack(theirs, "t"), keys, "full_outer")
+    val action =
+      when(col("o") <=> col("b") && col("t") <=> col("b"), "unchanged")
+        .when(col("o") <=> col("t"), "both")
+        .when(col("o") <=> col("b"), "theirs")
+        .when(col("t") <=> col("b"), "ours")
+        .otherwise("conflict")
+    val withAction = j.withColumn("action", action)
+    val resolved = when(col("action") === "theirs", col("t"))
+      .when(col("action") === "unchanged", col("b"))
+      .when(col("action") === "conflict",
+        lit(null).cast(withAction.schema("o").dataType))
+      .otherwise(col("o"))
+    withAction.withColumn("r", resolved)
+      .select(keys.map(col) ++ Seq(col("action")) ++
+        valCols.map(c => col(s"r.$c").as(c)) :+
+        (col("action") === "conflict").as("is_conflict"): _*)
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old
     * snapshot as the new latest version (history keeps everything). */
   def restore(spark: SparkSession, path: String, toVersion: Int): Int =

@@ -149,6 +149,8 @@ class DeterminismSpec extends SparkSpec {
     "gopher_rules", "hard_negatives",
     // exact decimal contingency algebra + one IEEE chain per cell;
     // the ACF's decimal sums are order-independent by construction
-    "chi2_drift", "ts_autocorr", "quality_calibration"))
+    "chi2_drift", "ts_autocorr", "quality_calibration",
+    // pure null-safe struct comparisons — no ordering anywhere
+    "branch_merge"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -190,6 +190,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.operations(path).last == "RESTORE[v=0]")
   }
 
+  test("threeWayMerge resolves every action class: one-sided edits " +
+    "win, identical edits merge, divergent edits conflict") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", 10.0), // untouched
+      (2L, "b", 20.0), // ours edits
+      (3L, "c", 30.0), // theirs edits
+      (4L, "d", 40.0), // both edit identically
+      (5L, "e", 50.0), // both edit differently → conflict
+      (6L, "f", 60.0), // ours deletes, theirs edits → conflict
+      (7L, "g", 70.0)  // both delete → merges as delete
+    ).toDF("k", "name", "v")
+    val ours = Seq((1L, "a", 10.0), (2L, "b", 21.0), (3L, "c", 30.0),
+      (4L, "d", 44.0), (5L, "e", 55.0), (8L, "h", 80.0))
+      .toDF("k", "name", "v")
+    val theirs = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 33.0),
+      (4L, "d", 44.0), (5L, "e", 56.0), (6L, "f", 66.0))
+      .toDF("k", "name", "v")
+    val out = VersionedTable.threeWayMerge(base, ours, theirs, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("action"), Option(r.getAs[java.lang.Double]("v"))
+          .map(_.doubleValue()))).toMap
+    assert(out(1L) == (("unchanged", Some(10.0))))
+    assert(out(2L) == (("ours", Some(21.0))))
+    assert(out(3L) == (("theirs", Some(33.0))))
+    assert(out(4L) == (("both", Some(44.0))))
+    assert(out(5L) == (("conflict", None)))
+    assert(out(6L) == (("conflict", None)))
+    assert(out(7L) == (("both", None)))    // agreed delete
+    assert(out(8L) == (("ours", Some(80.0)))) // one-sided insert
+    assert(out.size == 8)
+  }
+
   test("applyChanges replays a feed onto the older snapshot exactly") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
