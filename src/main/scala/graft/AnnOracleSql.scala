@@ -614,6 +614,37 @@ object AnnOracleSql {
   /** k-NN majority-vote classification (mirrors
     * Similarity.knnClassify): held-out queries, exact top-k over the
     * train side, (votes desc, label) tie-broken majority. */
+  /** Mutual-kNN communities (mirrors Similarity.embeddingCommunities):
+    * intra-cell top-k, mutual filter, recursive-CTE transitive
+    * closure with min-id community labels. */
+  def communitiesSql(k: Int, nlist: Int, iters: Int,
+                     sampleBudget: Int): String =
+    s"""WITH RECURSIVE $EmbCte, ${quantizerCtes(nlist, iters, sampleBudget)},
+    tk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.neighbor_id as query_id, b.neighbor_id as neighbor_id,
+          row_number() OVER (PARTITION BY a.neighbor_id ORDER BY
+            ${cosine("a.emb", "b.emb")} DESC, b.neighbor_id) as rank
+        FROM tagged a JOIN tagged b
+          ON a.cluster = b.cluster AND a.neighbor_id <> b.neighbor_id)
+      WHERE rank <= $k),
+    mut AS (
+      SELECT a.query_id as s, a.neighbor_id as t
+      FROM tk a JOIN tk b
+        ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT reach.id, m.t FROM reach JOIN mut m ON m.s = reach.r),
+    cc AS (SELECT id, min(r) as community_id FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT community_id, cast(count(*) as bigint) as community_size
+      FROM cc GROUP BY 1)
+    SELECT cc.id as vec_id, cc.community_id, sizes.community_size,
+      l.label as class_label, cc.id = cc.community_id as is_rep
+    FROM cc JOIN sizes USING (community_id)
+    JOIN embeddings l ON l.vec_id = cc.id"""
+
   /** Hard-negative mining (mirrors Similarity.hardNegatives): exact
     * per-anchor top-k over different-label vectors only. */
   def hardNegativesSql(k: Int, anchorMod: Int): String = s"""

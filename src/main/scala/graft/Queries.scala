@@ -3972,6 +3972,17 @@ object Queries {
         k = 5, testMod = 20),
       Some(AnnOracleSql.knnClassifySql(k = 5, testMod = 20))),
 
+    Q("embedding_communities",
+      // label-free structure discovery: mutual-kNN graph (each end
+      // must rank the other top-k — hub vectors can't glue blobs)
+      // blocked on the shared IVF quantizer cells, components via the
+      // dedup min-label closure; per vector: community id/size + the
+      // supervised label side by side
+      (s, d) => Similarity.embeddingCommunities(Tables(s, d).embeddings,
+        k = 5, cacheKey = Some(d)),
+      Some(AnnOracleSql.communitiesSql(k = 5, nlist = 16, iters = 3,
+        sampleBudget = 128))),
+
     Q("hard_negatives",
       // contrastive-pair mining: per sampled anchor, the 5 most
       // similar DIFFERENT-label vectors — the boundary negatives

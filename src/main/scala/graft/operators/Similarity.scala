@@ -1184,6 +1184,66 @@ object Similarity {
         "rank", "cosine")
   }
 
+  /** Unsupervised community structure of the embedding space: a
+    * MUTUAL-kNN graph (edge a—b only when each ranks the other in its
+    * top-k — the standard guard that stops hub vectors gluing
+    * everything into one blob) blocked on the shared IVF quantizer's
+    * cells, then connected components via the same min-label
+    * propagation the dedup closure uses. Per vector: community id
+    * (min reachable vec_id), community size, the supervised class
+    * label for side-by-side comparison, and a representative flag.
+    * The label-free counterpart of [[labelCentroids]] /
+    * [[clusterQuality]]: topic discovery, semdedup granularity
+    * tuning, "is my label space finer or coarser than the geometry".
+    *
+    * Scale shape: candidates are intra-cell only (work ∝ Σ cell²,
+    * never n² — the [[graft.operators.Dedup.embeddingNearDupQuantized]]
+    * contract, same missed-edge trade-off, more cells probeable if
+    * recall matters); per-vector top-k through WindowGroupLimit; the
+    * mutual filter is a self-join of the k·n edge list on the
+    * reversed pair; CC shuffles pair endpoints only. */
+  def embeddingCommunities(embeddings: DataFrame, k: Int = 5,
+                           nlist: Int = 16, iters: Int = 3,
+                           sampleBudget: Int = 128,
+                           cacheKey: Option[String] = None): DataFrame = {
+    val cents = trainCentroids(embeddings, nlist, iters, sampleBudget,
+      cacheKey)
+    val tagged = embeddings.select(col("vec_id"), col("embedding"),
+      VectorFunctions.l2Norm(col("embedding")).as("norm"),
+      clusterOf(col("embedding"), cents).as("cluster"))
+    val a = tagged.select(col("cluster"), col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val b = tagged.select(col("cluster"),
+      col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = a.join(b, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val mutual = topk
+      .join(topk.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val labels = Clusters.connectedComponents(mutual,
+      embeddings.select(col("vec_id").as("id")))
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .join(embeddings.select(col("vec_id").as("id"),
+        col("label").as("class_label")), "id")
+      .select(col("id").as("vec_id"), col("label").as("community_id"),
+        col("community_size"), col("class_label"),
+        (col("id") === col("label")).as("is_rep"))
+  }
+
   def knnClassify(embeddings: DataFrame, k: Int = 5,
                   testMod: Int = 20): DataFrame = {
     require(testMod >= 2, "testMod must leave a train side")

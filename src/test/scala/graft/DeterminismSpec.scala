@@ -150,7 +150,9 @@ class DeterminismSpec extends SparkSpec {
     // exact decimal contingency algebra + one IEEE chain per cell;
     // the ACF's decimal sums are order-independent by construction
     "chi2_drift", "ts_autocorr", "quality_calibration",
-    // pure null-safe struct comparisons — no ordering anywhere
-    "branch_merge"))
+    // pure null-safe struct comparisons — no ordering anywhere; the
+    // mutual-kNN closure is an iterative min-label loop like
+    // dedup_clusters
+    "branch_merge", "embedding_communities"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

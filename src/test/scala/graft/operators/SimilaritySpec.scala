@@ -648,6 +648,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingCommunities: mutual guard keeps one-sided attraction " +
+    "from gluing; tight groups form one community each") {
+    import spark.implicits._
+    // v2 points at v1 (cos .8) and v3 points at v2 (cos .6), but with
+    // k=1 only (v1, v2) is MUTUAL — v3 must stay a singleton
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.6f), 0),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingCommunities(emb, k = 1, nlist = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("community_id"), r.getAs[Long]("community_size")))
+      .toMap
+    assert(out(1L) == ((1L, 2L)) && out(2L) == ((1L, 2L)))
+    assert(out(3L) == ((3L, 1L)), "one-sided edge must not merge v3")
+    // two well-separated triples with k=2: one community per triple,
+    // labelled by its min vec_id
+    val two = Seq(
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(0.99f, 0.1f), 0),
+      (12L, Array(0.98f, 0.15f), 0),
+      (20L, Array(0.0f, 1.0f), 1), (21L, Array(0.1f, 0.99f), 1),
+      (22L, Array(0.15f, 0.98f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val res = Similarity.embeddingCommunities(two, k = 2, nlist = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("community_id")).toMap
+    assert(Seq(10L, 11L, 12L).forall(res(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(res(_) == 20L))
+  }
+
   test("hardNegatives: every negative crosses the label boundary and " +
     "is the true per-anchor optimum") {
     val emb = tables.embeddings
