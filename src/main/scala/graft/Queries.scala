@@ -3485,6 +3485,15 @@ object Queries {
         "json", s"/tmp/graft_cache/json_${new java.io.File(d).getName}"),
       Some("SELECT * FROM documents")),
 
+    Q("ingest_xml",
+      // Spark 4's built-in XML source round-tripped through the
+      // oracle gate — the documents table written as <row> records
+      // and read back schema-first (content must survive markup
+      // escaping of the text column exactly)
+      (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
+        "xml", s"/tmp/graft_cache/xml_${new java.io.File(d).getName}"),
+      Some("SELECT * FROM documents")),
+
     Q("ingest_orc",
       (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
         "orc", s"/tmp/graft_cache/orc_${new java.io.File(d).getName}"),

@@ -198,6 +198,12 @@ object Ingest {
       case "orc" =>
         df.write.mode("overwrite").orc(cachePath)
         spark.read.schema(schema).orc(cachePath)
+      case "xml" =>
+        // Spark 4's built-in XML source: one <row> element per record
+        df.write.mode("overwrite").option("rowTag", "row")
+          .format("xml").save(cachePath)
+        spark.read.schema(schema).option("rowTag", "row")
+          .format("xml").load(cachePath)
     }
   }
 }

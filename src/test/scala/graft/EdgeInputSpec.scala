@@ -296,4 +296,18 @@ class EdgeInputSpec extends SparkSpec {
     assert(Maintenance.compactionPlan(emptyEvents).count() == 0)
     assert(one != null)
   }
+
+  test("XML round-trip survives markup-hostile text exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val hostile = Seq(
+      (1L, "a <tag> & \"quoted\" 'text' with ]]> inside", "en", "web", 40L),
+      (2L, "line one\nline two\ttabbed", "en", "web", 24L),
+      (3L, "unicode: … • ß 中文", "zh", "web", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val back = graft.sources.Ingest.roundTrip(spark, hostile, "xml",
+      s"$dir/t")
+    assert(back.exceptAll(hostile).isEmpty &&
+      hostile.exceptAll(back).isEmpty,
+      "escaped markup must round-trip byte-exactly")
+  }
 }
