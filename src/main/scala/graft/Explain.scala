@@ -77,7 +77,7 @@ object Explain {
       "split_leakage_fix", "source_dedup_report",
       // r8 session-2 declarative additions
       "gopher_rules", "hard_negatives", "chi2_drift", "ts_autocorr",
-      "quality_calibration", "branch_merge")
+      "quality_calibration", "branch_merge", "pack_efficiency")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

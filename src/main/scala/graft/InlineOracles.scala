@@ -235,6 +235,36 @@ object InlineOracles {
           token_start % 2048 as seq_offset
         FROM c"""
 
+  /** Packing-efficiency audit: mirrors TextAnalysis.packEfficiency
+    * over the same serial cumsum the sequence_pack oracle uses. */
+  private[graft] val pack_efficiency: String = """
+        WITH t AS (SELECT doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) as n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  as bigint) as token_start
+              FROM t),
+        spans AS (
+          SELECT doc_id, n_tokens, token_start,
+            token_start // 2048 as first_seq,
+            (token_start + n_tokens - 1) // 2048 as last_seq
+          FROM c),
+        per AS (
+          SELECT doc_id, n_tokens, token_start,
+            unnest(generate_series(first_seq, last_seq)) as seq_id
+          FROM spans)
+        SELECT seq_id, count(*) as n_docs,
+          cast(sum(case when token_start >= seq_id * 2048
+            then 1 else 0 end) as bigint) as n_docs_starting,
+          cast(sum(case when token_start < seq_id * 2048
+            then 1 else 0 end) as bigint) as n_carried_in,
+          cast(sum(least(token_start + n_tokens, (seq_id + 1) * 2048)
+            - greatest(token_start, seq_id * 2048)) as bigint)
+            as tokens_filled
+        FROM per GROUP BY 1"""
+
   val inverted_index: String = """
         WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) as word
                     FROM documents),

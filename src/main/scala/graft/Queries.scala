@@ -1305,6 +1305,14 @@ object Queries {
       // two-phase distributed prefix sum must reproduce it exactly
       Some(InlineOracles.sequence_pack)),
 
+    Q("pack_efficiency",
+      // the attention-contamination report for concat packing: per
+      // training sequence, docs starting vs CARRIED IN across the
+      // boundary, and filled tokens (full everywhere but the tail) —
+      // read before choosing concat vs no-split binning + pad
+      (s, d) => TextAnalysis.packEfficiency(Tables(s, d).documents),
+      Some(InlineOracles.pack_efficiency)),
+
     Q("doc_chunk",
       // sliding-window training chunks (64-token windows every 48):
       // map-only build-and-explode, no shuffle — the long-document

@@ -265,6 +265,39 @@ object TextAnalysis {
         pmod(col("token_start"), lit(seqTokens)).as("seq_offset"))
   }
 
+  /** Packing-efficiency audit of [[sequencePack]]'s concat-and-chunk
+    * layout: per training sequence, how many documents touch it, how
+    * many START in it vs are CARRIED IN across its left boundary (the
+    * attention-contamination mass — tokens that attend across a
+    * document boundary unless the trainer masks), and the filled
+    * token count (= seqTokens everywhere but the final partial
+    * sequence; concat packing never wastes pad). The report a team
+    * reads before choosing concat packing vs no-split binning + pad.
+    *
+    * Scale: rides the pack's own two-phase prefix sums; each doc
+    * explodes only into the sequences its span covers (Σ = n_docs +
+    * boundary crossings, linear), then one seq_id aggregate. */
+  def packEfficiency(documents: DataFrame, seqTokens: Long = 2048,
+                     bucketWidth: Long = 1000): DataFrame = {
+    val packed = sequencePack(documents, seqTokens, bucketWidth)
+    val spans = packed.select(col("doc_id"), col("n_tokens"),
+      col("token_start"), col("seq_id").as("first_seq"),
+      expr(s"(token_start + n_tokens - 1) div $seqTokens").as("last_seq"))
+    val perSeq = spans.select(col("doc_id"), col("n_tokens"),
+        col("token_start"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .withColumn("seq_lo", col("seq_id") * lit(seqTokens))
+      .withColumn("seq_hi", (col("seq_id") + 1) * lit(seqTokens))
+    perSeq.groupBy("seq_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("token_start") >= col("seq_lo")).cast("long"))
+        .as("n_docs_starting"),
+      sum((col("token_start") < col("seq_lo")).cast("long"))
+        .as("n_carried_in"),
+      sum(least(col("token_start") + col("n_tokens"), col("seq_hi")) -
+        greatest(col("token_start"), col("seq_lo"))).as("tokens_filled"))
+  }
+
   /** Sliding-window document chunking: cut each doc's token stream
     * into `chunkTokens`-token windows every `stride` tokens (overlap =
     * chunkTokens − stride), the standard long-document layout for

@@ -153,6 +153,7 @@ class DeterminismSpec extends SparkSpec {
     // pure null-safe struct comparisons — no ordering anywhere; the
     // mutual-kNN closure is an iterative min-label loop like
     // dedup_clusters
-    "branch_merge", "embedding_communities", "ingest_xml"))
+    "branch_merge", "embedding_communities", "ingest_xml",
+    "pack_efficiency"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

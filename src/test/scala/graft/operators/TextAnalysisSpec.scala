@@ -57,6 +57,33 @@ class TextAnalysisSpec extends SparkSpec {
       out(1L).getAs[Long]("n_stop_hits") == 2L)
   }
 
+  test("packEfficiency: hand-computed boundary crossings and exact " +
+    "fill accounting") {
+    import spark.implicits._
+    // docs of 5, 4, 3 tokens packed at seqTokens=6: starts 0, 5, 9 —
+    // doc 2 crosses the seq0/seq1 boundary
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h i"), (3L, "j k l"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packEfficiency(docs, seqTokens = 6L)
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_starting"),
+         r.getAs[Long]("n_carried_in"), r.getAs[Long]("tokens_filled")))
+      .toMap
+    assert(out == Map(
+      0L -> ((2L, 2L, 0L, 6L)),
+      1L -> ((2L, 1L, 1L, 6L))))
+    // conservation on the real corpus: fills sum to the token total,
+    // and every non-final sequence is exactly full
+    val real = TextAnalysis.packEfficiency(tables.documents).collect()
+    val total = TextAnalysis.tokenCount(tables.documents)
+      .agg(sum("n_ws_tokens")).head.getLong(0)
+    assert(real.map(_.getAs[Long]("tokens_filled")).sum == total)
+    val lastSeq = real.map(_.getAs[Long]("seq_id")).max
+    assert(real.filter(_.getAs[Long]("seq_id") != lastSeq)
+      .forall(_.getAs[Long]("tokens_filled") == 2048L))
+  }
+
   test("qualityCalibration: duplicate pairs and repetitive docs land " +
     "in their score bins with exact floor-ppm rates") {
     import spark.implicits._
