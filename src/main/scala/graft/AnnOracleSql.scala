@@ -941,4 +941,81 @@ object AnnOracleSql {
         as decimal(38,0)) as score
     FROM qd JOIN pv2 ON qd.dim = pv2.dim
     GROUP BY 1"""
+
+  /** Matryoshka truncation audit (mirrors Similarity.annDimSweep):
+    * per-dim truncated brute-force top-k via `emb[1:d]` list slices
+    * (same sequential dot-product fold over the prefix), recall
+    * graded against the full-dim exact top-k. */
+  def dimSweepSql(k: Int, dims: Seq[Int], queryPred: String): String = {
+    def tcos(a: String, b: String, d: Int): String = {
+      val (sa, sb) = (s"$a[1:$d]", s"$b[1:$d]")
+      s"list_dot_product($sa, $sb) / (sqrt(list_dot_product($sa, $sa)) * " +
+        s"sqrt(list_dot_product($sb, $sb)))"
+    }
+    val topks = dims.map { d => s"""
+    t$d AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id as query_id, c.vec_id as neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${tcos("q.emb", "c.emb", d)} DESC, c.vec_id) as rank
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.$queryPred) WHERE rank <= $k)""" }.mkString(",")
+    val legs = dims.map { d => s"""
+    SELECT q.vec_id as query_id, cast($d as bigint) as dim,
+      CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0
+           ELSE cast(coalesce(h.n, 0) as double) / b.n_ex END as recall
+    FROM (SELECT vec_id FROM e WHERE $queryPred) q
+      LEFT JOIN bfn b ON b.query_id = q.vec_id
+      LEFT JOIN
+      (SELECT query_id, count(*) as n FROM t$d
+         JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
+      ON h.query_id = q.vec_id""" }.mkString("\n    UNION ALL")
+    s"""WITH $EmbCte, ${bfCtes(k, queryPred)},
+    bfn AS (SELECT query_id, count(*) as n_ex FROM bf GROUP BY 1),
+    $topks
+    $legs"""
+  }
+
+  /** IVF nprobe tuning curve (mirrors Similarity.annNprobeCurve):
+    * ONE quantizer fit, probe ranks computed once without a limit,
+    * each swept nprobe filters `rn <= np` and grades recall@k vs the
+    * exact top-k. */
+  def nprobeCurveSql(nlist: Int, nprobes: Seq[Int], k: Int, iters: Int,
+                     sampleBudget: Int, queryPred: String): String = {
+    val cf = s"c$iters"
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    val topks = nprobes.map { np => s"""
+    t$np AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, t.neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY ${cos("p.q_emb", "t.emb")} DESC, t.neighbor_id) as rank
+        FROM tagged t JOIN (SELECT * FROM pr WHERE rn <= $np) p
+          USING (cluster)
+        WHERE t.neighbor_id <> p.query_id)
+      WHERE rank <= $k)""" }.mkString(",")
+    val legs = nprobes.map { np => s"""
+    SELECT q.vec_id as query_id, cast($np as bigint) as nprobe,
+      CASE WHEN coalesce(b.n_ex, 0) = 0 THEN 1.0
+           ELSE cast(coalesce(h.n, 0) as double) / b.n_ex END as recall
+    FROM (SELECT vec_id FROM e WHERE $queryPred) q
+      LEFT JOIN bfn b ON b.query_id = q.vec_id
+      LEFT JOIN
+      (SELECT query_id, count(*) as n FROM t$np
+         JOIN bf USING (query_id, neighbor_id) GROUP BY 1) h
+      ON h.query_id = q.vec_id""" }.mkString("\n    UNION ALL")
+    s"""WITH $EmbCte, ${bfCtes(k, queryPred)},
+    bfn AS (SELECT query_id, count(*) as n_ex FROM bf GROUP BY 1),
+    ${quantizerCtes(nlist, iters, sampleBudget)},
+    pr AS (
+      SELECT vec_id as query_id, emb as q_emb, cluster, rn FROM (
+        SELECT e.vec_id, e.emb, c.cluster,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(e.emb, c.cent) DESC, c.cluster) as rn
+        FROM e CROSS JOIN $cf c WHERE e.$queryPred)),
+    $topks
+    $legs"""
+  }
 }

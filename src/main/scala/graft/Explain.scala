@@ -77,7 +77,9 @@ object Explain {
       "split_leakage_fix", "source_dedup_report",
       // r8 session-2 declarative additions
       "gopher_rules", "hard_negatives", "chi2_drift", "ts_autocorr",
-      "quality_calibration", "branch_merge", "pack_efficiency")
+      "quality_calibration", "branch_merge", "pack_efficiency",
+      "ann_dim_sweep", "ann_nprobe_curve", "ts_decompose",
+      "column_corr")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -2377,4 +2377,97 @@ object InlineOracles {
             (10 * n_bullet_lines <= 9 * n_lines) as r_bullet_lines
           FROM c)"""
 
+  /** Pairwise Pearson correlation over cents-fixed lineitem columns
+    * (mirrors Profile.columnCorr): exact decimal(38,0) power sums,
+    * corr as the one fixed IEEE chain with a zero-variance NULL
+    * guard. Generated from the column list so the pair set and the
+    * cents fixing stay in lockstep with the operator. */
+  private[graft] def columnCorrSql(table: String,
+                                   cols: Seq[String]): String = {
+    val cent = cols.map(c =>
+      s"cast(cast($c as decimal(12,2)) * 100 as bigint) as $c").mkString(", ")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val sums = (Seq("count(*) as n") ++
+      cols.map(c => s"cast(sum(cast($c as decimal(38,0))) as decimal(38,0)) as s_$c") ++
+      cols.map(c => s"cast(sum(cast($c * $c as decimal(38,0))) as decimal(38,0)) as ss_$c") ++
+      pairs.map { case (x, y) =>
+        s"cast(sum(cast($x * $y as decimal(38,0))) as decimal(38,0)) as sp_${x}__$y" })
+      .mkString(",\n            ")
+    val legs = pairs.map { case (x, y) => s"""
+        SELECT '$x' as col_x, '$y' as col_y, n,
+          s_$x as sum_x, s_$y as sum_y,
+          ss_$x as sum_x2, ss_$y as sum_y2, sp_${x}__$y as sum_xy,
+          CASE WHEN cast(n as double) * cast(ss_$x as double)
+                 - cast(s_$x as double) * cast(s_$x as double) > 0
+                AND cast(n as double) * cast(ss_$y as double)
+                 - cast(s_$y as double) * cast(s_$y as double) > 0
+               THEN (cast(n as double) * cast(sp_${x}__$y as double)
+                 - cast(s_$x as double) * cast(s_$y as double))
+                 / (sqrt(cast(n as double) * cast(ss_$x as double)
+                     - cast(s_$x as double) * cast(s_$x as double))
+                  * sqrt(cast(n as double) * cast(ss_$y as double)
+                     - cast(s_$y as double) * cast(s_$y as double)))
+               END as corr
+        FROM m""" }.mkString("\n        UNION ALL")
+    s"""
+        WITH c AS (SELECT $cent FROM $table),
+        m AS (
+          SELECT $sums
+          FROM c)
+        $legs"""
+  }
+
+  val column_corr: String =
+    columnCorrSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** Seasonal decomposition over the dense hourly grid (mirrors
+    * TimeSeries.decompose, period 24): centered 24-term MA trend on
+    * full frames only, per-(type, hour-of-day) seasonal from the
+    * integer detrended numerator, residual as the fixed three-term
+    * double chain. */
+  val ts_decompose: String = """
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        h AS (SELECT event_type, ts - ts % 3600000000 as hour_us,
+                count(*) as n FROM e GROUP BY 1, 2),
+        spans AS (SELECT event_type,
+                min(ts) - min(ts) % 3600000000 as lo,
+                max(ts) - max(ts) % 3600000000 as hi
+              FROM e GROUP BY 1),
+        grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, 3600000000)) as hour_us
+              FROM spans),
+        s AS (SELECT g.event_type, g.hour_us,
+                coalesce(h.n, 0) as n_events
+              FROM grid g LEFT JOIN h USING (event_type, hour_us)),
+        f AS (SELECT event_type, hour_us, n_events,
+                cast(sum(n_events) OVER w as bigint) as frame_sum,
+                cast(count(*) OVER w as bigint) as frame_n,
+                (hour_us // 3600000000) % 24 as hod
+              FROM s
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        f2 AS (SELECT *,
+                CASE WHEN frame_n = 24
+                     THEN 24 * n_events - frame_sum END as det_num
+               FROM f),
+        seas AS (SELECT event_type, hod,
+                cast(sum(det_num) as bigint) as s_num,
+                count(*) as s_cnt
+              FROM f2 WHERE det_num IS NOT NULL GROUP BY 1, 2)
+        SELECT f2.event_type, f2.hour_us, f2.n_events,
+          CASE WHEN frame_n = 24
+               THEN cast(frame_sum as double) / 24.0 END as trend,
+          CASE WHEN det_num IS NOT NULL
+               THEN cast(s_num as double)
+                 / (24.0 * cast(s_cnt as double)) END as seasonal,
+          CASE WHEN det_num IS NOT NULL
+               THEN cast(n_events as double)
+                 - cast(frame_sum as double) / 24.0
+                 - cast(s_num as double)
+                   / (24.0 * cast(s_cnt as double)) END as residual
+        FROM f2 LEFT JOIN seas USING (event_type, hod)"""
+
 }

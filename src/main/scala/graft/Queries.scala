@@ -783,6 +783,35 @@ object Queries {
         nlist = 16, nprobe = 4, k = 5, iters = 3, sampleBudget = 128,
         queryPred = "vec_id < 8"))),
 
+    Q("ann_dim_sweep",
+      // matryoshka truncation audit: recall@5 searching only the
+      // first {8,16,32,64} embedding components vs the full-dim exact
+      // top-k — the stored-bytes knob ahead of quantization; each leg
+      // is one broadcast-queries corpus scan, the 64-dim leg is the
+      // recall-1.0 anchor proving the slice path lossless
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annDimSweep(emb, emb.filter(col("vec_id") < 8),
+          k = 5, dims = Seq(8, 16, 32, 64))
+      },
+      Some(AnnOracleSql.dimSweepSql(k = 5, dims = Seq(8, 16, 32, 64),
+        queryPred = "vec_id < 8"))),
+
+    Q("ann_nprobe_curve",
+      // the IVF tuning curve: recall@5 vs nprobe ∈ {1,2,4,8,16} under
+      // ONE frozen quantizer (fit-once cacheKey) — the recall/IO
+      // trade a deployment actually dials; nprobe=nlist=16 probes
+      // everything, so its 1.0 recall anchors the curve and proves
+      // cell assignment lossless
+      (s, d) => {
+        val emb = Tables(s, d).embeddings
+        Similarity.annNprobeCurve(emb, emb.filter(col("vec_id") < 8),
+          nprobes = Seq(1, 2, 4, 8, 16), k = 5, cacheKey = Some(d))
+      },
+      Some(AnnOracleSql.nprobeCurveSql(nlist = 16,
+        nprobes = Seq(1, 2, 4, 8, 16), k = 5, iters = 3,
+        sampleBudget = 128, queryPred = "vec_id < 8"))),
+
     Q("hybrid_search",
       // lexical (integer tf·tf overlap) + semantic (exact cosine)
       // retrieval fused with reciprocal-rank fusion — no score
@@ -3662,6 +3691,15 @@ object Queries {
       (s, d) => TimeSeries.autocorr(Tables(s, d).events, maxLag = 24),
       Some(InlineOracles.ts_autocorr)),
 
+    Q("ts_decompose",
+      // classical seasonal decomposition n = trend + seasonal +
+      // residual over the dense hourly grid: centered 24-term MA on
+      // FULL frames only (edges honestly null), seasonal from the
+      // integer detrended numerator 24·n − Σ_frame (exact longs),
+      // three fixed double chains; every window runs over grid rows
+      (s, d) => TimeSeries.decompose(Tables(s, d).events, period = 24),
+      Some(InlineOracles.ts_decompose)),
+
     Q("decayed_popularity",
       // "what is hot NOW": per-day-halving dyadic decay in exact
       // integer ppm (1000000 >> age_days) — order-independent long
@@ -4084,6 +4122,16 @@ object Queries {
       (s, d) => Profile.groupedMoments(Tables(s, d).documents,
         groupCol = "source"),
       Some(InlineOracles.moments_profile)),
+
+    Q("column_corr",
+      // pairwise Pearson correlation over cents-fixed lineitem
+      // numerics: ONE scan, one 1-row aggregate of exact decimal(38,0)
+      // power sums (hash-checked), corr derived per pair in one fixed
+      // IEEE chain with a zero-variance null guard — the feature-
+      // redundancy / plausibility profile next to moments_profile
+      (s, d) => Profile.columnCorr(Tables(s, d).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some(InlineOracles.column_corr)),
 
     Q("dataset_fingerprint",
       // the provenance row a training run pins: per source, exact

@@ -605,4 +605,55 @@ object Profile {
         col("bin"),
         (col("bin").cast("double") * lit(width)).as("bin_lo"))
   }
+
+  /** Pairwise Pearson correlation over money-scaled numeric columns —
+    * the multi-column dependence profile (feature redundancy, derived
+    * columns, plausibility: price SHOULD track quantity) that sits
+    * next to [[tableProfile]]'s per-column stats. Values are fixed to
+    * cents (`decimal(12,2) · 100 → long` — exact, no float rounding),
+    * so all five power sums per pair are ORDER-INDEPENDENT integer
+    * sums carried in decimal(38,0); corr is derived from the exact
+    * sums in ONE fixed IEEE chain `(n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²̂)·
+    * √(n·Σy²−Σy²̂))` with a NULL guard on zero variance — the sums
+    * hash-check exactly, the chain bit-replicates.
+    *
+    * Envelope: per-row cents ≤ 10⁹ keeps the per-row product ≤ 10¹⁸
+    * (long-safe); sums are exact in decimal(38,0) to ~10¹⁹ rows; the
+    * derived chain is double arithmetic on bit-identical inputs at
+    * any scale. Scale shape: ONE scan, one 1-row aggregate carrying
+    * 4 + 5·|pairs| sums (map-side combined), the long-form explode is
+    * driver-side arithmetic on that single row. */
+  def columnCorr(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val cents: Map[String, Column] = cols.map(c =>
+      c -> (col(c).cast(DecimalType(12, 2)) * lit(100))
+        .cast("long")).toMap
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val sumCols: Seq[Column] =
+      count(lit(1)).as("n") +:
+      cols.map(c => d38(sum(d38(cents(c)))).as(s"s_$c")) ++:
+      cols.map(c => d38(sum(d38(cents(c) * cents(c)))).as(s"ss_$c")) ++:
+      pairs.map { case (x, y) =>
+        d38(sum(d38(cents(x) * cents(y)))).as(s"sp_${x}__$y") }
+    val one = df.agg(sumCols.head, sumCols.tail: _*)
+    val legs = pairs.map { case (x, y) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col("n").as("n"),
+        col(s"s_$x").as("sum_x"), col(s"s_$y").as("sum_y"),
+        col(s"ss_$x").as("sum_x2"), col(s"ss_$y").as("sum_y2"),
+        col(s"sp_${x}__$y").as("sum_xy"))
+    }
+    val nd = col("n").cast("double")
+    val (sx, sy) = (col("sum_x").cast("double"), col("sum_y").cast("double"))
+    val vx = nd * col("sum_x2").cast("double") - sx * sx
+    val vy = nd * col("sum_y2").cast("double") - sy * sy
+    one.select(explode(array(legs: _*)).as("p")).select(col("p.*"))
+      .withColumn("corr",
+        when(vx > 0.0 && vy > 0.0,
+          (nd * col("sum_xy").cast("double") - sx * sy) /
+            (sqrt(vx) * sqrt(vy))))
+  }
 }

@@ -1364,4 +1364,101 @@ object Similarity {
         nearestLabelCol.as("nearest_label"),
         nearestCosCol.as("nearest_centroid_cos"))
   }
+
+  /** Matryoshka-style truncation audit: per-query recall@k when the
+    * cosine search runs on only the FIRST `d` embedding components,
+    * for each `d` in `dims`, graded against the full-dimension exact
+    * top-k. This is the storage/compute knob an embedding deployment
+    * tunes before quantization even starts — halving the stored dims
+    * halves scan bytes AND index size, and this curve says what that
+    * costs in retrieval quality (for MRL-trained embeddings the
+    * prefix IS the coarse embedding; for plain embeddings the curve
+    * quantifies how much signal the leading dims carry).
+    *
+    * Determinism: `slice` only drops elements — the truncated dot
+    * product is the SAME sequential fold over a shorter prefix, so
+    * the cosine chain stays bit-identical to DuckDB's
+    * `list_dot_product(emb[1:d], ...)`; ranks tie-break on
+    * neighbor_id. Scale shape: one truncated brute-force leg per
+    * swept dim — each is the [[annBruteForce]] posture (queries
+    * broadcast, corpus scanned once, per-partition top-k before the
+    * per-query window), so the sweep costs |dims| corpus scans and
+    * nothing quadratic. */
+  def annDimSweep(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                  dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val exact = annBruteForce(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"))
+    def truncatedTopk(d: Int): DataFrame = {
+      val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        slice(col("embedding"), 1, d).as("q_emb"),
+        VectorFunctions.l2Norm(slice(col("embedding"), 1, d))
+          .as("q_norm")))
+      val scored = corpus
+        .select(col("vec_id").as("neighbor_id"),
+          slice(col("embedding"), 1, d).as("emb"),
+          VectorFunctions.l2Norm(slice(col("embedding"), 1, d))
+            .as("c_norm"))
+        .join(q, col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine",
+          VectorFunctions.dot(col("q_emb"), col("emb")) /
+            (col("q_norm") * col("c_norm")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    def legOf(d: Int): DataFrame =
+      queries.select(col("vec_id").as("query_id"))
+        .join(exactN, Seq("query_id"), "left")
+        .join(truncatedTopk(d)
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), lit(d.toLong).as("dim"),
+          when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+            .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_exact"))
+            .as("recall"))
+    dims.map(legOf).reduce(_ unionByName _)
+  }
+
+  /** The IVF tuning curve: per-query recall@k as a function of
+    * `nprobe` — the knob every IVF deployment actually turns (probe
+    * more lists → scan more of the corpus → higher recall, linearly
+    * more IO). The curve ends at `nprobe = nlist`, where the probe
+    * set is the whole corpus and recall is 1.0 by construction — the
+    * anchor that proves the quantizer assignment itself loses
+    * nothing. Reuses ONE trained quantizer across all legs (the
+    * `cacheKey` fit-once pattern), so the sweep costs |nprobes|
+    * bucket-join scans, not |nprobes| k-means fits. Scale shape per
+    * leg = [[annIvf]]: centroids broadcast, corpus tagged in one
+    * map-only pass, candidates only from probed cells. */
+  def annNprobeCurve(corpus: DataFrame, queries: DataFrame,
+                     nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                     k: Int = 5, nlist: Int = 16, iters: Int = 3,
+                     sampleBudget: Int = 128,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val exact = annBruteForce(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"))
+    def legOf(np: Int): DataFrame =
+      queries.select(col("vec_id").as("query_id"))
+        .join(exactN, Seq("query_id"), "left")
+        .join(annIvf(corpus, queries, nlist, np, k, iters,
+          sampleBudget, cacheKey)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), lit(np.toLong).as("nprobe"),
+          when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+            .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_exact"))
+            .as("recall"))
+    nprobes.map(legOf).reduce(_ unionByName _)
+  }
 }

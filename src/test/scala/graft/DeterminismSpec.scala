@@ -154,6 +154,12 @@ class DeterminismSpec extends SparkSpec {
     // mutual-kNN closure is an iterative min-label loop like
     // dedup_clusters
     "branch_merge", "embedding_communities", "ingest_xml",
-    "pack_efficiency"))
+    "pack_efficiency",
+    // recall legs are exact-set intersections over tie-broken top-k
+    // frames; the quantizer is the frozen fit-once kernel
+    "ann_dim_sweep", "ann_nprobe_curve",
+    // integer detrended numerators / cents-fixed decimal power sums —
+    // order-independent by construction, doubles only in fixed chains
+    "ts_decompose", "column_corr"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -365,4 +365,39 @@ class ProfileSpec extends SparkSpec {
     for (r <- got)
       assert(r.getAs[Long]("bin") == maxBin(r.getAs[String]("event_type")))
   }
+
+  test("columnCorr: exact signs on planted linear relations, null on zero variance") {
+    import spark.implicits._
+    // y = 2x (corr +1), z = -x (corr -1), w constant (undefined)
+    val d = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+        (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0))
+      .toDF("x", "y", "z", "w")
+    val out = Profile.columnCorr(d, Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) -> r)
+      .toMap
+    assert(out.size == 6, "C(4,2) pairs")
+    assert(math.abs(out(("x", "y")).getAs[Double]("corr") - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z")).getAs[Double]("corr") + 1.0) < 1e-12)
+    assert(math.abs(out(("y", "z")).getAs[Double]("corr") + 1.0) < 1e-12)
+    // zero-variance column: corr is honestly NULL, never NaN/Inf
+    for (p <- Seq(("x", "w"), ("y", "w"), ("z", "w")))
+      assert(out(p).isNullAt(out(p).fieldIndex("corr")))
+  }
+
+  test("columnCorr fixes values to exact cents before summing") {
+    import spark.implicits._
+    // 0.07 and 0.1 are classic float-unrepresentable decimals: the
+    // cents fixing must land on integer cents, not float neighbors
+    val d = Seq((0.07, 0.1), (0.07, 0.2), (0.14, 0.3))
+      .toDF("a", "b")
+    val r = Profile.columnCorr(d, Seq("a", "b")).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[java.math.BigDecimal]("sum_x").longValueExact == 28L,
+      "7 + 7 + 14 cents")
+    assert(r.getAs[java.math.BigDecimal]("sum_y").longValueExact == 60L)
+    assert(r.getAs[java.math.BigDecimal]("sum_x2").longValueExact ==
+      49L + 49L + 196L)
+    assert(r.getAs[java.math.BigDecimal]("sum_xy").longValueExact ==
+      70L + 140L + 420L)
+  }
 }

@@ -791,4 +791,57 @@ class SimilaritySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("nearest_label")))
     assert(r.isNullAt(r.fieldIndex("nearest_centroid_cos")))
   }
+
+  test("annDimSweep: shared prefix hides the true neighbor, full dim is the anchor") {
+    import spark.implicits._
+    // every vector shares the 2-dim prefix (1, 0); tails differ.
+    // Full-dim nearest of query 0 is vec 5 (tail almost parallel);
+    // truncated to 2 dims all cosines tie, so top-1 falls to the
+    // lowest neighbor_id (vec 1) — recall@1 at dim 2 must be 0.
+    val d = Seq(
+      (0L, Seq(1f, 0f, 1f, 0f)),
+      (1L, Seq(1f, 0f, -1f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 1f)),
+      (3L, Seq(1f, 0f, 0f, -1f)),
+      (4L, Seq(1f, 0f, -0.9f, 0.1f)),
+      (5L, Seq(1f, 0f, 0.99f, 0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.annDimSweep(d, d.filter(col("vec_id") === 0),
+      k = 1, dims = Seq(2, 4)).collect()
+    assert(out.length == 2, "one query x two swept dims")
+    val byDim = out.map(r =>
+      r.getAs[Long]("dim") -> r.getAs[Double]("recall")).toMap
+    assert(byDim(2L) == 0.0, "prefix ties hide the true neighbor")
+    assert(byDim(4L) == 1.0, "full-width slice is lossless")
+  }
+
+  test("annDimSweep emits |queries| x |dims| rows with recall in [0,1]") {
+    val emb = tables.embeddings
+    val out = Similarity.annDimSweep(emb, emb.filter(col("vec_id") < 4),
+      k = 5, dims = Seq(8, 64)).collect()
+    assert(out.length == 8)
+    assert(out.forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0 })
+    // dim 64 IS the full embedding: the slice path must be lossless
+    assert(out.filter(_.getAs[Long]("dim") == 64L)
+      .forall(_.getAs[Double]("recall") == 1.0))
+  }
+
+  test("annNprobeCurve: per-query recall is monotone in nprobe and exhaustive at nlist") {
+    val emb = tables.embeddings
+    val out = Similarity.annNprobeCurve(emb,
+      emb.filter(col("vec_id") < 4), nprobes = Seq(1, 2, 4, 8, 16),
+      k = 5).collect()
+    assert(out.length == 20, "4 queries x 5 swept nprobes")
+    // candidates grow with nprobe, so per-query hits cannot drop:
+    // an exact member is only ever displaced by other exact members
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val curve = rows.sortBy(_.getAs[Long]("nprobe"))
+        .map(_.getAs[Double]("recall"))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"recall curve must be non-decreasing: ${curve.toSeq}")
+    }
+    assert(out.filter(_.getAs[Long]("nprobe") == 16L)
+      .forall(_.getAs[Double]("recall") == 1.0),
+      "nprobe = nlist probes every cell: exhaustive search")
+  }
 }

@@ -212,4 +212,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("b").getAs[Long]("n_late") == 1L &&
       out("b").getAs[Long]("max_late_us") == 990L)
   }
+
+  test("decompose: a pure period-24 signal leaves zero residual on full frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hourUs = 3600000000L
+    // 72 hours; count = 10 for hod < 12, 14 otherwise → one full
+    // period sums to C = 288, so every full centered frame has
+    // frame_sum = 288 → trend = 12.0 exactly; detrended numerator
+    // 24n − 288 ∈ {−48, +48} is divisible by 24 → seasonal ∈
+    // {−2, +2} exact and the residual cancels to exactly 0.0
+    val rows = for {
+      h <- 0 until 72
+      i <- 0 until (if (h % 24 < 12) 10 else 14)
+    } yield (h.toLong * 100 + i, "a", h.toLong * hourUs)
+    val events = rows.toDF("event_id", "event_type", "ts")
+    val out = TimeSeries.decompose(events, period = 24)
+      .orderBy("hour_us").collect()
+    assert(out.length == 72)
+    val full = out.filter(!_.isNullAt(3))
+    // frame is full exactly where 12 predecessors and 11 successors
+    // exist: rows 12 .. 60 inclusive
+    assert(full.length == 49)
+    assert(full.forall(_.getAs[Double]("trend") == 12.0))
+    for (r <- full) {
+      val hod = (r.getAs[Long]("hour_us") / hourUs) % 24
+      val expSeason = if (hod < 12) -2.0 else 2.0
+      assert(r.getAs[Double]("seasonal") == expSeason,
+        s"hod=$hod got ${r.getAs[Double]("seasonal")}")
+      assert(r.getAs[Double]("residual") == 0.0)
+    }
+    // edge rows: count present, decomposition honestly null
+    val edges = out.filter(_.isNullAt(3))
+    assert(edges.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("decompose reconstructs n = trend + seasonal + residual on irregular data") {
+    import org.apache.spark.sql.functions._
+    val out = TimeSeries.decompose(tables.events, period = 24)
+      .filter(col("trend").isNotNull).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val n = r.getAs[Long]("n_events").toDouble
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(n - sum) < 1e-6,
+        s"decomposition must reconstruct the series: n=$n sum=$sum")
+    }
+  }
 }
