@@ -2377,6 +2377,199 @@ object InlineOracles {
             (10 * n_bullet_lines <= 9 * n_lines) as r_bullet_lines
           FROM c)"""
 
+  /** DLT-shaped per-stage expectation metrics for the bronze→silver→
+    * gold chain (mirrors Pipeline.run's event log). */
+  val pipeline_event_log: String = {
+    def cnt(seq: Int, flow: String, name: String, pred: String,
+            from: String) =
+      s"""SELECT cast($seq as int) as stage_seq, '$flow' as flow_name,
+         '$name' as constraint_name,
+         cast(sum(case when $pred then 1 else 0 end) as bigint) as passed_records,
+         cast(sum(case when $pred then 0 else 1 end) as bigint) as failed_records
+         FROM $from"""
+    val silverPreds = Seq(
+      ("value is non-negative", "value >= 0"),
+      ("value within sane bound", "value <= 400"),
+      ("event_type is known",
+        "event_type in ('click','view','purchase','signup','error')"),
+      ("no error events", "event_type <> 'error'"),
+      ("user present", "user_id is not null"))
+    s"""
+        WITH e AS ($eventsNs),
+        dedup AS (SELECT event_id, ts, user_id, event_type, value, props FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn FROM e) WHERE rn = 1),
+        silver AS (SELECT * FROM dedup
+          WHERE value >= 0 AND value <= 400
+            AND event_type in ('click','view','purchase','signup','error')
+            AND event_type <> 'error' AND user_id is not null),
+        gold AS (SELECT event_type, count(*) as n_events,
+            cast(sum(cast(value as decimal(12,2))) as double) as total_value
+          FROM silver GROUP BY 1)
+        ${cnt(0, "bronze_events", "user present", "user_id is not null", "e")}
+        UNION ALL
+        ${cnt(0, "bronze_events", "props present", "props is not null", "e")}
+        UNION ALL
+        ${silverPreds.map { case (n, p) =>
+        cnt(1, "silver_events", n, p, "dedup") }
+      .mkString("\n        UNION ALL\n        ")}
+        UNION ALL
+        ${cnt(2, "gold_event_counts", "type has events", "n_events > 0", "gold")}
+        UNION ALL
+        ${cnt(2, "gold_event_counts", "total within bound",
+        "total_value <= 10000000", "gold")}"""
+  }
+
+  /** Mergeable-sketch quantile audit (mirrors the percentile_approx
+    * contract query): exact nearest-rank fences and the in-band
+    * contract boolean; the sketch's 1e-4 rank error sits far inside
+    * the ±2% band, so the boolean is TRUE by construction. */
+  val approx_quantiles_audit: String = {
+    val one = (pct: Int) => {
+      val (lo, hi) = (pct - 2, math.min(pct + 2, 100))
+      s"""SELECT event_type, cast($pct as bigint) as pct,
+        max(CASE WHEN rn = ceil($pct / 100.0 * n) THEN value END)
+          as exact_value,
+        max(CASE WHEN rn = ceil($lo / 100.0 * n) THEN value END)
+          as band_lo,
+        max(CASE WHEN rn = ceil($hi / 100.0 * n) THEN value END)
+          as band_hi,
+        TRUE as approx_in_band
+      FROM ranked GROUP BY 1"""
+    }
+    s"""
+        WITH ranked AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value)
+              as rn,
+            count(*) OVER (PARTITION BY event_type) as n
+          FROM events)
+        ${Seq(50, 90, 99).map(one).mkString("\nUNION ALL\n")}"""
+  }
+
+  /** Batch-grained expectation metrics rolled up to the global audit
+    * counts (mirrors Pipeline.runIncremental's per-batch log). */
+  val pipeline_incremental_log: String = {
+    val cnt = (seq: Int, flow: String, name: String, pred: String) =>
+      s"""SELECT cast($seq as int) as stage_seq, '$flow' as flow_name,
+         '$name' as constraint_name,
+         cast(sum(case when $pred then 1 else 0 end) as bigint) as passed_records,
+         cast(sum(case when $pred then 0 else 1 end) as bigint) as failed_records
+         FROM events"""
+    val silverPreds = Seq(
+      ("value is non-negative", "value >= 0"),
+      ("value within sane bound", "value <= 400"),
+      ("event_type is known",
+        "event_type in ('click','view','purchase','signup','error')"),
+      ("no error events", "event_type <> 'error'"),
+      ("user present", "user_id is not null"))
+    (cnt(0, "bronze_events", "user present", "user_id is not null") +:
+      silverPreds.map { case (n, p) => cnt(1, "silver_events", n, p) })
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** Snapshot drift gate (mirrors Profile.profileDiff): profile of
+    * the committed documents drop vs the registry's synthetic
+    * incoming drop, diffed over |columns|-row frames. */
+  val profile_diff: String = {
+    def side(rel: String, num: Seq[(String, String)],
+             str: Seq[String]): String = {
+      val blocks = num.map { case (n, e) =>
+        s"""SELECT '$n' as col_name, count(*) as n_rows,
+           cast(sum(case when $e is null then 1 else 0 end) as bigint)
+             as n_nulls,
+           count(distinct $e) as n_distinct,
+           cast(min($e) as double) as min_num,
+           cast(max($e) as double) as max_num FROM $rel"""
+      } ++ str.map { n =>
+        s"""SELECT '$n' as col_name, count(*) as n_rows,
+           cast(sum(case when $n is null then 1 else 0 end) as bigint)
+             as n_nulls,
+           count(distinct $n) as n_distinct,
+           cast(NULL as double) as min_num,
+           cast(NULL as double) as max_num FROM $rel"""
+      }
+      blocks.mkString("\nUNION ALL\n")
+    }
+    s"""
+        WITH curt AS (
+          SELECT doc_id, text,
+            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END as lang,
+            n_chars,
+            cast(len(string_split(text, ' ')) as bigint) as n_words
+          FROM documents WHERE doc_id % 10 != 0),
+        pp AS (${side("documents",
+        Seq("doc_id" -> "doc_id", "n_chars" -> "n_chars"),
+        Seq("text", "lang", "source"))}),
+        cc AS (${side("curt",
+        Seq("doc_id" -> "doc_id", "n_chars" -> "n_chars",
+          "n_words" -> "n_words"),
+        Seq("text", "lang"))})
+        SELECT coalesce(pp.col_name, cc.col_name) as col_name,
+          CASE WHEN pp.col_name IS NULL THEN 'added'
+               WHEN cc.col_name IS NULL THEN 'removed'
+               ELSE 'common' END as status,
+          pp.n_rows as rows_prev, cc.n_rows as rows_cur,
+          pp.n_nulls as nulls_prev, cc.n_nulls as nulls_cur,
+          pp.n_distinct as distinct_prev, cc.n_distinct as distinct_cur,
+          CASE WHEN pp.col_name IS NOT NULL AND cc.col_name IS NOT NULL
+            THEN cast(cc.n_nulls as double) / cc.n_rows
+               - cast(pp.n_nulls as double) / pp.n_rows END
+            as null_frac_drift,
+          CASE WHEN pp.col_name IS NOT NULL AND cc.col_name IS NOT NULL
+            THEN coalesce(cc.min_num < pp.min_num, false)
+              OR coalesce(cc.max_num > pp.max_num, false) END
+            as range_widened
+        FROM pp FULL JOIN cc ON pp.col_name = cc.col_name"""
+  }
+
+  /** Single-pass column profile over events (mirrors
+    * Profile.tableProfile): per-column aggregate blocks; ts profiles
+    * as epoch-µs to match the Spark-side long canonicalization. */
+  val table_profile: String = {
+    val numCols = Seq("event_id" -> "event_id", "ts" -> "epoch_us(ts)",
+      "user_id" -> "user_id", "value" -> "value")
+    val strCols = Seq("event_type", "props")
+    val numSql = numCols.map { case (n, e) =>
+      s"""SELECT '$n' as col_name, count(*) as n_rows,
+         cast(sum(case when $e is null then 1 else 0 end) as bigint)
+           as n_nulls,
+         count(distinct $e) as n_distinct,
+         cast(min($e) as double) as min_num,
+         cast(max($e) as double) as max_num,
+         cast(NULL as varchar) as min_str,
+         cast(NULL as varchar) as max_str
+         FROM events"""
+    }
+    val strSql = strCols.map { n =>
+      s"""SELECT '$n' as col_name, count(*) as n_rows,
+         cast(sum(case when $n is null then 1 else 0 end) as bigint)
+           as n_nulls,
+         count(distinct $n) as n_distinct,
+         cast(NULL as double) as min_num,
+         cast(NULL as double) as max_num,
+         min($n) as min_str, max($n) as max_str
+         FROM events"""
+    }
+    (numSql ++ strSql).mkString("\nUNION ALL\n")
+  }
+
+  /** Exact type-1 per-group quantiles (mirrors the two-phase
+    * bucket-selection operator): value at rank ceil(p·n). */
+  val value_quantiles: String = {
+    val one = (q: String) =>
+      s"""SELECT event_type, cast($q as double) as p,
+         value as quantile_value
+         FROM ranked WHERE rn = ceil($q * n)"""
+    s"""
+        WITH ranked AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value) as rn,
+            count(*) OVER (PARTITION BY event_type) as n
+          FROM events)
+        ${Seq("0.25", "0.5", "0.75").map(one).mkString("\nUNION ALL\n")}"""
+  }
+
   /** Pairwise Pearson correlation over cents-fixed lineitem columns
     * (mirrors Profile.columnCorr): exact decimal(38,0) power sums,
     * corr as the one fixed IEEE chain with a zero-variance NULL

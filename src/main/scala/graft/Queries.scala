@@ -30,7 +30,7 @@ object Queries {
     * micro-batch for a 10k-row batch). Scope the shuffle-partition
     * count down for the duration of a streaming harness query — fresh
     * checkpoints per run make the narrower state layout safe. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -41,7 +41,7 @@ object Queries {
     * WITHOUT `createTempDirectory`'s unbounded /tmp accumulation
     * across repeated bench/verify loops — each harness stream owns
     * exactly one reusable slot. */
-  private def freshCheckpoint(tag: String, d: String): String = {
+  private[graft] def freshCheckpoint(tag: String, d: String): String = {
     val p = s"/tmp/graft_cache/ckpt_${tag}_${new java.io.File(d).getName}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
     p
@@ -137,7 +137,7 @@ object Queries {
     }
   }
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = StreamingQueries.all ++ Seq(
 
     // ---------- C. Gold aggregates ----------
     Q("q1_pricing",
@@ -351,118 +351,6 @@ object Queries {
       },
       Some(TextOracleSql.incrementalDedupSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5, basePred = "doc_id % 10 < 8"))),
-
-    Q("stream_dedup_index",
-      // the index lifecycle run CONTINUOUSLY: docs arrive as file
-      // micro-batches, each deduped against everything seen so far and
-      // folded into the signature index; the accumulated pair set must
-      // equal the batch all-pairs estimate — batch-split independence
-      // is the oracle. Deliberately NOT narrowed to 4 shuffle
-      // partitions like the other streaming harnesses: signing
-      // dominates each micro-batch and wants the full core count
-      // (measured 8.2 s at 4 partitions vs 7.0 s at 32)
-      (s, d) => {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sdi_src_$sf"
-        val idx = s"/tmp/graft_cache/sdi_idx_$sf"
-        val prs = s"/tmp/graft_cache/sdi_pairs_$sf"
-        Seq(idx, prs).foreach(p =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-        // 4 files / 2-per-trigger → 2 micro-batches: the minimum that
-        // proves batch-split independence (intra pairs in batch 0,
-        // cross pairs vs the index in batch 1) — each extra batch
-        // costs a full probe+append job set, all fixed overhead at
-        // this scale
-        Tables(s, d).documents.select("doc_id", "text")
-          .repartition(4).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType)))
-        val ckpt = freshCheckpoint("sdi", d)
-        graft.streaming.Streams.indexedDedupStream(s, src, schema, idx, prs,
-          ckpt).awaitTermination(120000)
-        s.read.parquet(prs).select("id_a", "id_b", "est_jaccard").distinct()
-      },
-      Some(TextOracleSql.estPairsSql(shingleK = 3, numPerm = 64,
-        bands = 16, threshold = 0.5))),
-
-    Q("stream_curation",
-      // continuous corpus curation: quality-classifier filter map-side
-      // per micro-batch + cross-batch exact-dup suppression in the
-      // state store (8-byte hash state, never text); content-hash-keyed
-      // output makes the sink batch-split independent — checked by the
-      // plain batch DISTINCT oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/scur_src_$sf"
-        val out = s"/tmp/graft_cache/scur_out_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-        Tables(s, d).documents.select("doc_id", "text")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType)))
-        val ckpt = freshCheckpoint("scur", d)
-        graft.streaming.Streams.curationStream(s, src, schema, out, ckpt)
-          .awaitTermination(120000)
-        s.read.parquet(out).select("text_hash", "n_tokens", "clf_score")
-      },
-      Some(InlineOracles.stream_curation)),
-
-    Q("stream_heavy_hitters",
-      // continuous corpus token statistics: each micro-batch folds a
-      // map-side-combined partial token count into a sharded store
-      // (batch=N overwrite → retry-idempotent); partial counting is
-      // associative, so the merged shards equal the exact corpus
-      // counts however arrivals were batched — checked by the same
-      // exact word-count oracle as batch heavy_hitters
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/shh_src_$sf"
-        val cnt = s"/tmp/graft_cache/shh_cnt_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
-        Tables(s, d).documents.select("doc_id", "text")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType)))
-        val ckpt = freshCheckpoint("shh", d)
-        graft.streaming.Streams.tokenCountStream(s, src, schema, cnt, ckpt)
-          .awaitTermination(120000)
-        graft.streaming.Streams.heavyHittersFromCounts(s, cnt,
-          minCount = 500)
-      },
-      Some("""
-        SELECT word, count(*) as n_occurrences
-        FROM (SELECT unnest(string_split(text, ' ')) as word
-              FROM documents)
-        GROUP BY 1 HAVING count(*) >= 500""")),
-
-    Q("stream_profile",
-      // continuous data observability: each micro-batch lands a
-      // #columns-row mergeable profile shard (batch=N overwrite →
-      // retry-idempotent); every statistic is an associative fold, so
-      // the merged shards equal the exact whole-table profile however
-      // arrivals were batched — the batch profile SQL is the oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/spf_src_$sf"
-        val prf = s"/tmp/graft_cache/spf_prof_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prf))
-        Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("event_id", LongType),
-          StructField("ts", LongType), StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        val ckpt = freshCheckpoint("spf", d)
-        graft.streaming.Streams.profileStream(s, src, schema, prf, ckpt)
-          .awaitTermination(120000)
-        graft.streaming.Streams.profileFromShards(s, prf)
-      },
-      Some(InlineOracles.stream_profile)),
 
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d).documents),
@@ -710,40 +598,6 @@ object Queries {
       Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
         sampleBudget = 128, queryPred = "vec_id < 8"))),
 
-    Q("stream_ann_probe",
-      // ONLINE retrieval against the persisted IVF index: query
-      // vectors arrive as parquet micro-batches, each probes the
-      // static index (partition-pruned list scan, broadcast queries)
-      // and lands idempotently under batch=<id>; the index never
-      // mutates during serving, so the accumulated results equal the
-      // one-shot batch probe — the ann_ivf oracle checks the whole
-      // streaming lifecycle
-      (s, d) => {
-        import org.apache.spark.sql.types._
-        val emb = Tables(s, d).embeddings
-        val sf = new java.io.File(d).getName
-        val idx = s"/tmp/graft_cache/ivfidx_$sf"
-        Similarity.buildIvfIndex(emb, idx, cacheKey = Some(d))
-        val src = s"/tmp/graft_cache/sap_src_$sf"
-        val out = s"/tmp/graft_cache/sap_out_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(out))
-        // 4 files / 2-per-trigger → 2 micro-batches of 8 queries each
-        emb.filter(col("vec_id") < 16).select("vec_id", "embedding")
-          .repartition(4).write.mode("overwrite").parquet(src)
-        val schema = StructType(Seq(
-          StructField("vec_id", LongType),
-          StructField("embedding", ArrayType(FloatType))))
-        val ckpt = freshCheckpoint("sap", d)
-        graft.streaming.Streams.annProbeStream(s, src, schema, idx, out,
-          ckpt).awaitTermination(120000)
-        s.read.parquet(out)
-          .select("query_id", "neighbor_id", "cluster", "rank", "cosine")
-      },
-      // identical semantics to ann_ivf over the same query set
-      Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
-        sampleBudget = 128, queryPred = "vec_id < 16"))),
-
     Q("ann_pq_indexed",
       // the SERVING artifact: codes-only index hive-partitioned by
       // coarse cell (+persisted quantizer/codebooks); queries read
@@ -874,31 +728,6 @@ object Queries {
         cacheKey = Some(d)),
       Some(AnnOracleSql.powerIterateSql())),
 
-    Q("stream_covariance",
-      // continuous embedding-space observability: vector micro-
-      // batches fold per-(i,j) exact moment shards (associative
-      // longs, batch=N overwrite → retry-idempotent); the covariance
-      // — and the PCA/isotropy derived from it — stays current
-      // DURING ingest without rescanning landed vectors; the merged
-      // store re-derives the one-shot matrix on ANY batch split, so
-      // the batch covariance SQL is the oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/scv_src_$sf"
-        val cd = s"/tmp/graft_cache/scv_cov_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cd))
-        Tables(s, d).embeddings.select("vec_id", "embedding")
-          .repartition(6).write.mode("overwrite").parquet(src)
-        val schema = StructType(Seq(StructField("vec_id", LongType),
-          StructField("embedding", ArrayType(FloatType))))
-        val ckpt = freshCheckpoint("scv", d)
-        graft.streaming.Streams.covarianceStream(s, src, schema, cd,
-          ckpt).awaitTermination(120000)
-        graft.streaming.Streams.covarianceFromShards(s, cd)
-      },
-      Some(AnnOracleSql.covarianceSql())),
-
     Q("embedding_isotropy",
       // one-row anisotropy gate under every cosine-based operator:
       // exact decimal trace vs off-diagonal |cov| mass + the most
@@ -925,33 +754,6 @@ object Queries {
       // assignment pass + a ≤nlist-row aggregate
       (s, d) => Similarity.cellStats(Tables(s, d).embeddings,
         cacheKey = Some(d)),
-      Some(AnnOracleSql.cellStatsSql(nlist = 16, iters = 3,
-        sampleBudget = 128))),
-
-    Q("stream_cell_stats",
-      // the same audit maintained CONTINUOUSLY during ingest: each
-      // embedding micro-batch assigns under the frozen quantizer and
-      // lands a ≤nlist-row count shard (batch=N overwrite →
-      // retry-idempotent); counts merge associatively, so the
-      // accumulated store equals the one-shot audit on any batch
-      // split — the batch cellStats SQL is the oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/scs_src_$sf"
-        val cnt = s"/tmp/graft_cache/scs_counts_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
-        val emb = Tables(s, d).embeddings
-        val cents = Similarity.trainCentroids(emb, cacheKey = Some(d))
-        emb.select("vec_id", "embedding")
-          .repartition(4).write.mode("overwrite").parquet(src)
-        val schema = StructType(Seq(StructField("vec_id", LongType),
-          StructField("embedding", ArrayType(FloatType))))
-        val ckpt = freshCheckpoint("scs", d)
-        graft.streaming.Streams.cellStatsStream(s, src, schema, cents,
-          cnt, ckpt).awaitTermination(120000)
-        graft.streaming.Streams.cellStatsFromShards(s, cnt, nlist = 16)
-      },
       Some(AnnOracleSql.cellStatsSql(nlist = 16, iters = 3,
         sampleBudget = 128))),
 
@@ -1288,31 +1090,6 @@ object Queries {
       Some(TextOracleSql.manifestShardSql(budgetTokens = 50000L,
         maxEpochsPct = 300L, salt = "budget", seqTokens = 2048L,
         packSalt = "pack", seqsPerShard = 8L, shard = 1L))),
-
-    Q("stream_overlap",
-      // continuous cross-source overlap triage: micro-batches fold
-      // per-source k-min signature shards; k-min sets are order
-      // statistics, so the shard merge is EXACT and the streamed
-      // pairwise KMV estimate equals the one-shot batch estimate
-      // bit-for-bit on any arrival split — that batch derivation is
-      // the oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sov_src_$sf"
-        val sg = s"/tmp/graft_cache/sov_sig_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
-        Tables(s, d).documents.select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType),
-          StructField("source", StringType)))
-        val ckpt = freshCheckpoint("sov", d)
-        graft.streaming.Streams.kminStream(s, src, schema, sg, 128,
-          ckpt).awaitTermination(120000)
-        graft.streaming.Streams.overlapFromShards(s, sg, 128)
-      },
-      Some(TextOracleSql.kmvOverlapSql(k = 128))),
 
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
@@ -1658,19 +1435,7 @@ object Queries {
       // into one task
       (s, d) => Gold.exactGroupQuantiles(Tables(s, d).events,
         "event_type", "value", Seq(0.25, 0.5, 0.75), bucketWidth = 2.0),
-      Some {
-        val one = (q: String) =>
-          s"""SELECT event_type, cast($q as double) as p,
-             value as quantile_value
-             FROM ranked WHERE rn = ceil($q * n)"""
-        s"""
-        WITH ranked AS (
-          SELECT event_type, value,
-            row_number() OVER (PARTITION BY event_type ORDER BY value) as rn,
-            count(*) OVER (PARTITION BY event_type) as n
-          FROM events)
-        ${Seq("0.25", "0.5", "0.75").map(one).mkString("\nUNION ALL\n")}"""
-      }),
+      Some(InlineOracles.value_quantiles)),
 
     Q("value_histogram_eqdepth",
       // the equal-COUNT companion of value_histogram's equal-width
@@ -2179,63 +1944,6 @@ object Queries {
         Expectations.EventSuite),
       Some(InlineOracles.expectations_metrics)),
 
-    Q("stream_expectations",
-      // DLT's LIVE expectation counters (reference 4:102-123 +
-      // 3:134-152): each micro-batch folds its one-pass conditional-
-      // aggregation (passed, failed) shard (associative longs,
-      // batch=N overwrite → retry-idempotent); the violation
-      // trajectory is readable mid-ingest from the tiny store — the
-      // one-shot batch metrics SQL is the oracle on ANY arrival split
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sxp_src_$sf"
-        val md = s"/tmp/graft_cache/sxp_met_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(md))
-        Tables(s, d).events
-          .select("event_id", "event_type", "value", "user_id")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("event_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("user_id", LongType)))
-        val ckpt = freshCheckpoint("sxp", d)
-        graft.streaming.Streams.expectationsStream(s, src, schema, md,
-          Expectations.EventSuite, ckpt).awaitTermination(120000)
-        graft.streaming.Streams.expectationsFromShards(s, md)
-      },
-      Some(InlineOracles.expectations_metrics)),
-
-    Q("stream_ref_integrity",
-      // continuous orphan monitoring: lineitem micro-batches checked
-      // against the three FROZEN broadcast dims as they land (per
-      // trigger: one broadcast join + a |relations|-row aggregate);
-      // frozen dims make the counters associative, so the merged
-      // store equals the one-shot fact-side audit on ANY batch split
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val t = Tables(s, d)
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sri_src_$sf"
-        val rd = s"/tmp/graft_cache/sri_cnt_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rd))
-        t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(
-          StructField("l_orderkey", LongType),
-          StructField("l_partkey", LongType),
-          StructField("l_suppkey", LongType)))
-        val rels = Seq(
-          ("lineitem_orders", "l_orderkey", t.orders, "o_orderkey"),
-          ("lineitem_part", "l_partkey", t.part, "p_partkey"),
-          ("lineitem_supplier", "l_suppkey", t.supplier, "s_suppkey"))
-        val ckpt = freshCheckpoint("sri", d)
-        graft.streaming.Streams.refIntegrityStream(s, src, schema, rd,
-          rels, ckpt).awaitTermination(120000)
-        graft.streaming.Streams.refIntegrityFromShards(s, rd)
-      },
-      Some(InlineOracles.stream_ref_integrity)),
-
     Q("expectations_drop",
       (s, d) => Expectations.dropInvalid(Tables(s, d).events,
         Expectations.EventSuite),
@@ -2261,35 +1969,7 @@ object Queries {
       // quality): one scan, multi-count-distinct via Expand, wide
       // one-row aggregate exploded to long form map-side
       (s, d) => Profile.tableProfile(Tables(s, d).events),
-      Some {
-        // per-column aggregate blocks; ts profiles as epoch-µs to
-        // match the Spark-side long canonicalization
-        val numCols = Seq("event_id" -> "event_id", "ts" -> "epoch_us(ts)",
-          "user_id" -> "user_id", "value" -> "value")
-        val strCols = Seq("event_type", "props")
-        val numSql = numCols.map { case (n, e) =>
-          s"""SELECT '$n' as col_name, count(*) as n_rows,
-             cast(sum(case when $e is null then 1 else 0 end) as bigint)
-               as n_nulls,
-             count(distinct $e) as n_distinct,
-             cast(min($e) as double) as min_num,
-             cast(max($e) as double) as max_num,
-             cast(NULL as varchar) as min_str,
-             cast(NULL as varchar) as max_str
-             FROM events"""
-        }
-        val strSql = strCols.map { n =>
-          s"""SELECT '$n' as col_name, count(*) as n_rows,
-             cast(sum(case when $n is null then 1 else 0 end) as bigint)
-               as n_nulls,
-             count(distinct $n) as n_distinct,
-             cast(NULL as double) as min_num,
-             cast(NULL as double) as max_num,
-             min($n) as min_str, max($n) as max_str
-             FROM events"""
-        }
-        (numSql ++ strSql).mkString("\nUNION ALL\n")
-      }),
+      Some(InlineOracles.table_profile)),
 
     Q("k_anonymity",
       // governance gate before releasing a dataset: group sizes over
@@ -2369,57 +2049,7 @@ object Queries {
             size(split(col("text"), " ")).cast("long"))
         Profile.profileDiff(prev, cur)
       },
-      Some {
-        def side(rel: String, num: Seq[(String, String)],
-                 str: Seq[String]): String = {
-          val blocks = num.map { case (n, e) =>
-            s"""SELECT '$n' as col_name, count(*) as n_rows,
-               cast(sum(case when $e is null then 1 else 0 end) as bigint)
-                 as n_nulls,
-               count(distinct $e) as n_distinct,
-               cast(min($e) as double) as min_num,
-               cast(max($e) as double) as max_num FROM $rel"""
-          } ++ str.map { n =>
-            s"""SELECT '$n' as col_name, count(*) as n_rows,
-               cast(sum(case when $n is null then 1 else 0 end) as bigint)
-                 as n_nulls,
-               count(distinct $n) as n_distinct,
-               cast(NULL as double) as min_num,
-               cast(NULL as double) as max_num FROM $rel"""
-          }
-          blocks.mkString("\nUNION ALL\n")
-        }
-        s"""
-        WITH curt AS (
-          SELECT doc_id, text,
-            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END as lang,
-            n_chars,
-            cast(len(string_split(text, ' ')) as bigint) as n_words
-          FROM documents WHERE doc_id % 10 != 0),
-        pp AS (${side("documents",
-            Seq("doc_id" -> "doc_id", "n_chars" -> "n_chars"),
-            Seq("text", "lang", "source"))}),
-        cc AS (${side("curt",
-            Seq("doc_id" -> "doc_id", "n_chars" -> "n_chars",
-              "n_words" -> "n_words"),
-            Seq("text", "lang"))})
-        SELECT coalesce(pp.col_name, cc.col_name) as col_name,
-          CASE WHEN pp.col_name IS NULL THEN 'added'
-               WHEN cc.col_name IS NULL THEN 'removed'
-               ELSE 'common' END as status,
-          pp.n_rows as rows_prev, cc.n_rows as rows_cur,
-          pp.n_nulls as nulls_prev, cc.n_nulls as nulls_cur,
-          pp.n_distinct as distinct_prev, cc.n_distinct as distinct_cur,
-          CASE WHEN pp.col_name IS NOT NULL AND cc.col_name IS NOT NULL
-            THEN cast(cc.n_nulls as double) / cc.n_rows
-               - cast(pp.n_nulls as double) / pp.n_rows END
-            as null_frac_drift,
-          CASE WHEN pp.col_name IS NOT NULL AND cc.col_name IS NOT NULL
-            THEN coalesce(cc.min_num < pp.min_num, false)
-              OR coalesce(cc.max_num > pp.max_num, false) END
-            as range_widened
-        FROM pp FULL JOIN cc ON pp.col_name = cc.col_name"""
-      }),
+      Some(InlineOracles.profile_diff)),
 
     Q("pipeline_event_log",
       (s, d) => {
@@ -2445,46 +2075,7 @@ object Queries {
               Expectation("total within bound", "total_value <= 10000000"))))
         Pipeline.run(s, Tables(s, d).events, stages, dir).eventLog
       },
-      Some {
-        def cnt(seq: Int, flow: String, name: String, pred: String,
-                from: String) =
-          s"""SELECT cast($seq as int) as stage_seq, '$flow' as flow_name,
-             '$name' as constraint_name,
-             cast(sum(case when $pred then 1 else 0 end) as bigint) as passed_records,
-             cast(sum(case when $pred then 0 else 1 end) as bigint) as failed_records
-             FROM $from"""
-        val silverPreds = Seq(
-          ("value is non-negative", "value >= 0"),
-          ("value within sane bound", "value <= 400"),
-          ("event_type is known",
-            "event_type in ('click','view','purchase','signup','error')"),
-          ("no error events", "event_type <> 'error'"),
-          ("user present", "user_id is not null"))
-        s"""
-        WITH e AS ($eventsNs),
-        dedup AS (SELECT event_id, ts, user_id, event_type, value, props FROM (
-          SELECT *, row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id DESC) as rn FROM e) WHERE rn = 1),
-        silver AS (SELECT * FROM dedup
-          WHERE value >= 0 AND value <= 400
-            AND event_type in ('click','view','purchase','signup','error')
-            AND event_type <> 'error' AND user_id is not null),
-        gold AS (SELECT event_type, count(*) as n_events,
-            cast(sum(cast(value as decimal(12,2))) as double) as total_value
-          FROM silver GROUP BY 1)
-        ${cnt(0, "bronze_events", "user present", "user_id is not null", "e")}
-        UNION ALL
-        ${cnt(0, "bronze_events", "props present", "props is not null", "e")}
-        UNION ALL
-        ${silverPreds.map { case (n, p) =>
-            cnt(1, "silver_events", n, p, "dedup") }
-          .mkString("\n        UNION ALL\n        ")}
-        UNION ALL
-        ${cnt(2, "gold_event_counts", "type has events", "n_events > 0", "gold")}
-        UNION ALL
-        ${cnt(2, "gold_event_counts", "total within bound",
-          "total_value <= 10000000", "gold")}"""
-      }),
+      Some(InlineOracles.pipeline_event_log)),
 
     Q("pipeline_incremental",
       (s, d) => withShufflePartitions(s, 8) {
@@ -2511,24 +2102,7 @@ object Queries {
           .agg(sum(col("passed_records")).as("passed_records"),
             sum(col("failed_records")).as("failed_records"))
       },
-      Some {
-        val cnt = (seq: Int, flow: String, name: String, pred: String) =>
-          s"""SELECT cast($seq as int) as stage_seq, '$flow' as flow_name,
-             '$name' as constraint_name,
-             cast(sum(case when $pred then 1 else 0 end) as bigint) as passed_records,
-             cast(sum(case when $pred then 0 else 1 end) as bigint) as failed_records
-             FROM events"""
-        val silverPreds = Seq(
-          ("value is non-negative", "value >= 0"),
-          ("value within sane bound", "value <= 400"),
-          ("event_type is known",
-            "event_type in ('click','view','purchase','signup','error')"),
-          ("no error events", "event_type <> 'error'"),
-          ("user present", "user_id is not null"))
-        (cnt(0, "bronze_events", "user present", "user_id is not null") +:
-          silverPreds.map { case (n, p) => cnt(1, "silver_events", n, p) })
-          .mkString("\nUNION ALL\n")
-      }),
+      Some(InlineOracles.pipeline_incremental_log)),
 
     Q("pipeline_incremental_gold",
       (s, d) => withShufflePartitions(s, 8) {
@@ -2621,247 +2195,6 @@ object Queries {
         GROUP BY 1, 2""")),
 
     // ---------- E. Streaming (driver-visible incremental run) ----------
-    Q("stream_ingest_batch",
-      (s, d) => {
-        import org.apache.spark.sql.streaming.Trigger
-        import org.apache.spark.sql.types._
-        val src = s"/tmp/graft_cache/stream_src_${new java.io.File(d).getName}"
-        // natural partitioning for the staging write — the streaming
-        // file source reads per-file in parallel, so don't cap it
-        Tables(s, d).events
-          .select("event_id", "user_id", "event_type", "value")
-          .write.mode("overwrite").json(src)
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        val ckpt = freshCheckpoint("stream", d)
-        val q = graft.streaming.Streams.fileIngest(s, src, schema)
-          .writeStream.format("memory").queryName("graft_stream_ingest")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
-        s.table("graft_stream_ingest")
-          .select("event_id", "user_id", "event_type", "value")
-      },
-      // the stream is exactly the staged events subset — an e2e
-      // no-loss/no-dup check of the incremental ingest
-      Some("SELECT event_id, user_id, event_type, value FROM events")),
-
-    Q("stream_file_ingest",
-      // the full auto-loader LIFECYCLE oracle-gated (r7 judge item
-      // #4): file-source ingest through an exactly-once parquet FILE
-      // sink in several micro-batches (3 files/trigger), then a
-      // RESTART from the same checkpoint after new files arrive —
-      // the resumed stream must ingest ONLY the delta (offset log),
-      // any reprocessing would double rows and break the hash; final
-      // sink = exactly one copy of everything staged, independent of
-      // the run/batch split
-      (s, d) => withShufflePartitions(s, 8) {
-        import org.apache.spark.sql.streaming.Trigger
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sfi_src_$sf"
-        val out = s"/tmp/graft_cache/sfi_out_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-        val ev = Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value")
-        ev.filter(col("event_id") % 4 =!= 0).repartition(6)
-          .write.mode("overwrite").json(src)
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        val ckpt = freshCheckpoint("sfi", d)
-        def runOnce(): Unit = {
-          val q = graft.streaming.Streams.fileIngest(s, src, schema,
-              maxFilesPerTrigger = 3)
-            .select("event_id", "ts", "user_id", "event_type", "value")
-            .writeStream.format("parquet").option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination(120000); ()
-        }
-        runOnce()
-        // late arrivals land while the stream is down; the restart
-        // resumes from the checkpoint and picks up only these files
-        ev.filter(col("event_id") % 4 === 0).repartition(2)
-          .write.mode("append").json(src)
-        runOnce()
-        s.read.parquet(out)
-      },
-      Some("""
-        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
-        FROM events""")),
-
-    Q("stream_merge_versioned",
-      (s, d) => withShufflePartitions(s, 8) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/smv_src_$sf"
-        val table = s"/tmp/graft_cache/smv_table_$sf"
-        VersionedTable.destroy(table)
-        // stage as several files; 3-files-per-trigger forces multiple
-        // MERGE micro-batches — the recency-aware merge makes the
-        // final table independent of the batch split
-        Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .repartition(8)
-          .write.mode("overwrite").json(src)
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        val ckpt = freshCheckpoint("smv", d)
-        val q = graft.streaming.Streams.mergeStream(s, src, schema, table,
-          key = "user_id", orderCol = "ts", tieBreaker = "event_id",
-          checkpoint = ckpt,
-          payloadCols = Seq("event_id", "ts", "user_id", "event_type", "value"),
-          maxFilesPerTrigger = 3)
-        q.awaitTermination(120000)
-        VersionedTable.read(s, table)
-      },
-      // final table = latest event per user over everything staged,
-      // regardless of micro-batch boundaries
-      Some(s"""
-        SELECT event_id, ts, user_id, event_type, value FROM (
-          SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value,
-            row_number() OVER (PARTITION BY user_id
-              ORDER BY epoch_us(ts) DESC, event_id DESC) as rn
-          FROM events) WHERE rn = 1""")),
-
-    Q("stream_dedup",
-      (s, d) => withShufflePartitions(s, 8) {
-        import org.apache.spark.sql.streaming.Trigger
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sdd_src_$sf"
-        // stage every event TWICE (an at-least-once delivery) in 8
-        // files — the watermark-bounded dedup must emit each exactly once
-        val ev = Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value")
-        ev.unionAll(ev).repartition(8).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        val ckpt = freshCheckpoint("sdd", d)
-        val q = graft.streaming.Streams.dedupStream(
-          graft.streaming.Streams.fileIngest(s, src, schema)
-            .select("event_id", "ts", "user_id", "event_type", "value"))
-          .writeStream.format("memory").queryName("graft_stream_dedup")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
-        s.table("graft_stream_dedup")
-      },
-      // doubled input collapses back to exactly the source events
-      Some(s"""
-        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
-        FROM events""")),
-
-    Q("stream_attribution",
-      (s, d) => withShufflePartitions(s, 8) {
-        import org.apache.spark.sql.streaming.Trigger
-        import org.apache.spark.sql.types._
-        // the stream-stream interval join e2e: clicks and purchases
-        // read as TWO streams over the same staged files, joined on
-        // user within the preceding 30-minute window, watermarks
-        // bounding state on both sides. Inner-join matches emit
-        // eagerly, so AvailableNow drains every pair.
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sattr_src_$sf"
-        Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        val clicks = graft.streaming.Streams.fileIngest(s, src, schema)
-          .filter(col("event_type") === "click")
-        val purchases = graft.streaming.Streams.fileIngest(s, src, schema)
-          .filter(col("event_type") === "purchase")
-        val ckpt = freshCheckpoint("sattr", d)
-        val q = graft.streaming.Streams
-          .attributionPairsStream(clicks, purchases, windowUs = 1800000000L)
-          .writeStream.format("memory").queryName("graft_stream_attr")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
-        s.table("graft_stream_attr")
-      },
-      // every (purchase, same-user click within the preceding 30 min)
-      // pair, exactly once
-      Some("""
-        WITH e AS (SELECT event_id, epoch_us(ts) as ts, user_id,
-                     event_type FROM events)
-        SELECT p.user_id, p.event_id as purchase_id, c.event_id as click_id
-        FROM e p JOIN e c
-          ON c.user_id = p.user_id
-         AND p.event_type = 'purchase' AND c.event_type = 'click'
-         AND c.ts BETWEEN p.ts - 1800000000 AND p.ts""")),
-
-    Q("stream_join_outer",
-      (s, d) => withShufflePartitions(s, 8) {
-        import org.apache.spark.sql.streaming.Trigger
-        import org.apache.spark.sql.types._
-        // the LEFT-OUTER stream-stream join e2e: inner pairs emit
-        // eagerly, but a zero-click purchase emits its null row only
-        // when the click-side watermark passes its event time — a
-        // watermark-CLOSURE event, not a data event. To drain state
-        // deterministically on a bounded replay, one sentinel row per
-        // side (user_id = -1, ts = max+10 h) lands in a strictly
-        // LATER file: maxFilesPerTrigger=3 puts it in its own final
-        // micro-batch (a sentinel in an early batch would raise the
-        // watermark OVER the real data and drop it as late), and the
-        // no-data batch that follows flushes every surviving outer
-        // row. Sentinels filter out of the result by user sign.
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sjo_src_$sf"
-        val ev = Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value")
-        ev.repartition(6).write.mode("overwrite").json(src)
-        val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
-        import s.implicits._
-        Seq((-1L, maxTs + 36000000000L, -1L, "click", 0.0),
-            (-2L, maxTs + 36000000000L, -1L, "purchase", 0.0))
-          .toDF("event_id", "ts", "user_id", "event_type", "value")
-          .coalesce(1).write.mode("append").json(src)
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        def side(t: String) = graft.streaming.Streams
-          .fileIngest(s, src, schema, maxFilesPerTrigger = 3)
-          .filter(col("event_type") === t)
-        val ckpt = freshCheckpoint("sjo", d)
-        val q = graft.streaming.Streams
-          .attributionOuterStream(side("click"), side("purchase"),
-            windowUs = 1800000000L)
-          .writeStream.format("memory").queryName("graft_stream_jo")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
-        s.table("graft_stream_jo").filter(col("user_id") >= 0)
-      },
-      // the batch left join: every purchase exactly once per matching
-      // click, or once with a null click if none in the window
-      Some("""
-        WITH e AS (SELECT event_id, epoch_us(ts) as ts, user_id,
-                     event_type FROM events)
-        SELECT p.user_id, p.event_id as purchase_id, c.event_id as click_id
-        FROM (SELECT * FROM e WHERE event_type = 'purchase') p
-        LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
-          ON c.user_id = p.user_id
-         AND c.ts BETWEEN p.ts - 1800000000 AND p.ts""")),
-
     // ---------- E. Streaming batch-analogs ----------
     Q("event_window_agg",
       (s, d) => graft.streaming.Streams.windowAgg(
@@ -2872,86 +2205,6 @@ object Queries {
           cast(sum(cast(value as decimal(12,2))) as double) as total_value
         FROM events GROUP BY 1, 2"""),
       headline = true),
-
-    Q("stream_window_agg",
-      // the watermarked streaming window pipeline end-to-end: file
-      // source → event-time tumbling windows → append-mode parquet of
-      // CLOSED windows. One far-future sentinel event advances the
-      // watermark past every real window (AvailableNow runs the
-      // no-data flush batch), so the emitted set equals the batch
-      // aggregate — which is the oracle. The sentinel's own window
-      // stays open and is filtered by type
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/swa_src_$sf"
-        val out = s"/tmp/graft_cache/swa_out_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-        val ev = Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value",
-            "props")
-        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-        val sentinelTs = maxTs + 24L * 3600L * 1000000L + 1L
-        val sentinel = ev.limit(1).select(lit(-1L).as("event_id"),
-          lit(sentinelTs).as("ts"), lit(-1L).as("user_id"),
-          lit("sentinel").as("event_type"), lit(0.0).as("value"),
-          lit("{}").as("props"))
-        ev.unionByName(sentinel).repartition(4)
-          .write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("event_id", LongType),
-          StructField("ts", LongType), StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        val ckpt = freshCheckpoint("swa", d)
-        graft.streaming.Streams.windowAggFileStream(s, src, schema, out,
-          ckpt).awaitTermination(120000)
-        s.read.parquet(out).filter(col("event_type") =!= "sentinel")
-      },
-      Some("""
-        SELECT epoch_us(date_trunc('hour', ts)) as window_start_us,
-          event_type, count(*) as n_events,
-          cast(sum(cast(value as decimal(12,2))) as double) as total_value
-        FROM events GROUP BY 1, 2""")),
-
-    Q("stream_sessionize",
-      // gap-based sessionization run as a REAL stream end-to-end:
-      // file source → flatMapGroupsWithState per-user session state →
-      // append-mode parquet of closed sessions. Per-user closing
-      // sentinels (10 gaps after everything) close every real session
-      // inline, so the emitted set equals the batch window-islands
-      // analog — the oracle; sentinel sessions stay open and are
-      // never emitted
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val gap = 1800000000L
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/ssz_src_$sf"
-        val out = s"/tmp/graft_cache/ssz_out_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-        val ev = Tables(s, d).events
-          .select("event_id", "ts", "user_id", "event_type", "value",
-            "props")
-        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-        val sentinelTs = maxTs + 10L * gap
-        val sentinels = ev.select(col("user_id")).distinct()
-          .select((lit(-1L) - col("user_id")).as("event_id"),
-            lit(sentinelTs).as("ts"), col("user_id"),
-            lit("sentinel").as("event_type"), lit(0.0).as("value"),
-            lit("{}").as("props"))
-        ev.unionByName(sentinels).repartition(4)
-          .write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("event_id", LongType),
-          StructField("ts", LongType), StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        val ckpt = freshCheckpoint("ssz", d)
-        graft.streaming.Streams.sessionizeFileStream(s, src, schema, out,
-          ckpt, gap).awaitTermination(120000)
-        s.read.parquet(out).filter(col("session_start") < sentinelTs)
-      },
-      Some(InlineOracles.stream_sessionize)),
 
     Q("click_attribution",
       (s, d) => graft.streaming.Streams.attributionBatch(
@@ -3767,36 +3020,6 @@ object Queries {
       },
       Some(InlineOracles.corpus_drift)),
 
-    Q("stream_mix_drift",
-      // the mix gate run CONTINUOUSLY: the synthetic incoming drop
-      // streams in micro-batches, each folding a ≤|langs|×|sources|-
-      // row cell-count shard (batch=N overwrite → retry-idempotent);
-      // counting is associative so the accumulated mix vs the
-      // committed base equals batch corpus_drift however arrivals
-      // were split — corpus_drift's oracle IS this oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/smx_src_$sf"
-        val cells = s"/tmp/graft_cache/smx_cells_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(cells))
-        val docs = Tables(s, d).documents
-        docs.filter(col("doc_id") % 10 =!= 0)
-          .withColumn("source", when(col("doc_id") % 7 === 0,
-            lit("web-rescrape")).otherwise(col("source")))
-          .select("doc_id", "lang", "source")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("lang", StringType),
-          StructField("source", StringType)))
-        val ckpt = freshCheckpoint("smx", d)
-        graft.streaming.Streams.mixStream(s, src, schema, cells, ckpt)
-          .awaitTermination(120000)
-        graft.streaming.Streams.mixDriftVsBase(s, cells, docs)
-      },
-      Some(InlineOracles.stream_mix_drift)),
-
     Q("ks_drift",
       // two-sample Kolmogorov-Smirnov gate on the doc-length
       // distribution: committed corpus vs an incoming drop where one
@@ -4170,24 +3393,6 @@ object Queries {
       Some(TextOracleSql.splitLeakageFixSql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.5, trainPct = 80, valPct = 10))),
 
-    Q("stream_watermark_drop",
-      // the engine's REAL watermark-drop semantics, hash-checked: a
-      // deterministic event sample replays through an actual
-      // watermarked windowed aggregation (MemoryStream, exact batch
-      // boundaries) and the oracle re-derives the calibrated accept
-      // rule — window_end > (max earlier-batch event-time − delay) —
-      // closing the loop on the closed-form lateness audits; the
-      // replay sample is bounded by an ABSOLUTE 2000-row budget
-      // (modulus = ceil(n/2000), derived identically on both sides),
-      // so the driver collect stays flat at any events cardinality
-      (s, d) => withShufflePartitions(s, 4) {
-        graft.streaming.Streams.watermarkDropRun(s,
-          Tables(s, d).events, delayUs = 86400000000L,
-          windowUs = 3600000000L, nBatches = 4, sampleBudget = 2000,
-          outDir = s"/tmp/graft_cache/wmd_${new java.io.File(d).getName}")
-      },
-      Some(InlineOracles.stream_watermark_drop)),
-
     Q("semdedup_curve",
       // the SemDeDup tuning table: candidate cosine cutoffs swept
       // over the quantizer-blocked pair frame built ONCE at the
@@ -4294,28 +3499,7 @@ object Queries {
       // contract approx ∈ [exact(p−2%), exact(p+2%)] — which any
       // partitioning satisfies (sketch rank error 1e-4 ≪ band)
       (s, d) => Gold.approxQuantilesAudit(Tables(s, d).events),
-      Some {
-        val one = (pct: Int) => {
-          val (lo, hi) = (pct - 2, math.min(pct + 2, 100))
-          s"""SELECT event_type, cast($pct as bigint) as pct,
-            max(CASE WHEN rn = ceil($pct / 100.0 * n) THEN value END)
-              as exact_value,
-            max(CASE WHEN rn = ceil($lo / 100.0 * n) THEN value END)
-              as band_lo,
-            max(CASE WHEN rn = ceil($hi / 100.0 * n) THEN value END)
-              as band_hi,
-            TRUE as approx_in_band
-          FROM ranked GROUP BY 1"""
-        }
-        s"""
-        WITH ranked AS (
-          SELECT event_type, value,
-            row_number() OVER (PARTITION BY event_type ORDER BY value)
-              as rn,
-            count(*) OVER (PARTITION BY event_type) as n
-          FROM events)
-        ${Seq(50, 90, 99).map(one).mkString("\nUNION ALL\n")}"""
-      }),
+      Some(InlineOracles.approx_quantiles_audit)),
 
     Q("bloom_fpp_audit",
       // bloom-filter health: exact member/probe sizes + the
@@ -4340,31 +3524,6 @@ object Queries {
       (s, d) => Maintenance.compactionPlan(Tables(s, d).events,
         targetRows = 2000L),
       Some(InlineOracles.compaction_plan)),
-
-    Q("stream_image_dedup",
-      // continuous media ingest: pattern PNGs arrive through the
-      // binaryFile FILE STREAM (the cloudFiles-for-media analog),
-      // each micro-batch pays the ImageIO decode exactly ONCE and
-      // lands its signature shard idempotently; dedup groups derive
-      // from the signature store at any point without re-reading or
-      // re-decoding landed bytes — the batch phash oracle checks the
-      // whole streaming lifecycle
-      (s, d) => withShufflePartitions(s, 4) {
-        implicit val sp: SparkSession = s
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/ppng_$sf"
-        val sg = s"/tmp/graft_cache/ppng_sig_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
-        Multimodal.stagePatternImageFiles(Tables(s, d).documents, src)
-        val ckpt = freshCheckpoint("sid", d)
-        // large trigger: one-file-per-doc staging makes per-batch
-        // fixed cost the bottleneck at bench scale; StreamsSpec
-        // proves the signature store is trigger-size independent
-        graft.streaming.Streams.imageHashStream(s, src, sg, ckpt,
-          maxFilesPerTrigger = 2048).awaitTermination(180000)
-        graft.streaming.Streams.imageDedupFromShards(s, sg)
-      },
-      Some(InlineOracles.image_phash_dedup)),
 
     Q("image_phash_dedup",
       // perceptual image dedup over the REAL ImageIO decode path:
@@ -4428,114 +3587,6 @@ object Queries {
           delayUs = 604800000000L, arrivalCol = arr)
       },
       Some(InlineOracles.late_arrival_audit)),
-
-    Q("stream_quantiles",
-      // continuous quantile observability ("where is the p99 right
-      // now"): micro-batches fold exact equi-width histogram shards
-      // (per-(type, bin) long counts, batch=N overwrite →
-      // retry-idempotent); the merged store answers the whole ppm
-      // ladder from the tiny histogram frame without rescanning the
-      // stream, and unlike t-digest/KLL the merge is EXACT — the
-      // one-shot batch derivation is the oracle on ANY arrival split
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sqn_src_$sf"
-        val hd = s"/tmp/graft_cache/sqn_hist_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hd))
-        Tables(s, d).events.select("event_id", "event_type", "value")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("event_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType)))
-        val ckpt = freshCheckpoint("sqn", d)
-        graft.streaming.Streams.histStream(s, src, schema, hd,
-          "event_type", "value", width = 4.0, ckpt).awaitTermination(120000)
-        graft.streaming.Streams.quantilesFromShards(s, hd, "event_type",
-          Seq(250000L, 500000L, 750000L, 900000L, 990000L), width = 4.0)
-      },
-      Some(InlineOracles.stream_quantiles)),
-
-    Q("stream_moments",
-      // continuous distribution observability: each micro-batch
-      // lands its per-source exact power sums (associative longs,
-      // batch=N overwrite → retry-idempotent); the merged shards
-      // equal the one-shot moments however arrivals were batched —
-      // the batch moments SQL is the oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/smo_src_$sf"
-        val mom = s"/tmp/graft_cache/smo_mom_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mom))
-        Tables(s, d).documents
-          .select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType),
-          StructField("source", StringType)))
-        val ckpt = freshCheckpoint("smo", d)
-        graft.streaming.Streams.momentsStream(s, src, schema, mom,
-          "source", ckpt).awaitTermination(120000)
-        graft.streaming.Streams.momentsFromShards(s, mom, "source")
-      },
-      Some(InlineOracles.stream_moments)),
-
-    Q("stream_fingerprint",
-      // continuous provenance: each micro-batch lands its per-source
-      // (docs, tokens, checksum) shard (associative long/decimal
-      // sums, batch=N overwrite → retry-idempotent); the merged
-      // shards equal the one-shot data-card row however arrivals
-      // were batched — the batch fingerprint SQL is the oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sfp_src_$sf"
-        val fpd = s"/tmp/graft_cache/sfp_fp_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpd))
-        Tables(s, d).documents.select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType),
-          StructField("source", StringType)))
-        val ckpt = freshCheckpoint("sfp", d)
-        graft.streaming.Streams.fingerprintStream(s, src, schema, fpd,
-          ckpt).awaitTermination(120000)
-        graft.streaming.Streams.fingerprintFromShards(s, fpd)
-      },
-      Some(s"""
-        SELECT source, cast(count(*) as bigint) as n_docs,
-          cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
-          cast(sum(${TextOracleSql.Sha60.format(
-            "cast(doc_id as varchar) || ':' || text")})
-            as decimal(38,0)) as content_sum
-        FROM documents GROUP BY 1""")),
-
-    Q("stream_budget_fit",
-      // continuous mixture planning: micro-batches fold per-source
-      // token-mass shards (associative long sums, batch=N overwrite
-      // → retry-idempotent); the waterfilling fit re-solved from the
-      // merged store equals the one-shot fit however arrivals were
-      // batched — the batch fit SQL is the oracle
-      (s, d) => withShufflePartitions(s, 4) {
-        import org.apache.spark.sql.types._
-        val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sbf_src_$sf"
-        val msd = s"/tmp/graft_cache/sbf_mass_$sf"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(msd))
-        Tables(s, d).documents.select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
-        val schema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType),
-          StructField("source", StringType)))
-        val ckpt = freshCheckpoint("sbf", d)
-        graft.streaming.Streams.massStream(s, src, schema, msd,
-          ckpt).awaitTermination(120000)
-        graft.streaming.Streams.fitFromShards(s, msd,
-          budgetTokens = 75000L, maxEpochsPct = 300L)
-      },
-      Some(TextOracleSql.tokenBudgetFitSql(
-        budgetTokens = 75000L, maxEpochsPct = 300L))),
 
     Q("ab_test",
       // deterministic A/B readout on events: salted-hash user
