@@ -1111,6 +1111,34 @@ object Queries {
       // two-phase distributed prefix sum must reproduce it exactly
       Some(InlineOracles.sequence_pack)),
 
+    Q("context_len_fit",
+      // the max_seq_len sizing audit: per candidate context length,
+      // docs that fit, chunk count under splitting, exact token mass
+      // kept under truncation and the floor-ppm loss — all integer,
+      // one map-side-combined groupBy on |ctxLens| keys
+      (s, d) => Mixture.contextLenFit(Tables(s, d).documents,
+        ctxLens = Seq(16, 32, 64, 128)),
+      Some("""
+        WITH t AS (SELECT len(string_split(text, ' ')) as tok
+                   FROM documents),
+        x AS (SELECT tok, unnest([16, 32, 64, 128]) as ctx_len FROM t),
+        a AS (SELECT cast(ctx_len as bigint) as ctx_len,
+                count(*) as n_docs,
+                cast(sum(case when tok <= ctx_len then 1 else 0 end)
+                  as bigint) as n_fit,
+                cast(sum((tok + ctx_len - 1) // ctx_len) as bigint)
+                  as n_chunks,
+                cast(sum(tok) as bigint) as tokens_total,
+                cast(sum(least(tok, ctx_len)) as bigint)
+                  as tokens_kept_trunc
+              FROM x GROUP BY 1)
+        SELECT ctx_len, n_docs, n_fit,
+          n_fit * 1000000 // n_docs as fit_ppm,
+          n_chunks, tokens_total, tokens_kept_trunc,
+          (tokens_total - tokens_kept_trunc) * 1000000 // tokens_total
+            as trunc_loss_ppm
+        FROM a""")),
+
     Q("pack_efficiency",
       // the attention-contamination report for concat packing: per
       // training sequence, docs starting vs CARRIED IN across the

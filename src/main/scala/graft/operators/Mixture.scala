@@ -399,4 +399,41 @@ object Mixture {
         col("token_start"),
         expr(s"token_start div $seqTokens").as("seq_id"))
   }
+
+  /** The max_seq_len sizing audit: for each candidate context length
+    * L, how the corpus behaves under the two standard policies —
+    * TRUNCATE (keep the first L tokens: how much token mass is cut)
+    * and SPLIT (chunk into ⌈tok/L⌉ pieces: how many sequences the
+    * corpus becomes). Per L: docs that fit outright (fit_ppm), total
+    * chunks under splitting, exact token mass kept under truncation
+    * and the floor-ppm loss. The curve is what picks L before
+    * [[writeManifestShards]] packs anything — too short silently
+    * amputates the long-document tail this audit prices.
+    *
+    * All integer arithmetic (counts, Σ min(tok, L), floor-ppm), so
+    * the whole frame hash-checks. Scale shape: token counts are
+    * map-side; each doc emits |ctxLens| tiny rows into ONE
+    * map-side-combined groupBy on the |ctxLens|-key column — no
+    * second scan per candidate length. */
+  def contextLenFit(documents: DataFrame,
+                    ctxLens: Seq[Int] = Seq(16, 32, 64, 128)): DataFrame = {
+    require(ctxLens.nonEmpty && ctxLens.forall(_ >= 1),
+      "context lengths must be positive")
+    documents
+      .select(size(split(col("text"), " ")).cast("long").as("tok"))
+      .select(col("tok"), explode(
+        array(ctxLens.map(l => lit(l.toLong)): _*)).as("ctx_len"))
+      .groupBy("ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tok") <= col("ctx_len"), 1L).otherwise(0L))
+          .as("n_fit"),
+        sum(expr("(tok + ctx_len - 1) div ctx_len")).as("n_chunks"),
+        sum(col("tok")).as("tokens_total"),
+        sum(least(col("tok"), col("ctx_len"))).as("tokens_kept_trunc"))
+      .select(col("ctx_len"), col("n_docs"), col("n_fit"),
+        expr("n_fit * 1000000 div n_docs").as("fit_ppm"),
+        col("n_chunks"), col("tokens_total"), col("tokens_kept_trunc"),
+        expr("(tokens_total - tokens_kept_trunc) * 1000000" +
+          " div tokens_total").as("trunc_loss_ppm"))
+  }
 }

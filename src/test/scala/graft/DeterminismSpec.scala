@@ -160,6 +160,8 @@ class DeterminismSpec extends SparkSpec {
     "ann_dim_sweep", "ann_nprobe_curve",
     // integer detrended numerators / cents-fixed decimal power sums —
     // order-independent by construction, doubles only in fixed chains
-    "ts_decompose", "column_corr"))
+    "ts_decompose", "column_corr",
+    // pure integer fit/chunk/truncation ledger
+    "context_len_fit"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

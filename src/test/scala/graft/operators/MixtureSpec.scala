@@ -232,4 +232,29 @@ class MixtureSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptSmall.subsetOf(keptGrown))
   }
+
+  test("contextLenFit: hand-computed fit/chunk/truncation ledger") {
+    import spark.implicits._
+    // docs of 3, 5 and 8 whitespace tokens
+    val docs = Seq((1L, "a b c", "s"), (2L, "a b c d e", "s"),
+        (3L, "a b c d e f g h", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Mixture.contextLenFit(docs, ctxLens = Seq(4, 8)).collect()
+      .map(r => r.getAs[Long]("ctx_len") -> r).toMap
+    val at4 = out(4L)
+    assert(at4.getAs[Long]("n_docs") == 3L)
+    assert(at4.getAs[Long]("n_fit") == 1L, "only the 3-token doc fits")
+    assert(at4.getAs[Long]("fit_ppm") == 333333L)
+    // chunks: ceil(3/4)+ceil(5/4)+ceil(8/4) = 1+2+2
+    assert(at4.getAs[Long]("n_chunks") == 5L)
+    assert(at4.getAs[Long]("tokens_total") == 16L)
+    // truncation keeps min(tok,4): 3+4+4
+    assert(at4.getAs[Long]("tokens_kept_trunc") == 11L)
+    assert(at4.getAs[Long]("trunc_loss_ppm") == 312500L)
+    val at8 = out(8L)
+    assert(at8.getAs[Long]("n_fit") == 3L &&
+      at8.getAs[Long]("fit_ppm") == 1000000L)
+    assert(at8.getAs[Long]("n_chunks") == 3L)
+    assert(at8.getAs[Long]("trunc_loss_ppm") == 0L)
+  }
 }
