@@ -2420,6 +2420,42 @@ object InlineOracles {
         "total_value <= 10000000", "gold")}"""
   }
 
+  /** Count-Min sketch audit (mirrors TextAnalysis.countMinAudit):
+    * identical sha60 cell hashes, integer counters, min-over-rows
+    * estimates — the sketch is SQL-replicable so the frame
+    * hash-checks exactly. */
+  val sketch_countmin: String = {
+    val width = 64; val depth = 4
+    val probes = Seq("the", "table", "spark", "value", "zzzmissing")
+    val sha = TextOracleSql.Sha60
+    def cell(r: String, w: String) =
+      sha.format(s"'cms:' || cast($r as varchar) || ':' || $w") + s" % $width"
+    val probeVals = probes.map(p => s"('$p')").mkString(", ")
+    val probeList = probes.map(p => s"'$p'").mkString(", ")
+    s"""
+        WITH tokens AS (SELECT unnest(string_split(text, ' ')) as w
+                        FROM documents),
+        rws AS (SELECT unnest(range($depth)) as r),
+        counters AS (
+          SELECT r, ${cell("r", "w")} as cell, count(*) as n
+          FROM tokens CROSS JOIN rws GROUP BY 1, 2),
+        probes(word) AS (VALUES $probeVals),
+        tc AS (SELECT w as word, count(*) as true_count FROM tokens
+               WHERE w IN ($probeList) GROUP BY 1),
+        est AS (SELECT p.word,
+                  cast(min(coalesce(c.n, 0)) as bigint) as cm_estimate
+                FROM probes p CROSS JOIN rws r
+                LEFT JOIN counters c ON c.r = r.r
+                  AND c.cell = ${cell("r.r", "p.word")}
+                GROUP BY 1)
+        SELECT e.word,
+          cast(coalesce(tc.true_count, 0) as bigint) as true_count,
+          e.cm_estimate,
+          e.cm_estimate - coalesce(tc.true_count, 0) as overcount,
+          e.cm_estimate >= coalesce(tc.true_count, 0) as never_undercounts
+        FROM est e LEFT JOIN tc ON tc.word = e.word"""
+  }
+
   /** Mergeable-sketch quantile audit (mirrors the percentile_approx
     * contract query): exact nearest-rank fences and the in-band
     * contract boolean; the sketch's 1e-4 rank error sits far inside

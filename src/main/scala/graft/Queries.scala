@@ -1091,6 +1091,19 @@ object Queries {
         maxEpochsPct = 300L, salt = "budget", seqTokens = 2048L,
         packSalt = "pack", seqsPerShard = 8L, shard = 1L))),
 
+    Q("sketch_countmin",
+      // Count-Min point-frequency sketch next to bloom/HLL/MG/KMV:
+      // depth·width integer counters over (row, sha60-cell) keys —
+      // associative, partitioning-independent and SQL-replicable, so
+      // the whole frame hash-checks (unlike HLL); per probe word the
+      // exact count, the min-over-rows estimate, the overcount and
+      // the one-sided est ≥ true contract; token scan emits depth
+      // keys per occurrence into ONE 256-counter map-side groupBy
+      (s, d) => TextAnalysis.countMinAudit(Tables(s, d).documents,
+        width = 64, depth = 4,
+        probes = Seq("the", "table", "spark", "value", "zzzmissing")),
+      Some(InlineOracles.sketch_countmin)),
+
     Q("heavy_hitters",
       (s, d) => TextAnalysis.heavyHitters(Tables(s, d).documents,
         // capacity 1024 keeps the exactness guarantee airtight at every

@@ -1350,4 +1350,59 @@ object TextAnalysis {
         expr("(n_tokens - n_in_vocab) * 1000000 div n_tokens")
           .as("oov_ppm"))
   }
+
+  /** Count–Min sketch frequency audit — the fixed-memory point-query
+    * sketch next to the corpus's other mergeable summaries (bloom:
+    * membership, HLL: cardinality, Misra-Gries: top-k, KMV: overlap;
+    * CMS answers "how often does THIS token occur" in depth·width
+    * counters regardless of vocabulary size). Counters are plain
+    * integer sums over (row, sha60-cell) keys — associative,
+    * merge-under-any-partitioning, and REPLICABLE exactly in SQL, so
+    * unlike HLL/percentile sketches the whole frame hash-checks.
+    * Each probe word reports its exact count, the CMS estimate
+    * (min over rows), the overcount, and the sketch's one-sided
+    * CONTRACT `est ≥ true` — an inequality that holds by
+    * construction, surfaced per row like bloom_fpp_audit's fpp bound.
+    *
+    * Scale shape: the token scan emits `depth` (row, cell) keys per
+    * occurrence into ONE map-side-combined groupBy whose world is
+    * depth·width counters (256 rows here) at ANY corpus size; probes
+    * and true counts are a broadcast-probe-set filter + tiny joins.
+    * A streaming twin is the same fold per micro-batch (counters are
+    * associative longs). */
+  def countMinAudit(documents: DataFrame, width: Int = 64,
+                    depth: Int = 4, probes: Seq[String]): DataFrame = {
+    require(width >= 2 && depth >= 1 && probes.nonEmpty,
+      "need a real sketch geometry and at least one probe word")
+    val sha60 = (c: Column) => org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    def cellOf(r: Column, w: Column): Column =
+      pmod(sha60(concat(lit("cms:"), r.cast("string"), lit(":"), w)),
+        lit(width.toLong))
+    val spark = documents.sparkSession
+    val tokens = documents
+      .select(explode(wsTokens(col("text"))).as("w"))
+    val rows = spark.range(depth).select(col("id").as("r"))
+    val counters = tokens.crossJoin(broadcast(rows))
+      .select(col("r"), cellOf(col("r"), col("w")).as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+    val probeDf = broadcast(
+      spark.createDataFrame(probes.map(Tuple1(_))).toDF("word"))
+    val trueCounts = tokens
+      .join(broadcast(probeDf), col("w") === col("word"), "left_semi")
+      .groupBy(col("w").as("word_t")).agg(count(lit(1)).as("true_count"))
+    val est = probeDf.crossJoin(broadcast(rows))
+      .select(col("word"), col("r"), cellOf(col("r"), col("word")).as("cell"))
+      .join(counters, Seq("r", "cell"), "left")
+      .groupBy("word")
+      .agg(min(coalesce(col("n"), lit(0L))).as("cm_estimate"))
+    est.join(trueCounts, col("word") === col("word_t"), "left")
+      .select(col("word"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"),
+        col("cm_estimate"))
+      .withColumn("overcount", col("cm_estimate") - col("true_count"))
+      .withColumn("never_undercounts",
+        col("cm_estimate") >= col("true_count"))
+  }
 }

@@ -162,6 +162,8 @@ class DeterminismSpec extends SparkSpec {
     // order-independent by construction, doubles only in fixed chains
     "ts_decompose", "column_corr",
     // pure integer fit/chunk/truncation ledger
-    "context_len_fit"))
+    "context_len_fit",
+    // associative integer counters over fixed sha60 cells
+    "sketch_countmin"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
