@@ -214,6 +214,33 @@ private[graft] object StreamingQueries {
       Some(AnnOracleSql.cellStatsSql(nlist = 16, iters = 3,
         sampleBudget = 128))),
 
+    Q("stream_countmin",
+      // continuous corpus frequency observability: each document
+      // micro-batch folds its depth·width CMS counter shard and probe
+      // truths (batch=N overwrite → retry-idempotent); counters are
+      // associative integer sums, so the merged store re-derives the
+      // one-shot sketch on ANY batch split — the batch
+      // sketch_countmin SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/scm_src_$sf"
+        val store = s"/tmp/graft_cache/scm_store_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+        Tables(s, d).documents.select("doc_id", "text")
+          .repartition(4).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val ckpt = freshCheckpoint("scm", d)
+        val probes = Seq("the", "table", "spark", "value", "zzzmissing")
+        graft.streaming.Streams.countMinStream(s, src, schema, store,
+          ckpt, width = 64, depth = 4, probes = probes)
+          .awaitTermination(120000)
+        graft.streaming.Streams.countMinFromShards(s, store, width = 64,
+          depth = 4, probes = probes)
+      },
+      Some(InlineOracles.sketch_countmin)),
+
     Q("stream_overlap",
       // continuous cross-source overlap triage: micro-batches fold
       // per-source k-min signature shards; k-min sets are order

@@ -1371,33 +1371,63 @@ object TextAnalysis {
     * A streaming twin is the same fold per micro-batch (counters are
     * associative longs). */
   def countMinAudit(documents: DataFrame, width: Int = 64,
-                    depth: Int = 4, probes: Seq[String]): DataFrame = {
-    require(width >= 2 && depth >= 1 && probes.nonEmpty,
-      "need a real sketch geometry and at least one probe word")
+                    depth: Int = 4, probes: Seq[String]): DataFrame =
+    countMinFromCounters(
+      countMinCounters(documents, width, depth),
+      countMinTruths(documents, probes),
+      width, depth, probes)
+
+  private def cmsCell(width: Int)(r: Column, w: Column): Column = {
     val sha60 = (c: Column) => org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.Sha60(
         org.apache.spark.sql.graft.GraftBridge.expression(c)))
-    def cellOf(r: Column, w: Column): Column =
-      pmod(sha60(concat(lit("cms:"), r.cast("string"), lit(":"), w)),
-        lit(width.toLong))
-    val spark = documents.sparkSession
-    val tokens = documents
-      .select(explode(wsTokens(col("text"))).as("w"))
-    val rows = spark.range(depth).select(col("id").as("r"))
-    val counters = tokens.crossJoin(broadcast(rows))
-      .select(col("r"), cellOf(col("r"), col("w")).as("cell"))
+    pmod(sha60(concat(lit("cms:"), r.cast("string"), lit(":"), w)),
+      lit(width.toLong))
+  }
+
+  /** The CMS counter fold for one document set: `(r, cell, n)` —
+    * depth·width integer counters, associative under union+re-sum
+    * (the streaming twin lands one such shard per micro-batch). */
+  def countMinCounters(documents: DataFrame, width: Int = 64,
+                       depth: Int = 4): DataFrame = {
+    require(width >= 2 && depth >= 1, "need a real sketch geometry")
+    val rows = documents.sparkSession.range(depth).select(col("id").as("r"))
+    documents.select(explode(wsTokens(col("text"))).as("w"))
+      .crossJoin(broadcast(rows))
+      .select(col("r"), cmsCell(width)(col("r"), col("w")).as("cell"))
       .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact probe-word occurrence counts `(word_t, true_count)` —
+    * associative like the counters, folded alongside them. */
+  def countMinTruths(documents: DataFrame,
+                     probes: Seq[String]): DataFrame = {
+    val probeDf = broadcast(documents.sparkSession
+      .createDataFrame(probes.map(Tuple1(_))).toDF("word"))
+    documents.select(explode(wsTokens(col("text"))).as("w"))
+      .join(probeDf, col("w") === col("word"), "left_semi")
+      .groupBy(col("w").as("word_t")).agg(count(lit(1)).as("true_count"))
+  }
+
+  /** Probe readout over (possibly merged) counter/truth frames: per
+    * word the exact count, min-over-rows estimate, overcount and the
+    * one-sided contract. Shared by the batch audit and the
+    * streaming shard store. */
+  def countMinFromCounters(counters: DataFrame, truths: DataFrame,
+                           width: Int, depth: Int,
+                           probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe word")
+    val spark = counters.sparkSession
+    val rows = spark.range(depth).select(col("id").as("r"))
     val probeDf = broadcast(
       spark.createDataFrame(probes.map(Tuple1(_))).toDF("word"))
-    val trueCounts = tokens
-      .join(broadcast(probeDf), col("w") === col("word"), "left_semi")
-      .groupBy(col("w").as("word_t")).agg(count(lit(1)).as("true_count"))
     val est = probeDf.crossJoin(broadcast(rows))
-      .select(col("word"), col("r"), cellOf(col("r"), col("word")).as("cell"))
+      .select(col("word"), col("r"),
+        cmsCell(width)(col("r"), col("word")).as("cell"))
       .join(counters, Seq("r", "cell"), "left")
       .groupBy("word")
       .agg(min(coalesce(col("n"), lit(0L))).as("cm_estimate"))
-    est.join(trueCounts, col("word") === col("word_t"), "left")
+    est.join(truths, col("word") === col("word_t"), "left")
       .select(col("word"),
         coalesce(col("true_count"), lit(0L)).as("true_count"),
         col("cm_estimate"))

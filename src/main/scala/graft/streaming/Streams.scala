@@ -751,6 +751,53 @@ object Streams {
       .agg(sum(col("passed_records")).as("passed_records"),
         sum(col("failed_records")).as("failed_records"))
 
+  /** One micro-batch of the continuous Count-Min fold: the batch's
+    * (r, cell) counters and probe-word truths land under
+    * `batch=<id>` with directory overwrite — retry-idempotent, and
+    * both are associative integer sums, so the merged store equals
+    * the one-shot sketch on ANY arrival split. */
+  def countMinBatch(dir: String, width: Int, depth: Int,
+                    probes: Seq[String])
+                   (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.TextAnalysis.countMinCounters(batch, width, depth)
+        .write.mode("overwrite").parquet(s"$dir/counters/batch=$batchId")
+      graft.operators.TextAnalysis.countMinTruths(batch, probes)
+        .write.mode("overwrite").parquet(s"$dir/truths/batch=$batchId")
+    }
+
+  /** Continuous corpus frequency observability — the streaming twin
+    * of `sketch_countmin`: each document micro-batch folds its
+    * depth·width counter shard; point-frequency estimates are
+    * readable at any moment from the tiny counter store without
+    * rescanning landed documents. */
+  def countMinStream(spark: SparkSession, srcPath: String,
+                     schema: StructType, dir: String, checkpoint: String,
+                     width: Int, depth: Int, probes: Seq[String],
+                     maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(countMinBatch(dir, width, depth, probes) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Point-in-time probe readout from the accumulated CMS shards —
+    * associative sums re-merge to the one-shot counters, so the
+    * batch sketch SQL is the oracle. */
+  def countMinFromShards(spark: SparkSession, dir: String, width: Int,
+                         depth: Int,
+                         probes: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val counters = spark.read.parquet(s"$dir/counters")
+      .groupBy("r", "cell").agg(sum(col("n")).as("n"))
+    val truths = spark.read.parquet(s"$dir/truths")
+      .groupBy("word_t").agg(sum(col("true_count")).as("true_count"))
+    graft.operators.TextAnalysis.countMinFromCounters(
+      counters, truths, width, depth, probes)
+  }
+
   /** One micro-batch of the continuous orphan monitor: the batch's
     * per-relation fact-side counters (rows / NULL fks / orphans
     * against the FROZEN dimension lookups) land under `batch=<id>`

@@ -164,6 +164,6 @@ class DeterminismSpec extends SparkSpec {
     // pure integer fit/chunk/truncation ledger
     "context_len_fit",
     // associative integer counters over fixed sha60 cells
-    "sketch_countmin"))
+    "sketch_countmin", "stream_countmin"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -775,4 +775,39 @@ class StreamsSpec extends SparkSpec {
       .select(col("text")).distinct().count()
     assert(oneByOne.size == expected)
   }
+
+  test("countMinStream: merged shards equal the one-shot sketch on any " +
+       "batch split; a retried batch never double-counts") {
+    val docs = tables.documents.limit(300)
+    val probes = Seq("the", "table", "zzzmissing")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val oneShot = canon(graft.operators.TextAnalysis
+      .countMinAudit(docs, width = 64, depth = 4, probes = probes))
+    def run(maxFiles: Int): Set[Seq[Any]] = {
+      val src = Files.createTempDirectory("graft_scm_src").toFile.getPath
+      val st = Files.createTempDirectory("graft_scm_st").toFile.getPath + "/s"
+      val ckpt = Files.createTempDirectory("graft_scm_ck").toFile.getPath
+      docs.select("doc_id", "text").repartition(4)
+        .write.mode("overwrite").json(src)
+      Streams.countMinStream(spark, src, schema, st, ckpt,
+        width = 64, depth = 4, probes = probes,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      canon(Streams.countMinFromShards(spark, st, width = 64, depth = 4,
+        probes = probes))
+    }
+    assert(run(1) == oneShot, "shard merge differs from one-shot sketch")
+    assert(run(4) == oneShot, "estimates depend on the batch split")
+    // retried batch id overwrites its own shard — never double-counts
+    val rt = Files.createTempDirectory("graft_scm_rt").toFile.getPath + "/s"
+    Streams.countMinBatch(rt, 64, 4, probes)(docs.limit(10), 0L)
+    Streams.countMinBatch(rt, 64, 4, probes)(docs.limit(10), 0L)
+    val total = spark.read.parquet(s"$rt/counters")
+      .agg(sum(col("n"))).head().getLong(0)
+    val tokenMass = docs.limit(10)
+      .select(explode(split(col("text"), " "))).count() * 4
+    assert(total == tokenMass, s"retried batch double-counted: $total")
+  }
 }
