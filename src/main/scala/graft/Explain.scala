@@ -79,7 +79,8 @@ object Explain {
       "gopher_rules", "hard_negatives", "chi2_drift", "ts_autocorr",
       "quality_calibration", "branch_merge", "pack_efficiency",
       "ann_dim_sweep", "ann_nprobe_curve", "ts_decompose",
-      "column_corr", "context_len_fit", "sketch_countmin")
+      "column_corr", "context_len_fit", "sketch_countmin",
+      "dedup_graph_degrees")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -288,6 +288,16 @@ object Queries {
         bands = 16, threshold = 0.5)),
       headline = true),
 
+    Q("dedup_graph_degrees",
+      // structural audit between pair generation and clustering: the
+      // near-dup graph's degree histogram INCLUDING the degree-0 mass
+      // — a heavy tail means hub/template docs are about to glue
+      // unrelated clusters into one giant component; endpoints
+      // groupBy + id-keyed zero join, all integer counts
+      (s, d) => Dedup.nearDupDegrees(Tables(s, d).documents),
+      Some(TextOracleSql.nearDupDegreesSql(shingleK = 3, numPerm = 64,
+        bands = 16, threshold = 0.5))),
+
     Q("similarity_join_exact",
       // guaranteed-complete prefix-filter join: the ground truth the
       // banded-LSH path trades recall against — same shingles, same

@@ -1350,4 +1350,20 @@ object TextOracleSql {
         - e.n_inter * 1000000 // (e.n_a + e.n_b - e.n_inter))
         as kmv_err_ppm
     FROM ex e JOIN km w USING (source_a, source_b)"""
+
+  /** Degree histogram of the near-dup pair graph (mirrors
+    * Dedup.nearDupDegrees): pair endpoints counted per doc, degree-0
+    * mass included via the documents left join. */
+  def nearDupDegreesSql(shingleK: Int, numPerm: Int, bands: Int,
+                        threshold: Double): String =
+    s"""WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+       ${lshPairCtes(numPerm, bands)},
+       prs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $threshold),
+       ends AS (SELECT id_a as doc_id FROM prs
+                UNION ALL SELECT id_b as doc_id FROM prs),
+       deg AS (SELECT d.doc_id, coalesce(e.c, 0) as degree
+               FROM documents d LEFT JOIN
+                 (SELECT doc_id, count(*) as c FROM ends GROUP BY 1) e
+                 USING (doc_id))
+       SELECT degree, count(*) as n_docs FROM deg GROUP BY 1"""
 }

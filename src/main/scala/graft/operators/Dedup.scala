@@ -978,4 +978,31 @@ object Dedup {
         (col("n_false_positive") * lit(1000000L) <=
           col("n_probes") * lit(3L * fppPpm)).as("fpp_ok"))
   }
+
+  /** Degree distribution of the near-duplicate pair graph — the
+    * structural audit BETWEEN pair generation ([[minhashLsh]]) and
+    * clustering ([[graft.operators.Clusters]]): a healthy corpus has
+    * mostly degree-0/1 documents; a heavy tail means hub documents
+    * (boilerplate, templates) are about to glue unrelated clusters
+    * into one giant component — the classic near-dedup failure mode
+    * this histogram catches BEFORE the transitive closure pays for
+    * it. Emits (degree, n_docs) including the degree-0 mass (the
+    * denominator that makes the tail interpretable).
+    *
+    * All integer counts. Scale shape: degrees are one groupBy over
+    * pair ENDPOINTS (2·|pairs| rows — already bounded by the banded
+    * LSH), the zero-mass join is id-keyed, the histogram is a
+    * |distinct degrees|-row map-side-combined aggregate. */
+  def nearDupDegrees(documents: DataFrame, shingleK: Int = 3,
+                     numPerm: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(documents, shingleK, numPerm, bands, threshold)
+    val ends = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+    val deg = ends.groupBy("doc_id").agg(count(lit(1)).as("d"))
+    documents.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+  }
 }

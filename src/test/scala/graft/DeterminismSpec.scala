@@ -164,6 +164,8 @@ class DeterminismSpec extends SparkSpec {
     // pure integer fit/chunk/truncation ledger
     "context_len_fit",
     // associative integer counters over fixed sha60 cells
-    "sketch_countmin", "stream_countmin"))
+    "sketch_countmin", "stream_countmin",
+    // endpoint counts over the deterministic LSH pair set
+    "dedup_graph_degrees"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -526,4 +526,28 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("fpp_configured_ppm") == 30000L)
     assert(r.getAs[Boolean]("fpp_ok"))
   }
+
+  test("nearDupDegrees: twins score degree 1, the loner scores 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (3L, "one completely different document about nothing else", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.nearDupDegrees(d).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(1L -> 2L, 0L -> 1L))
+  }
+
+  test("nearDupDegrees: handshake identity and full doc mass on real data") {
+    val docs = tables.documents.limit(500)
+    val hist = Dedup.nearDupDegrees(docs).collect()
+    val nDocs = docs.count()
+    val nPairs = Dedup.minhashLsh(docs).count()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one degree bucket")
+    assert(hist.map(r => r.getAs[Long]("degree") *
+        r.getAs[Long]("n_docs")).sum == 2L * nPairs,
+      "sum of degrees must be twice the pair count (handshake lemma)")
+  }
 }
