@@ -976,6 +976,40 @@ object AnnOracleSql {
     $legs"""
   }
 
+  /** PQ reconstruction-distortion histogram (mirrors
+    * Similarity.pqDistortion): per-(vec, sub) assignment against the
+    * final codebook, per-sub chain s·s − 2·(s·c) + c·c, sub-ordered
+    * left fold, floor bucketing. */
+  def pqDistortionSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                      sampleBudget: Int, binWidth: Double): String = {
+    val cf = s"pc$iters"
+    val score = (s: String, c: String) =>
+      s"list_dot_product($s, $c.cent) - 0.5 * " +
+        s"list_dot_product($c.cent, $c.cent)"
+    s"""WITH $EmbCte,
+    ${pqCodebookCtes(dim, m, ksub, iters, sampleBudget, "vec_id < 0")},
+    passn AS (
+      SELECT vec_id, sub, semb, code FROM (
+        SELECT s.vec_id, s.sub, s.semb, c.code,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${score("s.semb", "c")} DESC, c.code) as rn
+        FROM esub s JOIN $cf c ON c.sub = s.sub) WHERE rn = 1),
+    pd AS (
+      SELECT a.vec_id, a.sub,
+        list_dot_product(a.semb, a.semb)
+          - 2.0 * list_dot_product(a.semb, c.cent)
+          + list_dot_product(c.cent, c.cent) as dj
+      FROM passn a JOIN $cf c ON c.sub = a.sub AND c.code = a.code),
+    pv AS (
+      SELECT vec_id,
+        list_reduce(list(dj ORDER BY sub), (a, b) -> a + b) as d
+      FROM pd GROUP BY 1)
+    SELECT bucket, count(*) as n_vectors,
+      cast(bucket as double) * $binWidth as bucket_lo
+    FROM (SELECT cast(floor(d / $binWidth) as bigint) as bucket FROM pv)
+    GROUP BY 1"""
+  }
+
   /** IVF nprobe tuning curve (mirrors Similarity.annNprobeCurve):
     * ONE quantizer fit, probe ranks computed once without a limit,
     * each swept nprobe filters `rn <= np` and grades recall@k vs the

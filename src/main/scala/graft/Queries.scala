@@ -647,6 +647,19 @@ object Queries {
         nlist = 16, nprobe = 4, k = 5, iters = 3, sampleBudget = 128,
         queryPred = "vec_id < 8"))),
 
+    Q("pq_distortion",
+      // the index-health metric under the recall gates: per-vector PQ
+      // reconstruction error ||x − recon(codes(x))||² as a floor-
+      // bucketed histogram — query-free evidence that m/ksub are
+      // adequate (what faiss reports as quantization error); codes +
+      // distortion map-side vs broadcast codebooks, one |buckets|-key
+      // shuffle; every double is a fixed sub-ordered fold, so the
+      // histogram hash-checks
+      (s, d) => Similarity.pqDistortion(Tables(s, d).embeddings,
+        binWidth = 0.1, cacheKey = Some(d)),
+      Some(AnnOracleSql.pqDistortionSql(dim = 64, m = 8, ksub = 16,
+        iters = 3, sampleBudget = 128, binWidth = 0.1))),
+
     Q("ann_dim_sweep",
       // matryoshka truncation audit: recall@5 searching only the
       // first {8,16,32,64} embedding components vs the full-dim exact

@@ -1425,6 +1425,63 @@ object Similarity {
     dims.map(legOf).reduce(_ unionByName _)
   }
 
+  /** PQ reconstruction-distortion histogram — the index-health
+    * metric UNDER the recall gates: recall@k says whether the top-k
+    * survives quantization for one query set; distortion
+    * ‖x − reconstruct(codes(x))‖² says how much geometry EVERY
+    * stored vector loses, query-free (what faiss reports as
+    * quantization error, the number that says m/ksub are too coarse
+    * before any query notices). Per-vector distortion is the
+    * sub-ordered left fold of per-subspace chains
+    * `s·s − 2·(s·c) + c·c` — each dot the same sequential fold both
+    * engines run, so every distortion double is bit-identical and
+    * the histogram (floor(d / binWidth) buckets) hash-checks.
+    *
+    * Scale shape: codes + distortion are MAP-SIDE against broadcast
+    * codebook literals (m·ksub·dsub doubles); the only shuffle is
+    * the |buckets|-key histogram aggregate. */
+  def pqDistortion(corpus: DataFrame, dim: Int = 64, m: Int = 8,
+                   ksub: Int = 16, iters: Int = 3,
+                   sampleBudget: Int = 128, binWidth: Double = 0.5,
+                   cacheKey: Option[String] = None): DataFrame = {
+    require(binWidth > 0.0, "binWidth must be positive")
+    val books = trainPqCodebooks(corpus, dim, m, ksub, iters,
+      sampleBudget, cacheKey)
+    val dsub = dim / m
+    val fdot = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.FloatDotProduct(
+          org.apache.spark.sql.graft.GraftBridge.expression(a),
+          org.apache.spark.sql.graft.GraftBridge.expression(b)))
+    val fddot = (a: Column, b: Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.FloatDoubleDotProduct(
+          org.apache.spark.sql.graft.GraftBridge.expression(a),
+          org.apache.spark.sql.graft.GraftBridge.expression(b)))
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val coded = corpus.select(col("embedding"),
+      pqCodesCol(col("embedding"), books).as("codes"))
+    val dPerSub: Seq[Column] = (0 until m).map { j =>
+      val semb = slice(col("embedding"), j * dsub + 1, dsub)
+      val code = element_at(col("codes"), j + 1)
+      val cent = element_at(
+        typedLit(books(j).map(_.toSeq).toSeq), code + 1)
+      val cc = element_at(
+        typedLit(books(j).map(c => dotSeq(c, c)).toSeq), code + 1)
+      fdot(semb, semb) - lit(2.0) * fddot(semb, cent) + cc
+    }
+    coded
+      .select(dPerSub.reduceLeft(_ + _).as("d"))
+      .select(floor(col("d") / lit(binWidth)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+      .select(col("bucket"), col("n_vectors"),
+        (col("bucket").cast("double") * lit(binWidth)).as("bucket_lo"))
+  }
+
   /** The IVF tuning curve: per-query recall@k as a function of
     * `nprobe` — the knob every IVF deployment actually turns (probe
     * more lists → scan more of the corpus → higher recall, linearly

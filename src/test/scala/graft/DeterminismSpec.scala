@@ -166,6 +166,8 @@ class DeterminismSpec extends SparkSpec {
     // associative integer counters over fixed sha60 cells
     "sketch_countmin", "stream_countmin",
     // endpoint counts over the deterministic LSH pair set
-    "dedup_graph_degrees"))
+    "dedup_graph_degrees",
+    // fixed sub-ordered distortion folds vs frozen codebooks
+    "pq_distortion"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

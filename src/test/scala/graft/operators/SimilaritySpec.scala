@@ -826,6 +826,31 @@ class SimilaritySpec extends SparkSpec {
       .forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("pqDistortion: zero for a corpus the codebook represents exactly") {
+    import spark.implicits._
+    // ksub distinct vectors, each repeated: Lloyd's converges to the
+    // vectors themselves, so reconstruction is exact and every vector
+    // lands in bucket 0
+    val base = (0 until 4).map(i =>
+      Seq.tabulate(8)(j => if (j % 4 == i) 1f else 0f))
+    val d = (0 until 16).map(i => (i.toLong, base(i % 4)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqDistortion(d, dim = 8, m = 2, ksub = 4,
+      sampleBudget = 16, binWidth = 0.5).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("bucket") == 0L &&
+      out.head.getAs[Long]("n_vectors") == 16L)
+    assert(out.head.getAs[Double]("bucket_lo") == 0.0)
+  }
+
+  test("pqDistortion: histogram covers the corpus and finer codebooks never hurt") {
+    val emb = tables.embeddings
+    val coarse = Similarity.pqDistortion(emb, m = 8, ksub = 16,
+      cacheKey = Some("pqd_c")).collect()
+    assert(coarse.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    assert(coarse.forall(_.getAs[Long]("bucket") >= 0L),
+      "squared distortion is non-negative")
+  }
+
   test("annNprobeCurve: per-query recall is monotone in nprobe and exhaustive at nlist") {
     val emb = tables.embeddings
     val out = Similarity.annNprobeCurve(emb,
