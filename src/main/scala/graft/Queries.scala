@@ -1114,6 +1114,30 @@ object Queries {
         maxEpochsPct = 300L, salt = "budget", seqTokens = 2048L,
         packSalt = "pack", seqsPerShard = 8L, shard = 1L))),
 
+    Q("phrase_search",
+      // exact phrase query over a positional inverted index — the IR
+      // feature bag-of-words postings can't answer; per-leg word
+      // pre-filter means only matching postings shuffle (positional-
+      // postings intersection, never a text rescan per query); all
+      // integer positions/counts
+      (s, d) => TextAnalysis.phraseSearch(Tables(s, d).documents,
+        phrase = Seq("table", "scan")),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+            cast(generate_subscripts(string_split(text, ' '), 1) - 1
+              as bigint) as pos,
+            unnest(string_split(text, ' ')) as word
+          FROM documents),
+        m AS (
+          SELECT t0.doc_id, t0.pos
+          FROM (SELECT doc_id, pos FROM tok WHERE word = 'table') t0
+          JOIN (SELECT doc_id, pos - 1 as pos FROM tok
+                WHERE word = 'scan') t1
+            ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos)
+        SELECT doc_id, count(*) as n_matches, min(pos) as first_pos
+        FROM m GROUP BY 1""")),
+
     Q("sketch_countmin",
       // Count-Min point-frequency sketch next to bloom/HLL/MG/KMV:
       // depth·width integer counters over (row, sha60-cell) keys —

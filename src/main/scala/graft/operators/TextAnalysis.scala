@@ -1351,6 +1351,36 @@ object TextAnalysis {
           .as("oov_ppm"))
   }
 
+  /** Exact phrase query over a POSITIONAL inverted index — the IR
+    * feature [[invertedIndex]]'s bag-of-words postings can't answer
+    * ("table scan" ≠ a doc containing "table" and "scan" apart).
+    * Token positions come from one posexplode; the phrase matches at
+    * start position p iff word_i sits at p+i for every i — a chain
+    * of (doc, position)-keyed equi-joins, each leg pre-filtered to
+    * ONE phrase word, so only matching-word postings ever shuffle
+    * (at web scale that is the classic positional-postings
+    * intersection, never a text rescan per query). Emits per
+    * matching doc the match count and first occurrence.
+    *
+    * All integer positions and counts — hash-exact. */
+  def phraseSearch(documents: DataFrame,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val idx = documents.select(col("doc_id"),
+      posexplode(wsTokens(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("word"))
+    val start = idx.filter(col("word") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(start) { case (acc, (w, i)) =>
+      acc.join(idx.filter(col("word") === w)
+          .select(col("doc_id"), (col("pos") - i.toLong).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
   /** Count–Min sketch frequency audit — the fixed-memory point-query
     * sketch next to the corpus's other mergeable summaries (bloom:
     * membership, HLL: cardinality, Misra-Gries: top-k, KMV: overlap;

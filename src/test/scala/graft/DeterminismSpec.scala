@@ -168,6 +168,8 @@ class DeterminismSpec extends SparkSpec {
     // endpoint counts over the deterministic LSH pair set
     "dedup_graph_degrees",
     // fixed sub-ordered distortion folds vs frozen codebooks
-    "pq_distortion"))
+    "pq_distortion",
+    // integer position joins
+    "phrase_search"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

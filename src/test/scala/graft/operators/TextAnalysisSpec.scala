@@ -863,6 +863,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_in_vocab") == 5L)
   }
 
+  test("phraseSearch: adjacency required, overlaps counted, order respected") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "big table scan now", "s"),          // one match at pos 1
+      (2L, "table x scan", "s"),                // words present, apart
+      (3L, "scan table", "s"),                  // reversed order
+      (4L, "table scan table scan", "s"),       // two matches
+      (5L, "nothing here", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.phraseSearch(d, Seq("table", "scan"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"))).toMap
+    assert(out == Map(1L -> (1L, 1L), 4L -> (2L, 0L)))
+  }
+
+  test("phraseSearch: a three-word phrase chains the position joins") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d", "s"), (2L, "a b x c", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.phraseSearch(d, Seq("a", "b", "c")).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("doc_id") == 1L &&
+      out.head.getAs[Long]("first_pos") == 0L)
+  }
+
   test("countMinAudit: exact truths, one-sided estimates, missing-word probe") {
     import spark.implicits._
     val d = Seq((1L, "a a a b c", "s"), (2L, "a b b d e f", "s"))
