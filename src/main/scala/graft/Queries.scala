@@ -2282,8 +2282,8 @@ object Queries {
           JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1, 2""")),
 
-    // ---------- E. Streaming (driver-visible incremental run) ----------
-    // ---------- E. Streaming batch-analogs ----------
+    // ---------- E. Streaming batch-analogs (the stream_* harness
+    // entries live in StreamingQueries.scala) ----------
     Q("event_window_agg",
       (s, d) => graft.streaming.Streams.windowAgg(
         Tables(s, d).eventsTimestamped, watermark = None),

@@ -303,6 +303,24 @@ object ScaleProbe {
         t.documents.count() * 10,
         () => graft.operators.SetJoin.similarityJoinExact(
           replicateDocs(t.documents, 10)).count()),
+      // CMS counter world is fixed (depth·width keys) at any corpus
+      // size — cost should be the token scan alone
+      ("sketch_countmin", t.documents.count(),
+        () => TextAnalysis.countMinAudit(t.documents,
+          probes = Seq("the", "table", "spark", "value")).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.countMinAudit(
+          replicate(t.documents, 10, Some("doc_id")),
+          probes = Seq("the", "table", "spark", "value")).count()),
+      // phrase intersection: only matching-word postings shuffle —
+      // cost tracks posting volume (10×), never all-pairs
+      ("phrase_search", t.documents.count(),
+        () => TextAnalysis.phraseSearch(t.documents,
+          Seq("table", "scan")).count(),
+        t.documents.count() * 10,
+        () => TextAnalysis.phraseSearch(
+          replicate(t.documents, 10, Some("doc_id")),
+          Seq("table", "scan")).count()),
       // ED join: double-digit prefixes keep replicas ≥2 edits apart,
       // so no cross-replica pair survives d=1 — the pair set is 10
       // disjoint copies of the base answer, input and output both 10×
