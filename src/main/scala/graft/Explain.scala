@@ -80,7 +80,8 @@ object Explain {
       "quality_calibration", "branch_merge", "pack_efficiency",
       "ann_dim_sweep", "ann_nprobe_curve", "ts_decompose",
       "column_corr", "context_len_fit", "sketch_countmin",
-      "dedup_graph_degrees", "pq_distortion", "phrase_search")
+      "dedup_graph_degrees", "pq_distortion", "phrase_search",
+      "lexicon_filter")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -1114,6 +1114,35 @@ object Queries {
         maxEpochsPct = 300L, salt = "budget", seqTokens = 2048L,
         packSalt = "pack", seqsPerShard = 8L, shard = 1L))),
 
+    Q("lexicon_filter",
+      // C4-style policy-blocklist gate, ratio-thresholded (integer
+      // cross-multiply, no float): per source the docs/tokens the
+      // lexicon would drop — the data-card accountability frame;
+      // lexicon broadcast, hit counting map-side, one source-keyed
+      // aggregate
+      (s, d) => TextAnalysis.lexiconFilter(Tables(s, d).documents,
+        lexicon = Seq("slow", "big"), maxHitPct = 5),
+      Some("""
+        WITH c AS (
+          SELECT source,
+            cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+            cast(len(list_filter(string_split(text, ' '),
+              x -> list_contains(['slow', 'big'], x))) as bigint)
+              as n_hits
+          FROM documents),
+        f AS (SELECT source, n_tokens,
+                n_hits * 100 > n_tokens * 5 as flagged
+              FROM c)
+        SELECT source, count(*) as n_docs,
+          cast(sum(case when flagged then 1 else 0 end) as bigint)
+            as n_flagged,
+          cast(sum(case when flagged then 1 else 0 end) * 1000000
+            // count(*) as bigint) as flagged_ppm,
+          cast(sum(n_tokens) as bigint) as n_tokens,
+          cast(sum(case when flagged then n_tokens else 0 end)
+            as bigint) as tokens_dropped
+        FROM f GROUP BY 1""")),
+
     Q("phrase_search",
       // exact phrase query over a positional inverted index — the IR
       // feature bag-of-words postings can't answer; per-leg word
@@ -2322,6 +2351,55 @@ object Queries {
             col("n_events"))
       },
       Some(InlineOracles.session_window_agg)),
+
+    Q("consistent_snapshot",
+      // CROSS-TABLE snapshot consistency — the multi-table guarantee
+      // single-table time travel can't give: a shared pin instant
+      // resolves BOTH versioned tables to the versions live at that
+      // moment, so the pinned join reads a consistent world even
+      // after both tables evolve; the 'current' leg shows the
+      // divergence the pin protects against. TIMESTAMP AS OF is the
+      // committed_at → version resolution on each table's own log.
+      (s, d) => {
+        val sf = new java.io.File(d).getName
+        val (pa, pb) = (s"/tmp/graft_cache/csn_a_$sf",
+          s"/tmp/graft_cache/csn_b_$sf")
+        Seq(pa, pb).foreach(VersionedTable.destroy)
+        val cust = Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_nationkey")
+        val ords = Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        VersionedTable.write(cust.filter(col("c_custkey") % 2 === 0), pa)
+        VersionedTable.write(ords.filter(col("o_orderkey") % 3 === 0), pb)
+        val pin = Seq(VersionedTable.commitTimes(pa).last._2,
+          VersionedTable.commitTimes(pb).last._2).max
+        Thread.sleep(5) // commit clock strictly past the pin
+        VersionedTable.upsert(s, pa,
+          cust.filter(col("c_custkey") % 2 =!= 0), Seq("c_custkey"))
+        VersionedTable.upsert(s, pb,
+          ords.filter(col("o_orderkey") % 3 =!= 0), Seq("o_orderkey"))
+        def leg(c: DataFrame, o: DataFrame, mode: String) =
+          o.join(c, col("o_custkey") === col("c_custkey"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double").as("total_spend"))
+            .withColumn("mode", lit(mode))
+        leg(VersionedTable.readAsOf(s, pa, pin),
+            VersionedTable.readAsOf(s, pb, pin), "pinned_as_of")
+          .unionByName(leg(VersionedTable.read(s, pa),
+            VersionedTable.read(s, pb), "current"))
+          .select("mode", "n_orders", "total_spend")
+      },
+      Some("""
+        SELECT 'pinned_as_of' as mode, count(*) as n_orders,
+          cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+            as total_spend
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey % 3 = 0 AND c.c_custkey % 2 = 0
+        UNION ALL
+        SELECT 'current', count(*),
+          cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""")),
 
     Q("time_travel",
       (s, d) => {

@@ -1351,6 +1351,42 @@ object TextAnalysis {
           .as("oov_ppm"))
   }
 
+  /** Policy-blocklist filter (the C4 "banned word list" gate, Raffel
+    * et al. 2020 §2.2 — distinct from the QUALITY batteries: this is
+    * a content-policy decision, not a fluency one), generalized to a
+    * RATIO threshold so a single incidental token doesn't nuke a long
+    * document: a doc is flagged iff lexicon tokens exceed
+    * `maxHitPct`% of its tokens, decided by integer cross-multiply
+    * (100·hits > pct·tokens — no float thresholds). Emits the
+    * per-source accountability frame: doc counts, flag counts,
+    * flagged ppm, and the token mass the filter would drop — the
+    * numbers a data card reports next to the lexicon version.
+    *
+    * Scale shape: lexicon broadcasts as a literal set; hit counting
+    * is map-side over one token explode; one source-keyed map-side-
+    * combined aggregate. */
+  def lexiconFilter(documents: DataFrame, lexicon: Seq[String],
+                    maxHitPct: Int = 5): DataFrame = {
+    require(lexicon.nonEmpty && maxHitPct >= 0,
+      "need a lexicon and a non-negative percent threshold")
+    val hits = size(filter(wsTokens(col("text")),
+      w => w.isInCollection(lexicon))).cast("long")
+    val toks = size(wsTokens(col("text"))).cast("long")
+    documents
+      .select(col("source"), toks.as("n_tokens"), hits.as("n_hits"))
+      .withColumn("flagged",
+        col("n_hits") * 100L > col("n_tokens") * maxHitPct.toLong)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("flagged"), col("n_tokens")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        expr("n_flagged * 1000000 div n_docs").as("flagged_ppm"),
+        col("n_tokens"), col("tokens_dropped"))
+  }
+
   /** Exact phrase query over a POSITIONAL inverted index — the IR
     * feature [[invertedIndex]]'s bag-of-words postings can't answer
     * ("table scan" ≠ a doc containing "table" and "scan" apart).

@@ -169,7 +169,7 @@ class DeterminismSpec extends SparkSpec {
     "dedup_graph_degrees",
     // fixed sub-ordered distortion folds vs frozen codebooks
     "pq_distortion",
-    // integer position joins
-    "phrase_search"))
+    // integer position joins / integer cross-multiplied ratio gate
+    "phrase_search", "lexicon_filter"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

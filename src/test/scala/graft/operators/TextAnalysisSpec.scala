@@ -863,6 +863,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_in_vocab") == 5L)
   }
 
+  test("lexiconFilter: ratio gate, not mere presence") {
+    import spark.implicits._
+    val d = Seq(
+      // 1 hit in 21 tokens (4.7%) — an incidental mention survives
+      (1L, ("bad " + Seq.fill(20)("ok").mkString(" ")).trim, "a"),
+      // 2 hits in 10 tokens (20%) — flagged
+      (2L, "bad bad ok ok ok ok ok ok ok ok", "a"),
+      (3L, "clean text only", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lexiconFilter(d, Seq("bad"), maxHitPct = 5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") == 2L)
+    assert(out("a").getAs[Long]("n_flagged") == 1L)
+    assert(out("a").getAs[Long]("flagged_ppm") == 500000L)
+    assert(out("a").getAs[Long]("tokens_dropped") == 10L)
+    assert(out("b").getAs[Long]("n_flagged") == 0L &&
+      out("b").getAs[Long]("tokens_dropped") == 0L)
+  }
+
   test("phraseSearch: adjacency required, overlaps counted, order respected") {
     import spark.implicits._
     val d = Seq(

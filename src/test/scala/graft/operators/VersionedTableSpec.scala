@@ -292,4 +292,27 @@ class VersionedTableSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet"))
     assert(files == 2)
   }
+
+  test("cross-table pin: one instant resolves each table's own log, " +
+       "mixed-version worlds stay consistent") {
+    import spark.implicits._
+    val (pa, pb) = (freshPath, freshPath)
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), pa)
+    VersionedTable.write(Seq((1L, "x")).toDF("k", "w"), pb)
+    // A evolves BEFORE the pin; B evolves after it
+    Thread.sleep(5)
+    VersionedTable.upsert(spark, pa, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    Thread.sleep(5)
+    val pin = VersionedTable.commitTimes(pa).last._2
+    Thread.sleep(5)
+    VersionedTable.upsert(spark, pb, Seq((2L, "y")).toDF("k", "w"), Seq("k"))
+    // the pin reads A at v1 (2 rows) and B at v0 (1 row) — each
+    // table resolves the SAME instant against its own commit log
+    assert(VersionedTable.versionAt(pa, pin).contains(1))
+    assert(VersionedTable.versionAt(pb, pin).contains(0))
+    assert(VersionedTable.readAsOf(spark, pa, pin).count() == 2L)
+    assert(VersionedTable.readAsOf(spark, pb, pin).count() == 1L)
+    // while the current world sees both evolutions
+    assert(VersionedTable.read(spark, pb).count() == 2L)
+  }
 }
