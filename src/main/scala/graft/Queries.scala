@@ -2739,6 +2739,29 @@ object Queries {
       Some(s"""
         SELECT * FROM ($eventsNs) WHERE event_type = 'purchase'""")),
 
+    Q("bloom_index_read",
+      // Delta-style per-file BLOOM data-skipping index — the POINT-
+      // lookup complement of the zone map: the layout is clustered by
+      // ts, so a point probe on event_id would touch every file; the
+      // index (per-file DISTINCT sha60 positions — an explicit bit
+      // set built by plain groupBy/distinct, SQL-replicable) prunes
+      // to files with all k positions set; no false negatives, so the
+      // pruned read ≡ the full filter (the oracle); pruning itself
+      // asserted in spec
+      (s, d) => {
+        val path = s"/tmp/graft_cache/bfi_${new java.io.File(d).getName}"
+        Maintenance.writeClustered(Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+          path, Seq("ts"), numFiles = 8)
+        Maintenance.writeBloomIndex(s, path, "event_id",
+          mBits = 65536, k = 4)
+        Maintenance.readBloomPruned(s, path, "event_id", "7",
+          mBits = 65536, k = 4)
+      },
+      Some("""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
+        FROM events WHERE event_id = 7""")),
+
     Q("zonemap_pruned_read",
       (s, d) => {
         // file-level data skipping without a table format: clustered

@@ -220,6 +220,74 @@ object Maintenance {
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  private def bfiSha60(c: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.expressions.Sha60(
+        org.apache.spark.sql.graft.GraftBridge.expression(c)))
+
+  /** Per-FILE bloom index (Delta's bloom-filter data-skipping index,
+    * the POINT-lookup complement of the zone map's range skipping —
+    * a clustered layout makes min/max selective for the sort key,
+    * but a point probe on any OTHER high-cardinality column still
+    * touches every file; this index prunes those). The filter is
+    * materialized as ROWS, not bytes: per file the DISTINCT set of
+    * k sha60 hash positions of its keys — an explicit bit set that a
+    * plain groupBy/distinct builds (associative, any partitioning),
+    * ≤ files·k·mBits rows, and that plain SQL replicates exactly, so
+    * the pruned read is oracle-checkable end-to-end. No false
+    * negatives by construction: a file containing the key has all k
+    * positions set, so the pruned result ≡ the full-directory
+    * filter. */
+  def writeBloomIndex(spark: SparkSession, path: String, column: String,
+                      mBits: Int = 4096, k: Int = 4): Unit = {
+    val keys = spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        col(column).cast("string").as("key"))
+    (0 until k).map { r =>
+      keys.select(col("file"), lit(r).as("r"),
+        pmod(bfiSha60(concat(lit(s"bfi:$r:"), col("key"))),
+          lit(mBits.toLong)).as("pos"))
+    }.reduce(_ unionByName _)
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/_bloom_index")
+  }
+
+  /** Files whose bloom has ALL k positions of `value` set — the
+    * driver-side shortlist (≤ one row per file). */
+  def bloomSurvivors(spark: SparkSession, path: String, value: String,
+                     mBits: Int = 4096, k: Int = 4): Seq[String] = {
+    // probe positions via the SAME kernel on a 1-row frame (bounded
+    // driver scalar), so index and probe hashing cannot drift
+    val probe: Seq[(Int, Long)] = spark.range(1).select(
+      (0 until k).map(r => pmod(bfiSha60(
+        concat(lit(s"bfi:$r:"), lit(value))), lit(mBits.toLong))
+        .as(s"p$r")): _*)
+      .head() match {
+        case row => (0 until k).map(r => r -> row.getLong(r))
+      }
+    val cond = probe.map { case (r, p) =>
+      col("r") === r && col("pos") === p
+    }.reduce(_ || _)
+    spark.read.parquet(s"$path/_bloom_index")
+      .filter(cond)
+      .groupBy("file").agg(count(lit(1)).as("n"))
+      .filter(col("n") === k)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Point read with bloom skipping: only files whose bloom matches
+    * are handed to the reader, then the exact predicate runs as the
+    * residual filter — semantically identical to the full read. */
+  def readBloomPruned(spark: SparkSession, path: String, column: String,
+                      value: String, mBits: Int = 4096,
+                      k: Int = 4): DataFrame = {
+    val survivors = bloomSurvivors(spark, path, value, mBits, k)
+    val base =
+      if (survivors.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(survivors: _*)
+    base.filter(col(column).cast("string") === lit(value))
+  }
+
   /** Bucketed table write: rows hash-bucketed (and sorted) by
     * `bucketCol` into `numBuckets` files per partition. Two tables
     * bucketed the same way join WITHOUT a shuffle — the co-located

@@ -170,6 +170,8 @@ class DeterminismSpec extends SparkSpec {
     // fixed sub-ordered distortion folds vs frozen codebooks
     "pq_distortion",
     // integer position joins / integer cross-multiplied ratio gate
-    "phrase_search", "lexicon_filter"))
+    "phrase_search", "lexicon_filter",
+    // pruned read ≡ full filter at any fan-out (no false negatives)
+    "bloom_index_read"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

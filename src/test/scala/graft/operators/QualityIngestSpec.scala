@@ -331,6 +331,38 @@ class QualityIngestSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("bloom index prunes point lookups and never false-negatives") {
+    val dir = Files.createTempDirectory("graft_bfi").toFile.getPath
+    Maintenance.writeClustered(tables.events
+      .select("event_id", "ts", "user_id", "event_type", "value"),
+      dir, Seq("ts"), numFiles = 8)
+    Maintenance.writeBloomIndex(spark, dir, "event_id",
+      mBits = 65536, k = 4)
+    // several probes (taken from the data, so they exist at any SF):
+    // pruned result ≡ full filter, and the file shortlist sits
+    // strictly below the file count (a unique key lives in one file)
+    val probeIds = tables.events.select("event_id").orderBy("event_id")
+      .limit(600).collect().map(_.getLong(0)).grouped(250)
+      .map(_.head.toString).toSeq
+    for (id <- probeIds) {
+      val survivors = Maintenance.bloomSurvivors(spark, dir, id,
+        mBits = 65536, k = 4)
+      assert(survivors.nonEmpty && survivors.size < 8,
+        s"expected pruning for event_id=$id, got ${survivors.size}/8")
+      val pruned = Maintenance.readBloomPruned(spark, dir, "event_id",
+        id, mBits = 65536, k = 4)
+      val full = spark.read.parquet(dir)
+        .filter(col("event_id") === id.toLong)
+      assert(pruned.exceptAll(full).isEmpty &&
+        full.exceptAll(pruned).isEmpty)
+      assert(pruned.count() == 1L, "event ids are unique")
+    }
+    // an absent key may survive a few files (false positives) but the
+    // residual filter returns zero rows
+    assert(Maintenance.readBloomPruned(spark, dir, "event_id",
+      "-999", mBits = 65536, k = 4).count() == 0L)
+  }
+
   test("partitioned write enables partition pruning") {
     val dir = Files.createTempDirectory("graft_part").toFile.getPath
     Maintenance.writePartitioned(tables.events, dir, "event_type")
