@@ -976,6 +976,36 @@ object AnnOracleSql {
     $legs"""
   }
 
+  /** Triplet-margin audit (mirrors Similarity.tripletAudit): nearest
+    * same-label and other-label vectors per anchor, violation flag
+    * on the fixed cosine chains. */
+  def tripletAuditSql(anchorMod: Int, margin: Double): String = s"""
+    WITH $EmbCte,
+    lab AS (SELECT vec_id, label FROM embeddings),
+    anc AS (
+      SELECT e.vec_id as anchor_id, l.label as anchor_label,
+        e.emb as q_emb
+      FROM e JOIN lab l ON l.vec_id = e.vec_id
+      WHERE e.vec_id % $anchorMod = 0),
+    sc AS (
+      SELECT a.anchor_id, a.anchor_label, c.vec_id as neighbor_id,
+        ${cosine("a.q_emb", "c.emb")} as cosine,
+        (lc.label = a.anchor_label) as same
+      FROM anc a JOIN e c ON c.vec_id <> a.anchor_id
+      JOIN lab lc ON lc.vec_id = c.vec_id),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+          ORDER BY cosine DESC, neighbor_id) as rn
+        FROM sc) WHERE rn = 1)
+    SELECT p.anchor_id, p.anchor_label, p.neighbor_id as pos_id,
+      p.cosine as cos_pos, n.neighbor_id as neg_id,
+      n.cosine as cos_neg,
+      n.cosine + cast($margin as double) >= p.cosine as violated
+    FROM (SELECT * FROM top WHERE same) p
+    JOIN (SELECT * FROM top WHERE NOT same) n
+      ON n.anchor_id = p.anchor_id"""
+
   /** PQ reconstruction-distortion histogram (mirrors
     * Similarity.pqDistortion): per-(vec, sub) assignment against the
     * final codebook, per-sub chain s·s − 2·(s·c) + c·c, sub-ordered

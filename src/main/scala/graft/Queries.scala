@@ -647,6 +647,17 @@ object Queries {
         nlist = 16, nprobe = 4, k = 5, iters = 3, sampleBudget = 128,
         queryPred = "vec_id < 8"))),
 
+    Q("triplet_audit",
+      // QA gate on mined contrastive triplets: per anchor the nearest
+      // same-label vector (the positive a miner picks), the hardest
+      // other-label vector, both portable cosines and the margin-
+      // violation flag — a high rate means labels and geometry
+      // disagree and mined triplets teach noise; anchors broadcast,
+      // ONE corpus scan scores both legs, per-(anchor, leg) top-1
+      (s, d) => Similarity.tripletAudit(Tables(s, d).embeddings,
+        anchorMod = 20, margin = 0.05),
+      Some(AnnOracleSql.tripletAuditSql(anchorMod = 20, margin = 0.05))),
+
     Q("pq_distortion",
       // the index-health metric under the recall gates: per-vector PQ
       // reconstruction error ||x − recon(codes(x))||² as a floor-

@@ -1184,6 +1184,54 @@ object Similarity {
         "rank", "cosine")
   }
 
+  /** Triplet-margin audit of the label geometry — the QA gate on the
+    * (anchor, positive, negative) triplets contrastive training
+    * mines: per anchor, the nearest SAME-label vector (the positive
+    * a miner would pick), the nearest OTHER-label vector (the hard
+    * negative), both cosines, the margin, and the violation flag
+    * `cos(a,neg) + margin ≥ cos(a,pos)`. A high violation rate means
+    * the label space and the geometry disagree — triplets mined from
+    * it teach noise, the thing to know BEFORE paying for a training
+    * run. Cosines are the portable fixed chains, so the comparison
+    * (two bit-identical doubles + one literal margin add) is
+    * deterministic cross-engine.
+    *
+    * Scale shape: anchors broadcast; ONE corpus scan scores both
+    * legs (the label guard splits per-row), per-anchor top-1 via the
+    * anchor-keyed window. */
+  def tripletAudit(embeddings: DataFrame, anchorMod: Int = 20,
+                   margin: Double = 0.05): DataFrame = {
+    val anchors = broadcast(embeddings
+      .filter(pmod(col("vec_id"), lit(anchorMod.toLong)) === 0)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"),
+        col("embedding").as("q_emb"),
+        VectorFunctions.l2Norm(col("embedding")).as("q_norm")))
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("c_norm"))
+      .join(anchors, col("neighbor_id") =!= col("anchor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("c_norm")))
+      .withColumn("same", col("n_label") === col("anchor_label"))
+    val w = Window.partitionBy(col("anchor_id"), col("same"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val pos = top.filter(col("same"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("neighbor_id").as("pos_id"), col("cosine").as("cos_pos"))
+    val neg = top.filter(!col("same"))
+      .select(col("anchor_id"), col("neighbor_id").as("neg_id"),
+        col("cosine").as("cos_neg"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("anchor_label"), col("pos_id"),
+        col("cos_pos"), col("neg_id"), col("cos_neg"),
+        (col("cos_neg") + lit(margin) >= col("cos_pos")).as("violated"))
+  }
+
   /** Unsupervised community structure of the embedding space: a
     * MUTUAL-kNN graph (edge a—b only when each ranks the other in its
     * top-k — the standard guard that stops hub vectors gluing

@@ -172,6 +172,8 @@ class DeterminismSpec extends SparkSpec {
     // integer position joins / integer cross-multiplied ratio gate
     "phrase_search", "lexicon_filter",
     // pruned read ≡ full filter at any fan-out (no false negatives)
-    "bloom_index_read"))
+    "bloom_index_read",
+    // tie-broken top-1 legs over portable cosine chains
+    "triplet_audit"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -826,6 +826,31 @@ class SimilaritySpec extends SparkSpec {
       .forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("tripletAudit: clean geometry has no violations; a planted mislabel violates") {
+    import spark.implicits._
+    // two tight, well-separated label clusters + one vector whose
+    // LABEL says 0 but whose geometry sits in cluster 1: its nearest
+    // same-label vector is far while its nearest other-label vector
+    // is nearly identical — a guaranteed margin violation
+    val d = Seq(
+      (0L, Seq(1f, 0f, 0.0f), 0), (20L, Seq(1f, 0f, 0.1f), 0),
+      (40L, Seq(-1f, 0f, 0.0f), 1), (41L, Seq(-1f, 0f, 0.1f), 1),
+      (60L, Seq(-1f, 0.01f, 0.0f), 0)) // mislabeled: lives in cluster 1
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.tripletAudit(d, anchorMod = 20, margin = 0.05)
+      .collect().map(r => r.getAs[Long]("anchor_id") -> r).toMap
+    assert(out.keySet == Set(0L, 20L, 40L, 60L))
+    assert(!out(0L).getAs[Boolean]("violated"))
+    assert(!out(20L).getAs[Boolean]("violated"))
+    assert(out(60L).getAs[Boolean]("violated"),
+      "the mislabeled anchor's hard negative beats its positive")
+    assert(out(60L).getAs[Long]("neg_id") == 40L ||
+      out(60L).getAs[Long]("neg_id") == 41L)
+    for ((_, r) <- out)
+      assert(r.getAs[Double]("cos_pos") <= 1.0 &&
+        r.getAs[Double]("cos_neg") <= 1.0)
+  }
+
   test("pqDistortion: zero for a corpus the codebook represents exactly") {
     import spark.implicits._
     // ksub distinct vectors, each repeated: Lloyd's converges to the
