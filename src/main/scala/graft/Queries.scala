@@ -1893,6 +1893,33 @@ object Queries {
 
     // ---------- A2. SQL surface (temp views + spark.sql, the
     // reference's primary idiom) ----------
+    Q("sql_lateral_topk",
+      // correlated LATERAL subquery through the SQL surface — the
+      // per-row dependent subquery feature (top order per customer
+      // without a window): Catalyst decorrelates the LATERAL into a
+      // join-aggregate plan, which is exactly what makes the idiom
+      // scale-safe; ties broken on o_orderkey so the copy-only values
+      // hash-check
+      (s, d) => {
+        val t = Tables(s, d)
+        t.customer.createOrReplaceTempView("lat_customer_v")
+        t.orders.createOrReplaceTempView("lat_orders_v")
+        s.sql("""
+          SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+          FROM lat_customer_v c,
+          LATERAL (
+            SELECT o_orderkey, o_totalprice FROM lat_orders_v o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""")
+      },
+      Some("""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""")),
+
     Q("sql_gold_region_sales",
       (s, d) => {
         val t = Tables(s, d)

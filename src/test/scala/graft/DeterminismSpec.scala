@@ -174,6 +174,8 @@ class DeterminismSpec extends SparkSpec {
     // pruned read ≡ full filter at any fan-out (no false negatives)
     "bloom_index_read",
     // tie-broken top-1 legs over portable cosine chains
-    "triplet_audit"))
+    "triplet_audit",
+    // decorrelated LATERAL: tie-broken per-key top-1, copy-only values
+    "sql_lateral_topk"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
