@@ -1323,6 +1323,34 @@ object Queries {
       (s, d) => TextRank.textRank(Tables(s, d).documents),
       Some(TextRank.textRankSql())),
 
+    Q("hierarchy_depth",
+      // rooted-hierarchy levels by pointer doubling — the traversal
+      // capability Spark's missing recursive CTE forces the engine to
+      // own: ⌈log₂ depth⌉ anc-keyed joins with exact hop-count sums
+      // instead of depth self-joins; edges derived deterministically
+      // (parent(k) = sha60 mod k, acyclic to root 0) so DuckDB's
+      // RECURSIVE CTE replays the identical walk as the oracle
+      (s, d) => Clusters.hierarchyDepth(Tables(s, d).customer,
+        "c_custkey"),
+      Some(s"""
+        WITH RECURSIVE e AS (
+          SELECT c_custkey as node,
+            CASE WHEN c_custkey = 0 THEN 0
+                 ELSE ${TextOracleSql.Sha60.format(
+        "'tree:' || cast(c_custkey as varchar)")} % c_custkey
+            END as parent
+          FROM customer),
+        walk(node, anc, d) AS (
+          SELECT node, parent,
+            CASE WHEN node = 0 THEN cast(0 as bigint)
+                 ELSE cast(1 as bigint) END
+          FROM e
+          UNION ALL
+          SELECT w.node, e2.parent, w.d + 1
+          FROM walk w JOIN e e2 ON e2.node = w.anc
+          WHERE w.anc <> 0)
+        SELECT node as node_id, d as depth FROM walk WHERE anc = 0""")),
+
     Q("graph_triangles",
       // cohesion complement of textrank's centrality: per-word
       // triangle membership + local clustering over the co-occurrence

@@ -286,4 +286,55 @@ object Clusters {
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters"))
           .as("n_docs_removable"))
+
+  /** Rooted-hierarchy depth by POINTER DOUBLING — the iterative-graph
+    * capability the component closures don't exercise: components ask
+    * "which set", a hierarchy asks "how FAR from the root" (org
+    * chains, category trees, bill-of-materials levels), and Spark has
+    * no recursive CTE, so the engine must traverse. Each round every
+    * unfinished node jumps to its current ancestor's ancestor and
+    * ADDS the two exact hop counts — the 2^r-truncated ancestor
+    * invariant — finishing in ⌈log₂ depth⌉ joins instead of depth
+    * self-joins (a DuckDB RECURSIVE CTE walking edge-by-edge is the
+    * oracle; this plan does the same walk in logarithmic rounds).
+    *
+    * Edges are derived deterministically here (parent(k) =
+    * sha60('tree:'‖k) mod k — strictly smaller, so acyclic with root
+    * 0) to make the traversal oracle-checkable on TPC-H keys; pass
+    * any (node, parent) frame through the same loop in real use.
+    * Scale: per round one anc-keyed hash join over |nodes| rows +
+    * one bounded driver convergence scalar; lineage cut via
+    * localCheckpoint like [[connectedComponents]]. */
+  def hierarchyDepth(nodes: DataFrame, idCol: String,
+                     maxRounds: Int = 24): DataFrame = {
+    val sha60 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    var cur = nodes.select(col(idCol).cast("long").as("node"))
+      .select(col("node"),
+        when(col("node") === 0, lit(0L))
+          .otherwise(pmod(sha60(concat(lit("tree:"),
+            col("node").cast("string"))), col("node"))).as("anc"),
+        when(col("node") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint(true)
+    var round = 0
+    var pending = cur.filter(col("anc") =!= 0).count()
+    while (pending > 0 && round < maxRounds) {
+      val hop = cur.select(col("node").as("j_node"),
+        col("anc").as("j_anc"), col("d").as("j_d"))
+      cur = cur.join(hop, col("anc") === col("j_node"), "left")
+        .select(col("node"),
+          when(col("anc") === 0, lit(0L))
+            .otherwise(col("j_anc")).as("anc"),
+          when(col("anc") === 0, col("d"))
+            .otherwise(col("d") + col("j_d")).as("d"))
+        .localCheckpoint(true)
+      round += 1
+      pending = cur.filter(col("anc") =!= 0).count()
+    }
+    require(pending == 0,
+      s"hierarchy did not converge in $maxRounds doubling rounds")
+    cur.select(col("node").as("node_id"), col("d").as("depth"))
+  }
 }

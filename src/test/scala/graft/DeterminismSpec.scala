@@ -176,6 +176,8 @@ class DeterminismSpec extends SparkSpec {
     // tie-broken top-1 legs over portable cosine chains
     "triplet_audit",
     // decorrelated LATERAL: tie-broken per-key top-1, copy-only values
-    "sql_lateral_topk"))
+    "sql_lateral_topk",
+    // pointer-doubling depth: exact integer hop sums, unique paths
+    "hierarchy_depth"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -187,4 +187,31 @@ class ClustersSpec extends SparkSpec {
     // counts tie 1-1 → 'de' < 'fr' wins deterministically
     assert(out.head.getAs[String]("lang_mode") == "de")
   }
+
+  test("hierarchyDepth: depth(k) = depth(parent(k)) + 1 everywhere, root 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nodes = spark.range(500).select(col("id").as("k"))
+    val out = Clusters.hierarchyDepth(nodes, "k")
+    assert(out.count() == 500L, "one depth row per node")
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("depth")).toMap
+    assert(byId(0L) == 0L)
+    assert(byId.forall { case (k, d) => k == 0L || d >= 1L })
+    assert(byId.values.max < 64L, "random recursive tree depth is O(log n)")
+    // recompute each node's parent with the SAME derivation and check
+    // the defining recurrence — the invariant pointer doubling must
+    // preserve through every 2^r jump
+    val sha60 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val parents = nodes.filter(col("k") > 0).select(col("k"),
+      pmod(sha60(concat(lit("tree:"), col("k").cast("string"))),
+        col("k")).as("p")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("p")).toMap
+    for ((k, p) <- parents)
+      assert(byId(k) == byId(p) + 1L,
+        s"depth($k)=${byId(k)} but depth(parent=$p)=${byId(p)}")
+  }
 }
