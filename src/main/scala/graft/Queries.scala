@@ -1351,6 +1351,48 @@ object Queries {
           WHERE w.anc <> 0)
         SELECT node as node_id, d as depth FROM walk WHERE anc = 0""")),
 
+    Q("subtree_rollup",
+      // BOM-style subtree aggregation along the derived hierarchy:
+      // bottom-up level sweep folds each level's exact integer-cents
+      // totals into its parents (one parent-keyed aggregate + one
+      // id join per level, O(n·depth) with depth = O(log n)); rollups
+      // are order-independent decimal(38,0) sums — hash-exact vs
+      // DuckDB's recursive ancestor expansion
+      (s, d) => Clusters.subtreeRollup(Tables(s, d).customer,
+        "c_custkey", "c_acctbal"),
+      Some(s"""
+        WITH RECURSIVE e AS (
+          SELECT c_custkey as node,
+            CASE WHEN c_custkey = 0 THEN 0
+                 ELSE ${TextOracleSql.Sha60.format(
+        "'tree:' || cast(c_custkey as varchar)")} % c_custkey
+            END as parent,
+            cast(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)
+              as decimal(38,0)) as cents
+          FROM customer),
+        walk(node, anc, d) AS (
+          SELECT node, parent,
+            CASE WHEN node = 0 THEN cast(0 as bigint)
+                 ELSE cast(1 as bigint) END
+          FROM e
+          UNION ALL
+          SELECT w.node, e2.parent, w.d + 1
+          FROM walk w JOIN e e2 ON e2.node = w.anc
+          WHERE w.anc <> 0),
+        up(node, anc) AS (
+          SELECT node, node FROM e
+          UNION ALL
+          SELECT u.node, e2.parent
+          FROM up u JOIN e e2 ON e2.node = u.anc
+          WHERE u.anc <> 0)
+        SELECT u.anc as node_id,
+          (SELECT d FROM walk w WHERE w.node = u.anc AND w.anc = 0)
+            as depth,
+          count(*) as subtree_n,
+          cast(sum(e.cents) as decimal(38,0)) as subtree_cents
+        FROM up u JOIN e ON e.node = u.node
+        GROUP BY 1""")),
+
     Q("graph_triangles",
       // cohesion complement of textrank's centrality: per-word
       // triangle membership + local clustering over the co-occurrence

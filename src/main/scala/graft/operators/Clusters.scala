@@ -337,4 +337,55 @@ object Clusters {
       s"hierarchy did not converge in $maxRounds doubling rounds")
     cur.select(col("node").as("node_id"), col("d").as("depth"))
   }
+
+  /** Subtree aggregation along the rooted hierarchy — the
+    * bill-of-materials rollup ([[hierarchyDepth]] answers "how far",
+    * this answers "how much is UNDER each node": org headcount,
+    * category revenue, BOM cost). Bottom-up LEVEL sweep: each round
+    * the deepest unprocessed level's accumulated (count, cents)
+    * totals fold into their parents — one parent-keyed
+    * map-side-combined aggregate + one id-keyed join per level, so
+    * total work is O(n · depth) with depth = O(log n) on this
+    * derived tree; lineage cut per round like the CC loop. The
+    * measure is fixed to exact integer cents (decimal(12,2)·100) and
+    * carried in decimal(38,0), so every rollup is an
+    * order-independent integer sum — hash-exact against DuckDB's
+    * RECURSIVE-CTE ancestor expansion. */
+  def subtreeRollup(nodes: DataFrame, idCol: String,
+                    measureCol: String): DataFrame = {
+    val sha60 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val depths = hierarchyDepth(nodes, idCol)
+    val base = nodes.select(col(idCol).cast("long").as("node"),
+      (col(measureCol).cast("decimal(12,2)") * lit(100))
+        .cast("long").cast("decimal(38,0)").as("cents"))
+      .select(col("node"), col("cents"),
+        when(col("node") === 0, lit(0L))
+          .otherwise(pmod(sha60(concat(lit("tree:"),
+            col("node").cast("string"))), col("node"))).as("parent"))
+      .join(depths, col("node") === col("node_id"))
+      .select(col("node"), col("parent"), col("depth"),
+        lit(1L).as("sub_n"), col("cents").as("sub_cents"))
+    val maxDepth = base.agg(max(col("depth"))).head().getLong(0)
+    var cur = base.localCheckpoint(true)
+    var level = maxDepth
+    while (level >= 1) {
+      val contrib = cur.filter(col("depth") === level)
+        .groupBy(col("parent").as("c_node"))
+        .agg(sum(col("sub_n")).as("c_n"),
+          sum(col("sub_cents")).cast("decimal(38,0)").as("c_cents"))
+      cur = cur.join(contrib, col("node") === col("c_node"), "left")
+        .select(col("node"), col("parent"), col("depth"),
+          (col("sub_n") + coalesce(col("c_n"), lit(0L))).as("sub_n"),
+          (col("sub_cents") + coalesce(col("c_cents"),
+            lit(0L).cast("decimal(38,0)"))).cast("decimal(38,0)")
+            .as("sub_cents"))
+        .localCheckpoint(true)
+      level -= 1
+    }
+    cur.select(col("node").as("node_id"), col("depth"),
+      col("sub_n").as("subtree_n"), col("sub_cents").as("subtree_cents"))
+  }
 }

@@ -178,6 +178,8 @@ class DeterminismSpec extends SparkSpec {
     // decorrelated LATERAL: tie-broken per-key top-1, copy-only values
     "sql_lateral_topk",
     // pointer-doubling depth: exact integer hop sums, unique paths
-    "hierarchy_depth"))
+    "hierarchy_depth",
+    // level-sweep rollup: order-independent decimal(38,0) sums
+    "subtree_rollup"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -214,4 +214,38 @@ class ClustersSpec extends SparkSpec {
       assert(byId(k) == byId(p) + 1L,
         s"depth($k)=${byId(k)} but depth(parent=$p)=${byId(p)}")
   }
+
+  test("subtreeRollup: root absorbs everything, counts obey the child recurrence") {
+    import org.apache.spark.sql.functions._
+    val nodes = spark.range(300).select(col("id").as("k"),
+      (col("id") % 7).cast("double").as("m"))
+    val out = Clusters.subtreeRollup(nodes, "k", "m").collect()
+      .map(r => r.getAs[Long]("node_id") ->
+        (r.getAs[Long]("subtree_n"),
+          r.getAs[java.math.BigDecimal]("subtree_cents").longValueExact))
+      .toMap
+    assert(out.size == 300)
+    // the root's subtree is the whole forest: n nodes, all cents
+    assert(out(0L)._1 == 300L)
+    val totalCents = (0L until 300L).map(k => (k % 7) * 100L).sum
+    assert(out(0L)._2 == totalCents)
+    // recurrence: subtree_n(p) = 1 + Σ subtree_n(children of p)
+    val sha60 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.expressions.Sha60(
+          org.apache.spark.sql.graft.GraftBridge.expression(c)))
+    val parentOf = nodes.filter(col("k") > 0).select(col("k"),
+      pmod(sha60(concat(lit("tree:"), col("k").cast("string"))),
+        col("k")).as("p")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("p")).toMap
+    val childrenOf = parentOf.toSeq.groupBy(_._2)
+      .map { case (p, kids) => p -> kids.map(_._1) }
+    for (p <- out.keys) {
+      val kids = childrenOf.getOrElse(p, Seq.empty)
+      assert(out(p)._1 == 1L + kids.map(out(_)._1).sum,
+        s"count recurrence broken at node $p")
+      assert(out(p)._2 == (p % 7) * 100L + kids.map(out(_)._2).sum,
+        s"cents recurrence broken at node $p")
+    }
+  }
 }
