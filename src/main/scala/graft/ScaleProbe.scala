@@ -303,6 +303,25 @@ object ScaleProbe {
         t.documents.count() * 10,
         () => graft.operators.SetJoin.similarityJoinExact(
           replicateDocs(t.documents, 10)).count()),
+      // one scan into a 1-row aggregate of 15 exact sums — cost is
+      // the scan alone
+      ("column_corr", t.lineitem.count(),
+        () => graft.operators.Profile.columnCorr(t.lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .count(),
+        t.lineitem.count() * 10,
+        () => graft.operators.Profile.columnCorr(
+          replicate(t.lineitem, 10, None),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .count()),
+      // pointer doubling: rounds grow with log(depth) — 10× nodes
+      // adds ~one round, so rows/sec should rise
+      ("hierarchy_depth", t.customer.count(),
+        () => Clusters.hierarchyDepth(t.customer, "c_custkey").count(),
+        t.customer.count() * 10,
+        () => Clusters.hierarchyDepth(
+          replicate(t.customer, 10, Some("c_custkey")), "c_custkey")
+          .count()),
       // CMS counter world is fixed (depth·width keys) at any corpus
       // size — cost should be the token scan alone
       ("sketch_countmin", t.documents.count(),
