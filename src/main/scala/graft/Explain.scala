@@ -81,7 +81,8 @@ object Explain {
       "ann_dim_sweep", "ann_nprobe_curve", "ts_decompose",
       "column_corr", "context_len_fit", "sketch_countmin",
       "dedup_graph_degrees", "pq_distortion", "phrase_search",
-      "lexicon_filter", "triplet_audit", "sql_lateral_topk")
+      "lexicon_filter", "triplet_audit", "sql_lateral_topk",
+      "ts_seasonal_anomaly")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -1265,6 +1265,68 @@ object InlineOracles {
         FROM dev d JOIN mad a USING (event_type)
         WHERE a.mad > 0 AND 0.6745 * d.dev / a.mad > 3.5"""
 
+  /** De-seasonalized MAD anomalies (mirrors
+    * TimeSeries.seasonalAnomaly): the ts_decompose residual chain,
+    * then the value_outliers_mad rank-copy median/MAD pattern. */
+  val ts_seasonal_anomaly: String = """
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        h AS (SELECT event_type, ts - ts % 3600000000 as hour_us,
+                count(*) as n FROM e GROUP BY 1, 2),
+        spans AS (SELECT event_type,
+                min(ts) - min(ts) % 3600000000 as lo,
+                max(ts) - max(ts) % 3600000000 as hi
+              FROM e GROUP BY 1),
+        grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, 3600000000)) as hour_us
+              FROM spans),
+        s AS (SELECT g.event_type, g.hour_us,
+                coalesce(h.n, 0) as n_events
+              FROM grid g LEFT JOIN h USING (event_type, hour_us)),
+        f AS (SELECT event_type, hour_us, n_events,
+                cast(sum(n_events) OVER w as bigint) as frame_sum,
+                cast(count(*) OVER w as bigint) as frame_n,
+                (hour_us // 3600000000) % 24 as hod
+              FROM s
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        f2 AS (SELECT *,
+                CASE WHEN frame_n = 24
+                     THEN 24 * n_events - frame_sum END as det_num
+               FROM f),
+        seas AS (SELECT event_type, hod,
+                cast(sum(det_num) as bigint) as s_num,
+                count(*) as s_cnt
+              FROM f2 WHERE det_num IS NOT NULL GROUP BY 1, 2),
+        res AS (
+          SELECT f2.event_type, f2.hour_us, f2.n_events,
+            cast(f2.n_events as double)
+              - cast(frame_sum as double) / 24.0
+              - cast(s_num as double)
+                / (24.0 * cast(s_cnt as double)) as residual
+          FROM f2 JOIN seas USING (event_type, hod)
+          WHERE det_num IS NOT NULL),
+        med AS (
+          SELECT event_type, residual as med FROM (
+            SELECT event_type, residual,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY residual) as rn,
+              count(*) OVER (PARTITION BY event_type) as n
+            FROM res) WHERE rn = ceil(0.5 * n)),
+        dev AS (SELECT r.event_type, r.hour_us, r.n_events, r.residual,
+                  m.med, abs(r.residual - m.med) as dev
+                FROM res r JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, dev as mad FROM (
+            SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY dev) as rn,
+              count(*) OVER (PARTITION BY event_type) as n
+            FROM dev) WHERE rn = ceil(0.5 * n))
+        SELECT d.event_type, d.hour_us, d.n_events, d.residual, d.med,
+          a.mad, 0.6745 * d.dev / a.mad as mod_z
+        FROM dev d JOIN mad a USING (event_type)
+        WHERE a.mad > 0 AND 0.6745 * d.dev / a.mad > 3.5"""
+
   val bm25_search: String = """
         WITH sized AS (SELECT doc_id, text,
                 cast(len(string_split(text, ' ')) as bigint) as dl

@@ -3250,6 +3250,16 @@ object Queries {
       (s, d) => TimeSeries.decompose(Tables(s, d).events, period = 24),
       Some(InlineOracles.ts_decompose)),
 
+    Q("ts_seasonal_anomaly",
+      // alerting that the daily rhythm does NOT explain: decompose's
+      // residual series through the MAD modified z-score — raw-count
+      // monitors fire every rush hour, this fires only off-rhythm;
+      // residuals are bit-identical fixed chains, median/MAD exact
+      // rank COPIES of them, the score one fixed chain
+      (s, d) => TimeSeries.seasonalAnomaly(Tables(s, d).events,
+        period = 24, threshold = 3.5),
+      Some(InlineOracles.ts_seasonal_anomaly)),
+
     Q("decayed_popularity",
       // "what is hot NOW": per-day-halving dyadic decay in exact
       // integer ppm (1000000 >> age_days) — order-independent long

@@ -467,6 +467,42 @@ object TimeSeries {
           .as("residual"))
   }
 
+  /** De-seasonalized anomaly detection — [[decompose]]'s residual
+    * series put through the MAD modified z-score (the
+    * `value_outliers_mad` machinery): a raw-count monitor fires every
+    * rush hour; subtracting trend + seasonal first means an alert is
+    * something the daily rhythm does NOT explain. Flags full-frame
+    * hours where 0.6745·|resid − median(resid)|/MAD(resid) exceeds
+    * `threshold`, per event_type.
+    *
+    * Determinism: residuals are [[decompose]]'s bit-identical fixed
+    * chains; median and MAD are exact two-phase quantile COPIES of
+    * those doubles (never new arithmetic); the score is one fixed
+    * chain. MAD = 0 series are skipped (score undefined — the
+    * madOutliers contract). Scale shape: decompose's grid frames +
+    * two histogram-shuffle quantile passes + broadcast fence joins;
+    * the flag filter is map-side. */
+  def seasonalAnomaly(events: DataFrame, period: Int = 24,
+                      threshold: Double = 3.5): DataFrame = {
+    val dec = decompose(events, period)
+      .filter(col("residual").isNotNull)
+      .select(col("event_type"), col("hour_us"), col("n_events"),
+        col("residual"))
+    val med = Gold.exactGroupQuantiles(dec, "event_type", "residual",
+      Seq(0.5), 0.5)
+      .select(col("event_type"), col("quantile_value").as("med"))
+    val dev = dec.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("residual") - col("med")))
+    val mad = Gold.exactGroupQuantiles(dev, "event_type", "dev",
+      Seq(0.5), 0.25)
+      .select(col("event_type"), col("quantile_value").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("mod_z", lit(0.6745) * col("dev") / col("mad"))
+      .filter(col("mad") > 0 && col("mod_z") > threshold)
+      .select(col("event_type"), col("hour_us"), col("n_events"),
+        col("residual"), col("med"), col("mad"), col("mod_z"))
+  }
+
   /** Watermark-lateness audit: replay the stream in `arrivalCol`
     * order and count, per event_type, the events a
     * `withWatermark(delay)` policy would DROP — event-time older

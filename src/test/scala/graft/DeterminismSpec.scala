@@ -180,6 +180,8 @@ class DeterminismSpec extends SparkSpec {
     // pointer-doubling depth: exact integer hop sums, unique paths
     "hierarchy_depth",
     // level-sweep rollup: order-independent decimal(38,0) sums
-    "subtree_rollup"))
+    "subtree_rollup",
+    // residual chains + rank-copy fences, score one fixed chain
+    "ts_seasonal_anomaly"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

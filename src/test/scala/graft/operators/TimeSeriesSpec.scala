@@ -247,6 +247,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(edges.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  test("seasonalAnomaly flags a planted spike, not the daily rhythm") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hourUs = 3600000000L
+    // 96 hours of a strong period-24 rhythm (10 vs 14) with small
+    // aperiodic jitter (so MAD > 0), plus a +40 spike at hour 50 —
+    // a raw-count monitor would fire every "rush" hour; the
+    // de-seasonalized monitor must fire on the spike alone
+    val rows = for {
+      h <- 0 until 96
+      base = (if (h % 24 < 12) 10 else 14) + (h * 7) % 3
+      n = base + (if (h == 50) 40 else 0)
+      i <- 0 until n
+    } yield (h.toLong * 1000 + i, "a", h.toLong * hourUs)
+    val events = rows.toDF("event_id", "event_type", "ts")
+    val out = TimeSeries.seasonalAnomaly(events, period = 24,
+      threshold = 3.5).collect()
+    val flaggedHours = out.map(_.getAs[Long]("hour_us") / hourUs).toSet
+    assert(flaggedHours.contains(50L), "the spike must be flagged")
+    assert(out.forall(_.getAs[Double]("mod_z") > 3.5))
+    // the spike is the LOUDEST alert by far (its echoes — MA-window
+    // neighbors and same-hour-of-day siblings whose seasonal estimate
+    // it contaminated — score lower), and the rhythm's base hours
+    // stay a majority-quiet series, not a fire-every-hour monitor
+    val byHour = out.map(r => r.getAs[Long]("hour_us") / hourUs ->
+      r.getAs[Double]("mod_z")).toMap
+    assert(byHour(50L) == byHour.values.max,
+      "the planted spike must carry the maximum score")
+    assert(flaggedHours.size * 2 < 73,
+      s"over half the series fired: ${flaggedHours.size} hours")
+  }
+
   test("decompose reconstructs n = trend + seasonal + residual on irregular data") {
     import org.apache.spark.sql.functions._
     val out = TimeSeries.decompose(tables.events, period = 24)
