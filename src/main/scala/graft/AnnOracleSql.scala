@@ -888,7 +888,8 @@ object AnnOracleSql {
   /** Mirrors Spectral.covariance. */
   def covarianceSql(): String = s"""
     WITH $SpectralCtes
-    SELECT i, j, n_rows, s_ij, s_i, s_j, cov_num FROM covn"""
+    SELECT i, j, n_rows, s_ij, s_i, s_j,
+      cast(cov_num as varchar) as cov_num FROM covn"""
 
   /** Full-matrix + two unnormalized power steps (mirrors
     * Spectral.powerIterate). */
@@ -906,8 +907,8 @@ object AnnOracleSql {
   /** Mirrors Spectral.powerIterate. */
   def powerIterateSql(): String = s"""
     WITH $PowerCtes
-    SELECT pv2.dim, cast(pv1.v1 as decimal(38,0)) as v1,
-      cast(pv2.v2 as decimal(38,0)) as v2
+    SELECT pv2.dim, cast(pv1.v1 as varchar) as v1,
+      cast(pv2.v2 as varchar) as v2
     FROM pv2 JOIN pv1 ON pv2.dim = pv1.dim"""
 
   /** Mirrors Spectral.isotropyAudit. */
@@ -918,13 +919,13 @@ object AnnOracleSql {
            FROM covn),
     tot AS (SELECT
               cast(sum(CASE WHEN i = j THEN 1 END) as bigint) as n_dims,
-              cast(sum(CASE WHEN i = j THEN cov_num END)
-                as decimal(38,0)) as trace,
-              cast(sum(CASE WHEN i <> j THEN a END)
-                as decimal(38,0)) as offdiag_abs
+              cast(cast(sum(CASE WHEN i = j THEN cov_num END)
+                as decimal(38,0)) as varchar) as trace,
+              cast(cast(sum(CASE WHEN i <> j THEN a END)
+                as decimal(38,0)) as varchar) as offdiag_abs
             FROM ab),
     topp AS (SELECT i as top_i, j as top_j,
-               cast(a as decimal(38,0)) as top_abs
+               cast(a as varchar) as top_abs
              FROM (SELECT *, row_number() OVER (ORDER BY a DESC, i, j)
                      as rn FROM ab WHERE i <> j) q
              WHERE rn = 1)
@@ -937,8 +938,8 @@ object AnnOracleSql {
     qd AS (SELECT vec_id, generate_subscripts(qs, 1) - 1 as dim,
              unnest(qs) as q FROM qv)
     SELECT qd.vec_id,
-      cast(sum(cast(qd.q as decimal(4,0)) * cast(pv2.v2 as decimal(34,0)))
-        as decimal(38,0)) as score
+      cast(cast(sum(cast(qd.q as decimal(4,0)) * cast(pv2.v2 as decimal(34,0)))
+        as decimal(38,0)) as varchar) as score
     FROM qd JOIN pv2 ON qd.dim = pv2.dim
     GROUP BY 1"""
 

@@ -1421,7 +1421,7 @@ object InlineOracles {
         SELECT source, n, s1, s2, s3,
           cast(s1 as double) / cast(n as double) as mean_tokens,
           cast(cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1
-            as decimal(38,0)) as var_num,
+            as varchar) as var_num,
           cast(cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1
             as double) / (cast(n as double) * cast(n as double))
             as var_tokens,
@@ -1549,7 +1549,7 @@ object InlineOracles {
         SELECT source, n, s1, s2, s3,
           cast(s1 as double) / cast(n as double) as mean_tokens,
           cast(cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1
-            as decimal(38,0)) as var_num,
+            as varchar) as var_num,
           cast(cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1
             as double) / (cast(n as double) * cast(n as double))
             as var_tokens,
@@ -2346,7 +2346,8 @@ object InlineOracles {
             as acf_den
           FROM d GROUP BY 1)
         SELECT n.event_type, cast(n.lag as bigint) as lag, n.n_terms,
-          n.acf_num, d2.acf_den,
+          cast(n.acf_num as varchar) as acf_num,
+          cast(d2.acf_den as varchar) as acf_den,
           cast(n.acf_num as double) / cast(d2.acf_den as double) as acf
         FROM num n JOIN den d2 ON d2.event_type = n.event_type"""
 
@@ -2384,7 +2385,8 @@ object InlineOracles {
                  as decimal(38,0)) as dev_den
           FROM f)
         SELECT source, lang, observed, row_total, col_total, n_total,
-          dev_num, dev_den,
+          cast(dev_num as varchar) as dev_num,
+          cast(dev_den as varchar) as dev_den,
           (cast(dev_num as double) * cast(dev_num as double))
             / cast(dev_den as double) as cell_chi2,
           ((cast(dev_num as double) * cast(dev_num as double))
@@ -2688,8 +2690,10 @@ object InlineOracles {
       .mkString(",\n            ")
     val legs = pairs.map { case (x, y) => s"""
         SELECT '$x' as col_x, '$y' as col_y, n,
-          s_$x as sum_x, s_$y as sum_y,
-          ss_$x as sum_x2, ss_$y as sum_y2, sp_${x}__$y as sum_xy,
+          cast(s_$x as varchar) as sum_x, cast(s_$y as varchar) as sum_y,
+          cast(ss_$x as varchar) as sum_x2,
+          cast(ss_$y as varchar) as sum_y2,
+          cast(sp_${x}__$y as varchar) as sum_xy,
           CASE WHEN cast(n as double) * cast(ss_$x as double)
                  - cast(s_$x as double) * cast(s_$x as double) > 0
                 AND cast(n as double) * cast(ss_$y as double)

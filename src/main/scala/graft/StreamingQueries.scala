@@ -183,7 +183,8 @@ private[graft] object StreamingQueries {
         val ckpt = freshCheckpoint("scv", d)
         graft.streaming.Streams.covarianceStream(s, src, schema, cd,
           ckpt).awaitTermination(120000)
-        graft.streaming.Streams.covarianceFromShards(s, cd)
+        Queries.pubDec38AsString(
+          graft.streaming.Streams.covarianceFromShards(s, cd))
       },
       Some(AnnOracleSql.covarianceSql())),
 
@@ -765,7 +766,8 @@ private[graft] object StreamingQueries {
         val ckpt = freshCheckpoint("smo", d)
         graft.streaming.Streams.momentsStream(s, src, schema, mom,
           "source", ckpt).awaitTermination(120000)
-        graft.streaming.Streams.momentsFromShards(s, mom, "source")
+        Queries.pubDec38AsString(
+          graft.streaming.Streams.momentsFromShards(s, mom, "source"))
       },
       Some(InlineOracles.stream_moments)),
 
@@ -789,14 +791,15 @@ private[graft] object StreamingQueries {
         val ckpt = freshCheckpoint("sfp", d)
         graft.streaming.Streams.fingerprintStream(s, src, schema, fpd,
           ckpt).awaitTermination(120000)
-        graft.streaming.Streams.fingerprintFromShards(s, fpd)
+        Queries.pubDec38AsString(
+          graft.streaming.Streams.fingerprintFromShards(s, fpd))
       },
       Some(s"""
         SELECT source, cast(count(*) as bigint) as n_docs,
           cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
           cast(sum(${TextOracleSql.Sha60.format(
             "cast(doc_id as varchar) || ':' || text")})
-            as decimal(38,0)) as content_sum
+            as varchar) as content_sum
         FROM documents GROUP BY 1""")),
 
     Q("stream_budget_fit",

@@ -24,10 +24,14 @@ package graft
   */
 class PlanInvariantsSpec extends SparkSpec {
 
-  private lazy val plans: Map[String, String] = Explain.names.map { n =>
-    n -> Queries.queries(n)(spark, sfDir)
-      .queryExecution.executedPlan.toString
-  }.toMap
+  private lazy val swept
+      : Map[String, (org.apache.spark.sql.types.StructType, String)] =
+    Explain.names.map { n =>
+      val df = Queries.queries(n)(spark, sfDir)
+      n -> ((df.schema, df.queryExecution.executedPlan.toString))
+    }.toMap
+  private lazy val plans: Map[String, String] =
+    swept.view.mapValues(_._2).toMap
 
   test("registry invariants: unique names, total oracle coverage, " +
     "SparkEntry maps aligned") {
@@ -47,6 +51,24 @@ class PlanInvariantsSpec extends SparkSpec {
     // every Explain sweep name must exist in the registry
     val ghost = Explain.names.filterNot(names.contains)
     assert(ghost.isEmpty, s"Explain names not in registry: $ghost")
+  }
+
+  test("no published schema carries decimal(38,0)") {
+    // decimal128(38,0) output columns hash reader-dependently in the
+    // driver's canonicalizer (int vs Decimal rendering) — the r8 gate
+    // failed 13 queries on exactly this. Internal arithmetic may (and
+    // should) use decimal(38,0); the REGISTRY must publish digit
+    // strings instead (Queries.pubDec38AsString). The streaming twins
+    // are covered by the same census in tools/check.py over the
+    // Verify result parquets.
+    import org.apache.spark.sql.types.DecimalType
+    val bad = swept.toSeq.flatMap { case (n, (schema, _)) =>
+      val dec = schema.fields.filter(_.dataType == DecimalType(38, 0))
+      if (dec.isEmpty) None
+      else Some(s"$n: ${dec.map(_.name).mkString(",")}")
+    }
+    assert(bad.isEmpty,
+      s"decimal(38,0) published by: ${bad.mkString("; ")}")
   }
 
   test("no representative plan contains a cartesian product") {

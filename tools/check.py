@@ -17,6 +17,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Type-TAGGED canonicalization: the driver's hash distinguishes a
+    # Decimal 123 from an int 123 (scale-0 decimal128 renders
+    # reader-dependently), so equal digits with different types must
+    # fail HERE the way they fail on the driver (r8 lesson: 13 queries
+    # passed untagged locally and failed the driver gate).
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -25,13 +30,20 @@ def norm(v):
         return repr(v)
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return str(v)
-    except Exception:
-        pass
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, int):
+        return "int:" + str(v)
     return str(v)
+
+
+def dec38_cols(con, res_glob):
+    """Published-schema census: decimal(38,0) output columns hash
+    reader-dependently downstream — no registry query may publish one
+    (cast to string at the registry; keep internal math decimal)."""
+    rel = con.sql(f"DESCRIBE SELECT * FROM read_parquet('{res_glob}')")
+    return [r[0] for r in rel.fetchall() if r[1] == "DECIMAL(38,0)"]
 
 
 def canon(cols, rows):
@@ -54,6 +66,11 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         try:
+            bad = dec38_cols(con, res_glob)
+            if bad:
+                print(f"[DC38] {name}: decimal(38,0) published: {bad}")
+                failures += 1
+                continue
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{res_glob}')")
             spark_cols = [d[0] for d in spark_rel.description]
             spark_rows = spark_rel.fetchall()
@@ -83,6 +100,10 @@ def main(sf_dir, out_dir):
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
         if os.path.isdir(p) and d not in declared:
+            bad = dec38_cols(con, f"{p}/*.parquet")
+            if bad:
+                print(f"[DC38] {d}: decimal(38,0) published: {bad}")
+                failures += 1
             n = con.sql(f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
             status = "ROWS" if n > 0 else "EMPTY"
             print(f"[{status}] {d}: {n} rows (no oracle)")
