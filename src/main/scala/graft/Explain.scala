@@ -82,7 +82,9 @@ object Explain {
       "column_corr", "context_len_fit", "sketch_countmin",
       "dedup_graph_degrees", "pq_distortion", "phrase_search",
       "lexicon_filter", "triplet_audit", "sql_lateral_topk",
-      "ts_seasonal_anomaly")
+      "ts_seasonal_anomaly",
+      // r9 declarative additions
+      "ts_crosscorr")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

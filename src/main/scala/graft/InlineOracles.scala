@@ -2351,6 +2351,64 @@ object InlineOracles {
           cast(n.acf_num as double) / cast(d2.acf_den as double) as acf
         FROM num n JOIN den d2 ON d2.event_type = n.event_type"""
 
+  /** Pairwise lead/lag cross-correlation (mirrors
+    * TimeSeries.crosscorr): same per-type dense-grid dev series as
+    * ts_autocorr, hash-joined on the shifted hour per (pair, lag);
+    * exact decimal sums published as digit strings, xcorr as the one
+    * fixed √·√ IEEE chain with a constant-series NULL guard. */
+  private[graft] val ts_crosscorr: String = """
+        WITH e AS (SELECT event_type, epoch_us(ts) as ts FROM events),
+        hourly AS (
+          SELECT event_type, ts - ts % 3600000000 as hour_us,
+            count(*) as n_raw
+          FROM e GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type,
+            min(ts) - min(ts) % 3600000000 as lo,
+            max(ts) - max(ts) % 3600000000 as hi
+          FROM e GROUP BY 1),
+        grid AS (
+          SELECT event_type,
+            unnest(generate_series(lo, hi, 3600000000)) as hour_us
+          FROM bounds),
+        s AS (
+          SELECT g.event_type, g.hour_us,
+            cast(coalesce(h.n_raw, 0) as bigint) as x
+          FROM grid g LEFT JOIN hourly h
+            ON h.event_type = g.event_type AND h.hour_us = g.hour_us),
+        st AS (
+          SELECT event_type, cast(count(*) as bigint) as n,
+            cast(sum(x) as bigint) as sx
+          FROM s GROUP BY 1),
+        d AS (
+          SELECT s.event_type, s.hour_us,
+            cast(cast(st.n as decimal(19,0)) * cast(s.x as decimal(12,0))
+                 - cast(st.sx as decimal(19,0)) as decimal(19,0)) as dev
+          FROM s JOIN st ON st.event_type = s.event_type),
+        den AS (
+          SELECT event_type, cast(sum(dev * dev) as decimal(38,0)) as den
+          FROM d GROUP BY 1),
+        lags AS (SELECT unnest(generate_series(-12, 12)) as lag),
+        num AS (
+          SELECT a.event_type as type_a, b.event_type as type_b, l.lag,
+            cast(count(*) as bigint) as n_terms,
+            cast(sum(a.dev * b.dev) as decimal(38,0)) as xcorr_num
+          FROM d a CROSS JOIN lags l
+          JOIN d b ON b.hour_us = a.hour_us + l.lag * 3600000000
+                  AND a.event_type < b.event_type
+          GROUP BY 1, 2, 3)
+        SELECT n.type_a, n.type_b, cast(n.lag as bigint) as lag,
+          n.n_terms,
+          cast(n.xcorr_num as varchar) as xcorr_num,
+          cast(da.den as varchar) as den_a,
+          cast(db.den as varchar) as den_b,
+          CASE WHEN da.den > 0 AND db.den > 0 THEN
+            cast(n.xcorr_num as double) /
+              (sqrt(cast(da.den as double)) * sqrt(cast(db.den as double)))
+          END as xcorr
+        FROM num n JOIN den da ON da.event_type = n.type_a
+                   JOIN den db ON db.event_type = n.type_b"""
+
   /** Chi-square independence audit: mirrors Profile.chi2Independence
     * width for width (19×12 decimal products keep DuckDB on its
     * hugeint kernel; final decimal(38,0) casts align both engines'

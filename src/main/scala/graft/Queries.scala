@@ -939,6 +939,17 @@ object Queries {
       (s, d) => Bpe.encode(Tables(s, d).documents),
       Some(TextOracleSql.bpeEncodeSql(Bpe.DefaultMerges))),
 
+    Q("bpe_train",
+      // the third leg of the tokenizer lifecycle (train → encode →
+      // fertility), now DISTRIBUTED: merge induction over the sharded
+      // word dictionary — per round one map-side-combined pair count,
+      // one TakeOrderedAndProject top-1 (the only driver traffic),
+      // one literal-baked fold merge; the oracle replays all rounds
+      // as materialized CTEs with the winner correlated in
+      (s, d) => Bpe.trainDistributed(Tables(s, d).documents,
+        numMerges = 12, sampleMod = 5),
+      Some(TextOracleSql.bpeTrainSql(numMerges = 12, sampleMod = 5))),
+
     Q("bpe_fertility",
       // tokenizer-equity report: pieces-per-word by language under the
       // frozen merge table (the token-budget tax a vocab imposes per
@@ -3314,6 +3325,16 @@ object Queries {
       (s, d) => pubDec38AsString(
         TimeSeries.autocorr(Tables(s, d).events, maxLag = 24)),
       Some(InlineOracles.ts_autocorr)),
+
+    Q("ts_crosscorr",
+      // which event type FORESHADOWS which: lead/lag cross-correlation
+      // for every type pair at lags −12..12 on the shared dense hour
+      // grid — autocorr's two-series sibling (funnel lag estimation,
+      // alert routing, capacity pre-warming); exact decimal sums
+      // shipped as digit strings, one fixed √·√ IEEE chain for the
+      // coefficient itself
+      (s, d) => TimeSeries.crosscorr(Tables(s, d).events, maxLag = 12),
+      Some(InlineOracles.ts_crosscorr)),
 
     Q("ts_decompose",
       // classical seasonal decomposition n = trend + seasonal +

@@ -362,6 +362,24 @@ object ScaleProbe {
         t.lineitem.count() * 10,
         () => graft.operators.Basket.marketBasket(
           replicate(t.lineitem, 10, Some("l_orderkey"))).count()),
+      // BPE merge induction: per-round cost is the vocabulary-keyed
+      // pair count — 10× docs grows the dictionary sublinearly
+      // (Heaps' law) and the round count is fixed, so rows/sec rises
+      ("bpe_train", t.documents.count(),
+        () => graft.operators.Bpe.trainDistributed(t.documents,
+          numMerges = 8).count(),
+        t.documents.count() * 10,
+        () => graft.operators.Bpe.trainDistributed(
+          replicate(t.documents, 10, Some("doc_id")),
+          numMerges = 8).count()),
+      // cross-correlation lives on the |types|·|hours| grid: 10× rows
+      // collapse onto the SAME hour grid in the first map-side-
+      // combined groupBy — cost after that is scale-free
+      ("ts_crosscorr", t.events.count(),
+        () => TimeSeries.crosscorr(t.events).count(),
+        t.events.count() * 10,
+        () => TimeSeries.crosscorr(
+          replicate(t.events, 10, Some("event_id"))).count()),
       // mutual-kNN + CC with cellTarget-derived nlist: 10× vectors
       // means ~10× cells of the SAME size, so intra-cell pair volume
       // grows linearly (n·cellTarget), not (n/nlist)² — the r8 judge

@@ -935,6 +935,51 @@ object TextOracleSql {
     FROM enc GROUP BY 1"""
   }
 
+  /** Distributed BPE merge induction replay (mirrors
+    * Bpe.trainDistributed): the full sampled word-count dictionary
+    * (no cap — the distributed trainer has no driver dictionary to
+    * bound), then `numMerges` unrolled rounds of adjacent-pair count
+    * (≥ 2 only) → top-1 by (count desc, a, b) → the same
+    * list_reduce merge fold as [[bpeWordExpr]], the winning pair
+    * correlated in from the 1-row b_i CTE. CTEs are MATERIALIZED:
+    * each w_i is referenced twice (pair count + next merge) and
+    * DuckDB's default inlining re-evaluates the whole chain per
+    * reference — exponential in rounds (measured: 12 rounds DNF
+    * inlined, 0.2 s materialized). */
+  def bpeTrainSql(numMerges: Int, sampleMod: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+      SELECT l[i] as a, l[i+1] as b, cast(sum(c) as bigint) as cnt
+      FROM (SELECT string_split(pw, '|') as l, c,
+              unnest(generate_series(1, len(string_split(pw, '|')) - 1))
+                as i
+            FROM w${r - 1})
+      GROUP BY 1, 2 HAVING cast(sum(c) as bigint) >= 2),
+    b$r AS MATERIALIZED (
+      SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+    w$r AS MATERIALIZED (
+      SELECT list_reduce(string_split(pw, '|'), (acc, x) ->
+        CASE WHEN x = b$r.b AND regexp_extract(acc, '[^|]*$$') = b$r.a
+          THEN acc || x ELSE acc || '|' || x END) as pw, c
+      FROM w${r - 1}, b$r)"""
+    }.mkString(",\n    ")
+    val legs = (1 to numMerges).map(r =>
+      s"SELECT cast($r as bigint) as rank, a as piece_a, b as piece_b, " +
+        s"cnt as pair_count FROM b$r")
+      .mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH dict AS MATERIALIZED (
+      SELECT w, cast(count(*) as bigint) as c
+      FROM (SELECT unnest(string_split(text, ' ')) as w
+            FROM documents WHERE doc_id % $sampleMod = 0)
+      GROUP BY 1),
+    w0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(w, ''), '|') as pw, c
+      FROM dict),
+    $rounds
+    $legs"""
+  }
+
   /** Train/test leakage audit (mirrors Dedup.splitLeakageAudit):
     * banded-LSH near-dup pairs × the hash train/val/test split,
     * counted per unordered split pair. */

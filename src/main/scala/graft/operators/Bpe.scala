@@ -77,6 +77,72 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Fully DISTRIBUTED BPE merge induction: the word dictionary never
+    * leaves the cluster (contrast [[train]]'s bounded driver
+    * dictionary — at 100 TB the distinct-word frame is billions of
+    * rows and lives sharded). Each round is one map-side-combined
+    * adjacent-pair count over the vocabulary-keyed piece frame, a
+    * distributed top-1 (`orderBy.limit(1)` → TakeOrderedAndProject;
+    * the ONLY driver traffic is that one winning-pair row per round —
+    * the hierarchy_depth bounded-scalar convergence pattern), then a
+    * literal-baked left-fold merge over every word's piece array with
+    * a `localCheckpoint` lineage cut per round. Selection rule is
+    * [[train]]'s exactly: count ≥ 2, max count, ties lexicographic on
+    * (a, b); merging is the same non-overlapping pass (a freshly
+    * merged tail CAN absorb an immediately following `b`).
+    *
+    * Emits the merge table itself — (rank, piece_a, piece_b,
+    * pair_count) — the artifact a production run freezes and ships to
+    * [[encode]]. */
+  def trainDistributed(documents: DataFrame, numMerges: Int,
+                       sampleMod: Int = 5): DataFrame = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val spark = documents.sparkSession
+    var words = documents
+      .filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(split(col("w"), "").as("pieces"), col("c"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val tail = size(col("pieces")) - 1
+      val best = words
+        .select(explode(zip_with(
+          slice(col("pieces"), lit(1), tail),
+          slice(col("pieces"), lit(2), tail),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("c"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val (a, b, cnt) =
+          (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+        merges += ((a, b, cnt))
+        words = words.select(
+          aggregate(col("pieces"), typedLit(Seq.empty[String]),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("pieces"),
+          col("c"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+      .toDF("rank", "piece_a", "piece_b", "pair_count")
+  }
+
   /** One left-to-right non-overlapping merge pass (the kernel's inner
     * loop, over an existing piece list). */
   private def mergePass(pieces: Array[String], a: String,

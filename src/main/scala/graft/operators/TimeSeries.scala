@@ -392,6 +392,77 @@ object TimeSeries {
           .as("acf"))
   }
 
+  /** Integer-exact lead/lag CROSS-correlation between every ordered
+    * event-type pair at lags −maxLag..maxLag — [[autocorr]]'s
+    * two-series sibling, the "does type A's traffic foreshadow type
+    * B's an hour later" discovery (alerting routing, funnel lag
+    * estimation, capacity pre-warming). dev_t is each type's n-scaled
+    * centered count on its OWN dense hour grid (n·x_t − S, exactly
+    * autocorr's); xcorr_num(L) = Σ dev_a(t)·dev_b(t+L) over
+    * overlapping hours and each type's dev² sum are exact
+    * decimal(38,0), PUBLISHED as digit strings (the r9 contract);
+    * `xcorr` = num / (√den_a·√den_b) is one fixed IEEE chain, NULL
+    * when either series is constant. Lag 0 is the contemporaneous
+    * correlation.
+    *
+    * Scale: everything lives on the |types|·|hours| grid frame; the
+    * lag join is hash-equi on the shifted hour (per-hour fan-out =
+    * |types|², never a data×data product); per-type denominators
+    * broadcast. */
+  def crosscorr(events: DataFrame, maxLag: Int = 12): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    val hourUs = 3600000000L
+    val hourly = events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw"))
+    val grid = events.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("event_type"), explode(sequence(
+        col("lo") - pmod(col("lo"), lit(hourUs)),
+        col("hi") - pmod(col("hi"), lit(hourUs)),
+        lit(hourUs))).as("hour_us"))
+    val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n_raw"), lit(0L)).as("x"))
+    val stats = series.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = series.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_us"),
+        (col("n").cast("decimal(19,0)") * col("x").cast("decimal(12,0)")
+          - col("sx").cast("decimal(19,0)")).cast("decimal(19,0)")
+          .as("dev"))
+    val den = dev.groupBy("event_type")
+      .agg(sum(col("dev") * col("dev")).cast("decimal(38,0)").as("den"))
+    val lags = events.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val a = dev.select(col("event_type").as("type_a"), col("hour_us"),
+      col("dev").as("dev_a"))
+    val b = dev.select(col("event_type").as("type_b"),
+      col("hour_us").as("probe_hour"), col("dev").as("dev_b"))
+    val num = a.crossJoin(broadcast(lags))
+      .withColumn("probe_hour", col("hour_us") + col("lag") * lit(hourUs))
+      .join(b, Seq("probe_hour"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("dev_a") * col("dev_b")).cast("decimal(38,0)")
+          .as("xcorr_num"))
+    num
+      .join(broadcast(den.select(col("event_type").as("type_a"),
+        col("den").as("den_a"))), "type_a")
+      .join(broadcast(den.select(col("event_type").as("type_b"),
+        col("den").as("den_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_terms"),
+        col("xcorr_num").cast("string").as("xcorr_num"),
+        col("den_a").cast("string").as("den_a"),
+        col("den_b").cast("string").as("den_b"),
+        when(col("den_a") > 0 && col("den_b") > 0,
+          col("xcorr_num").cast("double") /
+            (sqrt(col("den_a").cast("double")) *
+              sqrt(col("den_b").cast("double")))).as("xcorr"))
+  }
+
   /** Classical seasonal decomposition of the dense hourly count
     * series: `n = trend + seasonal + residual` — the moving-average
     * decomposition (STL's non-iterative ancestor) that turns

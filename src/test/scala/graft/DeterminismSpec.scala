@@ -182,6 +182,10 @@ class DeterminismSpec extends SparkSpec {
     // level-sweep rollup: order-independent decimal(38,0) sums
     "subtree_rollup",
     // residual chains + rank-copy fences, score one fixed chain
-    "ts_seasonal_anomaly"))
+    "ts_seasonal_anomaly",
+    // round-9: the distributed BPE trainer's per-round top-1 pair
+    // (count ties broken lexicographically) and the cross-correlation
+    // lag join must be fan-out-independent
+    "bpe_train", "ts_crosscorr"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

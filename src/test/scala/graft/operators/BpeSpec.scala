@@ -75,6 +75,36 @@ class BpeSpec extends SparkSpec {
       dictBudget = 1 << 20) === full)
   }
 
+  test("trainDistributed equals the driver trainer on an uncapped dictionary") {
+    import spark.implicits._
+    val docs = Seq((0L, "low lower lowest low low"),
+      (5L, "new newer newest new low"), (7L, "outside the sample"))
+      .toDF("doc_id", "text")
+    val drv = Bpe.train(docs, numMerges = 6, sampleMod = 5,
+      dictBudget = 1 << 20)
+    val dist = Bpe.trainDistributed(docs, numMerges = 6, sampleMod = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(dist === drv)
+    // early stop: a sample with no repeated pair yields an empty table
+    val none = Seq((0L, "ab")).toDF("doc_id", "text")
+    assert(Bpe.trainDistributed(none, numMerges = 3, sampleMod = 1)
+      .count() === 0L)
+  }
+
+  test("trainDistributed on the test corpus matches the driver trainer") {
+    // same selection rule, same fold — the distributed rounds must
+    // reproduce the driver loop verbatim when the driver dictionary
+    // is uncapped (pair counts are identical multisets)
+    val drv = Bpe.train(tables.documents, numMerges = 6, sampleMod = 5,
+      dictBudget = 1 << 20)
+    val dist = Bpe.trainDistributed(tables.documents, numMerges = 6,
+      sampleMod = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(dist === drv)
+  }
+
   test("encode output is consistent: piece counts re-derivable from text") {
     val out = Bpe.encode(tables.documents).cache()
     try {

@@ -103,6 +103,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(4L) == ((1L, 16L, 120L, 16.0 / 120.0)))
   }
 
+  test("crosscorr: a planted 1-hour lead peaks at lag +1 with xcorr 1, " +
+    "pair ordered, lags without overlap absent") {
+    // x: counts [2,0,2,0,2] on hours 0-4; y: the SAME series shifted
+    // +1 hour (hours 1-5). dev = [4,−6,4,−6,4] on each type's own
+    // grid, den = 120 for both. At lag +1 every x hour aligns with
+    // its shifted copy → num = Σdev² = 120, xcorr = 1; at lag 0 the 4
+    // overlapping hours anti-align → num = −96.
+    val rows = Seq(0L, 0L, 2L, 2L, 4L, 4L).map(h => ("x", h * H, 1.0)) ++
+      Seq(1L, 1L, 3L, 3L, 5L, 5L).map(h => ("y", h * H, 1.0))
+    val out = TimeSeries.crosscorr(ev(rows: _*), maxLag = 12).collect()
+    assert(out.forall(r => r.getAs[String]("type_a") == "x" &&
+      r.getAs[String]("type_b") == "y"), "pairs must be ordered a < b")
+    val byLag = out.map(r => r.getAs[Long]("lag") ->
+      (r.getAs[Long]("n_terms"), r.getAs[String]("xcorr_num"),
+        r.getAs[String]("den_a"), r.getAs[String]("den_b"),
+        r.getAs[Double]("xcorr"))).toMap
+    // y's grid is hours 1..5: x hour t only pairs when t+L ∈ [1,5]
+    assert(byLag.keySet == (-3L to 5L).toSet,
+      s"unexpected lag set ${byLag.keySet}")
+    assert(byLag(1L) == ((5L, "120", "120", "120",
+      120.0 / (math.sqrt(120.0) * math.sqrt(120.0)))))
+    assert(byLag(0L) == ((4L, "-96", "120", "120",
+      -96.0 / (math.sqrt(120.0) * math.sqrt(120.0)))))
+  }
+
+  test("crosscorr: a constant series yields NULL xcorr but exact sums") {
+    // z is flat (1 event every hour 0-3): dev ≡ 0, den = 0 → the
+    // coefficient is undefined and must be NULL, never NaN/Infinity
+    val rows = Seq(0L, 2L).map(h => ("a", h * H, 1.0)) ++
+      (0L to 3L).map(h => ("z", h * H, 1.0))
+    val out = TimeSeries.crosscorr(ev(rows: _*), maxLag = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("xcorr"))))
+    assert(out.forall(r => r.getAs[String]("den_b") == "0"))
+  }
+
   test("CUSUM changepoint lands on a clean mean shift") {
     // 4 hours at 1 event/hour then 4 hours at 5/hour: μ = 3,
     // S_t = cum − 3t = (−2,−4,−6,−8,−6,−4,−2,0) — argmax |S| at
