@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // opt-in exact→HLL distinct-count rewrite (spark.graft.approxDistinct.rsd)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // native as-of join physical operator (AsofJoin logical node)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

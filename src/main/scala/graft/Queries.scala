@@ -2121,6 +2121,25 @@ object Queries {
       },
       Some(InlineOracles.asof_join)),
 
+    Q("asof_join_native",
+      // the SAME temporal lookup through the custom physical operator
+      // (AsofJoinExec via planner strategy — the whole-operator rung
+      // of the extension ladder): each side shuffles at its own
+      // width, one O(1)-state streaming merge per partition instead
+      // of union+window; bit-identical to asof_join, same oracle
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchasesByTs = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        AsOf.asofJoinNative(clicks, purchasesByTs, "user_id", "ts",
+          Seq("event_id", "value"))
+      },
+      Some(InlineOracles.asof_join)),
+
     Q("asof_join_forward",
       // the mirror lookup: each click finds the user's EARLIEST
       // purchase at-or-after it ("what happened next") — same one

@@ -64,6 +64,38 @@ object AsOf {
       rightCols.map(c => col(s"__match.$c").as(s"matched_$c"))): _*)
   }
 
+  /** The same backward as-of join through the NATIVE physical
+    * operator ([[graft.plans.AsofJoinExec]]): each side shuffles at
+    * its own width and one streaming merge per partition replaces the
+    * union+window — semantics identical to [[asofJoin]] (same oracle),
+    * plan shape different. The strategy self-installs on sessions
+    * built without `spark.sql.extensions`. Output matches
+    * [[asofJoin]]: left.* ++ matched_<rightCols>. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     tsCol: String, rightCols: Seq[String]): DataFrame = {
+    import graft.plans.{AsofJoin, AsofJoinStrategy}
+    import org.apache.spark.sql.graft.GraftBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    // right child carries key/ts under reserved names plus the
+    // payload pre-named matched_* — every output name unique, every
+    // right-side attribute freshly aliased (self-join safe)
+    val r2 = right.select(col(key).as("__asof_k") +:
+      col(tsCol).as("__asof_t") +:
+      rightCols.map(c => col(c).as(s"matched_$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val plan = AsofJoin(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, "__asof_k"),
+      attr(lPlan, tsCol), attr(rPlan, "__asof_t"))
+    GraftBridge.dataset(spark, plan).drop("__asof_k", "__asof_t")
+  }
+
   /** The FORWARD as-of join: for each left row, the EARLIEST right
     * row with right.ts >= left.ts on the same key — "what happened
     * next" (the first purchase after a click, the next quote after an

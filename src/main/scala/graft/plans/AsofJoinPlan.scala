@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** NATIVE backward as-of join — the custom whole-operator rung of the
+  * extension ladder (expression kernels and optimizer rewrites are the
+  * other rungs; this adds a LogicalPlan + SparkStrategy + SparkPlan).
+  *
+  * Semantics (identical to the composed
+  * [[graft.operators.AsOf.asofJoin]], which remains the general path):
+  * for each left row, the LATEST right row with the same key and
+  * right.ts <= left.ts; unmatched left rows keep nulls. A right row at
+  * exactly left.ts is visible (ASOF `>=`). Right side must be unique
+  * per (key, ts). NULL keys/timestamps never match on either side.
+  *
+  * Why a physical operator when the composition is green: the
+  * composed plan unions both sides to ONE frame at the combined
+  * column width and windows over it — every left row crosses the wire
+  * carrying null right-payload slots and vice versa. The native exec
+  * shuffles each side at its own width and replaces the window with a
+  * single streaming merge per partition: each child is hash-clustered
+  * on its key and sorted (key, ts) — the same Exchange+Sort machinery
+  * SortMergeJoin rides, AQE included — and the merge keeps exactly
+  * ONE buffered right row (the current candidate), so memory per
+  * partition is O(1) beyond the sorts and cost is O(n_l + n_r). At
+  * 100 TB the saved union width is the whole game for wide left
+  * tables.
+  */
+final case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
+                          leftKey: Expression, rightKey: Expression,
+                          leftTs: Expression, rightTs: Expression)
+  extends BinaryNode {
+  // exactly Join's left-outer contract: the output IS the children's
+  // attributes (right side nullability widened) — minting fresh
+  // attributes instead disconnects the right payload from the
+  // column-pruning lineage and the optimizer rightly prunes it away
+  // (observed: right child narrowed to key+ts, merge read garbage)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoin]] to [[AsofJoinExec]]; a no-op for every other
+  * node. Registered by GraftExtensions (injectPlannerStrategy) and —
+  * for sessions built without the extension conf — installed at
+  * runtime through `spark.experimental.extraStrategies` by
+  * [[graft.operators.AsOf.asofJoinNative]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lts, rts) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One streaming merge pass per co-partitioned, co-sorted partition
+  * pair. The planner's EnsureRequirements provides the hash exchange
+  * and the (key, ts) sort on both children — declared, not
+  * hand-built, so AQE re-plans the exchanges like any join's. */
+final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                              leftKey: Expression, rightKey: Expression,
+                              leftTs: Expression, rightTs: Expression)
+  extends BinaryExecNode {
+
+  require(leftKey.dataType == rightKey.dataType &&
+    leftTs.dataType == rightTs.dataType,
+    "as-of key/timestamp types must match across sides")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // rows stream out in the left child's (key, ts) sort order — a
+  // downstream window/merge over the same key reuses the sort
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTs = BindReferences.bindReference(leftTs, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTs = BindReferences.bindReference(rightTs, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val outTypes = (left.output ++ right.output).map(_.dataType).toArray
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      // exactly one buffered candidate (the latest eligible right row
+      // for its key) plus a one-row lookahead — O(1) state
+      var curKey: Any = null
+      var curRow: InternalRow = null
+      var pending: InternalRow = null
+      def advance(lk: Any, lts: Any): Unit = {
+        var done = false
+        while (!done) {
+          if (pending == null && rIter.hasNext) pending = rIter.next().copy()
+          if (pending == null) done = true
+          else {
+            val pk = rKey.eval(pending)
+            if (pk == null) pending = null // null keys never match
+            else {
+              val c = keyOrd.compare(pk, lk)
+              if (c < 0) pending = null // sorted: this key is behind us
+              else if (c == 0) {
+                val pts = rTs.eval(pending)
+                if (pts != null && tsOrd.compare(pts, lts) <= 0) {
+                  curKey = pk; curRow = pending; pending = null
+                } else if (pts == null) pending = null
+                else done = true
+              } else done = true
+            }
+          }
+        }
+      }
+      lIter.map { lRow =>
+        val lk = lKey.eval(lRow)
+        val lts = lTs.eval(lRow)
+        if (lk == null || lts == null) proj(joined(lRow, nullRight))
+        else {
+          advance(lk, lts)
+          val m =
+            if (curRow != null && keyOrd.compare(curKey, lk) == 0) curRow
+            else nullRight
+          proj(joined(lRow, m))
+        }
+      }
+    }
+  }
+}

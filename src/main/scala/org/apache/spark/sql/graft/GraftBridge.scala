@@ -46,6 +46,15 @@ object GraftBridge {
     }
   }
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point
+    * a custom whole-operator node needs (Dataset.ofRows is
+    * private[sql]). */
+  def dataset(spark: SparkSession,
+              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The logical plan behind a DataFrame (for table-function bodies). */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.logical

@@ -186,6 +186,9 @@ class DeterminismSpec extends SparkSpec {
     // round-9: the distributed BPE trainer's per-round top-1 pair
     // (count ties broken lexicographically) and the cross-correlation
     // lag join must be fan-out-independent
-    "bpe_train", "ts_crosscorr"))
+    "bpe_train", "ts_crosscorr",
+    // the custom physical operator must give the same answer under
+    // any partition fan-out (its merge is per-partition)
+    "asof_join_native"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -40,6 +40,53 @@ class AsOfSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("asofJoinNative: the custom exec plans in and matches the " +
+    "composed operator row for row") {
+    val ev = tables.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"),
+        max(col("value")).as("value"))
+    val native = AsOf.asofJoinNative(clicks, purchases, "user_id", "ts",
+      Seq("event_id", "value"))
+    // the physical operator actually planned — not a silent fallback
+    assert(native.queryExecution.executedPlan.toString
+      .contains("AsofJoin"), "AsofJoinExec missing from the plan")
+    val composed = AsOf.asofJoin(clicks, purchases, "user_id", "ts",
+      Seq("event_id", "value"))
+    assert(native.columns.toSeq === composed.columns.toSeq)
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    assert(canon(native) === canon(composed))
+  }
+
+  test("asofJoinNative: ties, misses, and null keys behave like the " +
+    "composed operator") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 100L),
+      (4L, 99L, 500L)).toDF("id", "k", "ts")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (20L, 150L, "c"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.asofJoinNative(left, right, "k", "ts", Seq("tag"))
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[String]("matched_tag") == "a") // exact-ts tie
+    assert(out(1).getAs[String]("matched_tag") == "b") // latest of two
+    assert(out(2).isNullAt(out(2).fieldIndex("matched_tag"))) // future-only
+    assert(out(3).isNullAt(out(3).fieldIndex("matched_tag"))) // absent key
+    // null keys never match, rows survive
+    val ln = Seq((Some(1L), Option.empty[Long], Some(100L)),
+      (Some(2L), Some(10L), Some(100L)))
+      .toDF("id", "k", "ts")
+    val outN = AsOf.asofJoinNative(ln, right, "k", "ts", Seq("tag"))
+      .orderBy("id").collect()
+    assert(outN.length == 2)
+    assert(outN(0).isNullAt(outN(0).fieldIndex("matched_tag")))
+    assert(outN(1).getAs[String]("matched_tag") == "a")
+  }
+
   test("tolerance nulls matches older than the max gap, keeps rows") {
     import spark.implicits._
     val lefts = Seq((1L, 10L, 1000L), (1L, 20L, 2000L), (2L, 30L, 500L))
