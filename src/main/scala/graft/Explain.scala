@@ -84,7 +84,7 @@ object Explain {
       "lexicon_filter", "triplet_audit", "sql_lateral_topk",
       "ts_seasonal_anomaly",
       // r9 declarative additions
-      "ts_crosscorr", "asof_join_native")
+      "ts_crosscorr", "asof_join_native", "event_debounce")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -2351,6 +2351,20 @@ object InlineOracles {
           cast(n.acf_num as double) / cast(d2.acf_den as double) as acf
         FROM num n JOIN den d2 ON d2.event_type = n.event_type"""
 
+  /** Debounce audit (mirrors TimeSeries.debounce): one lag window per
+    * (user, type), gap vs the immediately preceding event, 10-minute
+    * threshold. */
+  private[graft] val event_debounce: String = s"""
+        WITH e AS ($eventsNs),
+        w AS (SELECT event_id, user_id, event_type, ts,
+                lag(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) as prev_ts
+              FROM e)
+        SELECT event_id, user_id, event_type, ts, prev_ts,
+          ts - prev_ts as gap_us,
+          coalesce(ts - prev_ts <= 600000000, false) as is_bounce
+        FROM w"""
+
   /** Pairwise lead/lag cross-correlation (mirrors
     * TimeSeries.crosscorr): same per-type dense-grid dev series as
     * ts_autocorr, hash-joined on the shifted hour per (pair, lag);

@@ -3355,6 +3355,15 @@ object Queries {
       (s, d) => TimeSeries.crosscorr(Tables(s, d).events, maxLag = 12),
       Some(InlineOracles.ts_crosscorr)),
 
+    Q("event_debounce",
+      // at-least-once hygiene: flag every event within 10 min of the
+      // previous event of the same (user, type) — SDK retries and
+      // double-fires surface as near-instant repeats; one lag window
+      // on the (user, type) clustering, full audit frame published
+      (s, d) => TimeSeries.debounce(Tables(s, d).events,
+        gapUs = 600000000L),
+      Some(InlineOracles.event_debounce)),
+
     Q("ts_decompose",
       // classical seasonal decomposition n = trend + seasonal +
       // residual over the dense hourly grid: centered 24-term MA on

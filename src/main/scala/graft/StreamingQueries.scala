@@ -162,6 +162,39 @@ private[graft] object StreamingQueries {
       Some(AnnOracleSql.ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 3,
         sampleBudget = 128, queryPred = "vec_id < 16"))),
 
+    Q("stream_asof",
+      // continuous temporal enrichment: click micro-batches look up
+      // the user's latest prior purchase in a STATIC dimension via
+      // the composed as-of join — each left row's match depends only
+      // on the right side, so per-batch enrichment unions to the
+      // one-shot batch as-of on ANY arrival split (batch=N overwrite
+      // → retry-idempotent); the batch asof_join SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sas_src_$sf"
+        val out = s"/tmp/graft_cache/sas_out_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        val ev = Tables(s, d).events
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+          .repartition(6).write.mode("overwrite").json(src)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("user_id", LongType), StructField("ts", LongType),
+          StructField("value", DoubleType)))
+        val ckpt = freshCheckpoint("sas", d)
+        graft.streaming.Streams.asofEnrichStream(s, src, schema,
+          purchases, out, ckpt, key = "user_id", tsCol = "ts",
+          rightCols = Seq("event_id", "value"))
+          .awaitTermination(120000)
+        s.read.parquet(out).drop("batch")
+      },
+      Some(InlineOracles.asof_join)),
+
     Q("stream_covariance",
       // continuous embedding-space observability: vector micro-
       // batches fold per-(i,j) exact moment shards (associative

@@ -332,6 +332,32 @@ object TimeSeries {
             (col("sd") === 0.0 && cD =!= col("m")))).as("is_anomaly"))
   }
 
+  /** Retry/double-fire debounce audit: flags every event arriving
+    * within `gapUs` of the PREVIOUS event of the same
+    * (user, event_type) — the hygiene pass every event pipeline runs
+    * before counting anything (SDK retries, double-clicks, at-least-
+    * once replays land as near-instant repeats). Audit form: the full
+    * frame ships with the flag so consumers choose drop vs collapse;
+    * the flag is against the immediately preceding event (one lag
+    * window), the standard debounce audit — a keep-anchored greedy
+    * variant is inherently sequential per key and buys little at
+    * real gap widths.
+    *
+    * Scale: one hash shuffle on (user, type); the window is a single
+    * lag over each partition's sort — no self-join, no grid. Ties at
+    * identical ts order by event_id (deterministic). */
+  def debounce(events: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs >= 0, "gapUs must be non-negative")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", col("ts") - col("prev_ts"))
+      .withColumn("is_bounce",
+        coalesce(col("gap_us") <= gapUs, lit(false)))
+  }
+
   /** Integer-exact sample autocorrelation of the hourly event-count
     * series, per event type and lag 1..maxLag — the seasonality
     * detector that justifies the `period` choice forecast/anomaly

@@ -350,6 +350,46 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the streaming as-of enrichment sink: each
+    * arriving batch of left rows is enriched independently against
+    * the STATIC right frame through the composed as-of join — a left
+    * row's match depends only on the right side, so the union of
+    * per-batch results equals the one-shot batch as-of however
+    * arrivals split into batches. Results land under `batch=<id>`
+    * with directory overwrite → retry-idempotent. The batch
+    * asof_join oracle checks the whole streaming lifecycle. */
+  def asofEnrichBatch(right: DataFrame, key: String, tsCol: String,
+                      rightCols: Seq[String], outDir: String)
+                     (batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.operators.AsOf.asofJoin(batch, right, key, tsCol, rightCols)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Continuous temporal enrichment: left rows arrive as file
+    * micro-batches and look up their as-of match in a static
+    * dimension via [[asofEnrichBatch]] — the serving shape of every
+    * "attach the latest quote/price/profile at event time" pipeline. */
+  def asofEnrichStream(spark: SparkSession, srcPath: String,
+                       schema: StructType, right: DataFrame,
+                       outDir: String, checkpoint: String,
+                       key: String, tsCol: String,
+                       rightCols: Seq[String],
+                       maxFilesPerTrigger: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      // payload only — fileIngest's source_file bookkeeping column
+      // must not leak into the enriched output
+      .select(schema.fieldNames.toIndexedSeq.map(
+        org.apache.spark.sql.functions.col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(asofEnrichBatch(right, key, tsCol, rightCols,
+        outDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous corpus curation: document micro-batches pass the
     * hashed-token quality classifier map-side, then cross-batch
     * EXACT duplicates are suppressed in the state store

@@ -139,6 +139,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[String]("den_b") == "0"))
   }
 
+  test("debounce flags repeats within the gap, first events never") {
+    import spark.implicits._
+    // user 1 click at t=0, retry at +1s (bounce), next at +700s
+    // (clean); user 1 view at +0.5s is a DIFFERENT type — no bounce;
+    // user 2 click at +1s — different user, no bounce
+    val rows = Seq(
+      (1L, 1L, "click", 0L), (2L, 1L, "click", 1000000L),
+      (3L, 1L, "click", 701000000L), (4L, 1L, "view", 500000L),
+      (5L, 2L, "click", 1000000L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = TimeSeries.debounce(rows, gapUs = 600000000L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Boolean]("is_bounce"),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong)))
+      .toMap
+    assert(out(1L) == ((false, None)))
+    assert(out(2L) == ((true, Some(1000000L))))
+    assert(out(3L) == ((false, Some(700000000L))))
+    assert(out(4L) == ((false, None)))
+    assert(out(5L) == ((false, None)))
+    // equal-ts ties order by event_id: the higher id is the bounce
+    val tie = Seq((7L, 9L, "click", 42L), (6L, 9L, "click", 42L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val t = TimeSeries.debounce(tie, gapUs = 1L).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Boolean]("is_bounce")).toMap
+    assert(t(6L) == false && t(7L) == true)
+  }
+
   test("CUSUM changepoint lands on a clean mean shift") {
     // 4 hours at 1 event/hour then 4 hours at 5/hour: μ = 3,
     // S_t = cum − 3t = (−2,−4,−6,−8,−6,−4,−2,0) — argmax |S| at

@@ -776,6 +776,46 @@ class StreamsSpec extends SparkSpec {
     assert(oneByOne.size == expected)
   }
 
+  test("asofEnrichStream: per-batch enrichment equals the one-shot " +
+       "as-of on any batch split; a retried batch is idempotent") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L, 1.0), (2L, 10L, 250L, 2.0),
+      (3L, 20L, 100L, 3.0), (4L, 99L, 500L, 4.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, 100L, 7L, 0.5), (10L, 200L, 8L, 0.6),
+      (20L, 150L, 9L, 0.7))
+      .toDF("user_id", "ts", "event_id", "value")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val oneShot = canon(graft.operators.AsOf.asofJoin(left, right,
+      "user_id", "ts", Seq("event_id", "value")))
+    def run(maxFiles: Int): Set[Seq[Any]] = {
+      val src = Files.createTempDirectory("graft_sas_src").toFile.getPath
+      val out = Files.createTempDirectory("graft_sas_out").toFile.getPath + "/o"
+      val ckpt = Files.createTempDirectory("graft_sas_ck").toFile.getPath
+      left.repartition(4, col("event_id")).write.mode("overwrite").json(src)
+      Streams.asofEnrichStream(spark, src, schema, right, out, ckpt,
+        key = "user_id", tsCol = "ts",
+        rightCols = Seq("event_id", "value"),
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      canon(spark.read.parquet(out)
+        .select("event_id", "user_id", "ts", "value",
+          "matched_event_id", "matched_value"))
+    }
+    assert(run(1) == oneShot, "1-file triggers differ from batch as-of")
+    assert(run(4) == oneShot, "single trigger differs from batch as-of")
+    // a retried batch id overwrites its own shard, never duplicates
+    val rt = Files.createTempDirectory("graft_sas_rt").toFile.getPath + "/o"
+    Streams.asofEnrichBatch(right, "user_id", "ts",
+      Seq("event_id", "value"), rt)(left, 0L)
+    Streams.asofEnrichBatch(right, "user_id", "ts",
+      Seq("event_id", "value"), rt)(left, 0L)
+    assert(spark.read.parquet(rt).count() == left.count())
+  }
+
   test("countMinStream: merged shards equal the one-shot sketch on any " +
        "batch split; a retried batch never double-counts") {
     val docs = tables.documents.limit(300)
