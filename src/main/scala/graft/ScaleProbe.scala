@@ -362,6 +362,29 @@ object ScaleProbe {
         t.lineitem.count() * 10,
         () => graft.operators.Basket.marketBasket(
           replicate(t.lineitem, 10, Some("l_orderkey"))).count()),
+      // native as-of exec: both sides shuffle once at their own
+      // width, O(1)-state merge per partition — cost is the two
+      // sorts, linear in rows
+      ("asof_join_native", t.events.count(), () => {
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = t.events.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        graft.operators.AsOf.asofJoinNative(clicks, purchases,
+          "user_id", "ts", Seq("event_id", "value")).count()
+      }, t.events.count() * 10, () => {
+        val ev = replicate(t.events, 10, Some("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        graft.operators.AsOf.asofJoinNative(clicks, purchases,
+          "user_id", "ts", Seq("event_id", "value")).count()
+      }),
       // BPE merge induction: per-round cost is the vocabulary-keyed
       // pair count — 10× docs grows the dictionary sublinearly
       // (Heaps' law) and the round count is fixed, so rows/sec rises
