@@ -2663,6 +2663,34 @@ object Queries {
       },
       Some(InlineOracles.versioned_changes)),
 
+    Q("table_clone",
+      // Delta SHALLOW CLONE analog: fork a committed table by copying
+      // METADATA only (commit log + base pointer — zero data moved,
+      // the property that makes a dev fork of a 100 TB table
+      // instant), mutate the FORK, publish its head; the source head
+      // stays byte-identical and the fork's pre-clone version still
+      // reads through the base pointer (spec asserts both + the
+      // zero-copy layout)
+      (s, d) => {
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/tcl_src_$sf"
+        val dst = s"/tmp/graft_cache/tcl_dst_$sf"
+        VersionedTable.destroy(src)
+        VersionedTable.write(Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+          src)
+        VersionedTable.shallowClone(src, dst)
+        VersionedTable.update(s, dst, "c_mktsegment = 'BUILDING'",
+          Seq("c_acctbal" -> "c_acctbal + 100.0"))
+        VersionedTable.read(s, dst)
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+          CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+               ELSE c_acctbal END as c_acctbal,
+          c_mktsegment
+        FROM customer""")),
+
     Q("versioned_update",
       (s, d) => {
         val path = s"/tmp/graft_cache/vu_${new java.io.File(d).getName}"

@@ -131,15 +131,55 @@ object VersionedTable {
     v
   }
 
-  /** Read the table at `asOf` (VERSION AS OF) or latest. */
+  /** Read the table at `asOf` (VERSION AS OF) or latest. A version
+    * whose snapshot dir is absent resolves through the shallow-clone
+    * base pointer when one exists ([[shallowClone]]); otherwise it
+    * was vacuumed. */
   def read(spark: SparkSession, path: String,
            asOf: Option[Int] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     require(versions(path).contains(v), s"version $v not committed at $path")
-    require(Files.exists(Paths.get(s"$path/v=$v")),
-      s"version $v was vacuumed at $path")
-    spark.read.parquet(s"$path/v=$v")
+    val own = s"$path/v=$v"
+    val resolved =
+      if (Files.exists(Paths.get(own))) own
+      else {
+        val basePtr = Paths.get(path, "_graft_base")
+        if (Files.exists(basePtr)) {
+          val bd = s"${Files.readString(basePtr).trim}/v=$v"
+          require(Files.exists(Paths.get(bd)),
+            s"version $v was vacuumed at $path (and its clone base)")
+          bd
+        } else {
+          require(false, s"version $v was vacuumed at $path")
+          own
+        }
+      }
+    spark.read.parquet(resolved)
+  }
+
+  /** Delta `SHALLOW CLONE` analog: fork `src` into `dst` by copying
+    * METADATA ONLY — the commit log plus a base pointer. Pre-clone
+    * versions resolve to the source's snapshot files through
+    * [[read]]'s pointer chase (zero data movement — what makes a
+    * dev/test fork of a 100 TB production table instant and free),
+    * while post-clone commits land under `dst` and never touch the
+    * source; the two histories diverge from the fork point exactly
+    * like git branches. Vacuuming the SOURCE breaks the clone's
+    * pre-fork time travel (Delta's documented shallow-clone hazard —
+    * surfaced here as the same read-time error). */
+  def shallowClone(src: String, dst: String): Unit = {
+    require(versions(src).nonEmpty, s"no committed versions at $src")
+    require(Paths.get(src).toAbsolutePath.normalize !=
+      Paths.get(dst).toAbsolutePath.normalize, "clone onto itself")
+    destroy(dst)
+    Files.createDirectories(logDir(dst))
+    versions(src).foreach { v =>
+      Files.copy(logDir(src).resolve(f"$v%06d.json"),
+        logDir(dst).resolve(f"$v%06d.json"))
+    }
+    Files.writeString(Paths.get(dst, "_graft_base"),
+      Paths.get(src).toAbsolutePath.normalize.toString)
   }
 
   /** VACUUM analog: physically delete all version snapshots except the

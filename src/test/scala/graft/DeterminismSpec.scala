@@ -189,6 +189,6 @@ class DeterminismSpec extends SparkSpec {
     "bpe_train", "ts_crosscorr",
     // the custom physical operator must give the same answer under
     // any partition fan-out (its merge is per-partition)
-    "asof_join_native", "event_debounce"))
+    "asof_join_native", "event_debounce", "table_clone"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -244,6 +244,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(shrunk.count() == v2.count())
   }
 
+  test("shallowClone: metadata-only fork — zero copied data, source " +
+    "isolated from clone writes, pre-fork time travel via the base") {
+    val src = freshPath
+    val dst = freshPath
+    VersionedTable.write(tables.nation, src)                      // v0
+    VersionedTable.write(
+      tables.nation.filter(col("n_regionkey") =!= 4), src)        // v1
+    VersionedTable.shallowClone(src, dst)
+    // zero-copy: the clone holds NO snapshot dirs, only log + pointer
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dst/v=0")) &&
+      !Files.exists(java.nio.file.Paths.get(s"$dst/v=1")),
+      "shallow clone must not copy snapshot data")
+    assert(VersionedTable.versions(dst) == Seq(0, 1))
+    // pre-fork versions read through the base pointer
+    assert(VersionedTable.read(spark, dst, Some(0)).count() == 25)
+    assert(VersionedTable.read(spark, dst).count() == 20)
+    // mutate the CLONE: source head must not move
+    VersionedTable.delete(spark, dst, "n_regionkey = 0")          // v2
+    assert(VersionedTable.read(spark, dst).count() == 15)
+    assert(VersionedTable.read(spark, src).count() == 20,
+      "clone write leaked into the source")
+    assert(VersionedTable.versions(src) == Seq(0, 1))
+    // the post-fork snapshot lives under the clone itself
+    assert(Files.exists(java.nio.file.Paths.get(s"$dst/v=2")))
+    // vacuuming the SOURCE breaks the clone's pre-fork time travel
+    // (the documented shallow-clone hazard), never its own commits
+    VersionedTable.vacuum(src, keepLast = 1)
+    intercept[IllegalArgumentException](
+      VersionedTable.read(spark, dst, Some(0)))
+    assert(VersionedTable.read(spark, dst).count() == 15)
+  }
+
   test("vacuum removes old snapshots but keeps history and the survivors") {
     val path = freshPath
     VersionedTable.write(tables.nation, path)
