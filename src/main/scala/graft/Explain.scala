@@ -84,7 +84,8 @@ object Explain {
       "lexicon_filter", "triplet_audit", "sql_lateral_topk",
       "ts_seasonal_anomaly",
       // r9 declarative additions
-      "ts_crosscorr", "asof_join_native", "event_debounce")
+      "ts_crosscorr", "asof_join_native", "event_debounce",
+      "asof_join_forward_native")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -2157,6 +2157,24 @@ object Queries {
       },
       Some(InlineOracles.asof_join_forward)),
 
+    Q("asof_join_forward_native",
+      // the forward lookup through the SAME custom exec by time
+      // reversal (t' = −t turns earliest-at-or-after into
+      // latest-at-or-before) — one physical operator, both
+      // directions; same forward oracle
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchasesByTs = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            max(col("value")).as("value"))
+        AsOf.asofJoinNativeForward(clicks, purchasesByTs, "user_id",
+          "ts", Seq("event_id", "value"))
+      },
+      Some(InlineOracles.asof_join_forward)),
+
     Q("asof_join_tolerance",
       (s, d) => {
         val ev = Tables(s, d).events

@@ -778,6 +778,31 @@ private[graft] object StreamingQueries {
       },
       Some(InlineOracles.stream_quantiles)),
 
+    Q("stream_ts_anomaly",
+      // the trailing-window z-score monitor maintained CONTINUOUSLY:
+      // event micro-batches fold per-(type, hour) count shards
+      // (associative longs, batch=N overwrite → retry-idempotent);
+      // the monitor re-derived from the merged store equals the
+      // one-shot batch chain however arrivals were batched — the
+      // batch ts_anomaly SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sta_src_$sf"
+        val cnt = s"/tmp/graft_cache/sta_cnt_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
+        Tables(s, d).events.select("event_id", "ts", "event_type")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType),
+          StructField("event_type", StringType)))
+        val ckpt = freshCheckpoint("sta", d)
+        graft.streaming.Streams.hourlyCountStream(s, src, schema, cnt,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.anomalyFromShards(s, cnt)
+      },
+      Some(InlineOracles.ts_anomaly)),
+
     Q("stream_moments",
       // continuous distribution observability: each micro-batch
       // lands its per-source exact power sums (associative longs,

@@ -96,6 +96,22 @@ object AsOf {
     GraftBridge.dataset(spark, plan).drop("__asof_k", "__asof_t")
   }
 
+  /** FORWARD as-of through the same native exec by TIME REVERSAL:
+    * "earliest right with rts >= lts" is exactly "latest right with
+    * rts' <= lts'" under t' = −t, so both sides gain a negated
+    * timestamp, ride [[asofJoinNative]] unchanged, and drop the
+    * helper column — one exec covers both directions instead of a
+    * mirrored twin. Ties (right at exactly left.ts) stay visible,
+    * matching [[asofJoinForward]]'s `<=` semantics. */
+  def asofJoinNativeForward(left: DataFrame, right: DataFrame,
+                            key: String, tsCol: String,
+                            rightCols: Seq[String]): DataFrame = {
+    val negL = left.withColumn("__asof_rev", negate(col(tsCol)))
+    val negR = right.withColumn("__asof_rev", negate(col(tsCol)))
+    asofJoinNative(negL, negR, key, "__asof_rev", rightCols)
+      .drop("__asof_rev")
+  }
+
   /** The FORWARD as-of join: for each left row, the EARLIEST right
     * row with right.ts >= left.ts on the same key — "what happened
     * next" (the first purchase after a click, the next quote after an

@@ -291,19 +291,30 @@ object TimeSeries {
     */
   def anomaly(events: DataFrame, trailing: Int = 24,
               zThresh: Double = 3.0, minHist: Int = 12): DataFrame = {
+    val hourUs = 3600000000L
+    anomalyFromHourly(events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw")), trailing, zThresh, minHist)
+  }
+
+  /** The same monitoring chain from an (event_type, hour_us, n_raw)
+    * HOURLY-COUNT frame — the merge target for streaming count
+    * shards: hourly counts are associative, so per-micro-batch shards
+    * summed equal the one-shot counts, and the grid bounds derived
+    * from observed hours equal the raw-timestamp bounds floored
+    * (the grid is hourly anyway). */
+  def anomalyFromHourly(hourly: DataFrame, trailing: Int = 24,
+                        zThresh: Double = 3.0,
+                        minHist: Int = 12): DataFrame = {
     require(trailing >= minHist && minHist >= 2,
       "need trailing >= minHist >= 2 hours of history")
     val hourUs = 3600000000L
-    val hourly = events.select(col("event_type"),
-        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
-      .groupBy("event_type", "hour_us")
-      .agg(count(lit(1)).as("n_raw"))
-    val grid = events.groupBy(col("event_type"))
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      .select(col("event_type"), explode(sequence(
-        col("lo") - pmod(col("lo"), lit(hourUs)),
-        col("hi") - pmod(col("hi"), lit(hourUs)),
-        lit(hourUs))).as("hour_us"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs)))
+          .as("hour_us"))
     val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
       .select(col("event_type"), col("hour_us"),
         coalesce(col("n_raw"), lit(0L)).as("n_events"))

@@ -350,6 +350,50 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the streaming anomaly monitor's count store:
+    * the batch's (event_type, hour_us) counts land as a shard under
+    * `batch=<id>` with directory overwrite (retry-idempotent). Hourly
+    * counts are associative longs, so the merged store equals the
+    * one-shot hourly aggregation however arrivals split. */
+  def hourlyCountBatch(outDir: String)(batch: DataFrame,
+                                       batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      batch.select(col("event_type"),
+          (col("ts") - pmod(col("ts"), lit(3600000000L))).as("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Continuous per-hour count maintenance for the trailing-window
+    * anomaly monitor: event micro-batches fold count shards via
+    * [[hourlyCountBatch]]. */
+  def hourlyCountStream(spark: SparkSession, srcPath: String,
+                        schema: StructType, outDir: String,
+                        checkpoint: String,
+                        maxFilesPerTrigger: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select("event_type", "ts")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(hourlyCountBatch(outDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The trailing-window z-score monitor re-derived from the merged
+    * count shards — equals the one-shot batch
+    * [[graft.operators.TimeSeries.anomaly]] on any batch split. */
+  def anomalyFromShards(spark: SparkSession, dir: String,
+                        trailing: Int = 24, zThresh: Double = 3.0,
+                        minHist: Int = 12): DataFrame =
+    graft.operators.TimeSeries.anomalyFromHourly(
+      spark.read.parquet(dir)
+        .groupBy("event_type", "hour_us")
+        .agg(sum(col("n")).as("n_raw")),
+      trailing, zThresh, minHist)
+
   /** One micro-batch of the streaming as-of enrichment sink: each
     * arriving batch of left rows is enriched independently against
     * the STATIC right frame through the composed as-of join — a left

@@ -189,6 +189,7 @@ class DeterminismSpec extends SparkSpec {
     "bpe_train", "ts_crosscorr",
     // the custom physical operator must give the same answer under
     // any partition fan-out (its merge is per-partition)
-    "asof_join_native", "event_debounce", "table_clone"))
+    "asof_join_native", "event_debounce", "table_clone",
+    "asof_join_forward_native"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -87,6 +87,25 @@ class AsOfSpec extends SparkSpec {
     assert(outN(1).getAs[String]("matched_tag") == "a")
   }
 
+  test("asofJoinNativeForward: time reversal matches the composed " +
+    "forward operator row for row") {
+    val ev = tables.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"),
+        max(col("value")).as("value"))
+    val native = AsOf.asofJoinNativeForward(clicks, purchases,
+      "user_id", "ts", Seq("event_id", "value"))
+    val composed = AsOf.asofJoinForward(clicks, purchases, "user_id",
+      "ts", Seq("event_id", "value"))
+    assert(native.columns.toSeq === composed.columns.toSeq)
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    assert(canon(native) === canon(composed))
+  }
+
   test("tolerance nulls matches older than the max gap, keeps rows") {
     import spark.implicits._
     val lefts = Seq((1L, 10L, 1000L), (1L, 20L, 2000L), (2L, 30L, 500L))

@@ -776,6 +776,33 @@ class StreamsSpec extends SparkSpec {
     assert(oneByOne.size == expected)
   }
 
+  test("hourlyCountStream: the monitor from merged shards equals the " +
+       "one-shot batch anomaly on any split; retries never double-count") {
+    val ev = tables.events.select("event_id", "ts", "event_type")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val oneShot = canon(graft.operators.TimeSeries.anomaly(tables.events))
+    def run(maxFiles: Int): Set[Seq[Any]] = {
+      val src = Files.createTempDirectory("graft_sta_src").toFile.getPath
+      val cnt = Files.createTempDirectory("graft_sta_cnt").toFile.getPath + "/c"
+      val ckpt = Files.createTempDirectory("graft_sta_ck").toFile.getPath
+      ev.repartition(4).write.mode("overwrite").json(src)
+      Streams.hourlyCountStream(spark, src, schema, cnt, ckpt,
+        maxFilesPerTrigger = maxFiles).awaitTermination(60000)
+      canon(Streams.anomalyFromShards(spark, cnt))
+    }
+    assert(run(1) == oneShot, "1-file triggers differ from batch anomaly")
+    assert(run(4) == oneShot, "single trigger differs from batch anomaly")
+    // a retried batch id overwrites its own count shard
+    val rt = Files.createTempDirectory("graft_sta_rt").toFile.getPath + "/c"
+    Streams.hourlyCountBatch(rt)(ev.limit(50), 0L)
+    Streams.hourlyCountBatch(rt)(ev.limit(50), 0L)
+    val n = spark.read.parquet(rt).agg(sum(col("n"))).head().getLong(0)
+    assert(n == 50L, s"retried batch double-counted: $n")
+  }
+
   test("asofEnrichStream: per-batch enrichment equals the one-shot " +
        "as-of on any batch split; a retried batch is idempotent") {
     import spark.implicits._
