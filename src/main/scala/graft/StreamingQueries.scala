@@ -803,6 +803,29 @@ private[graft] object StreamingQueries {
       },
       Some(InlineOracles.ts_anomaly)),
 
+    Q("stream_crosscorr",
+      // the lead/lag matrix from the SAME continuous count store the
+      // anomaly monitor folds — two monitors, one shard store; the
+      // merged counts equal the one-shot hourly aggregation on any
+      // arrival split, so the batch ts_crosscorr SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/stx_src_$sf"
+        val cnt = s"/tmp/graft_cache/stx_cnt_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
+        Tables(s, d).events.select("event_id", "ts", "event_type")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType),
+          StructField("event_type", StringType)))
+        val ckpt = freshCheckpoint("stx", d)
+        graft.streaming.Streams.hourlyCountStream(s, src, schema, cnt,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.crosscorrFromShards(s, cnt)
+      },
+      Some(InlineOracles.ts_crosscorr)),
+
     Q("stream_moments",
       // continuous distribution observability: each micro-batch
       // lands its per-source exact power sums (associative longs,

@@ -447,18 +447,27 @@ object TimeSeries {
     * |types|², never a data×data product); per-type denominators
     * broadcast. */
   def crosscorr(events: DataFrame, maxLag: Int = 12): DataFrame = {
-    require(maxLag >= 0, "maxLag must be non-negative")
     val hourUs = 3600000000L
-    val hourly = events.select(col("event_type"),
+    crosscorrFromHourly(events.select(col("event_type"),
         (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
       .groupBy("event_type", "hour_us")
-      .agg(count(lit(1)).as("n_raw"))
-    val grid = events.groupBy(col("event_type"))
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      .select(col("event_type"), explode(sequence(
-        col("lo") - pmod(col("lo"), lit(hourUs)),
-        col("hi") - pmod(col("hi"), lit(hourUs)),
-        lit(hourUs))).as("hour_us"))
+      .agg(count(lit(1)).as("n_raw")), maxLag)
+  }
+
+  /** [[crosscorr]] from an (event_type, hour_us, n_raw) hourly-count
+    * frame — shares the streaming count-shard store with
+    * [[anomalyFromHourly]] (one store, two continuous monitors):
+    * hourly counts are associative and the grid bounds from observed
+    * hours equal the raw-timestamp bounds floored. */
+  def crosscorrFromHourly(hourly: DataFrame,
+                          maxLag: Int = 12): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    val hourUs = 3600000000L
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs)))
+          .as("hour_us"))
     val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
       .select(col("event_type"), col("hour_us"),
         coalesce(col("n_raw"), lit(0L)).as("x"))
@@ -471,7 +480,7 @@ object TimeSeries {
           .as("dev"))
     val den = dev.groupBy("event_type")
       .agg(sum(col("dev") * col("dev")).cast("decimal(38,0)").as("den"))
-    val lags = events.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+    val lags = hourly.sparkSession.range(-maxLag.toLong, maxLag + 1L)
       .select(col("id").as("lag"))
     val a = dev.select(col("event_type").as("type_a"), col("hour_us"),
       col("dev").as("dev_a"))

@@ -394,6 +394,17 @@ object Streams {
         .agg(sum(col("n")).as("n_raw")),
       trailing, zThresh, minHist)
 
+  /** The lead/lag cross-correlation matrix re-derived from the SAME
+    * merged count shards [[anomalyFromShards]] reads — one continuous
+    * count store, two monitors. Equals the one-shot batch
+    * [[graft.operators.TimeSeries.crosscorr]] on any batch split. */
+  def crosscorrFromShards(spark: SparkSession, dir: String,
+                          maxLag: Int = 12): DataFrame =
+    graft.operators.TimeSeries.crosscorrFromHourly(
+      spark.read.parquet(dir)
+        .groupBy("event_type", "hour_us")
+        .agg(sum(col("n")).as("n_raw")), maxLag)
+
   /** One micro-batch of the streaming as-of enrichment sink: each
     * arriving batch of left rows is enriched independently against
     * the STATIC right frame through the composed as-of join — a left

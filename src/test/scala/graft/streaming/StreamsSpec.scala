@@ -795,6 +795,17 @@ class StreamsSpec extends SparkSpec {
     }
     assert(run(1) == oneShot, "1-file triggers differ from batch anomaly")
     assert(run(4) == oneShot, "single trigger differs from batch anomaly")
+    // the SAME store serves the cross-correlation monitor: fold once
+    // more and compare against the one-shot batch matrix
+    val xc = canon(graft.operators.TimeSeries.crosscorr(tables.events))
+    val src2 = Files.createTempDirectory("graft_stx_src").toFile.getPath
+    val cnt2 = Files.createTempDirectory("graft_stx_cnt").toFile.getPath + "/c"
+    val ck2 = Files.createTempDirectory("graft_stx_ck").toFile.getPath
+    ev.repartition(4).write.mode("overwrite").json(src2)
+    Streams.hourlyCountStream(spark, src2, schema, cnt2, ck2,
+      maxFilesPerTrigger = 2).awaitTermination(60000)
+    assert(canon(Streams.crosscorrFromShards(spark, cnt2)) == xc,
+      "crosscorr from merged shards differs from the batch matrix")
     // a retried batch id overwrites its own count shard
     val rt = Files.createTempDirectory("graft_sta_rt").toFile.getPath + "/c"
     Streams.hourlyCountBatch(rt)(ev.limit(50), 0L)
