@@ -826,6 +826,30 @@ private[graft] object StreamingQueries {
       },
       Some(InlineOracles.ts_crosscorr)),
 
+    Q("stream_autocorr",
+      // the seasonality ACF from the shared continuous count store —
+      // third monitor, same shards (anomaly + crosscorr + acf);
+      // exact decimal sums published as digit strings (r9 contract),
+      // the batch ts_autocorr SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sac_src_$sf"
+        val cnt = s"/tmp/graft_cache/sac_cnt_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
+        Tables(s, d).events.select("event_id", "ts", "event_type")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType),
+          StructField("event_type", StringType)))
+        val ckpt = freshCheckpoint("sac", d)
+        graft.streaming.Streams.hourlyCountStream(s, src, schema, cnt,
+          ckpt).awaitTermination(120000)
+        Queries.pubDec38AsString(
+          graft.streaming.Streams.autocorrFromShards(s, cnt))
+      },
+      Some(InlineOracles.ts_autocorr)),
+
     Q("stream_moments",
       // continuous distribution observability: each micro-batch
       // lands its per-source exact power sums (associative longs,

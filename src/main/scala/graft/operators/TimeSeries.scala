@@ -385,18 +385,25 @@ object TimeSeries {
     * both sums live on the |types|·|hours| grid frame; per-type
     * stats broadcast. No global sort anywhere. */
   def autocorr(events: DataFrame, maxLag: Int = 24): DataFrame = {
-    require(maxLag >= 1, "need at least lag 1")
     val hourUs = 3600000000L
-    val hourly = events.select(col("event_type"),
+    autocorrFromHourly(events.select(col("event_type"),
         (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
       .groupBy("event_type", "hour_us")
-      .agg(count(lit(1)).as("n_raw"))
-    val grid = events.groupBy(col("event_type"))
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      .select(col("event_type"), explode(sequence(
-        col("lo") - pmod(col("lo"), lit(hourUs)),
-        col("hi") - pmod(col("hi"), lit(hourUs)),
-        lit(hourUs))).as("hour_us"))
+      .agg(count(lit(1)).as("n_raw")), maxLag)
+  }
+
+  /** [[autocorr]] from an (event_type, hour_us, n_raw) hourly-count
+    * frame — the third monitor on the shared streaming count-shard
+    * store (with [[anomalyFromHourly]] and [[crosscorrFromHourly]]). */
+  def autocorrFromHourly(hourly: DataFrame,
+                         maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1, "need at least lag 1")
+    val hourUs = 3600000000L
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs)))
+          .as("hour_us"))
     val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
       .select(col("event_type"), col("hour_us"),
         coalesce(col("n_raw"), lit(0L)).as("x"))
@@ -407,7 +414,7 @@ object TimeSeries {
         (col("n").cast("decimal(19,0)") * col("x").cast("decimal(12,0)")
           - col("sx").cast("decimal(19,0)")).cast("decimal(19,0)")
           .as("dev"))
-    val lags = events.sparkSession.range(1, maxLag + 1)
+    val lags = hourly.sparkSession.range(1, maxLag + 1)
       .select(col("id").as("lag"))
     // equi-join on the SHIFTED hour (probe_hour precomputed) — a hash
     // join sized |grid|·maxLag, never a per-type cross product

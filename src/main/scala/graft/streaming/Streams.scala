@@ -405,6 +405,15 @@ object Streams {
         .groupBy("event_type", "hour_us")
         .agg(sum(col("n")).as("n_raw")), maxLag)
 
+  /** The seasonality ACF re-derived from the same merged count
+    * shards — the third monitor on the one continuous store. */
+  def autocorrFromShards(spark: SparkSession, dir: String,
+                         maxLag: Int = 24): DataFrame =
+    graft.operators.TimeSeries.autocorrFromHourly(
+      spark.read.parquet(dir)
+        .groupBy("event_type", "hour_us")
+        .agg(sum(col("n")).as("n_raw")), maxLag)
+
   /** One micro-batch of the streaming as-of enrichment sink: each
     * arriving batch of left rows is enriched independently against
     * the STATIC right frame through the composed as-of join — a left
