@@ -85,7 +85,7 @@ object Explain {
       "ts_seasonal_anomaly",
       // r9 declarative additions
       "ts_crosscorr", "asof_join_native", "event_debounce",
-      "asof_join_forward_native")
+      "asof_join_forward_native", "dedup_method_agreement")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -486,6 +486,38 @@ object Queries {
       Some(TextOracleSql.contaminationFuzzySql(shingleK = 3, numPerm = 64,
         bands = 16, threshold = 0.4, benchPred = "doc_id < 50"))),
 
+    Q("dedup_method_agreement",
+      // does lexical near-dup (MinHash-LSH on text) AGREE with
+      // semantic near-dup (cosine in the aligned embedding space)?
+      // The calibration audit behind threshold choices: pair sets
+      // full-outer joined on the unordered id pair, one exact-count
+      // row + integer-ppm agreement — both pair pipelines are the
+      // already-oracled ones (dedup_minhash_lsh / dedup_embedding)
+      (s, d) => {
+        val lex = Dedup.minhashLsh(Tables(s, d).documents)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .withColumn("is_lex", lit(true))
+        val sem = Dedup.embeddingNearDup(Tables(s, d).embeddings,
+            threshold = 0.35)
+          .select(col("id_a"), col("id_b"))
+          .withColumn("is_sem", lit(true))
+        lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            sum(when(col("is_lex"), 1L).otherwise(0L)).as("n_lexical"),
+            sum(when(col("is_sem"), 1L).otherwise(0L)).as("n_semantic"),
+            sum(when(col("is_lex") && col("is_sem"), 1L).otherwise(0L))
+              .as("n_both"),
+            count(lit(1)).as("n_union"))
+          .withColumn("agreement_ppm",
+            expr("case when n_union > 0 then " +
+              "n_both * cast(1000000 as bigint) div n_union end"))
+      },
+      Some(TextOracleSql.dedupMethodAgreementSql(shingleK = 3,
+        numPerm = 64, bands = 16, lexThreshold = 0.5,
+        semThreshold = 0.35))),
+
     Q("dedup_embedding",
       (s, d) => Dedup.embeddingNearDup(Tables(s, d).embeddings,
         threshold = 0.35),

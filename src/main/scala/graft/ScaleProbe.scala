@@ -362,6 +362,16 @@ object ScaleProbe {
         t.lineitem.count() * 10,
         () => graft.operators.Basket.marketBasket(
           replicate(t.lineitem, 10, Some("l_orderkey"))).count()),
+      // debounce: one hash shuffle + one lag window — replicas share
+      // user ids so per-key partitions get 10× denser, still one
+      // linear sorted pass per key
+      ("event_debounce", t.events.count(),
+        () => TimeSeries.debounce(t.events, gapUs = 600000000L)
+          .count(),
+        t.events.count() * 10,
+        () => TimeSeries.debounce(
+          replicate(t.events, 10, Some("event_id")),
+          gapUs = 600000000L).count()),
       // native as-of exec: both sides shuffle once at their own
       // width, O(1)-state merge per partition — cost is the two
       // sorts, linear in rows

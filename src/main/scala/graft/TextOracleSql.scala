@@ -980,6 +980,50 @@ object TextOracleSql {
     $legs"""
   }
 
+  /** Lexical-vs-semantic dedup agreement (mirrors the
+    * dedup_method_agreement registry row): the banded MinHash-LSH
+    * pair set over documents against the label-blocked cosine pair
+    * set over the aligned embeddings, FULL-OUTER joined on the
+    * unordered id pair, one exact-count row + integer-ppm
+    * agreement. Both pair pipelines are the already-oracled ones
+    * (dedup_minhash_lsh / dedup_embedding). */
+  def dedupMethodAgreementSql(shingleK: Int, numPerm: Int, bands: Int,
+                              lexThreshold: Double,
+                              semThreshold: Double): String = s"""
+    WITH ${permsCte(numPerm)}, ${shingleCtes(shingleK)},
+    ${lshPairCtes(numPerm, bands)},
+    lex AS (SELECT DISTINCT least(id_a, id_b) as id_a,
+              greatest(id_a, id_b) as id_b
+            FROM jac WHERE jaccard >= $lexThreshold),
+    emb AS (SELECT vec_id, label, cast(embedding as double[]) as emb
+            FROM embeddings),
+    sem AS (SELECT a.vec_id as id_a, b.vec_id as id_b
+            FROM emb a JOIN emb b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.emb, b.emb) /
+                (sqrt(list_dot_product(a.emb, a.emb)) *
+                 sqrt(list_dot_product(b.emb, b.emb)))
+                >= $semThreshold),
+    f AS (SELECT coalesce(l.id_a, s.id_a) as id_a,
+            (l.id_a IS NOT NULL) as is_lex,
+            (s.id_a IS NOT NULL) as is_sem
+          FROM lex l FULL OUTER JOIN sem s
+            ON l.id_a = s.id_a AND l.id_b = s.id_b),
+    c AS (SELECT
+            cast(sum(CASE WHEN is_lex THEN 1 ELSE 0 END) as bigint)
+              as n_lexical,
+            cast(sum(CASE WHEN is_sem THEN 1 ELSE 0 END) as bigint)
+              as n_semantic,
+            cast(sum(CASE WHEN is_lex AND is_sem THEN 1 ELSE 0 END)
+              as bigint) as n_both,
+            cast(count(*) as bigint) as n_union
+          FROM f)
+    SELECT n_lexical, n_semantic, n_both, n_union,
+      CASE WHEN n_union > 0
+        THEN cast(n_both * 1000000 // n_union as bigint) END
+        as agreement_ppm
+    FROM c"""
+
   /** Train/test leakage audit (mirrors Dedup.splitLeakageAudit):
     * banded-LSH near-dup pairs × the hash train/val/test split,
     * counted per unordered split pair. */

@@ -190,6 +190,6 @@ class DeterminismSpec extends SparkSpec {
     // the custom physical operator must give the same answer under
     // any partition fan-out (its merge is per-partition)
     "asof_join_native", "event_debounce", "table_clone",
-    "asof_join_forward_native"))
+    "asof_join_forward_native", "dedup_method_agreement"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }
