@@ -64,7 +64,18 @@ object AsofJoinStrategy extends SparkStrategy {
 /** One streaming merge pass per co-partitioned, co-sorted partition
   * pair. The planner's EnsureRequirements provides the hash exchange
   * and the (key, ts) sort on both children — declared, not
-  * hand-built, so AQE re-plans the exchanges like any join's. */
+  * hand-built, so AQE re-plans the exchanges like any join's.
+  *
+  * Cost notes: key/ts extraction uses interpreted `eval` (two field
+  * reads per row) — the sorts dominate by orders of magnitude, so
+  * codegen here buys nothing measurable (benched 0.65 s vs the
+  * composed 0.45 s at sf0.1 where the window is cheap; the exec's
+  * advantage is shuffle WIDTH on wide left tables, not CPU).
+  * Partition alignment: zipPartitions requires equal child partition
+  * counts — guaranteed by EnsureRequirements' co-partitioning; if a
+  * future planner change ever coalesced the sides asymmetrically,
+  * zipPartitions throws at runtime — loud failure, never a silently
+  * wrong merge. */
 final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                               leftKey: Expression, rightKey: Expression,
                               leftTs: Expression, rightTs: Expression)
