@@ -2772,9 +2772,10 @@ object Queries {
       // retention half of the table lifecycle (write → DELETE →
       // RESTORE the pre-delete snapshot → VACUUM all but the last 2):
       // the commit log keeps every version's operation and EXACT row
-      // count while `readable` records which snapshots physically
-      // survive retention (Delta's post-VACUUM time-travel contract:
-      // history listable, vacuumed reads fail)
+      // count while `readable` records which versions survive the
+      // retention CONTRACT (Delta's post-VACUUM behavior: history
+      // listable, vacuumed reads fail — even though RESTORE's
+      // zero-copy re-link means v0's FILES stay alive via v2)
       (s, d) => {
         val path = s"/tmp/graft_cache/tr_${new java.io.File(d).getName}"
         VersionedTable.destroy(path)
@@ -2784,8 +2785,7 @@ object Queries {
         VersionedTable.vacuum(path, keepLast = 2)
         val rows = VersionedTable.logEntries(path).map {
           case (v, op, n, _) =>
-            (v, op, n, java.nio.file.Files.exists(
-              java.nio.file.Paths.get(s"$path/v=$v")))
+            (v, op, n, VersionedTable.isReadable(path, v))
         }
         import s.implicits._
         rows.toDF("version", "operation", "num_rows", "readable")

@@ -582,7 +582,39 @@ object ScaleProbe {
           Ivm.maintain(l10.filter(expr("l_orderkey % 10 != 0")),
             l10.filter(expr("l_orderkey % 10 = 0")),
             t.orders, t.customer, t.nation).count()
-        }))
+        }),
+      // round-10: file-granular MERGE — the SAME range-local delta
+      // upserted into a 1× and a 10× versioned table (both clustered
+      // into 32 key-ranged files). The touched-file shortlist is a
+      // key-column-pruned scan and the rewrite is bounded by the
+      // delta's file footprint, so commit cost must stay ~flat as the
+      // table grows 10× → rows/sec (table rows / merge sec) scales
+      // super-linearly. This is the O(delta)-not-O(table) claim of
+      // VersionedTable's manifest commits, measured.
+      ("versioned_merge", {
+        val p1 = "/tmp/graft_scaleprobe/vt_1x"
+        graft.operators.VersionedTable.destroy(p1)
+        graft.operators.VersionedTable.write(
+          t.events.repartitionByRange(32, col("event_id")), p1)
+        t.events.count()
+      }, () => {
+        val delta = t.events.filter(col("event_id") < 5000)
+          .withColumn("value", col("value") + 1.0)
+        graft.operators.VersionedTable.upsert(spark,
+          "/tmp/graft_scaleprobe/vt_1x", delta, Seq("event_id")).toLong
+      }, {
+        val p10 = "/tmp/graft_scaleprobe/vt_10x"
+        graft.operators.VersionedTable.destroy(p10)
+        graft.operators.VersionedTable.write(
+          replicate(t.events, 10, Some("event_id"))
+            .repartitionByRange(32, col("event_id")), p10)
+        t.events.count() * 10
+      }, () => {
+        val delta = t.events.filter(col("event_id") < 5000)
+          .withColumn("value", col("value") + 1.0)
+        graft.operators.VersionedTable.upsert(spark,
+          "/tmp/graft_scaleprobe/vt_10x", delta, Seq("event_id")).toLong
+      }))
 
     // optional comma-separated probe filter for single-probe iteration
     val only: Option[Set[String]] =

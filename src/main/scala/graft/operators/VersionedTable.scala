@@ -1,24 +1,50 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
-/** Minimal versioned parquet table: every write lands in a new
-  * `v=N` directory plus an append-only JSON log — re-expressing the
-  * reference's Delta surface (`DESCRIBE HISTORY`, `VERSION AS OF`
-  * time travel, `MERGE INTO`, `OPTIMIZE`; reference
+/** Versioned parquet table with FILE-GRANULAR commits — re-expressing
+  * the reference's Delta surface (`DESCRIBE HISTORY`, `VERSION AS OF`
+  * time travel, `MERGE INTO`, `UPDATE`, `DELETE`, `OPTIMIZE`,
+  * `RESTORE`, `VACUUM`, shallow clone; reference
   * `1 Data ingestion.py`:189-213, `2 Medaillon architecture.py`:
   * 431-541) without the Delta dependency.
   *
+  * Layout: immutable data files live in a shared `_graft_pool/`; each
+  * commit appends one JSON log line to `_graft_log/` carrying the
+  * version's FILE MANIFEST (name + exact footer row count) and schema.
+  * A version is the set of files its manifest names — so:
+  *
+  *  - MERGE / UPDATE / DELETE rewrite ONLY the files that contain
+  *    touched rows (found by an exact, column-pruned scan of the key /
+  *    condition columns plus `_metadata.file_path`; parquet min-max
+  *    stats prune row groups of clustered tables for free) and re-link
+  *    every untouched file into the new manifest. A one-row MERGE into
+  *    a 100 TB table costs O(delta + one file rewrite), never O(table)
+  *    — the same sharing shape Delta/Iceberg use.
+  *  - RESTORE re-links an old manifest: zero data written.
+  *  - VACUUM is contractual: versions older than the retention are
+  *    marked unreadable in the log dir, then pool files referenced by
+  *    NO retained version are physically deleted (refcount across
+  *    manifests). A file shared with a retained version survives.
+  *  - Shallow clone copies the log only; manifest files resolve
+  *    through a transitive base-pointer chase (clone-of-clone works),
+  *    and post-fork clone commits land in the clone's own pool.
+  *
   * Single-writer by design: at production scale the commit step (log
   * append) belongs behind a transactional catalog/log service; the
-  * data layout (immutable version directories, full-snapshot
-  * versions) is the same shape Delta/Iceberg use for time travel.
+  * data layout is what scales.
   */
 object VersionedTable {
 
   private def logDir(path: String) = Paths.get(path, "_graft_log")
+  private def poolDir(path: String) = Paths.get(path, "_graft_pool")
+  // underscore prefix: invisible to Spark's directory listings, like
+  // _graft_log itself
+  private def vacuumedFile(path: String) = logDir(path).resolve("_vacuumed")
+  private def basePtrFile(path: String) = Paths.get(path, "_graft_base")
 
   /** Remove a table directory entirely (test/demo setup). */
   def destroy(path: String): Unit = {
@@ -51,13 +77,23 @@ object VersionedTable {
 
   def latestVersion(path: String): Option[Int] = versions(path).lastOption
 
+  /** Versions marked unreadable by [[vacuum]] (history stays listable). */
+  def vacuumedVersions(path: String): Set[Int] = {
+    val f = vacuumedFile(path)
+    if (!Files.exists(f)) Set.empty
+    else Files.readString(f).split("\\s+").filter(_.nonEmpty)
+      .map(_.toInt).toSet
+  }
+
+  private def logLine(path: String, v: Int): String =
+    Files.readString(logDir(path).resolve(f"$v%06d.json"))
+
   /** (version, committed_at) pairs from the commit log, ascending.
     * Driver-side: the log is tiny (one line per commit). */
   def commitTimes(path: String): Seq[(Int, java.time.Instant)] = {
     val tsRe = """"committed_at":"([^"]+)"""".r
     versions(path).map { v =>
-      val line = Files.readString(logDir(path).resolve(f"$v%06d.json"))
-      val ts = tsRe.findFirstMatchIn(line)
+      val ts = tsRe.findFirstMatchIn(logLine(path, v))
         .map(m => java.time.Instant.parse(m.group(1)))
         .getOrElse(throw new IllegalStateException(
           s"no committed_at in log entry $v at $path"))
@@ -81,8 +117,8 @@ object VersionedTable {
   }
 
   /** JSON string escaping for commit-log fields (quotes, backslashes,
-    * control chars) — an operation string like `PIPELINE["x"]` must not
-    * corrupt the log that versions()/operations() parse. */
+    * control chars) — an operation string like `PIPELINE["x"]` or the
+    * embedded schema JSON must not corrupt the log. */
   private[operators] def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length)
     s.foreach {
@@ -111,111 +147,259 @@ object VersionedTable {
     sb.toString
   }
 
-  /** Write `df` as the next version (full snapshot). Returns the new
-    * version number. The committed row count is captured by an
-    * [[org.apache.spark.sql.Observation]] riding the write job itself —
-    * one pass over the data, not write-then-recount. */
-  def write(df: DataFrame, path: String, operation: String = "WRITE"): Int = {
-    val v = latestVersion(path).map(_ + 1).getOrElse(0)
-    val target = s"$path/v=$v"
-    val obs = org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(target)
-    val rows = obs.get("rows").asInstanceOf[Long]
+  // ---------------------------------------------------------------- //
+  // manifest / schema plumbing
+  // ---------------------------------------------------------------- //
+
+  /** The version's file manifest: (pool file name, exact row count).
+    * Safe to regex out of the log line because every raw `"` inside
+    * the operation/schema fields is escaped at write time. */
+  def manifest(path: String, v: Int): Seq[(String, Long)] = {
+    val filesRe = """"files":\[(.*)\]\}\s*$""".r
+    val fileRe = """\{"name":"([^"]+)","rows":(\d+)\}""".r
+    filesRe.findFirstMatchIn(logLine(path, v)).map { m =>
+      fileRe.findAllMatchIn(m.group(1))
+        .map(fm => (fm.group(1), fm.group(2).toLong)).toSeq
+    }.getOrElse(Seq.empty)
+  }
+
+  /** The schema committed with version `v` (nullable form — what a
+    * parquet read reports). Recording it in the log makes empty
+    * versions readable and schema evolution metadata-cheap: files
+    * lacking an evolved column read it as null. */
+  def schemaOf(path: String, v: Int): StructType = {
+    val re = """"schema":"((?:[^"\\]|\\.)*)"""".r
+    val json = re.findFirstMatchIn(logLine(path, v))
+      .map(m => jsonUnescape(m.group(1)))
+      .getOrElse(throw new IllegalStateException(
+        s"no schema in log entry $v at $path"))
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  /** Data files currently present in the table's OWN pool (not
+    * counting files a clone resolves from its base). */
+  def poolFiles(path: String): Seq[String] = {
+    val d = poolDir(path)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) buf += it.next().getFileName.toString
+        buf.sorted.toSeq
+      } finally s.close()
+    }
+  }
+
+  /** The clone base pointer, if this table is a shallow clone:
+    * (source path, fork version). */
+  def cloneInfo(path: String): Option[(String, Int)] = {
+    val f = basePtrFile(path)
+    if (!Files.exists(f)) None
+    else {
+      val lines = Files.readString(f).trim.linesIterator.toSeq
+      Some((lines.head.trim,
+        lines.drop(1).headOption.map(_.trim.toInt).getOrElse(Int.MaxValue)))
+    }
+  }
+
+  /** Resolve a manifest file name: own pool first, then the clone
+    * base chain (transitive — a clone of a clone chases through to
+    * the grandparent; cycle-guarded). */
+  private def resolvePoolFile(path: String, name: String): Option[Path] = {
+    var p: Option[String] = Some(path)
+    val seen = scala.collection.mutable.Set[String]()
+    while (p.isDefined &&
+        seen.add(Paths.get(p.get).toAbsolutePath.normalize.toString)) {
+      val cand = poolDir(p.get).resolve(name)
+      if (Files.exists(cand)) return Some(cand)
+      p = cloneInfo(p.get).map(_._1)
+    }
+    None
+  }
+
+  /** Force-nullable form of a schema (recursive). The recorded version
+    * schema must accept nulls everywhere a file read can produce them:
+    * evolved columns absent from re-linked files, and parquet's own
+    * nullable reporting. (StructType.asNullable is private[sql].) */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = asNullable(m.keyType),
+        valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def nullableSchema(s: StructType): StructType =
+    asNullable(s).asInstanceOf[StructType]
+
+  private def appendLog(path: String, v: Int, operation: String,
+                        rows: Long, schema: StructType,
+                        files: Seq[(String, Long)]): Unit = {
     Files.createDirectories(logDir(path))
+    val filesJson = files.map { case (n, r) =>
+      s"""{"name":"$n","rows":$r}"""
+    }.mkString("[", ",", "]")
     val entry =
       s"""{"version":$v,"operation":"${jsonEscape(operation)}","num_rows":$rows,""" +
-        s""""committed_at":"${java.time.Instant.now()}"}"""
+        s""""committed_at":"${java.time.Instant.now()}",""" +
+        s""""schema":"${jsonEscape(schema.json)}","files":$filesJson}"""
     Files.write(logDir(path).resolve(f"$v%06d.json"),
       java.util.List.of(entry), StandardOpenOption.CREATE_NEW)
+  }
+
+  /** Exact row count from the parquet footer — no data pages read, no
+    * extra Spark job (the write already happened). */
+  private def footerRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Write `df`'s rows as new immutable pool files (staged, then moved
+    * under a commit prefix so provenance is readable and names are
+    * globally unique). Returns the manifest entries. */
+  private def writeDataFiles(df: DataFrame, path: String,
+                             v: Int): Seq[(String, Long)] = {
+    val stage = Paths.get(path, f"_graft_stage_$v%06d")
+    df.write.mode("overwrite").parquet(stage.toString)
+    Files.createDirectories(poolDir(path))
+    val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val out = parts.map { f =>
+      val name = f"c$v%06d-${f.getName}"
+      val dst = poolDir(path).resolve(name)
+      Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      name -> footerRowCount(dst)
+    }.toSeq
+    destroy(stage.toString)
+    out
+  }
+
+  /** Write `df` as the next version (full snapshot — ingest/CTAS
+    * shape). Returns the new version number. The exact committed row
+    * count comes from the parquet footers of the files just written —
+    * no second pass over the data. */
+  def write(df: DataFrame, path: String, operation: String = "WRITE"): Int = {
+    val v = latestVersion(path).map(_ + 1).getOrElse(0)
+    val files = writeDataFiles(df, path, v)
+    appendLog(path, v, operation, files.map(_._2).sum,
+      nullableSchema(df.schema), files)
     v
   }
 
-  /** Read the table at `asOf` (VERSION AS OF) or latest. A version
-    * whose snapshot dir is absent resolves through the shallow-clone
-    * base pointer when one exists ([[shallowClone]]); otherwise it
-    * was vacuumed. */
+  /** Commit a file-granular rewrite: untouched files of the current
+    * version are RE-LINKED into the new manifest; only `newData` (the
+    * rewritten touched rows plus inserts) hits disk. */
+  private def commitRewrite(spark: SparkSession, path: String,
+                            operation: String, newData: DataFrame,
+                            touched: Set[String],
+                            schema: StructType): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val nv = v + 1
+    val keep = manifest(path, v).filterNot(f => touched.contains(f._1))
+    val fresh = writeDataFiles(newData, path, nv)
+    appendLog(path, nv, operation,
+      keep.map(_._2).sum + fresh.map(_._2).sum, schema, keep ++ fresh)
+    nv
+  }
+
+  /** Read a subset of the current version's files with an explicit
+    * schema (missing evolved columns read as null). */
+  private def readFiles(spark: SparkSession, path: String,
+                        names: Iterable[String], schema: StructType,
+                        v: Int): DataFrame = {
+    if (names.isEmpty)
+      spark.createDataFrame(java.util.List.of[Row](), schema)
+    else {
+      val resolved = names.toSeq.sorted.map { n =>
+        resolvePoolFile(path, n).getOrElse(throw new IllegalArgumentException(
+          s"version $v was vacuumed at $path" +
+            (if (cloneInfo(path).isDefined) " (and its clone base)" else "") +
+            s": data file $n is gone")).toString
+      }
+      spark.read.schema(schema).parquet(resolved: _*)
+    }
+  }
+
+  /** Read the table at `asOf` (VERSION AS OF) or latest. Vacuumed
+    * versions refuse cleanly even when their files survive through
+    * sharing — Delta's post-VACUUM retention contract. */
   def read(spark: SparkSession, path: String,
            asOf: Option[Int] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     require(versions(path).contains(v), s"version $v not committed at $path")
-    val own = s"$path/v=$v"
-    val resolved =
-      if (Files.exists(Paths.get(own))) own
-      else {
-        val basePtr = Paths.get(path, "_graft_base")
-        if (Files.exists(basePtr)) {
-          val bd = s"${Files.readString(basePtr).trim}/v=$v"
-          require(Files.exists(Paths.get(bd)),
-            s"version $v was vacuumed at $path (and its clone base)")
-          bd
-        } else {
-          require(false, s"version $v was vacuumed at $path")
-          own
-        }
-      }
-    spark.read.parquet(resolved)
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    readFiles(spark, path, manifest(path, v).map(_._1), schemaOf(path, v), v)
   }
 
-  /** Delta `SHALLOW CLONE` analog: fork `src` into `dst` by copying
-    * METADATA ONLY — the commit log plus a base pointer. Pre-clone
-    * versions resolve to the source's snapshot files through
-    * [[read]]'s pointer chase (zero data movement — what makes a
-    * dev/test fork of a 100 TB production table instant and free),
-    * while post-clone commits land under `dst` and never touch the
-    * source; the two histories diverge from the fork point exactly
-    * like git branches. Vacuuming the SOURCE breaks the clone's
-    * pre-fork time travel (Delta's documented shallow-clone hazard —
-    * surfaced here as the same read-time error). */
-  def shallowClone(src: String, dst: String): Unit = {
-    require(versions(src).nonEmpty, s"no committed versions at $src")
-    require(Paths.get(src).toAbsolutePath.normalize !=
-      Paths.get(dst).toAbsolutePath.normalize, "clone onto itself")
-    destroy(dst)
-    Files.createDirectories(logDir(dst))
-    versions(src).foreach { v =>
-      Files.copy(logDir(src).resolve(f"$v%06d.json"),
-        logDir(dst).resolve(f"$v%06d.json"))
+  /** True when `v` is committed, not vacuumed, and every manifest file
+    * still resolves (own pool or clone base). */
+  def isReadable(path: String, v: Int): Boolean =
+    versions(path).contains(v) && !vacuumedVersions(path).contains(v) &&
+      manifest(path, v).forall(f => resolvePoolFile(path, f._1).isDefined)
+
+  /** Files of the current version that contain at least one row
+    * satisfying `hit` — an EXACT shortlist: the scan reads only the
+    * columns `hit` needs (Catalyst prunes the rest) plus the file-path
+    * metadata column, and pushed-down predicates skip row groups via
+    * parquet min-max stats on clustered tables. Driver traffic is one
+    * row per touched FILE, never per row. */
+  private def touchedFiles(spark: SparkSession, path: String, v: Int,
+                           schema: StructType,
+                           hit: DataFrame => DataFrame): Set[String] = {
+    val files = manifest(path, v)
+    if (files.isEmpty) Set.empty
+    else {
+      val cur = readFiles(spark, path, files.map(_._1), schema, v)
+        .withColumn("_graft_file", col("_metadata.file_path"))
+      hit(cur).select("_graft_file").distinct().collect()
+        .map(_.getString(0))
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
     }
-    Files.writeString(Paths.get(dst, "_graft_base"),
-      Paths.get(src).toAbsolutePath.normalize.toString)
   }
 
-  /** VACUUM analog: physically delete all version snapshots except the
-    * newest `keepLast`. The commit log is kept — history stays
-    * listable, but reads of vacuumed versions fail (exactly Delta's
-    * post-VACUUM time-travel behavior). Returns the removed versions. */
-  def vacuum(path: String, keepLast: Int): Seq[Int] = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val removed = versions(path).dropRight(keepLast)
-    removed.foreach(v => destroy(s"$path/v=$v"))
-    removed
-  }
-
-  /** DESCRIBE HISTORY analog: the commit log as a DataFrame. */
-  def history(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(logDir(path).toString)
-
-  /** MERGE INTO analog: upsert `updates` into the latest snapshot on
-    * `keys`, committed as a new version. */
+  /** MERGE INTO analog: upsert `updates` into the latest version on
+    * `keys`. File-granular — only files containing matched keys are
+    * rewritten (survivor rows anti-joined against the updates), every
+    * other file is re-linked; a small update batch against a huge
+    * table commits in O(delta). */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keys: Seq[String]): Int = {
-    val merged = Medallion.mergeUpsert(read(spark, path), updates, keys)
-    write(merged, path, operation = "MERGE")
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    val keyFrame = updates.select(keys.map(col): _*).distinct()
+    val touched = touchedFiles(spark, path, v, schema,
+      _.join(keyFrame, keys, "left_semi"))
+    val touchedRows = readFiles(spark, path, touched, schema, v)
+    commitRewrite(spark, path, "MERGE",
+      Medallion.mergeUpsert(touchedRows, updates, keys), touched, schema)
   }
 
   /** MERGE with automatic schema evolution (Delta's
     * `schema.autoMerge`): columns present only in `updates` are added
-    * to the table (existing rows read them as null), columns the
-    * updates lack are kept (update rows get null). The widened union
-    * then upserts on `keys` like [[upsert]]. Type changes are NOT
-    * evolution — a column present on both sides with a different type
-    * fails loudly rather than silently coercing. */
+    * to the table schema (rows in every re-linked file read them as
+    * null — evolution costs metadata, not a table rewrite), columns
+    * the updates lack are kept (update rows get null). Type changes
+    * are NOT evolution — a column present on both sides with a
+    * different type fails loudly rather than silently coercing. */
   def upsertEvolve(spark: SparkSession, path: String, updates: DataFrame,
                    keys: Seq[String]): Int = {
-    val cur = read(spark, path)
-    val conflicts = cur.schema.flatMap { f =>
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    val conflicts = schema.flatMap { f =>
       updates.schema.find(_.name == f.name).collect {
         case u if u.dataType != f.dataType =>
           s"${f.name}: table ${f.dataType.simpleString} vs update ${u.dataType.simpleString}"
@@ -223,22 +407,36 @@ object VersionedTable {
     }
     require(conflicts.isEmpty,
       s"schema evolution cannot change column types — $conflicts")
-    val merged = cur.join(updates, keys, "left_anti")
+    val keyFrame = updates.select(keys.map(col): _*).distinct()
+    val touched = touchedFiles(spark, path, v, schema,
+      _.join(keyFrame, keys, "left_semi"))
+    val merged = readFiles(spark, path, touched, schema, v)
+      .join(updates, keys, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
-    write(merged, path, operation = "MERGE[EVOLVE]")
+    commitRewrite(spark, path, "MERGE[EVOLVE]", merged, touched,
+      nullableSchema(merged.schema))
   }
 
-  /** Recency-aware MERGE: union base + updates, keep the latest row
-    * per `key` by (`orderCol`, `tieBreaker`). Unlike [[upsert]]
-    * (updates win unconditionally), the outcome is independent of how
-    * rows were split across update batches — the convergence property
-    * a streaming merge sink needs. */
+  /** Recency-aware MERGE: keep the latest row per `key` by
+    * (`orderCol`, `tieBreaker`) across base ∪ updates. Unlike
+    * [[upsert]] (updates win unconditionally), the outcome is
+    * independent of how rows were split across update batches — the
+    * convergence property a streaming merge sink needs. File-granular:
+    * the latest-per-key contest only involves keys present in
+    * `updates`, so only files holding those keys are rewritten. */
   def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
                    key: String, orderCol: String, tieBreaker: String,
                    operation: String = "MERGE"): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    val keyFrame = updates.select(col(key)).distinct()
+    val touched = touchedFiles(spark, path, v, schema,
+      _.join(keyFrame, Seq(key), "left_semi"))
     val merged = Medallion.dedupLatest(
-      read(spark, path).unionByName(updates), key, orderCol, tieBreaker)
-    write(merged, path, operation)
+      readFiles(spark, path, touched, schema, v).unionByName(updates),
+      key, orderCol, tieBreaker)
+    commitRewrite(spark, path, operation, merged, touched, schema)
   }
 
   /** The `operation` strings from the commit log, ascending by
@@ -254,7 +452,7 @@ object VersionedTable {
     val rowsRe = """"num_rows":(\d+)""".r
     val tsRe = """"committed_at":"([^"]+)"""".r
     versions(path).map { v =>
-      val line = Files.readString(logDir(path).resolve(f"$v%06d.json"))
+      val line = logLine(path, v)
       (v,
         opRe.findFirstMatchIn(line).map(m => jsonUnescape(m.group(1)))
           .getOrElse(""),
@@ -264,68 +462,132 @@ object VersionedTable {
   }
 
   /** In-place `UPDATE ... SET col = expr WHERE cond` analog (reference
-    * `1 Data ingestion.py`:144-173's `UPDATE ... CASE WHEN`): rows
-    * matching `conditionSql` get each assignment applied; all other
-    * rows pass through unchanged. Committed as a new version, so the
-    * pre-update snapshot stays readable (time travel). */
+    * `1 Data ingestion.py`:144-173's `UPDATE ... CASE WHEN`). Only
+    * files containing a matching row are rewritten (rows in them that
+    * don't match pass through unchanged); all other files re-link.
+    * Committed as a new version, so the pre-update snapshot stays
+    * readable (time travel). */
   def update(spark: SparkSession, path: String, conditionSql: String,
              assignments: Seq[(String, String)]): Int = {
-    val cur = read(spark, path)
-    val cols = cur.columns.toSeq
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    val cols = schema.fieldNames.toSeq
     assignments.foreach { case (c, _) =>
       require(cols.contains(c), s"UPDATE target column $c not in $cols")
     }
     require(assignments.map(_._1).distinct.size == assignments.size,
       s"duplicate UPDATE target in ${assignments.map(_._1)}")
+    val touched = touchedFiles(spark, path, v, schema,
+      _.filter(expr(conditionSql)))
     // SQL UPDATE semantics: the condition and EVERY assignment RHS are
     // evaluated against the pre-update row — one select, so no
     // assignment can observe another's result (swap-style SET a=b, b=a
     // and condition columns that are themselves assigned both work)
     val assignMap = assignments.toMap
-    val updated = cur.select(cols.map { c =>
-      assignMap.get(c) match {
-        case Some(rhs) =>
-          when(expr(conditionSql), expr(rhs)).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }: _*)
-    write(updated, path, operation = "UPDATE")
+    val updated = readFiles(spark, path, touched, schema, v)
+      .select(cols.map { c =>
+        assignMap.get(c) match {
+          case Some(rhs) =>
+            when(expr(conditionSql), expr(rhs)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    commitRewrite(spark, path, "UPDATE", updated, touched, schema)
   }
 
   /** `DELETE FROM ... WHERE cond` analog: rows matching
-    * `conditionSql` are removed, committed as a new version (the
-    * pre-delete snapshot stays readable — completes the DML verb set
-    * next to write/UPDATE/MERGE). */
+    * `conditionSql` are removed; only their files are rewritten. The
+    * pre-delete snapshot stays readable. */
   def delete(spark: SparkSession, path: String,
              conditionSql: String): Int = {
-    val cur = read(spark, path)
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
     // SQL DELETE semantics: only rows where the condition is TRUE are
     // removed — a NULL condition keeps the row (plain !cond would
     // silently drop it)
-    write(cur.filter(!coalesce(expr(conditionSql), lit(false))), path,
-      operation = "DELETE")
+    val hit = coalesce(expr(conditionSql), lit(false))
+    val touched = touchedFiles(spark, path, v, schema, _.filter(hit))
+    val kept = readFiles(spark, path, touched, schema, v).filter(!hit)
+    commitRewrite(spark, path, "DELETE", kept, touched, schema)
   }
 
   /** `ALTER TABLE ADD COLUMN` analog (reference `1 Data
-    * ingestion.py`:144-150): appends a column computed by `exprSql`
-    * (use a literal/NULL for a plain schema change) as a new version. */
+    * ingestion.py`:144-150): appends a column computed by `exprSql` as
+    * a new version. When the expression constant-folds to NULL (the
+    * plain schema-change case) the commit is METADATA-ONLY — every
+    * data file re-links and the explicit-schema read fills the column
+    * with nulls, exactly Delta's zero-rewrite ADD COLUMN. A computed
+    * column necessarily rewrites every row. */
   def addColumn(spark: SparkSession, path: String, name: String,
                 exprSql: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    require(!schema.fieldNames.contains(name),
+      s"column $name already exists")
     val cur = read(spark, path)
-    require(!cur.columns.contains(name), s"column $name already exists")
-    write(cur.withColumn(name, expr(exprSql)), path,
-      operation = "ADD COLUMN")
+    val withCol = cur.withColumn(name, expr(exprSql))
+    val newType = withCol.schema(name).dataType
+    // detect a plain-NULL column on the ANALYZED plan (the parsed
+    // Column alone is an unresolved node in Spark 4 and can't fold)
+    val foldsToNull = try {
+      org.apache.spark.sql.graft.GraftBridge.analyzedPlan(withCol) match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.exists {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias
+              if a.name == name =>
+              a.child.foldable && a.child.eval(null) == null
+            case _ => false
+          }
+        case _ => false
+      }
+    } catch { case _: Throwable => false }
+    if (foldsToNull) {
+      val nv = v + 1
+      val files = manifest(path, v)
+      appendLog(path, nv, "ADD COLUMN", files.map(_._2).sum,
+        StructType(schema.fields :+ StructField(name, newType, nullable = true)),
+        files)
+      nv
+    } else {
+      // computed column: every row gains a value — full rewrite is the
+      // honest cost, not an implementation shortcut
+      commitRewrite(spark, path, "ADD COLUMN", withCol,
+        manifest(path, v).map(_._1).toSet, nullableSchema(withCol.schema))
+    }
   }
 
   /** Change-data-feed analog (`table_changes`): row-level diff
     * between two committed versions — `_change_type` is `insert` or
     * `delete`; an update surfaces as delete(old) + insert(new).
     * Multiset semantics (`exceptAll`), so duplicate rows diff
-    * correctly. */
+    * correctly. Files SHARED by both manifests contribute identical
+    * multisets to both sides and cancel exactly — the diff reads only
+    * the files that differ, so CDF cost tracks the CHANGE, not the
+    * table. */
   def changes(spark: SparkSession, path: String, fromVersion: Int,
               toVersion: Int): DataFrame = {
-    val a = read(spark, path, Some(fromVersion))
-    val b = read(spark, path, Some(toVersion))
+    require(!vacuumedVersions(path).contains(fromVersion) &&
+      !vacuumedVersions(path).contains(toVersion),
+      s"cannot diff vacuumed versions at $path")
+    val sa = schemaOf(path, fromVersion)
+    val sb = schemaOf(path, toVersion)
+    val (onlyA, onlyB) =
+      if (sa == sb) {
+        val ma = manifest(path, fromVersion).map(_._1).toSet
+        val mb = manifest(path, toVersion).map(_._1).toSet
+        (ma -- mb, mb -- ma)
+      } else {
+        // schema changed between the versions: every file differs in
+        // shape, diff the full frames (exceptAll requires same schema
+        // and will refuse — same contract as before)
+        (manifest(path, fromVersion).map(_._1).toSet,
+          manifest(path, toVersion).map(_._1).toSet)
+      }
+    val a = readFiles(spark, path, onlyA, sa, fromVersion)
+    val b = readFiles(spark, path, onlyB, sb, toVersion)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
@@ -397,13 +659,90 @@ object VersionedTable {
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old
-    * snapshot as the new latest version (history keeps everything). */
-  def restore(spark: SparkSession, path: String, toVersion: Int): Int =
-    write(read(spark, path, Some(toVersion)), path,
-      operation = s"RESTORE[v=$toVersion]")
+    * snapshot as the new latest version — a pure manifest RE-LINK,
+    * zero bytes written (history keeps everything). */
+  def restore(spark: SparkSession, path: String, toVersion: Int): Int = {
+    require(isReadable(path, toVersion),
+      s"cannot restore to unreadable version $toVersion at $path")
+    val v = latestVersion(path).get + 1
+    val files = manifest(path, toVersion)
+    appendLog(path, v, s"RESTORE[v=$toVersion]", files.map(_._2).sum,
+      schemaOf(path, toVersion), files)
+    v
+  }
+
+  /** Delta `SHALLOW CLONE` analog: fork `src` into `dst` by copying
+    * METADATA ONLY — the commit log (with its manifests) plus a base
+    * pointer recording the source path AND the fork version. Pre-fork
+    * versions resolve to the source's pool files through the
+    * transitive pointer chase (zero data movement — what makes a
+    * dev/test fork of a 100 TB production table instant and free),
+    * while post-clone commits write to `dst`'s own pool and never
+    * touch the source; the two histories diverge from the fork point
+    * exactly like git branches. Cloning a clone works: the chase
+    * follows base pointers through every generation. Vacuuming the
+    * SOURCE breaks the clone's pre-fork time travel (Delta's
+    * documented shallow-clone hazard — surfaced here as the same
+    * read-time error). */
+  def shallowClone(src: String, dst: String): Unit = {
+    require(versions(src).nonEmpty, s"no committed versions at $src")
+    require(Paths.get(src).toAbsolutePath.normalize !=
+      Paths.get(dst).toAbsolutePath.normalize, "clone onto itself")
+    destroy(dst)
+    Files.createDirectories(logDir(dst))
+    versions(src).foreach { v =>
+      Files.copy(logDir(src).resolve(f"$v%06d.json"),
+        logDir(dst).resolve(f"$v%06d.json"))
+    }
+    // versions already unreadable at the source stay contractually
+    // unreadable in the clone
+    if (Files.exists(vacuumedFile(src)))
+      Files.copy(vacuumedFile(src), vacuumedFile(dst))
+    Files.writeString(basePtrFile(dst),
+      Paths.get(src).toAbsolutePath.normalize.toString + "\n" +
+        versions(src).last)
+  }
+
+  /** VACUUM analog: versions older than the newest `keepLast` are
+    * marked unreadable (the retention CONTRACT — exactly Delta's
+    * post-VACUUM time-travel behavior; history stays listable), then
+    * pool files referenced by NO retained version are physically
+    * deleted. A file an old version shares with a retained one — e.g.
+    * through a RESTORE re-link — survives; only the clone hazard can
+    * strand references (a clone's pointer into this pool is invisible
+    * here, as in Delta). Returns the newly vacuumed versions. */
+  def vacuum(path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val all = versions(path)
+    val already = vacuumedVersions(path)
+    val removed = all.dropRight(keepLast).filterNot(already.contains)
+    if (removed.nonEmpty) {
+      val gone = already ++ removed
+      Files.createDirectories(logDir(path))
+      Files.writeString(vacuumedFile(path),
+        gone.toSeq.sorted.mkString("", "\n", "\n"))
+      val liveFiles = all.filterNot(gone.contains)
+        .flatMap(v => manifest(path, v).map(_._1)).toSet
+      val deadFiles = removed.flatMap(v => manifest(path, v).map(_._1))
+        .toSet -- liveFiles
+      // only our OWN pool: files a clone resolves from its base belong
+      // to the base table
+      deadFiles.foreach { n =>
+        val p = poolDir(path).resolve(n)
+        if (Files.exists(p)) Files.delete(p)
+      }
+    }
+    removed
+  }
+
+  /** DESCRIBE HISTORY analog: the commit log as a DataFrame (now also
+    * carrying each version's file manifest and schema). */
+  def history(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(logDir(path).toString)
 
   /** OPTIMIZE+ZORDER analog: clustered compaction committed as a new
-    * version (history preserved — old versions still readable). */
+    * version (history preserved — old versions still readable). A
+    * layout rewrite touches every row by definition. */
   def optimize(spark: SparkSession, path: String, sortCols: Seq[String],
                numFiles: Int): Int = {
     val clustered = Maintenance.clusteredFrame(read(spark, path),

@@ -58,4 +58,9 @@ object GraftBridge {
   /** The logical plan behind a DataFrame (for table-function bodies). */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.logical
+
+  /** The ANALYZED plan behind a DataFrame — resolved expressions with
+    * evaluable literals (Dataset.queryExecution is private[sql]). */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

@@ -252,9 +252,8 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.write(
       tables.nation.filter(col("n_regionkey") =!= 4), src)        // v1
     VersionedTable.shallowClone(src, dst)
-    // zero-copy: the clone holds NO snapshot dirs, only log + pointer
-    assert(!Files.exists(java.nio.file.Paths.get(s"$dst/v=0")) &&
-      !Files.exists(java.nio.file.Paths.get(s"$dst/v=1")),
+    // zero-copy: the clone holds NO data files, only log + pointer
+    assert(VersionedTable.poolFiles(dst).isEmpty,
       "shallow clone must not copy snapshot data")
     assert(VersionedTable.versions(dst) == Seq(0, 1))
     // pre-fork versions read through the base pointer
@@ -266,8 +265,8 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, src).count() == 20,
       "clone write leaked into the source")
     assert(VersionedTable.versions(src) == Seq(0, 1))
-    // the post-fork snapshot lives under the clone itself
-    assert(Files.exists(java.nio.file.Paths.get(s"$dst/v=2")))
+    // the post-fork rewrite lives in the clone's own pool
+    assert(VersionedTable.poolFiles(dst).nonEmpty)
     // vacuuming the SOURCE breaks the clone's pre-fork time travel
     // (the documented shallow-clone hazard), never its own commits
     VersionedTable.vacuum(src, keepLast = 1)
@@ -299,9 +298,7 @@ class VersionedTableSpec extends SparkSpec {
       "l_partkey", "l_suppkey", numFiles = 4)
     assert(v == 1)
     assert(VersionedTable.operations(path).last == "OPTIMIZE[ZORDER]")
-    val files = new java.io.File(s"$path/v=1").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(files == 4)
+    assert(VersionedTable.manifest(path, 1).size == 4)
     // layout-only change: content round-trips exactly
     val a = VersionedTable.read(spark, path, Some(0))
     val b = VersionedTable.read(spark, path, Some(1))
@@ -320,9 +317,7 @@ class VersionedTableSpec extends SparkSpec {
       Seq("WRITE", "MERGE", "OPTIMIZE"))
     assert(h.map(_.getAs[Long]("num_rows")).toSeq == Seq(25L, 25L, 25L))
     // optimize produced the requested file count in the new version
-    val files = new java.io.File(s"$path/v=2").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(files == 2)
+    assert(VersionedTable.manifest(path, 2).size == 2)
   }
 
   test("cross-table pin: one instant resolves each table's own log, " +
