@@ -972,6 +972,7 @@ object TextOracleSql {
       SELECT w, cast(count(*) as bigint) as c
       FROM (SELECT unnest(string_split(text, ' ')) as w
             FROM documents WHERE doc_id % $sampleMod = 0)
+      WHERE w NOT LIKE '%|%'
       GROUP BY 1),
     w0 AS MATERIALIZED (
       SELECT array_to_string(string_split(w, ''), '|') as pw, c

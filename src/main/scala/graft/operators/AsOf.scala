@@ -106,9 +106,22 @@ object AsOf {
   def asofJoinNativeForward(left: DataFrame, right: DataFrame,
                             key: String, tsCol: String,
                             rightCols: Seq[String]): DataFrame = {
-    val negL = left.withColumn("__asof_rev", negate(col(tsCol)))
-    val negR = right.withColumn("__asof_rev", negate(col(tsCol)))
-    asofJoinNative(negL, negR, key, "__asof_rev", rightCols)
+    // negate() resolves only for numeric types — temporal columns
+    // first map to epoch micros (an exact, monotonic bijection, so
+    // the reversal argument is unchanged); the helper column is
+    // dropped either way, and the composed asofJoinForward accepts
+    // the same temporal types
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    def rev(df: DataFrame) = {
+      val c = df.schema(tsCol).dataType match {
+        case TimestampType => unix_micros(col(tsCol))
+        case TimestampNTZType | DateType =>
+          unix_micros(col(tsCol).cast(TimestampType))
+        case _ => col(tsCol)
+      }
+      df.withColumn("__asof_rev", negate(c))
+    }
+    asofJoinNative(rev(left), rev(right), key, "__asof_rev", rightCols)
       .drop("__asof_rev")
   }
 

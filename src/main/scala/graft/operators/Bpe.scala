@@ -44,6 +44,12 @@ object Bpe {
     val wordCounts: Array[(Array[String], Long)] = documents
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .select(explode(split(col("text"), " ")).as("w"))
+      // training-dictionary contract: words containing the piece
+      // delimiter '|' are excluded on BOTH engines — the DuckDB oracle
+      // replays piece lists as '|'-joined strings, where a literal
+      // pipe inside a word is unrepresentable (the Spark side's true
+      // arrays wouldn't care, but the contract must be shared)
+      .filter(!col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(dictBudget)
@@ -101,6 +107,8 @@ object Bpe {
     var words = documents
       .filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === 0)
       .select(explode(split(col("text"), " ")).as("w"))
+      // same '|'-free dictionary contract as [[train]] (see there)
+      .filter(!col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(split(col("w"), "").as("pieces"), col("c"))
       .localCheckpoint(true)

@@ -245,6 +245,21 @@ object Similarity {
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int), Array[Array[Double]]]
 
+  /** Corpus-size cache next to the quantizer cache: callers that
+    * derive nlist from the corpus size (cellTarget) would otherwise
+    * pay a full count() scan on every invocation even when the
+    * trained centroids are already cached. Same key discipline —
+    * corpus identity is the caller's knowledge. */
+  private val corpusCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def countCached(corpus: DataFrame,
+                          cacheKey: Option[String]): Long =
+    cacheKey match {
+      case Some(k) => corpusCountCache.getOrElseUpdate(k, corpus.count())
+      case None => corpus.count()
+    }
+
   def trainCentroids(corpus: DataFrame, nlist: Int = 16,
                      iters: Int = 3, sampleBudget: Int = 128,
                      cacheKey: Option[String] = None): Array[Array[Double]] =
@@ -1266,7 +1281,7 @@ object Similarity {
                            cellTarget: Long = 512L,
                            cacheKey: Option[String] = None): DataFrame = {
     require(cellTarget >= 1, "cellTarget must be positive")
-    val n = embeddings.count()
+    val n = countCached(embeddings, cacheKey)
     val nl = math.max(nlist,
       ((n + cellTarget - 1) / cellTarget).toInt)
     val budget = math.max(sampleBudget, 4 * nl)

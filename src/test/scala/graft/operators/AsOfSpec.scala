@@ -106,6 +106,29 @@ class AsOfSpec extends SparkSpec {
     assert(canon(native) === canon(composed))
   }
 
+  test("asofJoinNativeForward accepts TIMESTAMP ts columns (reversal " +
+    "maps to epoch micros before negating) and matches the composed path") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "2024-01-01 00:01:00"),
+      (2L, 10L, "2024-01-01 00:05:00"), (3L, 20L, "2024-01-01 00:02:00"))
+      .toDF("id", "k", "s").withColumn("ts", col("s").cast("timestamp"))
+      .drop("s")
+    val right = Seq((10L, "2024-01-01 00:01:00", "a"),
+      (10L, "2024-01-01 00:03:00", "b"), (20L, "2024-01-01 00:01:30", "c"))
+      .toDF("k", "s", "tag").withColumn("ts", col("s").cast("timestamp"))
+      .drop("s")
+    val native = AsOf.asofJoinNativeForward(left, right, "k", "ts",
+      Seq("tag")).orderBy("id").collect()
+    // id=1: exact-ts right visible; id=2: nothing after; id=3: none fwd
+    assert(native(0).getAs[String]("matched_tag") == "a")
+    assert(native(1).isNullAt(native(1).fieldIndex("matched_tag")))
+    assert(native(2).isNullAt(native(2).fieldIndex("matched_tag")))
+    val composed = AsOf.asofJoinForward(left, right, "k", "ts", Seq("tag"))
+      .orderBy("id").collect()
+    assert(native.map(_.mkString("|")).toSeq ===
+      composed.map(_.mkString("|")).toSeq)
+  }
+
   test("tolerance nulls matches older than the max gap, keeps rows") {
     import spark.implicits._
     val lefts = Seq((1L, 10L, 1000L), (1L, 20L, 2000L), (2L, 30L, 500L))
