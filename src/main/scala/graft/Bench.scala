@@ -57,22 +57,37 @@ object Bench {
       spark.range(500000000L).selectExpr("sum(id * 2)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // self-adjudication baseline (judge r9 item 3): the committed
+    // bench_last.json's per-query medians. Any query whose in-run
+    // median exceeds its committed entry by >2× is automatically
+    // re-measured in ISOLATION (end of run, median-of-3) so a
+    // transient host stall mid-sweep adjudicates itself — three
+    // rounds in a row a human had to re-bench such outliers by hand.
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_last.json")), "UTF-8")
+      val qBlock = """"queries":\{(.*?)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(qBlock)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
     val calStart = calibrate()
     var calMid = 0.0
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
     val midIdx = toRun.size / 2
-    val results = toRun.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx == midIdx) calMid = calibrate()
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  nReps: Int, recordErrors: Boolean): Double = {
       resetSession()
       val times = scala.collection.mutable.ListBuffer[Double]()
       var rep = 0
       var failed = false
-      while (rep < reps && !failed) {
+      while (rep < nReps && !failed) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            errors ::= name
+            if (recordErrors) errors ::= name
             failed = true
             // first line only: a full AnalysisException message is a
             // multi-line plan dump, and 50 of those drowned the r6
@@ -84,20 +99,45 @@ object Bench {
         times += (System.nanoTime() - t0) / 1e9
         rep += 1
       }
-      name -> median(times.toSeq)
+      median(times.toSeq)
+    }
+    val runEpoch = System.currentTimeMillis() / 1000
+    val started = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val results = toRun.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == midIdx) calMid = calibrate()
+      started(name) = System.currentTimeMillis() / 1000
+      name -> timeQuery(name, fn, reps, recordErrors = true)
     }
     val calEnd = calibrate()
+    // requery pass: >2× the committed median AND at least 0.5 s over
+    // it (sub-second plans flap 2× on jitter alone — every past
+    // round's false flags were confined there)
+    val suspects = results.filter { case (name, sec) =>
+      prior.get(name).exists(p => sec > 2 * p && sec - p > 0.5) &&
+        !errors.contains(name)
+    }.map(_._1)
+    val requeried = suspects.map { name =>
+      name -> timeQuery(name, SparkEntry.queries(name), 3,
+        recordErrors = false)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson =
       s"""{"start":$calStart,"mid":$calMid,"end":$calEnd}"""
+    // per-query start offsets (seconds since run start): a stall
+    // window in driver-box load is attributable post-hoc to the exact
+    // queries it overlapped
+    val startedJson = started.map { case (k, v) =>
+      s"\"" + k + "\":" + (v - runEpoch) }.mkString("{", ",", "}")
+    val requeriedJson = requeried.map { case (k, v) =>
+      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // flush stderr first so per-query failure lines can't interleave
     // after (and displace) the one machine-read results line; the JSON
     // line is the last thing this process writes to stdout
     System.err.flush()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calJson,"queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calJson,"queries":$qs,"reps":$reps,"errors":$errJson,"run_epoch":$runEpoch,"started":$startedJson,"requeried":$requeriedJson,"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     // the driver's BENCH artifact keeps only a ~2KB tail, which in

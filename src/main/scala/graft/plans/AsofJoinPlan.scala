@@ -68,9 +68,16 @@ object AsofJoinStrategy extends SparkStrategy {
   *
   * Cost notes: key/ts extraction uses interpreted `eval` (two field
   * reads per row) — the sorts dominate by orders of magnitude, so
-  * codegen here buys nothing measurable (benched 0.65 s vs the
-  * composed 0.45 s at sf0.1 where the window is cheap; the exec's
-  * advantage is shuffle WIDTH on wide left tables, not CPU).
+  * codegen here buys nothing measurable. The width claim, MEASURED
+  * (ScaleProbe asof_wide_native/asof_wide_composed, sf0.1, left
+  * widened to 36 payload columns, all-column hash defeating pruning):
+  * narrow left (4 cols) the composed window wins (0.45 s vs 0.65 s —
+  * the interpreted-eval tax with nothing to save); wide left the
+  * crossover arrives by 100k rows (parity, 1.47 s both) and at 1M
+  * rows the native exec is ~1.10× faster (2.8-3.2 s vs 3.1-3.5 s,
+  * two runs). The gap is the union width the composed plan shuffles
+  * and sorts twice-over; it grows with payload width, which is the
+  * regime a 100 TB wide fact table lives in.
   * Partition alignment: zipPartitions requires equal child partition
   * counts — guaranteed by EnsureRequirements' co-partitioning; if a
   * future planner change ever coalesced the sides asymmetrically,
