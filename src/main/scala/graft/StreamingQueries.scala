@@ -803,6 +803,31 @@ private[graft] object StreamingQueries {
       },
       Some(InlineOracles.ts_anomaly)),
 
+    Q("stream_seasonal_anomaly",
+      // de-seasonalized alerting CONTINUOUSLY: the FOURTH monitor on
+      // the same hourly count-shard store (anomaly + crosscorr + acf
+      // + this — fold once, monitor many, zero new state); merged
+      // shards equal the one-shot hourly counts on any arrival split,
+      // so the batch ts_seasonal_anomaly SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/ssa_src_$sf"
+        val cnt = s"/tmp/graft_cache/ssa_cnt_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
+        Tables(s, d).events.select("event_id", "ts", "event_type")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType),
+          StructField("event_type", StringType)))
+        val ckpt = freshCheckpoint("ssa", d)
+        graft.streaming.Streams.hourlyCountStream(s, src, schema, cnt,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.seasonalAnomalyFromShards(s, cnt,
+          period = 24, threshold = 3.5)
+      },
+      Some(InlineOracles.ts_seasonal_anomaly)),
+
     Q("stream_crosscorr",
       // the lead/lag matrix from the SAME continuous count store the
       // anomaly monitor folds — two monitors, one shard store; the

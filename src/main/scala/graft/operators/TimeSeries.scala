@@ -544,19 +544,29 @@ object TimeSeries {
     * key; the (types × period)-row seasonal frame broadcasts back.
     * Raw events are scanned once. */
   def decompose(events: DataFrame, period: Int = 24): DataFrame = {
+    val hourUs = 3600000000L
+    decomposeFromHourly(events.select(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw")), period)
+  }
+
+  /** [[decompose]] from an (event_type, hour_us, n_raw) hourly-count
+    * frame — the fourth consumer of the shared streaming count-shard
+    * store (with [[anomalyFromHourly]], [[crosscorrFromHourly]],
+    * [[autocorrFromHourly]]): hourly counts are associative and the
+    * per-type grid bounds over observed HOURS equal the raw-timestamp
+    * bounds floored (hour keys are those floors). */
+  def decomposeFromHourly(hourly: DataFrame,
+                          period: Int = 24): DataFrame = {
     require(period >= 2 && period % 2 == 0,
       "period must be even: the centered MA frame is -period/2 .. period/2-1")
     val hourUs = 3600000000L
-    val hourly = events.select(col("event_type"),
-        (col("ts") - pmod(col("ts"), lit(hourUs))).as("hour_us"))
-      .groupBy("event_type", "hour_us")
-      .agg(count(lit(1)).as("n_raw"))
-    val grid = events.groupBy(col("event_type"))
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      .select(col("event_type"), explode(sequence(
-        col("lo") - pmod(col("lo"), lit(hourUs)),
-        col("hi") - pmod(col("hi"), lit(hourUs)),
-        lit(hourUs))).as("hour_us"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs)))
+          .as("hour_us"))
     val series = grid.join(hourly, Seq("event_type", "hour_us"), "left")
       .select(col("event_type"), col("hour_us"),
         coalesce(col("n_raw"), lit(0L)).as("n_events"))
@@ -607,8 +617,20 @@ object TimeSeries {
     * two histogram-shuffle quantile passes + broadcast fence joins;
     * the flag filter is map-side. */
   def seasonalAnomaly(events: DataFrame, period: Int = 24,
-                      threshold: Double = 3.5): DataFrame = {
-    val dec = decompose(events, period)
+                      threshold: Double = 3.5): DataFrame =
+    seasonalAnomalyOf(decompose(events, period), threshold)
+
+  /** [[seasonalAnomaly]] from an hourly-count frame — the streaming
+    * monitor shape over the shared count-shard store ([[
+    * decomposeFromHourly]] supplies identical residuals, so the batch
+    * seasonal-anomaly SQL is the oracle). */
+  def seasonalAnomalyFromHourly(hourly: DataFrame, period: Int = 24,
+                                threshold: Double = 3.5): DataFrame =
+    seasonalAnomalyOf(decomposeFromHourly(hourly, period), threshold)
+
+  private def seasonalAnomalyOf(decomposed: DataFrame,
+                                threshold: Double): DataFrame = {
+    val dec = decomposed
       .filter(col("residual").isNotNull)
       .select(col("event_type"), col("hour_us"), col("n_events"),
         col("residual"))

@@ -414,6 +414,19 @@ object Streams {
         .groupBy("event_type", "hour_us")
         .agg(sum(col("n")).as("n_raw")), maxLag)
 
+  /** The de-seasonalized MAD anomaly monitor re-derived from the same
+    * merged count shards — FOURTH monitor on the one continuous
+    * store, zero new state (fold once, monitor many). Equals the
+    * one-shot batch [[graft.operators.TimeSeries.seasonalAnomaly]] on
+    * any batch split. */
+  def seasonalAnomalyFromShards(spark: SparkSession, dir: String,
+                                period: Int = 24,
+                                threshold: Double = 3.5): DataFrame =
+    graft.operators.TimeSeries.seasonalAnomalyFromHourly(
+      spark.read.parquet(dir)
+        .groupBy("event_type", "hour_us")
+        .agg(sum(col("n")).as("n_raw")), period, threshold)
+
   /** One micro-batch of the streaming as-of enrichment sink: each
     * arriving batch of left rows is enriched independently against
     * the STATIC right frame through the composed as-of join — a left
