@@ -803,6 +803,30 @@ private[graft] object StreamingQueries {
       },
       Some(InlineOracles.ts_anomaly)),
 
+    Q("stream_decompose",
+      // the FULL trend/seasonal/residual decomposition maintained
+      // CONTINUOUSLY — fifth monitor on the same hourly count-shard
+      // store, zero new state; merged shards equal the one-shot
+      // hourly counts on any arrival split, so the batch
+      // ts_decompose SQL is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sdc_src_$sf"
+        val cnt = s"/tmp/graft_cache/sdc_cnt_$sf"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
+        Tables(s, d).events.select("event_id", "ts", "event_type")
+          .repartition(6).write.mode("overwrite").json(src)
+        val schema = StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", LongType),
+          StructField("event_type", StringType)))
+        val ckpt = freshCheckpoint("sdc", d)
+        graft.streaming.Streams.hourlyCountStream(s, src, schema, cnt,
+          ckpt).awaitTermination(120000)
+        graft.streaming.Streams.decomposeFromShards(s, cnt, period = 24)
+      },
+      Some(InlineOracles.ts_decompose)),
+
     Q("stream_seasonal_anomaly",
       // de-seasonalized alerting CONTINUOUSLY: the FOURTH monitor on
       // the same hourly count-shard store (anomaly + crosscorr + acf

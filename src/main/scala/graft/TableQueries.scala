@@ -472,5 +472,35 @@ object TableQueries {
       Some(s"""
         SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
         FROM events WHERE value >= 50.0 AND value <= 120.0""")),
+
+    Q("optimize_incremental",
+      // the small-file maintenance loop a streaming bronze table
+      // lives on (r10): O(delta) APPEND micro-batches accumulate
+      // small files; incremental OPTIMIZE then compacts ONLY files
+      // under half the largest file's size and RE-LINKS the rest
+      // (Delta's file-selection semantics) — the commit pays for the
+      // small-file backlog, never the table. Content is
+      // layout-invariant, so the plain events projection is the
+      // oracle; the spec asserts the re-link/compact split and
+      // idempotence
+      (s, d) => {
+        val path = s"/tmp/graft_cache/oi_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val ev = Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        VersionedTable.write(ev.filter(col("event_id") % 4 === 0)
+          .repartition(1), path)
+        (1L to 3L).foreach(i => VersionedTable.append(s,
+          ev.filter(col("event_id") % 4 === i).repartition(4), path,
+          operation = s"APPEND[$i]"))
+        val sizes = VersionedTable.manifestSizes(path,
+          VersionedTable.latestVersion(path).get).map(_._2)
+        VersionedTable.optimizeIncremental(s, path, Seq("event_id"),
+          minFileBytes = sizes.max / 2, numFiles = 2)
+        VersionedTable.read(s, path)
+      },
+      Some(s"""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
+        FROM events""")),
   )
 }

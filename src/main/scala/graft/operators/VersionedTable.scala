@@ -369,6 +369,57 @@ object VersionedTable {
     }
   }
 
+  /** APPEND: commit `df` as NEW pool files RE-LINKING the whole
+    * current manifest — the O(delta) ingest verb a streaming bronze
+    * table needs (under full-snapshot versioning every micro-batch
+    * append cost O(table); here it costs the batch). Schema must
+    * match the table's (names and types; nullability widens). */
+  def append(spark: SparkSession, df: DataFrame, path: String,
+             operation: String = "APPEND"): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    require(nullableSchema(df.schema) == schema,
+      s"append schema ${df.schema.simpleString} does not match table " +
+        s"${schema.simpleString}")
+    commitRewrite(spark, path, operation, df, Set.empty, schema)
+  }
+
+  /** (name, bytes) for each data file of version `v` — the sizing
+    * input an incremental OPTIMIZE policy reads. */
+  def manifestSizes(path: String, v: Int): Seq[(String, Long)] =
+    manifest(path, v).map { case (n, _) =>
+      val p = resolvePoolFile(path, n).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v was vacuumed at $path: data file $n is gone"))
+      n -> Files.size(p)
+    }
+
+  /** Incremental OPTIMIZE (Delta's file-selection semantics): compact
+    * ONLY files smaller than `minFileBytes` into `numFiles` clustered
+    * outputs; files already at target size RE-LINK untouched. After a
+    * run of streaming appends this pays for the small-file backlog,
+    * never the table — the maintenance loop a 100 TB bronze table
+    * lives on (append micro-batches → many small files → incremental
+    * compaction). A no-op commit is skipped (returns the current
+    * version) when fewer than two files are under the threshold. */
+  def optimizeIncremental(spark: SparkSession, path: String,
+                          sortCols: Seq[String], minFileBytes: Long,
+                          numFiles: Int): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val small = manifestSizes(path, v).filter(_._2 < minFileBytes)
+      .map(_._1).toSet
+    if (small.size < 2) v
+    else {
+      val schema = schemaOf(path, v)
+      val clustered = Maintenance.clusteredFrame(
+        readFiles(spark, path, small, schema, v), sortCols, numFiles)
+      commitRewrite(spark, path, "OPTIMIZE[INCR]", clustered, small,
+        schema)
+    }
+  }
+
   /** MERGE INTO analog: upsert `updates` into the latest version on
     * `keys`. File-granular — only files containing matched keys are
     * rewritten (survivor rows anti-joined against the updates), every

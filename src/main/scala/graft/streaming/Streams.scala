@@ -414,6 +414,17 @@ object Streams {
         .groupBy("event_type", "hour_us")
         .agg(sum(col("n")).as("n_raw")), maxLag)
 
+  /** The full trend/seasonal/residual decomposition re-derived from
+    * the same merged count shards — FIFTH monitor on the one
+    * continuous store. Equals the one-shot batch
+    * [[graft.operators.TimeSeries.decompose]] on any batch split. */
+  def decomposeFromShards(spark: SparkSession, dir: String,
+                          period: Int = 24): DataFrame =
+    graft.operators.TimeSeries.decomposeFromHourly(
+      spark.read.parquet(dir)
+        .groupBy("event_type", "hour_us")
+        .agg(sum(col("n")).as("n_raw")), period)
+
   /** The de-seasonalized MAD anomaly monitor re-derived from the same
     * merged count shards — FOURTH monitor on the one continuous
     * store, zero new state (fold once, monitor many). Equals the

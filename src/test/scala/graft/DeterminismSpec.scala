@@ -190,6 +190,10 @@ class DeterminismSpec extends SparkSpec {
     // the custom physical operator must give the same answer under
     // any partition fan-out (its merge is per-partition)
     "asof_join_native", "event_debounce", "table_clone",
-    "asof_join_forward_native", "dedup_method_agreement"))
+    "asof_join_forward_native", "dedup_method_agreement",
+    // round-10: append + incremental compaction are layout moves —
+    // the table CONTENT must be identical at any fan-out (which files
+    // qualify as "small" may differ; the rows never do)
+    "optimize_incremental"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

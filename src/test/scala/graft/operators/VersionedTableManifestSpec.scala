@@ -186,6 +186,47 @@ class VersionedTableManifestSpec extends SparkSpec {
     assert(out.filter(col("note").isNull).count() == 24)
   }
 
+  test("append re-links the whole manifest in O(delta); " +
+    "optimizeIncremental compacts only the small-file backlog, " +
+    "re-links compact files, and is idempotent") {
+    val path = freshPath
+    val cust = tables.customer
+      .select("c_custkey", "c_name", "c_acctbal")
+    // one big file (~90% of rows) + two appends of 3 small files each
+    VersionedTable.write(cust.filter(col("c_custkey") % 10 =!= 0)
+      .repartition(1), path)
+    val big = VersionedTable.manifest(path, 0).map(_._1).toSet
+    VersionedTable.append(spark,
+      cust.filter(col("c_custkey") % 20 === 0).repartition(3), path)
+    VersionedTable.append(spark,
+      cust.filter(col("c_custkey") % 20 === 10).repartition(3), path)
+    val m2 = VersionedTable.manifest(path, 2)
+    // appends never rewrote anything: every prior file re-linked
+    assert(big.subsetOf(m2.map(_._1).toSet))
+    assert(m2.size == 7)
+    assert(VersionedTable.read(spark, path).count() == cust.count())
+    // compact: the big file must survive AS IS, the 6 small ones fold
+    val threshold = VersionedTable.manifestSizes(path, 2).map(_._2).max / 2
+    val v3 = VersionedTable.optimizeIncremental(spark, path,
+      Seq("c_custkey"), threshold, numFiles = 1)
+    assert(v3 == 3)
+    val m3 = VersionedTable.manifest(path, 3).map(_._1).toSet
+    assert(big.subsetOf(m3), "compact files must re-link")
+    assert(m3.intersect(m2.map(_._1).toSet) == big,
+      "small files must be compacted away")
+    assert(m3.size == 2)
+    val out = VersionedTable.read(spark, path)
+    assert(out.exceptAll(cust).isEmpty && cust.exceptAll(out).isEmpty)
+    assert(VersionedTable.operations(path).last == "OPTIMIZE[INCR]")
+    // idempotent: one compacted output under the threshold is not a
+    // backlog — no new commit
+    assert(VersionedTable.optimizeIncremental(spark, path,
+      Seq("c_custkey"), threshold, numFiles = 1) == 3)
+    // schema mismatch refuses loudly
+    intercept[IllegalArgumentException](VersionedTable.append(spark,
+      cust.select(col("c_custkey"), col("c_name")), path))
+  }
+
   test("changes() reads only non-shared files and still diffs exactly") {
     val path = freshPath
     VersionedTable.write(rangedNation, path)
