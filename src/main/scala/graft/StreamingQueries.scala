@@ -432,6 +432,46 @@ private[graft] object StreamingQueries {
         SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
         FROM events""")),
 
+    Q("stream_append_versioned",
+      // the append-only BRONZE lifecycle over the r10 manifest layer:
+      // file micro-batches APPEND into a versioned table (each batch
+      // commits its own pool files, the rest of the manifest
+      // re-links — O(batch) per trigger, never O(table)), then the
+      // accumulated small-file backlog folds through ONE incremental
+      // OPTIMIZE that re-links every already-compact file. Content
+      // is exactly-once (batch-id markers) and layout-invariant, so
+      // one copy of everything staged is the oracle
+      (s, d) => withShufflePartitions(s, 4) {
+        import org.apache.spark.sql.types._
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/sav_src_$sf"
+        val table = s"/tmp/graft_cache/sav_table_$sf"
+        VersionedTable.destroy(table)
+        Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .repartition(8)
+          .write.mode("overwrite").json(src)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val ckpt = freshCheckpoint("sav", d)
+        graft.streaming.Streams.appendStream(s, src, schema, table,
+          checkpoint = ckpt,
+          payloadCols = Seq("event_id", "ts", "user_id", "event_type",
+            "value"),
+          maxFilesPerTrigger = 3).awaitTermination(120000)
+        val sizes = VersionedTable.manifestSizes(table,
+          VersionedTable.latestVersion(table).get).map(_._2)
+        VersionedTable.optimizeIncremental(s, table, Seq("event_id"),
+          minFileBytes = sizes.max + 1, numFiles = 4)
+        VersionedTable.read(s, table)
+      },
+      Some(s"""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
+        FROM events""")),
+
     Q("stream_merge_versioned",
       (s, d) => withShufflePartitions(s, 8) {
         import org.apache.spark.sql.types._

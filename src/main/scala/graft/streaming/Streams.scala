@@ -83,6 +83,48 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the streaming APPEND sink (r10): the batch's
+    * rows commit as NEW pool files while the whole current manifest
+    * RE-LINKS — O(batch) per trigger, where full-snapshot versioning
+    * priced every append at O(table). Exactly-once via the batch-id
+    * commit marker (a retried batch id is a no-op). Public so specs
+    * can drive retry semantics directly. */
+  def appendBatch(spark: SparkSession, tablePath: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.VersionedTable
+    val marker = s"STREAM_APPEND[batch=$batchId]"
+    if (!VersionedTable.operations(tablePath).contains(marker)) {
+      if (VersionedTable.versions(tablePath).isEmpty)
+        VersionedTable.write(batch, tablePath, operation = marker)
+      else
+        VersionedTable.append(spark, batch, tablePath, operation = marker)
+      ()
+    }
+  }
+
+  /** The append-only BRONZE ingest lifecycle: incremental file
+    * ingestion where every micro-batch APPENDS into a versioned
+    * table — the write pattern a raw-events bronze layer actually
+    * uses (no keys, no merge; history = arrival order). Exactly-once
+    * markers make at-least-once foreachBatch delivery an
+    * exactly-once table, so the final content equals one copy of
+    * everything staged on ANY batch split — the batch projection is
+    * the oracle. Follow with [[graft.operators.VersionedTable
+    * .optimizeIncremental]] to fold the accumulated small files. */
+  def appendStream(spark: SparkSession, srcPath: String,
+                   schema: StructType, tablePath: String,
+                   checkpoint: String, payloadCols: Seq[String],
+                   maxFilesPerTrigger: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fileIngest(spark, srcPath, schema,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+      .select(payloadCols.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(appendBatch(spark, tablePath) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup: at-least-once sources (retried files,
     * replayed offsets) deliver duplicate events; dedup on `event_id`
     * with watermark-bounded state. `dropDuplicatesWithinWatermark`

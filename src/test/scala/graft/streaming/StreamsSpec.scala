@@ -293,6 +293,40 @@ class StreamsSpec extends SparkSpec {
     assert(graft.operators.VersionedTable.versions(table) == before)
   }
 
+  test("appendStream: append-only bronze lifecycle — O(batch) commits " +
+    "that re-link prior files, exactly-once on retry") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_sav").toString
+    val (src, table, ckpt) = (s"$base/src", s"$base/t", s"$base/ckpt")
+    val ev = tables.events.select("event_id", "ts", "user_id")
+    ev.repartition(4).write.mode("overwrite").json(src)
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType)))
+    Streams.appendStream(spark, src, schema, table, ckpt,
+      payloadCols = Seq("event_id", "ts", "user_id"),
+      maxFilesPerTrigger = 2).awaitTermination(60000)
+    val ops = graft.operators.VersionedTable.operations(table)
+    assert(ops.nonEmpty && ops.forall(_.startsWith("STREAM_APPEND[batch=")))
+    assert(ops.distinct.size == ops.size)
+    // every commit RE-LINKS all prior files: the final manifest holds
+    // every earlier version's files plus its own batch
+    val last = graft.operators.VersionedTable.latestVersion(table).get
+    val mLast = graft.operators.VersionedTable.manifest(table, last)
+      .map(_._1).toSet
+    (0 until last).foreach { v =>
+      assert(graft.operators.VersionedTable.manifest(table, v).map(_._1)
+        .toSet.subsetOf(mLast), s"version $v files not re-linked")
+    }
+    // content = one copy of everything staged
+    val got = graft.operators.VersionedTable.read(spark, table)
+    assert(got.count() == ev.count())
+    assert(got.exceptAll(ev).count() == 0)
+    // retry: re-delivering a committed batch id is a no-op
+    val before = graft.operators.VersionedTable.versions(table)
+    Streams.appendBatch(spark, table)(ev.limit(3), 0L)
+    assert(graft.operators.VersionedTable.versions(table) == before)
+  }
+
   test("sessionizeBatch matches a hand-computed session split") {
     val gap = 1800000000L
     val out = Streams.sessionizeBatch(tables.events, gap)
