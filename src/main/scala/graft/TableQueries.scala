@@ -473,6 +473,28 @@ object TableQueries {
         SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
         FROM events WHERE value >= 50.0 AND value <= 120.0""")),
 
+    Q("versioned_pruned_read",
+      // data skipping INSIDE the versioned format (r10): OPTIMIZE
+      // clusters the table on value, then the range read shortlists
+      // manifest files by their parquet-footer [min, max] driver-side
+      // (the column stats Delta/Iceberg persist in logs — here the
+      // immutable footers ARE the stats store, zero format change)
+      // and row-filters the survivors, so the result is exactly the
+      // full-scan filter; the spec asserts a strict file subset
+      // actually scans
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vpr_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        VersionedTable.write(Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+          path)
+        VersionedTable.optimize(s, path, Seq("value"), numFiles = 8)
+        VersionedTable.readWhere(s, path, "value", 50.0, 120.0)
+      },
+      Some(s"""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
+        FROM events WHERE value >= 50.0 AND value <= 120.0""")),
+
     Q("optimize_incremental",
       // the small-file maintenance loop a streaming bronze table
       // lives on (r10): O(delta) APPEND micro-batches accumulate

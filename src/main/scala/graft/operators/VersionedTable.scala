@@ -360,6 +360,11 @@ object VersionedTable {
                            hit: DataFrame => DataFrame): Set[String] = {
     val files = manifest(path, v)
     if (files.isEmpty) Set.empty
+    // a 1-file manifest has nothing to prune — skip the discovery job
+    // (the rewrite applies the row-level predicate anyway, so content
+    // is identical; only a no-match commit loses a re-link, and THAT
+    // table is one file big)
+    else if (files.size == 1) Set(files.head._1)
     else {
       val cur = readFiles(spark, path, files.map(_._1), schema, v)
         .withColumn("_graft_file", col("_metadata.file_path"))
@@ -383,6 +388,84 @@ object VersionedTable {
       s"append schema ${df.schema.simpleString} does not match table " +
         s"${schema.simpleString}")
     commitRewrite(spark, path, operation, df, Set.empty, schema)
+  }
+
+  /** Per-file [min, max] of a numeric column straight from the
+    * parquet FOOTERS of version `v`'s manifest (driver-side, O(files)
+    * footer reads) — the column stats Delta/Iceberg persist in their
+    * logs; here the immutable footers ARE the stats store, so data
+    * skipping costs no format change. `None` when any row group lacks
+    * stats or holds only nulls (the file is then unprunable — never a
+    * false negative). */
+  def fileStats(path: String, v: Int,
+                column: String): Seq[(String, Option[(Double, Double)])] = {
+    def num(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    manifest(path, v).map { case (name, _) =>
+      val p = resolvePoolFile(path, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v was vacuumed at $path: data file $name is gone"))
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val stats = try {
+        val blocks = r.getFooter.getBlocks
+        var lo = Double.PositiveInfinity
+        var hi = Double.NegativeInfinity
+        var ok = blocks.size() > 0
+        var i = 0
+        while (ok && i < blocks.size()) {
+          val cols = blocks.get(i).getColumns
+          var found = false
+          var j = 0
+          while (!found && j < cols.size()) {
+            val c = cols.get(j)
+            if (c.getPath.toDotString == column) {
+              found = true
+              val s = c.getStatistics
+              if (s == null || !s.hasNonNullValue) ok = false
+              else (num(s.genericGetMin), num(s.genericGetMax)) match {
+                case (Some(mn), Some(mx)) =>
+                  lo = math.min(lo, mn); hi = math.max(hi, mx)
+                case _ => ok = false
+              }
+            }
+            j += 1
+          }
+          if (!found) ok = false
+          i += 1
+        }
+        if (ok) Some((lo, hi)) else None
+      } finally r.close()
+      name -> stats
+    }
+  }
+
+  /** Stats-pruned read: shortlist version `v`'s files to those whose
+    * footer [min, max] for `column` OVERLAPS [lo, hi] (stat-less
+    * files always survive — no false negatives), scan only the
+    * survivors, and apply the row-level filter — so the result equals
+    * the full-scan filter exactly while a clustered layout
+    * ([[optimize]] / [[optimizeZOrder]]) touches only the files the
+    * range lives in. The versioned-table form of zone-map skipping:
+    * what Delta/Iceberg derive from log stats, derived here from the
+    * immutable footers. */
+  def readWhere(spark: SparkSession, path: String, column: String,
+                lo: Double, hi: Double,
+                asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val keep = fileStats(path, v, column).collect {
+      case (n, None) => n
+      case (n, Some((mn, mx))) if mx >= lo && mn <= hi => n
+    }
+    readFiles(spark, path, keep, schemaOf(path, v), v)
+      .filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** (name, bytes) for each data file of version `v` — the sizing

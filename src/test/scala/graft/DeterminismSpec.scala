@@ -193,7 +193,8 @@ class DeterminismSpec extends SparkSpec {
     "asof_join_forward_native", "dedup_method_agreement",
     // round-10: append + incremental compaction are layout moves —
     // the table CONTENT must be identical at any fan-out (which files
-    // qualify as "small" may differ; the rows never do)
-    "optimize_incremental"))
+    // qualify as "small" may differ; the rows never do); the stats-
+    // pruned read row-filters survivors, so pruning luck can't leak
+    "optimize_incremental", "versioned_pruned_read"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

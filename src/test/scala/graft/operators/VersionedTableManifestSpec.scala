@@ -227,6 +227,35 @@ class VersionedTableManifestSpec extends SparkSpec {
       cust.select(col("c_custkey"), col("c_name")), path))
   }
 
+  test("readWhere prunes files by footer stats on a clustered layout " +
+    "and never loses a row") {
+    val path = freshPath
+    VersionedTable.write(tables.events
+      .select("event_id", "event_type", "value"), path)
+    VersionedTable.optimize(spark, path, Seq("value"), numFiles = 6)
+    val v = VersionedTable.latestVersion(path).get
+    val stats = VersionedTable.fileStats(path, v, "value")
+    assert(stats.size == 6 && stats.forall(_._2.isDefined))
+    // a ~10% band in the middle of the value domain
+    val Array(mn, mx) = VersionedTable.read(spark, path)
+      .agg(min(col("value")), max(col("value"))).collect()
+      .head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val (lo, hi) = (mn + 0.42 * (mx - mn), mn + 0.52 * (mx - mn))
+    val kept = stats.count {
+      case (_, Some((a, b))) => b >= lo && a <= hi
+      case _ => true
+    }
+    assert(kept < 6, "clustered layout must let the band prune files")
+    val out = VersionedTable.readWhere(spark, path, "value", lo, hi)
+    val full = VersionedTable.read(spark, path)
+      .filter(col("value") >= lo && col("value") <= hi)
+    assert(out.count() > 0)
+    assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty)
+    // non-numeric stats are honestly unprunable (None), never wrong
+    assert(VersionedTable.fileStats(path, v, "event_type")
+      .forall(_._2.isEmpty))
+  }
+
   test("changes() reads only non-shared files and still diffs exactly") {
     val path = freshPath
     VersionedTable.write(rangedNation, path)
