@@ -658,7 +658,29 @@ object ScaleProbe {
         () => asofWide(t.events, native = false),
         t.events.count() * 10,
         () => asofWide(replicate(t.events, 10, Some("event_id")),
-          native = false)))
+          native = false)),
+      // round-10: merge-on-read DELETE — a SCATTERED predicate (one
+      // match per ~1000 rows, so it touches essentially every file)
+      // deleted via deletion vectors. Cost is the condition scan +
+      // a delete-sized sidecar write; the rewrite-based delete would
+      // rewrite the whole table on this predicate. rows/sec should
+      // hold ~constant (scan-bound, never write-bound).
+      ("versioned_dv_delete", {
+        val p = "/tmp/graft_scaleprobe/dv_1x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          t.events.repartitionByRange(32, col("event_id")), p)
+        t.events.count()
+      }, () => graft.operators.VersionedTable.deleteVectors(spark,
+        "/tmp/graft_scaleprobe/dv_1x", "event_id % 1000 = 0").toLong, {
+        val p = "/tmp/graft_scaleprobe/dv_10x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          replicate(t.events, 10, Some("event_id"))
+            .repartitionByRange(32, col("event_id")), p)
+        t.events.count() * 10
+      }, () => graft.operators.VersionedTable.deleteVectors(spark,
+        "/tmp/graft_scaleprobe/dv_10x", "event_id % 1000 = 0").toLong))
 
     // optional comma-separated probe filter for single-probe iteration
     val only: Option[Set[String]] =

@@ -473,6 +473,34 @@ object TableQueries {
         SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
         FROM events WHERE value >= 50.0 AND value <= 120.0""")),
 
+    Q("delete_vectors",
+      // merge-on-read DELETE (r10, Delta deletion vectors): two
+      // scattered deletes — negative balances (~9% of EVERY file)
+      // then a whole segment — remove rows by landing their stable
+      // parquet row positions in tiny sidecars; NO data file is
+      // rewritten (the spec asserts the pool), readers anti-join the
+      // broadcast position sets, and the rewrite-based verbs later
+      // materialize. O(deleted rows) where rewrite-DELETE pays
+      // O(touched files) — on scattered predicates that is the whole
+      // table
+      (s, d) => {
+        val path = s"/tmp/graft_cache/dvq_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val cust = Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        VersionedTable.write(
+          cust.repartitionByRange(8, col("c_custkey")), path)
+        VersionedTable.deleteVectors(s, path, "c_acctbal < 0")
+        VersionedTable.deleteVectors(s, path,
+          "c_mktsegment = 'MACHINERY'")
+        VersionedTable.read(s, path)
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE NOT (c_acctbal < 0)
+          AND NOT (c_mktsegment = 'MACHINERY')""")),
+
     Q("versioned_pruned_read",
       // data skipping INSIDE the versioned format (r10): OPTIMIZE
       // clusters the table on value, then the range read shortlists

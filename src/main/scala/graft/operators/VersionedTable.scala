@@ -151,17 +151,31 @@ object VersionedTable {
   // manifest / schema plumbing
   // ---------------------------------------------------------------- //
 
-  /** The version's file manifest: (pool file name, exact row count).
-    * Safe to regex out of the log line because every raw `"` inside
-    * the operation/schema fields is escaped at write time. */
-  def manifest(path: String, v: Int): Seq[(String, Long)] = {
+  /** One manifest entry: an immutable pool data file, its LIVE row
+    * count, and optionally the DELETION-VECTOR sidecar holding the
+    * row positions a merge-on-read DELETE removed from it (the
+    * Delta DV shape: the data file is never rewritten; readers
+    * anti-join the tiny position set). */
+  final case class FileEntry(name: String, dv: Option[String],
+                             rows: Long)
+
+  /** The version's full manifest entries. Safe to regex out of the
+    * log line because every raw `"` inside the operation/schema
+    * fields is escaped at write time. */
+  def manifestEntries(path: String, v: Int): Seq[FileEntry] = {
     val filesRe = """"files":\[(.*)\]\}\s*$""".r
-    val fileRe = """\{"name":"([^"]+)","rows":(\d+)\}""".r
+    val fileRe =
+      """\{"name":"([^"]+)"(?:,"dv":"([^"]+)")?,"rows":(\d+)\}""".r
     filesRe.findFirstMatchIn(logLine(path, v)).map { m =>
       fileRe.findAllMatchIn(m.group(1))
-        .map(fm => (fm.group(1), fm.group(2).toLong)).toSeq
+        .map(fm => FileEntry(fm.group(1), Option(fm.group(2)),
+          fm.group(3).toLong)).toSeq
     }.getOrElse(Seq.empty)
   }
+
+  /** The version's file manifest: (pool file name, live row count). */
+  def manifest(path: String, v: Int): Seq[(String, Long)] =
+    manifestEntries(path, v).map(e => e.name -> e.rows)
 
   /** The schema committed with version `v` (nullable form — what a
     * parquet read reports). Recording it in the log makes empty
@@ -240,10 +254,11 @@ object VersionedTable {
 
   private def appendLog(path: String, v: Int, operation: String,
                         rows: Long, schema: StructType,
-                        files: Seq[(String, Long)]): Unit = {
+                        files: Seq[FileEntry]): Unit = {
     Files.createDirectories(logDir(path))
-    val filesJson = files.map { case (n, r) =>
-      s"""{"name":"$n","rows":$r}"""
+    val filesJson = files.map { e =>
+      val dvField = e.dv.fold("")(d => s""","dv":"$d"""")
+      s"""{"name":"${e.name}"$dvField,"rows":${e.rows}}"""
     }.mkString("[", ",", "]")
     val entry =
       s"""{"version":$v,"operation":"${jsonEscape(operation)}","num_rows":$rows,""" +
@@ -266,18 +281,18 @@ object VersionedTable {
   /** Write `df`'s rows as new immutable pool files (staged, then moved
     * under a commit prefix so provenance is readable and names are
     * globally unique). Returns the manifest entries. */
-  private def writeDataFiles(df: DataFrame, path: String,
-                             v: Int): Seq[(String, Long)] = {
-    val stage = Paths.get(path, f"_graft_stage_$v%06d")
+  private def writeDataFiles(df: DataFrame, path: String, v: Int,
+                             tag: String = "c"): Seq[FileEntry] = {
+    val stage = Paths.get(path, f"_graft_stage_$tag$v%06d")
     df.write.mode("overwrite").parquet(stage.toString)
     Files.createDirectories(poolDir(path))
     val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val out = parts.map { f =>
-      val name = f"c$v%06d-${f.getName}"
+      val name = f"$tag$v%06d-${f.getName}"
       val dst = poolDir(path).resolve(name)
       Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      name -> footerRowCount(dst)
+      FileEntry(name, None, footerRowCount(dst))
     }.toSeq
     destroy(stage.toString)
     out
@@ -290,7 +305,7 @@ object VersionedTable {
   def write(df: DataFrame, path: String, operation: String = "WRITE"): Int = {
     val v = latestVersion(path).map(_ + 1).getOrElse(0)
     val files = writeDataFiles(df, path, v)
-    appendLog(path, v, operation, files.map(_._2).sum,
+    appendLog(path, v, operation, files.map(_.rows).sum,
       nullableSchema(df.schema), files)
     v
   }
@@ -305,29 +320,79 @@ object VersionedTable {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val nv = v + 1
-    val keep = manifest(path, v).filterNot(f => touched.contains(f._1))
+    val keep = manifestEntries(path, v)
+      .filterNot(e => touched.contains(e.name))
     val fresh = writeDataFiles(newData, path, nv)
     appendLog(path, nv, operation,
-      keep.map(_._2).sum + fresh.map(_._2).sum, schema, keep ++ fresh)
+      keep.map(_.rows).sum + fresh.map(_.rows).sum, schema, keep ++ fresh)
     nv
   }
 
-  /** Read a subset of the current version's files with an explicit
-    * schema (missing evolved columns read as null). */
+  private def resolveOrFail(path: String, name: String, v: Int): String =
+    resolvePoolFile(path, name).getOrElse(throw new IllegalArgumentException(
+      s"version $v was vacuumed at $path" +
+        (if (cloneInfo(path).isDefined) " (and its clone base)" else "") +
+        s": data file $name is gone")).toString
+
+  /** Read a set of manifest entries with an explicit schema (missing
+    * evolved columns read as null), APPLYING each entry's deletion
+    * vector: DV-carrying files scan with the stable parquet row index
+    * and anti-join their sidecar's (file, pos) set — the sidecars are
+    * delete-sized, so the join broadcasts; DV-free files take the
+    * plain scan path at zero cost. With `lineage`, two extra columns
+    * ride along for touched-file discovery and DV construction:
+    * `_graft_file` (pool file name) and `_graft_pos` (row position in
+    * the physical file). */
+  private def readEntries(spark: SparkSession, path: String,
+                          entries: Seq[FileEntry], schema: StructType,
+                          v: Int, lineage: Boolean = false): DataFrame = {
+    val outCols = schema.fieldNames.toIndexedSeq.map(col) ++
+      (if (lineage) Seq(col("_graft_file"), col("_graft_pos")) else Nil)
+    def scan(es: Seq[FileEntry]) = spark.read.schema(schema)
+      .parquet(es.map(e => resolveOrFail(path, e.name, v)): _*)
+      .withColumn("_graft_file",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("_graft_pos", col("_metadata.row_index"))
+    if (entries.isEmpty)
+      spark.createDataFrame(java.util.List.of[Row](),
+        if (lineage) StructType(schema.fields ++ Seq(
+          StructField("_graft_file", org.apache.spark.sql.types.StringType),
+          StructField("_graft_pos", org.apache.spark.sql.types.LongType)))
+        else schema)
+    else {
+      val (dvd, plain) = entries.partition(_.dv.isDefined)
+      val plainDf =
+        if (plain.isEmpty) None
+        else if (lineage) Some(scan(plain).select(outCols: _*))
+        else Some(spark.read.schema(schema)
+          .parquet(plain.map(e => resolveOrFail(path, e.name, v)): _*))
+      // group DV files by sidecar: one anti-join per sidecar, each
+      // against only the (file, pos) rows of the files that point at it
+      val dvDfs = dvd.groupBy(_.dv.get).toSeq.sortBy(_._1).map {
+        case (sidecar, es) =>
+          val positions = spark.read
+            .parquet(resolveOrFail(path, sidecar, v))
+            .select(col("file").as("_graft_file"),
+              col("pos").as("_graft_pos"))
+          val sel: Seq[org.apache.spark.sql.Column] =
+            if (lineage) outCols
+            else schema.fieldNames.toIndexedSeq.map(col)
+          scan(es).join(broadcast(positions),
+              Seq("_graft_file", "_graft_pos"), "left_anti")
+            .select(sel: _*)
+      }
+      (plainDf.toSeq ++ dvDfs).reduce(_ unionByName _)
+    }
+  }
+
+  /** Name-subset convenience over [[readEntries]]. */
   private def readFiles(spark: SparkSession, path: String,
                         names: Iterable[String], schema: StructType,
                         v: Int): DataFrame = {
-    if (names.isEmpty)
-      spark.createDataFrame(java.util.List.of[Row](), schema)
-    else {
-      val resolved = names.toSeq.sorted.map { n =>
-        resolvePoolFile(path, n).getOrElse(throw new IllegalArgumentException(
-          s"version $v was vacuumed at $path" +
-            (if (cloneInfo(path).isDefined) " (and its clone base)" else "") +
-            s": data file $n is gone")).toString
-      }
-      spark.read.schema(schema).parquet(resolved: _*)
-    }
+    val want = names.toSet
+    readEntries(spark, path,
+      manifestEntries(path, v).filter(e => want.contains(e.name)),
+      schema, v)
   }
 
   /** Read the table at `asOf` (VERSION AS OF) or latest. Vacuumed
@@ -347,7 +412,9 @@ object VersionedTable {
     * still resolves (own pool or clone base). */
   def isReadable(path: String, v: Int): Boolean =
     versions(path).contains(v) && !vacuumedVersions(path).contains(v) &&
-      manifest(path, v).forall(f => resolvePoolFile(path, f._1).isDefined)
+      manifestEntries(path, v).forall(e =>
+        resolvePoolFile(path, e.name).isDefined &&
+          e.dv.forall(d => resolvePoolFile(path, d).isDefined))
 
   /** Files of the current version that contain at least one row
     * satisfying `hit` — an EXACT shortlist: the scan reads only the
@@ -358,19 +425,18 @@ object VersionedTable {
   private def touchedFiles(spark: SparkSession, path: String, v: Int,
                            schema: StructType,
                            hit: DataFrame => DataFrame): Set[String] = {
-    val files = manifest(path, v)
+    val files = manifestEntries(path, v)
     if (files.isEmpty) Set.empty
     // a 1-file manifest has nothing to prune — skip the discovery job
     // (the rewrite applies the row-level predicate anyway, so content
     // is identical; only a no-match commit loses a re-link, and THAT
     // table is one file big)
-    else if (files.size == 1) Set(files.head._1)
+    else if (files.size == 1) Set(files.head.name)
     else {
-      val cur = readFiles(spark, path, files.map(_._1), schema, v)
-        .withColumn("_graft_file", col("_metadata.file_path"))
+      val cur = readEntries(spark, path, files, schema, v,
+        lineage = true)
       hit(cur).select("_graft_file").distinct().collect()
-        .map(_.getString(0))
-        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+        .map(_.getString(0)).toSet
     }
   }
 
@@ -647,6 +713,68 @@ object VersionedTable {
     commitRewrite(spark, path, "DELETE", kept, touched, schema)
   }
 
+  /** Merge-on-read DELETE — the DELETION-VECTOR form (Delta DVs):
+    * rows matching `conditionSql` are removed WITHOUT rewriting any
+    * data file. The deleted row POSITIONS (stable parquet row
+    * indexes) land in one tiny sidecar; every touched entry re-links
+    * its data file and points at the sidecar; untouched entries pass
+    * through. Where the rewrite-based [[delete]] pays O(touched
+    * files), this pays O(deleted rows) — the right verb for
+    * SCATTERED deletes (a GDPR erasure touches nearly every file of
+    * a 100 TB table; rewriting them all is a table rewrite, the
+    * position sidecar is delete-sized). Readers anti-join the
+    * broadcast position set per sidecar; a later [[optimize]] /
+    * [[optimizeIncremental]] / any rewrite of the file MATERIALIZES
+    * the DV back into clean files. Repeated MoR deletes on a file
+    * fold the prior sidecar's positions into the new one, so each
+    * entry always carries its complete deletion set in ONE sidecar.
+    * A file whose rows are all deleted drops out of the manifest
+    * entirely. Live row counts in the log stay exact. */
+  def deleteVectors(spark: SparkSession, path: String,
+                    conditionSql: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    val entries = manifestEntries(path, v)
+    val hit = coalesce(expr(conditionSql), lit(false))
+    val newDel = readEntries(spark, path, entries, schema, v,
+        lineage = true)
+      .filter(hit)
+      .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
+    val touchedCounts = newDel.groupBy("file")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nv = v + 1
+    val newEntries =
+      if (touchedCounts.isEmpty) entries
+      else {
+        val touchedNames = touchedCounts.keySet
+        // fold prior sidecars of re-touched files so the new sidecar
+        // carries each touched file's COMPLETE position set
+        val prior = entries
+          .filter(e => touchedNames.contains(e.name)).flatMap(_.dv)
+          .distinct.map { s =>
+            spark.read.parquet(resolveOrFail(path, s, v))
+              .filter(col("file").isin(touchedNames.toSeq: _*))
+              .select(col("file"), col("pos"))
+          }
+        val allDel = (prior :+ newDel).reduce(_ unionByName _)
+        val sidecar = writeDataFiles(allDel.repartition(1), path, nv,
+          tag = "dv").head.name
+        entries.flatMap { e =>
+          touchedCounts.get(e.name) match {
+            case None => Some(e)
+            case Some(n) if e.rows - n <= 0 => None // fully deleted
+            case Some(n) =>
+              Some(e.copy(dv = Some(sidecar), rows = e.rows - n))
+          }
+        }
+      }
+    appendLog(path, nv, "DELETE[MOR]", newEntries.map(_.rows).sum,
+      schema, newEntries)
+    nv
+  }
+
   /** `ALTER TABLE ADD COLUMN` analog (reference `1 Data
     * ingestion.py`:144-150): appends a column computed by `exprSql` as
     * a new version. When the expression constant-folds to NULL (the
@@ -680,8 +808,8 @@ object VersionedTable {
     } catch { case _: Throwable => false }
     if (foldsToNull) {
       val nv = v + 1
-      val files = manifest(path, v)
-      appendLog(path, nv, "ADD COLUMN", files.map(_._2).sum,
+      val files = manifestEntries(path, v)
+      appendLog(path, nv, "ADD COLUMN", files.map(_.rows).sum,
         StructType(schema.fields :+ StructField(name, newType, nullable = true)),
         files)
       nv
@@ -708,20 +836,20 @@ object VersionedTable {
       s"cannot diff vacuumed versions at $path")
     val sa = schemaOf(path, fromVersion)
     val sb = schemaOf(path, toVersion)
+    val ea = manifestEntries(path, fromVersion)
+    val eb = manifestEntries(path, toVersion)
+    // shared identity is the FULL entry (name AND deletion vector):
+    // a file whose DV changed between versions has different live
+    // content and must enter the diff on both sides
     val (onlyA, onlyB) =
-      if (sa == sb) {
-        val ma = manifest(path, fromVersion).map(_._1).toSet
-        val mb = manifest(path, toVersion).map(_._1).toSet
-        (ma -- mb, mb -- ma)
-      } else {
+      if (sa == sb) (ea.filterNot(eb.toSet), eb.filterNot(ea.toSet))
+      else
         // schema changed between the versions: every file differs in
         // shape, diff the full frames (exceptAll requires same schema
         // and will refuse — same contract as before)
-        (manifest(path, fromVersion).map(_._1).toSet,
-          manifest(path, toVersion).map(_._1).toSet)
-      }
-    val a = readFiles(spark, path, onlyA, sa, fromVersion)
-    val b = readFiles(spark, path, onlyB, sb, toVersion)
+        (ea, eb)
+    val a = readEntries(spark, path, onlyA, sa, fromVersion)
+    val b = readEntries(spark, path, onlyB, sb, toVersion)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
@@ -799,8 +927,8 @@ object VersionedTable {
     require(isReadable(path, toVersion),
       s"cannot restore to unreadable version $toVersion at $path")
     val v = latestVersion(path).get + 1
-    val files = manifest(path, toVersion)
-    appendLog(path, v, s"RESTORE[v=$toVersion]", files.map(_._2).sum,
+    val files = manifestEntries(path, toVersion)
+    appendLog(path, v, s"RESTORE[v=$toVersion]", files.map(_.rows).sum,
       schemaOf(path, toVersion), files)
     v
   }
@@ -855,10 +983,10 @@ object VersionedTable {
       Files.createDirectories(logDir(path))
       Files.writeString(vacuumedFile(path),
         gone.toSeq.sorted.mkString("", "\n", "\n"))
-      val liveFiles = all.filterNot(gone.contains)
-        .flatMap(v => manifest(path, v).map(_._1)).toSet
-      val deadFiles = removed.flatMap(v => manifest(path, v).map(_._1))
-        .toSet -- liveFiles
+      def refs(v: Int): Seq[String] = manifestEntries(path, v)
+        .flatMap(e => e.name +: e.dv.toSeq)
+      val liveFiles = all.filterNot(gone.contains).flatMap(refs).toSet
+      val deadFiles = removed.flatMap(refs).toSet -- liveFiles
       // only our OWN pool: files a clone resolves from its base belong
       // to the base table
       deadFiles.foreach { n =>

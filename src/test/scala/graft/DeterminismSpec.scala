@@ -195,6 +195,9 @@ class DeterminismSpec extends SparkSpec {
     // the table CONTENT must be identical at any fan-out (which files
     // qualify as "small" may differ; the rows never do); the stats-
     // pruned read row-filters survivors, so pruning luck can't leak
-    "optimize_incremental", "versioned_pruned_read"))
+    "optimize_incremental", "versioned_pruned_read",
+    // deletion vectors: row positions differ per fan-out (physical
+    // files differ) but the LIVE content is exactly the filter
+    "delete_vectors"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

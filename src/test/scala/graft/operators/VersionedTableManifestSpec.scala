@@ -227,6 +227,55 @@ class VersionedTableManifestSpec extends SparkSpec {
       cust.select(col("c_custkey"), col("c_name")), path))
   }
 
+  test("deleteVectors removes rows without rewriting data files; " +
+    "repeated MoR deletes fold positions; rewrites materialize DVs") {
+    val path = freshPath
+    VersionedTable.write(rangedNation, path)                    // 5 files
+    val pool0 = VersionedTable.poolFiles(path).toSet
+    // one deleted row in EVERY file — the scattered regime DVs exist for
+    VersionedTable.deleteVectors(spark, path, "n_nationkey % 5 = 0")
+    val pool1 = VersionedTable.poolFiles(path).toSet
+    assert(pool0.subsetOf(pool1), "MoR delete must not rewrite data")
+    val added = pool1 -- pool0
+    assert(added.size == 1 && added.head.startsWith("dv"),
+      s"exactly one sidecar expected, got $added")
+    val v1 = VersionedTable.read(spark, path)
+    assert(v1.count() == 20)
+    assert(v1.filter(col("n_nationkey") % 5 === 0).count() == 0)
+    // time travel intact; live counts in the log exact
+    assert(VersionedTable.read(spark, path, Some(0)).count() == 25)
+    assert(VersionedTable.logEntries(path).last._3 == 20L)
+    // second MoR delete folds prior positions — entries carry ONE dv
+    VersionedTable.deleteVectors(spark, path, "n_nationkey = 1")
+    assert(VersionedTable.read(spark, path).count() == 19)
+    assert(VersionedTable.manifestEntries(path, 2).forall(_.dv.isDefined))
+    // CDF across DV-only commits stays row-exact
+    val diff = VersionedTable.changes(spark, path, 1, 2)
+    assert(diff.filter(col("_change_type") === "delete").count() == 1)
+    assert(diff.filter(col("_change_type") === "insert").count() == 0)
+    // an UPDATE on a DV table neither resurrects deleted rows nor
+    // loses live ones (its rewrite materializes that file's DV)
+    VersionedTable.update(spark, path, "n_nationkey = 2",
+      Seq("n_name" -> "'PATCHED'"))
+    val afterU = VersionedTable.read(spark, path)
+    assert(afterU.count() == 19)
+    assert(afterU.filter(col("n_name") === "PATCHED").count() == 1)
+    assert(afterU.filter(col("n_nationkey") === 1).count() == 0)
+    // fully-deleted files drop out of the manifest
+    val before = VersionedTable.manifestEntries(path,
+      VersionedTable.latestVersion(path).get).size
+    VersionedTable.deleteVectors(spark, path, "n_nationkey >= 20")
+    val vLast = VersionedTable.latestVersion(path).get
+    assert(VersionedTable.read(spark, path).count() == 15)
+    assert(VersionedTable.manifestEntries(path, vLast).size == before - 1)
+    // OPTIMIZE materializes every DV into clean files
+    VersionedTable.optimize(spark, path, Seq("n_nationkey"), numFiles = 2)
+    val eOpt = VersionedTable.manifestEntries(path,
+      VersionedTable.latestVersion(path).get)
+    assert(eOpt.forall(_.dv.isEmpty))
+    assert(VersionedTable.read(spark, path).count() == 15)
+  }
+
   test("readWhere prunes files by footer stats on a clustered layout " +
     "and never loses a row") {
     val path = freshPath
