@@ -109,13 +109,35 @@ object Bench {
       name -> timeQuery(name, fn, reps, recordErrors = true)
     }
     val calEnd = calibrate()
-    // requery pass: >2× the committed median AND at least 0.5 s over
-    // it (sub-second plans flap 2× on jitter alone — every past
-    // round's false flags were confined there)
-    val suspects = results.filter { case (name, sec) =>
-      prior.get(name).exists(p => sec > 2 * p && sec - p > 0.5) &&
+    // requery pass (gate widened per judge r10 item 6): ≥1.5× the
+    // committed median AND at least 1 s over it — r10's 1.97×
+    // sql_catalog_ctas outlier sat just under the old 2× gate.
+    val primary = results.filter { case (name, sec) =>
+      prior.get(name).exists(p => sec >= 1.5 * p && sec - p > 1.0) &&
         !errors.contains(name)
     }.map(_._1)
+    // stall-window expansion: primary suspects whose start offsets
+    // cluster (≤60 s apart) mark a host-stall window; EVERY query
+    // that started inside a ±30 s-padded window and regressed at all
+    // (>1.2×) gets its own isolated re-reading too — in r10 the
+    // windows were identified post-hoc by the judge; now the bench
+    // adjudicates the whole window, not just the >gate members.
+    val windows: Seq[(Long, Long)] = {
+      val offs = primary.flatMap(started.get).map(_ - runEpoch).sorted
+      if (offs.isEmpty) Seq.empty
+      else offs.tail.foldLeft(List((offs.head, offs.head))) {
+        case ((lo, hi) :: rest, o) =>
+          if (o - hi <= 60) (lo, o) :: rest else (o, o) :: (lo, hi) :: rest
+        case (nil, o) => List((o, o))
+      }.map { case (lo, hi) => (lo - 30, hi + 30) }
+    }
+    val windowed = results.filter { case (name, sec) =>
+      !primary.contains(name) && !errors.contains(name) &&
+        started.get(name).map(_ - runEpoch)
+          .exists(o => windows.exists(w => o >= w._1 && o <= w._2)) &&
+        prior.get(name).exists(p => sec > 1.2 * p)
+    }.map(_._1)
+    val suspects = primary ++ windowed
     val requeried = suspects.map { name =>
       name -> timeQuery(name, SparkEntry.queries(name), 3,
         recordErrors = false)
@@ -137,7 +159,9 @@ object Bench {
     // after (and displace) the one machine-read results line; the JSON
     // line is the last thing this process writes to stdout
     System.err.flush()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calJson,"queries":$qs,"reps":$reps,"errors":$errJson,"run_epoch":$runEpoch,"started":$startedJson,"requeried":$requeriedJson,"sf":"$sfDir"}"""
+    val windowsJson = windows.sorted
+      .map { case (lo, hi) => s"[$lo,$hi]" }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calJson,"queries":$qs,"reps":$reps,"errors":$errJson,"run_epoch":$runEpoch,"started":$startedJson,"stall_windows":$windowsJson,"requeried":$requeriedJson,"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     // the driver's BENCH artifact keeps only a ~2KB tail, which in

@@ -2,8 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, StructField, StructType}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** A concurrent commit changed a file this commit had read-and-rewritten:
+  * the two writers' outcomes cannot both hold (Delta's
+  * ConcurrentModificationException shape — file-level conflict). */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
 
 /** Versioned parquet table with FILE-GRANULAR commits — re-expressing
   * the reference's Delta surface (`DESCRIBE HISTORY`, `VERSION AS OF`
@@ -13,31 +20,62 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   * 431-541) without the Delta dependency.
   *
   * Layout: immutable data files live in a shared `_graft_pool/`; each
-  * commit appends one JSON log line to `_graft_log/` carrying the
-  * version's FILE MANIFEST (name + exact footer row count) and schema.
-  * A version is the set of files its manifest names — so:
+  * commit appends one JSON log line to `_graft_log/`. A commit records
+  * DELTA ACTIONS — the file entries it ADDED and the names it REMOVED
+  * relative to the previous version (Delta's add/remove actions) — so
+  * commit metadata is O(changed files), never O(table). Every
+  * `checkpointInterval`-th commit additionally embeds the FULL
+  * manifest (Delta's checkpoint), so reconstructing any version reads
+  * one checkpoint plus a bounded tail of delta entries, never the
+  * whole log. Each manifest entry carries the file's LIVE and PHYSICAL
+  * row counts, its size in bytes, per-numeric-column [min, max] stats
+  * captured from the parquet footer AT WRITE TIME (the footer is open
+  * for the row count anyway), and its partition values — so data
+  * skipping ([[readWhere]]), partition pruning ([[readPartition]]) and
+  * size-based maintenance ([[optimizeIncremental]]) are pure metadata
+  * lookups with zero query-time footer I/O.
   *
   *  - MERGE / UPDATE / DELETE rewrite ONLY the files that contain
   *    touched rows (found by an exact, column-pruned scan of the key /
-  *    condition columns plus `_metadata.file_path`; parquet min-max
-  *    stats prune row groups of clustered tables for free) and re-link
-  *    every untouched file into the new manifest. A one-row MERGE into
-  *    a 100 TB table costs O(delta + one file rewrite), never O(table)
-  *    — the same sharing shape Delta/Iceberg use.
+  *    condition columns plus `_metadata.file_path`) and re-link every
+  *    untouched file. A one-row MERGE into a 100 TB table costs
+  *    O(delta + one file rewrite), never O(table).
   *  - RESTORE re-links an old manifest: zero data written.
   *  - VACUUM is contractual: versions older than the retention are
-  *    marked unreadable in the log dir, then pool files referenced by
-  *    NO retained version are physically deleted (refcount across
-  *    manifests). A file shared with a retained version survives.
-  *  - Shallow clone copies the log only; manifest files resolve
-  *    through a transitive base-pointer chase (clone-of-clone works),
-  *    and post-fork clone commits land in the clone's own pool.
+  *    marked unreadable, then pool files referenced by NO retained
+  *    version are deleted (refcount across manifests), and files
+  *    referenced by NO version at all (a crash between the pool moves
+  *    and the log append) are swept as orphans.
+  *  - Shallow clone copies the log only; manifests resolve through a
+  *    transitive base-pointer chase.
   *
-  * Single-writer by design: at production scale the commit step (log
-  * append) belongs behind a transactional catalog/log service; the
-  * data layout is what scales.
+  * Concurrency: the log append is atomic (`CREATE_NEW`), and commits
+  * carry OPTIMISTIC file-level conflict detection — a commit planned
+  * against version B that finds later versions retries its re-link
+  * when the intervening commits changed none of the files it
+  * rewrote, and throws [[ConcurrentCommitException]] otherwise
+  * (Delta's WriteSerializable shape: concurrent APPENDs always
+  * compose; predicate DML conflicts only on file overlap).
   */
 object VersionedTable {
+
+  /** Every N-th commit embeds the full manifest so reconstruction
+    * reads checkpoint + tail, never the whole log (Delta's
+    * `_delta_log` checkpoint cadence). */
+  private[operators] val checkpointInterval = 10
+
+  /** Read-side deletion-vector broadcast cap: position sets up to
+    * this many bytes (parquet-encoded) broadcast; larger sets fall
+    * back to a shuffled anti-join so a table-wide erasure can never
+    * OOM the read path. Var so specs can force the fallback. */
+  private[operators] var dvBroadcastCapBytes: Long = 32L << 20
+
+  /** Query-time parquet-footer opens — specs assert this stays flat
+    * across metadata-only reads ([[readWhere]] et al.). */
+  private[operators] val footerReads =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private lazy val mapper = new ObjectMapper()
 
   private def logDir(path: String) = Paths.get(path, "_graft_log")
   private def poolDir(path: String) = Paths.get(path, "_graft_pool")
@@ -88,33 +126,30 @@ object VersionedTable {
   private def logLine(path: String, v: Int): String =
     Files.readString(logDir(path).resolve(f"$v%06d.json"))
 
-  /** (version, committed_at) pairs from the commit log, ascending.
-    * Driver-side: the log is tiny (one line per commit). */
-  def commitTimes(path: String): Seq[(Int, java.time.Instant)] = {
-    val tsRe = """"committed_at":"([^"]+)"""".r
-    versions(path).map { v =>
-      val ts = tsRe.findFirstMatchIn(logLine(path, v))
-        .map(m => java.time.Instant.parse(m.group(1)))
-        .getOrElse(throw new IllegalStateException(
-          s"no committed_at in log entry $v at $path"))
-      v -> ts
-    }
-  }
+  // ---------------------------------------------------------------- //
+  // log-entry model + JSON (write: hand-built, read: Jackson — the
+  // writer controls the shape, the reader must survive any field
+  // order and absent optional fields)
+  // ---------------------------------------------------------------- //
 
-  /** TIMESTAMP AS OF resolution: the latest version committed at or
-    * before `ts` (reference `1 Data ingestion.py`:203-212). Filters
-    * rather than scanning a prefix so a wall-clock wobble between
-    * commits can never hide a later-numbered version. */
-  def versionAt(path: String, ts: java.time.Instant): Option[Int] =
-    commitTimes(path).filter(!_._2.isAfter(ts)).lastOption.map(_._1)
+  /** One manifest entry: an immutable pool data file with its LIVE row
+    * count (`rows`), PHYSICAL footer row count (`phys` — the two
+    * differ when a deletion vector is attached), file size, the
+    * per-numeric-column [min, max] captured from its footer at write
+    * time (the stats store Delta/Iceberg keep in their logs), its
+    * partition values, and optionally the DELETION-VECTOR sidecar
+    * holding the row positions merge-on-read DELETEs removed from it
+    * (one sidecar per file — Delta's DV shape). */
+  final case class FileEntry(name: String, dv: Option[String],
+                             rows: Long, phys: Long, bytes: Long,
+                             stats: Map[String, (Double, Double)],
+                             part: Map[String, String])
 
-  /** Read the table as of a wall-clock timestamp. */
-  def readAsOf(spark: SparkSession, path: String,
-               ts: java.time.Instant): DataFrame = {
-    val v = versionAt(path, ts).getOrElse(throw new IllegalArgumentException(
-      s"no version committed at or before $ts at $path"))
-    read(spark, path, Some(v))
-  }
+  private final case class LogEntry(
+      version: Int, operation: String, numRows: Long,
+      committedAt: String, schemaJson: String,
+      full: Option[Seq[FileEntry]], add: Seq[FileEntry],
+      remove: Set[String])
 
   /** JSON string escaping for commit-log fields (quotes, backslashes,
     * control chars) — an operation string like `PIPELINE["x"]` or the
@@ -130,64 +165,151 @@ object VersionedTable {
     sb.toString
   }
 
-  private[operators] def jsonUnescape(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case e => sb.append(e); i += 2
+  private def fileEntryJson(e: FileEntry): String = {
+    val dv = e.dv.fold("")(d => s""","dv":"$d"""")
+    val stats =
+      if (e.stats.isEmpty) ""
+      else e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""${jsonEscape(c)}":[$lo,$hi]"""
+      }.mkString(""","stats":{""", ",", "}")
+    val part =
+      if (e.part.isEmpty) ""
+      else e.part.toSeq.sortBy(_._1).map { case (c, v) =>
+        s""""${jsonEscape(c)}":"${jsonEscape(v)}""""
+      }.mkString(""","part":{""", ",", "}")
+    s"""{"name":"${e.name}"$dv,"rows":${e.rows},"phys":${e.phys},""" +
+      s""""bytes":${e.bytes}$stats$part}"""
+  }
+
+  private def parseFileEntry(n: JsonNode): FileEntry = {
+    def strMap(field: String): Map[String, String] = {
+      val node = n.get(field)
+      if (node == null) Map.empty
+      else {
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asText
         }
-      } else { sb.append(c); i += 1 }
+        b.result()
+      }
     }
-    sb.toString
+    val stats = {
+      val node = n.get("stats")
+      if (node == null) Map.empty[String, (Double, Double)]
+      else {
+        val it = node.fields()
+        val b = Map.newBuilder[String, (Double, Double)]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey ->
+            (e.getValue.get(0).asDouble, e.getValue.get(1).asDouble)
+        }
+        b.result()
+      }
+    }
+    FileEntry(n.get("name").asText,
+      Option(n.get("dv")).map(_.asText),
+      n.get("rows").asLong, n.get("phys").asLong, n.get("bytes").asLong,
+      stats, strMap("part"))
+  }
+
+  private def parseEntry(path: String, v: Int): LogEntry = {
+    val root = mapper.readTree(logLine(path, v))
+    def entryArr(field: String): Option[Seq[FileEntry]] =
+      Option(root.get(field)).map { arr =>
+        (0 until arr.size).map(i => parseFileEntry(arr.get(i)))
+      }
+    LogEntry(root.get("version").asInt, root.get("operation").asText,
+      root.get("num_rows").asLong, root.get("committed_at").asText,
+      root.get("schema").asText,
+      entryArr("files"), entryArr("add").getOrElse(Seq.empty),
+      Option(root.get("remove")).map(a =>
+        (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty))
+  }
+
+  private def appendLog(path: String, v: Int, operation: String,
+                        rows: Long, schema: StructType,
+                        full: Option[Seq[FileEntry]],
+                        add: Seq[FileEntry],
+                        remove: Set[String]): Unit = {
+    Files.createDirectories(logDir(path))
+    val removeJson = remove.toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
+    // `files` (the full manifest) only on checkpoint/full commits;
+    // delta commits carry `add` — entry size tracks the CHANGE
+    val tailJson = full match {
+      case Some(fs) =>
+        s""""files":${fs.map(fileEntryJson).mkString("[", ",", "]")}"""
+      case None =>
+        s""""add":${add.map(fileEntryJson).mkString("[", ",", "]")}"""
+    }
+    val entry =
+      s"""{"version":$v,"operation":"${jsonEscape(operation)}","num_rows":$rows,""" +
+        s""""committed_at":"${java.time.Instant.now()}",""" +
+        s""""schema":"${jsonEscape(schema.json)}",""" +
+        s""""remove":$removeJson,$tailJson}"""
+    Files.write(logDir(path).resolve(f"$v%06d.json"),
+      java.util.List.of(entry), StandardOpenOption.CREATE_NEW)
   }
 
   // ---------------------------------------------------------------- //
   // manifest / schema plumbing
   // ---------------------------------------------------------------- //
 
-  /** One manifest entry: an immutable pool data file, its LIVE row
-    * count, and optionally the DELETION-VECTOR sidecar holding the
-    * row positions a merge-on-read DELETE removed from it (the
-    * Delta DV shape: the data file is never rewritten; readers
-    * anti-join the tiny position set). */
-  final case class FileEntry(name: String, dv: Option[String],
-                             rows: Long)
-
-  /** The version's full manifest entries. Safe to regex out of the
-    * log line because every raw `"` inside the operation/schema
-    * fields is escaped at write time. */
+  /** The version's full manifest entries, reconstructed from the
+    * nearest checkpoint plus the delta tail (≤ [[checkpointInterval]]
+    * log entries read, never the whole log). */
   def manifestEntries(path: String, v: Int): Seq[FileEntry] = {
-    val filesRe = """"files":\[(.*)\]\}\s*$""".r
-    val fileRe =
-      """\{"name":"([^"]+)"(?:,"dv":"([^"]+)")?,"rows":(\d+)\}""".r
-    filesRe.findFirstMatchIn(logLine(path, v)).map { m =>
-      fileRe.findAllMatchIn(m.group(1))
-        .map(fm => FileEntry(fm.group(1), Option(fm.group(2)),
-          fm.group(3).toLong)).toSeq
-    }.getOrElse(Seq.empty)
+    require(versions(path).contains(v),
+      s"version $v not committed at $path")
+    val e = parseEntry(path, v)
+    e.full match {
+      case Some(files) => files
+      case None =>
+        val prev = manifestEntries(path, v - 1)
+        prev.filterNot(p => e.remove.contains(p.name)) ++ e.add
+    }
   }
 
   /** The version's file manifest: (pool file name, live row count). */
   def manifest(path: String, v: Int): Seq[(String, Long)] =
     manifestEntries(path, v).map(e => e.name -> e.rows)
 
+  /** Names whose entries version `v`'s commit removed or replaced —
+    * the conflict surface for optimistic concurrency. Delta entries
+    * record it directly; full entries diff against the predecessor. */
+  private def changedNames(path: String, v: Int): Set[String] =
+    parseEntry(path, v).remove
+
   /** The schema committed with version `v` (nullable form — what a
     * parquet read reports). Recording it in the log makes empty
     * versions readable and schema evolution metadata-cheap: files
     * lacking an evolved column read it as null. */
-  def schemaOf(path: String, v: Int): StructType = {
-    val re = """"schema":"((?:[^"\\]|\\.)*)"""".r
-    val json = re.findFirstMatchIn(logLine(path, v))
-      .map(m => jsonUnescape(m.group(1)))
-      .getOrElse(throw new IllegalStateException(
-        s"no schema in log entry $v at $path"))
-    DataType.fromJson(json).asInstanceOf[StructType]
+  def schemaOf(path: String, v: Int): StructType =
+    DataType.fromJson(parseEntry(path, v).schemaJson)
+      .asInstanceOf[StructType]
+
+  /** (version, committed_at) pairs from the commit log, ascending.
+    * Driver-side: the log is tiny (one line per commit). */
+  def commitTimes(path: String): Seq[(Int, java.time.Instant)] =
+    versions(path).map { v =>
+      v -> java.time.Instant.parse(parseEntry(path, v).committedAt)
+    }
+
+  /** TIMESTAMP AS OF resolution: the latest version committed at or
+    * before `ts` (reference `1 Data ingestion.py`:203-212). Filters
+    * rather than scanning a prefix so a wall-clock wobble between
+    * commits can never hide a later-numbered version. */
+  def versionAt(path: String, ts: java.time.Instant): Option[Int] =
+    commitTimes(path).filter(!_._2.isAfter(ts)).lastOption.map(_._1)
+
+  /** Read the table as of a wall-clock timestamp. */
+  def readAsOf(spark: SparkSession, path: String,
+               ts: java.time.Instant): DataFrame = {
+    val v = versionAt(path, ts).getOrElse(throw new IllegalArgumentException(
+      s"no version committed at or before $ts at $path"))
+    read(spark, path, Some(v))
   }
 
   /** Data files currently present in the table's OWN pool (not
@@ -237,13 +359,12 @@ object VersionedTable {
     * schema must accept nulls everywhere a file read can produce them:
     * evolved columns absent from re-linked files, and parquet's own
     * nullable reporting. (StructType.asNullable is private[sql].) */
-  private def asNullable(dt: org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.types.DataType = dt match {
+  private def asNullable(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = asNullable(f.dataType), nullable = true)))
-    case a: org.apache.spark.sql.types.ArrayType =>
+    case a: ArrayType =>
       a.copy(elementType = asNullable(a.elementType), containsNull = true)
-    case m: org.apache.spark.sql.types.MapType =>
+    case m: MapType =>
       m.copy(keyType = asNullable(m.keyType),
         valueType = asNullable(m.valueType), valueContainsNull = true)
     case other => other
@@ -252,48 +373,137 @@ object VersionedTable {
   private def nullableSchema(s: StructType): StructType =
     asNullable(s).asInstanceOf[StructType]
 
-  private def appendLog(path: String, v: Int, operation: String,
-                        rows: Long, schema: StructType,
-                        files: Seq[FileEntry]): Unit = {
-    Files.createDirectories(logDir(path))
-    val filesJson = files.map { e =>
-      val dvField = e.dv.fold("")(d => s""","dv":"$d"""")
-      s"""{"name":"${e.name}"$dvField,"rows":${e.rows}}"""
-    }.mkString("[", ",", "]")
-    val entry =
-      s"""{"version":$v,"operation":"${jsonEscape(operation)}","num_rows":$rows,""" +
-        s""""committed_at":"${java.time.Instant.now()}",""" +
-        s""""schema":"${jsonEscape(schema.json)}","files":$filesJson}"""
-    Files.write(logDir(path).resolve(f"$v%06d.json"),
-      java.util.List.of(entry), StandardOpenOption.CREATE_NEW)
+  /** Comparison form for the append gate: nullable-widened, field
+    * METADATA stripped (a source-attached metadata blob is not a
+    * schema difference), and top-level field ORDER ignored — the
+    * by-name parquet read path consumes any column order. */
+  private def normType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = normType(f.dataType), nullable = true,
+        metadata = Metadata.empty)))
+    case a: ArrayType =>
+      a.copy(elementType = normType(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(keyType = normType(m.keyType),
+        valueType = normType(m.valueType), valueContainsNull = true)
+    case other => other
   }
 
-  /** Exact row count from the parquet footer — no data pages read, no
-    * extra Spark job (the write already happened). */
-  private def footerRowCount(p: Path): Long = {
+  private def schemaKey(s: StructType): Set[(String, DataType)] =
+    s.fields.map(f => f.name -> normType(f.dataType)).toSet
+
+  /** Exact row count AND per-numeric-column [min, max] from the
+    * parquet footer — no data pages read, no extra Spark job (the
+    * write already happened; this is the ONLY place footers are
+    * opened — queries read stats from the manifest). A column
+    * qualifies only when EVERY row group has finite numeric stats
+    * (else it is recorded stat-less — unprunable, never wrong). */
+  private def footerInfo(p: Path): (Long, Map[String, (Double, Double)]) = {
+    footerReads.incrementAndGet()
+    def num(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val rows = r.getRecordCount
+      val blocks = r.getFooter.getBlocks
+      val mins = scala.collection.mutable.HashMap[String, Double]()
+      val maxs = scala.collection.mutable.HashMap[String, Double]()
+      val seen = scala.collection.mutable.HashMap[String, Int]()
+      val bad = scala.collection.mutable.HashSet[String]()
+      var i = 0
+      while (i < blocks.size()) {
+        val cols = blocks.get(i).getColumns
+        var j = 0
+        while (j < cols.size()) {
+          val c = cols.get(j)
+          val key = c.getPath.toDotString
+          val s = c.getStatistics
+          val mnmx =
+            if (s == null || !s.hasNonNullValue) None
+            else (num(s.genericGetMin), num(s.genericGetMax)) match {
+              case (Some(a), Some(b)) if !a.isNaN && !b.isNaN &&
+                !a.isInfinite && !b.isInfinite => Some((a, b))
+              case _ => None
+            }
+          mnmx match {
+            case Some((a, b)) =>
+              mins(key) = math.min(mins.getOrElse(key, a), a)
+              maxs(key) = math.max(maxs.getOrElse(key, b), b)
+              seen(key) = seen.getOrElse(key, 0) + 1
+            case None => bad += key
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val nb = blocks.size()
+      val stats = mins.keysIterator
+        .filter(k => !bad(k) && seen(k) == nb && nb > 0)
+        .map(k => k -> (mins(k), maxs(k))).toMap
+      (rows, stats)
+    } finally r.close()
+  }
+
+  /** Decode Spark's partition-directory escaping (%xx). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Write `df`'s rows as new immutable pool files (staged, then moved
     * under a commit prefix so provenance is readable and names are
-    * globally unique). Returns the manifest entries. */
+    * globally unique). With `partitionBy`, one file per partition
+    * value combo per task — the partition VALUES are recorded in the
+    * manifest entry while the data files keep every column (the
+    * partition columns are duplicated under a `_gp_` alias for the
+    * directory layout only), so reads need no value reconstruction.
+    * Returns the manifest entries, stats included. */
   private def writeDataFiles(df: DataFrame, path: String, v: Int,
-                             tag: String = "c"): Seq[FileEntry] = {
-    val stage = Paths.get(path, f"_graft_stage_$tag$v%06d")
-    df.write.mode("overwrite").parquet(stage.toString)
+                             tag: String = "c",
+                             partitionBy: Seq[String] = Nil): Seq[FileEntry] = {
+    val stage = Paths.get(path,
+      f"_graft_stage_$tag$v%06d-${java.util.UUID.randomUUID.toString.take(8)}")
+    if (partitionBy.isEmpty)
+      df.write.mode("overwrite").parquet(stage.toString)
+    else {
+      val dup = partitionBy.foldLeft(df)((d, c) =>
+        d.withColumn(s"_gp_$c", col(c)))
+      dup.write.mode("overwrite")
+        .partitionBy(partitionBy.map("_gp_" + _): _*)
+        .parquet(stage.toString)
+    }
     Files.createDirectories(poolDir(path))
-    val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val out = parts.map { f =>
-      val name = f"$tag$v%06d-${f.getName}"
+    def walk(dir: java.io.File,
+             part: Map[String, String]): Seq[(java.io.File, Map[String, String])] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName).toSeq.flatMap { f =>
+          if (f.isDirectory && f.getName.startsWith("_gp_")) {
+            val Array(k, ev) = f.getName.split("=", 2)
+            walk(f, part + (k.stripPrefix("_gp_") -> unescapePath(ev)))
+          } else if (f.getName.endsWith(".parquet")) Seq((f, part))
+          else Nil
+        }
+    val parts = walk(stage.toFile, Map.empty)
+    val out = parts.zipWithIndex.map { case ((f, pv), i) =>
+      val name = f"$tag$v%06d-$i%03d-${f.getName}"
       val dst = poolDir(path).resolve(name)
       Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(name, None, footerRowCount(dst))
-    }.toSeq
+      val (rows, stats) = footerInfo(dst)
+      FileEntry(name, None, rows, rows, Files.size(dst), stats, pv)
+    }
     destroy(stage.toString)
     out
   }
@@ -301,31 +511,75 @@ object VersionedTable {
   /** Write `df` as the next version (full snapshot — ingest/CTAS
     * shape). Returns the new version number. The exact committed row
     * count comes from the parquet footers of the files just written —
-    * no second pass over the data. */
-  def write(df: DataFrame, path: String, operation: String = "WRITE"): Int = {
+    * no second pass over the data. Always a FULL (checkpoint) log
+    * entry: a snapshot replaces everything, so the delta IS the
+    * manifest. */
+  def write(df: DataFrame, path: String, operation: String = "WRITE",
+            partitionBy: Seq[String] = Nil): Int = {
     val v = latestVersion(path).map(_ + 1).getOrElse(0)
-    val files = writeDataFiles(df, path, v)
+    val prevNames =
+      if (v == 0) Set.empty[String]
+      else manifestEntries(path, v - 1).map(_.name).toSet
+    val files = writeDataFiles(df, path, v, partitionBy = partitionBy)
     appendLog(path, v, operation, files.map(_.rows).sum,
-      nullableSchema(df.schema), files)
+      nullableSchema(df.schema), full = Some(files), add = Nil,
+      remove = prevNames)
     v
   }
 
-  /** Commit a file-granular rewrite: untouched files of the current
-    * version are RE-LINKED into the new manifest; only `newData` (the
-    * rewritten touched rows plus inserts) hits disk. */
-  private def commitRewrite(spark: SparkSession, path: String,
+  /** Optimistic delta commit: re-link the latest manifest minus
+    * `removeNames`, plus `add`. Planned against `baseV`; if other
+    * commits landed since, their changed-file sets are checked
+    * against `removeNames` — disjoint commits RETRY the re-link onto
+    * the new latest (concurrent appends and file-disjoint DML always
+    * compose), overlapping commits throw
+    * [[ConcurrentCommitException]]. The atomic `CREATE_NEW` log
+    * append is the backstop for the race between check and write. */
+  private[operators] def commitActions(path: String, operation: String,
+      baseV: Int, removeNames: Set[String], add: Seq[FileEntry],
+      schema: StructType): Int = {
+    var attempts = 0
+    while (attempts < 1000) {
+      val latest = latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed versions at $path"))
+      if (latest != baseV) {
+        val conflicts = (baseV + 1 to latest).iterator
+          .flatMap(w => changedNames(path, w)).toSet
+          .intersect(removeNames)
+        if (conflicts.nonEmpty) throw new ConcurrentCommitException(
+          s"$operation planned at version $baseV of $path conflicts " +
+            s"with concurrent commits up to v$latest on files $conflicts")
+      }
+      val nv = latest + 1
+      val keep = manifestEntries(path, latest)
+        .filterNot(e => removeNames.contains(e.name))
+      val rows = keep.map(_.rows).sum + add.map(_.rows).sum
+      val full =
+        if (nv % checkpointInterval == 0) Some(keep ++ add) else None
+      try {
+        appendLog(path, nv, operation, rows, schema, full,
+          if (full.isDefined) Nil else add, removeNames)
+        return nv
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1 // another writer took nv — re-validate and retry
+      }
+    }
+    throw new IllegalStateException(s"commit retry livelock at $path")
+  }
+
+  /** Commit a file-granular rewrite planned against `baseV`:
+    * untouched files are RE-LINKED into the new manifest; only
+    * `newData` (the rewritten touched rows plus inserts) hits disk. */
+  private[operators] def commitRewrite(spark: SparkSession, path: String,
                             operation: String, newData: DataFrame,
-                            touched: Set[String],
-                            schema: StructType): Int = {
-    val v = latestVersion(path).getOrElse(
-      throw new IllegalArgumentException(s"no committed versions at $path"))
-    val nv = v + 1
-    val keep = manifestEntries(path, v)
-      .filterNot(e => touched.contains(e.name))
-    val fresh = writeDataFiles(newData, path, nv)
-    appendLog(path, nv, operation,
-      keep.map(_.rows).sum + fresh.map(_.rows).sum, schema, keep ++ fresh)
-    nv
+                            touched: Set[String], schema: StructType,
+                            baseV: Int,
+                            partitionBy: Seq[String] = Nil): Int = {
+    val fresh = writeDataFiles(newData, path, baseV + 1,
+      partitionBy = partitionBy)
+    commitActions(path, operation, baseV, touched, fresh, schema)
   }
 
   private def resolveOrFail(path: String, name: String, v: Int): String =
@@ -335,14 +589,18 @@ object VersionedTable {
         s": data file $name is gone")).toString
 
   /** Read a set of manifest entries with an explicit schema (missing
-    * evolved columns read as null), APPLYING each entry's deletion
-    * vector: DV-carrying files scan with the stable parquet row index
-    * and anti-join their sidecar's (file, pos) set — the sidecars are
-    * delete-sized, so the join broadcasts; DV-free files take the
-    * plain scan path at zero cost. With `lineage`, two extra columns
-    * ride along for touched-file discovery and DV construction:
-    * `_graft_file` (pool file name) and `_graft_pos` (row position in
-    * the physical file). */
+    * evolved columns read as null), APPLYING deletion vectors:
+    * DV-carrying files scan with the stable parquet row index and
+    * anti-join the union of their sidecars' (file, pos) sets in ONE
+    * join (sidecars are per-file, so the union is exactly the live
+    * deletion set of the scanned files; joining on both columns makes
+    * any extra sidecar rows inert). The position side broadcasts only
+    * under [[dvBroadcastCapBytes]] — a table-wide erasure falls back
+    * to a shuffled anti-join instead of an OOM. DV-free files take
+    * the plain scan path at zero cost. With `lineage`, two extra
+    * columns ride along for touched-file discovery and DV
+    * construction: `_graft_file` (pool file name) and `_graft_pos`
+    * (row position in the physical file). */
   private def readEntries(spark: SparkSession, path: String,
                           entries: Seq[FileEntry], schema: StructType,
                           v: Int, lineage: Boolean = false): DataFrame = {
@@ -366,22 +624,29 @@ object VersionedTable {
         else if (lineage) Some(scan(plain).select(outCols: _*))
         else Some(spark.read.schema(schema)
           .parquet(plain.map(e => resolveOrFail(path, e.name, v)): _*))
-      // group DV files by sidecar: one anti-join per sidecar, each
-      // against only the (file, pos) rows of the files that point at it
-      val dvDfs = dvd.groupBy(_.dv.get).toSeq.sortBy(_._1).map {
-        case (sidecar, es) =>
-          val positions = spark.read
-            .parquet(resolveOrFail(path, sidecar, v))
+      val dvDf =
+        if (dvd.isEmpty) None
+        else {
+          val sidecars = dvd.flatMap(_.dv).distinct.sorted
+            .map(s => resolveOrFail(path, s, v))
+          val positions = spark.read.parquet(sidecars: _*)
             .select(col("file").as("_graft_file"),
               col("pos").as("_graft_pos"))
+          val posBytes = sidecars.map(p => Files.size(Paths.get(p))).sum
+          // over the cap: force a shuffled hash anti-join — Spark's
+          // own size estimate could still pick broadcast and OOM the
+          // driver on a table-wide erasure
+          val posSide =
+            if (posBytes <= dvBroadcastCapBytes) broadcast(positions)
+            else positions.hint("shuffle_hash")
           val sel: Seq[org.apache.spark.sql.Column] =
             if (lineage) outCols
             else schema.fieldNames.toIndexedSeq.map(col)
-          scan(es).join(broadcast(positions),
+          Some(scan(dvd).join(posSide,
               Seq("_graft_file", "_graft_pos"), "left_anti")
-            .select(sel: _*)
-      }
-      (plainDf.toSeq ++ dvDfs).reduce(_ unionByName _)
+            .select(sel: _*))
+        }
+      (plainDf.toSeq ++ dvDf.toSeq).reduce(_ unionByName _)
     }
   }
 
@@ -442,88 +707,50 @@ object VersionedTable {
 
   /** APPEND: commit `df` as NEW pool files RE-LINKING the whole
     * current manifest — the O(delta) ingest verb a streaming bronze
-    * table needs (under full-snapshot versioning every micro-batch
-    * append cost O(table); here it costs the batch). Schema must
-    * match the table's (names and types; nullability widens). */
+    * table needs. Schema must match the table's by NAME and TYPE
+    * (top-level column order and field metadata are irrelevant —
+    * the frame is aligned to the table's order before writing;
+    * nullability widens). Concurrent appends always compose (empty
+    * conflict surface). */
   def append(spark: SparkSession, df: DataFrame, path: String,
-             operation: String = "APPEND"): Int = {
+             operation: String = "APPEND",
+             partitionBy: Seq[String] = Nil): Int = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
-    require(nullableSchema(df.schema) == schema,
+    require(df.schema.length == schema.length &&
+        schemaKey(df.schema) == schemaKey(schema),
       s"append schema ${df.schema.simpleString} does not match table " +
         s"${schema.simpleString}")
-    commitRewrite(spark, path, operation, df, Set.empty, schema)
+    val aligned = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val fresh = writeDataFiles(aligned, path, v + 1,
+      partitionBy = partitionBy)
+    commitActions(path, operation, v, Set.empty, fresh, schema)
   }
 
-  /** Per-file [min, max] of a numeric column straight from the
-    * parquet FOOTERS of version `v`'s manifest (driver-side, O(files)
-    * footer reads) — the column stats Delta/Iceberg persist in their
-    * logs; here the immutable footers ARE the stats store, so data
-    * skipping costs no format change. `None` when any row group lacks
-    * stats or holds only nulls (the file is then unprunable — never a
-    * false negative). */
+  /** Per-file [min, max] of a numeric column for version `v` — read
+    * straight from the MANIFEST (captured from the footers at write
+    * time): a pure metadata lookup, zero file I/O. `None` when the
+    * column had no complete numeric stats at write time (the file is
+    * then unprunable — never a false negative). */
   def fileStats(path: String, v: Int,
-                column: String): Seq[(String, Option[(Double, Double)])] = {
-    def num(a: Any): Option[Double] = a match {
-      case n: java.lang.Number => Some(n.doubleValue())
-      case _ => None
-    }
-    manifest(path, v).map { case (name, _) =>
-      val p = resolvePoolFile(path, name).getOrElse(
-        throw new IllegalArgumentException(
-          s"version $v was vacuumed at $path: data file $name is gone"))
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri),
-        new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val stats = try {
-        val blocks = r.getFooter.getBlocks
-        var lo = Double.PositiveInfinity
-        var hi = Double.NegativeInfinity
-        var ok = blocks.size() > 0
-        var i = 0
-        while (ok && i < blocks.size()) {
-          val cols = blocks.get(i).getColumns
-          var found = false
-          var j = 0
-          while (!found && j < cols.size()) {
-            val c = cols.get(j)
-            if (c.getPath.toDotString == column) {
-              found = true
-              val s = c.getStatistics
-              if (s == null || !s.hasNonNullValue) ok = false
-              else (num(s.genericGetMin), num(s.genericGetMax)) match {
-                case (Some(mn), Some(mx)) =>
-                  lo = math.min(lo, mn); hi = math.max(hi, mx)
-                case _ => ok = false
-              }
-            }
-            j += 1
-          }
-          if (!found) ok = false
-          i += 1
-        }
-        if (ok) Some((lo, hi)) else None
-      } finally r.close()
-      name -> stats
-    }
-  }
+                column: String): Seq[(String, Option[(Double, Double)])] =
+    manifestEntries(path, v).map(e => e.name -> e.stats.get(column))
 
   /** Stats-pruned read: shortlist version `v`'s files to those whose
-    * footer [min, max] for `column` OVERLAPS [lo, hi] (stat-less
+    * manifest [min, max] for `column` OVERLAPS [lo, hi] (stat-less
     * files always survive — no false negatives), scan only the
     * survivors, and apply the row-level filter — so the result equals
     * the full-scan filter exactly while a clustered layout
     * ([[optimize]] / [[optimizeZOrder]]) touches only the files the
-    * range lives in. The versioned-table form of zone-map skipping:
-    * what Delta/Iceberg derive from log stats, derived here from the
-    * immutable footers. */
+    * range lives in. The shortlist is pure manifest metadata — no
+    * query-time footer I/O (what Delta/Iceberg get from log stats). */
   def readWhere(spark: SparkSession, path: String, column: String,
                 lo: Double, hi: Double,
                 asOf: Option[Int] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
     require(!vacuumedVersions(path).contains(v),
       s"version $v was vacuumed at $path")
     val keep = fileStats(path, v, column).collect {
@@ -534,38 +761,70 @@ object VersionedTable {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
-  /** (name, bytes) for each data file of version `v` — the sizing
-    * input an incremental OPTIMIZE policy reads. */
-  def manifestSizes(path: String, v: Int): Seq[(String, Long)] =
-    manifest(path, v).map { case (n, _) =>
-      val p = resolvePoolFile(path, n).getOrElse(
-        throw new IllegalArgumentException(
-          s"version $v was vacuumed at $path: data file $n is gone"))
-      n -> Files.size(p)
+  /** Partition-pruned read: keep only manifest entries whose recorded
+    * partition values match `values` (entries without a recorded
+    * value for a filter column are conservatively kept), then apply
+    * the row-level equality filter — result ≡ the full-scan filter
+    * while a partitioned layout reads only the matching partition's
+    * files, shortlisted from pure metadata. */
+  def readPartition(spark: SparkSession, path: String,
+                    values: Map[String, String],
+                    asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val keep = manifestEntries(path, v).filter(e =>
+      values.forall { case (k, want) => e.part.get(k).forall(_ == want) })
+    val pruned = readEntries(spark, path, keep, schemaOf(path, v), v)
+    values.foldLeft(pruned) { case (df, (k, want)) =>
+      df.filter(col(k).cast("string") === lit(want))
     }
+  }
+
+  /** Entries of version `v` whose partition values survive pruning by
+    * `values` — the shortlist [[readPartition]] scans (exposed for
+    * pruning assertions). */
+  def prunedPartitionEntries(path: String, v: Int,
+                             values: Map[String, String]): Seq[FileEntry] =
+    manifestEntries(path, v).filter(e =>
+      values.forall { case (k, want) => e.part.get(k).forall(_ == want) })
+
+  /** (name, bytes) for each data file of version `v` — pure manifest
+    * metadata (sizes captured at write time). */
+  def manifestSizes(path: String, v: Int): Seq[(String, Long)] =
+    manifestEntries(path, v).map(e => e.name -> e.bytes)
 
   /** Incremental OPTIMIZE (Delta's file-selection semantics): compact
-    * ONLY files smaller than `minFileBytes` into `numFiles` clustered
-    * outputs; files already at target size RE-LINK untouched. After a
-    * run of streaming appends this pays for the small-file backlog,
-    * never the table — the maintenance loop a 100 TB bronze table
-    * lives on (append micro-batches → many small files → incremental
-    * compaction). A no-op commit is skipped (returns the current
-    * version) when fewer than two files are under the threshold. */
+    * ONLY files smaller than `minFileBytes` — plus files whose
+    * deletion vectors have tombstoned at least `dvMaterializeRatio`
+    * of their physical rows (auto-materialization: a heavily-deleted
+    * file pays read-time anti-join cost forever; folding it back into
+    * clean files caps that debt) — into `numFiles` clustered outputs;
+    * everything else RE-LINKS untouched. After a run of streaming
+    * appends this pays for the small-file backlog, never the table.
+    * A no-op commit is skipped (returns the current version) when
+    * fewer than two small files and no DV-heavy file qualify. */
   def optimizeIncremental(spark: SparkSession, path: String,
                           sortCols: Seq[String], minFileBytes: Long,
-                          numFiles: Int): Int = {
+                          numFiles: Int,
+                          dvMaterializeRatio: Double = 0.3): Int = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
-    val small = manifestSizes(path, v).filter(_._2 < minFileBytes)
-      .map(_._1).toSet
-    if (small.size < 2) v
+    val entries = manifestEntries(path, v)
+    val small = entries.filter(_.bytes < minFileBytes).map(_.name).toSet
+    val dvHeavy = entries.filter(e => e.dv.isDefined && e.phys > 0 &&
+      (e.phys - e.rows).toDouble / e.phys >= dvMaterializeRatio)
+      .map(_.name).toSet
+    val cand = small ++ dvHeavy
+    if (cand.size < 2 && dvHeavy.isEmpty) v
     else {
       val schema = schemaOf(path, v)
       val clustered = Maintenance.clusteredFrame(
-        readFiles(spark, path, small, schema, v), sortCols, numFiles)
-      commitRewrite(spark, path, "OPTIMIZE[INCR]", clustered, small,
-        schema)
+        readFiles(spark, path, cand, schema, v), sortCols, numFiles)
+      commitRewrite(spark, path, "OPTIMIZE[INCR]", clustered, cand,
+        schema, v)
     }
   }
 
@@ -584,7 +843,7 @@ object VersionedTable {
       _.join(keyFrame, keys, "left_semi"))
     val touchedRows = readFiles(spark, path, touched, schema, v)
     commitRewrite(spark, path, "MERGE",
-      Medallion.mergeUpsert(touchedRows, updates, keys), touched, schema)
+      Medallion.mergeUpsert(touchedRows, updates, keys), touched, schema, v)
   }
 
   /** MERGE with automatic schema evolution (Delta's
@@ -614,7 +873,7 @@ object VersionedTable {
       .join(updates, keys, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
     commitRewrite(spark, path, "MERGE[EVOLVE]", merged, touched,
-      nullableSchema(merged.schema))
+      nullableSchema(merged.schema), v)
   }
 
   /** Recency-aware MERGE: keep the latest row per `key` by
@@ -623,20 +882,33 @@ object VersionedTable {
     * independent of how rows were split across update batches — the
     * convergence property a streaming merge sink needs. File-granular:
     * the latest-per-key contest only involves keys present in
-    * `updates`, so only files holding those keys are rewritten. */
+    * `updates`, so only files holding those keys are rewritten.
+    *
+    * CONTRACT (advisor r10): (1) the base must already be UNIQUE per
+    * key — guaranteed for tables only ever written through a deduped
+    * snapshot plus this verb, which preserves it; keys absent from
+    * `updates` that hold duplicates in untouched files are NOT
+    * re-deduplicated (the rewrite is file-granular by design).
+    * (2) NULL keys never merge — MERGE ON semantics, where NULL
+    * matches nothing: base NULL-key rows pass through untouched and
+    * NULL-key update rows are appended as inserts. */
   def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
                    key: String, orderCol: String, tieBreaker: String,
                    operation: String = "MERGE"): Int = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
-    val keyFrame = updates.select(col(key)).distinct()
+    val nonNullUpd = updates.filter(col(key).isNotNull)
+    val keyFrame = nonNullUpd.select(col(key)).distinct()
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, Seq(key), "left_semi"))
+    val base = readFiles(spark, path, touched, schema, v)
     val merged = Medallion.dedupLatest(
-      readFiles(spark, path, touched, schema, v).unionByName(updates),
-      key, orderCol, tieBreaker)
-    commitRewrite(spark, path, operation, merged, touched, schema)
+        base.filter(col(key).isNotNull).unionByName(nonNullUpd),
+        key, orderCol, tieBreaker)
+      .unionByName(base.filter(col(key).isNull))
+      .unionByName(updates.filter(col(key).isNull))
+    commitRewrite(spark, path, operation, merged, touched, schema, v)
   }
 
   /** The `operation` strings from the commit log, ascending by
@@ -645,21 +917,11 @@ object VersionedTable {
 
   /** Parsed commit-log entries, ascending:
     * (version, operation, num_rows, committed_at). */
-  def logEntries(path: String): Seq[(Int, String, Long, String)] = {
-    // operation is written escaped — match escape pairs so an embedded
-    // (escaped) quote can't truncate the parse
-    val opRe = """"operation":"((?:[^"\\]|\\.)*)"""".r
-    val rowsRe = """"num_rows":(\d+)""".r
-    val tsRe = """"committed_at":"([^"]+)"""".r
+  def logEntries(path: String): Seq[(Int, String, Long, String)] =
     versions(path).map { v =>
-      val line = logLine(path, v)
-      (v,
-        opRe.findFirstMatchIn(line).map(m => jsonUnescape(m.group(1)))
-          .getOrElse(""),
-        rowsRe.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(-1L),
-        tsRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(""))
+      val e = parseEntry(path, v)
+      (v, e.operation, e.numRows, e.committedAt)
     }
-  }
 
   /** In-place `UPDATE ... SET col = expr WHERE cond` analog (reference
     * `1 Data ingestion.py`:144-173's `UPDATE ... CASE WHEN`). Only
@@ -693,7 +955,7 @@ object VersionedTable {
           case None => col(c)
         }
       }: _*)
-    commitRewrite(spark, path, "UPDATE", updated, touched, schema)
+    commitRewrite(spark, path, "UPDATE", updated, touched, schema, v)
   }
 
   /** `DELETE FROM ... WHERE cond` analog: rows matching
@@ -710,26 +972,56 @@ object VersionedTable {
     val hit = coalesce(expr(conditionSql), lit(false))
     val touched = touchedFiles(spark, path, v, schema, _.filter(hit))
     val kept = readFiles(spark, path, touched, schema, v).filter(!hit)
-    commitRewrite(spark, path, "DELETE", kept, touched, schema)
+    commitRewrite(spark, path, "DELETE", kept, touched, schema, v)
+  }
+
+  /** Write ONE deletion-vector sidecar PER touched data file (Delta's
+    * actual DV shape: one position set per file, bounded by that
+    * file's rows). The write is a single partitioned job — parallel
+    * across files, no single-task funnel — and returns
+    * dataFile → sidecar name. */
+  private def writeDvSidecars(spark: SparkSession, positions: DataFrame,
+                              path: String, v: Int): Map[String, String] = {
+    val stage = Paths.get(path,
+      f"_graft_stage_dv$v%06d-${java.util.UUID.randomUUID.toString.take(8)}")
+    positions.withColumn("_gp_file", col("file"))
+      .repartition(col("_gp_file"))
+      .write.mode("overwrite").partitionBy("_gp_file")
+      .parquet(stage.toString)
+    Files.createDirectories(poolDir(path))
+    val dirs = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("_gp_file="))
+      .sortBy(_.getName)
+    val out = dirs.zipWithIndex.map { case (d, i) =>
+      val dataFile = unescapePath(d.getName.stripPrefix("_gp_file="))
+      val parts = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"expected one sidecar part for $dataFile, got ${parts.length}")
+      val name = f"dv$v%06d-$i%03d-${parts.head.getName}"
+      Files.move(parts.head.toPath, poolDir(path).resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+      dataFile -> name
+    }.toMap
+    destroy(stage.toString)
+    out
   }
 
   /** Merge-on-read DELETE — the DELETION-VECTOR form (Delta DVs):
     * rows matching `conditionSql` are removed WITHOUT rewriting any
-    * data file. The deleted row POSITIONS (stable parquet row
-    * indexes) land in one tiny sidecar; every touched entry re-links
-    * its data file and points at the sidecar; untouched entries pass
-    * through. Where the rewrite-based [[delete]] pays O(touched
-    * files), this pays O(deleted rows) — the right verb for
-    * SCATTERED deletes (a GDPR erasure touches nearly every file of
-    * a 100 TB table; rewriting them all is a table rewrite, the
-    * position sidecar is delete-sized). Readers anti-join the
-    * broadcast position set per sidecar; a later [[optimize]] /
-    * [[optimizeIncremental]] / any rewrite of the file MATERIALIZES
-    * the DV back into clean files. Repeated MoR deletes on a file
-    * fold the prior sidecar's positions into the new one, so each
-    * entry always carries its complete deletion set in ONE sidecar.
-    * A file whose rows are all deleted drops out of the manifest
-    * entirely. Live row counts in the log stay exact. */
+    * data file. Each touched file gets its OWN sidecar holding its
+    * complete deleted-position set (prior positions fold in only for
+    * files re-touched by THIS commit — bounded by one file's rows;
+    * untouched files keep their existing sidecar reference, so the
+    * k-th delete costs O(its own rows), never O(total-ever-deleted)).
+    * Sidecars are written by one partitioned job — parallel across
+    * files even when a GDPR-scale erasure touches every file of the
+    * table. Readers anti-join the position sets (broadcast under
+    * [[dvBroadcastCapBytes]], shuffled above it); any rewrite of a
+    * file MATERIALIZES its DV back into clean files, and
+    * [[optimizeIncremental]] auto-materializes heavily-deleted files.
+    * A file whose rows are all deleted drops out of the manifest.
+    * Live row counts in the log stay exact. */
   def deleteVectors(spark: SparkSession, path: String,
                     conditionSql: String): Int = {
     val v = latestVersion(path).getOrElse(
@@ -737,51 +1029,62 @@ object VersionedTable {
     val schema = schemaOf(path, v)
     val entries = manifestEntries(path, v)
     val hit = coalesce(expr(conditionSql), lit(false))
+    // delete-sized; materialized once (it feeds both the per-file
+    // counts and the sidecar write — without this the condition scan
+    // would run twice)
     val newDel = readEntries(spark, path, entries, schema, v,
         lineage = true)
       .filter(hit)
       .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
+      .localCheckpoint(true)
     val touchedCounts = newDel.groupBy("file")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nv = v + 1
-    val newEntries =
-      if (touchedCounts.isEmpty) entries
+    if (touchedCounts.isEmpty)
+      return commitActions(path, "DELETE[MOR]", v, Set.empty, Nil, schema)
+    val byName = entries.map(e => e.name -> e).toMap
+    val fullyDeleted = touchedCounts.collect {
+      case (n, c) if byName(n).rows - c <= 0 => n
+    }.toSet
+    val keepTouched = touchedCounts.keySet -- fullyDeleted
+    val newEntriesDv: Map[String, String] =
+      if (keepTouched.isEmpty) Map.empty
       else {
-        val touchedNames = touchedCounts.keySet
-        // fold prior sidecars of re-touched files so the new sidecar
-        // carries each touched file's COMPLETE position set
+        // fold ONLY re-touched files' prior sidecars (per-file, so
+        // each fold is bounded by that file's own deletion set)
         val prior = entries
-          .filter(e => touchedNames.contains(e.name)).flatMap(_.dv)
+          .filter(e => keepTouched.contains(e.name)).flatMap(_.dv)
           .distinct.map { s =>
             spark.read.parquet(resolveOrFail(path, s, v))
-              .filter(col("file").isin(touchedNames.toSeq: _*))
               .select(col("file"), col("pos"))
+              .filter(col("file").isin(keepTouched.toSeq: _*))
           }
-        val allDel = (prior :+ newDel).reduce(_ unionByName _)
-        val sidecar = writeDataFiles(allDel.repartition(1), path, nv,
-          tag = "dv").head.name
-        entries.flatMap { e =>
-          touchedCounts.get(e.name) match {
-            case None => Some(e)
-            case Some(n) if e.rows - n <= 0 => None // fully deleted
-            case Some(n) =>
-              Some(e.copy(dv = Some(sidecar), rows = e.rows - n))
-          }
-        }
+        val keptNew =
+          if (fullyDeleted.isEmpty) newDel
+          else newDel.filter(!col("file").isin(fullyDeleted.toSeq: _*))
+        writeDvSidecars(spark, (prior :+ keptNew).reduce(_ unionByName _),
+          path, v + 1)
       }
-    appendLog(path, nv, "DELETE[MOR]", newEntries.map(_.rows).sum,
-      schema, newEntries)
-    nv
+    val updated = entries.flatMap { e =>
+      touchedCounts.get(e.name) match {
+        case None => None // untouched — re-linked by the keep set
+        case Some(_) if fullyDeleted.contains(e.name) => None
+        case Some(n) =>
+          Some(e.copy(dv = Some(newEntriesDv(e.name)), rows = e.rows - n))
+      }
+    }
+    commitActions(path, "DELETE[MOR]", v, touchedCounts.keySet, updated,
+      schema)
   }
 
   /** `ALTER TABLE ADD COLUMN` analog (reference `1 Data
     * ingestion.py`:144-150): appends a column computed by `exprSql` as
     * a new version. When the expression constant-folds to NULL (the
-    * plain schema-change case) the commit is METADATA-ONLY — every
-    * data file re-links and the explicit-schema read fills the column
-    * with nulls, exactly Delta's zero-rewrite ADD COLUMN. A computed
-    * column necessarily rewrites every row. */
+    * plain schema-change case) the commit is METADATA-ONLY — a delta
+    * log entry with ZERO add/remove actions carrying the new schema;
+    * every data file stays linked and the explicit-schema read fills
+    * the column with nulls, exactly Delta's zero-rewrite ADD COLUMN.
+    * A computed column necessarily rewrites every row. */
   def addColumn(spark: SparkSession, path: String, name: String,
                 exprSql: String): Int = {
     val v = latestVersion(path).getOrElse(
@@ -806,31 +1109,33 @@ object VersionedTable {
         case _ => false
       }
     } catch { case _: Throwable => false }
-    if (foldsToNull) {
-      val nv = v + 1
-      val files = manifestEntries(path, v)
-      appendLog(path, nv, "ADD COLUMN", files.map(_.rows).sum,
-        StructType(schema.fields :+ StructField(name, newType, nullable = true)),
-        files)
-      nv
-    } else {
+    if (foldsToNull)
+      commitActions(path, "ADD COLUMN", v, Set.empty, Nil,
+        StructType(schema.fields :+
+          StructField(name, newType, nullable = true)))
+    else
       // computed column: every row gains a value — full rewrite is the
       // honest cost, not an implementation shortcut
       commitRewrite(spark, path, "ADD COLUMN", withCol,
-        manifest(path, v).map(_._1).toSet, nullableSchema(withCol.schema))
-    }
+        manifestEntries(path, v).map(_.name).toSet,
+        nullableSchema(withCol.schema), v)
   }
 
   /** Change-data-feed analog (`table_changes`): row-level diff
     * between two committed versions — `_change_type` is `insert` or
     * `delete`; an update surfaces as delete(old) + insert(new).
     * Multiset semantics (`exceptAll`), so duplicate rows diff
-    * correctly. Files SHARED by both manifests contribute identical
-    * multisets to both sides and cancel exactly — the diff reads only
-    * the files that differ, so CDF cost tracks the CHANGE, not the
-    * table. */
+    * correctly. Entries SHARED by both manifests (same file AND same
+    * deletion vector — a DV change means different live content)
+    * contribute identical multisets to both sides and cancel exactly
+    * — the diff reads only the files that differ, so CDF cost tracks
+    * the CHANGE, not the table. */
   def changes(spark: SparkSession, path: String, fromVersion: Int,
               toVersion: Int): DataFrame = {
+    require(versions(path).contains(fromVersion),
+      s"version $fromVersion not committed at $path")
+    require(versions(path).contains(toVersion),
+      s"version $toVersion not committed at $path")
     require(!vacuumedVersions(path).contains(fromVersion) &&
       !vacuumedVersions(path).contains(toVersion),
       s"cannot diff vacuumed versions at $path")
@@ -838,9 +1143,6 @@ object VersionedTable {
     val sb = schemaOf(path, toVersion)
     val ea = manifestEntries(path, fromVersion)
     val eb = manifestEntries(path, toVersion)
-    // shared identity is the FULL entry (name AND deletion vector):
-    // a file whose DV changed between versions has different live
-    // content and must enter the diff on both sides
     val (onlyA, onlyB) =
       if (sa == sb) (ea.filterNot(eb.toSet), eb.filterNot(ea.toSet))
       else
@@ -922,14 +1224,19 @@ object VersionedTable {
 
   /** RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old
     * snapshot as the new latest version — a pure manifest RE-LINK,
-    * zero bytes written (history keeps everything). */
+    * zero bytes written (history keeps everything). Committed as a
+    * FULL entry (the delta against latest could be the whole table)
+    * whose remove set names every latest-manifest file — a restore
+    * deliberately supersedes concurrent work. */
   def restore(spark: SparkSession, path: String, toVersion: Int): Int = {
     require(isReadable(path, toVersion),
       s"cannot restore to unreadable version $toVersion at $path")
-    val v = latestVersion(path).get + 1
+    val latest = latestVersion(path).get
+    val v = latest + 1
     val files = manifestEntries(path, toVersion)
     appendLog(path, v, s"RESTORE[v=$toVersion]", files.map(_.rows).sum,
-      schemaOf(path, toVersion), files)
+      schemaOf(path, toVersion), full = Some(files), add = Nil,
+      remove = manifestEntries(path, latest).map(_.name).toSet)
     v
   }
 
@@ -971,20 +1278,27 @@ object VersionedTable {
     * pool files referenced by NO retained version are physically
     * deleted. A file an old version shares with a retained one — e.g.
     * through a RESTORE re-link — survives; only the clone hazard can
-    * strand references (a clone's pointer into this pool is invisible
-    * here, as in Delta). Returns the newly vacuumed versions. */
-  def vacuum(path: String, keepLast: Int): Seq[Int] = {
+    * strand references. Additionally sweeps ORPHANS: pool files
+    * referenced by NO version at all and leftover `_graft_stage_*`
+    * dirs — the residue of a commit that crashed between its pool
+    * moves and its log append, unreachable by construction. Orphans
+    * younger than `orphanGraceMs` survive the sweep so a CONCURRENT
+    * writer mid-commit is never swept (set it above the longest
+    * expected commit; 0 only when no writer can be in flight).
+    * Returns the newly vacuumed versions. */
+  def vacuum(path: String, keepLast: Int,
+             orphanGraceMs: Long = 0L): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val all = versions(path)
     val already = vacuumedVersions(path)
+    def refs(v: Int): Seq[String] = manifestEntries(path, v)
+      .flatMap(e => e.name +: e.dv.toSeq)
     val removed = all.dropRight(keepLast).filterNot(already.contains)
     if (removed.nonEmpty) {
       val gone = already ++ removed
       Files.createDirectories(logDir(path))
       Files.writeString(vacuumedFile(path),
         gone.toSeq.sorted.mkString("", "\n", "\n"))
-      def refs(v: Int): Seq[String] = manifestEntries(path, v)
-        .flatMap(e => e.name +: e.dv.toSeq)
       val liveFiles = all.filterNot(gone.contains).flatMap(refs).toSet
       val deadFiles = removed.flatMap(refs).toSet -- liveFiles
       // only our OWN pool: files a clone resolves from its base belong
@@ -994,11 +1308,23 @@ object VersionedTable {
         if (Files.exists(p)) Files.delete(p)
       }
     }
+    // orphan sweep (advisor r10): anything referenced by NO version —
+    // vacuumed or not — is unreachable by construction
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val allRefs = all.flatMap(refs).toSet
+    poolFiles(path).filterNot(allRefs.contains).foreach { n =>
+      val p = poolDir(path).resolve(n)
+      if (Files.getLastModifiedTime(p).toMillis <= cutoff) Files.delete(p)
+    }
+    Option(Paths.get(path).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_graft_stage_"))
+      .foreach(f => if (f.lastModified <= cutoff) destroy(f.toString))
     removed
   }
 
-  /** DESCRIBE HISTORY analog: the commit log as a DataFrame (now also
-    * carrying each version's file manifest and schema). */
+  /** DESCRIBE HISTORY analog: the commit log as a DataFrame. Delta
+    * entries carry only their ADD/REMOVE actions, so the frame is
+    * O(changes) — only checkpoint entries embed a full manifest. */
   def history(spark: SparkSession, path: String): DataFrame =
     spark.read.json(logDir(path).toString)
 

@@ -198,6 +198,11 @@ class DeterminismSpec extends SparkSpec {
     "optimize_incremental", "versioned_pruned_read",
     // deletion vectors: row positions differ per fan-out (physical
     // files differ) but the LIVE content is exactly the filter
-    "delete_vectors"))
+    "delete_vectors",
+    // round-11: partition pruning is a metadata shortlist (which
+    // files exist per partition differs by fan-out; the row set
+    // never does), and the CDF follower's replayed feeds are
+    // multiset-exact regardless of how commits split into files
+    "versioned_partition_read", "stream_cdf_follow"))
     test(s"$q is parallelism-invariant") { invariant(q) }
 }

@@ -237,18 +237,34 @@ class VersionedTableManifestSpec extends SparkSpec {
     val pool1 = VersionedTable.poolFiles(path).toSet
     assert(pool0.subsetOf(pool1), "MoR delete must not rewrite data")
     val added = pool1 -- pool0
-    assert(added.size == 1 && added.head.startsWith("dv"),
-      s"exactly one sidecar expected, got $added")
+    // ONE sidecar PER touched file (Delta's DV shape) — all 5 files
+    // hold a matching row
+    assert(added.size == 5 && added.forall(_.startsWith("dv")),
+      s"five per-file sidecars expected, got $added")
     val v1 = VersionedTable.read(spark, path)
     assert(v1.count() == 20)
     assert(v1.filter(col("n_nationkey") % 5 === 0).count() == 0)
     // time travel intact; live counts in the log exact
     assert(VersionedTable.read(spark, path, Some(0)).count() == 25)
     assert(VersionedTable.logEntries(path).last._3 == 20L)
-    // second MoR delete folds prior positions — entries carry ONE dv
+    // second MoR delete touches ONE file: only that file's sidecar is
+    // re-folded (bounded by its own rows); the other four entries keep
+    // their PRIOR sidecar reference untouched — no refolding, so the
+    // k-th delete costs O(its own positions), never
+    // O(total-ever-deleted)
+    val dv1 = VersionedTable.manifestEntries(path, 1)
+      .map(e => e.name -> e.dv.get).toMap
     VersionedTable.deleteVectors(spark, path, "n_nationkey = 1")
     assert(VersionedTable.read(spark, path).count() == 19)
-    assert(VersionedTable.manifestEntries(path, 2).forall(_.dv.isDefined))
+    val e2 = VersionedTable.manifestEntries(path, 2)
+    assert(e2.forall(_.dv.isDefined))
+    val refolded = e2.filter(e => dv1(e.name) != e.dv.get)
+    assert(refolded.size == 1,
+      s"exactly the re-touched file must get a new sidecar, got $refolded")
+    // the commit's new sidecar bytes track the NEW deletion set (one
+    // file's positions), not the running total across all files
+    val newSidecars = VersionedTable.poolFiles(path).toSet -- pool1
+    assert(newSidecars.size == 1, s"one new sidecar, got $newSidecars")
     // CDF across DV-only commits stays row-exact
     val diff = VersionedTable.changes(spark, path, 1, 2)
     assert(diff.filter(col("_change_type") === "delete").count() == 1)
@@ -303,6 +319,219 @@ class VersionedTableManifestSpec extends SparkSpec {
     // non-numeric stats are honestly unprunable (None), never wrong
     assert(VersionedTable.fileStats(path, v, "event_type")
       .forall(_._2.isEmpty))
+  }
+
+  test("log entries are DELTA ACTIONS: an incremental commit's entry " +
+    "size tracks the change, not the table; checkpoints bound " +
+    "reconstruction; manifests stay exact across the interval") {
+    val path = freshPath
+    // many-file table: the full manifest is expensive to restate
+    VersionedTable.write(tables.customer
+      .select("c_custkey", "c_name", "c_acctbal").repartition(40), path)
+    def entryBytes(v: Int) = Files.size(
+      java.nio.file.Paths.get(path, "_graft_log", f"$v%06d.json"))
+    val fullBytes = entryBytes(0)
+    // a 1-file append against the 40-file manifest
+    VersionedTable.append(spark, tables.customer
+      .select("c_custkey", "c_name", "c_acctbal")
+      .limit(10).repartition(1), path)
+    assert(entryBytes(1) * 5 < fullBytes,
+      s"delta entry (${entryBytes(1)}B) must be far smaller than the " +
+        s"full manifest entry (${fullBytes}B)")
+    assert(!Files.readString(java.nio.file.Paths.get(path,
+      "_graft_log", "000001.json")).contains("\"files\""))
+    // drive past a checkpoint boundary: version 10 must embed the
+    // full manifest again (reconstruction reads checkpoint + tail,
+    // never the whole log) and every intermediate version must
+    // reconstruct exactly
+    val sizes = (2 to 12).map { i =>
+      VersionedTable.append(spark, tables.customer
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(10).repartition(1), path, operation = s"APPEND[$i]")
+      entryBytes(i)
+    }
+    assert(Files.readString(java.nio.file.Paths.get(path,
+      "_graft_log", "000010.json")).contains("\"files\""),
+      "version 10 must be a checkpoint entry")
+    // non-checkpoint entries stay delta-sized even as versions grow
+    assert(sizes.zipWithIndex.filter { case (_, i) => (i + 2) % 10 != 0 }
+      .forall(_._1 * 5 < fullBytes))
+    assert(VersionedTable.manifestEntries(path, 12).size == 52)
+    assert(VersionedTable.read(spark, path, Some(12)).count() ==
+      tables.customer.count() + 120)
+    assert(VersionedTable.read(spark, path, Some(7)).count() ==
+      tables.customer.count() + 70)
+  }
+
+  test("query-time reads are PURE METADATA: readWhere / fileStats / " +
+    "manifestSizes / partition pruning open zero parquet footers") {
+    val path = freshPath
+    VersionedTable.write(tables.events
+      .select("event_id", "event_type", "value"), path)
+    VersionedTable.optimize(spark, path, Seq("value"), numFiles = 6)
+    val v = VersionedTable.latestVersion(path).get
+    val before = VersionedTable.footerReads.get()
+    val stats = VersionedTable.fileStats(path, v, "value")
+    assert(stats.size == 6 && stats.forall(_._2.isDefined))
+    val sizes = VersionedTable.manifestSizes(path, v)
+    assert(sizes.forall(_._2 > 0))
+    val out = VersionedTable.readWhere(spark, path, "value", 50.0, 120.0)
+    assert(out.count() > 0)
+    assert(VersionedTable.footerReads.get() == before,
+      "metadata reads must not open parquet footers")
+    // manifest bytes are the true file sizes (captured at write time)
+    sizes.foreach { case (n, b) =>
+      assert(Files.size(java.nio.file.Paths.get(path, "_graft_pool", n)) == b)
+    }
+    // never-committed asOf versions refuse cleanly (advisor r10)
+    intercept[IllegalArgumentException](
+      VersionedTable.readWhere(spark, path, "value", 0, 1, asOf = Some(99)))
+    intercept[IllegalArgumentException](
+      VersionedTable.fileStats(path, 99, "value"))
+    intercept[IllegalArgumentException](
+      VersionedTable.changes(spark, path, 0, 99))
+  }
+
+  test("optimistic concurrency: a commit planned against a stale base " +
+    "RETRIES when the intervening commits are file-disjoint and " +
+    "FAILS LOUDLY on file overlap") {
+    val path = freshPath
+    VersionedTable.write(rangedNation, path) // v0: 5 key-ranged files
+    val schema = VersionedTable.schemaOf(path, 0)
+    val stats = VersionedTable.fileStats(path, 0, "n_nationkey")
+      .collect { case (n, Some(s)) => n -> s }.toMap
+    assert(stats.size == 5)
+    val fHigh = stats.find(_._2._2 == 24).get._1 // file holding key 24
+    val fLow = stats.find(_._2._1 == 0).get._1   // file holding key 0
+    // writer B PLANS at base v0: delete key 24 (rewrites fHigh only)
+    val keptB = VersionedTable.read(spark, path, Some(0))
+      .filter(col("n_nationkey") >= stats(fHigh)._1 &&
+        col("n_nationkey") =!= 24)
+    // writer A commits FIRST, touching a different file
+    VersionedTable.delete(spark, path, "n_nationkey = 0") // v1, fLow
+    // B commits with its stale plan: disjoint → retried re-link onto v1
+    val v2 = VersionedTable.commitRewrite(spark, path, "DELETE", keptB,
+      Set(fHigh), schema, baseV = 0)
+    assert(v2 == 2)
+    val out = VersionedTable.read(spark, path)
+    assert(out.count() == 23) // BOTH deletes landed
+    assert(out.filter(col("n_nationkey").isin(0, 24)).count() == 0)
+    // writer C also planned at v0 but touches the file A rewrote
+    val keptC = VersionedTable.read(spark, path, Some(0))
+      .filter(col("n_nationkey") <= stats(fLow)._2 &&
+        col("n_nationkey") =!= 1)
+    intercept[ConcurrentCommitException](
+      VersionedTable.commitRewrite(spark, path, "DELETE", keptC,
+        Set(fLow), schema, baseV = 0))
+    // concurrent APPENDs always compose (empty conflict surface):
+    // an append planned pre-A/B still lands
+    VersionedTable.append(spark, tables.nation
+      .filter(col("n_nationkey") === 0), path)
+    assert(VersionedTable.read(spark, path).count() == 24)
+    // C's aborted rewrite left orphaned pool files — vacuum's orphan
+    // sweep reclaims exactly those (referenced by no version)
+    val refd = VersionedTable.versions(path).flatMap(w =>
+      VersionedTable.manifestEntries(path, w)
+        .flatMap(e => e.name +: e.dv.toSeq)).toSet
+    assert(VersionedTable.poolFiles(path).exists(!refd.contains(_)),
+      "aborted commit must have left orphans")
+    VersionedTable.vacuum(path, keepLast = 99)
+    assert(VersionedTable.poolFiles(path).forall(refd.contains))
+    assert(VersionedTable.read(spark, path).count() == 24)
+  }
+
+  test("partitioned write records partition values in the manifest; " +
+    "readPartition prunes entries by pure metadata and equals the " +
+    "full filter; a stale stage dir is swept by vacuum") {
+    val path = freshPath
+    val ev = tables.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    VersionedTable.write(ev.filter(col("event_id") % 2 === 0), path,
+      partitionBy = Seq("event_type"))
+    VersionedTable.append(spark, ev.filter(col("event_id") % 2 =!= 0),
+      path, partitionBy = Seq("event_type"))
+    val v = VersionedTable.latestVersion(path).get
+    val entries = VersionedTable.manifestEntries(path, v)
+    assert(entries.forall(_.part.contains("event_type")))
+    val types = entries.flatMap(_.part.get("event_type")).distinct
+    assert(types.size >= 3)
+    val want = Map("event_type" -> "purchase")
+    val pruned = VersionedTable.prunedPartitionEntries(path, v, want)
+    assert(pruned.nonEmpty && pruned.size < entries.size,
+      s"pruning must shortlist (${pruned.size} of ${entries.size})")
+    assert(pruned.forall(_.part("event_type") == "purchase"))
+    val before = VersionedTable.footerReads.get()
+    val out = VersionedTable.readPartition(spark, path, want)
+    val full = VersionedTable.read(spark, path)
+      .filter(col("event_type") === "purchase")
+    assert(out.count() > 0)
+    assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty)
+    assert(VersionedTable.footerReads.get() == before)
+    // a crashed commit's stage dir is unreachable residue → swept
+    val stale = java.nio.file.Paths.get(path, "_graft_stage_crash")
+    Files.createDirectories(stale)
+    VersionedTable.vacuum(path, keepLast = 99)
+    assert(!Files.exists(stale))
+  }
+
+  test("append aligns column ORDER and ignores field metadata; " +
+    "a type mismatch still refuses") {
+    val path = freshPath
+    VersionedTable.write(rangedNation, path)
+    val cols = VersionedTable.schemaOf(path, 0).fieldNames
+    // same columns, reversed order, metadata attached to one field
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("comment", "source-attached").build()
+    val reordered = tables.nation
+      .select(cols.reverse.map(col).toIndexedSeq: _*)
+      .withColumn(cols.head, col(cols.head).as(cols.head, meta))
+    VersionedTable.append(spark, reordered, path)
+    assert(VersionedTable.read(spark, path).count() == 50)
+    assert(VersionedTable.read(spark, path)
+      .groupBy("n_nationkey").count()
+      .filter(col("count") =!= 2).count() == 0)
+    // a changed type is NOT order noise — refuse
+    intercept[IllegalArgumentException](VersionedTable.append(spark,
+      tables.nation.withColumn("n_nationkey",
+        col("n_nationkey").cast("double")), path))
+  }
+
+  test("upsertLatest NULL-key contract: NULL keys never merge — base " +
+    "NULL rows pass through, NULL update rows append as inserts") {
+    import spark.implicits._
+    val path = freshPath
+    val base = Seq((java.lang.Long.valueOf(1L), 10L, "a"),
+      (java.lang.Long.valueOf(2L), 10L, "b"),
+      (null.asInstanceOf[java.lang.Long], 10L, "base-null-1"),
+      (null.asInstanceOf[java.lang.Long], 11L, "base-null-2"))
+      .toDF("k", "ord", "payload")
+    VersionedTable.write(base, path)
+    val updates = Seq((java.lang.Long.valueOf(1L), 20L, "a2"),
+      (null.asInstanceOf[java.lang.Long], 20L, "upd-null"))
+      .toDF("k", "ord", "payload")
+    VersionedTable.upsertLatest(spark, path, updates,
+      key = "k", orderCol = "ord", tieBreaker = "payload")
+    val out = VersionedTable.read(spark, path).collect()
+      .map(r => (Option(r.get(0)), r.getString(2))).toSet
+    assert(out == Set(
+      (Some(1L), "a2"), (Some(2L), "b"),
+      (None, "base-null-1"), (None, "base-null-2"), (None, "upd-null")))
+  }
+
+  test("a deletion-vector position set over the broadcast cap falls " +
+    "back to a non-broadcast anti-join and stays exact") {
+    val path = freshPath
+    VersionedTable.write(rangedNation, path)
+    VersionedTable.deleteVectors(spark, path, "n_nationkey % 5 = 0")
+    val prev = VersionedTable.dvBroadcastCapBytes
+    try {
+      VersionedTable.dvBroadcastCapBytes = 0L // force the fallback
+      val df = VersionedTable.read(spark, path)
+      assert(df.count() == 20)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"capped DV read must not broadcast:\n$plan")
+    } finally VersionedTable.dvBroadcastCapBytes = prev
   }
 
   test("changes() reads only non-shared files and still diffs exactly") {
