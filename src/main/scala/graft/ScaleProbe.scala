@@ -748,7 +748,32 @@ object ScaleProbe {
         (1 to 50).map(_ => graft.operators.VersionedTable.manifestEntries(
           p, graft.operators.VersionedTable.latestVersion(p).get).size)
           .sum.toLong
-      }))
+      }),
+      // round-11: the METADATA-ONLY aggregate claim — statsAggMeta
+      // answers count/min/max from the manifest with zero data I/O,
+      // so at 10× the DATA (same file count) the answer costs the
+      // same wall time and rows/sec must scale ~10× (strongly
+      // super-linear efficiency is the PASS condition here, the
+      // signature of a query whose cost is O(files), not O(rows)).
+      ("versioned_stats_meta", {
+        val p = "/tmp/graft_scaleprobe/vsm_1x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          t.events.select("event_id", "user_id", "value")
+            .repartition(32), p)
+        t.events.count()
+      }, () => (1 to 20).map(_ =>
+        graft.operators.VersionedTable.statsAggMeta(
+          "/tmp/graft_scaleprobe/vsm_1x", "value").get._1).sum, {
+        val p = "/tmp/graft_scaleprobe/vsm_10x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          replicate(t.events.select("event_id", "user_id", "value"),
+            10, Some("event_id")).repartition(32), p)
+        t.events.count() * 10
+      }, () => (1 to 20).map(_ =>
+        graft.operators.VersionedTable.statsAggMeta(
+          "/tmp/graft_scaleprobe/vsm_10x", "value").get._1).sum))
 
     // optional comma-separated probe filter for single-probe iteration
     val only: Option[Set[String]] =

@@ -596,6 +596,130 @@ object TableQueries {
                         THEN c_acctbal + 100.0
                         ELSE c_acctbal END < 0)""")),
 
+    Q("versioned_zorder_read",
+      // 2-D data skipping INSIDE the versioned format (r11):
+      // OPTIMIZE ZORDER lays files out as compact (user_id, value)
+      // rectangles on the Morton curve, and readWhereMulti prunes by
+      // BOTH columns' manifest stats conjunctively — most files fail
+      // at least one range, which is the whole point of Z-order over
+      // a linear sort (a value-only clustering cannot prune user_id
+      // at all); the shortlist is pure metadata (zero footer I/O) and
+      // the row filter on survivors makes the result ≡ the full
+      // 2-D-box filter (the oracle); the spec asserts the strict
+      // subset and the footer counter
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vzr_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        VersionedTable.write(Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+          path)
+        VersionedTable.optimizeZOrder(s, path, "user_id", "value",
+          numFiles = 16)
+        VersionedTable.readWhereMulti(s, path,
+          Seq(("user_id", 100.0, 300.0), ("value", 50.0, 120.0)))
+      },
+      Some(s"""
+        SELECT event_id, epoch_us(ts) as ts, user_id, event_type, value
+        FROM events
+        WHERE user_id >= 100 AND user_id <= 300
+          AND value >= 50.0 AND value <= 120.0""")),
+
+    Q("versioned_stats_agg",
+      // METADATA-ONLY aggregates (r11): count/min/max answered from
+      // the manifest's write-time footer stats — the clustered leg is
+      // zero-file-I/O, zero-Spark-job pure metadata (the spec asserts
+      // statsAggMeta is defined and footerReads stays flat); after a
+      // merge-on-read DV delete only the DV-touched files scan
+      // (O(dirty files), not O(table)) while the count stays pure
+      // metadata (live counts are DV-adjusted at commit). This is the
+      // `SELECT count(*)/min/max` Delta answers from its log stats
+      // without touching a 100 TB table's data
+      (s, d) => {
+        import s.implicits._
+        val path = s"/tmp/graft_cache/vsa_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        VersionedTable.write(Tables(s, d).events
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+          path)                                          // v0
+        VersionedTable.optimize(s, path, Seq("value"), numFiles = 8) // v1
+        VersionedTable.deleteVectors(s, path, "value < 10.0")        // v2
+        val (c1, mn1, mx1) = VersionedTable.statsAgg(s, path, "value",
+          Some(1))
+        val (c2, mn2, mx2) = VersionedTable.statsAgg(s, path, "value",
+          Some(2))
+        Seq((1, c1, mn1, mx1), (2, c2, mn2, mx2))
+          .toDF("version", "n_rows", "min_value", "max_value")
+      },
+      // leg 1 = the whole events table, leg 2 = after the scattered
+      // delete; min/max are exact data values (footer stats are exact
+      // for doubles), identical on both engines
+      Some("""
+        SELECT cast(1 as int) as version, count(*) as n_rows,
+          min(value) as min_value, max(value) as max_value FROM events
+        UNION ALL
+        SELECT cast(2 as int), count(*), min(value), max(value)
+        FROM events WHERE NOT (value < 10.0)""")),
+
+    Q("versioned_rename_column",
+      // column mapping (r11, Delta RENAME/DROP COLUMN): rename and
+      // drop are METADATA-ONLY commits (zero add/remove actions, zero
+      // data I/O — the spec asserts the pool is untouched) because
+      // data files keep their stable PHYSICAL column names and reads
+      // resolve through the logical→physical map; the UPDATE in
+      // between proves the whole DML path (touched-file discovery,
+      // rewrite, stats) works through the mapping. Renaming a column
+      // of a 100 TB table costs one log line, not a table rewrite
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vrn_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        VersionedTable.write(Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+          .repartitionByRange(8, col("c_custkey")), path)  // v0
+        VersionedTable.renameColumn(s, path, "c_acctbal", "balance") // v1
+        VersionedTable.update(s, path, "balance >= 5000",
+          Seq("balance" -> "balance + 1.0"))               // v2
+        VersionedTable.dropColumn(s, path, "c_mktsegment") // v3
+        VersionedTable.read(s, path)
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+          CASE WHEN c_acctbal >= 5000 THEN c_acctbal + 1.0
+               ELSE c_acctbal END as balance
+        FROM customer""")),
+
+    Q("versioned_constraint",
+      // CHECK constraints (r11, Delta table constraints): ADD
+      // CONSTRAINT validates the EXISTING table once (column-pruned),
+      // then every commit validates only its NEW files (O(new data),
+      // never O(table)); a violating append aborts ATOMICALLY — no
+      // log entry, staged files removed — and the table is
+      // bit-identical to before, proven by appending the valid batch
+      // afterwards and hash-matching the plain-SQL oracle
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vct_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val cust = Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        VersionedTable.write(cust.filter(col("c_custkey") % 2 === 0),
+          path)                                            // v0
+        VersionedTable.addConstraint(s, path, "acctbal_floor",
+          "c_acctbal >= -1000.0")                          // v1
+        val bad = cust.filter(col("c_custkey") % 2 =!= 0)
+          .withColumn("c_acctbal", lit(-99999.0))
+        val rejected =
+          try { VersionedTable.append(s, bad, path); false }
+          catch { case _: ConstraintViolationException => true }
+        require(rejected, "violating append must be rejected")
+        VersionedTable.append(s,
+          cust.filter(col("c_custkey") % 2 =!= 0), path)   // v2
+        VersionedTable.read(s, path)
+      },
+      // TPC-H acctbal ∈ [-999.99, 9999.99] satisfies the floor, so
+      // after the rejected batch the table converges to full customer
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer""")),
+
     Q("optimize_incremental",
       // the small-file maintenance loop a streaming bronze table
       // lives on (r10): O(delta) APPEND micro-batches accumulate

@@ -12,6 +12,13 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+/** A commit's new rows (or, for ADD CONSTRAINT, the existing table)
+  * violate a CHECK constraint — the commit is aborted atomically:
+  * no log entry is written and the staged files are removed (Delta's
+  * InvariantViolationException shape). */
+final class ConstraintViolationException(msg: String)
+  extends RuntimeException(msg)
+
 /** Versioned parquet table with FILE-GRANULAR commits — re-expressing
   * the reference's Delta surface (`DESCRIBE HISTORY`, `VERSION AS OF`
   * time travel, `MERGE INTO`, `UPDATE`, `DELETE`, `OPTIMIZE`,
@@ -145,11 +152,37 @@ object VersionedTable {
                              stats: Map[String, (Double, Double)],
                              part: Map[String, String])
 
+  /** Table-level properties carried on every commit (all tiny —
+    * O(columns + constraints), never O(files)):
+    *  - `constraints`: active CHECK constraints, name → SQL predicate
+    *    over LOGICAL column names (Delta's table constraints).
+    *  - `colmap`: logical → PHYSICAL column name for columns whose
+    *    logical name diverged from the name stored in parquet files
+    *    (Delta's column mapping). Physical names are assigned at
+    *    column creation and NEVER change, so RENAME COLUMN is pure
+    *    metadata; columns absent from the map are identity-mapped.
+    *  - `usedPhys`: every physical column name ever committed —
+    *    the tombstone set that stops a column added after a DROP
+    *    from silently resurrecting the dropped column's bytes (a
+    *    colliding new column gets a fresh physical name instead).
+    *  - `tbl`: free-form user table properties (the reference's
+    *    `TBLPROPERTIES ("quality" = "bronze")` — `4 Delta Live
+    *    Tables (SQL).sql`:29). */
+  final case class TableProps(constraints: Map[String, String],
+                              colmap: Map[String, String],
+                              usedPhys: Set[String],
+                              tbl: Map[String, String] = Map.empty) {
+    def phys(c: String): String = colmap.getOrElse(c, c)
+  }
+
+  private[operators] val emptyProps =
+    TableProps(Map.empty, Map.empty, Set.empty)
+
   private final case class LogEntry(
       version: Int, operation: String, numRows: Long,
       committedAt: String, schemaJson: String,
       full: Option[Seq[FileEntry]], add: Seq[FileEntry],
-      remove: Set[String])
+      remove: Set[String], props: TableProps)
 
   /** JSON string escaping for commit-log fields (quotes, backslashes,
     * control chars) — an operation string like `PIPELINE["x"]` or the
@@ -220,19 +253,34 @@ object VersionedTable {
       Option(root.get(field)).map { arr =>
         (0 until arr.size).map(i => parseFileEntry(arr.get(i)))
       }
+    def strMap(field: String): Map[String, String] =
+      Option(root.get(field)).fold(Map.empty[String, String]) { node =>
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asText
+        }
+        b.result()
+      }
+    val props = TableProps(strMap("constraints"), strMap("colmap"),
+      Option(root.get("used_phys")).map(a =>
+        (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty),
+      strMap("tblprops"))
     LogEntry(root.get("version").asInt, root.get("operation").asText,
       root.get("num_rows").asLong, root.get("committed_at").asText,
       root.get("schema").asText,
       entryArr("files"), entryArr("add").getOrElse(Seq.empty),
       Option(root.get("remove")).map(a =>
-        (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty))
+        (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty),
+      props)
   }
 
   private def appendLog(path: String, v: Int, operation: String,
                         rows: Long, schema: StructType,
                         full: Option[Seq[FileEntry]],
                         add: Seq[FileEntry],
-                        remove: Set[String]): Unit = {
+                        remove: Set[String],
+                        props: TableProps = emptyProps): Unit = {
     Files.createDirectories(logDir(path))
     val removeJson = remove.toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
@@ -244,10 +292,23 @@ object VersionedTable {
       case None =>
         s""""add":${add.map(fileEntryJson).mkString("[", ",", "]")}"""
     }
+    def strMapJson(field: String, m: Map[String, String]): String =
+      if (m.isEmpty) ""
+      else m.toSeq.sortBy(_._1).map { case (k, x) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(x)}""""
+      }.mkString(s""""$field":{""", ",", "},")
+    val propsJson = strMapJson("constraints", props.constraints) +
+      strMapJson("colmap", props.colmap) +
+      strMapJson("tblprops", props.tbl) +
+      (if (props.usedPhys.isEmpty) ""
+       else props.usedPhys.toSeq.sorted
+         .map(n => s""""${jsonEscape(n)}"""")
+         .mkString(""""used_phys":[""", ",", "],"))
     val entry =
       s"""{"version":$v,"operation":"${jsonEscape(operation)}","num_rows":$rows,""" +
         s""""committed_at":"${java.time.Instant.now()}",""" +
         s""""schema":"${jsonEscape(schema.json)}",""" +
+        propsJson +
         s""""remove":$removeJson,$tailJson}"""
     Files.write(logDir(path).resolve(f"$v%06d.json"),
       java.util.List.of(entry), StandardOpenOption.CREATE_NEW)
@@ -289,6 +350,18 @@ object VersionedTable {
   def schemaOf(path: String, v: Int): StructType =
     DataType.fromJson(parseEntry(path, v).schemaJson)
       .asInstanceOf[StructType]
+
+  /** The table properties committed with version `v` (constraints,
+    * column mapping, physical-name tombstones). */
+  def propsOf(path: String, v: Int): TableProps = {
+    require(versions(path).contains(v),
+      s"version $v not committed at $path")
+    parseEntry(path, v).props
+  }
+
+  /** Active CHECK constraints of version `v`: name → SQL predicate. */
+  def constraintsOf(path: String, v: Int): Map[String, String] =
+    propsOf(path, v).constraints
 
   /** (version, committed_at) pairs from the commit log, ascending.
     * Driver-side: the log is tiny (one line per commit). */
@@ -473,16 +546,24 @@ object VersionedTable {
     * Returns the manifest entries, stats included. */
   private def writeDataFiles(df: DataFrame, path: String, v: Int,
                              tag: String = "c",
-                             partitionBy: Seq[String] = Nil): Seq[FileEntry] = {
+                             partitionBy: Seq[String] = Nil,
+                             props: TableProps = emptyProps): Seq[FileEntry] = {
     val stage = Paths.get(path,
       f"_graft_stage_$tag$v%06d-${java.util.UUID.randomUUID.toString.take(8)}")
-    if (partitionBy.isEmpty)
-      df.write.mode("overwrite").parquet(stage.toString)
+    // data files ALWAYS store PHYSICAL column names (stable across
+    // renames), so manifest stats / partition keys never go stale
+    val physDf =
+      if (props.colmap.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(props.phys(c))): _*)
+    val physBy = partitionBy.map(props.phys)
+    if (physBy.isEmpty)
+      physDf.write.mode("overwrite").parquet(stage.toString)
     else {
-      val dup = partitionBy.foldLeft(df)((d, c) =>
+      val dup = physBy.foldLeft(physDf)((d, c) =>
         d.withColumn(s"_gp_$c", col(c)))
       dup.write.mode("overwrite")
-        .partitionBy(partitionBy.map("_gp_" + _): _*)
+        .partitionBy(physBy.map("_gp_" + _): _*)
         .parquet(stage.toString)
     }
     Files.createDirectories(poolDir(path))
@@ -520,10 +601,23 @@ object VersionedTable {
     val prevNames =
       if (v == 0) Set.empty[String]
       else manifestEntries(path, v - 1).map(_.name).toSet
-    val files = writeDataFiles(df, path, v, partitionBy = partitionBy)
+    // table properties survive a snapshot overwrite (Delta: constraints
+    // and column mapping are table-level): the colmap keeps entries for
+    // columns still present; usedPhys only ever grows
+    val prevProps = if (v == 0) emptyProps else propsOf(path, v - 1)
+    val colmap = prevProps.colmap.filter {
+      case (l, _) => df.columns.contains(l)
+    }
+    val props = prevProps.copy(colmap = colmap,
+      usedPhys = prevProps.usedPhys ++
+        df.columns.map(c => colmap.getOrElse(c, c)))
+    val files = writeDataFiles(df, path, v, partitionBy = partitionBy,
+      props = props)
+    enforceConstraints(df.sparkSession, path, v, files,
+      nullableSchema(df.schema), props)
     appendLog(path, v, operation, files.map(_.rows).sum,
       nullableSchema(df.schema), full = Some(files), add = Nil,
-      remove = prevNames)
+      remove = prevNames, props = props)
     v
   }
 
@@ -537,13 +631,25 @@ object VersionedTable {
     * append is the backstop for the race between check and write. */
   private[operators] def commitActions(path: String, operation: String,
       baseV: Int, removeNames: Set[String], add: Seq[FileEntry],
-      schema: StructType): Int = {
+      schema: StructType,
+      newProps: Option[TableProps] = None): Int = {
+    val baseProps = propsOf(path, baseV)
     var attempts = 0
     while (attempts < 1000) {
       val latest = latestVersion(path).getOrElse(
         throw new IllegalArgumentException(
           s"no committed versions at $path"))
       if (latest != baseV) {
+        // a METADATA change (rename/drop/constraint/schema) cannot be
+        // rebased onto concurrent commits, and a data commit planned
+        // under one metadata world cannot land in another — Delta's
+        // MetadataChangedException shape
+        if (newProps.isDefined ||
+            propsOf(path, latest) != baseProps ||
+            schemaOf(path, latest) != schemaOf(path, baseV))
+          throw new ConcurrentCommitException(
+            s"$operation planned at version $baseV of $path: table " +
+              s"metadata changed by concurrent commits up to v$latest")
         val conflicts = (baseV + 1 to latest).iterator
           .flatMap(w => changedNames(path, w)).toSet
           .intersect(removeNames)
@@ -559,7 +665,8 @@ object VersionedTable {
         if (nv % checkpointInterval == 0) Some(keep ++ add) else None
       try {
         appendLog(path, nv, operation, rows, schema, full,
-          if (full.isDefined) Nil else add, removeNames)
+          if (full.isDefined) Nil else add, removeNames,
+          newProps.getOrElse(baseProps))
         return nv
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -571,15 +678,54 @@ object VersionedTable {
 
   /** Commit a file-granular rewrite planned against `baseV`:
     * untouched files are RE-LINKED into the new manifest; only
-    * `newData` (the rewritten touched rows plus inserts) hits disk. */
+    * `newData` (the rewritten touched rows plus inserts) hits disk.
+    * New files are CHECK-constraint-validated before the log append —
+    * a violation aborts atomically (staged files removed, no commit). */
   private[operators] def commitRewrite(spark: SparkSession, path: String,
                             operation: String, newData: DataFrame,
                             touched: Set[String], schema: StructType,
                             baseV: Int,
-                            partitionBy: Seq[String] = Nil): Int = {
+                            partitionBy: Seq[String] = Nil,
+                            newProps: Option[TableProps] = None): Int = {
+    val props = newProps.getOrElse(propsOf(path, baseV))
     val fresh = writeDataFiles(newData, path, baseV + 1,
-      partitionBy = partitionBy)
-    commitActions(path, operation, baseV, touched, fresh, schema)
+      partitionBy = partitionBy, props = props)
+    enforceConstraints(spark, path, baseV + 1, fresh, schema, props)
+    commitActions(path, operation, baseV, touched, fresh, schema, newProps)
+  }
+
+  /** Validate a commit's NEW files against the active CHECK
+    * constraints — enforcement cost is O(new data), column-pruned to
+    * the constraint columns, never O(table) (untouched files were
+    * validated by the commits that wrote them). SQL-standard CHECK
+    * semantics: a row violates only when the predicate is FALSE
+    * (UNKNOWN passes). On violation the staged pool files are removed
+    * and the commit aborts with [[ConstraintViolationException]]. */
+  private def enforceConstraints(spark: SparkSession, path: String,
+                                 v: Int, entries: Seq[FileEntry],
+                                 schema: StructType,
+                                 props: TableProps): Unit = {
+    if (props.constraints.nonEmpty && entries.nonEmpty) {
+      val df = readEntries(spark, path, entries, schema, v, props = props)
+      val named = props.constraints.toSeq.sortBy(_._1)
+      val counts = df.agg(
+        sum(when(!coalesce(expr(named.head._2), lit(true)), 1L)
+          .otherwise(0L)).as("c0"),
+        named.tail.zipWithIndex.map { case ((_, sql), i) =>
+          sum(when(!coalesce(expr(sql), lit(true)), 1L)
+            .otherwise(0L)).as(s"c${i + 1}")
+        }: _*).collect()(0)
+      val bad = named.zipWithIndex.collect {
+        case ((n, sql), i) if counts.getLong(i) > 0 =>
+          s"$n ($sql): ${counts.getLong(i)} rows"
+      }
+      if (bad.nonEmpty) {
+        entries.flatMap(e => e.name +: e.dv.toSeq)
+          .foreach(n => Files.deleteIfExists(poolDir(path).resolve(n)))
+        throw new ConstraintViolationException(
+          s"CHECK constraint violation on $path: ${bad.mkString("; ")}")
+      }
+    }
   }
 
   private def resolveOrFail(path: String, name: String, v: Int): String =
@@ -603,10 +749,19 @@ object VersionedTable {
     * (row position in the physical file). */
   private def readEntries(spark: SparkSession, path: String,
                           entries: Seq[FileEntry], schema: StructType,
-                          v: Int, lineage: Boolean = false): DataFrame = {
-    val outCols = schema.fieldNames.toIndexedSeq.map(col) ++
+                          v: Int, lineage: Boolean = false,
+                          props: TableProps = emptyProps): DataFrame = {
+    // files store PHYSICAL names; the scan reads them and the select
+    // restores the LOGICAL names (identity when no column was renamed)
+    val physSchema =
+      if (props.colmap.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = props.phys(f.name))))
+    val renameCols = schema.fields.toIndexedSeq.map(f =>
+      col(props.phys(f.name)).as(f.name))
+    val outCols = renameCols ++
       (if (lineage) Seq(col("_graft_file"), col("_graft_pos")) else Nil)
-    def scan(es: Seq[FileEntry]) = spark.read.schema(schema)
+    def scan(es: Seq[FileEntry]) = spark.read.schema(physSchema)
       .parquet(es.map(e => resolveOrFail(path, e.name, v)): _*)
       .withColumn("_graft_file",
         substring_index(col("_metadata.file_path"), "/", -1))
@@ -622,8 +777,12 @@ object VersionedTable {
       val plainDf =
         if (plain.isEmpty) None
         else if (lineage) Some(scan(plain).select(outCols: _*))
-        else Some(spark.read.schema(schema)
-          .parquet(plain.map(e => resolveOrFail(path, e.name, v)): _*))
+        else {
+          val raw = spark.read.schema(physSchema)
+            .parquet(plain.map(e => resolveOrFail(path, e.name, v)): _*)
+          Some(if (props.colmap.isEmpty) raw
+               else raw.select(renameCols: _*))
+        }
       val dvDf =
         if (dvd.isEmpty) None
         else {
@@ -640,8 +799,7 @@ object VersionedTable {
             if (posBytes <= dvBroadcastCapBytes) broadcast(positions)
             else positions.hint("shuffle_hash")
           val sel: Seq[org.apache.spark.sql.Column] =
-            if (lineage) outCols
-            else schema.fieldNames.toIndexedSeq.map(col)
+            if (lineage) outCols else renameCols
           Some(scan(dvd).join(posSide,
               Seq("_graft_file", "_graft_pos"), "left_anti")
             .select(sel: _*))
@@ -653,11 +811,12 @@ object VersionedTable {
   /** Name-subset convenience over [[readEntries]]. */
   private def readFiles(spark: SparkSession, path: String,
                         names: Iterable[String], schema: StructType,
-                        v: Int): DataFrame = {
+                        v: Int,
+                        props: TableProps = emptyProps): DataFrame = {
     val want = names.toSet
     readEntries(spark, path,
       manifestEntries(path, v).filter(e => want.contains(e.name)),
-      schema, v)
+      schema, v, props = props)
   }
 
   /** Read the table at `asOf` (VERSION AS OF) or latest. Vacuumed
@@ -670,7 +829,8 @@ object VersionedTable {
     require(versions(path).contains(v), s"version $v not committed at $path")
     require(!vacuumedVersions(path).contains(v),
       s"version $v was vacuumed at $path")
-    readFiles(spark, path, manifest(path, v).map(_._1), schemaOf(path, v), v)
+    readFiles(spark, path, manifest(path, v).map(_._1), schemaOf(path, v),
+      v, propsOf(path, v))
   }
 
   /** True when `v` is committed, not vacuumed, and every manifest file
@@ -689,7 +849,8 @@ object VersionedTable {
     * row per touched FILE, never per row. */
   private def touchedFiles(spark: SparkSession, path: String, v: Int,
                            schema: StructType,
-                           hit: DataFrame => DataFrame): Set[String] = {
+                           hit: DataFrame => DataFrame,
+                           props: TableProps = emptyProps): Set[String] = {
     val files = manifestEntries(path, v)
     if (files.isEmpty) Set.empty
     // a 1-file manifest has nothing to prune — skip the discovery job
@@ -699,7 +860,7 @@ object VersionedTable {
     else if (files.size == 1) Set(files.head.name)
     else {
       val cur = readEntries(spark, path, files, schema, v,
-        lineage = true)
+        lineage = true, props = props)
       hit(cur).select("_graft_file").distinct().collect()
         .map(_.getString(0)).toSet
     }
@@ -723,8 +884,10 @@ object VersionedTable {
       s"append schema ${df.schema.simpleString} does not match table " +
         s"${schema.simpleString}")
     val aligned = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val props = propsOf(path, v)
     val fresh = writeDataFiles(aligned, path, v + 1,
-      partitionBy = partitionBy)
+      partitionBy = partitionBy, props = props)
+    enforceConstraints(spark, path, v + 1, fresh, schema, props)
     commitActions(path, operation, v, Set.empty, fresh, schema)
   }
 
@@ -734,8 +897,11 @@ object VersionedTable {
     * column had no complete numeric stats at write time (the file is
     * then unprunable — never a false negative). */
   def fileStats(path: String, v: Int,
-                column: String): Seq[(String, Option[(Double, Double)])] =
-    manifestEntries(path, v).map(e => e.name -> e.stats.get(column))
+                column: String): Seq[(String, Option[(Double, Double)])] = {
+    // stats are keyed by the stable PHYSICAL column name
+    val pc = propsOf(path, v).phys(column)
+    manifestEntries(path, v).map(e => e.name -> e.stats.get(pc))
+  }
 
   /** Stats-pruned read: shortlist version `v`'s files to those whose
     * manifest [min, max] for `column` OVERLAPS [lo, hi] (stat-less
@@ -757,8 +923,54 @@ object VersionedTable {
       case (n, None) => n
       case (n, Some((mn, mx))) if mx >= lo && mn <= hi => n
     }
-    readFiles(spark, path, keep, schemaOf(path, v), v)
+    readFiles(spark, path, keep, schemaOf(path, v), v, propsOf(path, v))
       .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Multi-column stats-pruned read: shortlist files whose manifest
+    * [min, max] overlaps EVERY range (conjunctive pruning — the 2-D+
+    * payoff of a Z-ORDER layout, where files are compact rectangles
+    * in the curve dimensions and most fail at least one range), then
+    * row-filter the survivors; result ≡ the full-scan conjunction.
+    * Pure manifest metadata — zero query-time footer I/O. */
+  def readWhereMulti(spark: SparkSession, path: String,
+                     ranges: Seq[(String, Double, Double)],
+                     asOf: Option[Int] = None): DataFrame = {
+    require(ranges.nonEmpty, "readWhereMulti needs at least one range")
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val props = propsOf(path, v)
+    val keep = manifestEntries(path, v).filter { e =>
+      ranges.forall { case (c, lo, hi) =>
+        e.stats.get(props.phys(c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // stat-less: unprunable, never wrong
+        }
+      }
+    }.map(_.name)
+    val filter = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    readFiles(spark, path, keep, schemaOf(path, v), v, props)
+      .filter(filter)
+  }
+
+  /** Entry names [[readWhereMulti]] would scan (exposed for pruning
+    * assertions). */
+  def prunedStatsEntries(path: String, v: Int,
+                         ranges: Seq[(String, Double, Double)]): Seq[String] = {
+    val props = propsOf(path, v)
+    manifestEntries(path, v).filter { e =>
+      ranges.forall { case (c, lo, hi) =>
+        e.stats.get(props.phys(c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }.map(_.name)
   }
 
   /** Partition-pruned read: keep only manifest entries whose recorded
@@ -775,9 +987,12 @@ object VersionedTable {
     require(versions(path).contains(v), s"version $v not committed at $path")
     require(!vacuumedVersions(path).contains(v),
       s"version $v was vacuumed at $path")
+    val props = propsOf(path, v)
     val keep = manifestEntries(path, v).filter(e =>
-      values.forall { case (k, want) => e.part.get(k).forall(_ == want) })
-    val pruned = readEntries(spark, path, keep, schemaOf(path, v), v)
+      values.forall { case (k, want) =>
+        e.part.get(props.phys(k)).forall(_ == want) })
+    val pruned = readEntries(spark, path, keep, schemaOf(path, v), v,
+      props = props)
     values.foldLeft(pruned) { case (df, (k, want)) =>
       df.filter(col(k).cast("string") === lit(want))
     }
@@ -787,9 +1002,12 @@ object VersionedTable {
     * `values` — the shortlist [[readPartition]] scans (exposed for
     * pruning assertions). */
   def prunedPartitionEntries(path: String, v: Int,
-                             values: Map[String, String]): Seq[FileEntry] =
+                             values: Map[String, String]): Seq[FileEntry] = {
+    val props = propsOf(path, v)
     manifestEntries(path, v).filter(e =>
-      values.forall { case (k, want) => e.part.get(k).forall(_ == want) })
+      values.forall { case (k, want) =>
+        e.part.get(props.phys(k)).forall(_ == want) })
+  }
 
   /** (name, bytes) for each data file of version `v` — pure manifest
     * metadata (sizes captured at write time). */
@@ -822,7 +1040,8 @@ object VersionedTable {
     else {
       val schema = schemaOf(path, v)
       val clustered = Maintenance.clusteredFrame(
-        readFiles(spark, path, cand, schema, v), sortCols, numFiles)
+        readFiles(spark, path, cand, schema, v, propsOf(path, v)),
+        sortCols, numFiles)
       commitRewrite(spark, path, "OPTIMIZE[INCR]", clustered, cand,
         schema, v)
     }
@@ -838,10 +1057,11 @@ object VersionedTable {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
+    val props = propsOf(path, v)
     val keyFrame = updates.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
-      _.join(keyFrame, keys, "left_semi"))
-    val touchedRows = readFiles(spark, path, touched, schema, v)
+      _.join(keyFrame, keys, "left_semi"), props)
+    val touchedRows = readFiles(spark, path, touched, schema, v, props)
     commitRewrite(spark, path, "MERGE",
       Medallion.mergeUpsert(touchedRows, updates, keys), touched, schema, v)
   }
@@ -866,14 +1086,26 @@ object VersionedTable {
     }
     require(conflicts.isEmpty,
       s"schema evolution cannot change column types — $conflicts")
+    val props = propsOf(path, v)
     val keyFrame = updates.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
-      _.join(keyFrame, keys, "left_semi"))
-    val merged = readFiles(spark, path, touched, schema, v)
+      _.join(keyFrame, keys, "left_semi"), props)
+    val merged = readFiles(spark, path, touched, schema, v, props)
       .join(updates, keys, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
+    // evolved columns get a physical name; a name that collides with
+    // a previously-dropped column's bytes gets a FRESH physical name
+    // (the usedPhys tombstone) instead of resurrecting them
+    var p = props
+    merged.columns.filterNot(schema.fieldNames.contains).foreach { c =>
+      val phys = if (p.usedPhys.contains(c)) s"${c}_v${v + 1}" else c
+      p = p.copy(
+        colmap = if (phys == c) p.colmap else p.colmap + (c -> phys),
+        usedPhys = p.usedPhys + phys)
+    }
     commitRewrite(spark, path, "MERGE[EVOLVE]", merged, touched,
-      nullableSchema(merged.schema), v)
+      nullableSchema(merged.schema), v,
+      newProps = if (p == props) None else Some(p))
   }
 
   /** Recency-aware MERGE: keep the latest row per `key` by
@@ -898,11 +1130,12 @@ object VersionedTable {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
+    val props = propsOf(path, v)
     val nonNullUpd = updates.filter(col(key).isNotNull)
     val keyFrame = nonNullUpd.select(col(key)).distinct()
     val touched = touchedFiles(spark, path, v, schema,
-      _.join(keyFrame, Seq(key), "left_semi"))
-    val base = readFiles(spark, path, touched, schema, v)
+      _.join(keyFrame, Seq(key), "left_semi"), props)
+    val base = readFiles(spark, path, touched, schema, v, props)
     val merged = Medallion.dedupLatest(
         base.filter(col(key).isNotNull).unionByName(nonNullUpd),
         key, orderCol, tieBreaker)
@@ -940,14 +1173,15 @@ object VersionedTable {
     }
     require(assignments.map(_._1).distinct.size == assignments.size,
       s"duplicate UPDATE target in ${assignments.map(_._1)}")
+    val props = propsOf(path, v)
     val touched = touchedFiles(spark, path, v, schema,
-      _.filter(expr(conditionSql)))
+      _.filter(expr(conditionSql)), props)
     // SQL UPDATE semantics: the condition and EVERY assignment RHS are
     // evaluated against the pre-update row — one select, so no
     // assignment can observe another's result (swap-style SET a=b, b=a
     // and condition columns that are themselves assigned both work)
     val assignMap = assignments.toMap
-    val updated = readFiles(spark, path, touched, schema, v)
+    val updated = readFiles(spark, path, touched, schema, v, props)
       .select(cols.map { c =>
         assignMap.get(c) match {
           case Some(rhs) =>
@@ -970,8 +1204,11 @@ object VersionedTable {
     // removed — a NULL condition keeps the row (plain !cond would
     // silently drop it)
     val hit = coalesce(expr(conditionSql), lit(false))
-    val touched = touchedFiles(spark, path, v, schema, _.filter(hit))
-    val kept = readFiles(spark, path, touched, schema, v).filter(!hit)
+    val props = propsOf(path, v)
+    val touched = touchedFiles(spark, path, v, schema, _.filter(hit),
+      props)
+    val kept = readFiles(spark, path, touched, schema, v, props)
+      .filter(!hit)
     commitRewrite(spark, path, "DELETE", kept, touched, schema, v)
   }
 
@@ -1033,7 +1270,7 @@ object VersionedTable {
     // counts and the sidecar write — without this the condition scan
     // would run twice)
     val newDel = readEntries(spark, path, entries, schema, v,
-        lineage = true)
+        lineage = true, props = propsOf(path, v))
       .filter(hit)
       .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
       .localCheckpoint(true)
@@ -1109,16 +1346,27 @@ object VersionedTable {
         case _ => false
       }
     } catch { case _: Throwable => false }
+    // a new column whose name collides with a previously-dropped
+    // column's PHYSICAL bytes gets a fresh physical name — re-linked
+    // files must read it as null, never as the dropped column's data
+    val props = propsOf(path, v)
+    val phys = if (props.usedPhys.contains(name)) s"${name}_v${v + 1}"
+               else name
+    val newProps = props.copy(
+      colmap = if (phys == name) props.colmap
+               else props.colmap + (name -> phys),
+      usedPhys = props.usedPhys + phys)
     if (foldsToNull)
       commitActions(path, "ADD COLUMN", v, Set.empty, Nil,
         StructType(schema.fields :+
-          StructField(name, newType, nullable = true)))
+          StructField(name, newType, nullable = true)),
+        Some(newProps))
     else
       // computed column: every row gains a value — full rewrite is the
       // honest cost, not an implementation shortcut
       commitRewrite(spark, path, "ADD COLUMN", withCol,
         manifestEntries(path, v).map(_.name).toSet,
-        nullableSchema(withCol.schema), v)
+        nullableSchema(withCol.schema), v, newProps = Some(newProps))
   }
 
   /** Change-data-feed analog (`table_changes`): row-level diff
@@ -1150,8 +1398,10 @@ object VersionedTable {
         // shape, diff the full frames (exceptAll requires same schema
         // and will refuse — same contract as before)
         (ea, eb)
-    val a = readEntries(spark, path, onlyA, sa, fromVersion)
-    val b = readEntries(spark, path, onlyB, sb, toVersion)
+    val a = readEntries(spark, path, onlyA, sa, fromVersion,
+      props = propsOf(path, fromVersion))
+    val b = readEntries(spark, path, onlyB, sb, toVersion,
+      props = propsOf(path, toVersion))
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
@@ -1234,9 +1484,17 @@ object VersionedTable {
     val latest = latestVersion(path).get
     val v = latest + 1
     val files = manifestEntries(path, toVersion)
+    // RESTORE restores the whole table state: data, schema AND
+    // properties (constraints, column mapping) as of the target —
+    // except usedPhys, which is a monotone tombstone set and must
+    // keep every physical name later versions consumed
+    val restored = propsOf(path, toVersion).copy(
+      usedPhys = propsOf(path, latest).usedPhys ++
+        propsOf(path, toVersion).usedPhys)
     appendLog(path, v, s"RESTORE[v=$toVersion]", files.map(_.rows).sum,
       schemaOf(path, toVersion), full = Some(files), add = Nil,
-      remove = manifestEntries(path, latest).map(_.name).toSet)
+      remove = manifestEntries(path, latest).map(_.name).toSet,
+      props = restored)
     v
   }
 
@@ -1327,6 +1585,205 @@ object VersionedTable {
     * O(changes) — only checkpoint entries embed a full manifest. */
   def history(spark: SparkSession, path: String): DataFrame =
     spark.read.json(logDir(path).toString)
+
+  /** True when any active constraint's SQL mentions `column` as a
+    * word — the conservative guard RENAME/DROP COLUMN use (may refuse
+    * a column that only appears inside a string literal; never lets a
+    * referenced column slip through). */
+  private def constraintMentions(props: TableProps,
+                                 column: String): Option[String] = {
+    val re = ("(?<![A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(column) +
+      "(?![A-Za-z0-9_`])").r
+    props.constraints.collectFirst {
+      case (n, sql) if re.findFirstIn(sql).isDefined => n
+    }
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` — METADATA-ONLY (Delta column
+    * mapping): the data files keep the column under its stable
+    * PHYSICAL name; the commit records the new logical schema plus
+    * the logical→physical mapping, with ZERO add/remove actions and
+    * zero data I/O. Every later verb (DML rewrites, stats-pruned and
+    * partition-pruned reads) resolves through the mapping, and
+    * pre-rename versions still read under the old name — renaming a
+    * column of a 100 TB table costs one log line. */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+                   to: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    require(schema.fieldNames.contains(from),
+      s"column $from not in ${schema.fieldNames.toSeq}")
+    require(!schema.fieldNames.contains(to), s"column $to already exists")
+    val props = propsOf(path, v)
+    constraintMentions(props, from).foreach(n =>
+      throw new IllegalArgumentException(
+        s"cannot rename $from: CHECK constraint $n references it — " +
+          "drop the constraint first"))
+    val physFrom = props.phys(from)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newProps = props.copy(
+      colmap = props.colmap - from + (to -> physFrom),
+      usedPhys = props.usedPhys + physFrom)
+    commitActions(path, s"RENAME COLUMN[$from->$to]", v, Set.empty, Nil,
+      newSchema, Some(newProps))
+  }
+
+  /** `ALTER TABLE DROP COLUMN` — METADATA-ONLY: the new schema simply
+    * omits the column (reads never project it); the bytes stay in the
+    * immutable files until their natural rewrite. The dropped
+    * column's PHYSICAL name goes into the usedPhys tombstone set so a
+    * later ADD COLUMN of the same name can never resurrect its data. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    require(schema.fieldNames.contains(name),
+      s"column $name not in ${schema.fieldNames.toSeq}")
+    require(schema.length > 1, s"cannot drop the only column of $path")
+    val props = propsOf(path, v)
+    constraintMentions(props, name).foreach(n =>
+      throw new IllegalArgumentException(
+        s"cannot drop $name: CHECK constraint $n references it — " +
+          "drop the constraint first"))
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    val newProps = props.copy(colmap = props.colmap - name,
+      usedPhys = props.usedPhys + props.phys(name))
+    commitActions(path, s"DROP COLUMN[$name]", v, Set.empty, Nil,
+      newSchema, Some(newProps))
+  }
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (sql)` — Delta table
+    * constraints: the EXISTING table must already satisfy the
+    * predicate (scanned once, column-pruned; violation aborts), then
+    * the constraint is committed as metadata and every later commit's
+    * NEW files are validated against it at O(new data) cost. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    sql: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val props = propsOf(path, v)
+    require(!props.constraints.contains(name),
+      s"constraint $name already exists on $path")
+    val viol = read(spark, path)
+      .filter(!coalesce(expr(sql), lit(true))).count()
+    if (viol > 0) throw new ConstraintViolationException(
+      s"cannot add CHECK constraint $name ($sql) on $path: " +
+        s"$viol existing rows violate it")
+    commitActions(path, s"ADD CONSTRAINT[$name]", v, Set.empty, Nil,
+      schemaOf(path, v),
+      Some(props.copy(constraints = props.constraints + (name -> sql))))
+  }
+
+  /** `ALTER TABLE SET TBLPROPERTIES` — free-form table properties as
+    * a metadata-only commit (the reference tags its DLT tables
+    * `quality = bronze/silver/gold`). Existing keys are overwritten,
+    * other keys kept. */
+  def setTableProperties(path: String,
+                         kv: Map[String, String]): Int = {
+    require(kv.nonEmpty, "no properties given")
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val props = propsOf(path, v)
+    commitActions(path,
+      s"SET TBLPROPERTIES[${kv.keys.toSeq.sorted.mkString(",")}]",
+      v, Set.empty, Nil, schemaOf(path, v),
+      Some(props.copy(tbl = props.tbl ++ kv)))
+  }
+
+  /** `ALTER TABLE UNSET TBLPROPERTIES` — metadata-only. */
+  def unsetTableProperty(path: String, key: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val props = propsOf(path, v)
+    require(props.tbl.contains(key),
+      s"table property $key not set on $path")
+    commitActions(path, s"UNSET TBLPROPERTIES[$key]", v, Set.empty, Nil,
+      schemaOf(path, v), Some(props.copy(tbl = props.tbl - key)))
+  }
+
+  /** The user table properties of version `v`. */
+  def tableProperties(path: String, v: Int): Map[String, String] =
+    propsOf(path, v).tbl
+
+  /** `ALTER TABLE DROP CONSTRAINT` — metadata-only. */
+  def dropConstraint(path: String, name: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val props = propsOf(path, v)
+    require(props.constraints.contains(name),
+      s"constraint $name not found on $path " +
+        s"(have ${props.constraints.keys.toSeq.sorted})")
+    commitActions(path, s"DROP CONSTRAINT[$name]", v, Set.empty, Nil,
+      schemaOf(path, v),
+      Some(props.copy(constraints = props.constraints - name)))
+  }
+
+  /** METADATA-ONLY aggregate: (live rows, min, max) of a numeric
+    * column answered purely from the manifest — zero file I/O, zero
+    * Spark jobs — when every file is DV-free and carries complete
+    * write-time footer stats for the column. `None` when any file
+    * can't be answered from metadata (a DV may have deleted the
+    * extreme row; a stat-less file hides its range) — the caller
+    * falls back to [[statsAgg]], never to a wrong answer. The row
+    * COUNT alone is always exact from the manifest (live counts are
+    * DV-adjusted at commit time): see the first element. NaN caveat:
+    * files containing NaN get no footer stats for that column and
+    * therefore force the scan path. */
+  def statsAggMeta(path: String, column: String,
+                   asOf: Option[Int] = None): Option[(Long, Double, Double)] = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val pc = propsOf(path, v).phys(column)
+    val es = manifestEntries(path, v)
+    if (es.nonEmpty && es.forall(e =>
+        e.dv.isEmpty && e.rows == e.phys && e.stats.contains(pc)))
+      Some((es.map(_.rows).sum,
+        es.map(_.stats(pc)._1).min, es.map(_.stats(pc)._2).max))
+    else None
+  }
+
+  /** Hybrid (count, min, max) of a numeric column: CLEAN files
+    * (DV-free, stats-carrying) answer from the manifest; only dirty
+    * files — those a deletion vector touched or whose footer lacked
+    * complete stats — are scanned, so the aggregate costs
+    * O(dirty files), not O(table). The count is always pure metadata.
+    * This is the query Delta answers from its log stats
+    * (`SELECT count(*)/min/max` without touching data). */
+  def statsAgg(spark: SparkSession, path: String, column: String,
+               asOf: Option[Int] = None): (Long, Double, Double) = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val props = propsOf(path, v)
+    val pc = props.phys(column)
+    val es = manifestEntries(path, v)
+    val count = es.map(_.rows).sum
+    val (clean, dirty) = es.partition(e =>
+      e.dv.isEmpty && e.rows == e.phys && e.stats.contains(pc))
+    val metaMin = clean.map(_.stats(pc)._1).minOption
+    val metaMax = clean.map(_.stats(pc)._2).maxOption
+    val scanned =
+      if (dirty.isEmpty) None
+      else {
+        val r = readEntries(spark, path, dirty, schemaOf(path, v), v,
+            props = props)
+          .agg(min(col(column)).cast("double").as("mn"),
+            max(col(column)).cast("double").as("mx")).collect()(0)
+        if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
+      }
+    val lo = metaMin.toSeq ++ scanned.map(_._1)
+    require(lo.nonEmpty,
+      s"statsAgg($column) on $path v$v: no live rows to aggregate")
+    (count, lo.min, (metaMax.toSeq ++ scanned.map(_._2)).max)
+  }
 
   /** OPTIMIZE+ZORDER analog: clustered compaction committed as a new
     * version (history preserved — old versions still readable). A
