@@ -596,6 +596,35 @@ object TableQueries {
                         THEN c_acctbal + 100.0
                         ELSE c_acctbal END < 0)""")),
 
+    Q("versioned_append_evolve",
+      // schema-evolving APPEND (r11 — the autoloader mergeSchema
+      // ingest shape over the engine's own format): the batch carries
+      // a NEW column, so the commit widens the table schema as
+      // METADATA riding the same O(batch) append — every re-linked
+      // file reads the new column as null (zero rewrite, the spec
+      // asserts the whole prior manifest re-links), table columns the
+      // batch lacks are null-filled; at 100 TB an evolving bronze
+      // feed must never pay a table rewrite for a new field
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vae_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val cust = Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal")
+        VersionedTable.write(cust.filter(col("c_custkey") % 3 === 0),
+          path)
+        VersionedTable.appendEvolve(s,
+          cust.filter(col("c_custkey") % 3 =!= 0)
+            .withColumn("c_channel", lit("backfill")), path)
+        VersionedTable.read(s, path)
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal,
+          cast(NULL as varchar) as c_channel
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, 'backfill'
+        FROM customer WHERE c_custkey % 3 <> 0""")),
+
     Q("versioned_zorder_read",
       // 2-D data skipping INSIDE the versioned format (r11):
       // OPTIMIZE ZORDER lays files out as compact (user_id, value)

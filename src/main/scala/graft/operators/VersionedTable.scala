@@ -603,11 +603,18 @@ object VersionedTable {
       else manifestEntries(path, v - 1).map(_.name).toSet
     // table properties survive a snapshot overwrite (Delta: constraints
     // and column mapping are table-level): the colmap keeps entries for
-    // columns still present; usedPhys only ever grows
+    // columns still present; usedPhys only ever grows. A NEW column
+    // whose name is claimed as another column's PHYSICAL name gets a
+    // fresh physical — two logicals must never share a physical
     val prevProps = if (v == 0) emptyProps else propsOf(path, v - 1)
-    val colmap = prevProps.colmap.filter {
+    val kept = prevProps.colmap.filter {
       case (l, _) => df.columns.contains(l)
     }
+    val taken = prevProps.colmap.values.toSet
+    val colmap = kept ++ df.columns
+      .filterNot(kept.contains).collect {
+        case c if taken.contains(c) => c -> s"${c}_v$v"
+      }
     val props = prevProps.copy(colmap = colmap,
       usedPhys = prevProps.usedPhys ++
         df.columns.map(c => colmap.getOrElse(c, c)))
@@ -889,6 +896,48 @@ object VersionedTable {
       partitionBy = partitionBy, props = props)
     enforceConstraints(spark, path, v + 1, fresh, schema, props)
     commitActions(path, operation, v, Set.empty, fresh, schema)
+  }
+
+  /** APPEND with automatic schema evolution (the autoloader
+    * `mergeSchema` ingest shape): batch-only columns WIDEN the table
+    * schema as a metadata change riding the same commit (every
+    * re-linked file reads them as null — zero rewrite), table columns
+    * the batch lacks are null-filled, and type changes fail loudly.
+    * New columns get tombstone-safe physical names like every other
+    * evolution path. */
+  def appendEvolve(spark: SparkSession, df: DataFrame, path: String,
+                   operation: String = "APPEND[EVOLVE]"): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    val conflicts = schema.flatMap { f =>
+      df.schema.find(_.name == f.name).collect {
+        case u if normType(u.dataType) != normType(f.dataType) =>
+          s"${f.name}: table ${f.dataType.simpleString} vs batch ${u.dataType.simpleString}"
+      }
+    }
+    require(conflicts.isEmpty,
+      s"schema evolution cannot change column types — $conflicts")
+    val newFields = df.schema.fields
+      .filterNot(f => schema.fieldNames.contains(f.name))
+      .map(f => f.copy(dataType = asNullable(f.dataType), nullable = true))
+    val newSchema = StructType(schema.fields ++ newFields)
+    val aligned = df.select(newSchema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val props = propsOf(path, v)
+    var p = props
+    newFields.map(_.name).foreach { c =>
+      val phys = if (p.usedPhys.contains(c)) s"${c}_v${v + 1}" else c
+      p = p.copy(
+        colmap = if (phys == c) p.colmap else p.colmap + (c -> phys),
+        usedPhys = p.usedPhys + phys)
+    }
+    val fresh = writeDataFiles(aligned, path, v + 1, props = p)
+    enforceConstraints(spark, path, v + 1, fresh, newSchema, p)
+    commitActions(path, operation, v, Set.empty, fresh, newSchema,
+      if (newFields.isEmpty) None else Some(p))
   }
 
   /** Per-file [min, max] of a numeric column for version `v` — read
@@ -1389,19 +1438,32 @@ object VersionedTable {
       s"cannot diff vacuumed versions at $path")
     val sa = schemaOf(path, fromVersion)
     val sb = schemaOf(path, toVersion)
+    val pa = propsOf(path, fromVersion)
+    val pb = propsOf(path, toVersion)
     val ea = manifestEntries(path, fromVersion)
     val eb = manifestEntries(path, toVersion)
+    def physOf(s: StructType, p: TableProps) =
+      StructType(s.fields.map(f => f.copy(name = p.phys(f.name))))
+    // a RENAME between the versions changes the logical schema but
+    // not the physical one — diff both sides under the TO version's
+    // logical view (physical names are stable, so vA's files read
+    // fine) and shared entries still cancel; a rename-only commit
+    // diffs EMPTY, matching Delta CDF under column mapping
+    val renameOnly = sa != sb && physOf(sa, pa) == physOf(sb, pb)
+    val (va, vb) = if (renameOnly) ((sb, pb), (sb, pb))
+                   else ((sa, pa), (sb, pb))
     val (onlyA, onlyB) =
-      if (sa == sb) (ea.filterNot(eb.toSet), eb.filterNot(ea.toSet))
+      if (sa == sb || renameOnly)
+        (ea.filterNot(eb.toSet), eb.filterNot(ea.toSet))
       else
-        // schema changed between the versions: every file differs in
-        // shape, diff the full frames (exceptAll requires same schema
-        // and will refuse — same contract as before)
+        // schema genuinely changed between the versions: every file
+        // differs in shape, diff the full frames (exceptAll requires
+        // same schema and will refuse — same contract as before)
         (ea, eb)
-    val a = readEntries(spark, path, onlyA, sa, fromVersion,
-      props = propsOf(path, fromVersion))
-    val b = readEntries(spark, path, onlyB, sb, toVersion,
-      props = propsOf(path, toVersion))
+    val a = readEntries(spark, path, onlyA, va._1, fromVersion,
+      props = va._2)
+    val b = readEntries(spark, path, onlyB, vb._1, toVersion,
+      props = vb._2)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }

@@ -88,6 +88,27 @@ class VersionedTablePropsSpec extends SparkSpec {
       .filter(col("n_name").isNotNull).count() == 25)
   }
 
+  test("overwrite WRITE keeps the column mapping and never lets a new " +
+    "logical column collide with a renamed column's physical name") {
+    val path = freshPath
+    VersionedTable.write(rangedNation, path)
+    VersionedTable.renameColumn(spark, path, "n_name", "title")
+    // overwrite with BOTH the renamed column and a NEW column that
+    // reuses the old logical name (= title's physical name)
+    val snap = VersionedTable.read(spark, path)
+      .withColumn("n_name", concat(lit("new_"), col("title")))
+    VersionedTable.write(snap, path, operation = "OVERWRITE")
+    val out = VersionedTable.read(spark, path)
+    assert(out.columns.toSet ==
+      Set("n_nationkey", "title", "n_regionkey", "n_name"))
+    assert(out.filter(col("n_name") === concat(lit("new_"), col("title")))
+      .count() == 25)
+    // the two logicals live under DISTINCT physicals
+    val props = VersionedTable.propsOf(path,
+      VersionedTable.latestVersion(path).get)
+    assert(props.phys("title") != props.phys("n_name"))
+  }
+
   test("rename/drop refuse a column referenced by a CHECK constraint") {
     val path = freshPath
     VersionedTable.write(rangedNation, path)
@@ -161,6 +182,49 @@ class VersionedTablePropsSpec extends SparkSpec {
       VersionedTable.append(spark, tables.nation.withColumn("n_nationkey",
         col("n_nationkey") + 5000), path)
     }
+  }
+
+  test("appendEvolve widens the schema as metadata: the whole prior " +
+    "manifest re-links, old rows read the new column as null, a " +
+    "dropped-name column is tombstone-safe, type changes refuse") {
+    val path = freshPath
+    VersionedTable.write(rangedNation, path)                    // v0
+    VersionedTable.dropColumn(spark, path, "n_regionkey")       // v1
+    val m1 = VersionedTable.manifest(path, 1).map(_._1).toSet
+    // batch re-introduces the DROPPED name with different content
+    val batch = tables.nation.select(
+      (col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+      lit(7L).as("n_regionkey"))
+    VersionedTable.appendEvolve(spark, batch, path)             // v2
+    val m2 = VersionedTable.manifest(path, 2).map(_._1).toSet
+    assert(m1.subsetOf(m2), "append must re-link the whole manifest")
+    val out = VersionedTable.read(spark, path)
+    assert(out.count() == 50)
+    // old rows: NULL (tombstone keeps the dropped bytes buried);
+    // batch rows: 7
+    assert(out.filter(col("n_nationkey") < 100)
+      .filter(col("n_regionkey").isNotNull).count() == 0)
+    assert(out.filter(col("n_regionkey") === 7).count() == 25)
+    // type conflicts refuse loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendEvolve(spark, tables.nation
+        .withColumn("n_name", col("n_nationkey")), path)
+    }
+  }
+
+  test("changes() across a RENAME commit: the rename itself diffs " +
+    "EMPTY (column mapping), and a later DML diffs under the new name") {
+    val path = freshPath
+    VersionedTable.write(rangedNation, path)                    // v0
+    VersionedTable.renameColumn(spark, path, "n_name", "title") // v1
+    assert(VersionedTable.changes(spark, path, 0, 1).count() == 0)
+    VersionedTable.update(spark, path, "n_nationkey = 3",
+      Seq("title" -> "'patched'"))                              // v2
+    val feed = VersionedTable.changes(spark, path, 0, 2)
+    assert(feed.columns.contains("title"))
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("title") === "patched").count() == 1)
+    assert(feed.count() == 2) // delete(old) + insert(new)
   }
 
   test("TBLPROPERTIES: set/overwrite/unset are metadata-only, ride " +
