@@ -509,6 +509,64 @@ private[graft] object StreamingQueries {
               ORDER BY epoch_us(ts) DESC, event_id DESC) as rn
           FROM events) WHERE rn = 1""")),
 
+    Q("stream_cdf_source",
+      // the versioned table as a STREAMING SOURCE (r11 — the
+      // readStream half of the CDF story; stream_cdf_follow is the
+      // batch-hop consumer): a Structured Streaming file source
+      // watches the source table's COMMIT LOG, and each trigger
+      // applies the newly committed versions into a replica
+      // versioned table as keyed O(delta) verbs — inserts MERGE
+      // file-granularly, vanished keys delete file-granularly; the
+      // source checkpoint makes log discovery exactly-once across
+      // RESTARTS (proven: one more commit lands while the stream is
+      // down, the resumed stream applies only that hop) and per-hop
+      // operation markers make at-least-once application idempotent.
+      // A 100 TB replica follows by shipping deltas, never snapshots
+      (s, d) => withShufflePartitions(s, 8) {
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/cdfs_src_$sf"
+        val rep = s"/tmp/graft_cache/cdfs_rep_$sf"
+        Seq(src, rep).foreach(VersionedTable.destroy)
+        val cust = Tables(s, d).customer
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        VersionedTable.write(cust.filter(col("c_custkey") % 3 === 0),
+          src)                                               // v0
+        // the consumer seeds its replica from the v0 snapshot
+        VersionedTable.write(VersionedTable.read(s, src, Some(0)), rep,
+          operation = "SEED[v=0]")
+        VersionedTable.append(s,
+          cust.filter(col("c_custkey") % 3 =!= 0), src)      // v1
+        VersionedTable.update(s, src, "c_mktsegment = 'BUILDING'",
+          Seq("c_acctbal" -> "c_acctbal + 100.0"))           // v2
+        VersionedTable.deleteVectors(s, src, "c_acctbal < 0") // v3
+        val ckpt = freshCheckpoint("cdfs", d)
+        def follow(): Unit = {
+          val q = graft.streaming.Streams.cdfSourceFollow(s, src, rep,
+            Seq("c_custkey"), ckpt)
+          q.awaitTermination(120000); ()
+        }
+        follow()
+        // a commit lands while the follower is DOWN; the restarted
+        // stream resumes from the checkpoint and applies only v4
+        VersionedTable.update(s, src, "c_mktsegment = 'MACHINERY'",
+          Seq("c_acctbal" -> "c_acctbal - 50.0"))            // v4
+        follow()
+        VersionedTable.read(s, rep)
+      },
+      // the replica converges to the source's final snapshot:
+      // BUILDING +100, post-update negatives removed, MACHINERY -50
+      // (disjoint segments — one IEEE double add per row, §4 rule)
+      Some("""
+        SELECT c_custkey, c_name,
+          CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+               WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal - 50.0
+               ELSE c_acctbal END as c_acctbal,
+          c_mktsegment
+        FROM customer
+        WHERE NOT (CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN c_acctbal + 100.0
+                        ELSE c_acctbal END < 0)""")),
+
     Q("stream_dedup",
       (s, d) => withShufflePartitions(s, 8) {
         import org.apache.spark.sql.streaming.Trigger

@@ -1102,7 +1102,7 @@ object VersionedTable {
     * other file is re-linked; a small update batch against a huge
     * table commits in O(delta). */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-             keys: Seq[String]): Int = {
+             keys: Seq[String], operation: String = "MERGE"): Int = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
@@ -1111,8 +1111,29 @@ object VersionedTable {
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, keys, "left_semi"), props)
     val touchedRows = readFiles(spark, path, touched, schema, v, props)
-    commitRewrite(spark, path, "MERGE",
+    commitRewrite(spark, path, operation,
       Medallion.mergeUpsert(touchedRows, updates, keys), touched, schema, v)
+  }
+
+  /** `DELETE ... WHERE key IN (<frame>)` — file-granular delete of
+    * every row whose key appears in `keys` (a DataFrame, never a
+    * driver-side literal list — a GDPR erasure ships millions of
+    * subject keys). Only files containing a matching key are
+    * rewritten; survivors anti-join the key frame. The row-frame twin
+    * of [[delete]]'s predicate form. */
+  def deleteMatching(spark: SparkSession, path: String, keys: DataFrame,
+                     keyCols: Seq[String],
+                     operation: String = "DELETE[KEYS]"): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val schema = schemaOf(path, v)
+    val props = propsOf(path, v)
+    val keyFrame = keys.select(keyCols.map(col): _*).distinct()
+    val touched = touchedFiles(spark, path, v, schema,
+      _.join(keyFrame, keyCols, "left_semi"), props)
+    val kept = readFiles(spark, path, touched, schema, v, props)
+      .join(keyFrame, keyCols, "left_anti")
+    commitRewrite(spark, path, operation, kept, touched, schema, v)
   }
 
   /** MERGE with automatic schema evolution (Delta's

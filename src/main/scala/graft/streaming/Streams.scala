@@ -125,6 +125,76 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One trigger of the CDF STREAMING CONSUMER: apply every source
+    * version the replica has not seen yet, in order, as keyed
+    * O(delta) table verbs. The file stream over the source's commit
+    * log is purely the NOTIFICATION channel (a new log file = a new
+    * version); the batch payload itself is ignored, so ANY batch
+    * split or ordering is safe. Per hop the row-level feed
+    * (delete(old)+insert(new)) becomes: a file-granular MERGE of the
+    * inserts plus a file-granular key-delete of keys that vanished —
+    * both O(change), never O(replica). Exactly-once: each hop's
+    * commits carry `CDF_MERGE[v=N]` / `CDF_DELETE[v=N]` operation
+    * markers, so at-least-once redelivery re-applies nothing.
+    * CONTRACT: the source is key-unique on `keyCols` (so an update is
+    * exactly delete+insert of one key) and the replica was seeded
+    * from source v0; vacuuming source history a follower has not yet
+    * consumed breaks it — Delta CDF's own retention hazard. */
+  def cdfApplyBatch(spark: SparkSession, srcPath: String,
+                    replicaPath: String, keyCols: Seq[String])
+                   (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.VersionedTable
+    val markerV = "CDF_(?:MERGE|DELETE)\\[v=(\\d+)\\]".r
+    val applied = VersionedTable.operations(replicaPath).flatMap(op =>
+      markerV.findFirstMatchIn(op).map(_.group(1).toInt))
+    val from = (applied :+ 0).max
+    val latest = VersionedTable.latestVersion(srcPath).getOrElse(0)
+    ((from + 1) to latest).foreach { v =>
+      val feed = VersionedTable.changes(spark, srcPath, v - 1, v)
+        .localCheckpoint(true)
+      val inserts = feed.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val delOnly = feed.filter(col("_change_type") === "delete")
+        .select(keyCols.map(col): _*).distinct()
+        .join(inserts.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+      val ops = VersionedTable.operations(replicaPath)
+      val delMarker = s"CDF_DELETE[v=$v]"
+      val mrgMarker = s"CDF_MERGE[v=$v]"
+      if (!ops.contains(delMarker) && !delOnly.isEmpty) {
+        VersionedTable.deleteMatching(spark, replicaPath, delOnly,
+          keyCols, operation = delMarker); ()
+      }
+      if (!ops.contains(mrgMarker) && !inserts.isEmpty) {
+        VersionedTable.upsert(spark, replicaPath, inserts, keyCols,
+          operation = mrgMarker); ()
+      }
+    }
+  }
+
+  /** The versioned table as a STREAMING SOURCE (the readStream half
+    * of the CDF story — `stream_cdf_follow` is the batch consumer):
+    * a Structured Streaming file source watches the source table's
+    * commit log, and each trigger applies the newly committed
+    * versions into a replica versioned table via [[cdfApplyBatch]].
+    * The source checkpoint makes log-file discovery exactly-once
+    * across restarts; the per-hop operation markers make the
+    * application idempotent under at-least-once foreachBatch. */
+  def cdfSourceFollow(spark: SparkSession, srcPath: String,
+                      replicaPath: String, keyCols: Seq[String],
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val logSchema = StructType(Seq(StructField("version",
+      org.apache.spark.sql.types.IntegerType)))
+    spark.readStream.schema(logSchema)
+      .json(s"$srcPath/_graft_log")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(cdfApplyBatch(spark, srcPath, replicaPath, keyCols) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming exact dedup: at-least-once sources (retried files,
     * replayed offsets) deliver duplicate events; dedup on `event_id`
     * with watermark-bounded state. `dropDuplicatesWithinWatermark`

@@ -922,4 +922,45 @@ class StreamsSpec extends SparkSpec {
       .select(explode(split(col("text"), " "))).count() * 4
     assert(total == tokenMass, s"retried batch double-counted: $total")
   }
+
+  test("cdfApplyBatch: keyed CDF application is idempotent under " +
+    "at-least-once redelivery, handles delete-only keys, and catches " +
+    "up every unapplied version") {
+    import graft.operators.VersionedTable
+    val src = Files.createTempDirectory("graft_cdfab").toFile.getPath + "/s"
+    val rep = Files.createTempDirectory("graft_cdfab").toFile.getPath + "/r"
+    val cust = tables.customer
+      .select("c_custkey", "c_name", "c_acctbal")
+    VersionedTable.write(cust.filter(col("c_custkey") % 2 === 0), src) // v0
+    VersionedTable.write(VersionedTable.read(spark, src, Some(0)), rep,
+      operation = "SEED[v=0]")
+    VersionedTable.append(spark,
+      cust.filter(col("c_custkey") % 2 =!= 0), src)                    // v1
+    VersionedTable.update(spark, src, "c_custkey % 5 = 0",
+      Seq("c_acctbal" -> "c_acctbal + 1.0"))                           // v2
+    VersionedTable.deleteVectors(spark, src, "c_custkey % 7 = 0")      // v3
+    val empty = spark.emptyDataFrame
+    val apply = graft.streaming.Streams.cdfApplyBatch(spark, src, rep,
+      Seq("c_custkey")) _
+    apply(empty, 0L)
+    // redelivery of the same trigger applies NOTHING new (markers)
+    val opsAfter = VersionedTable.operations(rep)
+    apply(empty, 1L)
+    assert(VersionedTable.operations(rep) == opsAfter,
+      "redelivered trigger must be a no-op")
+    // the replica equals the source snapshot — including the
+    // delete-only keys (the DV hop has no matching inserts)
+    val srcRows = VersionedTable.read(spark, src)
+      .orderBy("c_custkey").collect().toSeq
+    val repRows = VersionedTable.read(spark, rep)
+      .orderBy("c_custkey").collect().toSeq
+    assert(repRows == srcRows)
+    // a later commit is caught up by the next trigger
+    VersionedTable.delete(spark, src, "c_custkey % 11 = 0")            // v4
+    apply(empty, 2L)
+    assert(VersionedTable.read(spark, rep).count() ==
+      VersionedTable.read(spark, src).count())
+    // the replica's history shows only O(delta) keyed verbs
+    assert(VersionedTable.operations(rep).count(_.startsWith("CDF_")) >= 3)
+  }
 }
