@@ -85,6 +85,12 @@ object VersionedTable {
   private lazy val mapper = new ObjectMapper()
 
   private def logDir(path: String) = Paths.get(path, "_graft_log")
+  // checkpoint manifests live OUT of the log lines (Delta's shape —
+  // its checkpoints are separate parquet files): every log line stays
+  // O(change), so DESCRIBE HISTORY never scans a manifest. The
+  // underscore prefix keeps Spark's directory listings away.
+  private def checkpointDir(path: String) =
+    logDir(path).resolve("_checkpoints")
   private def poolDir(path: String) = Paths.get(path, "_graft_pool")
   // underscore prefix: invisible to Spark's directory listings, like
   // _graft_log itself
@@ -266,10 +272,19 @@ object VersionedTable {
       Option(root.get("used_phys")).map(a =>
         (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty),
       strMap("tblprops"))
+    // full manifests resolve through the checkpoint pointer (inline
+    // `files` still accepted for older logs)
+    val full = entryArr("files").orElse(
+      Option(root.get("checkpoint")).map { n =>
+        val ckpt = mapper.readTree(Files.readString(
+          checkpointDir(path).resolve(n.asText)))
+        val arr = ckpt.get("files")
+        (0 until arr.size).map(i => parseFileEntry(arr.get(i)))
+      })
     LogEntry(root.get("version").asInt, root.get("operation").asText,
       root.get("num_rows").asLong, root.get("committed_at").asText,
       root.get("schema").asText,
-      entryArr("files"), entryArr("add").getOrElse(Seq.empty),
+      full, entryArr("add").getOrElse(Seq.empty),
       Option(root.get("remove")).map(a =>
         (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty),
       props)
@@ -284,11 +299,21 @@ object VersionedTable {
     Files.createDirectories(logDir(path))
     val removeJson = remove.toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
-    // `files` (the full manifest) only on checkpoint/full commits;
-    // delta commits carry `add` — entry size tracks the CHANGE
+    // the full manifest of a checkpoint/full commit goes to a SIDECAR
+    // under _checkpoints — uniquely named so two racing writers can
+    // never clobber each other's manifest (the atomic log-line append
+    // below is the single commit point; a loser's sidecar is an
+    // orphan vacuum sweeps) — and the log line carries only the
+    // pointer: EVERY entry is O(change), DESCRIBE HISTORY never
+    // scans a manifest. Delta commits carry their `add` actions
     val tailJson = full match {
       case Some(fs) =>
-        s""""files":${fs.map(fileEntryJson).mkString("[", ",", "]")}"""
+        val name =
+          f"$v%06d-${java.util.UUID.randomUUID.toString.take(8)}.json"
+        Files.createDirectories(checkpointDir(path))
+        Files.writeString(checkpointDir(path).resolve(name),
+          s"""{"files":${fs.map(fileEntryJson).mkString("[", ",", "]")}}""")
+        s""""checkpoint":"$name","add":[]"""
       case None =>
         s""""add":${add.map(fileEntryJson).mkString("[", ",", "]")}"""
     }
@@ -1604,6 +1629,18 @@ object VersionedTable {
       Files.copy(logDir(src).resolve(f"$v%06d.json"),
         logDir(dst).resolve(f"$v%06d.json"))
     }
+    // checkpoint sidecars travel with the log they anchor
+    if (Files.exists(checkpointDir(src))) {
+      Files.createDirectories(checkpointDir(dst))
+      val s = Files.list(checkpointDir(src))
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          Files.copy(f, checkpointDir(dst).resolve(f.getFileName))
+        }
+      } finally s.close()
+    }
     // versions already unreadable at the source stay contractually
     // unreadable in the clone
     if (Files.exists(vacuumedFile(src)))
@@ -1660,6 +1697,23 @@ object VersionedTable {
     Option(Paths.get(path).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_graft_stage_"))
       .foreach(f => if (f.lastModified <= cutoff) destroy(f.toString))
+    // checkpoint sidecars referenced by no log line (a commit race's
+    // losing writer) are unreachable — sweep under the same grace
+    if (Files.exists(checkpointDir(path))) {
+      val ckptRef = "\"checkpoint\":\"([^\"]+)\"".r
+      val referenced = all.flatMap(v =>
+        ckptRef.findFirstMatchIn(logLine(path, v)).map(_.group(1))).toSet
+      val s = Files.list(checkpointDir(path))
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (!referenced.contains(f.getFileName.toString) &&
+              Files.getLastModifiedTime(f).toMillis <= cutoff)
+            Files.delete(f)
+        }
+      } finally s.close()
+    }
     removed
   }
 

@@ -330,18 +330,29 @@ class VersionedTableManifestSpec extends SparkSpec {
       .select("c_custkey", "c_name", "c_acctbal").repartition(40), path)
     def entryBytes(v: Int) = Files.size(
       java.nio.file.Paths.get(path, "_graft_log", f"$v%06d.json"))
-    val fullBytes = entryBytes(0)
+    def ckptFiles = {
+      val d = java.nio.file.Paths.get(path, "_graft_log", "_checkpoints")
+      Option(d.toFile.listFiles()).getOrElse(Array.empty).map(_.getName)
+    }
+    // the full v0 manifest lives in a CHECKPOINT SIDECAR, never in
+    // the log line — DESCRIBE HISTORY reads O(1) bytes per commit
+    assert(ckptFiles.count(_.startsWith("000000-")) == 1)
+    val ckptBytes = Files.size(java.nio.file.Paths.get(path,
+      "_graft_log", "_checkpoints", ckptFiles.find(_.startsWith("000000-")).get))
+    assert(entryBytes(0) * 5 < ckptBytes,
+      s"log line (${entryBytes(0)}B) must stay far smaller than the " +
+        s"manifest sidecar (${ckptBytes}B)")
     // a 1-file append against the 40-file manifest
     VersionedTable.append(spark, tables.customer
       .select("c_custkey", "c_name", "c_acctbal")
       .limit(10).repartition(1), path)
-    assert(entryBytes(1) * 5 < fullBytes,
+    assert(entryBytes(1) * 5 < ckptBytes,
       s"delta entry (${entryBytes(1)}B) must be far smaller than the " +
-        s"full manifest entry (${fullBytes}B)")
+        s"full manifest (${ckptBytes}B)")
     assert(!Files.readString(java.nio.file.Paths.get(path,
       "_graft_log", "000001.json")).contains("\"files\""))
-    // drive past a checkpoint boundary: version 10 must embed the
-    // full manifest again (reconstruction reads checkpoint + tail,
+    // drive past a checkpoint boundary: version 10 must anchor a new
+    // checkpoint sidecar (reconstruction reads checkpoint + tail,
     // never the whole log) and every intermediate version must
     // reconstruct exactly
     val sizes = (2 to 12).map { i =>
@@ -351,11 +362,11 @@ class VersionedTableManifestSpec extends SparkSpec {
       entryBytes(i)
     }
     assert(Files.readString(java.nio.file.Paths.get(path,
-      "_graft_log", "000010.json")).contains("\"files\""),
+      "_graft_log", "000010.json")).contains("\"checkpoint\""),
       "version 10 must be a checkpoint entry")
-    // non-checkpoint entries stay delta-sized even as versions grow
-    assert(sizes.zipWithIndex.filter { case (_, i) => (i + 2) % 10 != 0 }
-      .forall(_._1 * 5 < fullBytes))
+    assert(ckptFiles.count(_.startsWith("000010-")) == 1)
+    // EVERY log line stays delta-sized — checkpoint entries included
+    assert(sizes.forall(_ * 5 < ckptBytes))
     assert(VersionedTable.manifestEntries(path, 12).size == 52)
     assert(VersionedTable.read(spark, path, Some(12)).count() ==
       tables.customer.count() + 120)
