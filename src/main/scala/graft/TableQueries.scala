@@ -596,6 +596,33 @@ object TableQueries {
                         THEN c_acctbal + 100.0
                         ELSE c_acctbal END < 0)""")),
 
+    Q("versioned_import",
+      // CONVERT TO DELTA analog (r11): an existing flat parquet
+      // directory becomes VERSION 0 of a versioned table without
+      // rewriting a byte — files MOVE into the pool, footers are read
+      // once for exact rows + stats (the spec asserts byte-identical
+      // files and original names preserved in pool names), and every
+      // verb works from the first commit: the query proves it by
+      // running a file-granular DELETE on the just-converted table.
+      // A 100 TB directory onboards at O(files) metadata cost
+      (s, d) => {
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/vimp_src_$sf"
+        val path = s"/tmp/graft_cache/vimp_$sf"
+        VersionedTable.destroy(path)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+        Maintenance.writeClustered(Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice"),
+          src, Seq("o_orderkey"), numFiles = 8)
+        VersionedTable.importParquet(s, src, path)       // v0, zero-copy
+        VersionedTable.delete(s, path, "o_orderstatus = 'F'") // v1
+        VersionedTable.read(s, path)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE NOT (o_orderstatus = 'F')""")),
+
     Q("versioned_append_evolve",
       // schema-evolving APPEND (r11 — the autoloader mergeSchema
       // ingest shape over the engine's own format): the batch carries

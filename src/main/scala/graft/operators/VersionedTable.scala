@@ -653,6 +653,44 @@ object VersionedTable {
     v
   }
 
+  /** `CONVERT TO DELTA` analog: adopt an existing flat parquet
+    * directory as VERSION 0 of a versioned table WITHOUT rewriting a
+    * byte — each data file MOVES (same-filesystem rename) into the
+    * pool and its footer is read once for the exact row count and
+    * column stats, exactly what [[write]] captures for files it
+    * writes itself. Cost is O(files) metadata; a 100 TB directory
+    * onboards in seconds and every verb (time travel, MERGE, DVs,
+    * stats-pruned reads) works from the first commit. The source
+    * directory is consumed (its files now live in the pool) —
+    * Delta's CONVERT is likewise in-place, not a copy. Flat layout
+    * only: hive-partitioned sources should load partition values
+    * into columns first. */
+  def importParquet(spark: SparkSession, srcDir: String, path: String,
+                    operation: String = "CONVERT"): Int = {
+    require(versions(path).isEmpty,
+      s"$path already has commits — CONVERT adopts only fresh tables")
+    require(Paths.get(srcDir).toAbsolutePath.normalize !=
+      Paths.get(path).toAbsolutePath.normalize, "convert onto itself")
+    val src = Option(Paths.get(srcDir).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(src.nonEmpty, s"no parquet files under $srcDir")
+    val schema = spark.read.parquet(srcDir).schema
+    Files.createDirectories(poolDir(path))
+    val entries = src.toSeq.zipWithIndex.map { case (f, i) =>
+      val name = f"i000000-$i%03d-${f.getName}"
+      val dst = poolDir(path).resolve(name)
+      Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      val (rows, stats) = footerInfo(dst)
+      FileEntry(name, None, rows, rows, Files.size(dst), stats, Map.empty)
+    }
+    appendLog(path, 0, operation, entries.map(_.rows).sum,
+      nullableSchema(schema), full = Some(entries), add = Nil,
+      remove = Set.empty)
+    0
+  }
+
   /** Optimistic delta commit: re-link the latest manifest minus
     * `removeNames`, plus `add`. Planned against `baseV`; if other
     * commits landed since, their changed-file sets are checked

@@ -125,6 +125,48 @@ class VersionedTablePropsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).columns.contains("k"))
   }
 
+  test("importParquet adopts a parquet dir as v0 zero-copy: files " +
+    "move byte-identically, stats work, verbs work, re-convert refuses") {
+    val path = freshPath
+    val src = Files.createTempDirectory("graft_vimp").toString + "/src"
+    Maintenance.writeClustered(tables.events
+      .select("event_id", "value"), src, Seq("value"), numFiles = 4)
+    val srcSizes = Option(new java.io.File(src).listFiles())
+      .get.filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+    val before = VersionedTable.footerReads.get()
+    VersionedTable.importParquet(spark, src, path)
+    // exactly one footer read per adopted file, none at query time
+    assert(VersionedTable.footerReads.get() == before + 4)
+    // zero-copy: pool names carry the original names, bytes identical
+    val sizes = VersionedTable.manifestSizes(path, 0)
+    assert(sizes.size == 4)
+    sizes.foreach { case (n, b) =>
+      val orig = srcSizes.keys.find(n.endsWith).get
+      assert(srcSizes(orig) == b, s"$n diverged from $orig")
+    }
+    // the source dir was consumed
+    assert(Option(new java.io.File(src).listFiles()).get
+      .count(_.getName.endsWith(".parquet")) == 0)
+    // stats captured at convert time: the range read prunes with
+    // zero further footer I/O
+    val mid = VersionedTable.footerReads.get()
+    val pruned = VersionedTable.readWhere(spark, path, "value", 50.0, 60.0)
+    val want = tables.events
+      .filter(col("value").between(50.0, 60.0)).count()
+    assert(pruned.count() == want && want > 0)
+    assert(VersionedTable.footerReads.get() == mid)
+    assert(VersionedTable.fileStats(path, 0, "value")
+      .count(_._2.isDefined) == 4)
+    // verbs work from the first commit
+    VersionedTable.deleteVectors(spark, path, "value < 10.0")
+    assert(VersionedTable.read(spark, path)
+      .filter(col("value") < 10.0).count() == 0)
+    // a second CONVERT refuses
+    intercept[IllegalArgumentException](
+      VersionedTable.importParquet(spark, src, path))
+  }
+
   // ---------------------------------------------------------------- //
   // CHECK constraints
   // ---------------------------------------------------------------- //
