@@ -21,6 +21,7 @@ import graft.functions.expressions.{FloatDotProduct, HyperplaneProjections, Hype
   *
   * TABLE functions (`SELECT * FROM fn(...)`):
   *  - `graft_history('<path>')` — versioned-table commit log
+  *  - `graft_changes('<path>', from, to)` — CDF feed in SQL
   *  - `graft_version('<path>', v)` — versioned-table snapshot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

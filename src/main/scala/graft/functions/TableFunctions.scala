@@ -34,7 +34,10 @@ object GraftTableFunctions {
       historyPlan _),
     ("graft_version",
       "graft_version(path, v) - snapshot v of a graft versioned table",
-      versionPlan _))
+      versionPlan _),
+    ("graft_changes",
+      "graft_changes(path, from, to) - row-level change feed between versions",
+      changesPlan _))
 
   private def strArg(args: Seq[Expression], i: Int, fn: String): String =
     args(i) match {
@@ -65,6 +68,20 @@ object GraftTableFunctions {
         UTF8String.fromString(ts))
     }
     LocalRelation(attrs, rows)
+  }
+
+  /** `table_changes` as a table function: splices the CDF diff plan
+    * between two versions into the enclosing query (reads only
+    * non-shared manifest entries — cost tracks the change). */
+  private def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "graft_changes(path, from, to) takes exactly three arguments")
+    val path = strArg(args, 0, "graft_changes")
+    val from = intArg(args, 1, "graft_changes")
+    val to = intArg(args, 2, "graft_changes")
+    org.apache.spark.sql.graft.GraftBridge.logicalPlan(
+      graft.operators.VersionedTable.changes(
+        SparkSession.active, path, from, to))
   }
 
   /** VERSION AS OF as a table function: splices the snapshot's read

@@ -129,6 +129,12 @@ class NativeExpressionsSpec extends SparkSpec {
         JOIN graft_version('$path', 0) o ON v.n_nationkey = o.n_nationkey""")
       .head.getLong(0)
     assert(joined == 20)
+    // the CDF feed in SQL: the DELETE surfaces as 5 delete rows
+    val feed = spark.sql(
+      s"SELECT _change_type, count(*) n FROM graft_changes('$path', 0, 1)" +
+        " GROUP BY 1").collect()
+    assert(feed.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("delete", 5L)))
   }
 
   test("graft_sha60 equals the built-in conv(substring(sha2)) formulation") {
