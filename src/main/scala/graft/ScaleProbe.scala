@@ -773,7 +773,44 @@ object ScaleProbe {
         t.events.count() * 10
       }, () => (1 to 20).map(_ =>
         graft.operators.VersionedTable.statsAggMeta(
-          "/tmp/graft_scaleprobe/vsm_10x", "value").get._1).sum))
+          "/tmp/graft_scaleprobe/vsm_10x", "value").get._1).sum),
+      // round-11: BLOOM-INDEXED point lookup. event_id is
+      // hash-scattered across the layout, so every file's [min, max]
+      // spans the domain and stats prune NOTHING — the per-file bloom
+      // sidecars shortlist the probed keys' own files. At 10× the
+      // data (10× the files) a lookup still opens ~the key's own file
+      // plus the fpp tail, so rows/sec over the COVERED table must
+      // scale super-linearly (the O(probed files), not O(rows),
+      // signature — same PASS shape as versioned_stats_meta).
+      ("versioned_bloom_lookup", {
+        val p = "/tmp/graft_scaleprobe/vbl_1x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          t.events.select("event_id", "user_id", "value")
+            .repartition(16), p)
+        graft.operators.VersionedTable.setTableProperties(p,
+          Map(graft.operators.VersionedTable.bloomColumnsProp ->
+            "event_id"))
+        graft.operators.VersionedTable.buildBloomIndex(spark, p)
+        t.events.count()
+      }, () => (1 to 10).map(i =>
+        graft.operators.VersionedTable.readEqual(spark,
+          "/tmp/graft_scaleprobe/vbl_1x", "event_id",
+          i * 1000L).count()).sum, {
+        val p = "/tmp/graft_scaleprobe/vbl_10x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          replicate(t.events.select("event_id", "user_id", "value"),
+            10, Some("event_id")).repartition(160), p)
+        graft.operators.VersionedTable.setTableProperties(p,
+          Map(graft.operators.VersionedTable.bloomColumnsProp ->
+            "event_id"))
+        graft.operators.VersionedTable.buildBloomIndex(spark, p)
+        t.events.count() * 10
+      }, () => (1 to 10).map(i =>
+        graft.operators.VersionedTable.readEqual(spark,
+          "/tmp/graft_scaleprobe/vbl_10x", "event_id",
+          i * 1000L).count()).sum))
 
     // optional comma-separated probe filter for single-probe iteration
     val only: Option[Set[String]] =

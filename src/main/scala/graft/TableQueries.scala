@@ -552,6 +552,45 @@ object TableQueries {
         SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
         FROM orders WHERE o_orderpriority = '1-URGENT'""")),
 
+    Q("versioned_bloom_point",
+      // BLOOM FILTER INDEX inside the versioned format (Delta's
+      // bloom filter index): l_partkey is hash-scattered across the
+      // layout, so every file's [min, max] spans the whole domain and
+      // stats can never prune a point lookup — the per-file bloom
+      // sidecars (backfilled over v0 by buildBloomIndex, then
+      // auto-maintained by the APPEND's own write path) reject the
+      // files that cannot hold the probed keys, and the row filter on
+      // the survivors makes the result ≡ the full-scan IN-list (the
+      // oracle). The needle-lookup verb a 100 TB table needs: open a
+      // handful of files, not the table
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vbp_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val li = Tables(s, d).lineitem
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        VersionedTable.write(
+          li.filter(col("l_orderkey") % 2 === 0).repartition(8), path)
+        VersionedTable.setTableProperties(path,
+          Map(VersionedTable.bloomColumnsProp -> "l_partkey"))
+        VersionedTable.buildBloomIndex(s, path)
+        VersionedTable.append(s,
+          li.filter(col("l_orderkey") % 2 =!= 0).repartition(4), path)
+        VersionedTable.readIn(s, path, "l_partkey",
+          Seq(7L, 500L, 1500L))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(12,2)"))
+              .cast("double").as("sum_qty"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+      },
+      Some("""
+        SELECT l_partkey, count(*) AS n_rows,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double)
+            AS sum_qty,
+          count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem WHERE l_partkey IN (7, 500, 1500)
+        GROUP BY 1""")),
+
     Q("stream_cdf_follow",
       // the CDF INCREMENTAL CONSUMER (r11, judge item 5 — the DLT
       // INCREMENTAL-consumer shape, reference `4  Delta Live Tables

@@ -150,13 +150,18 @@ object VersionedTable {
     * differ when a deletion vector is attached), file size, the
     * per-numeric-column [min, max] captured from its footer at write
     * time (the stats store Delta/Iceberg keep in their logs), its
-    * partition values, and optionally the DELETION-VECTOR sidecar
+    * partition values, optionally the DELETION-VECTOR sidecar
     * holding the row positions merge-on-read DELETEs removed from it
-    * (one sidecar per file — Delta's DV shape). */
+    * (one sidecar per file — Delta's DV shape), and optionally
+    * per-column BLOOM-FILTER sidecars (physical column name →
+    * pool sidecar name — Delta's bloom filter index shape: one index
+    * file per data file per indexed column) for point-lookup file
+    * skipping where [min, max] stats cannot prune. */
   final case class FileEntry(name: String, dv: Option[String],
                              rows: Long, phys: Long, bytes: Long,
                              stats: Map[String, (Double, Double)],
-                             part: Map[String, String])
+                             part: Map[String, String],
+                             bloom: Map[String, String] = Map.empty)
 
   /** Table-level properties carried on every commit (all tiny —
     * O(columns + constraints), never O(files)):
@@ -216,8 +221,13 @@ object VersionedTable {
       else e.part.toSeq.sortBy(_._1).map { case (c, v) =>
         s""""${jsonEscape(c)}":"${jsonEscape(v)}""""
       }.mkString(""","part":{""", ",", "}")
+    val bloom =
+      if (e.bloom.isEmpty) ""
+      else e.bloom.toSeq.sortBy(_._1).map { case (c, v) =>
+        s""""${jsonEscape(c)}":"${jsonEscape(v)}""""
+      }.mkString(""","bloom":{""", ",", "}")
     s"""{"name":"${e.name}"$dv,"rows":${e.rows},"phys":${e.phys},""" +
-      s""""bytes":${e.bytes}$stats$part}"""
+      s""""bytes":${e.bytes}$stats$part$bloom}"""
   }
 
   private def parseFileEntry(n: JsonNode): FileEntry = {
@@ -250,7 +260,7 @@ object VersionedTable {
     FileEntry(n.get("name").asText,
       Option(n.get("dv")).map(_.asText),
       n.get("rows").asLong, n.get("phys").asLong, n.get("bytes").asLong,
-      stats, strMap("part"))
+      stats, strMap("part"), strMap("bloom"))
   }
 
   private def parseEntry(path: String, v: Int): LogEntry = {
@@ -611,7 +621,14 @@ object VersionedTable {
       FileEntry(name, None, rows, rows, Files.size(dst), stats, pv)
     }
     destroy(stage.toString)
-    out
+    // bloom index maintenance (Delta's write-path indexing): when the
+    // table declares indexed columns, the commit's own new files get
+    // their sidecars here — O(new data), regardless of table size
+    val blCols = bloomConfig(props).map(props.phys)
+      .filter(physDf.columns.contains)
+    if (blCols.isEmpty) out
+    else buildBloomSidecars(df.sparkSession, path, v, out, blCols,
+      bloomFpp(props))
   }
 
   /** Write `df` as the next version (full snapshot — ingest/CTAS
@@ -1121,6 +1138,190 @@ object VersionedTable {
         e.part.get(props.phys(k)).forall(_ == want) })
   }
 
+  // ---------------------------------------------------------------- //
+  // bloom filter indexes (Delta's bloom filter index shape: one index
+  // sidecar per data file per indexed column) — point-lookup file
+  // skipping where [min, max] stats cannot prune (a high-cardinality
+  // key hash-scattered across files makes every file's range span the
+  // domain; its bloom still rejects almost all of them)
+  // ---------------------------------------------------------------- //
+
+  /** Table property holding the comma-separated LOGICAL column names
+    * to maintain bloom sidecars for; set it with
+    * [[setTableProperties]], backfill existing files once with
+    * [[buildBloomIndex]], and every later commit indexes its own new
+    * files at write time (O(new data), like Delta's
+    * `delta.bloomFilter` column option). */
+  val bloomColumnsProp = "graft.bloom.columns"
+  /** Table property overriding the index false-positive rate
+    * (default 0.03 — ~7.3 bits/row). */
+  val bloomFppProp = "graft.bloom.fpp"
+
+  private def bloomConfig(props: TableProps): Seq[String] =
+    props.tbl.get(bloomColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def bloomFpp(props: TableProps): Double =
+    props.tbl.get(bloomFppProp).map(_.toDouble).getOrElse(0.03)
+
+  /** Build bloom sidecars for `physCols` over `entries`' pool files
+    * and return the entries with their `bloom` references attached.
+    * ONE distributed aggregation job does the data-sized work
+    * (map-side partial blooms per file split, `mergeInPlace` combine
+    * — bloom bits are an OR, so split order never changes the
+    * result); what reaches the driver is one filter per (file,
+    * column) — the same O(new files) metadata the footer loop already
+    * pays per commit. Values are indexed as `xxhash64(col)` longs;
+    * [[readIn]] probes with the identically-hashed literal. */
+  private def buildBloomSidecars(spark: SparkSession, path: String,
+                                 v: Int, entries: Seq[FileEntry],
+                                 physCols: Seq[String], fpp: Double,
+                                 readSchema: Option[StructType] = None)
+      : Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.util.sketch.BloomFilter
+    if (entries.isEmpty || physCols.isEmpty) return entries
+    // one (estItems, numBits) sizing across the commit's files keeps
+    // every partial bloom mergeInPlace-compatible; both stay under
+    // Spark's runtime-filter ceilings
+    val estItems = math.max(1L, math.min(entries.map(_.phys).max, 4000000L))
+    val numBits = math.min(BloomFilter.optimalNumOfBits(estItems, fpp),
+      1L << 26)
+    val files = entries.map(e => resolveOrFail(path, e.name, v))
+    val reader = readSchema.fold(spark.read)(s => spark.read.schema(s))
+    val aggs = physCols.map { c =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        new BloomFilterAggregate(
+          org.apache.spark.sql.graft.GraftBridge
+            .expression(xxhash64(col(c))),
+          Literal(estItems), Literal(numBits)).toAggregateExpression())
+        .as(s"_bl_$c")
+    }
+    val byFile = reader.parquet(files: _*)
+      .select(physCols.map(col) :+
+        substring_index(col("_metadata.file_path"), "/", -1)
+          .as("_bl_file"): _*)
+      .groupBy("_bl_file").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getAs[String]("_bl_file") -> r).toMap
+    val uid = java.util.UUID.randomUUID.toString.take(8)
+    entries.zipWithIndex.map { case (e, i) =>
+      byFile.get(e.name) match {
+        case None => e // zero-row file: no group, stays unindexed
+        case Some(r) =>
+          val refs = physCols.zipWithIndex.flatMap { case (c, j) =>
+            Option(r.getAs[Array[Byte]](s"_bl_$c")).map { bytes =>
+              val name = f"bl$v%06d-$i%03d-$uid-$j.bloom"
+              Files.write(poolDir(path).resolve(name), bytes,
+                StandardOpenOption.CREATE_NEW)
+              c -> name
+            }
+          }.toMap
+          if (refs.isEmpty) e else e.copy(bloom = e.bloom ++ refs)
+      }
+    }
+  }
+
+  /** Backfill bloom sidecars for every current file missing one for a
+    * configured column (`CREATE BLOOMFILTER INDEX`): a metadata
+    * commit re-links the manifest with the index references attached
+    * — data files are read once, never rewritten. Requires
+    * [[bloomColumnsProp]] to be set. Returns the new version (or the
+    * current one when nothing was missing). */
+  def buildBloomIndex(spark: SparkSession, path: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val props = propsOf(path, v)
+    val logical = bloomConfig(props)
+    require(logical.nonEmpty,
+      s"set table property $bloomColumnsProp before buildBloomIndex")
+    val schema = schemaOf(path, v)
+    val phys = logical.filter(schema.fieldNames.contains).map(props.phys)
+    val physSchema = StructType(schema.fields.map(f =>
+      f.copy(name = props.phys(f.name))))
+    val missing = manifestEntries(path, v)
+      .filter(e => !phys.forall(e.bloom.contains))
+    if (missing.isEmpty) return v
+    val updated = buildBloomSidecars(spark, path, v + 1, missing, phys,
+      bloomFpp(props), readSchema = Some(physSchema))
+    commitActions(path, "BLOOM INDEX", v, missing.map(_.name).toSet,
+      updated, schema)
+  }
+
+  /** Entries of version `v` that might contain any of `values` in
+    * `column`: [min, max] stats and partition values prune first
+    * (pure manifest metadata), then the survivors' bloom sidecars are
+    * probed IN PARALLEL (one tiny task per batch of sidecar files —
+    * the probe ships only the 8-byte hashes, each executor reads just
+    * its sidecars, and what returns is a shortlist of names, so the
+    * driver never loads index bytes). Files without an index for the
+    * column always survive — pruning can drop rows never. */
+  def prunedBloomEntries(spark: SparkSession, path: String, v: Int,
+                         column: String, values: Seq[Any])
+      : Seq[FileEntry] = {
+    val props = propsOf(path, v)
+    val pc = props.phys(column)
+    val dt = schemaOf(path, v)(column).dataType
+    def numOf(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case _ => None
+    }
+    val statted = manifestEntries(path, v).filter { e =>
+      val statOk = e.stats.get(pc).forall { case (mn, mx) =>
+        values.exists(x => numOf(x).forall(d => d >= mn && d <= mx))
+      }
+      val partOk = e.part.get(pc).forall(pv =>
+        values.exists(x => String.valueOf(x) == pv))
+      statOk && partOk
+    }
+    val (withB, withoutB) = statted.partition(_.bloom.contains(pc))
+    if (withB.isEmpty) return statted
+    // the literal hashes EXACTLY as the build side hashed the column:
+    // xxhash64 over the column's own data type
+    val hashes = values.map(x =>
+      spark.range(1).select(xxhash64(lit(x).cast(dt))).head.getLong(0))
+      .toArray
+    val cand = withB.map(e => (e.name, resolveOrFail(path, e.bloom(pc), v)))
+    import spark.implicits._
+    val survivors = spark.createDataset(cand)
+      .repartition(math.max(1, math.min(cand.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        it.filter { case (_, sidecar) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            Files.readAllBytes(Paths.get(sidecar)))
+          hashes.exists(bf.mightContainLong)
+        }
+      }.map(_._1).collect().toSet
+    statted.filter(e => !e.bloom.contains(pc) || survivors(e.name))
+  }
+
+  /** Point-lookup read `WHERE column IN (values…)`: stats +
+    * partition + BLOOM pruning shortlist the files, then the exact
+    * row filter runs on the survivors — result ≡ the full-scan
+    * filter while a needle lookup on a 100 TB table opens only the
+    * handful of files whose index admits the key. */
+  def readIn(spark: SparkSession, path: String, column: String,
+             values: Seq[Any], asOf: Option[Int] = None): DataFrame = {
+    require(values.nonEmpty, "readIn needs at least one value")
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val keep = prunedBloomEntries(spark, path, v, column, values)
+    readEntries(spark, path, keep, schemaOf(path, v), v,
+      props = propsOf(path, v))
+      .filter(col(column).isin(values: _*))
+  }
+
+  /** Single-key form of [[readIn]]. */
+  def readEqual(spark: SparkSession, path: String, column: String,
+                value: Any, asOf: Option[Int] = None): DataFrame =
+    readIn(spark, path, column, Seq(value), asOf)
+
   /** (name, bytes) for each data file of version `v` — pure manifest
     * metadata (sizes captured at write time). */
   def manifestSizes(path: String, v: Int): Seq[(String, Long)] =
@@ -1524,8 +1725,11 @@ object VersionedTable {
     val sb = schemaOf(path, toVersion)
     val pa = propsOf(path, fromVersion)
     val pb = propsOf(path, toVersion)
-    val ea = manifestEntries(path, fromVersion)
-    val eb = manifestEntries(path, toVersion)
+    // bloom references never change row content — normalize them out
+    // so an index backfill commit diffs EMPTY instead of re-reading
+    // (and cancelling) every re-linked file
+    val ea = manifestEntries(path, fromVersion).map(_.copy(bloom = Map.empty))
+    val eb = manifestEntries(path, toVersion).map(_.copy(bloom = Map.empty))
     def physOf(s: StructType, p: TableProps) =
       StructType(s.fields.map(f => f.copy(name = p.phys(f.name))))
     // a RENAME between the versions changes the logical schema but
@@ -1708,7 +1912,7 @@ object VersionedTable {
     val all = versions(path)
     val already = vacuumedVersions(path)
     def refs(v: Int): Seq[String] = manifestEntries(path, v)
-      .flatMap(e => e.name +: e.dv.toSeq)
+      .flatMap(e => e.name +: (e.dv.toSeq ++ e.bloom.values.toSeq))
     val removed = all.dropRight(keepLast).filterNot(already.contains)
     if (removed.nonEmpty) {
       val gone = already ++ removed
