@@ -810,7 +810,47 @@ object ScaleProbe {
       }, () => (1 to 10).map(i =>
         graft.operators.VersionedTable.readEqual(spark,
           "/tmp/graft_scaleprobe/vbl_10x", "event_id",
-          i * 1000L).count()).sum))
+          i * 1000L).count()).sum),
+      // round-11: BLOOM-ASSISTED MERGE. Same 500-key delta into a
+      // bloom-indexed table at 1× and 10× — the touch scan now reads
+      // only the files whose key index ADMITS some update key (the
+      // exact semi-join confirms on that shortlist, so false
+      // positives never cause a spurious rewrite). versioned_merge
+      // measures the unindexed column-pruned scan (O(table's key
+      // column) discovery); this one's discovery is O(admitted
+      // files), so efficiency should hold at least as strongly.
+      ("versioned_bloom_merge", {
+        val p = "/tmp/graft_scaleprobe/vbm_1x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          t.events.repartitionByRange(32, col("event_id")), p)
+        graft.operators.VersionedTable.setTableProperties(p,
+          Map(graft.operators.VersionedTable.bloomColumnsProp ->
+            "event_id"))
+        graft.operators.VersionedTable.buildBloomIndex(spark, p)
+        t.events.count()
+      }, () => {
+        val delta = t.events.filter(col("event_id") < 5000)
+          .withColumn("value", col("value") + 1.0)
+        graft.operators.VersionedTable.upsert(spark,
+          "/tmp/graft_scaleprobe/vbm_1x", delta, Seq("event_id")).toLong
+      }, {
+        val p = "/tmp/graft_scaleprobe/vbm_10x"
+        graft.operators.VersionedTable.destroy(p)
+        graft.operators.VersionedTable.write(
+          replicate(t.events, 10, Some("event_id"))
+            .repartitionByRange(32, col("event_id")), p)
+        graft.operators.VersionedTable.setTableProperties(p,
+          Map(graft.operators.VersionedTable.bloomColumnsProp ->
+            "event_id"))
+        graft.operators.VersionedTable.buildBloomIndex(spark, p)
+        t.events.count() * 10
+      }, () => {
+        val delta = t.events.filter(col("event_id") < 5000)
+          .withColumn("value", col("value") + 1.0)
+        graft.operators.VersionedTable.upsert(spark,
+          "/tmp/graft_scaleprobe/vbm_10x", delta, Seq("event_id")).toLong
+      }))
 
     // optional comma-separated probe filter for single-probe iteration
     val only: Option[Set[String]] =

@@ -937,20 +937,83 @@ object VersionedTable {
   private def touchedFiles(spark: SparkSession, path: String, v: Int,
                            schema: StructType,
                            hit: DataFrame => DataFrame,
-                           props: TableProps = emptyProps): Set[String] = {
-    val files = manifestEntries(path, v)
+                           props: TableProps = emptyProps,
+                           candidates: Option[Set[String]] = None)
+      : Set[String] = {
+    val all = manifestEntries(path, v)
+    // bloom pre-prune (when available): the exact semi-join scan runs
+    // only over files whose index ADMITS some key — false positives
+    // die in this scan, so pruning never causes a spurious rewrite
+    val files = candidates.fold(all)(c => all.filter(e => c(e.name)))
     if (files.isEmpty) Set.empty
     // a 1-file manifest has nothing to prune — skip the discovery job
     // (the rewrite applies the row-level predicate anyway, so content
     // is identical; only a no-match commit loses a re-link, and THAT
     // table is one file big)
-    else if (files.size == 1) Set(files.head.name)
+    else if (all.size == 1) Set(all.head.name)
     else {
       val cur = readEntries(spark, path, files, schema, v,
         lineage = true, props = props)
       hit(cur).select("_graft_file").distinct().collect()
         .map(_.getString(0)).toSet
     }
+  }
+
+  /** Keys-per-merge ceiling for the bloom-assisted touched-file
+    * pre-prune: batches with more distinct keys fall back to the
+    * plain column-pruned scan (the probe is K bloom tests per
+    * unmatched file — bounded here so the metadata pass can never
+    * rival the scan it replaces). Var so specs can force the
+    * fallback. */
+  private[operators] var bloomMergeProbeCapKeys: Int = 1 << 16
+
+  /** MERGE-side dynamic file pruning from the bloom index: when the
+    * (single) merge key is bloom-indexed, probe each file's sidecar
+    * with the update batch's hashed key set and return the files
+    * that MIGHT contain one — the exact touch scan then reads only
+    * those, so a small CDC batch against a 100 TB table scans
+    * O(admitted files), not every file's key column. Returns None
+    * (no pruning) for multi-column keys, unindexed tables, a
+    * key-type mismatch (the hash is type-sensitive), or a batch over
+    * [[bloomMergeProbeCapKeys]] — the caller's scan stays exact
+    * either way; files without an index for the key conservatively
+    * survive. */
+  private[operators] def bloomTouchCandidates(
+      spark: SparkSession, path: String, v: Int, props: TableProps,
+      schema: StructType, keyFrame: DataFrame, keys: Seq[String])
+      : Option[Set[String]] = {
+    if (keys.size != 1) return None
+    val key = keys.head
+    val pc = props.phys(key)
+    val entries = manifestEntries(path, v)
+    val indexed = entries.filter(_.bloom.contains(pc))
+    if (indexed.isEmpty) return None
+    // the build side hashed the column under the TABLE's type — a
+    // differently-typed key frame hashes differently and would prune
+    // wrongly; refuse and fall back
+    if (keyFrame.schema(key).dataType != schema(key).dataType) return None
+    val cap = bloomMergeProbeCapKeys
+    val hs = keyFrame.select(xxhash64(col(key)).as("h")).distinct()
+      .limit(cap + 1).collect().map(_.getLong(0))
+    if (hs.length > cap) return None
+    val cand = indexed.map(e => (e.name, resolveOrFail(path, e.bloom(pc), v)))
+    val bc = spark.sparkContext.broadcast(hs)
+    import spark.implicits._
+    val admitted =
+      try spark.createDataset(cand)
+        .repartition(math.max(1, math.min(cand.size,
+          spark.sparkContext.defaultParallelism)))
+        .mapPartitions { it =>
+          val h = bc.value
+          it.filter { case (_, sidecar) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              Files.readAllBytes(Paths.get(sidecar)))
+            h.exists(bf.mightContainLong)
+          }
+        }.map(_._1).collect().toSet
+      finally bc.destroy()
+    Some(admitted ++
+      entries.filterNot(_.bloom.contains(pc)).map(_.name))
   }
 
   /** APPEND: commit `df` as NEW pool files RE-LINKING the whole
@@ -1373,7 +1436,8 @@ object VersionedTable {
     val props = propsOf(path, v)
     val keyFrame = updates.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
-      _.join(keyFrame, keys, "left_semi"), props)
+      _.join(keyFrame, keys, "left_semi"), props,
+      bloomTouchCandidates(spark, path, v, props, schema, keyFrame, keys))
     val touchedRows = readFiles(spark, path, touched, schema, v, props)
     commitRewrite(spark, path, operation,
       Medallion.mergeUpsert(touchedRows, updates, keys), touched, schema, v)
@@ -1394,7 +1458,9 @@ object VersionedTable {
     val props = propsOf(path, v)
     val keyFrame = keys.select(keyCols.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
-      _.join(keyFrame, keyCols, "left_semi"), props)
+      _.join(keyFrame, keyCols, "left_semi"), props,
+      bloomTouchCandidates(spark, path, v, props, schema, keyFrame,
+        keyCols))
     val kept = readFiles(spark, path, touched, schema, v, props)
       .join(keyFrame, keyCols, "left_anti")
     commitRewrite(spark, path, operation, kept, touched, schema, v)
@@ -1423,7 +1489,8 @@ object VersionedTable {
     val props = propsOf(path, v)
     val keyFrame = updates.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
-      _.join(keyFrame, keys, "left_semi"), props)
+      _.join(keyFrame, keys, "left_semi"), props,
+      bloomTouchCandidates(spark, path, v, props, schema, keyFrame, keys))
     val merged = readFiles(spark, path, touched, schema, v, props)
       .join(updates, keys, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
@@ -1468,7 +1535,9 @@ object VersionedTable {
     val nonNullUpd = updates.filter(col(key).isNotNull)
     val keyFrame = nonNullUpd.select(col(key)).distinct()
     val touched = touchedFiles(spark, path, v, schema,
-      _.join(keyFrame, Seq(key), "left_semi"), props)
+      _.join(keyFrame, Seq(key), "left_semi"), props,
+      bloomTouchCandidates(spark, path, v, props, schema, keyFrame,
+        Seq(key)))
     val base = readFiles(spark, path, touched, schema, v, props)
     val merged = Medallion.dedupLatest(
         base.filter(col(key).isNotNull).unionByName(nonNullUpd),

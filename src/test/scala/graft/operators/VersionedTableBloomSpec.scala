@@ -133,6 +133,44 @@ class VersionedTableBloomSpec extends SparkSpec {
     assert(VersionedTable.readEqual(spark, path, "k", 1234L).count() == 1)
   }
 
+  test("MERGE pre-prunes its touch scan from the index: a 3-key batch " +
+    "admits ~3 of 8 files, the merge result is exact, and the rest " +
+    "of the manifest re-links") {
+    val path = freshPath
+    indexed(path)
+    val v = VersionedTable.latestVersion(path).get
+    val updates = spark.range(3).select((col("id") * 1000 + 17).as("k"),
+      lit(-1L).as("v"))
+    val cands = VersionedTable.bloomTouchCandidates(spark, path, v,
+      VersionedTable.propsOf(path, v), VersionedTable.schemaOf(path, v),
+      updates.select("k").distinct(), Seq("k"))
+    assert(cands.isDefined && cands.get.size <= 5,
+      s"expected <=5 of 8 admitted, got ${cands.map(_.size)}")
+    VersionedTable.upsert(spark, path, updates, Seq("k"))
+    val out = VersionedTable.read(spark, path)
+    assert(out.count() == 4096)
+    assert(out.filter(col("v") === -1L).count() == 3)
+    assert(out.filter(col("k") === 17L).head.getLong(1) == -1L)
+    // untouched files re-linked byte-identically
+    val shared = VersionedTable.manifest(path, v).map(_._1).toSet
+      .intersect(VersionedTable.manifest(path, v + 1).map(_._1).toSet)
+    assert(shared.size >= 8 - cands.get.size)
+    // over the key cap: the pre-prune declines, the merge stays exact
+    val oldCap = VersionedTable.bloomMergeProbeCapKeys
+    VersionedTable.bloomMergeProbeCapKeys = 2
+    try {
+      assert(VersionedTable.bloomTouchCandidates(spark, path, v + 1,
+        VersionedTable.propsOf(path, v + 1),
+        VersionedTable.schemaOf(path, v + 1),
+        updates.select("k").distinct(), Seq("k")).isEmpty)
+      VersionedTable.upsert(spark, path,
+        spark.range(3).select((col("id") * 1000 + 18).as("k"),
+          lit(-2L).as("v")), Seq("k"))
+      assert(VersionedTable.read(spark, path)
+        .filter(col("v") === -2L).count() == 3)
+    } finally VersionedTable.bloomMergeProbeCapKeys = oldCap
+  }
+
   test("a column evolved as metadata-null backfills to a null-only " +
     "bloom: old files prune away for any real key") {
     val path = freshPath
