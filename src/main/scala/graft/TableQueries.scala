@@ -591,6 +591,82 @@ object TableQueries {
         FROM lineitem WHERE l_partkey IN (7, 500, 1500)
         GROUP BY 1""")),
 
+    Q("versioned_export",
+      // SYMLINK-MANIFEST EXPORT (Delta's symlink_format_manifest /
+      // UniForm interop shape): the snapshot becomes a plain list of
+      // parquet paths any format-unaware engine can scan — clean
+      // files LINK in place (zero copy at any table size), files
+      // carrying a deletion vector MATERIALIZE (a plain reader would
+      // resurrect their deleted rows). The query proves external
+      // readability by re-reading the snapshot EXACTLY as an external
+      // engine would — spark.read.parquet over manifest.txt's paths,
+      // no versioned-format code on the read side — and hash-matching
+      // it against plain SQL
+      (s, d) => {
+        val sf = new java.io.File(d).getName
+        val path = s"/tmp/graft_cache/vexp_$sf"
+        val out = s"/tmp/graft_cache/vexp_out_$sf"
+        VersionedTable.destroy(path)
+        VersionedTable.destroy(out)
+        val ords = Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        VersionedTable.write(
+          ords.filter(col("o_orderkey") % 2 === 0).repartition(4), path)
+        VersionedTable.append(s,
+          ords.filter(col("o_orderkey") % 2 =!= 0).repartition(4), path)
+        // a needle DELETE: most files stay clean and LINK; only the
+        // hit file's rows materialize
+        VersionedTable.deleteVectors(s, path, "o_orderkey = 32")
+        VersionedTable.exportManifest(s, path, out)
+        val listed = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(out, "manifest.txt"))
+        s.read.parquet(listed.toArray(Array.empty[String]): _*)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey <> 32""")),
+
+    Q("versioned_vacuum",
+      // RETENTION made oracle-exercised: vacuum marks versions older
+      // than the retention contractually unreadable and refcount-
+      // deletes their unshared pool files; surviving versions answer
+      // exactly as before. The query drives write → MERGE →
+      // DELETE[MOR] history, vacuums to the last two versions, and
+      // publishes the surviving snapshot next to the engine's
+      // contract booleans (v0 swept + refused, v1 still readable) —
+      // the snapshot half hash-checks against plain SQL
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vvac_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val ev = Tables(s, d).events
+        VersionedTable.write(Medallion.dedupLatest(
+          ev.filter(col("event_id") % 2 === 0),
+          "user_id", "ts", "event_id"), path)
+        VersionedTable.upsertLatest(s, path, Medallion.dedupLatest(
+          ev.filter(col("event_id") % 2 === 1),
+          "user_id", "ts", "event_id"), "user_id", "ts", "event_id")
+        VersionedTable.deleteVectors(s, path, "user_id % 10 = 0")
+        val removed = VersionedTable.vacuum(path, keepLast = 2)
+        val v0Refused = scala.util.Try(
+          VersionedTable.read(s, path, Some(0)).count()).isFailure
+        VersionedTable.read(s, path)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"))
+          .withColumn("swept_first", lit(removed == Seq(0)))
+          .withColumn("v0_refused", lit(v0Refused))
+          .withColumn("v1_readable",
+            lit(VersionedTable.isReadable(path, 1)))
+      },
+      Some(s"""
+        SELECT count(*) as n_rows, count(distinct user_id) as n_users,
+          true as swept_first, true as v0_refused, true as v1_readable
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) as rn
+          FROM ($eventsNs))
+        WHERE rn = 1 AND user_id % 10 <> 0""")),
+
     Q("stream_cdf_follow",
       // the CDF INCREMENTAL CONSUMER (r11, judge item 5 — the DLT
       // INCREMENTAL-consumer shape, reference `4  Delta Live Tables

@@ -1385,6 +1385,56 @@ object VersionedTable {
                 value: Any, asOf: Option[Int] = None): DataFrame =
     readIn(spark, path, column, Seq(value), asOf)
 
+  /** Export version `v` as a SYMLINK-style manifest any plain-parquet
+    * engine can read (Delta's `symlink_format_manifest` shape):
+    * `outDir/manifest.txt` lists one absolute parquet path per line —
+    * the external reader scans exactly those files and sees exactly
+    * the snapshot. Files a format-unaware reader would MISREAD are
+    * materialized into clean copies under `outDir/materialized/`
+    * first: files carrying a DELETION VECTOR (the reader would
+    * resurrect deleted rows) and, when the table has renamed/dropped
+    * columns, every file (data files store stable PHYSICAL names the
+    * reader cannot map back). Everything else LINKS in place, so
+    * exporting a 100 TB snapshot costs O(manifest + DV'd files),
+    * never a table copy. The manifest pins THIS version — like
+    * Delta's manifests it does not follow later commits, and a
+    * VACUUM that reclaims the exported version's files dangles the
+    * links (re-export after vacuum). Returns the listed paths. */
+  def exportManifest(spark: SparkSession, path: String, outDir: String,
+                     asOf: Option[Int] = None): Seq[String] = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val entries = manifestEntries(path, v)
+    val schema = schemaOf(path, v)
+    val props = propsOf(path, v)
+    val renamedWorld = schema.fields.exists(f => props.phys(f.name) != f.name)
+    val (mat, link) =
+      if (renamedWorld) (entries, Seq.empty[FileEntry])
+      else entries.partition(_.dv.isDefined)
+    Files.createDirectories(Paths.get(outDir))
+    val matPaths =
+      if (mat.isEmpty) Seq.empty[String]
+      else {
+        val matDir = Paths.get(outDir, "materialized")
+        destroy(matDir.toString)
+        readEntries(spark, path, mat, schema, v, props = props)
+          .write.parquet(matDir.toString)
+        Option(matDir.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq
+      }
+    val linked = link.map(e =>
+      Paths.get(resolveOrFail(path, e.name, v))
+        .toAbsolutePath.normalize.toString)
+    val all = (linked ++ matPaths).sorted
+    Files.writeString(Paths.get(outDir, "manifest.txt"),
+      all.mkString("", "\n", "\n"))
+    all
+  }
+
   /** (name, bytes) for each data file of version `v` — pure manifest
     * metadata (sizes captured at write time). */
   def manifestSizes(path: String, v: Int): Seq[(String, Long)] =
