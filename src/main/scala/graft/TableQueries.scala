@@ -591,6 +591,81 @@ object TableQueries {
         FROM lineitem WHERE l_partkey IN (7, 500, 1500)
         GROUP BY 1""")),
 
+    Q("versioned_partition_evolve",
+      // PARTITION EVOLUTION (Iceberg's signature capability, beyond
+      // what the reference's Delta gives): the partition spec is
+      // per-FILE metadata, not a table property — an unpartitioned
+      // history, a priority-partitioned middle, and a
+      // status-partitioned tail coexist in one table, each commit
+      // choosing its own layout with ZERO rewrite of prior data.
+      // readPartition prunes the files whose recorded values miss
+      // and conservatively scans the rest, then row-filters — result
+      // ≡ the plain filter (the oracle) across all three layout
+      // generations
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vpe_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val ords = Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice")
+        VersionedTable.write(ords.filter(col("o_orderkey") % 3 === 0),
+          path)
+        VersionedTable.append(s,
+          ords.filter(col("o_orderkey") % 3 === 1), path,
+          partitionBy = Seq("o_orderpriority"))
+        VersionedTable.append(s,
+          ords.filter(col("o_orderkey") % 3 === 2), path,
+          partitionBy = Seq("o_orderstatus"))
+        VersionedTable.readPartition(s, path,
+          Map("o_orderpriority" -> "1-URGENT"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'""")),
+
+    Q("versioned_concurrent_merge",
+      // OPTIMISTIC CONCURRENCY under a LIVE race (the spec drives
+      // interleaved writers synchronously; this runs two real threads
+      // committing keyed DELETEs against the same base version): the
+      // key-ranged layout makes the writers' touched-file sets
+      // disjoint, so whichever thread loses the log-append race
+      // RETRIES its re-link onto the winner's version — both commits
+      // land, in either order, and the final snapshot is
+      // deterministic (the oracle)
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vcm_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val ords = Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        VersionedTable.write(
+          ords.repartitionByRange(8, col("o_orderkey")), path)
+        val hi = Tables(s, d).orders
+          .agg(max("o_orderkey")).head.getLong(0)
+        // two erasure batches from OPPOSITE ends of the key range —
+        // each lives in its own ranged file(s), so the touch sets
+        // can never overlap
+        def erase(lo: Long, hiEx: Long): Thread = {
+          val t = new Thread(() => VersionedTable.deleteMatching(s, path,
+            ords.filter(col("o_orderkey") >= lo &&
+              col("o_orderkey") < hiEx && col("o_orderkey") % 2 === 0)
+              .select("o_orderkey"), Seq("o_orderkey")))
+          t.start(); t
+        }
+        val a = erase(0, hi / 16)
+        val b = erase(hi - hi / 16, hi + 1)
+        a.join(120000); b.join(120000)
+        require(VersionedTable.latestVersion(path).get == 2,
+          "both racing commits must land")
+        VersionedTable.read(s, path)
+      },
+      Some("""
+        WITH hi AS (SELECT max(o_orderkey) AS m FROM orders)
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders, hi
+        WHERE NOT (o_orderkey % 2 = 0 AND
+          (o_orderkey < m // 16 OR o_orderkey >= m - m // 16))""")),
+
     Q("versioned_export",
       // SYMLINK-MANIFEST EXPORT (Delta's symlink_format_manifest /
       // UniForm interop shape): the snapshot becomes a plain list of

@@ -557,4 +557,46 @@ class VersionedTableManifestSpec extends SparkSpec {
     VersionedTable.restore(spark, path, 1)
     assert(VersionedTable.changes(spark, path, 1, 2).count() == 0)
   }
+
+  test("partition EVOLUTION: per-file partition specs coexist; pruning " +
+    "drops only files whose recorded values miss, and every layout " +
+    "generation answers exactly") {
+    val path = freshPath
+    val n = tables.nation
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .withColumn("parity",
+        when(col("n_nationkey") % 2 === 0, "even").otherwise("odd"))
+    // v0: unpartitioned; v1: partitioned by region; v2: by parity
+    VersionedTable.write(n.filter(col("n_nationkey") < 10)
+      .repartition(2), path)
+    VersionedTable.append(spark,
+      n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+      path, partitionBy = Seq("n_regionkey"))
+    VersionedTable.append(spark, n.filter(col("n_nationkey") >= 20),
+      path, partitionBy = Seq("parity"))
+    val v = VersionedTable.latestVersion(path).get
+    val entries = VersionedTable.manifestEntries(path, v)
+    val regionParts = entries.count(_.part.contains("n_regionkey"))
+    assert(regionParts >= 2, "middle generation must be region-keyed")
+    // prune on the MIDDLE generation's key: its non-matching files
+    // drop; v0/v2 files (no recorded n_regionkey) conservatively stay
+    val pruned = VersionedTable.prunedPartitionEntries(path, v,
+      Map("n_regionkey" -> "1"))
+    val region1 = entries.count(_.part.get("n_regionkey").contains("1"))
+    assert(region1 >= 1 && region1 < regionParts)
+    assert(pruned.size == entries.size - regionParts + region1,
+      s"expected only region=1 of the region generation to survive: " +
+        s"${pruned.size} of ${entries.size} ($regionParts region-keyed)")
+    val got = VersionedTable.readPartition(spark, path,
+      Map("n_regionkey" -> "1")).select("n_nationkey")
+      .collect().map(_.get(0).asInstanceOf[Number].longValue).toSet
+    val want = tables.nation.filter(col("n_regionkey") === 1)
+      .select("n_nationkey").collect()
+      .map(_.get(0).asInstanceOf[Number].longValue).toSet
+    assert(got == want)
+    // the parity generation prunes by ITS key the same way
+    val prunedP = VersionedTable.prunedPartitionEntries(path, v,
+      Map("parity" -> "even"))
+    assert(prunedP.size < entries.size)
+  }
 }
