@@ -807,7 +807,7 @@ object VersionedTable {
           s"$n ($sql): ${counts.getLong(i)} rows"
       }
       if (bad.nonEmpty) {
-        entries.flatMap(e => e.name +: e.dv.toSeq)
+        entries.flatMap(e => e.name +: (e.dv.toSeq ++ e.bloom.values.toSeq))
           .foreach(n => Files.deleteIfExists(poolDir(path).resolve(n)))
         throw new ConstraintViolationException(
           s"CHECK constraint violation on $path: ${bad.mkString("; ")}")
@@ -997,21 +997,7 @@ object VersionedTable {
       .limit(cap + 1).collect().map(_.getLong(0))
     if (hs.length > cap) return None
     val cand = indexed.map(e => (e.name, resolveOrFail(path, e.bloom(pc), v)))
-    val bc = spark.sparkContext.broadcast(hs)
-    import spark.implicits._
-    val admitted =
-      try spark.createDataset(cand)
-        .repartition(math.max(1, math.min(cand.size,
-          spark.sparkContext.defaultParallelism)))
-        .mapPartitions { it =>
-          val h = bc.value
-          it.filter { case (_, sidecar) =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              Files.readAllBytes(Paths.get(sidecar)))
-            h.exists(bf.mightContainLong)
-          }
-        }.map(_._1).collect().toSet
-      finally bc.destroy()
+    val admitted = probeSidecars(spark, cand, hs)
     Some(admitted ++
       entries.filterNot(_.bloom.contains(pc)).map(_.name))
   }
@@ -1347,18 +1333,40 @@ object VersionedTable {
       spark.range(1).select(xxhash64(lit(x).cast(dt))).head.getLong(0))
       .toArray
     val cand = withB.map(e => (e.name, resolveOrFail(path, e.bloom(pc), v)))
-    import spark.implicits._
-    val survivors = spark.createDataset(cand)
-      .repartition(math.max(1, math.min(cand.size,
-        spark.sparkContext.defaultParallelism)))
-      .mapPartitions { it =>
-        it.filter { case (_, sidecar) =>
-          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-            Files.readAllBytes(Paths.get(sidecar)))
-          hashes.exists(bf.mightContainLong)
-        }
-      }.map(_._1).collect().toSet
+    val survivors = probeSidecars(spark, cand, hashes)
     statted.filter(e => !e.bloom.contains(pc) || survivors(e.name))
+  }
+
+  /** Sidecar-count threshold under which a bloom probe reads the few
+    * index files on the driver instead of launching a Spark job —
+    * the needle case (stats/partition pruning already shortlisted a
+    * handful of files) shouldn't pay job-scheduling latency. Var so
+    * specs can force either path. */
+  private[operators] var bloomDriverProbeMaxFiles: Int = 32
+
+  /** Names of the (name, sidecarPath) candidates whose bloom admits
+    * any of `hashes`. Small candidate sets probe on the driver; large
+    * ones probe IN PARALLEL — each executor reads only its sidecars
+    * and ships back names, so the driver never loads index bytes at
+    * fleet scale. */
+  private def probeSidecars(spark: SparkSession,
+                            cand: Seq[(String, String)],
+                            hashes: Array[Long]): Set[String] = {
+    def admits(sidecar: String): Boolean = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        Files.readAllBytes(Paths.get(sidecar)))
+      hashes.exists(bf.mightContainLong)
+    }
+    if (cand.size <= bloomDriverProbeMaxFiles)
+      cand.collect { case (n, s) if admits(s) => n }.toSet
+    else {
+      import spark.implicits._
+      spark.createDataset(cand)
+        .repartition(math.max(1, math.min(cand.size,
+          spark.sparkContext.defaultParallelism)))
+        .mapPartitions(_.filter(p => admits(p._2)))
+        .map(_._1).collect().toSet
+    }
   }
 
   /** Point-lookup read `WHERE column IN (values…)`: stats +

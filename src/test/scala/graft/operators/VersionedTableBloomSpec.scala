@@ -55,13 +55,43 @@ class VersionedTableBloomSpec extends SparkSpec {
     assert(VersionedTable.readEqual(spark, path, "k", 99999L).count() == 0)
   }
 
-  test("IN-list lookup probes once and equals the full-scan isin") {
+  test("IN-list lookup probes once and equals the full-scan isin; " +
+    "driver and distributed probe paths agree") {
     val path = freshPath
     indexed(path)
     val keys: Seq[Any] = Seq(7L, 1234L, 4000L, 88888L)
     val got = VersionedTable.readIn(spark, path, "k", keys)
       .orderBy("k").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(7L, 1234L, 4000L))
+    val v = VersionedTable.latestVersion(path).get
+    val driverPruned = VersionedTable.prunedBloomEntries(spark, path, v,
+      "k", keys).map(_.name)
+    val prev = VersionedTable.bloomDriverProbeMaxFiles
+    try {
+      VersionedTable.bloomDriverProbeMaxFiles = 0 // force the Spark job
+      assert(VersionedTable.prunedBloomEntries(spark, path, v,
+        "k", keys).map(_.name) == driverPruned)
+    } finally VersionedTable.bloomDriverProbeMaxFiles = prev
+  }
+
+  test("string columns index too (stats can never prune strings — " +
+    "the doc-hash lookup case)") {
+    val path = freshPath
+    VersionedTable.write(spark.range(2048)
+      .select(col("id").as("k"),
+        sha2(conv(col("id").cast("string"), 10, 16), 256).as("h"))
+      .repartition(8), path)
+    VersionedTable.setTableProperties(path,
+      Map(VersionedTable.bloomColumnsProp -> "h"))
+    VersionedTable.buildBloomIndex(spark, path)
+    val probe = spark.range(1)
+      .select(sha2(conv(lit("777"), 10, 16), 256)).head.getString(0)
+    val v = VersionedTable.latestVersion(path).get
+    assert(VersionedTable.prunedBloomEntries(spark, path, v,
+      "h", Seq(probe)).size <= 3)
+    val got = VersionedTable.readEqual(spark, path, "h", probe)
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(777L))
   }
 
   test("write path auto-indexes new files once the property is set; " +
