@@ -37,7 +37,10 @@ object GraftTableFunctions {
       versionPlan _),
     ("graft_changes",
       "graft_changes(path, from, to) - row-level change feed between versions",
-      changesPlan _))
+      changesPlan _),
+    ("graft_lookup",
+      "graft_lookup(path, column, value) - bloom/stats-pruned point lookup",
+      lookupPlan _))
 
   private def strArg(args: Seq[Expression], i: Int, fn: String): String =
     args(i) match {
@@ -82,6 +85,29 @@ object GraftTableFunctions {
     org.apache.spark.sql.graft.GraftBridge.logicalPlan(
       graft.operators.VersionedTable.changes(
         SparkSession.active, path, from, to))
+  }
+
+  /** Indexed point lookup as a table function: splices
+    * [[graft.operators.VersionedTable.readEqual]]'s pruned plan —
+    * stats, partition values, and bloom sidecars shortlist the files
+    * at RESOLUTION time, so the enclosing query scans only the files
+    * that might hold the key. The needle-in-100-TB verb in SQL. */
+  private def lookupPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "graft_lookup(path, column, value) takes exactly three arguments")
+    val path = strArg(args, 0, "graft_lookup")
+    val column = strArg(args, 1, "graft_lookup")
+    val value = args(2) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(v, _: IntegerType | _: LongType | _: DoubleType |
+                      _: FloatType | _: ShortType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_lookup: argument 3 must be a string or numeric " +
+          s"literal, got $other")
+    }
+    org.apache.spark.sql.graft.GraftBridge.logicalPlan(
+      graft.operators.VersionedTable.readEqual(
+        SparkSession.active, path, column, value))
   }
 
   /** VERSION AS OF as a table function: splices the snapshot's read

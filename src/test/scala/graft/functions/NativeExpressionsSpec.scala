@@ -137,6 +137,27 @@ class NativeExpressionsSpec extends SparkSpec {
       Seq(("delete", 5L)))
   }
 
+  test("graft_lookup: the indexed point lookup in SQL") {
+    import graft.operators.VersionedTable
+    GraftFunctions.ensureRegistered(spark)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvl").toString + "/t"
+    VersionedTable.write(spark.range(2048)
+      .selectExpr("id as k", "id % 97 as v").repartition(8), path)
+    VersionedTable.setTableProperties(path,
+      Map(VersionedTable.bloomColumnsProp -> "k"))
+    VersionedTable.buildBloomIndex(spark, path)
+    val got = spark.sql(s"SELECT v FROM graft_lookup('$path', 'k', 777)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(777L % 97))
+    // composes with SQL around it; works without any index too
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_lookup('$path', 'v', 5)")
+      .head.getLong(0) == spark.range(2048)
+        .filter(org.apache.spark.sql.functions.expr("id % 97 = 5"))
+        .count())
+  }
+
   test("graft_sha60 equals the built-in conv(substring(sha2)) formulation") {
     GraftFunctions.ensureRegistered(spark)
     val rows = spark.sql("""
