@@ -63,12 +63,16 @@ object Bench {
     // re-measured in ISOLATION (end of run, median-of-3) so a
     // transient host stall mid-sweep adjudicates itself — three
     // rounds in a row a human had to re-bench such outliers by hand.
+    // whitespace-tolerant: round artifacts may round-trip through a
+    // pretty-printer that inserts ": " separators — the r11 committed
+    // baseline did, silently emptying the prior map and killing the
+    // requery pass for a whole run
     val prior: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_last.json")), "UTF-8")
-      val qBlock = """"queries":\{(.*?)\}""".r
+      val qBlock = """"queries"\s*:\s*\{(.*?)\}""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(qBlock)
+      """"([^"]+)"\s*:\s*([-0-9.eE]+)""".r.findAllMatchIn(qBlock)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     val calStart = calibrate()

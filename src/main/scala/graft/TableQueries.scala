@@ -591,6 +591,43 @@ object TableQueries {
         FROM lineitem WHERE l_partkey IN (7, 500, 1500)
         GROUP BY 1""")),
 
+    Q("versioned_keyed_read",
+      // index-assisted KEYED READ (dynamic file pruning for point
+      // joins): a small key frame (the big spenders' order keys)
+      // semi-joins a bloom-indexed fact table — the key set probes
+      // the per-file sidecars, the scan touches only admitted files,
+      // and the exact semi-join on the survivors makes the result ≡
+      // the plain IN-subquery (the oracle). The shape every lakehouse
+      // lookup-join at 100 TB wants: the fact table's size stops
+      // mattering to the probe
+      (s, d) => {
+        val path = s"/tmp/graft_cache/vkr_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val li = Tables(s, d).lineitem
+          .select("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice")
+        VersionedTable.write(li.repartition(8), path)
+        VersionedTable.setTableProperties(path,
+          Map(VersionedTable.bloomColumnsProp -> "l_orderkey"))
+        VersionedTable.buildBloomIndex(s, path)
+        val keys = Tables(s, d).orders
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey").as("l_orderkey"))
+        VersionedTable.readKeys(s, path, "l_orderkey", keys)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(12,2)"))
+              .cast("double").as("sum_qty"))
+      },
+      Some("""
+        SELECT l_orderkey, count(*) AS n_items,
+          cast(sum(cast(l_quantity as decimal(12,2))) as double)
+            AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        GROUP BY 1""")),
+
     Q("versioned_partition_evolve",
       // PARTITION EVOLUTION (Iceberg's signature capability, beyond
       // what the reference's Delta gives): the partition spec is

@@ -112,6 +112,20 @@ class VersionedTableBloomSpec extends SparkSpec {
     assert(VersionedTable.readEqual(spark, path, "k", 4100L).count() == 1)
   }
 
+  test("readKeys: a key FRAME semi-joins through the index; an " +
+    "unindexed column degrades to the plain semi-join, same result") {
+    val path = freshPath
+    indexed(path)
+    val keys = spark.range(5).select((col("id") * 700 + 3).as("k"))
+    val got = VersionedTable.readKeys(spark, path, "k", keys)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 703L, 1403L, 2103L, 2803L))
+    val byV = VersionedTable.readKeys(spark, path, "v",
+      spark.range(1).select(lit(7L).as("v")))
+    assert(byV.count() ==
+      spark.range(4096).filter(expr("id % 97 = 7")).count())
+  }
+
   test("a BLOOM INDEX backfill commit diffs EMPTY in the change feed") {
     val path = freshPath
     VersionedTable.write(scattered, path)
