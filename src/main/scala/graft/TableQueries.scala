@@ -591,6 +591,39 @@ object TableQueries {
         FROM lineitem WHERE l_partkey IN (7, 500, 1500)
         GROUP BY 1""")),
 
+    Q("contamination_indexed",
+      // eval-set contamination scan THROUGH the table format's bloom
+      // index — the composition the two families exist for: the
+      // train corpus lives as a versioned table of (doc_id,
+      // chunk-hash) rows indexed on the hash; the (tiny) eval split's
+      // chunk hashes probe the per-file sidecars via readKeys, so the
+      // scan opens only admitted files and the exact semi-join keeps
+      // it precise — flagging every train doc sharing an exact
+      // 20-token chunk with eval WITHOUT a full-corpus scan. At
+      // 100 TB this is the difference between a leakage gate that
+      // runs nightly and one that can't run at all
+      (s, d) => {
+        val path = s"/tmp/graft_cache/cidx_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        import org.apache.spark.sql.graft.GraftBridge
+        def sha60(c: org.apache.spark.sql.Column) = GraftBridge.column(
+          graft.functions.expressions.Sha60(GraftBridge.expression(c)))
+        val hs = CorpusClean.chunked(Tables(s, d).documents, 20)
+          .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+          .select(col("doc_id"), sha60(col("chunk")).as("h"))
+        val isEval = col("doc_id") % 10 < 2
+        VersionedTable.write(hs.filter(!isEval).repartition(8), path)
+        VersionedTable.setTableProperties(path,
+          Map(VersionedTable.bloomColumnsProp -> "h"))
+        VersionedTable.buildBloomIndex(s, path)
+        val evalHashes = hs.filter(isEval).select("h").distinct()
+        VersionedTable.readKeys(s, path, "h", evalHashes)
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h")).as("n_shared_chunks"))
+      },
+      Some(TextOracleSql.contaminationIndexedSql(chunkTokens = 20,
+        evalPred = "doc_id % 10 < 2"))),
+
     Q("versioned_keyed_read",
       // index-assisted KEYED READ (dynamic file pruning for point
       // joins): a small key frame (the big spenders' order keys)

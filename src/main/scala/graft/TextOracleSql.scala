@@ -285,6 +285,20 @@ object TextOracleSql {
       FROM hs)
     SELECT doc_id, unnest(list_distinct(mins)) as fingerprint FROM wins"""
 
+  /** Indexed eval-contamination scan (mirrors the
+    * `versioned_keyed_read` composition in `contamination_indexed`):
+    * train docs sharing any exact `chunkTokens`-token chunk with the
+    * eval split, with the distinct shared-chunk count. */
+  def contaminationIndexedSql(chunkTokens: Int, evalPred: String): String = s"""
+    WITH ${chunkCtes(chunkTokens)},
+    ex AS (SELECT doc_id, unnest(chunks) as chunk FROM ch),
+    hs AS (SELECT doc_id, ${sha60("chunk")} as h FROM ex),
+    ev AS (SELECT DISTINCT h FROM hs WHERE $evalPred)
+    SELECT doc_id, count(DISTINCT h) as n_shared_chunks
+    FROM hs JOIN ev USING (h)
+    WHERE NOT ($evalPred)
+    GROUP BY 1"""
+
   /** `docs` + `ch(doc_id, chunks)` with fixed-width token chunks
     * (mirrors CorpusClean.chunked). */
   private def chunkCtes(chunkTokens: Int): String = s"""
