@@ -42,6 +42,14 @@ object Multimodal {
   // still probe for one on some JVMs — pin headless before first use
   System.setProperty("java.awt.headless", "true")
 
+  // ImageIO's default stream cache backs every non-file read/write
+  // with a CREATE+DELETE of a temp file in java.io.tmpdir — per
+  // image. Decoding a blob column then scales with tmp-dir latency
+  // instead of CPU; the memory cache removes the file round-trip.
+  // (Runs in the object initializer, so every executor JVM that
+  // touches a Multimodal closure gets it before its first decode.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   // deterministic image geometry/color per id — pure functions, so the
   // DuckDB oracle can recompute what a correct decode must return
   def imgWidth(id: Long): Int = 8 + (id % 32).toInt
