@@ -11,13 +11,17 @@ object Bench {
     // warmup (rep 1 still pays any first-touch cost; the median
     // discards it when reps 2-3 agree).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // fork-free local FS: r11's driver bench died when the host
+    // refused a subprocess fork during Hadoop's per-file exec'd chmod
+    graft.sources.NoForkFs.sparkConf
+      .foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JVM/codegen/file-index paths so the first timed query
     // isn't charged for session initialization

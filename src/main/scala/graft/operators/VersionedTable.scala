@@ -161,7 +161,8 @@ object VersionedTable {
                              rows: Long, phys: Long, bytes: Long,
                              stats: Map[String, (Double, Double)],
                              part: Map[String, String],
-                             bloom: Map[String, String] = Map.empty)
+                             bloom: Map[String, String] = Map.empty,
+                             sstats: Map[String, (String, String)] = Map.empty)
 
   /** Table-level properties carried on every commit (all tiny —
     * O(columns + constraints), never O(files)):
@@ -226,8 +227,13 @@ object VersionedTable {
       else e.bloom.toSeq.sortBy(_._1).map { case (c, v) =>
         s""""${jsonEscape(c)}":"${jsonEscape(v)}""""
       }.mkString(""","bloom":{""", ",", "}")
+    val sstats =
+      if (e.sstats.isEmpty) ""
+      else e.sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""${jsonEscape(c)}":["${jsonEscape(lo)}","${jsonEscape(hi)}"]"""
+      }.mkString(""","sstats":{""", ",", "}")
     s"""{"name":"${e.name}"$dv,"rows":${e.rows},"phys":${e.phys},""" +
-      s""""bytes":${e.bytes}$stats$part$bloom}"""
+      s""""bytes":${e.bytes}$stats$part$bloom$sstats}"""
   }
 
   private def parseFileEntry(n: JsonNode): FileEntry = {
@@ -257,10 +263,24 @@ object VersionedTable {
         b.result()
       }
     }
+    val sstats = {
+      val node = n.get("sstats")
+      if (node == null) Map.empty[String, (String, String)]
+      else {
+        val it = node.fields()
+        val b = Map.newBuilder[String, (String, String)]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey ->
+            (e.getValue.get(0).asText, e.getValue.get(1).asText)
+        }
+        b.result()
+      }
+    }
     FileEntry(n.get("name").asText,
       Option(n.get("dv")).map(_.asText),
       n.get("rows").asLong, n.get("phys").asLong, n.get("bytes").asLong,
-      stats, strMap("part"), strMap("bloom"))
+      stats, strMap("part"), strMap("bloom"), sstats)
   }
 
   private def parseEntry(path: String, v: Int): LogEntry = {
@@ -500,16 +520,48 @@ object VersionedTable {
   private def schemaKey(s: StructType): Set[(String, DataType)] =
     s.fields.map(f => f.name -> normType(f.dataType)).toSet
 
-  /** Exact row count AND per-numeric-column [min, max] from the
-    * parquet footer — no data pages read, no extra Spark job (the
-    * write already happened; this is the ONLY place footers are
-    * opened — queries read stats from the manifest). A column
-    * qualifies only when EVERY row group has finite numeric stats
-    * (else it is recorded stat-less — unprunable, never wrong). */
-  private def footerInfo(p: Path): (Long, Map[String, (Double, Double)]) = {
+  /** Truncation length for manifest string zone maps (Delta keeps
+    * the same order of magnitude). Min truncates to a PREFIX (a
+    * prefix never exceeds the full string — safe lower bound); max
+    * truncates by incrementing the last kept char (strictly above
+    * every string sharing the prefix — safe upper bound). */
+  private val strStatMaxLen = 32
+
+  /** Safe truncated bounds: (lowerBound ≤ s, upperBound ≥ s), or None
+    * when no safe upper bound exists within the budget. */
+  private[operators] def truncBounds(mn: String, mx: String)
+      : Option[(String, String)] = {
+    val lo = mn.take(strStatMaxLen)
+    if (mx.length <= strStatMaxLen) Some((lo, mx))
+    else {
+      val t = mx.take(strStatMaxLen)
+      val i = t.lastIndexWhere(_ < '￿')
+      if (i < 0) None
+      else Some((lo, t.substring(0, i) + (t.charAt(i) + 1).toChar))
+    }
+  }
+
+  /** Exact row count, per-numeric-column [min, max], AND
+    * per-STRING-column [min, max] from the parquet footer — no data
+    * pages read, no extra Spark job (the write already happened; this
+    * is the ONLY place footers are opened — queries read stats from
+    * the manifest). A column qualifies only when EVERY row group has
+    * finite stats (else it is recorded stat-less — unprunable, never
+    * wrong). String stats are kept only when pure ASCII: parquet
+    * orders binary stats by unsigned UTF-8 byte, readers compare
+    * UTF-16 code units — the two agree on ASCII and can diverge
+    * beyond it, and a diverging bound would prune wrongly. */
+  private def footerInfo(p: Path)
+      : (Long, Map[String, (Double, Double)], Map[String, (String, String)]) = {
     footerReads.incrementAndGet()
     def num(a: Any): Option[Double] = a match {
       case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def str(a: Any): Option[String] = a match {
+      case b: org.apache.parquet.io.api.Binary =>
+        val s = b.toStringUsingUTF8
+        if (s.forall(_ < 0x80)) Some(s) else None
       case _ => None
     }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -521,6 +573,8 @@ object VersionedTable {
       val blocks = r.getFooter.getBlocks
       val mins = scala.collection.mutable.HashMap[String, Double]()
       val maxs = scala.collection.mutable.HashMap[String, Double]()
+      val smins = scala.collection.mutable.HashMap[String, String]()
+      val smaxs = scala.collection.mutable.HashMap[String, String]()
       val seen = scala.collection.mutable.HashMap[String, Int]()
       val bad = scala.collection.mutable.HashSet[String]()
       var i = 0
@@ -530,30 +584,38 @@ object VersionedTable {
         while (j < cols.size()) {
           val c = cols.get(j)
           val key = c.getPath.toDotString
+          val isStr = c.getPrimitiveType.getLogicalTypeAnnotation
+            .isInstanceOf[org.apache.parquet.schema
+              .LogicalTypeAnnotation.StringLogicalTypeAnnotation]
           val s = c.getStatistics
-          val mnmx =
-            if (s == null || !s.hasNonNullValue) None
-            else (num(s.genericGetMin), num(s.genericGetMax)) match {
-              case (Some(a), Some(b)) if !a.isNaN && !b.isNaN &&
-                !a.isInfinite && !b.isInfinite => Some((a, b))
-              case _ => None
+          if (s == null || !s.hasNonNullValue) bad += key
+          else if (isStr)
+            (str(s.genericGetMin), str(s.genericGetMax)) match {
+              case (Some(a), Some(b)) =>
+                if (!smins.contains(key) || a < smins(key)) smins(key) = a
+                if (!smaxs.contains(key) || b > smaxs(key)) smaxs(key) = b
+                seen(key) = seen.getOrElse(key, 0) + 1
+              case _ => bad += key
             }
-          mnmx match {
-            case Some((a, b)) =>
+          else (num(s.genericGetMin), num(s.genericGetMax)) match {
+            case (Some(a), Some(b)) if !a.isNaN && !b.isNaN &&
+              !a.isInfinite && !b.isInfinite =>
               mins(key) = math.min(mins.getOrElse(key, a), a)
               maxs(key) = math.max(maxs.getOrElse(key, b), b)
               seen(key) = seen.getOrElse(key, 0) + 1
-            case None => bad += key
+            case _ => bad += key
           }
           j += 1
         }
         i += 1
       }
       val nb = blocks.size()
-      val stats = mins.keysIterator
-        .filter(k => !bad(k) && seen(k) == nb && nb > 0)
+      def complete(k: String) = !bad(k) && seen(k) == nb && nb > 0
+      val stats = mins.keysIterator.filter(complete)
         .map(k => k -> (mins(k), maxs(k))).toMap
-      (rows, stats)
+      val sstats = smins.keysIterator.filter(complete)
+        .flatMap(k => truncBounds(smins(k), smaxs(k)).map(k -> _)).toMap
+      (rows, stats, sstats)
     } finally r.close()
   }
 
@@ -617,8 +679,9 @@ object VersionedTable {
       val name = f"$tag$v%06d-$i%03d-${f.getName}"
       val dst = poolDir(path).resolve(name)
       Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      val (rows, stats) = footerInfo(dst)
-      FileEntry(name, None, rows, rows, Files.size(dst), stats, pv)
+      val (rows, stats, sstats) = footerInfo(dst)
+      FileEntry(name, None, rows, rows, Files.size(dst), stats, pv,
+        sstats = sstats)
     }
     destroy(stage.toString)
     // bloom index maintenance (Delta's write-path indexing): when the
@@ -699,8 +762,9 @@ object VersionedTable {
       val name = f"i000000-$i%03d-${f.getName}"
       val dst = poolDir(path).resolve(name)
       Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-      val (rows, stats) = footerInfo(dst)
-      FileEntry(name, None, rows, rows, Files.size(dst), stats, Map.empty)
+      val (rows, stats, sstats) = footerInfo(dst)
+      FileEntry(name, None, rows, rows, Files.size(dst), stats, Map.empty,
+        sstats = sstats)
     }
     appendLog(path, 0, operation, entries.map(_.rows).sum,
       nullableSchema(schema), full = Some(entries), add = Nil,
@@ -967,39 +1031,56 @@ object VersionedTable {
     * fallback. */
   private[operators] var bloomMergeProbeCapKeys: Int = 1 << 16
 
-  /** MERGE-side dynamic file pruning from the bloom index: when the
-    * (single) merge key is bloom-indexed, probe each file's sidecar
-    * with the update batch's hashed key set and return the files
-    * that MIGHT contain one — the exact touch scan then reads only
-    * those, so a small CDC batch against a 100 TB table scans
-    * O(admitted files), not every file's key column. Returns None
-    * (no pruning) for multi-column keys, unindexed tables, a
-    * key-type mismatch (the hash is type-sensitive), or a batch over
-    * [[bloomMergeProbeCapKeys]] — the caller's scan stays exact
-    * either way; files without an index for the key conservatively
-    * survive. */
+  /** MERGE-side dynamic file pruning from the bloom index: probe each
+    * file's sidecars with the update batch's hashed key sets and
+    * return the files that MIGHT contain a matching key tuple — the
+    * exact touch scan then reads only those, so a small CDC batch
+    * against a 100 TB table scans O(admitted files), not every file's
+    * key columns. COMPOSITE keys compose as per-column admitted-set
+    * INTERSECTION: a file can hold a matching (k1, k2, …) row only if,
+    * for EVERY indexed key column, its bloom admits some batch value
+    * of that column — so each indexed column can only shrink the
+    * candidate set. Columns that are unindexed, type-mismatched (the
+    * hash is type-sensitive), or over [[bloomMergeProbeCapKeys]]
+    * distinct batch values contribute no pruning; returns None when
+    * no column contributes — the caller's scan stays exact either
+    * way, and files without an index for a column conservatively
+    * survive that column. */
   private[operators] def bloomTouchCandidates(
       spark: SparkSession, path: String, v: Int, props: TableProps,
       schema: StructType, keyFrame: DataFrame, keys: Seq[String])
       : Option[Set[String]] = {
-    if (keys.size != 1) return None
-    val key = keys.head
-    val pc = props.phys(key)
     val entries = manifestEntries(path, v)
-    val indexed = entries.filter(_.bloom.contains(pc))
-    if (indexed.isEmpty) return None
-    // the build side hashed the column under the TABLE's type — a
-    // differently-typed key frame hashes differently and would prune
-    // wrongly; refuse and fall back
-    if (keyFrame.schema(key).dataType != schema(key).dataType) return None
     val cap = bloomMergeProbeCapKeys
-    val hs = keyFrame.select(xxhash64(col(key)).as("h")).distinct()
-      .limit(cap + 1).collect().map(_.getLong(0))
-    if (hs.length > cap) return None
-    val cand = indexed.map(e => (e.name, resolveOrFail(path, e.bloom(pc), v)))
-    val admitted = probeSidecars(spark, cand, hs)
-    Some(admitted ++
-      entries.filterNot(_.bloom.contains(pc)).map(_.name))
+    // the build side hashed each column under the TABLE's type — a
+    // differently-typed key frame hashes differently and would prune
+    // wrongly; such a column just contributes no pruning
+    val usable = keys.filter { k =>
+      val pc = props.phys(k)
+      entries.exists(_.bloom.contains(pc)) &&
+        keyFrame.schema(k).dataType == schema(k).dataType
+    }
+    if (usable.isEmpty) return None
+    var surviving = entries.map(_.name).toSet
+    var pruned = false
+    usable.foreach { k =>
+      val pc = props.phys(k)
+      // probe only files still in play — each column tightens the set
+      val indexed = entries.filter(e =>
+        surviving(e.name) && e.bloom.contains(pc))
+      if (indexed.nonEmpty) {
+        val hs = keyFrame.select(xxhash64(col(k)).as("h")).distinct()
+          .limit(cap + 1).collect().map(_.getLong(0))
+        if (hs.length <= cap) {
+          val cand = indexed.map(e =>
+            (e.name, resolveOrFail(path, e.bloom(pc), v)))
+          val admitted = probeSidecars(spark, cand, hs)
+          surviving = surviving -- (indexed.map(_.name).toSet -- admitted)
+          pruned = true
+        }
+      }
+    }
+    if (pruned) Some(surviving) else None
   }
 
   /** APPEND: commit `df` as NEW pool files RE-LINKING the whole
@@ -1151,6 +1232,41 @@ object VersionedTable {
     }.map(_.name)
   }
 
+  /** STRING-key stats-pruned read (the `event_type`/`country`-shaped
+    * predicate a lakehouse prunes on constantly): shortlist version
+    * `v`'s files to those whose manifest string [min, max] for
+    * `column` OVERLAPS [lo, hi] — the bounds are truncation-SAFE
+    * (recorded min ≤ true min, recorded max ≥ true max, see
+    * [[truncBounds]]) and stat-less files always survive, so pruning
+    * never drops a row — then apply the exact row filter; result ≡
+    * the full-scan filter. Pure manifest metadata, zero query-time
+    * footer I/O. */
+  def readWhereStr(spark: SparkSession, path: String, column: String,
+                   lo: String, hi: String,
+                   asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    require(!vacuumedVersions(path).contains(v),
+      s"version $v was vacuumed at $path")
+    val keep = prunedStringEntries(path, v, column, lo, hi).map(_.name)
+    readFiles(spark, path, keep, schemaOf(path, v), v, propsOf(path, v))
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Entries [[readWhereStr]] would scan (exposed for pruning
+    * assertions). */
+  def prunedStringEntries(path: String, v: Int, column: String,
+                          lo: String, hi: String): Seq[FileEntry] = {
+    val pc = propsOf(path, v).phys(column)
+    manifestEntries(path, v).filter { e =>
+      e.sstats.get(pc) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // stat-less: unprunable, never wrong
+      }
+    }
+  }
+
   /** Partition-pruned read: keep only manifest entries whose recorded
     * partition values match `values` (entries without a recorded
     * value for a filter column are conservatively kept), then apply
@@ -1211,6 +1327,18 @@ object VersionedTable {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** RENAME/DROP COLUMN maintenance of [[bloomColumnsProp]] (which
+    * holds LOGICAL names): rewrite `from` to `to`, or remove it when
+    * `to` is None; an emptied list unsets the property. */
+  private def renameInBloomProp(tbl: Map[String, String], from: String,
+                                to: Option[String]): Map[String, String] =
+    tbl.get(bloomColumnsProp).fold(tbl) { s =>
+      val cols = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .flatMap(c => if (c == from) to else Some(c)).distinct
+      if (cols.isEmpty) tbl - bloomColumnsProp
+      else tbl + (bloomColumnsProp -> cols.mkString(","))
+    }
+
   private def bloomFpp(props: TableProps): Double =
     props.tbl.get(bloomFppProp).map(_.toDouble).getOrElse(0.03)
 
@@ -1228,13 +1356,32 @@ object VersionedTable {
                                  physCols: Seq[String], fpp: Double,
                                  readSchema: Option[StructType] = None)
       : Seq[FileEntry] = {
+    if (entries.isEmpty || physCols.isEmpty) return entries
+    // size the filter per FILE, not per commit: a serialized bloom is
+    // numBits/8 bytes REGARDLESS of insertions, so sizing every file
+    // from the commit's largest would write the big file's multi-MB
+    // sidecar once per small file. Files in the same power-of-two row
+    // class share one aggregation pass (partial blooms mergeInPlace
+    // only under identical sizing), so each file's index is within 2×
+    // of its optimal size and a mixed commit costs ≤ log2(maxRows)
+    // passes — each pass scanning ONLY its own files.
+    val byClass = entries.groupBy(e => 64 - java.lang.Long
+      .numberOfLeadingZeros(math.max(1L, math.min(e.phys, 4000000L))))
+    val done = byClass.toSeq.sortBy(_._1).flatMap { case (_, es) =>
+      bloomSidecarPass(spark, path, v, es, physCols, fpp, readSchema)
+    }.map(e => e.name -> e).toMap
+    entries.map(e => done(e.name))
+  }
+
+  /** One uniformly-sized sidecar-build pass over `entries`. */
+  private def bloomSidecarPass(spark: SparkSession, path: String,
+                               v: Int, entries: Seq[FileEntry],
+                               physCols: Seq[String], fpp: Double,
+                               readSchema: Option[StructType])
+      : Seq[FileEntry] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.util.sketch.BloomFilter
-    if (entries.isEmpty || physCols.isEmpty) return entries
-    // one (estItems, numBits) sizing across the commit's files keeps
-    // every partial bloom mergeInPlace-compatible; both stay under
-    // Spark's runtime-filter ceilings
     val estItems = math.max(1L, math.min(entries.map(_.phys).max, 4000000L))
     val numBits = math.min(BloomFilter.optimalNumOfBits(estItems, fpp),
       1L << 26)
@@ -1317,13 +1464,33 @@ object VersionedTable {
       case n: java.lang.Number => Some(n.doubleValue)
       case _ => None
     }
+    // partition values were recorded as the column rendered to string
+    // by the partitioned write; compare through the SAME typed cast
+    // the bloom hash uses — an untyped String.valueOf(x) == pv would
+    // wrongly prune a type-lax literal (Int 7 vs a double partition's
+    // "7.0"). A literal the column type cannot represent disables
+    // partition pruning for the whole lookup (never prunes wrongly).
+    val partStrs: Option[Set[String]] = {
+      val rendered = values.map(x =>
+        spark.range(1).select(lit(x).cast(dt).cast("string")).head.get(0))
+      if (rendered.contains(null)) None
+      else Some(rendered.map(_.toString).toSet)
+    }
     val statted = manifestEntries(path, v).filter { e =>
       val statOk = e.stats.get(pc).forall { case (mn, mx) =>
         values.exists(x => numOf(x).forall(d => d >= mn && d <= mx))
       }
+      // string zone maps prune point lookups too (bounds are
+      // truncation-safe, so containment is conservative-correct)
+      val sstatOk = e.sstats.get(pc).forall { case (mn, mx) =>
+        values.exists {
+          case s: String => s >= mn && s <= mx
+          case _ => true
+        }
+      }
       val partOk = e.part.get(pc).forall(pv =>
-        values.exists(x => String.valueOf(x) == pv))
-      statOk && partOk
+        partStrs.forall(_.contains(pv)))
+      statOk && sstatOk && partOk
     }
     val (withB, withoutB) = statted.partition(_.bloom.contains(pc))
     if (withB.isEmpty) return statted
@@ -1429,11 +1596,15 @@ object VersionedTable {
     * the snapshot. Files a format-unaware reader would MISREAD are
     * materialized into clean copies under `outDir/materialized/`
     * first: files carrying a DELETION VECTOR (the reader would
-    * resurrect deleted rows) and, when the table has renamed/dropped
-    * columns, every file (data files store stable PHYSICAL names the
-    * reader cannot map back). Everything else LINKS in place, so
-    * exporting a 100 TB snapshot costs O(manifest + DV'd files),
-    * never a table copy. The manifest pins THIS version — like
+    * resurrect deleted rows), every file when any column is RENAMED
+    * (data files store stable PHYSICAL names the reader cannot map
+    * back), and files committed under a DIFFERENT physical schema
+    * than version `v`'s (a later DROP would resurrect the dropped
+    * column's bytes; a later ADD would leave the reader a
+    * schema-ambiguous mix) — detected per file from pure log
+    * metadata (the committing version's schema), no footer I/O.
+    * Everything else LINKS in place, so exporting a 100 TB snapshot
+    * costs O(manifest + DV'd/evolved files), never a table copy. The manifest pins THIS version — like
     * Delta's manifests it does not follow later commits, and a
     * VACUUM that reclaims the exported version's files dangles the
     * links (re-export after vacuum). Returns the listed paths. */
@@ -1448,9 +1619,24 @@ object VersionedTable {
     val schema = schemaOf(path, v)
     val props = propsOf(path, v)
     val renamedWorld = schema.fields.exists(f => props.phys(f.name) != f.name)
-    val (mat, link) =
-      if (renamedWorld) (entries, Seq.empty[FileEntry])
-      else entries.partition(_.dv.isDefined)
+    def physKey(w: Int): Set[(String, DataType)] = {
+      val s = schemaOf(path, w); val p = propsOf(path, w)
+      s.fields.map(f => p.phys(f.name) -> normType(f.dataType)).toSet
+    }
+    val curKey = physKey(v)
+    lazy val added = addedVersions(path, v)
+    val keyCache = scala.collection.mutable.HashMap[Int, Set[(String, DataType)]]()
+    // a file links in place only when a plain-parquet reader of just
+    // that file sees version v's exact physical world: no DV, and the
+    // physical schema of its OWN committing version equals v's (an
+    // unknown committing version — impossible by construction — falls
+    // to the safe side: materialize)
+    def linkable(e: FileEntry): Boolean = e.dv.isEmpty &&
+      added.get(e.name).exists(w =>
+        keyCache.getOrElseUpdate(w, physKey(w)) == curKey)
+    val (link, mat) =
+      if (renamedWorld) (Seq.empty[FileEntry], entries)
+      else entries.partition(linkable)
     Files.createDirectories(Paths.get(outDir))
     val matPaths =
       if (mat.isEmpty) Seq.empty[String]
@@ -1470,6 +1656,19 @@ object VersionedTable {
     Files.writeString(Paths.get(outDir, "manifest.txt"),
       all.mkString("", "\n", "\n"))
     all
+  }
+
+  /** The version that WROTE each of the files reachable at version
+    * `v` — the first version (≤ `v`) whose log entry carries the
+    * name. Pure log metadata: one parse per version, no file I/O. */
+  private def addedVersions(path: String, v: Int): Map[String, Int] = {
+    val seen = scala.collection.mutable.HashMap[String, Int]()
+    versions(path).filter(_ <= v).foreach { w =>
+      val e = parseEntry(path, w)
+      e.full.getOrElse(e.add).foreach(f =>
+        if (!seen.contains(f.name)) seen(f.name) = w)
+    }
+    seen.toMap
   }
 
   /** (name, bytes) for each data file of version `v` — pure manifest
@@ -1778,17 +1977,24 @@ object VersionedTable {
       if (keepTouched.isEmpty) Map.empty
       else {
         // fold ONLY re-touched files' prior sidecars (per-file, so
-        // each fold is bounded by that file's own deletion set)
+        // each fold is bounded by that file's own deletion set).
+        // Touch sets join as broadcast FRAMES, not isin literals — a
+        // GDPR-scale erasure touching 10⁵-10⁶ files must not build a
+        // million-literal Catalyst expression
+        import spark.implicits._
+        val keepDf = broadcast(keepTouched.toSeq.sorted.toDF("file"))
         val prior = entries
           .filter(e => keepTouched.contains(e.name)).flatMap(_.dv)
           .distinct.map { s =>
             spark.read.parquet(resolveOrFail(path, s, v))
               .select(col("file"), col("pos"))
-              .filter(col("file").isin(keepTouched.toSeq: _*))
+              .join(keepDf, Seq("file"), "left_semi")
           }
         val keptNew =
           if (fullyDeleted.isEmpty) newDel
-          else newDel.filter(!col("file").isin(fullyDeleted.toSeq: _*))
+          else newDel.join(
+            broadcast(fullyDeleted.toSeq.sorted.toDF("file")),
+            Seq("file"), "left_anti")
         writeDvSidecars(spark, (prior :+ keptNew).reduce(_ unionByName _),
           path, v + 1)
       }
@@ -2161,7 +2367,11 @@ object VersionedTable {
       if (f.name == from) f.copy(name = to) else f))
     val newProps = props.copy(
       colmap = props.colmap - from + (to -> physFrom),
-      usedPhys = props.usedPhys + physFrom)
+      usedPhys = props.usedPhys + physFrom,
+      // graft.bloom.columns holds LOGICAL names — follow the rename,
+      // or the write-path index silently stops maintaining the column
+      // (and a future column reusing the freed name would bind to it)
+      tbl = renameInBloomProp(props.tbl, from, Some(to)))
     commitActions(path, s"RENAME COLUMN[$from->$to]", v, Set.empty, Nil,
       newSchema, Some(newProps))
   }
@@ -2185,7 +2395,8 @@ object VersionedTable {
           "drop the constraint first"))
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     val newProps = props.copy(colmap = props.colmap - name,
-      usedPhys = props.usedPhys + props.phys(name))
+      usedPhys = props.usedPhys + props.phys(name),
+      tbl = renameInBloomProp(props.tbl, name, None))
     commitActions(path, s"DROP COLUMN[$name]", v, Set.empty, Nil,
       newSchema, Some(newProps))
   }

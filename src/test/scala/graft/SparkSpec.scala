@@ -12,13 +12,15 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    graft.sources.NoForkFs.sparkConf
+      .foreach { case (k, v) => builder.config(k, v) }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
