@@ -879,6 +879,13 @@ object VersionedTable {
     }
   }
 
+  /** Absolute path of a pool file (own pool or clone base) — the
+    * resolver the DataSource V2 connector plans scans with. */
+  def poolFilePath(path: String, name: String): String =
+    resolvePoolFile(path, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"data file $name is gone at $path (vacuumed?)")).toString
+
   private def resolveOrFail(path: String, name: String, v: Int): String =
     resolvePoolFile(path, name).getOrElse(throw new IllegalArgumentException(
       s"version $v was vacuumed at $path" +
@@ -1492,16 +1499,124 @@ object VersionedTable {
         partStrs.forall(_.contains(pv)))
       statOk && sstatOk && partOk
     }
-    val (withB, withoutB) = statted.partition(_.bloom.contains(pc))
-    if (withB.isEmpty) return statted
-    // the literal hashes EXACTLY as the build side hashed the column:
-    // xxhash64 over the column's own data type
+    bloomSurvivors(spark, path, v, statted, pc, dt, values)
+  }
+
+  /** Survivors of `entries` after probing `pc`'s bloom sidecars with
+    * `values` hashed under the column's own type (the literal hashes
+    * EXACTLY as the build side hashed the column); entries without a
+    * sidecar for the column conservatively survive. */
+  private def bloomSurvivors(spark: SparkSession, path: String, v: Int,
+                             entries: Seq[FileEntry], pc: String,
+                             dt: DataType, values: Seq[Any])
+      : Seq[FileEntry] = {
+    val withB = entries.filter(_.bloom.contains(pc))
+    if (withB.isEmpty) return entries
     val hashes = values.map(x =>
       spark.range(1).select(xxhash64(lit(x).cast(dt))).head.getLong(0))
       .toArray
     val cand = withB.map(e => (e.name, resolveOrFail(path, e.bloom(pc), v)))
     val survivors = probeSidecars(spark, cand, hashes)
-    statted.filter(e => !e.bloom.contains(pc) || survivors(e.name))
+    entries.filter(e => !e.bloom.contains(pc) || survivors(e.name))
+  }
+
+  /** DATA-SKIPPING for the `graft` DataSource V2 connector: the
+    * manifest entries of version `v` that can possibly satisfy the
+    * pushed-down `filters` conjunction — numeric [min, max] stats,
+    * truncation-safe STRING stats, recorded partition values
+    * (compared through the column's typed cast), and per-file BLOOM
+    * sidecars for equality/IN keys, composed in that order (cheap
+    * metadata first, I/O-bearing bloom probes over the already-pruned
+    * remainder). Unrecognized filters and stat-less files prune
+    * nothing — the scan re-applies every filter row-level, so pruning
+    * can drop rows never. Pure metadata except the bloom probes. */
+  def pruneEntriesForFilters(spark: SparkSession, path: String, v: Int,
+                             filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[FileEntry] = {
+    import org.apache.spark.sql.sources._
+    val props = propsOf(path, v)
+    val schema = schemaOf(path, v)
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case x => Seq(x)
+    }
+    val conj = filters.flatMap(flat)
+    def dtOf(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def num(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case _ => None
+    }
+    // rendered through the column's typed cast — matches how the
+    // partitioned write recorded the value (see prunedBloomEntries)
+    def partRender(c: String, x: Any): Option[String] = dtOf(c).flatMap {
+      dt => Option(spark.range(1).select(lit(x).cast(dt).cast("string"))
+        .head.get(0)).map(_.toString)
+    }
+    // can `e` hold a row with column c == x?
+    def mightEqual(e: FileEntry, c: String, x: Any): Boolean = {
+      if (x == null) return true
+      val pc = props.phys(c)
+      val statOk = e.stats.get(pc).forall(r => num(x)
+        .forall(d => d >= r._1 && d <= r._2))
+      val sstatOk = e.sstats.get(pc).forall(r => x match {
+        case s: String => s >= r._1 && s <= r._2
+        case _ => true
+      })
+      val partOk = e.part.get(pc).forall(pv =>
+        partRender(c, x).forall(_ == pv))
+      statOk && sstatOk && partOk
+    }
+    def keep(e: FileEntry, f: Filter): Boolean = f match {
+      case EqualTo(c, x) => mightEqual(e, c, x)
+      case EqualNullSafe(c, x) => x == null || mightEqual(e, c, x)
+      case In(c, vs) => vs.isEmpty || vs.exists(x => mightEqual(e, c, x))
+      case GreaterThan(c, x) => lowerBoundOk(e, c, x)
+      case GreaterThanOrEqual(c, x) => lowerBoundOk(e, c, x)
+      case LessThan(c, x) => upperBoundOk(e, c, x)
+      case LessThanOrEqual(c, x) => upperBoundOk(e, c, x)
+      case StringStartsWith(c, p) =>
+        val pc = props.phys(c)
+        e.sstats.get(pc).forall { case (mn, mx) =>
+          mx >= p && mn.take(p.length) <= p
+        }
+      case _ => true // unknown shape: never prune on it
+    }
+    // file max must reach x (conservative: >= for both strict forms)
+    def lowerBoundOk(e: FileEntry, c: String, x: Any): Boolean = {
+      val pc = props.phys(c)
+      val n = e.stats.get(pc).forall(r => num(x).forall(_ <= r._2))
+      val s = e.sstats.get(pc).forall(r => x match {
+        case st: String => r._2 >= st
+        case _ => true
+      })
+      n && s
+    }
+    def upperBoundOk(e: FileEntry, c: String, x: Any): Boolean = {
+      val pc = props.phys(c)
+      val n = e.stats.get(pc).forall(r => num(x).forall(_ >= r._1))
+      val s = e.sstats.get(pc).forall(r => x match {
+        case st: String => r._1 <= st
+        case _ => true
+      })
+      n && s
+    }
+    var entries = manifestEntries(path, v)
+      .filter(e => conj.forall(f => keep(e, f)))
+    // bloom pass last, over the metadata-pruned remainder: equality
+    // and IN keys probe the per-file sidecars
+    val eqCols: Seq[(String, Seq[Any])] = conj.collect {
+      case EqualTo(c, x) if x != null => c -> Seq(x)
+      case EqualNullSafe(c, x) if x != null => c -> Seq(x)
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) => c -> vs.toSeq
+    }
+    eqCols.foreach { case (c, vs) =>
+      dtOf(c).foreach { dt =>
+        entries = bloomSurvivors(spark, path, v, entries,
+          props.phys(c), dt, vs)
+      }
+    }
+    entries
   }
 
   /** Sidecar-count threshold under which a bloom probe reads the few

@@ -1,0 +1,413 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graft.GraftBridge
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.VersionedTable
+
+/** DataSource V2 front door for the versioned table format — the
+  * `spark.read.format("graft")` / `USING graft` surface a SQL-first
+  * user touches before any Scala API (the reference's whole surface is
+  * SQL on table names; reference `1 Data ingestion.py`:122-140).
+  *
+  *  - **Batch read (V2)**: `spark.read.format("graft").load(path)`,
+  *    pinned time travel via `.option("versionAsOf", n)` or
+  *    `.option("timestampAsOf", ts)`. The ScanBuilder implements
+  *    `SupportsPushDownFilters` + `SupportsPushDownRequiredColumns`:
+  *    pushed filters drive the manifest's stats→partition→bloom file
+  *    skipping ([[VersionedTable.pruneEntriesForFilters]]) and then
+  *    push further into the parquet scan (row-group skipping); pruned
+  *    columns reach the vectorized reader, so `SELECT one_col WHERE
+  *    key = k` on a 100 TB table opens only bloom-admitted files and
+  *    decodes one column. Deletion vectors apply per file at read
+  *    (position-set skip against the file-ordered reader), column
+  *    mapping resolves logical→physical names, and files predating a
+  *    schema evolution read missing columns as null — the full format
+  *    contract, through plain `spark.read`.
+  *  - **Batch write (V1 fallback)**: `df.write.format("graft")` —
+  *    the table lacks BATCH_WRITE capability, so Spark falls back to
+  *    [[CreatableRelationProvider]], which runs the format's own
+  *    driver-side commit protocol (modes: append/overwrite/
+  *    errorifexists/ignore; `partitionBy` option). This also carries
+  *    `CREATE TABLE ... USING graft LOCATION ... AS SELECT`.
+  *  - **Streaming sink (V1 fallback)**: `writeStream.format("graft")`
+  *    — exactly-once by commit-log batch id (a replayed micro-batch
+  *    after restart is a no-op); append mode APPENDs, update mode
+  *    with a `mergeKeys` option MERGEs, complete mode snapshots.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider with StreamSinkProvider {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: JMap[String, String]): String =
+    Option(options.get("path")).map(GraftDataSource.normalizePath)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: a table 'path' is required (load(path) or option(\"path\", …))"))
+
+  private def resolveVersion(path: String,
+                             options: JMap[String, String]): Int = {
+    val asOf = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    val tsOf = Option(options.get("timestampAsOf"))
+      .map(s => VersionedTable.versionAt(path, java.time.Instant.parse(s.trim))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: no version committed at or before $s at $path")))
+    asOf.orElse(tsOf).getOrElse(VersionedTable.latestVersion(path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: no committed versions at $path")))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    // a not-yet-created table is legal here: DataFrameWriter probes
+    // the provider BEFORE falling back to the V1 write path
+    if (VersionedTable.versions(path).isEmpty) new StructType()
+    else VersionedTable.schemaOf(path, resolveVersion(path, options))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val path = pathOf(properties)
+    if (VersionedTable.versions(path).isEmpty)
+      new GraftTable(path, -1, Option(schema))
+    else new GraftTable(path, resolveVersion(path, properties), None)
+  }
+
+  // ---------------------------------------------------------------- //
+  // V1 batch write (DataFrameWriter falls back here because the V2
+  // table declares no BATCH_WRITE capability) — the format's own
+  // commit protocol, including CTAS `USING graft`
+  // ---------------------------------------------------------------- //
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = GraftDataSource.normalizePath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: write needs a 'path'")))
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val exists = VersionedTable.versions(path).nonEmpty
+    mode match {
+      case SaveMode.Overwrite =>
+        VersionedTable.write(data, path, "WRITE[OVERWRITE]", partitionBy)
+      case SaveMode.Append =>
+        if (exists) VersionedTable.append(data.sparkSession, data, path,
+          partitionBy = partitionBy)
+        else VersionedTable.write(data, path, "WRITE", partitionBy)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"graft: table at $path already exists (mode=ErrorIfExists)")
+        VersionedTable.write(data, path, "WRITE", partitionBy)
+      case SaveMode.Ignore =>
+        if (!exists) VersionedTable.write(data, path, "WRITE", partitionBy)
+    }
+    val snap = VersionedTable.schemaOf(path,
+      VersionedTable.latestVersion(path).get)
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = snap
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  // V1 streaming sink (DataStreamWriter falls back here because the
+  // V2 table declares no STREAMING_WRITE capability)
+  // ---------------------------------------------------------------- //
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = GraftDataSource.normalizePath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: sink needs a 'path'")))
+    val keys = parameters.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    if (outputMode == OutputMode.Update())
+      require(keys.exists(_.nonEmpty),
+        "graft: update output mode needs a 'mergeKeys' option")
+    new GraftSink(path, partitionColumns, outputMode, keys)
+  }
+}
+
+object GraftDataSource {
+  /** Catalog LOCATIONs arrive as `file:` URIs; the format's own
+    * metadata layer works on plain filesystem paths. */
+  private[sources] def normalizePath(p: String): String =
+    if (p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
+}
+
+/** The pinned-snapshot V2 table. Reads are native V2 (pushdown-wired
+  * scans); batch writes go through the official V1-write shim
+  * (`V1_BATCH_WRITE` + [[org.apache.spark.sql.connector.write.V1Write]])
+  * so INSERT/CTAS through the session catalog and
+  * `df.write.format("graft")` all run the format's own driver-side
+  * optimistic commit protocol. `version = -1` marks a not-yet-created
+  * table (capability probe / CTAS target): its schema is whatever the
+  * caller supplied and any scan attempt fails cleanly. */
+private[sources] class GraftTable(path: String, version: Int,
+                                  external: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = s"graft.`$path`@v$version"
+
+  override def schema(): StructType =
+    if (version < 0) external.getOrElse(new StructType())
+    else VersionedTable.schemaOf(path, version)
+
+  /** V1_BATCH_WRITE *without* BATCH_WRITE — the deliberate capability
+    * split a V1-commit-protocol format wants: DataFrameWriter's
+    * `supports(BATCH_WRITE)` guards both fail, so EVERY save mode of
+    * `df.write.format("graft")` routes to the V1
+    * CreatableRelationProvider (which handles creation,
+    * append/overwrite, ErrorIfExists and Ignore), while catalog plans
+    * (CTAS `USING graft`, `INSERT INTO`/`INSERT OVERWRITE`) pass
+    * TableCapabilityCheck via V1_BATCH_WRITE (+ TRUNCATE for
+    * overwrite-by-AlwaysTrue) and execute through the
+    * [[org.apache.spark.sql.connector.write.V1Write]] shim below. */
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(version >= 0, s"graft: no committed versions at $path")
+    new GraftScanBuilder(path, version, schema())
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    import org.apache.spark.sql.connector.write.{SupportsTruncate, V1Write, Write, WriteBuilder}
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: DataFrame, _: Boolean) => {
+            val exists = VersionedTable.versions(path).nonEmpty
+            if (overwrite || !exists)
+              VersionedTable.write(data, path,
+                if (overwrite && exists) "WRITE[OVERWRITE]" else "WRITE")
+            else VersionedTable.append(data.sparkSession, data, path)
+          }
+      }
+    }
+  }
+}
+
+/** Filter + column pushdown: accepted filters drive manifest file
+  * skipping AND the parquet row-group predicate; every filter is also
+  * returned as residual so Spark re-applies it row-level — file-level
+  * pruning is approximate by design (blooms, truncated bounds), the
+  * result never is. */
+private[sources] class GraftScanBuilder(path: String, version: Int,
+                                        fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // residual: re-evaluated above the scan (pruning is lossy-safe)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep table-declared field order and types; honor the projection
+    val want = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => want(f.name)))
+  }
+
+  override def build(): Scan =
+    new GraftScan(path, version, fullSchema, required, pushed)
+}
+
+private[sources] class GraftScan(path: String, version: Int,
+                                 fullSchema: StructType,
+                                 required: StructType,
+                                 filters: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft $path @v$version [${required.fieldNames.mkString(",")}]"
+
+  /** Logical→physical leaf-column rename of a pushed filter, for the
+    * parquet row-group predicate (files store physical names). Filters
+    * with shapes we don't recognize are dropped from the parquet push
+    * — they were already re-applied above the scan. */
+  private def physFilter(f: Filter, phys: String => String): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => Some(EqualTo(phys(c), v))
+      case EqualNullSafe(c, v) => Some(EqualNullSafe(phys(c), v))
+      case In(c, vs) => Some(In(phys(c), vs))
+      case GreaterThan(c, v) => Some(GreaterThan(phys(c), v))
+      case GreaterThanOrEqual(c, v) => Some(GreaterThanOrEqual(phys(c), v))
+      case LessThan(c, v) => Some(LessThan(phys(c), v))
+      case LessThanOrEqual(c, v) => Some(LessThanOrEqual(phys(c), v))
+      case IsNull(c) => Some(IsNull(phys(c)))
+      case IsNotNull(c) => Some(IsNotNull(phys(c)))
+      case StringStartsWith(c, v) => Some(StringStartsWith(phys(c), v))
+      case StringEndsWith(c, v) => Some(StringEndsWith(phys(c), v))
+      case StringContains(c, v) => Some(StringContains(phys(c), v))
+      case And(l, r) => for {
+        pl <- physFilter(l, phys); pr <- physFilter(r, phys)
+      } yield And(pl, pr)
+      case Or(l, r) => for {
+        pl <- physFilter(l, phys); pr <- physFilter(r, phys)
+      } yield Or(pl, pr)
+      case Not(x) => physFilter(x, phys).map(Not)
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val entries = VersionedTable.pruneEntriesForFilters(
+      spark, path, version, filters.toIndexedSeq)
+    entries.map { e =>
+      val abs = VersionedTable.poolFilePath(path, e.name)
+      val dv = e.dv.map { d =>
+        val p = VersionedTable.poolFilePath(path, d)
+        (p, java.nio.file.Files.size(java.nio.file.Paths.get(p)))
+      }
+      GraftInputPartition(e.name, abs, e.bytes, dv): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val props = VersionedTable.propsOf(path, version)
+    def physS(s: StructType) =
+      StructType(s.fields.map(f => f.copy(name = props.phys(f.name))))
+    val physFull = physS(fullSchema)
+    val physReq = physS(required)
+    val physFilters = filters.toIndexedSeq
+      .flatMap(f => physFilter(f, props.phys))
+    // clean files: parquet predicate pushdown is free row-group
+    // skipping. DV files: NO pushed predicate — rows must arrive in
+    // file order so `running count == row position` holds for the
+    // deletion-vector skip.
+    val cleanReader = GraftBridge.parquetReadFunc(
+      spark, physFull, physReq, physFilters)
+    val dvDataReader = GraftBridge.parquetReadFunc(
+      spark, physFull, physReq, Nil)
+    val dvSidecarReader = GraftBridge.parquetReadFunc(
+      spark, GraftReaderFactory.dvSchema, GraftReaderFactory.dvSchema, Nil)
+    new GraftReaderFactory(cleanReader, dvDataReader, dvSidecarReader)
+  }
+}
+
+private[sources] case class GraftInputPartition(
+    fileName: String, absPath: String, length: Long,
+    dv: Option[(String, Long)]) extends InputPartition
+
+private[sources] object GraftReaderFactory {
+  val dvSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+}
+
+private[sources] class GraftReaderFactory(
+    cleanReader: PartitionedFile => Iterator[InternalRow],
+    dvDataReader: PartitionedFile => Iterator[InternalRow],
+    dvSidecarReader: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val rows: Iterator[InternalRow] = p.dv match {
+      case None =>
+        cleanReader(GraftBridge.wholeFile(p.absPath, p.length))
+      case Some((dvPath, dvLen)) =>
+        // the sidecar holds THIS file's deleted positions (plus,
+        // after folds, possibly other files' — filter by name)
+        val deleted = new java.util.HashSet[java.lang.Long]()
+        dvSidecarReader(GraftBridge.wholeFile(dvPath, dvLen))
+          .foreach { r =>
+            if (r.getUTF8String(0).toString == p.fileName)
+              deleted.add(r.getLong(1))
+          }
+        var pos = -1L
+        dvDataReader(GraftBridge.wholeFile(p.absPath, p.length))
+          .filter { _ => pos += 1; !deleted.contains(pos) }
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = () // reader closes on task completion
+    }
+  }
+}
+
+/** V1 streaming sink: exactly-once by recording each micro-batch's id
+  * in the commit operation string — on restart a redelivered batch is
+  * recognized and skipped (the same log-transaction idempotency Delta's
+  * sink keeps in `txn` actions). */
+private[sources] class GraftSink(path: String, partitionColumns: Seq[String],
+                                 outputMode: OutputMode,
+                                 mergeKeys: Option[Seq[String]])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val BatchTag = """STREAM \w+\[batch=(\d+)\]""".r
+
+  private def lastBatchId: Long =
+    VersionedTable.operations(path).collect {
+      case BatchTag(id) => id.toLong
+    }.foldLeft(-1L)(math.max)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val exists = VersionedTable.versions(path).nonEmpty
+    if (exists && lastBatchId >= batchId) return // replayed batch: no-op
+    val df = GraftBridge.materializeStreamBatch(data).localCheckpoint(true)
+    val spark = df.sparkSession
+    mergeKeys match {
+      case Some(keys) if exists =>
+        VersionedTable.upsert(spark, path, df, keys,
+          s"STREAM UPSERT[batch=$batchId]")
+      case _ if outputMode == OutputMode.Complete() =>
+        VersionedTable.write(df, path, s"STREAM COMPLETE[batch=$batchId]",
+          partitionColumns)
+      case _ if exists =>
+        VersionedTable.append(spark, df, path,
+          s"STREAM APPEND[batch=$batchId]", partitionColumns)
+      case _ =>
+        VersionedTable.write(df, path, s"STREAM APPEND[batch=$batchId]",
+          partitionColumns)
+    }
+  }
+}

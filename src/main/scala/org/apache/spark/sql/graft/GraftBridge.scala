@@ -63,4 +63,52 @@ object GraftBridge {
     * evaluable literals (Dataset.queryExecution is private[sql]). */
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Executor-side parquet reader function for the `graft` DataSource
+    * V2 connector — Spark's OWN vectorized parquet reader (the one
+    * FileSourceScanExec plans), built once on the driver and shipped
+    * to tasks. `OPTION_RETURNING_BATCH=false` keeps the OUTPUT
+    * row-oriented (vectorized decode still happens inside) so a
+    * `PartitionReader[InternalRow]` can consume it directly, and —
+    * load-bearing for deletion vectors — rows arrive in FILE ORDER,
+    * making `row position = running count` exact when no filters are
+    * pushed. The reader registers its own task-completion close. */
+  def parquetReadFunc(
+      spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        cs, dataSchema, new org.apache.spark.sql.types.StructType(),
+        requiredSchema, filters,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        cs.sessionState.newHadoopConf())
+  }
+
+  /** A [[org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    * covering one whole local file (no split, no partition values). */
+  def wholeFile(absPath: String, length: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(absPath),
+      0L, length, Array.empty, 0L, length,
+      Map.empty)
+
+  /** Re-anchor a STREAMING micro-batch frame as a standalone batch
+    * DataFrame (a V1 `Sink.addBatch` frame is backed by an
+    * IncrementalExecution that must not be re-planned — the same
+    * re-anchoring Delta's V1 sink performs). */
+  def materializeStreamBatch(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val cs = ds.sparkSession
+    cs.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }
