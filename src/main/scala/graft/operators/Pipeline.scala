@@ -270,4 +270,136 @@ object Pipeline {
       st.name -> VersionedTable.read(spark, s"$storageDir/${st.name}")).toMap
     RunResult(tables, incrementalEventLog(spark, storageDir))
   }
+
+  private val cdfDoneRe = """PIPELINE_CDF_DONE\[v=(\d+)\]""".r
+
+  /** One BRONZE version through the stage chain — the CDF-fed analog
+    * of [[incrementalBatch]]. The hop's INSERT rows (v0 = the seed
+    * snapshot; later hops = the version diff's inserts) are tagged
+    * with the source version as `_graft_src_version` — so a
+    * recency-merge ordered on that column replays updates in exact
+    * CDF order, independent of payload values — and flow through the
+    * stages like a micro-batch. Keys that VANISHED at the source
+    * (full-row deletes — the GDPR case) are then deleted from every
+    * pipeline-keyed incremental stage, and COMPLETE-mode stages
+    * re-snapshot so gold aggregates reflect the deletes. Every step
+    * is marker-idempotent; the `PIPELINE_CDF_DONE[v=N]` cursor on the
+    * HEAD stage commits LAST, so a crash mid-hop replays only no-op
+    * steps. Cost per hop is O(that version's change), never
+    * O(bronze). */
+  private[operators] def cdfHop(spark: SparkSession, bronzePath: String,
+                                stages: Seq[Stage], storageDir: String,
+                                key: String, orderCol: String,
+                                tieBreaker: String, v: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (ins0, delKeys) =
+      if (v == 0) (VersionedTable.read(spark, bronzePath, Some(0)), None)
+      else {
+        val feed = VersionedTable.changes(spark, bronzePath, v - 1, v)
+          .localCheckpoint(true)
+        val ins = feed.filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        val del = feed.filter(col("_change_type") === "delete")
+          .select(col(key)).distinct()
+          .join(ins.select(col(key)).distinct(), Seq(key), "left_anti")
+        (ins, if (del.isEmpty) None else Some(del.localCheckpoint(true)))
+      }
+    val head = s"$storageDir/${stages.head.name}"
+    val emptyHop = v > 0 && delKeys.isEmpty && ins0.isEmpty
+    if (!emptyHop) {
+      val ins = ins0.withColumn("_graft_src_version", lit(v))
+      incrementalBatch(spark, stages, storageDir, key, orderCol,
+        tieBreaker)(ins, v.toLong)
+      delKeys.foreach { dk =>
+        stages.foreach { st =>
+          val path = s"$storageDir/${st.name}"
+          // delete propagation needs the stage table keyed on the
+          // PIPELINE key — stages merging on their own key (st.merge)
+          // transform past it and recompute stages re-snapshot below
+          if (!st.recompute && st.merge.isEmpty) {
+            val m = s"PIPELINE_CDF_DEL[${st.name},v=$v]"
+            if (!VersionedTable.operations(path).contains(m)) {
+              VersionedTable.deleteMatching(spark, path, dk, Seq(key),
+                operation = m); ()
+            }
+          }
+        }
+        var prevPath: Option[String] = None
+        stages.foreach { st =>
+          val path = s"$storageDir/${st.name}"
+          if (st.recompute && prevPath.nonEmpty) {
+            val m = s"PIPELINE_CDF_RC[${st.name},v=$v]"
+            if (!VersionedTable.operations(path).contains(m)) {
+              VersionedTable.write(
+                st.transform(VersionedTable.read(spark, prevPath.get)),
+                path, operation = m); ()
+            }
+          }
+          prevPath = Some(path)
+        }
+      }
+    }
+    val done = s"PIPELINE_CDF_DONE[v=$v]"
+    if (VersionedTable.versions(head).nonEmpty &&
+        !VersionedTable.operations(head).contains(done)) {
+      val hv = VersionedTable.latestVersion(head).get
+      VersionedTable.commitActions(head, done, hv, Set.empty, Nil,
+        VersionedTable.schemaOf(head, hv)); ()
+    }
+  }
+
+  /** One notification trigger: apply every bronze version past the
+    * head stage's DONE cursor, in order. The file-stream batch payload
+    * is ignored — the commit log is purely the wake-up channel, so
+    * any batch split/ordering is safe (the [[graft.streaming.Streams
+    * .cdfApplyBatch]] discipline). */
+  private def cdfIncrementalBatch(spark: SparkSession, bronzePath: String,
+                                  stages: Seq[Stage], storageDir: String,
+                                  key: String, orderCol: String,
+                                  tieBreaker: String)
+                                 (batch: DataFrame, batchId: Long): Unit = {
+    val head = s"$storageDir/${stages.head.name}"
+    val from =
+      if (VersionedTable.versions(head).isEmpty) -1
+      else (VersionedTable.operations(head).flatMap(op =>
+        cdfDoneRe.findFirstMatchIn(op).map(_.group(1).toInt)) :+ -1).max
+    val latest = VersionedTable.latestVersion(bronzePath).getOrElse(-1)
+    ((from + 1) to latest).foreach(v =>
+      cdfHop(spark, bronzePath, stages, storageDir, key, orderCol,
+        tieBreaker, v))
+  }
+
+  /** Run the stage chain incrementally over a VERSIONED BRONZE table's
+    * CHANGE FEED — the DLT-graph integration of the CDF source: a
+    * Structured Streaming file source watches the bronze commit log
+    * (new log file = new version), and each trigger pushes the newly
+    * committed versions through the silver/gold stages as keyed
+    * O(change) verbs. Re-running with the same checkpoint resumes from
+    * the DONE cursor — commits landed while the pipeline was down flow
+    * on restart, and a redelivered notification re-applies nothing.
+    * Bronze is consumed as DELTAS, never re-snapshotted: at 100 TB the
+    * silver refresh costs what changed. */
+  def runIncrementalCdf(spark: SparkSession, bronzePath: String,
+                        stages: Seq[Stage], storageDir: String,
+                        checkpoint: String, key: String, orderCol: String,
+                        tieBreaker: String,
+                        timeoutMs: Long = 180000): RunResult = {
+    require(stages.nonEmpty, "pipeline needs at least one stage")
+    require(stages.map(_.name).distinct.size == stages.size,
+      "stage names must be unique")
+    val logSchema = StructType(Seq(StructField("version", IntegerType)))
+    val q = spark.readStream.schema(logSchema)
+      .json(s"$bronzePath/_graft_log")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        cdfIncrementalBatch(spark, bronzePath, stages, storageDir, key,
+          orderCol, tieBreaker) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(timeoutMs)
+    val tables = stages.map(st =>
+      st.name -> VersionedTable.read(spark, s"$storageDir/${st.name}")).toMap
+    RunResult(tables, incrementalEventLog(spark, storageDir))
+  }
 }
