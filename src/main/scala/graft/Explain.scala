@@ -85,7 +85,8 @@ object Explain {
       "ts_seasonal_anomaly",
       // r9 declarative additions
       "ts_crosscorr", "asof_join_native", "event_debounce",
-      "asof_join_forward_native", "dedup_method_agreement")
+      "asof_join_forward_native", "dedup_method_agreement",
+      "dsv2_pruned_read", "versioned_pruned_read_str")
 
   def main(args: Array[String]): Unit = {
     val builder = SparkSession.builder().master("local[8]")

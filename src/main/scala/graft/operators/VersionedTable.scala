@@ -1478,10 +1478,9 @@ object VersionedTable {
     // "7.0"). A literal the column type cannot represent disables
     // partition pruning for the whole lookup (never prunes wrongly).
     val partStrs: Option[Set[String]] = {
-      val rendered = values.map(x =>
-        spark.range(1).select(lit(x).cast(dt).cast("string")).head.get(0))
-      if (rendered.contains(null)) None
-      else Some(rendered.map(_.toString).toSet)
+      val rendered = values.map(x => typedString(x, dt))
+      if (rendered.contains(None)) None
+      else Some(rendered.flatten.toSet)
     }
     val statted = manifestEntries(path, v).filter { e =>
       val statOk = e.stats.get(pc).forall { case (mn, mx) =>
@@ -1502,19 +1501,52 @@ object VersionedTable {
     bloomSurvivors(spark, path, v, statted, pc, dt, values)
   }
 
+  /** Driver-side Catalyst eval of a literal expression — the
+    * planner-path renderers below must not pay a Spark JOB per
+    * literal (a pruning pass over a 10⁴-file partitioned manifest
+    * would otherwise schedule a job per entry). None on any
+    * evaluation failure — callers treat it as unprunable. */
+  private def evalLocal(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Any] =
+    scala.util.Try(Option(e.eval(
+      org.apache.spark.sql.catalyst.InternalRow.empty))).toOption.flatten
+
+  /** `CAST(CAST(x AS dt) AS STRING)` evaluated on the driver — the
+    * EXACT rendering the partitioned write recorded (and the typed
+    * compare the bloom hash uses). None when the literal cannot be
+    * represented in the column type. */
+  private[operators] def typedString(x: Any, dt: DataType): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    evalLocal(Cast(Cast(Literal(x), dt, Some("UTC")),
+      org.apache.spark.sql.types.StringType, Some("UTC"))).map(_.toString)
+  }
+
+  /** `xxhash64(CAST(x AS dt))` evaluated on the driver — identical to
+    * the distributed build side's hash of the column. */
+  private[operators] def typedHash(x: Any, dt: DataType): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    evalLocal(new XxHash64(
+      Seq(Cast(Literal(x), dt, Some("UTC"))))).collect {
+      case l: java.lang.Long => l.longValue
+      case l: Long => l
+    }
+  }
+
   /** Survivors of `entries` after probing `pc`'s bloom sidecars with
     * `values` hashed under the column's own type (the literal hashes
     * EXACTLY as the build side hashed the column); entries without a
-    * sidecar for the column conservatively survive. */
+    * sidecar for the column conservatively survive. A value the type
+    * cannot hash disables the probe (never prunes wrongly). */
   private def bloomSurvivors(spark: SparkSession, path: String, v: Int,
                              entries: Seq[FileEntry], pc: String,
                              dt: DataType, values: Seq[Any])
       : Seq[FileEntry] = {
     val withB = entries.filter(_.bloom.contains(pc))
     if (withB.isEmpty) return entries
-    val hashes = values.map(x =>
-      spark.range(1).select(xxhash64(lit(x).cast(dt))).head.getLong(0))
-      .toArray
+    val rendered = values.map(x => typedHash(x, dt))
+    if (rendered.contains(None)) return entries
+    val hashes = rendered.flatten.toArray
     val cand = withB.map(e => (e.name, resolveOrFail(path, e.bloom(pc), v)))
     val survivors = probeSidecars(spark, cand, hashes)
     entries.filter(e => !e.bloom.contains(pc) || survivors(e.name))
@@ -1548,11 +1580,13 @@ object VersionedTable {
       case _ => None
     }
     // rendered through the column's typed cast — matches how the
-    // partitioned write recorded the value (see prunedBloomEntries)
-    def partRender(c: String, x: Any): Option[String] = dtOf(c).flatMap {
-      dt => Option(spark.range(1).select(lit(x).cast(dt).cast("string"))
-        .head.get(0)).map(_.toString)
-    }
+    // partitioned write recorded the value (see prunedBloomEntries);
+    // memoized: this runs per ENTRY and must stay a pure local lookup
+    val renderCache =
+      scala.collection.mutable.HashMap[(String, Any), Option[String]]()
+    def partRender(c: String, x: Any): Option[String] =
+      renderCache.getOrElseUpdate((c, x),
+        dtOf(c).flatMap(dt => typedString(x, dt)))
     // can `e` hold a row with column c == x?
     def mightEqual(e: FileEntry, c: String, x: Any): Boolean = {
       if (x == null) return true
