@@ -175,10 +175,24 @@ object Bench {
     // the driver's BENCH artifact keeps only a ~2KB tail, which in
     // past rounds silently amputated most per-query timings — persist
     // the full results line in-repo so every round can diff every
-    // query (judge r7 next-round item #2)
+    // query (judge r7 next-round item #2). A FILTERED run
+    // (SPARK_GRAFT_BENCH_ONLY) merges its numbers into the existing
+    // baseline instead of replacing it — r11's post-fix mini-run
+    // clobbered the 331-query baseline with a 4-entry map, which
+    // silently disarmed the next full run's requery gate for every
+    // other query.
+    val persistLine =
+      if (only.isEmpty) line
+      else {
+        val merged = prior ++ results.toMap
+        val qsM = merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${merged.values.sum},"unit":"sec","queries":$qsM,"reps":$reps,"sf":"$sfDir","merged_partial":true}"""
+      }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (persistLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_last.json: $e") }
     spark.stop()

@@ -692,6 +692,56 @@ object TableQueries {
           cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
         FROM events GROUP BY 1""")),
 
+    Q("dsv2_stream_source",
+      // the table as a V2 STREAMING SOURCE (`spark.readStream
+      // .format("graft")` — Delta's streaming-source shape, the
+      // native-offset evolution of stream_cdf_source's log-watching
+      // file stream): offsets are commit VERSIONS, the first batch is
+      // the initial snapshot (a pre-stream MoR DELETE's rows never
+      // appear), each later batch is the files ADDED by new commits —
+      // O(change) per trigger — and the offset checkpoint makes
+      // restarts exactly-once (a wave lands while the stream is DOWN;
+      // the resumed stream emits only it). Final streamed accumulation
+      // ≡ the live table ≡ the SQL recompute (the oracle)
+      (s, d) => Queries.withShufflePartitions(s, 8) {
+        val sf = new java.io.File(d).getName
+        val src = s"/tmp/graft_cache/dsvs_src_$sf"
+        val out = s"/tmp/graft_cache/dsvs_out_$sf"
+        val ckpt = Queries.freshCheckpoint("dsvs", d)
+        VersionedTable.destroy(src)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        val ords = Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        VersionedTable.write(ords.filter(col("o_orderkey") % 3 === 0), src)
+        VersionedTable.deleteVectors(s, src, "o_orderkey % 9 = 0")
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(src)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(120000)
+        }
+        drain() // initial snapshot (post-DV)
+        VersionedTable.append(s,
+          ords.filter(col("o_orderkey") % 3 === 1), src)
+        VersionedTable.append(s,
+          ords.filter(col("o_orderkey") % 3 === 2), src)
+        drain() // restart from the offset checkpoint: only the appends
+        s.read.parquet(out)
+          .groupBy((col("o_custkey") % 16).as("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(12,2)"))
+              .cast("double").as("total_price"))
+      },
+      Some("""
+        SELECT o_custkey % 16 AS bucket, count(*) AS n_orders,
+          cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+            AS total_price
+        FROM orders
+        WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 9 = 0)
+        GROUP BY 1""")),
+
     Q("versioned_partition_read",
       // partition columns INSIDE the versioned format (r11, judge
       // item 4): write + append record each file's partition values

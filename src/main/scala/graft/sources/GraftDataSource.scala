@@ -187,11 +187,14 @@ private[sources] class GraftTable(path: String, version: Int,
     * [[org.apache.spark.sql.connector.write.V1Write]] shim below. */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(version >= 0, s"graft: no committed versions at $path")
-    new GraftScanBuilder(path, version, schema())
+    new GraftScanBuilder(path, version, schema(),
+      skipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean))
   }
 
   override def newWriteBuilder(
@@ -222,7 +225,8 @@ private[sources] class GraftTable(path: String, version: Int,
   * pruning is approximate by design (blooms, truncated bounds), the
   * result never is. */
 private[sources] class GraftScanBuilder(path: String, version: Int,
-                                        fullSchema: StructType)
+                                        fullSchema: StructType,
+                                        skipChangeCommits: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -243,18 +247,35 @@ private[sources] class GraftScanBuilder(path: String, version: Int,
   }
 
   override def build(): Scan =
-    new GraftScan(path, version, fullSchema, required, pushed)
+    new GraftScan(path, version, fullSchema, required, pushed,
+      skipChangeCommits)
 }
 
 private[sources] class GraftScan(path: String, version: Int,
                                  fullSchema: StructType,
                                  required: StructType,
-                                 filters: Array[Filter])
+                                 filters: Array[Filter],
+                                 skipChangeCommits: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** The table as a STREAMING SOURCE (`spark.readStream
+    * .format("graft")` — Delta's streaming-source semantics):
+    * offsets are COMMIT VERSIONS, the first batch is the initial
+    * snapshot (everything up to the version pinned at stream start),
+    * every later batch is the files ADDED by the newly committed
+    * versions — O(change) per trigger, exactly-once via the offset
+    * checkpoint. A commit that REMOVES files (UPDATE/DELETE/
+    * OPTIMIZE) is not an append and fails loudly unless
+    * `skipChangeCommits` is set (Delta's option of the same name) —
+    * silently re-reading rewritten files would duplicate rows. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, version, fullSchema, required,
+      skipChangeCommits)
 
   override def description(): String =
     s"graft $path @v$version [${required.fieldNames.mkString(",")}]"
@@ -291,38 +312,17 @@ private[sources] class GraftScan(path: String, version: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val entries = VersionedTable.pruneEntriesForFilters(
-      spark, path, version, filters.toIndexedSeq)
-    entries.map { e =>
-      val abs = VersionedTable.poolFilePath(path, e.name)
-      val dv = e.dv.map { d =>
-        val p = VersionedTable.poolFilePath(path, d)
-        (p, java.nio.file.Files.size(java.nio.file.Paths.get(p)))
-      }
-      GraftInputPartition(e.name, abs, e.bytes, dv): InputPartition
-    }.toArray
+    GraftReaderFactory.partitions(path,
+      VersionedTable.pruneEntriesForFilters(
+        spark, path, version, filters.toIndexedSeq))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
     val props = VersionedTable.propsOf(path, version)
-    def physS(s: StructType) =
-      StructType(s.fields.map(f => f.copy(name = props.phys(f.name))))
-    val physFull = physS(fullSchema)
-    val physReq = physS(required)
     val physFilters = filters.toIndexedSeq
       .flatMap(f => physFilter(f, props.phys))
-    // clean files: parquet predicate pushdown is free row-group
-    // skipping. DV files: NO pushed predicate — rows must arrive in
-    // file order so `running count == row position` holds for the
-    // deletion-vector skip.
-    val cleanReader = GraftBridge.parquetReadFunc(
-      spark, physFull, physReq, physFilters)
-    val dvDataReader = GraftBridge.parquetReadFunc(
-      spark, physFull, physReq, Nil)
-    val dvSidecarReader = GraftBridge.parquetReadFunc(
-      spark, GraftReaderFactory.dvSchema, GraftReaderFactory.dvSchema, Nil)
-    new GraftReaderFactory(cleanReader, dvDataReader, dvSidecarReader)
+    GraftReaderFactory.build(path, version, fullSchema, required,
+      physFilters)
   }
 }
 
@@ -336,6 +336,44 @@ private[sources] object GraftReaderFactory {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType)))
+
+  /** Build the per-file reader functions on the DRIVER (Spark's own
+    * vectorized parquet reader; see [[GraftBridge.parquetReadFunc]]).
+    * Clean files take the pushed parquet predicate (free row-group
+    * skipping); DV files take NO predicate — rows must arrive in file
+    * order so `running count == row position` holds for the
+    * deletion-vector skip. Schemas translate logical→physical under
+    * the version's column mapping. */
+  def build(path: String, version: Int, fullSchema: StructType,
+            required: StructType,
+            physFilters: Seq[Filter]): GraftReaderFactory = {
+    val spark = SparkSession.active
+    val props = VersionedTable.propsOf(path, version)
+    def physS(s: StructType) =
+      StructType(s.fields.map(f => f.copy(name = props.phys(f.name))))
+    val physFull = physS(fullSchema)
+    val physReq = physS(required)
+    val cleanReader = GraftBridge.parquetReadFunc(
+      spark, physFull, physReq, physFilters)
+    val dvDataReader = GraftBridge.parquetReadFunc(
+      spark, physFull, physReq, Nil)
+    val dvSidecarReader = GraftBridge.parquetReadFunc(
+      spark, dvSchema, dvSchema, Nil)
+    new GraftReaderFactory(cleanReader, dvDataReader, dvSidecarReader)
+  }
+
+  /** One [[GraftInputPartition]] per manifest entry. */
+  def partitions(path: String,
+                 entries: Seq[VersionedTable.FileEntry])
+      : Array[InputPartition] =
+    entries.map { e =>
+      val abs = VersionedTable.poolFilePath(path, e.name)
+      val dv = e.dv.map { d =>
+        val p = VersionedTable.poolFilePath(path, d)
+        (p, java.nio.file.Files.size(java.nio.file.Paths.get(p)))
+      }
+      GraftInputPartition(e.name, abs, e.bytes, dv): InputPartition
+    }.toArray
 }
 
 private[sources] class GraftReaderFactory(
@@ -372,6 +410,87 @@ private[sources] class GraftReaderFactory(
       override def close(): Unit = () // reader closes on task completion
     }
   }
+}
+
+/** A stream offset = a commit VERSION (-1 = nothing read yet). */
+private[sources] case class GraftOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** The versioned table as a V2 MICRO-BATCH streaming source: the
+  * first batch is the initial snapshot (the manifest at the offset's
+  * version — rows already deleted never appear), each later batch is
+  * the files ADDED by versions (start, end] — O(change) per trigger,
+  * replayable from the offset checkpoint. Non-append commits
+  * (UPDATE/DELETE/OPTIMIZE remove files) fail loudly unless
+  * `skipChangeCommits` — their ADDED files are rewrites of rows the
+  * stream already emitted, and silently re-reading them would
+  * duplicate. The read schema is pinned at stream start: physical
+  * names are stable under renames, later-evolved columns read as
+  * null-absent, exactly the batch connector's contract. */
+private[sources] class GraftMicroBatchStream(path: String, pinned: Int,
+                                             fullSchema: StructType,
+                                             required: StructType,
+                                             skipChangeCommits: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = GraftOffset(-1)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toInt)
+
+  override def latestOffset(): Offset =
+    GraftOffset(VersionedTable.latestVersion(path).getOrElse(-1))
+
+  // Trigger.AvailableNow: pin the drain target when the trigger arms,
+  // so the run processes everything committed up to THAT instant and
+  // stops — commits racing in later belong to the next run
+  private var availableNowTarget: Option[Offset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(latestOffset())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (e <= s) return Array.empty
+    val entries =
+      if (s < 0) VersionedTable.manifestEntries(path, e) // initial snapshot
+      else (s + 1 to e).flatMap { v =>
+        val prev = VersionedTable.manifestEntries(path, v - 1)
+          .map(_.name).toSet
+        val cur = VersionedTable.manifestEntries(path, v)
+        val removed = prev -- cur.map(_.name).toSet
+        val added = cur.filterNot(x => prev.contains(x.name))
+        if (removed.nonEmpty || added.exists(_.dv.isDefined)) {
+          if (!skipChangeCommits) throw new IllegalStateException(
+            s"graft streaming source at $path: version $v is not an " +
+              "append (files removed or deletion vectors attached) — " +
+              "rewritten files would re-emit already-streamed rows. " +
+              "Set option skipChangeCommits=true to skip such commits.")
+          Nil
+        } else added
+      }
+    GraftReaderFactory.partitions(path, entries)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory.build(path, pinned, fullSchema, required, Nil)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 /** V1 streaming sink: exactly-once by recording each micro-batch's id
