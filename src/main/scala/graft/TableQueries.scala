@@ -742,6 +742,45 @@ object TableQueries {
         WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 9 = 0)
         GROUP BY 1""")),
 
+    Q("sql_catalog_time_travel",
+      // the PATH CATALOG (r12): versioned tables behind plain SQL
+      // names with native time-travel syntax — `graft.`/path``
+      // resolves through the pushdown-wired V2 table, so the
+      // reference's `SELECT * FROM t VERSION AS OF n` (reference
+      // `1 Data ingestion.py`:203-212) works verbatim on this format
+      // with no Scala in sight; the stateless catalog needs no
+      // metastore (the commit log IS the catalog entry). The query
+      // publishes the pinned v0 aggregate next to the post-DELETE
+      // latest — the divergence time travel exists to expose
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = s"/tmp/graft_cache/sctt_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        val ords = Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        VersionedTable.write(ords, path)                       // v0
+        VersionedTable.delete(s, path, "o_totalprice < 100000.0") // v1
+        s.sql(s"""
+          SELECT 'v0' AS snap, count(*) AS n_orders,
+            cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+              AS total_price
+          FROM graft.`$path` VERSION AS OF 0
+          UNION ALL
+          SELECT 'latest', count(*),
+            cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+          FROM graft.`$path`""")
+      },
+      Some("""
+        SELECT 'v0' AS snap, count(*) AS n_orders,
+          cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+            AS total_price
+        FROM orders
+        UNION ALL
+        SELECT 'latest', count(*),
+          cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+        FROM orders WHERE o_totalprice >= 100000.0""")),
+
     Q("versioned_partition_read",
       // partition columns INSIDE the versioned format (r11, judge
       // item 4): write + append record each file's partition values
