@@ -850,6 +850,43 @@ object ScaleProbe {
         graft.operators.VersionedTable.readEqual(spark,
           "/tmp/graft_scaleprobe/vbl100_b", "event_id",
           i * 1000L).count()).sum),
+      // round-12: the SAME point lookups through the DataSource V2
+      // CONNECTOR (`spark.read.format("graft")` + a pushed EqualTo) —
+      // the pushed filter must drive the identical bloom file
+      // skipping inside planInputPartitions, so connector lookups
+      // inherit the O(probed files) signature; reuses the tables the
+      // vbl100 probe just built (rebuilds if run in isolation).
+      ("dsv2_pruned_scale", {
+        val p = "/tmp/graft_scaleprobe/vbl100_a"
+        if (graft.operators.VersionedTable.versions(p).isEmpty) {
+          graft.operators.VersionedTable.write(
+            replicate(t.events.select("event_id", "user_id", "value"),
+              10, Some("event_id")).repartition(160), p)
+          graft.operators.VersionedTable.setTableProperties(p,
+            Map(graft.operators.VersionedTable.bloomColumnsProp ->
+              "event_id"))
+          graft.operators.VersionedTable.buildBloomIndex(spark, p)
+        }
+        t.events.count() * 10
+      }, () => (1 to 10).map(i =>
+        spark.read.format("graft")
+          .load("/tmp/graft_scaleprobe/vbl100_a")
+          .filter(col("event_id") === i * 1000L).count()).sum, {
+        val p = "/tmp/graft_scaleprobe/vbl100_b"
+        if (graft.operators.VersionedTable.versions(p).isEmpty) {
+          graft.operators.VersionedTable.write(
+            replicate(t.events.select("event_id", "user_id", "value"),
+              100, Some("event_id")).repartition(1600), p)
+          graft.operators.VersionedTable.setTableProperties(p,
+            Map(graft.operators.VersionedTable.bloomColumnsProp ->
+              "event_id"))
+          graft.operators.VersionedTable.buildBloomIndex(spark, p)
+        }
+        t.events.count() * 100
+      }, () => (1 to 10).map(i =>
+        spark.read.format("graft")
+          .load("/tmp/graft_scaleprobe/vbl100_b")
+          .filter(col("event_id") === i * 1000L).count()).sum),
       // round-11: BLOOM-ASSISTED MERGE. Same 500-key delta into a
       // bloom-indexed table at 1× and 10× — the touch scan now reads
       // only the files whose key index ADMITS some update key (the
