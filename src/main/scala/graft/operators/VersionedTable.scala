@@ -554,8 +554,19 @@ object VersionedTable {
   private def footerInfo(p: Path)
       : (Long, Map[String, (Double, Double)], Map[String, (String, String)]) = {
     footerReads.incrementAndGet()
-    def num(a: Any): Option[Double] = a match {
-      case n: java.lang.Number => Some(n.doubleValue())
+    // DECIMAL columns store UNSCALED ints in parquet stats — record
+    // the SCALED value (what filter literals compare against), else a
+    // pushed `= 123.45` against recorded 12345 prunes wrongly. Scale
+    // comes from the column's logical type annotation; decimal values
+    // that arrive as Binary (FIXED_LEN byte arrays) record no stat.
+    def num(a: Any,
+            lt: org.apache.parquet.schema.LogicalTypeAnnotation)
+        : Option[Double] = (a, lt) match {
+      case (n: java.lang.Number,
+            d: org.apache.parquet.schema.LogicalTypeAnnotation
+              .DecimalLogicalTypeAnnotation) =>
+        Some(n.doubleValue() / math.pow(10, d.getScale))
+      case (n: java.lang.Number, _) => Some(n.doubleValue())
       case _ => None
     }
     def str(a: Any): Option[String] = a match {
@@ -597,13 +608,16 @@ object VersionedTable {
                 seen(key) = seen.getOrElse(key, 0) + 1
               case _ => bad += key
             }
-          else (num(s.genericGetMin), num(s.genericGetMax)) match {
-            case (Some(a), Some(b)) if !a.isNaN && !b.isNaN &&
-              !a.isInfinite && !b.isInfinite =>
-              mins(key) = math.min(mins.getOrElse(key, a), a)
-              maxs(key) = math.max(maxs.getOrElse(key, b), b)
-              seen(key) = seen.getOrElse(key, 0) + 1
-            case _ => bad += key
+          else {
+            val lt = c.getPrimitiveType.getLogicalTypeAnnotation
+            (num(s.genericGetMin, lt), num(s.genericGetMax, lt)) match {
+              case (Some(a), Some(b)) if !a.isNaN && !b.isNaN &&
+                !a.isInfinite && !b.isInfinite =>
+                mins(key) = math.min(mins.getOrElse(key, a), a)
+                maxs(key) = math.max(maxs.getOrElse(key, b), b)
+                seen(key) = seen.getOrElse(key, 0) + 1
+              case _ => bad += key
+            }
           }
           j += 1
         }
@@ -1467,10 +1481,6 @@ object VersionedTable {
     val props = propsOf(path, v)
     val pc = props.phys(column)
     val dt = schemaOf(path, v)(column).dataType
-    def numOf(a: Any): Option[Double] = a match {
-      case n: java.lang.Number => Some(n.doubleValue)
-      case _ => None
-    }
     // partition values were recorded as the column rendered to string
     // by the partitioned write; compare through the SAME typed cast
     // the bloom hash uses — an untyped String.valueOf(x) == pv would
@@ -1484,7 +1494,7 @@ object VersionedTable {
     }
     val statted = manifestEntries(path, v).filter { e =>
       val statOk = e.stats.get(pc).forall { case (mn, mx) =>
-        values.exists(x => numOf(x).forall(d => d >= mn && d <= mx))
+        values.exists(x => looseNum(x).forall(d => d >= mn && d <= mx))
       }
       // string zone maps prune point lookups too (bounds are
       // truncation-safe, so containment is conservative-correct)
@@ -1512,14 +1522,24 @@ object VersionedTable {
     scala.util.Try(Option(e.eval(
       org.apache.spark.sql.catalyst.InternalRow.empty))).toOption.flatten
 
+  /** The SESSION timezone — tz-dependent casts (timestamp literals,
+    * partition-value renders) must evaluate under the same zone the
+    * distributed write/hash paths used, not a hardcoded UTC: a
+    * timestamp-partitioned table written under America/New_York
+    * records local-rendered partition values, and a UTC-rendered
+    * probe would wrongly prune every file. */
+  private def sessionTz: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   /** `CAST(CAST(x AS dt) AS STRING)` evaluated on the driver — the
     * EXACT rendering the partitioned write recorded (and the typed
     * compare the bloom hash uses). None when the literal cannot be
     * represented in the column type. */
   private[operators] def typedString(x: Any, dt: DataType): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-    evalLocal(Cast(Cast(Literal(x), dt, Some("UTC")),
-      org.apache.spark.sql.types.StringType, Some("UTC"))).map(_.toString)
+    val tz = Some(sessionTz)
+    evalLocal(Cast(Cast(Literal(x), dt, tz),
+      org.apache.spark.sql.types.StringType, tz)).map(_.toString)
   }
 
   /** `xxhash64(CAST(x AS dt))` evaluated on the driver — identical to
@@ -1527,10 +1547,18 @@ object VersionedTable {
   private[operators] def typedHash(x: Any, dt: DataType): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
     evalLocal(new XxHash64(
-      Seq(Cast(Literal(x), dt, Some("UTC"))))).collect {
+      Seq(Cast(Literal(x), dt, Some(sessionTz))))).collect {
       case l: java.lang.Long => l.longValue
       case l: Long => l
     }
+  }
+
+  /** Loose numeric coercion shared by every stats-compare site (a
+    * filter literal may arrive as Int/Long/Double/java BigDecimal —
+    * anything non-numeric is unprunable, never wrong). */
+  private def looseNum(a: Any): Option[Double] = a match {
+    case n: java.lang.Number => Some(n.doubleValue)
+    case _ => None
   }
 
   /** Survivors of `entries` after probing `pc`'s bloom sidecars with
@@ -1575,10 +1603,6 @@ object VersionedTable {
     val conj = filters.flatMap(flat)
     def dtOf(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType)
-    def num(a: Any): Option[Double] = a match {
-      case n: java.lang.Number => Some(n.doubleValue)
-      case _ => None
-    }
     // rendered through the column's typed cast — matches how the
     // partitioned write recorded the value (see prunedBloomEntries);
     // memoized: this runs per ENTRY and must stay a pure local lookup
@@ -1591,7 +1615,7 @@ object VersionedTable {
     def mightEqual(e: FileEntry, c: String, x: Any): Boolean = {
       if (x == null) return true
       val pc = props.phys(c)
-      val statOk = e.stats.get(pc).forall(r => num(x)
+      val statOk = e.stats.get(pc).forall(r => looseNum(x)
         .forall(d => d >= r._1 && d <= r._2))
       val sstatOk = e.sstats.get(pc).forall(r => x match {
         case s: String => s >= r._1 && s <= r._2
@@ -1619,7 +1643,7 @@ object VersionedTable {
     // file max must reach x (conservative: >= for both strict forms)
     def lowerBoundOk(e: FileEntry, c: String, x: Any): Boolean = {
       val pc = props.phys(c)
-      val n = e.stats.get(pc).forall(r => num(x).forall(_ <= r._2))
+      val n = e.stats.get(pc).forall(r => looseNum(x).forall(_ <= r._2))
       val s = e.sstats.get(pc).forall(r => x match {
         case st: String => r._2 >= st
         case _ => true
@@ -1628,7 +1652,7 @@ object VersionedTable {
     }
     def upperBoundOk(e: FileEntry, c: String, x: Any): Boolean = {
       val pc = props.phys(c)
-      val n = e.stats.get(pc).forall(r => num(x).forall(_ >= r._1))
+      val n = e.stats.get(pc).forall(r => looseNum(x).forall(_ >= r._1))
       val s = e.sstats.get(pc).forall(r => x match {
         case st: String => r._1 <= st
         case _ => true

@@ -84,6 +84,27 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
+    // refuse what we would otherwise silently drop: a PARTITIONED BY
+    // clause or user TBLPROPERTIES not honored here would commit an
+    // unpartitioned, property-less table with no error — worse than
+    // failing (Spark injects bookkeeping keys like provider/owner/
+    // location; only USER properties are rejected)
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported through CTAS — " +
+        "write with VersionedTable.write(df, path, partitionBy = …) " +
+        "or df.write.format(\"graft\").option(\"partitionBy\", …)")
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val user = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.keys.filterNot(k =>
+        reserved.contains(k) || k.startsWith("option.")).toSeq.sorted
+    }
+    require(user.isEmpty,
+      s"graft catalog: TBLPROPERTIES ${user.mkString(", ")} are not " +
+        "applied through CTAS — set them after creation with " +
+        "VersionedTable.setTableProperties")
     // creation is lazy — the first write's commit creates version 0
     // (the CTAS exec loads this table and writes through the V1 shim)
     new GraftTable(pathOf(ident), -1, Some(schema))

@@ -61,16 +61,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         "graft: a table 'path' is required (load(path) or option(\"path\", …))"))
 
   private def resolveVersion(path: String,
-                             options: JMap[String, String]): Int = {
-    val asOf = Option(options.get("versionAsOf")).map(_.trim.toInt)
-    val tsOf = Option(options.get("timestampAsOf"))
-      .map(s => VersionedTable.versionAt(path, java.time.Instant.parse(s.trim))
+                             options: JMap[String, String]): Int =
+    (Option(options.get("versionAsOf")),
+      Option(options.get("timestampAsOf"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft: specify either versionAsOf or timestampAsOf, not both")
+      case (Some(v), None) => v.trim.toInt
+      case (None, Some(s)) =>
+        VersionedTable.versionAt(path, java.time.Instant.parse(s.trim))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft: no version committed at or before $s at $path"))
+      case (None, None) => VersionedTable.latestVersion(path)
         .getOrElse(throw new IllegalArgumentException(
-          s"graft: no version committed at or before $s at $path")))
-    asOf.orElse(tsOf).getOrElse(VersionedTable.latestVersion(path)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft: no committed versions at $path")))
-  }
+          s"graft: no committed versions at $path"))
+    }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
@@ -80,6 +84,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     else VersionedTable.schemaOf(path, resolveVersion(path, options))
   }
 
+  /** The externally-supplied schema is honored only for
+    * NOT-YET-CREATED tables (the write-path probe and CTAS targets).
+    * An EXISTING table always serves its own committed schema — the
+    * session catalog passes its stored copy on every load, and a
+    * table evolved through the API since must win over the stale
+    * catalog snapshot (the same choice Delta's catalog table makes). */
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val path = pathOf(properties)
@@ -493,40 +503,64 @@ private[sources] class GraftMicroBatchStream(path: String, pinned: Int,
   override def stop(): Unit = ()
 }
 
-/** V1 streaming sink: exactly-once by recording each micro-batch's id
-  * in the commit operation string — on restart a redelivered batch is
-  * recognized and skipped (the same log-transaction idempotency Delta's
-  * sink keeps in `txn` actions). */
+/** V1 streaming sink: exactly-once by recording each micro-batch's
+  * (query id, batch id) in the commit operation string — on restart a
+  * redelivered batch of the SAME query is recognized and skipped (the
+  * same per-appId txn idempotency Delta's sink keeps). Keying on the
+  * query id matters: batch ids restart at 0 for every NEW query, so a
+  * bare batch-id dedup would silently drop a fresh stream's first
+  * batches into a table an earlier stream populated. The id is stable
+  * across restarts of one checkpointed query (it lives in the
+  * checkpoint metadata). */
 private[sources] class GraftSink(path: String, partitionColumns: Seq[String],
                                  outputMode: OutputMode,
                                  mergeKeys: Option[Seq[String]])
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  private val BatchTag = """STREAM \w+\[batch=(\d+)\]""".r
+  /** Max batch id THIS query has committed — lazily recovered from
+    * the log once (restart case), then tracked in memory so a
+    * long-running stream never re-scans an ever-growing log per
+    * trigger. */
+  private var committedUpTo: Option[Long] = None
 
-  private def lastBatchId: Long =
-    VersionedTable.operations(path).collect {
-      case BatchTag(id) => id.toLong
-    }.foldLeft(-1L)(math.max)
+  private def queryId: String =
+    Option(org.apache.spark.SparkContext.getOrCreate()
+      .getLocalProperty("sql.streaming.queryId")).getOrElse("q")
+
+  private def batchTag(qid: String) =
+    ("""STREAM \w+\[q=""" + java.util.regex.Pattern.quote(qid) +
+      """,batch=(\d+)\]""").r
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val qid = queryId
     val exists = VersionedTable.versions(path).nonEmpty
-    if (exists && lastBatchId >= batchId) return // replayed batch: no-op
+    val last = committedUpTo.getOrElse {
+      val tag = batchTag(qid)
+      val l =
+        if (!exists) -1L
+        else VersionedTable.operations(path).collect {
+          case tag(id) => id.toLong
+        }.foldLeft(-1L)(math.max)
+      committedUpTo = Some(l)
+      l
+    }
+    if (exists && last >= batchId) return // replayed batch: no-op
     val df = GraftBridge.materializeStreamBatch(data).localCheckpoint(true)
     val spark = df.sparkSession
     mergeKeys match {
       case Some(keys) if exists =>
         VersionedTable.upsert(spark, path, df, keys,
-          s"STREAM UPSERT[batch=$batchId]")
+          s"STREAM UPSERT[q=$qid,batch=$batchId]")
       case _ if outputMode == OutputMode.Complete() =>
-        VersionedTable.write(df, path, s"STREAM COMPLETE[batch=$batchId]",
-          partitionColumns)
+        VersionedTable.write(df, path,
+          s"STREAM COMPLETE[q=$qid,batch=$batchId]", partitionColumns)
       case _ if exists =>
         VersionedTable.append(spark, df, path,
-          s"STREAM APPEND[batch=$batchId]", partitionColumns)
+          s"STREAM APPEND[q=$qid,batch=$batchId]", partitionColumns)
       case _ =>
-        VersionedTable.write(df, path, s"STREAM APPEND[batch=$batchId]",
-          partitionColumns)
+        VersionedTable.write(df, path,
+          s"STREAM APPEND[q=$qid,batch=$batchId]", partitionColumns)
     }
+    committedUpTo = Some(batchId)
   }
 }

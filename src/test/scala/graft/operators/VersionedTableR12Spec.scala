@@ -70,6 +70,34 @@ class VersionedTableR12Spec extends SparkSpec {
     assert(e1.exists(_.sstats.get("s").contains(("abc", "abc"))))
   }
 
+  test("DECIMAL columns record SCALED stats: a pushed equality on a " +
+    "decimal(12,2) key prunes to the right file and loses no rows") {
+    val dir = fresh
+    val path = s"$dir/t"
+    // parquet stores decimal(12,2) as unscaled INT64 — recording the
+    // raw footer min/max (12345 for 123.45) would make every scaled
+    // filter literal fall outside the range and prune EVERY file
+    val df = spark.range(1000).select(
+      (col("id") * 25).cast("decimal(12,2)").as("amt"),
+      col("id").as("v"))
+    VersionedTable.write(df.repartitionByRange(4, col("amt")), path)
+    val v = VersionedTable.latestVersion(path).get
+    val entries = VersionedTable.manifestEntries(path, v)
+    assert(entries.forall(_.stats.contains("amt")),
+      "decimal column must carry stats")
+    val lo = entries.flatMap(_.stats.get("amt")).map(_._1).min
+    assert(lo == 0.0 && entries.flatMap(_.stats.get("amt")).map(_._2).max
+      == 999 * 25.0, "stats must be SCALED values")
+    import org.apache.spark.sql.sources.EqualTo
+    val pruned = VersionedTable.pruneEntriesForFilters(spark, path, v,
+      Seq(EqualTo("amt", new java.math.BigDecimal("12475.00"))))
+    assert(pruned.size < entries.size && pruned.nonEmpty,
+      s"expected a strict non-empty subset, got ${pruned.size}")
+    val got = spark.read.format("graft").load(path)
+      .filter(col("amt") === new java.math.BigDecimal("12475.00"))
+    assert(got.count() == 1 && got.head.getAs[Long]("v") == 499L)
+  }
+
   // ------------------------------------------------------------ //
   // composite-key bloom MERGE
   // ------------------------------------------------------------ //
