@@ -25,11 +25,17 @@ package graft
 class PlanInvariantsSpec extends SparkSpec {
 
   private lazy val swept
-      : Map[String, (org.apache.spark.sql.types.StructType, String)] =
+      : Map[String, (org.apache.spark.sql.types.StructType, String)] = {
+    // suites share one session and Spark's cache manager substitutes
+    // ANY suite's persisted fragment into matching plans — clear it so
+    // the sweep asserts the queries' OWN plans, not a concurrent
+    // suite's cache (unpersisted frames rebuild lazily; harmless)
+    spark.catalog.clearCache()
     Explain.names.map { n =>
       val df = Queries.queries(n)(spark, sfDir)
       n -> ((df.schema, df.queryExecution.executedPlan.toString))
     }.toMap
+  }
   private lazy val plans: Map[String, String] =
     swept.view.mapValues(_._2).toMap
 
