@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft", name, usage),
         builder))
     }
+    // SQL DML (DELETE/UPDATE/MERGE INTO) over graft catalog tables →
+    // the format's file-granular verbs (Delta's interception point)
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.GraftDmlRule(session))
     // declarative HOF dot products get the native kernel automatically
     ext.injectOptimizerRule(_ =>
       graft.functions.expressions.NativeDotRewrite)

@@ -24,6 +24,33 @@ object Queries {
     oracle: Option[String],
     headline: Boolean = false)
 
+  /** PER-PROCESS scratch root for every registry-built table,
+    * checkpoint, and index (r13 root-cause fix): two harness
+    * processes alive at once — a driver Verify racing a leftover
+    * builder loop, a bench racing a verify — previously collided on
+    * the same literal `/tmp/graft_cache/...` paths, destroying each
+    * other's live tables mid-query (the exact signature of r12's
+    * full-run-only `versioned_merge_composite` hash miss: rows
+    * re-linked from a table another process was rewriting). A
+    * pid-scoped root makes cross-process interference structurally
+    * impossible; the JVM removes its own root on clean exit.
+    * `SPARK_GRAFT_CACHE_DIR` overrides (the caller then owns
+    * cleanup). */
+  private[graft] val cacheRoot: String =
+    sys.env.get("SPARK_GRAFT_CACHE_DIR") match {
+      case Some(dir) => dir
+      case None =>
+        val root = s"/tmp/graft_cache_${ProcessHandle.current().pid()}"
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }))
+        root
+    }
+
   /** Streaming state-store and sink shuffles are fixed at query start
     * and can't be coalesced by AQE, so a tiny e2e round trip pays the
     * session-wide partition count (32 state-store instances per
@@ -42,7 +69,7 @@ object Queries {
     * across repeated bench/verify loops — each harness stream owns
     * exactly one reusable slot. */
   private[graft] def freshCheckpoint(tag: String, d: String): String = {
-    val p = s"/tmp/graft_cache/ckpt_${tag}_${new java.io.File(d).getName}"
+    val p = s"$cacheRoot/ckpt_${tag}_${new java.io.File(d).getName}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
     p
   }
@@ -56,8 +83,8 @@ object Queries {
                              tag: String): Pipeline.RunResult = {
     import org.apache.spark.sql.types._
     val sf = new java.io.File(d).getName
-    val src = s"/tmp/graft_cache/${tag}_src_$sf"
-    val store = s"/tmp/graft_cache/${tag}_store_$sf"
+    val src = s"$cacheRoot/${tag}_src_$sf"
+    val store = s"$cacheRoot/${tag}_store_$sf"
     VersionedTable.destroy(store)
     // 6 files / 3-per-trigger → 2 micro-batches: enough to prove
     // batch-split independence without paying for extra merge commits
@@ -341,7 +368,7 @@ object Queries {
       // each computed once and materialized; configs pay only their
       // own candidate generation + verification
       (s, d) => SetJoin.sweepRecall(Tables(s, d).documents,
-        s"/tmp/graft_cache/sweep_recall_${new java.io.File(d).getName}"),
+        s"$cacheRoot/sweep_recall_${new java.io.File(d).getName}"),
       Some(TextOracleSql.sweepRecallSql(shingleK = 3, numPerm = 64,
         bandConfigs = Seq(8, 16, 32), tNum = 1, tDen = 2))),
 
@@ -352,7 +379,7 @@ object Queries {
       // signatures alone — candidate volume and surviving-pair counts
       // per config, one summary row each
       (s, d) => Dedup.paramSweep(Tables(s, d).documents,
-        s"/tmp/graft_cache/sweep_sigs_${new java.io.File(d).getName}"),
+        s"$cacheRoot/sweep_sigs_${new java.io.File(d).getName}"),
       Some(TextOracleSql.paramSweepSql(shingleK = 3, numPerm = 64,
         bandConfigs = Seq(8, 16, 32), threshold = 0.5))),
 
@@ -372,7 +399,7 @@ object Queries {
       // never re-read, the delta broadcasts
       (s, d) => {
         val sf = new java.io.File(d).getName
-        val dir = s"/tmp/graft_cache/lshidx_$sf"
+        val dir = s"$cacheRoot/lshidx_$sf"
         val docs = Tables(s, d).documents
         Dedup.buildLshIndex(docs.filter(col("doc_id") % 10 < 8), dir)
         Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 10 >= 8), dir,
@@ -650,7 +677,7 @@ object Queries {
     Q("ann_ivf_indexed",
       (s, d) => {
         val emb = Tables(s, d).embeddings
-        val path = s"/tmp/graft_cache/ivfidx_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/ivfidx_${new java.io.File(d).getName}"
         // index build (one-time job at scale) + partition-pruned query
         Similarity.buildIvfIndex(emb, path, cacheKey = Some(d))
         Similarity.annIvfIndexed(s, path, emb.filter(col("vec_id") < 8))
@@ -666,7 +693,7 @@ object Queries {
       // raw embedding — identical semantics to ann_ivfpq, same oracle
       (s, d) => {
         val emb = Tables(s, d).embeddings
-        val path = s"/tmp/graft_cache/pqidx_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/pqidx_${new java.io.File(d).getName}"
         Similarity.buildPqIndex(emb, path, cacheKey = Some(d))
         Similarity.annPqIndexed(s, path, emb.filter(col("vec_id") < 8))
       },
@@ -893,8 +920,8 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/cinc_src_$sf"
-        val store = s"/tmp/graft_cache/cinc_store_$sf"
+        val src = s"$cacheRoot/cinc_src_$sf"
+        val store = s"$cacheRoot/cinc_store_$sf"
         VersionedTable.destroy(store)
         Tables(s, d).documents.select("doc_id", "text", "lang", "source")
           .repartition(6).write.mode("overwrite").json(src)
@@ -1102,7 +1129,7 @@ object Queries {
       // reader — hash equality against the source table proves the
       // export is lossless (quotes, unicode, embedded whitespace)
       (s, d) => {
-        val path = s"/tmp/graft_cache/jsonl_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/jsonl_${new java.io.File(d).getName}"
         Tables(s, d).documents
           .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_chars"))).as("value"))
@@ -1229,7 +1256,7 @@ object Queries {
       // never change content (the oracle is the manifest filtered to
       // that shard)
       (s, d) => {
-        val path = s"/tmp/graft_cache/mshards_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/mshards_${new java.io.File(d).getName}"
         Mixture.writeManifestShards(Tables(s, d).documents, path,
           budgetTokens = 50000L, maxEpochsPct = 300L,
           seqTokens = 2048L, seqsPerShard = 8L)
@@ -2435,7 +2462,7 @@ object Queries {
         // (latest-per-user, invalid rows dropped) → gold (per-type
         // rollup), each stage materialized as a VersionedTable and its
         // expectation metrics emitted to the event log (the output)
-        val dir = s"/tmp/graft_cache/pipe_${new java.io.File(d).getName}"
+        val dir = s"$cacheRoot/pipe_${new java.io.File(d).getName}"
         VersionedTable.destroy(dir)
         val stages = Seq(
           Pipeline.Stage("bronze_events", identity,
@@ -2501,8 +2528,8 @@ object Queries {
         // JSON and clears the rescue column, committed as a version
         // (the broken bronze snapshot stays time-travelable at v0)
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/rr_src_$sf"
-        val table = s"/tmp/graft_cache/rr_table_$sf"
+        val src = s"$cacheRoot/rr_src_$sf"
+        val table = s"$cacheRoot/rr_table_$sf"
         VersionedTable.destroy(table)
         val good = to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")))
@@ -2544,7 +2571,7 @@ object Queries {
         t.customer.createOrReplaceTempView("customer_v")
         t.nation.createOrReplaceTempView("nation_v")
         t.region.createOrReplaceTempView("region_v")
-        val dir = s"/tmp/graft_cache/ctas_${new java.io.File(d).getName}"
+        val dir = s"$cacheRoot/ctas_${new java.io.File(d).getName}"
         s.sql("DROP TABLE IF EXISTS graft_gold_ctas")
         VersionedTable.destroy(dir)
         s.sql(s"""
@@ -2712,7 +2739,7 @@ object Queries {
       // format): id-prefixed lines through spark.read.text, split with
       // one codegen'd substring pair — schema-free, splittable
       (s, d) => {
-        val path = s"/tmp/graft_cache/txt_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/txt_${new java.io.File(d).getName}"
         graft.sources.Ingest.writeTextCorpus(
           Tables(s, d).documents.select("doc_id", "text"), path)
         graft.sources.Ingest.textCorpus(s, path)
@@ -2727,7 +2754,7 @@ object Queries {
         // length, content), ids parsed off file names, payloads
         // decoded by the same ImageIO path — proves the
         // object-storage→binary-column→decode chain end-to-end
-        val dir = s"/tmp/graft_cache/png_${new java.io.File(d).getName}"
+        val dir = s"$cacheRoot/png_${new java.io.File(d).getName}"
         val docs = Tables(s, d).documents
         Multimodal.stageImageFiles(docs, dir)
         Multimodal.decodeImages(Multimodal.ingestImages(dir))
@@ -2792,12 +2819,12 @@ object Queries {
     // ---------- A. Ingestion ----------
     Q("ingest_csv",
       (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
-        "csv", s"/tmp/graft_cache/csv_${new java.io.File(d).getName}"),
+        "csv", s"$cacheRoot/csv_${new java.io.File(d).getName}"),
       Some("SELECT * FROM documents")),
 
     Q("ingest_json",
       (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
-        "json", s"/tmp/graft_cache/json_${new java.io.File(d).getName}"),
+        "json", s"$cacheRoot/json_${new java.io.File(d).getName}"),
       Some("SELECT * FROM documents")),
 
     Q("ingest_xml",
@@ -2806,12 +2833,12 @@ object Queries {
       // and read back schema-first (content must survive markup
       // escaping of the text column exactly)
       (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
-        "xml", s"/tmp/graft_cache/xml_${new java.io.File(d).getName}"),
+        "xml", s"$cacheRoot/xml_${new java.io.File(d).getName}"),
       Some("SELECT * FROM documents")),
 
     Q("ingest_orc",
       (s, d) => graft.sources.Ingest.roundTrip(s, Tables(s, d).documents,
-        "orc", s"/tmp/graft_cache/orc_${new java.io.File(d).getName}"),
+        "orc", s"$cacheRoot/orc_${new java.io.File(d).getName}"),
       Some("SELECT * FROM documents")),
 
     Q("ingest_parquet",
@@ -2867,7 +2894,7 @@ object Queries {
         // and a new batch (wider schema) under one table root; the
         // mergeSchema read unions the schemas, old rows null-padded,
         // with the batch directory as a partition column
-        val path = s"/tmp/graft_cache/msch_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/msch_${new java.io.File(d).getName}"
         val docs = Tables(s, d).documents
         docs.select("doc_id", "text", "lang")
           .write.mode("overwrite").parquet(s"$path/batch=0")
@@ -2896,8 +2923,8 @@ object Queries {
       // counts per phase are the observable contract.
       (s, d) => {
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/schloc_src_$sf"
-        val loc = s"/tmp/graft_cache/schloc_store_$sf"
+        val src = s"$cacheRoot/schloc_src_$sf"
+        val loc = s"$cacheRoot/schloc_store_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
         val ev = Tables(s, d).events
@@ -2940,7 +2967,7 @@ object Queries {
         // inferSchema CSV (reference 1:86-93) — parity surface; the
         // inferred int columns are normalized to the table's long dtypes
         // (inference picks the narrowest integer type that fits)
-        val path = s"/tmp/graft_cache/inf_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/inf_${new java.io.File(d).getName}"
         Tables(s, d).documents.write.mode("overwrite")
           .option("header", "true").csv(path)
         graft.sources.Ingest.csvInferred(s, path)
@@ -3201,7 +3228,7 @@ object Queries {
       // round-trips bit-for-bit; the locality advantage over Morton
       // (unit-step adjacency, tighter rectangles) is spec-proven
       (s, d) => {
-        val path = s"/tmp/graft_cache/hw_${new java.io.File(d).getName}"
+        val path = s"$cacheRoot/hw_${new java.io.File(d).getName}"
         Maintenance.writeHilbert(Tables(s, d).lineitem, path,
           "l_partkey", "l_suppkey", numFiles = 8)
         Maintenance.read(s, path)

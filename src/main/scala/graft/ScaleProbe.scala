@@ -456,10 +456,10 @@ object ScaleProbe {
       // of how many configs ride on one signing
       ("dedup_param_sweep", t.documents.count(),
         () => Dedup.paramSweep(t.documents,
-          "/tmp/graft_cache/probe_sweep_1x").count(),
+          s"${Queries.cacheRoot}/probe_sweep_1x").count(),
         t.documents.count() * 10,
         () => Dedup.paramSweep(replicateDocs(t.documents, 10),
-          "/tmp/graft_cache/probe_sweep_10x").count()),
+          s"${Queries.cacheRoot}/probe_sweep_10x").count()),
       // quantizer training is bounded by the absolute sample budget;
       // assignment is map-only — the audit should scale like the scan
       ("ivf_cell_stats", t.embeddings.count(),

@@ -28,9 +28,9 @@ private[graft] object StreamingQueries {
       (s, d) => {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sdi_src_$sf"
-        val idx = s"/tmp/graft_cache/sdi_idx_$sf"
-        val prs = s"/tmp/graft_cache/sdi_pairs_$sf"
+        val src = s"${Queries.cacheRoot}/sdi_src_$sf"
+        val idx = s"${Queries.cacheRoot}/sdi_idx_$sf"
+        val prs = s"${Queries.cacheRoot}/sdi_pairs_$sf"
         Seq(idx, prs).foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
         // 4 files / 2-per-trigger → 2 micro-batches: the minimum that
@@ -59,8 +59,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/scur_src_$sf"
-        val out = s"/tmp/graft_cache/scur_out_$sf"
+        val src = s"${Queries.cacheRoot}/scur_src_$sf"
+        val out = s"${Queries.cacheRoot}/scur_out_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         Tables(s, d).documents.select("doc_id", "text")
           .repartition(6).write.mode("overwrite").json(src)
@@ -83,8 +83,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/shh_src_$sf"
-        val cnt = s"/tmp/graft_cache/shh_cnt_$sf"
+        val src = s"${Queries.cacheRoot}/shh_src_$sf"
+        val cnt = s"${Queries.cacheRoot}/shh_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         Tables(s, d).documents.select("doc_id", "text")
           .repartition(6).write.mode("overwrite").json(src)
@@ -111,8 +111,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/spf_src_$sf"
-        val prf = s"/tmp/graft_cache/spf_prof_$sf"
+        val src = s"${Queries.cacheRoot}/spf_src_$sf"
+        val prf = s"${Queries.cacheRoot}/spf_prof_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prf))
         Tables(s, d).events
           .select("event_id", "ts", "user_id", "event_type", "value")
@@ -140,10 +140,10 @@ private[graft] object StreamingQueries {
         import org.apache.spark.sql.types._
         val emb = Tables(s, d).embeddings
         val sf = new java.io.File(d).getName
-        val idx = s"/tmp/graft_cache/ivfidx_$sf"
+        val idx = s"${Queries.cacheRoot}/ivfidx_$sf"
         Similarity.buildIvfIndex(emb, idx, cacheKey = Some(d))
-        val src = s"/tmp/graft_cache/sap_src_$sf"
-        val out = s"/tmp/graft_cache/sap_out_$sf"
+        val src = s"${Queries.cacheRoot}/sap_src_$sf"
+        val out = s"${Queries.cacheRoot}/sap_out_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(out))
         // 4 files / 2-per-trigger → 2 micro-batches of 8 queries each
@@ -172,8 +172,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sas_src_$sf"
-        val out = s"/tmp/graft_cache/sas_out_$sf"
+        val src = s"${Queries.cacheRoot}/sas_src_$sf"
+        val out = s"${Queries.cacheRoot}/sas_out_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val ev = Tables(s, d).events
         ev.filter(col("event_type") === "click")
@@ -206,8 +206,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/scv_src_$sf"
-        val cd = s"/tmp/graft_cache/scv_cov_$sf"
+        val src = s"${Queries.cacheRoot}/scv_src_$sf"
+        val cd = s"${Queries.cacheRoot}/scv_cov_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cd))
         Tables(s, d).embeddings.select("vec_id", "embedding")
           .repartition(6).write.mode("overwrite").parquet(src)
@@ -231,8 +231,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/scs_src_$sf"
-        val cnt = s"/tmp/graft_cache/scs_counts_$sf"
+        val src = s"${Queries.cacheRoot}/scs_src_$sf"
+        val cnt = s"${Queries.cacheRoot}/scs_counts_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         val emb = Tables(s, d).embeddings
         val cents = Similarity.trainCentroids(emb, cacheKey = Some(d))
@@ -258,8 +258,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/scm_src_$sf"
-        val store = s"/tmp/graft_cache/scm_store_$sf"
+        val src = s"${Queries.cacheRoot}/scm_src_$sf"
+        val store = s"${Queries.cacheRoot}/scm_store_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
         Tables(s, d).documents.select("doc_id", "text")
           .repartition(4).write.mode("overwrite").json(src)
@@ -285,8 +285,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sov_src_$sf"
-        val sg = s"/tmp/graft_cache/sov_sig_$sf"
+        val src = s"${Queries.cacheRoot}/sov_src_$sf"
+        val sg = s"${Queries.cacheRoot}/sov_sig_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
         Tables(s, d).documents.select("doc_id", "text", "source")
           .repartition(6).write.mode("overwrite").json(src)
@@ -310,8 +310,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sxp_src_$sf"
-        val md = s"/tmp/graft_cache/sxp_met_$sf"
+        val src = s"${Queries.cacheRoot}/sxp_src_$sf"
+        val md = s"${Queries.cacheRoot}/sxp_met_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(md))
         Tables(s, d).events
           .select("event_id", "event_type", "value", "user_id")
@@ -337,8 +337,8 @@ private[graft] object StreamingQueries {
         import org.apache.spark.sql.types._
         val t = Tables(s, d)
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sri_src_$sf"
-        val rd = s"/tmp/graft_cache/sri_cnt_$sf"
+        val src = s"${Queries.cacheRoot}/sri_src_$sf"
+        val rd = s"${Queries.cacheRoot}/sri_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rd))
         t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
           .repartition(6).write.mode("overwrite").json(src)
@@ -361,7 +361,7 @@ private[graft] object StreamingQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         import org.apache.spark.sql.types._
-        val src = s"/tmp/graft_cache/stream_src_${new java.io.File(d).getName}"
+        val src = s"${Queries.cacheRoot}/stream_src_${new java.io.File(d).getName}"
         // natural partitioning for the staging write — the streaming
         // file source reads per-file in parallel, so don't cap it
         Tables(s, d).events
@@ -397,8 +397,8 @@ private[graft] object StreamingQueries {
         import org.apache.spark.sql.streaming.Trigger
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sfi_src_$sf"
-        val out = s"/tmp/graft_cache/sfi_out_$sf"
+        val src = s"${Queries.cacheRoot}/sfi_src_$sf"
+        val out = s"${Queries.cacheRoot}/sfi_out_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val ev = Tables(s, d).events
@@ -444,8 +444,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sav_src_$sf"
-        val table = s"/tmp/graft_cache/sav_table_$sf"
+        val src = s"${Queries.cacheRoot}/sav_src_$sf"
+        val table = s"${Queries.cacheRoot}/sav_table_$sf"
         VersionedTable.destroy(table)
         Tables(s, d).events
           .select("event_id", "ts", "user_id", "event_type", "value")
@@ -476,8 +476,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 8) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/smv_src_$sf"
-        val table = s"/tmp/graft_cache/smv_table_$sf"
+        val src = s"${Queries.cacheRoot}/smv_src_$sf"
+        val table = s"${Queries.cacheRoot}/smv_table_$sf"
         VersionedTable.destroy(table)
         // stage as several files; 3-files-per-trigger forces multiple
         // MERGE micro-batches — the recency-aware merge makes the
@@ -524,8 +524,8 @@ private[graft] object StreamingQueries {
       // A 100 TB replica follows by shipping deltas, never snapshots
       (s, d) => withShufflePartitions(s, 8) {
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/cdfs_src_$sf"
-        val rep = s"/tmp/graft_cache/cdfs_rep_$sf"
+        val src = s"${Queries.cacheRoot}/cdfs_src_$sf"
+        val rep = s"${Queries.cacheRoot}/cdfs_rep_$sf"
         Seq(src, rep).foreach(VersionedTable.destroy)
         val cust = Tables(s, d).customer
           .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
@@ -572,7 +572,7 @@ private[graft] object StreamingQueries {
         import org.apache.spark.sql.streaming.Trigger
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sdd_src_$sf"
+        val src = s"${Queries.cacheRoot}/sdd_src_$sf"
         // stage every event TWICE (an at-least-once delivery) in 8
         // files — the watermark-bounded dedup must emit each exactly once
         val ev = Tables(s, d).events
@@ -608,7 +608,7 @@ private[graft] object StreamingQueries {
         // bounding state on both sides. Inner-join matches emit
         // eagerly, so AvailableNow drains every pair.
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sattr_src_$sf"
+        val src = s"${Queries.cacheRoot}/sattr_src_$sf"
         Tables(s, d).events
           .select("event_id", "ts", "user_id", "event_type", "value")
           .repartition(6).write.mode("overwrite").json(src)
@@ -657,7 +657,7 @@ private[graft] object StreamingQueries {
         // no-data batch that follows flushes every surviving outer
         // row. Sentinels filter out of the result by user sign.
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sjo_src_$sf"
+        val src = s"${Queries.cacheRoot}/sjo_src_$sf"
         val ev = Tables(s, d).events
           .select("event_id", "ts", "user_id", "event_type", "value")
         ev.repartition(6).write.mode("overwrite").json(src)
@@ -707,8 +707,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/swa_src_$sf"
-        val out = s"/tmp/graft_cache/swa_out_$sf"
+        val src = s"${Queries.cacheRoot}/swa_src_$sf"
+        val out = s"${Queries.cacheRoot}/swa_out_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val ev = Tables(s, d).events
           .select("event_id", "ts", "user_id", "event_type", "value",
@@ -749,8 +749,8 @@ private[graft] object StreamingQueries {
         import org.apache.spark.sql.types._
         val gap = 1800000000L
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/ssz_src_$sf"
-        val out = s"/tmp/graft_cache/ssz_out_$sf"
+        val src = s"${Queries.cacheRoot}/ssz_src_$sf"
+        val out = s"${Queries.cacheRoot}/ssz_out_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val ev = Tables(s, d).events
           .select("event_id", "ts", "user_id", "event_type", "value",
@@ -786,8 +786,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/smx_src_$sf"
-        val cells = s"/tmp/graft_cache/smx_cells_$sf"
+        val src = s"${Queries.cacheRoot}/smx_src_$sf"
+        val cells = s"${Queries.cacheRoot}/smx_cells_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(cells))
         val docs = Tables(s, d).documents
@@ -820,7 +820,7 @@ private[graft] object StreamingQueries {
         graft.streaming.Streams.watermarkDropRun(s,
           Tables(s, d).events, delayUs = 86400000000L,
           windowUs = 3600000000L, nBatches = 4, sampleBudget = 2000,
-          outDir = s"/tmp/graft_cache/wmd_${new java.io.File(d).getName}")
+          outDir = s"${Queries.cacheRoot}/wmd_${new java.io.File(d).getName}")
       },
       Some(InlineOracles.stream_watermark_drop)),
 
@@ -835,8 +835,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         implicit val sp: SparkSession = s
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/ppng_$sf"
-        val sg = s"/tmp/graft_cache/ppng_sig_$sf"
+        val src = s"${Queries.cacheRoot}/ppng_$sf"
+        val sg = s"${Queries.cacheRoot}/ppng_sig_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
         Multimodal.stagePatternImageFiles(Tables(s, d).documents, src)
         val ckpt = freshCheckpoint("sid", d)
@@ -860,8 +860,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sqn_src_$sf"
-        val hd = s"/tmp/graft_cache/sqn_hist_$sf"
+        val src = s"${Queries.cacheRoot}/sqn_src_$sf"
+        val hd = s"${Queries.cacheRoot}/sqn_hist_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hd))
         Tables(s, d).events.select("event_id", "event_type", "value")
           .repartition(6).write.mode("overwrite").json(src)
@@ -886,8 +886,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sta_src_$sf"
-        val cnt = s"/tmp/graft_cache/sta_cnt_$sf"
+        val src = s"${Queries.cacheRoot}/sta_src_$sf"
+        val cnt = s"${Queries.cacheRoot}/sta_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         Tables(s, d).events.select("event_id", "ts", "event_type")
           .repartition(6).write.mode("overwrite").json(src)
@@ -910,8 +910,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sdc_src_$sf"
-        val cnt = s"/tmp/graft_cache/sdc_cnt_$sf"
+        val src = s"${Queries.cacheRoot}/sdc_src_$sf"
+        val cnt = s"${Queries.cacheRoot}/sdc_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         Tables(s, d).events.select("event_id", "ts", "event_type")
           .repartition(6).write.mode("overwrite").json(src)
@@ -934,8 +934,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/ssa_src_$sf"
-        val cnt = s"/tmp/graft_cache/ssa_cnt_$sf"
+        val src = s"${Queries.cacheRoot}/ssa_src_$sf"
+        val cnt = s"${Queries.cacheRoot}/ssa_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         Tables(s, d).events.select("event_id", "ts", "event_type")
           .repartition(6).write.mode("overwrite").json(src)
@@ -958,8 +958,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/stx_src_$sf"
-        val cnt = s"/tmp/graft_cache/stx_cnt_$sf"
+        val src = s"${Queries.cacheRoot}/stx_src_$sf"
+        val cnt = s"${Queries.cacheRoot}/stx_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         Tables(s, d).events.select("event_id", "ts", "event_type")
           .repartition(6).write.mode("overwrite").json(src)
@@ -981,8 +981,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sac_src_$sf"
-        val cnt = s"/tmp/graft_cache/sac_cnt_$sf"
+        val src = s"${Queries.cacheRoot}/sac_src_$sf"
+        val cnt = s"${Queries.cacheRoot}/sac_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         Tables(s, d).events.select("event_id", "ts", "event_type")
           .repartition(6).write.mode("overwrite").json(src)
@@ -1006,8 +1006,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/smo_src_$sf"
-        val mom = s"/tmp/graft_cache/smo_mom_$sf"
+        val src = s"${Queries.cacheRoot}/smo_src_$sf"
+        val mom = s"${Queries.cacheRoot}/smo_mom_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mom))
         Tables(s, d).documents
           .select("doc_id", "text", "source")
@@ -1032,8 +1032,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sfp_src_$sf"
-        val fpd = s"/tmp/graft_cache/sfp_fp_$sf"
+        val src = s"${Queries.cacheRoot}/sfp_src_$sf"
+        val fpd = s"${Queries.cacheRoot}/sfp_fp_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpd))
         Tables(s, d).documents.select("doc_id", "text", "source")
           .repartition(6).write.mode("overwrite").json(src)
@@ -1063,8 +1063,8 @@ private[graft] object StreamingQueries {
       (s, d) => withShufflePartitions(s, 4) {
         import org.apache.spark.sql.types._
         val sf = new java.io.File(d).getName
-        val src = s"/tmp/graft_cache/sbf_src_$sf"
-        val msd = s"/tmp/graft_cache/sbf_mass_$sf"
+        val src = s"${Queries.cacheRoot}/sbf_src_$sf"
+        val msd = s"${Queries.cacheRoot}/sbf_mass_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(msd))
         Tables(s, d).documents.select("doc_id", "text", "source")
           .repartition(6).write.mode("overwrite").json(src)

@@ -18,11 +18,27 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_VERIFY_TOUCHSET=1: every bloom-pruned merge touch
+      // scan re-derives the exact touch set and fails loudly on a
+      // false negative (the versioned_merge_composite repro harness)
+      .config("spark.graft.debug.verifyTouchSet",
+        if (sys.env.get("SPARK_GRAFT_VERIFY_TOUCHSET").contains("1"))
+          "true" else "false")
     graft.sources.NoForkFs.sparkConf
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Isolate registry queries from each other: Spark's CacheManager
+    // substitutes ANY persisted fragment into later plans that
+    // canonically match (the PlanInvariantsSpec hazard class), so a
+    // frame one query persisted and never unpersisted can silently
+    // rewrite another query's plan mid-run. The correctness gate must
+    // evaluate each query as if it ran alone — drop every cached
+    // fragment between queries. SPARK_GRAFT_VERIFY_NO_CLEAR=1 disables
+    // this (reproduction runs of the pre-r13 shared-cache behavior).
+    val clearBetween = !sys.env.get("SPARK_GRAFT_VERIFY_NO_CLEAR")
+      .contains("1")
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -33,6 +49,7 @@ object Verify {
           .linesIterator.take(1).mkString
         System.err.println(s"[verify] $name failed: $firstLine")
       }
+      if (clearBetween) spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

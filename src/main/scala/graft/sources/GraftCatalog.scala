@@ -84,36 +84,87 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    // refuse what we would otherwise silently drop: a PARTITIONED BY
-    // clause or user TBLPROPERTIES not honored here would commit an
-    // unpartitioned, property-less table with no error — worse than
-    // failing (Spark injects bookkeeping keys like provider/owner/
-    // location; only USER properties are rejected)
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported through CTAS — " +
-        "write with VersionedTable.write(df, path, partitionBy = …) " +
-        "or df.write.format(\"graft\").option(\"partitionBy\", …)")
+    // PARTITIONED BY: identity transforms only — the format's layout
+    // is hive-style value partitioning; bucket/temporal transforms
+    // would silently degrade to nothing, so they fail loudly
+    val partitionBy = partitions.toSeq.map { t =>
+      if (t.name != "identity") throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $t — " +
+          "only PARTITIONED BY (col, …) identity partitioning")
+      t.references match {
+        case Array(r) => r.fieldNames match {
+          case Array(one) => one
+          case other => throw new UnsupportedOperationException(
+            "graft catalog: PARTITIONED BY supports top-level columns " +
+              s"only, got ${other.mkString(".")}")
+        }
+        case _ => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform $t")
+      }
+    }
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: partition column $c not in the table schema"))
+    // USER properties ride the creation (Spark injects bookkeeping
+    // keys like provider/owner/location — those are not table state)
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
       TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
     val user = {
       import scala.jdk.CollectionConverters._
-      properties.asScala.keys.filterNot(k =>
-        reserved.contains(k) || k.startsWith("option.")).toSeq.sorted
+      properties.asScala.filterNot { case (k, _) =>
+        reserved.contains(k) || k.startsWith("option.") }.toMap
     }
-    require(user.isEmpty,
-      s"graft catalog: TBLPROPERTIES ${user.mkString(", ")} are not " +
-        "applied through CTAS — set them after creation with " +
-        "VersionedTable.setTableProperties")
-    // creation is lazy — the first write's commit creates version 0
-    // (the CTAS exec loads this table and writes through the V1 shim)
-    new GraftTable(pathOf(ident), -1, Some(schema))
+    // creation is EAGER (r13): an empty metadata v0 carrying schema +
+    // user properties commits immediately, so plain `CREATE TABLE`
+    // followed by `INSERT INTO` works (pre-r13 lazy creation made
+    // loadTable fail until the first write). The CTAS exec then
+    // writes through the V1 shim, which sees the empty DDL table and
+    // lays the first data commit out under the declared partitioning.
+    val p = pathOf(ident)
+    VersionedTable.create(p, schema, user)
+    new GraftTable(p, 0, Some(schema), ctasPartitionBy = partitionBy)
   }
 
+  /** `ALTER TABLE` through SQL (r13): property, rename, add and drop
+    * column changes map onto the format's metadata-commit verbs —
+    * each lands as its own commit, exactly like running the Scala
+    * API. Top-level columns only (the format has no nested-field
+    * evolution); anything else fails loudly. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: use the VersionedTable API for ALTER verbs")
+                          changes: TableChange*): Table = {
+    val p = require_exists(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    def top(fieldNames: Array[String], what: String): String =
+      fieldNames match {
+        case Array(one) => one
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: $what supports top-level columns only, " +
+            s"got ${other.mkString(".")}")
+      }
+    changes.foreach {
+      case c: TableChange.SetProperty =>
+        VersionedTable.setTableProperties(p,
+          Map(c.property -> c.value))
+      case c: TableChange.RemoveProperty =>
+        VersionedTable.unsetTableProperty(p, c.property)
+      case c: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(spark, p,
+          top(c.fieldNames, "RENAME COLUMN"), c.newName)
+      case c: TableChange.AddColumn =>
+        // null-filled metadata add: re-linked files read the column
+        // as null, zero rewrite (the Scala addColumn's fold-to-null
+        // fast path)
+        VersionedTable.addColumn(spark, p,
+          top(c.fieldNames, "ADD COLUMNS"),
+          s"cast(null as ${c.dataType.sql})")
+      case c: TableChange.DeleteColumn =>
+        VersionedTable.dropColumn(spark, p,
+          top(c.fieldNames, "DROP COLUMN"))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)

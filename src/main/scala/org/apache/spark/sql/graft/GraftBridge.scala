@@ -100,6 +100,26 @@ object GraftBridge {
       0L, length, Array.empty, 0L, length,
       Map.empty)
 
+  /** A byte-range slice of a file (Spark's reader maps it to the row
+    * groups whose midpoint falls inside [start, start+length)). */
+  def rangeFile(absPath: String, start: Long, length: Long,
+                fileSize: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(absPath),
+      start, length, Array.empty, 0L, fileSize,
+      Map.empty)
+
+  /** SQLConf file-partitioning knobs (the same ones FileSourceScanExec
+    * sizes its partitions with). */
+  def filesMaxPartitionBytes(spark: SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.filesMaxPartitionBytes
+  def filesOpenCostInBytes(spark: SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.filesOpenCostInBytes
+
   /** Re-anchor a STREAMING micro-batch frame as a standalone batch
     * DataFrame (a V1 `Sink.addBatch` frame is backed by an
     * IncrementalExecution that must not be re-planned — the same

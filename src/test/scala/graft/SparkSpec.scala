@@ -15,6 +15,10 @@ object SparkSpec {
     val builder = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the prod surface (Verify/Bench) runs with the extensions
+      // installed — tests must too (the SQL DML rule in particular
+      // can only be injected at session build)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

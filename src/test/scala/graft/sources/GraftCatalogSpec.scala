@@ -62,17 +62,69 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("CTAS into a catalog name creates version 0; DROP removes it") {
+  test("CTAS into a catalog name: empty metadata v0 + data v1; DROP " +
+    "removes it") {
     withCatalog {
       val path = s"$fresh/ctas"
       spark.sql(s"""
         CREATE TABLE graft.`$path` AS
         SELECT id AS k, id % 3 AS v FROM range(60)""")
-      assert(VersionedTable.latestVersion(path).contains(0))
+      assert(VersionedTable.latestVersion(path).contains(1))
+      assert(VersionedTable.operations(path).head == "CREATE TABLE")
       assert(spark.sql(s"SELECT sum(v) FROM graft.`$path`")
         .head.getLong(0) == (0L until 60L).map(_ % 3).sum)
       spark.sql(s"DROP TABLE graft.`$path`")
       assert(VersionedTable.versions(path).isEmpty)
+    }
+  }
+
+  test("CREATE TABLE (no AS) then INSERT INTO — the day-one DDL " +
+    "shape works") {
+    withCatalog {
+      val path = s"$fresh/ddl"
+      spark.sql(s"""
+        CREATE TABLE graft.`$path` (k BIGINT, v STRING)
+        TBLPROPERTIES ('quality' = 'bronze')""")
+      assert(VersionedTable.latestVersion(path).contains(0))
+      assert(VersionedTable.tableProperties(path, 0)
+        .get("quality").contains("bronze"))
+      // the empty table is immediately readable
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$path`")
+        .head.getLong(0) == 0)
+      spark.sql(s"INSERT INTO graft.`$path` VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$path`")
+        .head.getLong(0) == 2)
+      // properties survive the first data commit
+      val v = VersionedTable.latestVersion(path).get
+      assert(VersionedTable.tableProperties(path, v)
+        .get("quality").contains("bronze"))
+    }
+  }
+
+  test("ALTER TABLE: SET/UNSET TBLPROPERTIES, RENAME/ADD/DROP COLUMN " +
+    "through SQL") {
+    withCatalog {
+      val path = s"$fresh/alter"
+      VersionedTable.write(spark.range(10)
+        .selectExpr("id AS k", "id * 2 AS v"), path)
+      spark.sql(s"ALTER TABLE graft.`$path` " +
+        "SET TBLPROPERTIES ('quality' = 'silver')")
+      val v1 = VersionedTable.latestVersion(path).get
+      assert(VersionedTable.tableProperties(path, v1)
+        .get("quality").contains("silver"))
+      spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN v TO amount")
+      assert(spark.sql(s"SELECT sum(amount) FROM graft.`$path`")
+        .head.getLong(0) == (0L until 10L).map(_ * 2).sum)
+      spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (note STRING)")
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.`$path` WHERE note IS NULL")
+        .head.getLong(0) == 10)
+      spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN note")
+      assert(!spark.table(s"graft.`$path`").columns.contains("note"))
+      spark.sql(s"ALTER TABLE graft.`$path` " +
+        "UNSET TBLPROPERTIES ('quality')")
+      val vN = VersionedTable.latestVersion(path).get
+      assert(!VersionedTable.tableProperties(path, vN).contains("quality"))
     }
   }
 }
