@@ -281,22 +281,22 @@ object ScaleProbe {
       ("dedup_index_probe", {
         val base1 = t.documents.filter(col("doc_id") % 10 < 8)
         org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File("/tmp/graft_scaleprobe"))
-        Dedup.buildLshIndex(base1, "/tmp/graft_scaleprobe/lshidx_1x")
+          new java.io.File(s"${Queries.cacheRoot}/probe"))
+        Dedup.buildLshIndex(base1, s"${Queries.cacheRoot}/probe/lshidx_1x")
         base1.count()
       }, () => Dedup.dedupAgainstIndex(
         t.documents.filter(col("doc_id") % 10 >= 8),
-        "/tmp/graft_scaleprobe/lshidx_1x", threshold = 0.5).count(), {
+        s"${Queries.cacheRoot}/probe/lshidx_1x", threshold = 0.5).count(), {
         // replicas are signature-disjoint (replicateDocs), so the 10×
         // index holds 10× rows while the delta's true collisions stay
         // constant — exactly the steady-state regime of a growing corpus
         val base10 = replicateDocs(t.documents, 10)
           .filter(col("doc_id") % 10 < 8)
-        Dedup.buildLshIndex(base10, "/tmp/graft_scaleprobe/lshidx_10x")
+        Dedup.buildLshIndex(base10, s"${Queries.cacheRoot}/probe/lshidx_10x")
         base10.count()
       }, () => Dedup.dedupAgainstIndex(
         t.documents.filter(col("doc_id") % 10 >= 8),
-        "/tmp/graft_scaleprobe/lshidx_10x", threshold = 0.5).count()),
+        s"${Queries.cacheRoot}/probe/lshidx_10x", threshold = 0.5).count()),
       // round-6 third wave: the curriculum's two-phase band rank (its
       // only unpartitioned window is the ≤21-row band-count frame) and
       // the skew audit's aggregated-census top-N must both hold
@@ -618,7 +618,7 @@ object ScaleProbe {
       // super-linearly. This is the O(delta)-not-O(table) claim of
       // VersionedTable's manifest commits, measured.
       ("versioned_merge", {
-        val p1 = "/tmp/graft_scaleprobe/vt_1x"
+        val p1 = s"${Queries.cacheRoot}/probe/vt_1x"
         graft.operators.VersionedTable.destroy(p1)
         graft.operators.VersionedTable.write(
           t.events.repartitionByRange(32, col("event_id")), p1)
@@ -627,9 +627,9 @@ object ScaleProbe {
         val delta = t.events.filter(col("event_id") < 5000)
           .withColumn("value", col("value") + 1.0)
         graft.operators.VersionedTable.upsert(spark,
-          "/tmp/graft_scaleprobe/vt_1x", delta, Seq("event_id")).toLong
+          s"${Queries.cacheRoot}/probe/vt_1x", delta, Seq("event_id")).toLong
       }, {
-        val p10 = "/tmp/graft_scaleprobe/vt_10x"
+        val p10 = s"${Queries.cacheRoot}/probe/vt_10x"
         graft.operators.VersionedTable.destroy(p10)
         graft.operators.VersionedTable.write(
           replicate(t.events, 10, Some("event_id"))
@@ -639,7 +639,7 @@ object ScaleProbe {
         val delta = t.events.filter(col("event_id") < 5000)
           .withColumn("value", col("value") + 1.0)
         graft.operators.VersionedTable.upsert(spark,
-          "/tmp/graft_scaleprobe/vt_10x", delta, Seq("event_id")).toLong
+          s"${Queries.cacheRoot}/probe/vt_10x", delta, Seq("event_id")).toLong
       }),
       // round-10 (judge r9 item 2): AsofJoinExec's WIDTH claim,
       // measured. Left = clicks widened to 36 payload columns (16
@@ -668,21 +668,21 @@ object ScaleProbe {
       // rewrite the whole table on this predicate. rows/sec should
       // hold ~constant (scan-bound, never write-bound).
       ("versioned_dv_delete", {
-        val p = "/tmp/graft_scaleprobe/dv_1x"
+        val p = s"${Queries.cacheRoot}/probe/dv_1x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           t.events.repartitionByRange(32, col("event_id")), p)
         t.events.count()
       }, () => graft.operators.VersionedTable.deleteVectors(spark,
-        "/tmp/graft_scaleprobe/dv_1x", "event_id % 1000 = 0").toLong, {
-        val p = "/tmp/graft_scaleprobe/dv_10x"
+        s"${Queries.cacheRoot}/probe/dv_1x", "event_id % 1000 = 0").toLong, {
+        val p = s"${Queries.cacheRoot}/probe/dv_10x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           replicate(t.events, 10, Some("event_id"))
             .repartitionByRange(32, col("event_id")), p)
         t.events.count() * 10
       }, () => graft.operators.VersionedTable.deleteVectors(spark,
-        "/tmp/graft_scaleprobe/dv_10x", "event_id % 1000 = 0").toLong),
+        s"${Queries.cacheRoot}/probe/dv_10x", "event_id % 1000 = 0").toLong),
       // round-11 (judge r10 item 2): the DV regime the docstring
       // actually claims — a 10% SCATTERED delete (every file loses
       // ~10% of its rows, the GDPR-erasure shape). Per-file sidecars
@@ -690,21 +690,21 @@ object ScaleProbe {
       // repartition(1) funnel) and each fold is bounded by its own
       // file, so rows/sec must stay ~flat as the table grows 10×.
       ("versioned_dv_scatter10", {
-        val p = "/tmp/graft_scaleprobe/dvs_1x"
+        val p = s"${Queries.cacheRoot}/probe/dvs_1x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           t.events.repartitionByRange(32, col("event_id")), p)
         t.events.count()
       }, () => graft.operators.VersionedTable.deleteVectors(spark,
-        "/tmp/graft_scaleprobe/dvs_1x", "event_id % 10 = 0").toLong, {
-        val p = "/tmp/graft_scaleprobe/dvs_10x"
+        s"${Queries.cacheRoot}/probe/dvs_1x", "event_id % 10 = 0").toLong, {
+        val p = s"${Queries.cacheRoot}/probe/dvs_10x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           replicate(t.events, 10, Some("event_id"))
             .repartitionByRange(32, col("event_id")), p)
         t.events.count() * 10
       }, () => graft.operators.VersionedTable.deleteVectors(spark,
-        "/tmp/graft_scaleprobe/dvs_10x", "event_id % 10 = 0").toLong),
+        s"${Queries.cacheRoot}/probe/dvs_10x", "event_id % 10 = 0").toLong),
       // round-11 (judge r10 item 1): commit METADATA cost must be
       // flat in the table's version count. The same 5 small appends +
       // 50 manifest reconstructions run against a 200-file table with
@@ -715,7 +715,7 @@ object ScaleProbe {
       // full-manifest-per-commit log (the r10 shape) would grow every
       // one of these ops with history length.
       ("versioned_log_scale", {
-        val p = "/tmp/graft_scaleprobe/vlog_1x"
+        val p = s"${Queries.cacheRoot}/probe/vlog_1x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           t.events.repartition(200), p)
@@ -725,7 +725,7 @@ object ScaleProbe {
           spark, batch, p, operation = s"A$i"))
         500L * 5
       }, () => {
-        val p = "/tmp/graft_scaleprobe/vlog_1x"
+        val p = s"${Queries.cacheRoot}/probe/vlog_1x"
         val batch = t.events.limit(500).repartition(1)
         (1 to 5).foreach(i => graft.operators.VersionedTable.append(
           spark, batch, p, operation = s"B$i"))
@@ -733,7 +733,7 @@ object ScaleProbe {
           p, graft.operators.VersionedTable.latestVersion(p).get).size)
           .sum.toLong
       }, {
-        val p = "/tmp/graft_scaleprobe/vlog_10x"
+        val p = s"${Queries.cacheRoot}/probe/vlog_10x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           t.events.repartition(200), p)
@@ -743,7 +743,7 @@ object ScaleProbe {
           spark, batch, p, operation = s"A$i"))
         500L * 5
       }, () => {
-        val p = "/tmp/graft_scaleprobe/vlog_10x"
+        val p = s"${Queries.cacheRoot}/probe/vlog_10x"
         val batch = t.events.limit(500).repartition(1)
         (1 to 5).foreach(i => graft.operators.VersionedTable.append(
           spark, batch, p, operation = s"B$i"))
@@ -758,7 +758,7 @@ object ScaleProbe {
       // super-linear efficiency is the PASS condition here, the
       // signature of a query whose cost is O(files), not O(rows)).
       ("versioned_stats_meta", {
-        val p = "/tmp/graft_scaleprobe/vsm_1x"
+        val p = s"${Queries.cacheRoot}/probe/vsm_1x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           t.events.select("event_id", "user_id", "value")
@@ -766,8 +766,8 @@ object ScaleProbe {
         t.events.count()
       }, () => (1 to 20).map(_ =>
         graft.operators.VersionedTable.statsAggMeta(
-          "/tmp/graft_scaleprobe/vsm_1x", "value").get._1).sum, {
-        val p = "/tmp/graft_scaleprobe/vsm_10x"
+          s"${Queries.cacheRoot}/probe/vsm_1x", "value").get._1).sum, {
+        val p = s"${Queries.cacheRoot}/probe/vsm_10x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           replicate(t.events.select("event_id", "user_id", "value"),
@@ -775,7 +775,7 @@ object ScaleProbe {
         t.events.count() * 10
       }, () => (1 to 20).map(_ =>
         graft.operators.VersionedTable.statsAggMeta(
-          "/tmp/graft_scaleprobe/vsm_10x", "value").get._1).sum),
+          s"${Queries.cacheRoot}/probe/vsm_10x", "value").get._1).sum),
       // round-11: BLOOM-INDEXED point lookup. event_id is
       // hash-scattered across the layout, so every file's [min, max]
       // spans the domain and stats prune NOTHING — the per-file bloom
@@ -785,7 +785,7 @@ object ScaleProbe {
       // scale super-linearly (the O(probed files), not O(rows),
       // signature — same PASS shape as versioned_stats_meta).
       ("versioned_bloom_lookup", {
-        val p = "/tmp/graft_scaleprobe/vbl_1x"
+        val p = s"${Queries.cacheRoot}/probe/vbl_1x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           t.events.select("event_id", "user_id", "value")
@@ -797,9 +797,9 @@ object ScaleProbe {
         t.events.count()
       }, () => (1 to 10).map(i =>
         graft.operators.VersionedTable.readEqual(spark,
-          "/tmp/graft_scaleprobe/vbl_1x", "event_id",
+          s"${Queries.cacheRoot}/probe/vbl_1x", "event_id",
           i * 1000L).count()).sum, {
-        val p = "/tmp/graft_scaleprobe/vbl_10x"
+        val p = s"${Queries.cacheRoot}/probe/vbl_10x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           replicate(t.events.select("event_id", "user_id", "value"),
@@ -811,7 +811,7 @@ object ScaleProbe {
         t.events.count() * 10
       }, () => (1 to 10).map(i =>
         graft.operators.VersionedTable.readEqual(spark,
-          "/tmp/graft_scaleprobe/vbl_10x", "event_id",
+          s"${Queries.cacheRoot}/probe/vbl_10x", "event_id",
           i * 1000L).count()).sum),
       // round-12 (judge item 6): the SAME bloom-lookup shape one
       // DECADE up — 10× (1M rows / 160 files) vs 100× (10M rows /
@@ -822,7 +822,7 @@ object ScaleProbe {
       // rows/sec over the covered table must again scale
       // super-linearly as file count grows 10×.
       ("versioned_bloom_lookup100", {
-        val p = "/tmp/graft_scaleprobe/vbl100_a"
+        val p = s"${Queries.cacheRoot}/probe/vbl100_a"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           replicate(t.events.select("event_id", "user_id", "value"),
@@ -834,9 +834,9 @@ object ScaleProbe {
         t.events.count() * 10
       }, () => (1 to 10).map(i =>
         graft.operators.VersionedTable.readEqual(spark,
-          "/tmp/graft_scaleprobe/vbl100_a", "event_id",
+          s"${Queries.cacheRoot}/probe/vbl100_a", "event_id",
           i * 1000L).count()).sum, {
-        val p = "/tmp/graft_scaleprobe/vbl100_b"
+        val p = s"${Queries.cacheRoot}/probe/vbl100_b"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           replicate(t.events.select("event_id", "user_id", "value"),
@@ -848,7 +848,7 @@ object ScaleProbe {
         t.events.count() * 100
       }, () => (1 to 10).map(i =>
         graft.operators.VersionedTable.readEqual(spark,
-          "/tmp/graft_scaleprobe/vbl100_b", "event_id",
+          s"${Queries.cacheRoot}/probe/vbl100_b", "event_id",
           i * 1000L).count()).sum),
       // round-12: the SAME point lookups through the DataSource V2
       // CONNECTOR (`spark.read.format("graft")` + a pushed EqualTo) —
@@ -857,7 +857,7 @@ object ScaleProbe {
       // inherit the O(probed files) signature; reuses the tables the
       // vbl100 probe just built (rebuilds if run in isolation).
       ("dsv2_pruned_scale", {
-        val p = "/tmp/graft_scaleprobe/vbl100_a"
+        val p = s"${Queries.cacheRoot}/probe/vbl100_a"
         if (graft.operators.VersionedTable.versions(p).isEmpty) {
           graft.operators.VersionedTable.write(
             replicate(t.events.select("event_id", "user_id", "value"),
@@ -870,9 +870,9 @@ object ScaleProbe {
         t.events.count() * 10
       }, () => (1 to 10).map(i =>
         spark.read.format("graft")
-          .load("/tmp/graft_scaleprobe/vbl100_a")
+          .load(s"${Queries.cacheRoot}/probe/vbl100_a")
           .filter(col("event_id") === i * 1000L).count()).sum, {
-        val p = "/tmp/graft_scaleprobe/vbl100_b"
+        val p = s"${Queries.cacheRoot}/probe/vbl100_b"
         if (graft.operators.VersionedTable.versions(p).isEmpty) {
           graft.operators.VersionedTable.write(
             replicate(t.events.select("event_id", "user_id", "value"),
@@ -885,7 +885,7 @@ object ScaleProbe {
         t.events.count() * 100
       }, () => (1 to 10).map(i =>
         spark.read.format("graft")
-          .load("/tmp/graft_scaleprobe/vbl100_b")
+          .load(s"${Queries.cacheRoot}/probe/vbl100_b")
           .filter(col("event_id") === i * 1000L).count()).sum),
       // round-11: BLOOM-ASSISTED MERGE. Same 500-key delta into a
       // bloom-indexed table at 1× and 10× — the touch scan now reads
@@ -896,7 +896,7 @@ object ScaleProbe {
       // column) discovery); this one's discovery is O(admitted
       // files), so efficiency should hold at least as strongly.
       ("versioned_bloom_merge", {
-        val p = "/tmp/graft_scaleprobe/vbm_1x"
+        val p = s"${Queries.cacheRoot}/probe/vbm_1x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           t.events.repartitionByRange(32, col("event_id")), p)
@@ -909,9 +909,9 @@ object ScaleProbe {
         val delta = t.events.filter(col("event_id") < 5000)
           .withColumn("value", col("value") + 1.0)
         graft.operators.VersionedTable.upsert(spark,
-          "/tmp/graft_scaleprobe/vbm_1x", delta, Seq("event_id")).toLong
+          s"${Queries.cacheRoot}/probe/vbm_1x", delta, Seq("event_id")).toLong
       }, {
-        val p = "/tmp/graft_scaleprobe/vbm_10x"
+        val p = s"${Queries.cacheRoot}/probe/vbm_10x"
         graft.operators.VersionedTable.destroy(p)
         graft.operators.VersionedTable.write(
           replicate(t.events, 10, Some("event_id"))
@@ -925,7 +925,7 @@ object ScaleProbe {
         val delta = t.events.filter(col("event_id") < 5000)
           .withColumn("value", col("value") + 1.0)
         graft.operators.VersionedTable.upsert(spark,
-          "/tmp/graft_scaleprobe/vbm_10x", delta, Seq("event_id")).toLong
+          s"${Queries.cacheRoot}/probe/vbm_10x", delta, Seq("event_id")).toLong
       }))
 
     // optional comma-separated probe filter for single-probe iteration

@@ -41,6 +41,9 @@ object GraftTableFunctions {
     ("graft_lookup",
       "graft_lookup(path, column, value) - bloom/stats-pruned point lookup",
       lookupPlan _),
+    ("graft_detail",
+      "graft_detail(path) - DESCRIBE DETAIL: files/bytes/rows/partitioning of the latest version",
+      detailPlan _),
     ("graft_optimize",
       "graft_optimize(path, sortCols, numFiles) - compact + sort-cluster the table",
       optimizePlan _),
@@ -125,6 +128,32 @@ object GraftTableFunctions {
     val attrs = cols.toSeq.map { case (n, t) =>
       AttributeReference(n, t, nullable = false)() }
     LocalRelation(attrs, Seq(InternalRow(vals: _*)))
+  }
+
+  /** `DESCRIBE DETAIL` as a table function: the latest version's
+    * physical shape from pure manifest metadata (zero file I/O). */
+  private def detailPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "graft_detail(path) takes one argument")
+    val path = strArg(args, 0, "graft_detail")
+    val vt = graft.operators.VersionedTable
+    val v = vt.latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions at $path"))
+    val entries = vt.manifestEntries(path, v)
+    val partCols = entries.flatMap(_.part.keys).distinct.sorted
+    val props = vt.tableProperties(path, v)
+    resultRow(
+      "path" -> StringType, "version" -> IntegerType,
+      "num_files" -> LongType, "size_bytes" -> LongType,
+      "num_rows" -> LongType, "num_dv_files" -> LongType,
+      "partition_columns" -> StringType, "properties" -> StringType)(
+      UTF8String.fromString(path), v,
+      entries.size.toLong, entries.map(_.bytes).sum,
+      entries.map(_.rows).sum,
+      entries.count(_.dv.isDefined).toLong,
+      UTF8String.fromString(partCols.mkString(",")),
+      UTF8String.fromString(props.toSeq.sorted
+        .map { case (k, x) => s"$k=$x" }.mkString(";")))
   }
 
   /** `OPTIMIZE` in SQL (judge r13 item 7): `SELECT * FROM

@@ -305,16 +305,48 @@ private[sources] class GraftScan(path: String, version: Int,
                                  maxVersionsPerTrigger: Option[Int] = None,
                                  maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
+  /** Runtime filters (dynamic partition pruning / runtime IN-filters
+    * from a joined-and-filtered build side), delivered by Spark after
+    * planning but before execution. They compose with the static
+    * pushdown through the SAME manifest skipping — a fact-side scan
+    * joined to a filtered dimension opens only the files whose
+    * partition values / stats / bloom sidecars admit the build side's
+    * actual keys. At 100 TB this is the difference between scanning a
+    * day and scanning the table. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Every top-level column is declared filterable: pruning is
+    * conservative (unknown shapes and stat-less files survive), so an
+    * unprunable runtime filter costs nothing and a prunable one —
+    * partition value, zone map, bloom — skips files. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fullSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+    prunedCache = None // re-prune with the runtime predicates folded in
+  }
+
   /** Manifest entries surviving pushed-filter pruning — shared by
     * statistics and partition planning so the optimizer's size
-    * estimate describes exactly the files the scan will read. */
-  private lazy val prunedEntries: Seq[VersionedTable.FileEntry] =
-    VersionedTable.pruneEntriesForFilters(
-      SparkSession.active, path, version, filters.toIndexedSeq)
+    * estimate describes exactly the files the scan will read.
+    * Invalidated when runtime filters arrive. */
+  private var prunedCache: Option[Seq[VersionedTable.FileEntry]] = None
+  private def prunedEntries: Seq[VersionedTable.FileEntry] =
+    prunedCache.getOrElse {
+      val e = VersionedTable.pruneEntriesForFilters(
+        SparkSession.active, path, version,
+        (filters ++ runtimeFilters).toIndexedSeq)
+      prunedCache = Some(e)
+      e
+    }
 
   /** Exact post-pruning statistics from pure manifest metadata (zero
     * I/O — bytes and DV-adjusted live row counts are commit-time
@@ -410,6 +442,12 @@ private[sources] case class GraftInputPartition(
     slices: Seq[GraftFileSlice]) extends InputPartition
 
 private[sources] object GraftReaderFactory {
+  /** Data-file slices actually OPENED by readers in this JVM — a
+    * local-mode observability hook the runtime-filtering spec uses to
+    * prove dynamic pruning skipped files (driver and executors share
+    * the JVM under local[*]). */
+  val slicesOpened = new java.util.concurrent.atomic.AtomicLong()
+
   val dvSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("file",
       org.apache.spark.sql.types.StringType),
@@ -508,7 +546,11 @@ private[sources] class GraftReaderFactory(
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    def sliceRows(sl: GraftFileSlice): Iterator[InternalRow] = sl.dv match {
+    def sliceRows(sl: GraftFileSlice): Iterator[InternalRow] = {
+      GraftReaderFactory.slicesOpened.incrementAndGet()
+      sliceRows0(sl)
+    }
+    def sliceRows0(sl: GraftFileSlice): Iterator[InternalRow] = sl.dv match {
       case None =>
         cleanReader(
           GraftBridge.rangeFile(sl.absPath, sl.start, sl.length,

@@ -144,6 +144,39 @@ class GraftConnectorScaleSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ //
+  // runtime filtering (dynamic partition pruning)
+  // ------------------------------------------------------------ //
+
+  test("runtime filtering: a join against a filtered dim prunes the " +
+    "fact scan to the build side's partitions") {
+    val path = s"$fresh/fact"
+    VersionedTable.write(spark.range(8000)
+      .select(col("id").as("k"), (col("id") % 8).as("p")),
+      path, partitionBy = Seq("p"))
+    val total = VersionedTable.manifestEntries(path, 0).size
+    assert(total >= 8)
+    val dim = spark.range(8).select(col("id").as("p"),
+      concat(lit("d"), col("id")).as("name"))
+      .filter(col("p") === 3)
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+        -> "10")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.format("graft").load(path)
+      val before = GraftReaderFactory.slicesOpened.get()
+      val got = fact.join(dim, "p").agg(count(lit(1)), sum("k")).head
+      val opened = GraftReaderFactory.slicesOpened.get() - before
+      assert(got.getLong(0) == 1000)
+      assert(got.getLong(1) == (0L until 8000L).filter(_ % 8 == 3).sum)
+      assert(opened < total,
+        s"runtime filter should prune: opened $opened of $total files")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  // ------------------------------------------------------------ //
   // streaming rate limiting
   // ------------------------------------------------------------ //
 

@@ -1,10 +1,13 @@
 #!/bin/bash
-# Reproduction loop for the r12 versioned_merge_composite hash miss:
-# run the FULL registry Verify the way the r12 driver did (shared
-# session, sequential, NO cache clearing between queries) with the
-# touch-set oracle armed (every bloom-pruned merge touch scan
+# Stability loop: the FULL registry Verify, as the driver runs it
+# (shared session, sequential, cache cleared between queries), with
+# the touch-set oracle armed (every bloom-pruned merge touch scan
 # re-derives the exact touch set and throws on a false negative),
-# then DuckDB-compare every query. Usage: tools/vmc_loop.sh [N]
+# then DuckDB-compare every query. Historical note: the NO_CLEAR=1 +
+# shared-cache-dir variant of this loop plus tools/vmc_race.sh
+# root-caused the r12 versioned_merge_composite hash miss to
+# cross-process scratch collisions (see SURVEY §20).
+# Usage: tools/vmc_loop.sh [N]
 set -u
 cd "$(dirname "$0")/.."
 # run from a SNAPSHOT of the compiled classes — the interactive sbt
@@ -26,7 +29,7 @@ mkdir -p /tmp/vmc_loop
 for i in $(seq 1 "$N"); do
   out="/tmp/vmc_loop/verify_$i"
   rm -rf "$out"
-  SPARK_GRAFT_VERIFY_NO_CLEAR=1 SPARK_GRAFT_VERIFY_TOUCHSET=1 \
+  SPARK_GRAFT_VERIFY_TOUCHSET=1 \
   SPARK_GRAFT_CPUS=4 \
     java $OPENS -Xmx8g -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -cp "$CP" \
