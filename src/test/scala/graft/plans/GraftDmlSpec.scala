@@ -166,6 +166,27 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("DML composes with column mapping: UPDATE and MERGE after a " +
+    "RENAME run on logical names") {
+    withCatalog {
+      val path = s"$fresh/t"
+      mk(path, n = 20)
+      VersionedTable.renameColumn(spark, path, "amt", "amount")
+      spark.sql(s"UPDATE graft.`$path` SET amount = -5.0 WHERE k = 3")
+      assert(VersionedTable.read(spark, path)
+        .filter(col("k") === 3).head.getAs[Double]("amount") == -5.0)
+      spark.sql(
+        "SELECT 4L AS k, 0L AS grp, 7.5 AS amount")
+        .createOrReplaceTempView("dml_ren")
+      spark.sql(s"""
+        MERGE INTO graft.`$path` t USING dml_ren s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(VersionedTable.read(spark, path)
+        .filter(col("k") === 4).head.getAs[Double]("amount") == 7.5)
+    }
+  }
+
   test("MERGE INTO: insert-only allows duplicate source keys") {
     withCatalog {
       val path = s"$fresh/t"
