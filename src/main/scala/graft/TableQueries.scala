@@ -984,6 +984,39 @@ object TableQueries {
           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         FROM events GROUP BY event_type""")),
 
+    Q("sql_catalog_truncate",
+      // TRUNCATE TABLE in SQL (r13): a metadata-only empty-manifest
+      // commit (schema + properties survive, the old snapshot stays
+      // time-travelable), followed by an INSERT INTO re-load of a
+      // filtered subset — the reset-and-reload shape a staging table
+      // lives by. Result ≡ the filtered source (the oracle)
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+        val path = s"${Queries.cacheRoot}/sctr_${new java.io.File(d).getName}"
+        VersionedTable.destroy(path)
+        VersionedTable.write(Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice"), path)
+        s.sql(s"TRUNCATE TABLE graft.`$path`")
+        Tables(s, d).orders
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("sctr_src")
+        s.sql(s"""
+          INSERT INTO graft.`$path`
+          SELECT * FROM sctr_src WHERE o_orderkey % 4 = 1""")
+        s.sql(s"""
+          SELECT count(*) AS n_orders,
+            sum(o_custkey) AS sum_cust,
+            cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+              AS total_price
+          FROM graft.`$path`""")
+      },
+      Some("""
+        SELECT count(*) AS n_orders, sum(o_custkey) AS sum_cust,
+          cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+            AS total_price
+        FROM orders WHERE o_orderkey % 4 = 1""")),
+
     Q("versioned_partition_read",
       // partition columns INSIDE the versioned format (r11, judge
       // item 4): write + append record each file's partition values

@@ -781,6 +781,17 @@ object VersionedTable {
     0
   }
 
+  /** `TRUNCATE TABLE`: remove every row as a pure METADATA commit —
+    * the new version's manifest is empty, schema and properties
+    * survive, and the pre-truncate snapshot stays time-travelable
+    * until vacuumed. Zero data I/O at any table size. */
+  def truncate(path: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    commitActions(path, "TRUNCATE", v,
+      manifestEntries(path, v).map(_.name).toSet, Nil, schemaOf(path, v))
+  }
+
   /** `CONVERT TO DELTA` analog: adopt an existing flat parquet
     * directory as VERSION 0 of a versioned table WITHOUT rewriting a
     * byte — each data file MOVES (same-filesystem rename) into the
@@ -2091,7 +2102,7 @@ object VersionedTable {
              assignments: Seq[(String, String)]): Int =
     updateCore(spark, path, _ => expr(conditionSql),
       assignments.map { case (c, rhs) =>
-        c -> ((_: DataFrame) => expr(rhs)) })
+        c -> ((_: DataFrame) => expr(rhs)) })._1
 
   /** Column-factory twin of [[update]] — the SQL `UPDATE` command path
     * hands in already-ANALYZED Catalyst expressions (bound per frame by
@@ -2100,7 +2111,7 @@ object VersionedTable {
   private[graft] def updateCore(spark: SparkSession, path: String,
                                 condFor: DataFrame => Column,
                                 assignments: Seq[(String, DataFrame => Column)])
-      : Int = {
+      : (Int, Long) = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
@@ -2119,6 +2130,11 @@ object VersionedTable {
     // and condition columns that are themselves assigned both work)
     val assignMap = assignments.toMap
     val base = readFiles(spark, path, touched, schema, v, props)
+    // affected-row count (the SQL command's result row): one
+    // column-pruned count over the TOUCHED files only — bounded by
+    // the same pruning as the rewrite itself
+    val affected = base
+      .filter(coalesce(condFor(base), lit(false))).count()
     val updated = base
       .select(cols.map { c =>
         assignMap.get(c) match {
@@ -2127,7 +2143,8 @@ object VersionedTable {
           case None => col(c)
         }
       }: _*)
-    commitRewrite(spark, path, "UPDATE", updated, touched, schema, v)
+    (commitRewrite(spark, path, "UPDATE", updated, touched, schema, v),
+      affected)
   }
 
   /** `DELETE FROM ... WHERE cond` analog: rows matching
@@ -2135,12 +2152,14 @@ object VersionedTable {
     * pre-delete snapshot stays readable. */
   def delete(spark: SparkSession, path: String,
              conditionSql: String): Int =
-    deleteCore(spark, path, _ => expr(conditionSql))
+    deleteCore(spark, path, _ => expr(conditionSql))._1
 
   /** Column-factory twin of [[delete]] (the SQL `DELETE FROM` command
-    * path — see [[updateCore]] for why a callback, not a SQL string). */
+    * path — see [[updateCore]] for why a callback, not a SQL string).
+    * Returns (new version, deleted-row count — exact, from manifest
+    * row totals, zero extra I/O). */
   private[graft] def deleteCore(spark: SparkSession, path: String,
-                                condFor: DataFrame => Column): Int = {
+                                condFor: DataFrame => Column): (Int, Long) = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
@@ -2153,7 +2172,9 @@ object VersionedTable {
       df => df.filter(hit(df)), props)
     val base = readFiles(spark, path, touched, schema, v, props)
     val kept = base.filter(!hit(base))
-    commitRewrite(spark, path, "DELETE", kept, touched, schema, v)
+    val before = manifestEntries(path, v).map(_.rows).sum
+    val nv = commitRewrite(spark, path, "DELETE", kept, touched, schema, v)
+    (nv, before - manifestEntries(path, nv).map(_.rows).sum)
   }
 
   /** Write ONE deletion-vector sidecar PER touched data file (Delta's

@@ -40,6 +40,19 @@ import graft.sources.GraftTable
   * rides into the join unchanged. */
 object GraftDml {
 
+  /** Opaque holder shielding carried ANALYZED expressions from
+    * TreeNode's product harvesting: CheckAnalysis validates every
+    * subquery expression against its host node's shape, and the DML
+    * commands are not in its allow-list (Filter/Join/…/DeleteFromTable)
+    * — but the expressions are re-planted into filters and projections
+    * at run time, which are. Without the shield, `DELETE … WHERE g IN
+    * (SELECT …)` fails analysis on the COMMAND node. Correlated
+    * subqueries (outer references to the DML target) are not
+    * supported — they would need outer-attribute remapping into the
+    * rewrite scan. */
+  final class Sealed[+T](val value: T) extends Serializable
+  object Sealed { def apply[T](v: T): Sealed[T] = new Sealed(v) }
+
   /** The analyzed target relation under optional aliases, when it is
     * a graft table: (path, relation output). */
   private[plans] object GraftTarget {
@@ -67,6 +80,20 @@ object GraftDml {
   private[plans] def idMap(attrs: Seq[Attribute]): Map[ExprId, String] =
     attrs.map(a => a.exprId -> a.name).toMap
 
+  /** Delta-parity DML result schemas. */
+  private[plans] def affectedRowsOutput: Seq[Attribute] = Seq(
+    AttributeReference("num_affected_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  private[plans] def mergeMetricsOutput: Seq[Attribute] = Seq(
+    AttributeReference("num_affected_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("num_updated_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("num_deleted_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+
   /** Assignment target column name — top-level columns only (the
     * format has no nested-field update granularity). */
   private[plans] def targetCol(a: Assignment,
@@ -83,13 +110,14 @@ object GraftDml {
   * [[VersionedTable.delete]] semantics (NULL condition keeps the row;
   * only files containing a TRUE row are rewritten). */
 case class GraftDeleteCommand(path: String, targetAttrs: Seq[Attribute],
-                              cond: Expression)
+                              cond: GraftDml.Sealed[Expression])
     extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.affectedRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val tgt = GraftDml.idMap(targetAttrs)
-    VersionedTable.deleteCore(spark, path,
-      df => GraftDml.bind(cond, tgt, df))
-    Seq.empty
+    val (_, n) = VersionedTable.deleteCore(spark, path,
+      df => GraftDml.bind(cond.value, tgt, df))
+    Seq(Row(n))
   }
 }
 
@@ -98,18 +126,20 @@ case class GraftDeleteCommand(path: String, targetAttrs: Seq[Attribute],
   * the pre-update row; only files containing a matching row are
   * rewritten). */
 case class GraftUpdateCommand(path: String, targetAttrs: Seq[Attribute],
-                              assignments: Seq[Assignment],
-                              cond: Option[Expression])
+                              assignments: GraftDml.Sealed[Seq[Assignment]],
+                              cond: GraftDml.Sealed[Option[Expression]])
     extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.affectedRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val tgt = GraftDml.idMap(targetAttrs)
-    VersionedTable.updateCore(spark, path,
-      df => cond.map(c => GraftDml.bind(c, tgt, df)).getOrElse(lit(true)),
-      assignments.map { a =>
+    val (_, n) = VersionedTable.updateCore(spark, path,
+      df => cond.value.map(c => GraftDml.bind(c, tgt, df))
+        .getOrElse(lit(true)),
+      assignments.value.map { a =>
         GraftDml.targetCol(a, tgt) ->
           ((df: DataFrame) => GraftDml.bind(a.value, tgt, df))
       })
-    Seq.empty
+    Seq(Row(n))
   }
 }
 
@@ -138,13 +168,22 @@ case class GraftUpdateCommand(path: String, targetAttrs: Seq[Attribute],
   * skip all of this — they run as an anti-join append with no
   * uniqueness requirement. */
 case class GraftMergeCommand(path: String, targetAttrs: Seq[Attribute],
-                             source: LogicalPlan, cond: Expression,
-                             matched: Seq[MergeAction],
-                             notMatched: Seq[MergeAction],
-                             notMatchedBySource: Seq[MergeAction])
+                             source: GraftDml.Sealed[LogicalPlan],
+                             condS: GraftDml.Sealed[Expression],
+                             matchedS: GraftDml.Sealed[Seq[MergeAction]],
+                             notMatchedS: GraftDml.Sealed[Seq[MergeAction]],
+                             notMatchedBySourceS: GraftDml.Sealed[Seq[MergeAction]])
     extends LeafRunnableCommand {
+  private def sourcePlan: LogicalPlan = source.value
+  private def cond: Expression = condS.value
+  private def matched: Seq[MergeAction] = matchedS.value
+  private def notMatched: Seq[MergeAction] = notMatchedS.value
+  private def notMatchedBySource: Seq[MergeAction] =
+    notMatchedBySourceS.value
 
-  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override val output: Seq[Attribute] = GraftDml.mergeMetricsOutput
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
 
   private val tMark = "_graft_merge_t"
   private val sMark = "_graft_merge_s"
@@ -171,15 +210,15 @@ case class GraftMergeCommand(path: String, targetAttrs: Seq[Attribute],
     val props = VersionedTable.propsOf(path, v)
     val tgt = GraftDml.idMap(targetAttrs)
     val tgtIds = targetAttrs.map(_.exprId).toSet
-    val srcIds = source.output.map(_.exprId).toSet
-    val src = GraftBridge.dataset(spark, source)
+    val srcIds = sourcePlan.output.map(_.exprId).toSet
+    val src = GraftBridge.dataset(spark, sourcePlan)
 
     def srcAttr(name: String): Expression =
-      source.output.find(_.name == name)
-        .orElse(source.output.find(_.name.equalsIgnoreCase(name)))
+      sourcePlan.output.find(_.name == name)
+        .orElse(sourcePlan.output.find(_.name.equalsIgnoreCase(name)))
         .getOrElse(throw new IllegalArgumentException(
           s"MERGE: source has no column '$name' for a star action " +
-            s"(source: ${source.output.map(_.name).mkString(", ")})"))
+            s"(source: ${sourcePlan.output.map(_.name).mkString(", ")})"))
 
     // star expansion (in case the analyzer left stars unexpanded):
     // SET * / INSERT * assigns every target column its same-named
@@ -257,9 +296,13 @@ case class GraftMergeCommand(path: String, targetAttrs: Seq[Attribute],
       val joinOn = GraftDml.bind(cond, tgt, base)
       val unmatched = src.join(base, joinOn, "left_anti")
       val inserts = assembleInserts(unmatched, nmActs, schema)
-      VersionedTable.commitRewrite(spark, path, "MERGE", inserts,
-        Set.empty, schema, v)
-      return Seq.empty
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = inserts.count()
+        VersionedTable.commitRewrite(spark, path, "MERGE", inserts,
+          Set.empty, schema, v)
+        return Seq(Row(n, 0L, 0L, n))
+      } finally { inserts.unpersist(); () }
     }
 
     // ambiguity guard (Delta semantics): duplicate source key tuples
@@ -304,7 +347,22 @@ case class GraftMergeCommand(path: String, targetAttrs: Seq[Attribute],
         nmbsActs.zipWithIndex.map { case (a, i) => (200 + i, a) }
     val dropIds = -2 +: allActs.collect {
       case (i, DelAct(_)) => i }
-    val kept = joined.withColumn("_graft_merge_act", act)
+    // one shared evaluation of the acted join feeds BOTH the metric
+    // counts and the rewrite (persisted so the full-outer join runs
+    // once; unpersisted before returning)
+    val acted = joined.withColumn("_graft_merge_act", act)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val byAct: Map[Int, Long] = acted.groupBy("_graft_merge_act")
+      .count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val updIds = allActs.collect { case (i, UpdAct(_, _)) => i }.toSet
+    val delIds = allActs.collect { case (i, DelAct(_)) => i }.toSet
+    val insIds = allActs.collect { case (i, InsAct(_, _)) => i }.toSet
+    val nUpd = byAct.collect { case (i, n) if updIds(i) => n }.sum
+    val nDel = byAct.collect { case (i, n) if delIds(i) => n }.sum
+    val nIns = byAct.collect { case (i, n) if insIds(i) => n }.sum
+    val kept = acted
       .filter(!col("_graft_merge_act").isin(dropIds.map(Integer.valueOf): _*))
 
     val outCols = schema.fields.toIndexedSeq.map { f =>
@@ -325,7 +383,8 @@ case class GraftMergeCommand(path: String, targetAttrs: Seq[Attribute],
     val merged = kept.select(outCols: _*)
     VersionedTable.commitRewrite(spark, path, "MERGE", merged, touched,
       schema, v)
-    Seq.empty
+    Seq(Row(nUpd + nDel + nIns, nUpd, nDel, nIns))
+    } finally { acted.unpersist(); () }
   }
 
   /** NOT MATCHED insert rows: first clause whose condition holds
@@ -366,18 +425,20 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftTarget(path, out), cond)
         if d.resolved =>
-      GraftDeleteCommand(path, out, cond)
+      GraftDeleteCommand(path, out, GraftDml.Sealed(cond))
     case u @ UpdateTable(GraftTarget(path, out), assignments, cond)
         if u.resolved =>
-      GraftUpdateCommand(path, out, assignments, cond)
+      GraftUpdateCommand(path, out, GraftDml.Sealed(assignments),
+        GraftDml.Sealed(cond))
     case m @ MergeIntoTable(GraftTarget(path, out), src, cond,
         matchedA, notMatchedA, notMatchedBySourceA, withSchemaEvolution)
         if m.resolved =>
       if (withSchemaEvolution) throw new UnsupportedOperationException(
         "graft MERGE: WITH SCHEMA EVOLUTION is not supported — evolve " +
           "through VersionedTable.upsertEvolve")
-      GraftMergeCommand(path, out, src, cond, matchedA, notMatchedA,
-        notMatchedBySourceA)
+      GraftMergeCommand(path, out, GraftDml.Sealed(src),
+        GraftDml.Sealed(cond), GraftDml.Sealed(matchedA),
+        GraftDml.Sealed(notMatchedA), GraftDml.Sealed(notMatchedBySourceA))
     case _ => plan
   }
 }

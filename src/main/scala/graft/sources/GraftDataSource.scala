@@ -185,13 +185,22 @@ private[graft] class GraftTable(path: String, version: Int,
                                   ctasPartitionBy: Seq[String] = Nil,
                                   ctasProperties: Map[String, String] = Map.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** The table's filesystem path / pinned version, for the SQL DML
     * rule (graft.plans.GraftDmlRule) that routes DELETE/UPDATE/MERGE
     * over this relation into the format's file-granular verbs. */
   private[graft] def tablePath: String = path
   private[graft] def tableVersion: Int = version
+
+  /** `TRUNCATE TABLE graft.`/path`` — a metadata-only empty-manifest
+    * commit (schema/properties survive; the old snapshot stays
+    * time-travelable). */
+  override def truncateTable(): Boolean = {
+    VersionedTable.truncate(path)
+    true
+  }
 
   override def name(): String = s"graft.`$path`@v$version"
 

@@ -187,6 +187,40 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("DML returns Delta-style metrics rows") {
+    withCatalog {
+      val path = s"$fresh/t"
+      mk(path, n = 50)
+      val del = spark.sql(s"DELETE FROM graft.`$path` WHERE k >= 45")
+      assert(del.columns.toSeq == Seq("num_affected_rows"))
+      assert(del.head.getLong(0) == 5)
+      val upd = spark.sql(
+        s"UPDATE graft.`$path` SET amt = 0.0 WHERE k < 10")
+      assert(upd.head.getLong(0) == 10)
+      spark.sql("""
+        SELECT * FROM VALUES (1L, 9.0), (2L, 9.0), (100L, 9.0),
+          (101L, 9.0) AS s(k, amt)""")
+        .createOrReplaceTempView("dml_metrics_src")
+      val mrg = spark.sql(s"""
+        MERGE INTO graft.`$path` t USING dml_metrics_src s ON t.k = s.k
+        WHEN MATCHED AND t.k = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET amt = s.amt
+        WHEN NOT MATCHED THEN INSERT (k, grp, amt) VALUES (s.k, 0L, s.amt)""")
+      assert(mrg.columns.toSeq == Seq("num_affected_rows",
+        "num_updated_rows", "num_deleted_rows", "num_inserted_rows"))
+      val r = mrg.head
+      assert(r.getLong(1) == 1 && r.getLong(2) == 1 && r.getLong(3) == 2
+        && r.getLong(0) == 4, s"got $r")
+      // insert-only merge metrics
+      val io = spark.sql(s"""
+        MERGE INTO graft.`$path` t USING dml_metrics_src s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, grp, amt) VALUES (s.k, 1L, s.amt)""")
+      val r2 = io.head
+      assert(r2.getLong(0) == 1 && r2.getLong(3) == 1,
+        s"k=1 was deleted above, re-inserts; got $r2")
+    }
+  }
+
   test("MERGE INTO: insert-only allows duplicate source keys") {
     withCatalog {
       val path = s"$fresh/t"
