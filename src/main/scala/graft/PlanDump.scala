@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dumps `.explain("formatted")` output for named registry queries to
+  * per-query files — the optimization-round evidence artifacts
+  * (`plans/r13/<query>_before.txt` / `..._after.txt`).
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  *
+  * Note: building a lifecycle query's DataFrame executes its side
+  * effects (table writes, streams); the dumped plan is the plan of the
+  * frame the query RETURNS. For declarative queries that is the whole
+  * computation; for lifecycle queries the interesting work is inside
+  * the operator and the file notes that.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args(3).split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    graft.sources.NoForkFs.sparkConf
+      .foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    for (n <- names) {
+      try {
+        val df = Queries.queries(n)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/${n}_$suffix.txt"), txt)
+        println(s"[plandump] wrote ${n}_$suffix.txt")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[plandump] $n failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
