@@ -16,9 +16,12 @@ class NoForkFsSpec extends SparkSpec {
 
   private def hconf = spark.sparkContext.hadoopConfiguration
 
-  test("fs.file.impl resolves to NoForkLocalFileSystem") {
+  test("fs.file.impl resolves to the fork-free raw local FS") {
+    // SessionTuning overrides NoForkFs's checksummed default with the
+    // raw (sidecar-free) variant — see the measurement note there.
+    // Either class is fork-free; the session must resolve the raw one.
     val fs = FileSystem.get(new URI("file:///"), hconf)
-    assert(fs.isInstanceOf[NoForkLocalFileSystem])
+    assert(fs.isInstanceOf[NoForkRawLocalFileSystem])
   }
 
   test("fs.AbstractFileSystem.file.impl (FileContext path) resolves to NoForkLocalFs") {
