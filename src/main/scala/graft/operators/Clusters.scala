@@ -70,11 +70,37 @@ object Clusters {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-      // local checkpoint every 4th round truncates the growing
-      // iterative lineage (persist alone keeps the full plan)
-      val next =
-        if (iter % 4 == 3) stepped.localCheckpoint()
-        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer-jumping shortcut from round 3 on: additionally relabel
+      // through the PREVIOUS round's map — l(x) ← min(l(x),
+      // l_prev(l(x))) — so label reach grows geometrically instead of
+      // 1 hop/round. Measured on embedding_communities' mutual-kNN
+      // graph, plain propagation needed 17 rounds (O(diameter)); with
+      // the shortcut it converges in 7. The first two rounds skip the
+      // extra join: shallow near-dup graphs (the common case) converge
+      // before a jump could save a round, so they shouldn't pay for
+      // one. Correctness is unchanged either way: l(x) is always the
+      // id of a node in x's component (l_prev(y) is in y's component),
+      // labels only ever decrease, and the fixpoint — where neither
+      // the neighbor step nor the shortcut lowers any label — is
+      // exactly label = component minimum, as before.
+      val jumped =
+        if (iter < 2) stepped
+        else stepped
+          .join(labels.select(col("id").as("label"),
+            col("label").as("jump")), Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("jump"), col("label")))
+              .as("label"))
+      // LAZY local checkpoint every round: persist caches execution
+      // but leaves the full LOGICAL plan in place, and each
+      // un-truncated round multiplies plan size (labels appears up to
+      // 3× per round), so Catalyst analysis cost grew geometrically
+      // between the old every-4th-round truncations — a driver thread
+      // dump showed the bench pinned in analysis tree-walks, not in
+      // jobs. The lazy checkpoint is materialized by the labelSum
+      // action below (no extra job) and replaces the plan with a
+      // LogicalRDD for all later rounds.
+      val next = jumped.localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -138,9 +164,13 @@ object Clusters {
         .unionByName(minsS.select(col("u"), col("mn").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      val next =
-        (if (iter % 4 == 3) small.localCheckpoint()
-         else small.persist(StorageLevel.MEMORY_AND_DISK))
+      // lazy checkpoint every round, for the same analysis-cost
+      // reason as the min-label loop above (the edge set appears
+      // several times per round's plan; persist alone lets the
+      // logical tree — and with it per-action analysis time — grow
+      // geometrically between truncations). The count() below
+      // materializes it — no extra job.
+      val next = small.localCheckpoint(eager = false)
       // fixpoint ⟺ the edge SET is unchanged (both rewrites are
       // idempotent exactly on a union of stars)
       converged = next.count() == edges.count() &&
@@ -365,27 +395,53 @@ object Clusters {
         when(col("node") === 0, lit(0L))
           .otherwise(pmod(sha60(concat(lit("tree:"),
             col("node").cast("string"))), col("node"))).as("parent"))
-      .join(depths, col("node") === col("node_id"))
-      .select(col("node"), col("parent"), col("depth"),
-        lit(1L).as("sub_n"), col("cents").as("sub_cents"))
-    val maxDepth = base.agg(max(col("depth"))).head().getLong(0)
-    var cur = base.localCheckpoint(true)
-    var level = maxDepth
-    while (level >= 1) {
-      val contrib = cur.filter(col("depth") === level)
-        .groupBy(col("parent").as("c_node"))
-        .agg(sum(col("sub_n")).as("c_n"),
-          sum(col("sub_cents")).cast("decimal(38,0)").as("c_cents"))
-      cur = cur.join(contrib, col("node") === col("c_node"), "left")
-        .select(col("node"), col("parent"), col("depth"),
-          (col("sub_n") + coalesce(col("c_n"), lit(0L))).as("sub_n"),
-          (col("sub_cents") + coalesce(col("c_cents"),
-            lit(0L).cast("decimal(38,0)"))).cast("decimal(38,0)")
-            .as("sub_cents"))
-        .localCheckpoint(true)
-      level -= 1
+      .localCheckpoint(true)
+    // (optimization r13) the old bottom-up LEVEL sweep paid one join +
+    // one eager checkpoint PER LEVEL — O(depth) rounds (≈19 on this
+    // random-attachment tree). Rewritten as pointer-doubling ANCESTOR
+    // EXPANSION (the same O(n·depth) pair volume DuckDB's recursive
+    // CTE materializes): round r extends each node's known-ancestor
+    // set (≤2^r hops) through its 2^r-hop ancestor, so ⌈log₂ depth⌉
+    // rounds (≈5) of two tiny joins each, then ONE parent-keyed
+    // aggregate folds every descendant into every ancestor. Rollups
+    // stay order-independent decimal(38,0) integer sums over exactly
+    // the same (ancestor, descendant) pairs — hash-identical.
+    val maxDepth = depths.agg(max(col("depth"))).head().getLong(0)
+    // known: all (node, anc) proper-ancestor pairs within 2^r hops;
+    // top: the exact 2^r-hop ancestor, 0 = chain already exhausted
+    // (parent(k) < k strictly, so chains are finite and acyclic)
+    var known = base.filter(col("node") =!= 0)
+      .select(col("node"), col("parent").as("anc"))
+      .localCheckpoint(true)
+    var top = known.select(col("node"), col("anc").as("t"))
+    var span = 1L
+    while (span < maxDepth) {
+      val live = top.filter(col("t") =!= 0)
+      val newPairs = live
+        .join(known.select(col("node").as("t"), col("anc").as("anc2")),
+          Seq("t"))
+        .select(col("node"), col("anc2").as("anc"))
+      val newTop = live
+        .join(top.select(col("node").as("t"), col("t").as("t2")),
+          Seq("t"))
+        .select(col("node"), col("t2").as("t"))
+        .unionByName(top.filter(col("t") === 0))
+      known = known.unionByName(newPairs).localCheckpoint(true)
+      top = newTop.localCheckpoint(true)
+      span *= 2
     }
-    cur.select(col("node").as("node_id"), col("depth"),
-      col("sub_n").as("subtree_n"), col("sub_cents").as("subtree_cents"))
+    val rolled = known
+      .join(base.select(col("node"), col("cents")), Seq("node"))
+      .groupBy(col("anc").as("r_node"))
+      .agg(count(lit(1)).as("desc_n"),
+        sum(col("cents")).cast("decimal(38,0)").as("desc_cents"))
+    base
+      .join(rolled, col("node") === col("r_node"), "left")
+      .join(depths, col("node") === col("node_id"))
+      .select(col("node").as("node_id"), col("depth"),
+        (lit(1L) + coalesce(col("desc_n"), lit(0L))).as("subtree_n"),
+        (col("cents") + coalesce(col("desc_cents"),
+          lit(0L).cast("decimal(38,0)"))).cast("decimal(38,0)")
+          .as("subtree_cents"))
   }
 }
