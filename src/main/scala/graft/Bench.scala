@@ -19,7 +19,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // fork-free local FS: r11's driver bench died when the host
     // refused a subprocess fork during Hadoop's per-file exec'd chmod
-    graft.SessionTuning.sparkConf
+    graft.SessionTuning.sparkConf(cpus.toInt)
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,7 +27,26 @@ object SessionTuning {
     *   host-calibrated): ON {10.6, 8.7, 13.6} s vs OFF {9.1, 7.6,
     *   9.1} s — OFF faster in all three pairs.
     */
-  val sparkConf: Seq[(String, String)] =
+  /** Core-count-aware entries — call with the session's core count
+    * (the `local[N]` N at the entry points; a cluster session would
+    * pass its executor-core total).
+    *
+    * `parallelPartitionDiscovery.parallelism` defaults to 10000, which
+    * makes every distributed file-listing job launch ONE TASK PER
+    * PATH: the binaryFile-stream bench (`stream_image_dedup`, 5000
+    * staged files) spent 4.5 s wall per 2048-task listing job on
+    * ≤0.2 s of actual stat work — pure scheduling overhead, 12×
+    * per run. Listing is latency-bound I/O, so a small multiple of
+    * the core count keeps full overlap at any cluster size while
+    * bounding task-scheduling cost; 10000 single-path tasks is only
+    * right when paths ≫ 10000. */
+  def sparkConf(cores: Int): Seq[(String, String)] =
+    base ++ Seq(
+      "spark.sql.sources.parallelPartitionDiscovery.parallelism" ->
+        math.min(10000, math.max(32, 4 * cores)).toString,
+    )
+
+  private val base: Seq[(String, String)] =
     graft.sources.NoForkFs.sparkConf ++ Seq(
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
       // Skip Hadoop's CLIENT-side checksum layer for `file:` too

@@ -24,7 +24,7 @@ object Verify {
       .config("spark.graft.debug.verifyTouchSet",
         if (sys.env.get("SPARK_GRAFT_VERIFY_TOUCHSET").contains("1"))
           "true" else "false")
-    graft.SessionTuning.sparkConf
+    graft.SessionTuning.sparkConf(cpus.toInt)
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,7 +22,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    graft.SessionTuning.sparkConf
+    graft.SessionTuning.sparkConf(4)
       .foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
