@@ -1967,13 +1967,17 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
     val props = propsOf(path, v)
-    val keyFrame = updates.select(keys.map(col): _*).distinct()
+    // materialize the update source once (lazy localCheckpoint,
+    // computed by the bloom-probe collect): it otherwise re-evaluates
+    // for the key collect, the touch semi-join, and the rewrite
+    val upd = updates.localCheckpoint(eager = false)
+    val keyFrame = upd.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, keys, "left_semi"), props,
       bloomTouchCandidates(spark, path, v, props, schema, keyFrame, keys))
     val touchedRows = readFiles(spark, path, touched, schema, v, props)
     commitRewrite(spark, path, operation,
-      Medallion.mergeUpsert(touchedRows, updates, keys), touched, schema, v)
+      Medallion.mergeUpsert(touchedRows, upd, keys), touched, schema, v)
   }
 
   /** `DELETE ... WHERE key IN (<frame>)` — file-granular delete of
@@ -1989,7 +1993,10 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
     val props = propsOf(path, v)
+    // one materialization of the (possibly expensive) key frame — it
+    // feeds the bloom collect, the touch semi-join, and the anti-join
     val keyFrame = keys.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(eager = false)
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, keyCols, "left_semi"), props,
       bloomTouchCandidates(spark, path, v, props, schema, keyFrame,
@@ -2020,13 +2027,15 @@ object VersionedTable {
     require(conflicts.isEmpty,
       s"schema evolution cannot change column types — $conflicts")
     val props = propsOf(path, v)
-    val keyFrame = updates.select(keys.map(col): _*).distinct()
+    // one materialization of the update source (see upsert)
+    val upd = updates.localCheckpoint(eager = false)
+    val keyFrame = upd.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, keys, "left_semi"), props,
       bloomTouchCandidates(spark, path, v, props, schema, keyFrame, keys))
     val merged = readFiles(spark, path, touched, schema, v, props)
-      .join(updates, keys, "left_anti")
-      .unionByName(updates, allowMissingColumns = true)
+      .join(upd, keys, "left_anti")
+      .unionByName(upd, allowMissingColumns = true)
     // evolved columns get a physical name; a name that collides with
     // a previously-dropped column's bytes gets a FRESH physical name
     // (the usedPhys tombstone) instead of resurrecting them
@@ -2065,7 +2074,9 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no committed versions at $path"))
     val schema = schemaOf(path, v)
     val props = propsOf(path, v)
-    val nonNullUpd = updates.filter(col(key).isNotNull)
+    // one materialization of the update batch (see upsert)
+    val upd = updates.localCheckpoint(eager = false)
+    val nonNullUpd = upd.filter(col(key).isNotNull)
     val keyFrame = nonNullUpd.select(col(key)).distinct()
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, Seq(key), "left_semi"), props,
@@ -2076,7 +2087,7 @@ object VersionedTable {
         base.filter(col(key).isNotNull).unionByName(nonNullUpd),
         key, orderCol, tieBreaker)
       .unionByName(base.filter(col(key).isNull))
-      .unionByName(updates.filter(col(key).isNull))
+      .unionByName(upd.filter(col(key).isNull))
     commitRewrite(spark, path, operation, merged, touched, schema, v)
   }
 

@@ -211,7 +211,14 @@ case class GraftMergeCommand(path: String, targetAttrs: Seq[Attribute],
     val tgt = GraftDml.idMap(targetAttrs)
     val tgtIds = targetAttrs.map(_.exprId).toSet
     val srcIds = sourcePlan.output.map(_.exprId).toSet
+    // materialize the MERGE source ONCE (lazy — the first action
+    // below computes it): the source frame otherwise re-evaluates for
+    // the touch-key collect, the ambiguity guard, and the full-outer
+    // assembly (Delta materializes its merge source for the same
+    // reason, plus determinism). LogicalRDD keeps the plan's output
+    // attribute ids, so the ON/action expression bindings still hold.
     val src = GraftBridge.dataset(spark, sourcePlan)
+      .localCheckpoint(eager = false)
 
     def srcAttr(name: String): Expression =
       sourcePlan.output.find(_.name == name)
