@@ -63,7 +63,7 @@ private[graft] object StreamingQueries {
         val out = s"${Queries.cacheRoot}/scur_out_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         Tables(s, d).documents.select("doc_id", "text")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType)))
         val ckpt = freshCheckpoint("scur", d)
@@ -87,7 +87,7 @@ private[graft] object StreamingQueries {
         val cnt = s"${Queries.cacheRoot}/shh_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cnt))
         Tables(s, d).documents.select("doc_id", "text")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType)))
         val ckpt = freshCheckpoint("shh", d)
@@ -116,7 +116,7 @@ private[graft] object StreamingQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prf))
         Tables(s, d).events
           .select("event_id", "ts", "user_id", "event_type", "value")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("event_id", LongType),
           StructField("ts", LongType), StructField("user_id", LongType),
           StructField("event_type", StringType),
@@ -210,7 +210,7 @@ private[graft] object StreamingQueries {
         val cd = s"${Queries.cacheRoot}/scv_cov_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cd))
         Tables(s, d).embeddings.select("vec_id", "embedding")
-          .repartition(6).write.mode("overwrite").parquet(src)
+          .repartition(4).write.mode("overwrite").parquet(src)
         val schema = StructType(Seq(StructField("vec_id", LongType),
           StructField("embedding", ArrayType(FloatType))))
         val ckpt = freshCheckpoint("scv", d)
@@ -289,7 +289,7 @@ private[graft] object StreamingQueries {
         val sg = s"${Queries.cacheRoot}/sov_sig_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sg))
         Tables(s, d).documents.select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType),
           StructField("source", StringType)))
@@ -315,7 +315,7 @@ private[graft] object StreamingQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(md))
         Tables(s, d).events
           .select("event_id", "event_type", "value", "user_id")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("event_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType),
@@ -341,7 +341,7 @@ private[graft] object StreamingQueries {
         val rd = s"${Queries.cacheRoot}/sri_cnt_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rd))
         t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(
           StructField("l_orderkey", LongType),
           StructField("l_partkey", LongType),
@@ -795,7 +795,7 @@ private[graft] object StreamingQueries {
           .withColumn("source", when(col("doc_id") % 7 === 0,
             lit("web-rescrape")).otherwise(col("source")))
           .select("doc_id", "lang", "source")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("lang", StringType),
           StructField("source", StringType)))
@@ -864,7 +864,7 @@ private[graft] object StreamingQueries {
         val hd = s"${Queries.cacheRoot}/sqn_hist_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hd))
         Tables(s, d).events.select("event_id", "event_type", "value")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("event_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType)))
@@ -1011,7 +1011,7 @@ private[graft] object StreamingQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mom))
         Tables(s, d).documents
           .select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType),
           StructField("source", StringType)))
@@ -1036,7 +1036,7 @@ private[graft] object StreamingQueries {
         val fpd = s"${Queries.cacheRoot}/sfp_fp_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpd))
         Tables(s, d).documents.select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType),
           StructField("source", StringType)))
@@ -1067,7 +1067,7 @@ private[graft] object StreamingQueries {
         val msd = s"${Queries.cacheRoot}/sbf_mass_$sf"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(msd))
         Tables(s, d).documents.select("doc_id", "text", "source")
-          .repartition(6).write.mode("overwrite").json(src)
+          .repartition(4).write.mode("overwrite").json(src)
         val schema = StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType),
           StructField("source", StringType)))

@@ -15,7 +15,10 @@ object Verify {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS: reproduction lever for
+      // harnesses that leave the Spark default (200) in place
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // SPARK_GRAFT_VERIFY_TOUCHSET=1: every bloom-pruned merge touch
@@ -24,8 +27,12 @@ object Verify {
       .config("spark.graft.debug.verifyTouchSet",
         if (sys.env.get("SPARK_GRAFT_VERIFY_TOUCHSET").contains("1"))
           "true" else "false")
-    graft.SessionTuning.sparkConf(cpus.toInt)
-      .foreach { case (k, v) => builder.config(k, v) }
+    // SPARK_GRAFT_NO_TUNING=1: skip SessionTuning — reproduction lever
+    // for harnesses that build a default-conf session (checksummed
+    // local FS, default listing parallelism, checkpoint checksums on)
+    if (!sys.env.get("SPARK_GRAFT_NO_TUNING").contains("1"))
+      graft.SessionTuning.sparkConf(cpus.toInt)
+        .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -39,7 +46,14 @@ object Verify {
     // this (reproduction runs of the pre-r13 shared-cache behavior).
     val clearBetween = !sys.env.get("SPARK_GRAFT_VERIFY_NO_CLEAR")
       .contains("1")
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_SORTED=1: run queries in NAME order instead of
+    // registry Map order — reproduction lever for harnesses that sort
+    // (cross-query interference is order-dependent)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_VERIFY_SORTED").contains("1"))
+        SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.toSeq
+    ordered.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

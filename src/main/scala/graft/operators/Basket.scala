@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Pinnable
 
 /** Market-basket co-occurrence mining — the association-rule
   * front-end (Agrawal & Srikant 1994 support/lift, pair form): which
@@ -30,19 +31,31 @@ object Basket {
                    maxBasket: Int = 64): DataFrame = {
     val items = lineitem.select(col("l_orderkey").as("okey"),
       col("l_partkey").as("pk")).distinct()
-    val sized = items
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("okey")))
-      .filter(col("bsz") <= maxBasket).drop("bsz")
+    // one explicit exchange on okey shared by the size census and the
+    // basket collect (the lshCandidates idiom): over-cap baskets are
+    // dropped BEFORE their arrays are built, and the in-basket pair
+    // expansion replaces the old okey self-join + size window — the
+    // basket frame shuffles once instead of three times
+    val exchanged = items.repartition(col("okey"))
+    val overCap = exchanged.groupBy(col("okey"))
+      .agg(count(col("pk")).as("n")).filter(col("n") > maxBasket)
+      .select("okey")
+    val baskets = exchanged
+      .join(broadcast(overCap), Seq("okey"), "left_anti")
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_list(col("pk"))).as("ids"))
+      .pin(true)
     // one bounded driver scalar: the basket universe size for lift
-    val nBaskets = sized.select("okey").distinct().count()
-    val pairs = sized.as("a")
-      .join(sized.as("b"), col("a.okey") === col("b.okey") &&
-        col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    val nBaskets = baskets.count()
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minSupport)
-    val counts = sized.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val counts = baskets.select(explode(col("ids")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
     pairs
       .join(counts.select(col("pk").as("part_a"), col("n").as("n_a")),
         "part_a")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Pinnable
 
 /** Byte-pair-encoding tokenizer for training-data pipelines: an exact
   * BPE trainer over a bounded deterministic sample (the classic
@@ -111,7 +112,7 @@ object Bpe {
       .filter(!col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(split(col("w"), "").as("pieces"), col("c"))
-      .localCheckpoint(true)
+      .pin(true)
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var continue = true
@@ -142,7 +143,7 @@ object Bpe {
                 array(lit(a + b))))
               .otherwise(concat(acc, array(x)))).as("pieces"),
           col("c"))
-          .localCheckpoint(true)
+          .pin(true)
       }
     }
     import spark.implicits._

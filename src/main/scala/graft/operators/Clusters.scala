@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.Materialize.Pinnable
 
 /** Connected components over near-duplicate pairs — the step that
   * turns pairwise dedup output (MinHash-LSH / SimHash / embedding
@@ -100,7 +101,7 @@ object Clusters {
       // jobs. The lazy checkpoint is materialized by the labelSum
       // action below (no extra job) and replaces the plan with a
       // LogicalRDD for all later rounds.
-      val next = jumped.localCheckpoint(eager = false)
+      val next = jumped.pin(eager = false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -113,7 +114,7 @@ object Clusters {
     // ContextCleaner once unreferenced, unlike CacheManager entries),
     // so every frame persisted inside the loop can be released here —
     // a long-lived session accumulates nothing
-    val out = labels.localCheckpoint(eager = true)
+    val out = labels.pin(eager = true)
     labels.unpersist()
     edges.unpersist()
     out
@@ -133,17 +134,33 @@ object Clusters {
     *  - small-star: every neighbor v ≤ u (and u itself) links to the
     *    minimum — flattens the remaining short chains.
     * The edge set converges to a star per component (every node →
-    * component minimum). Convergence is detected by the exact decimal
-    * sum of edge endpoints, which strictly decreases until fixpoint
-    * (both steps only ever replace an endpoint by a smaller one).
+    * component minimum). Convergence is detected by an
+    * order-independent set signature (count + exact hash sums) of the
+    * distinct edge set — equal signatures ⟺ fixpoint.
     * Returns (id, label) like [[connectedComponents]]. */
   def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame,
                               maxIters: Int = 40): DataFrame = {
     var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // order-independent SET signature (count, Σ xxhash64(u,v), Σ
+    // murmur3(u,v) — both sums exact decimals): both sides of the
+    // fixpoint test are DISTINCT sets, so equal signatures ⟺ equal
+    // sets up to a ~2⁻⁹⁶ hash-sum collision — replacing the old
+    // per-round `exceptAll` set-diff (a full extra shuffle purely for
+    // the convergence test) with one aggregate that doubles as the
+    // lazy checkpoint's materializing action
+    def edgeSig(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)),
+        coalesce(sum(hash(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).collect()(0)
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var prevSig = edgeSig(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = prevSig._1 == 0L
     while (!converged && iter < maxIters) {
       // large-star over both orientations: every neighbor v > u
       // re-links to m(u) = min(Γ(u) ∪ {u}); afterwards every edge
@@ -170,11 +187,14 @@ object Clusters {
       // logical tree — and with it per-action analysis time — grow
       // geometrically between truncations). The count() below
       // materializes it — no extra job.
-      val next = small.localCheckpoint(eager = false)
+      val next = small.pin(eager = false)
       // fixpoint ⟺ the edge SET is unchanged (both rewrites are
-      // idempotent exactly on a union of stars)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // idempotent exactly on a union of stars) — tested by signature
+      // equality, one aggregate job per round (the previous round's
+      // signature is remembered, so the old side costs nothing)
+      val nextSig = edgeSig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       edges.unpersist()
       edges = next
       iter += 1
@@ -188,7 +208,7 @@ object Clusters {
     val out = nodes.join(lbl, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("label"), col("id")).as("label"))
-      .localCheckpoint(eager = true)
+      .pin(eager = true)
     edges.unpersist()
     out
   }
@@ -213,10 +233,10 @@ object Clusters {
     // result is dropped — nothing is left registered in the
     // CacheManager after the call
     val p = pairs.select(col("id_a"), col("id_b"))
-      .localCheckpoint(eager = true)
+      .pin(eager = true)
     val paired = p.select(col("id_a").as("id"))
       .unionByName(p.select(col("id_b").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .pin(eager = true)
     // near-dup graphs are shallow → propagation (few rounds, cheaper
     // per round); `deep` switches to the O(log n) star rewrite for
     // adversarial diameters
@@ -347,7 +367,7 @@ object Clusters {
           .otherwise(pmod(sha60(concat(lit("tree:"),
             col("node").cast("string"))), col("node"))).as("anc"),
         when(col("node") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
-      .localCheckpoint(true)
+      .pin(true)
     var round = 0
     var pending = cur.filter(col("anc") =!= 0).count()
     while (pending > 0 && round < maxRounds) {
@@ -359,7 +379,7 @@ object Clusters {
             .otherwise(col("j_anc")).as("anc"),
           when(col("anc") === 0, col("d"))
             .otherwise(col("d") + col("j_d")).as("d"))
-        .localCheckpoint(true)
+        .pin(true)
       round += 1
       pending = cur.filter(col("anc") =!= 0).count()
     }
@@ -395,7 +415,7 @@ object Clusters {
         when(col("node") === 0, lit(0L))
           .otherwise(pmod(sha60(concat(lit("tree:"),
             col("node").cast("string"))), col("node"))).as("parent"))
-      .localCheckpoint(true)
+      .pin(true)
     // (optimization r13) the old bottom-up LEVEL sweep paid one join +
     // one eager checkpoint PER LEVEL — O(depth) rounds (≈19 on this
     // random-attachment tree). Rewritten as pointer-doubling ANCESTOR
@@ -407,12 +427,23 @@ object Clusters {
     // stay order-independent decimal(38,0) integer sums over exactly
     // the same (ancestor, descendant) pairs — hash-identical.
     val maxDepth = depths.agg(max(col("depth"))).head().getLong(0)
+    // DEPTH GUARD (optimization r14): the doubling expansion holds the
+    // FULL (ancestor, descendant) transitive closure — O(n·depth)
+    // pairs — at once. Log-depth hierarchies (the shape this operator
+    // serves) are fine; a chain-like tree would blow memory. Past the
+    // configurable depth cap, fall back to the bottom-up LEVEL SWEEP
+    // (O(depth) rounds, O(n) working set) — identical sums either way.
+    val doubleCap = nodes.sparkSession.conf
+      .getOption("spark.graft.subtreeRollup.maxDoublingDepth")
+      .map(_.toLong).getOrElse(64L)
+    if (maxDepth > doubleCap)
+      return rollupLevelSweep(base, depths, maxDepth)
     // known: all (node, anc) proper-ancestor pairs within 2^r hops;
     // top: the exact 2^r-hop ancestor, 0 = chain already exhausted
     // (parent(k) < k strictly, so chains are finite and acyclic)
     var known = base.filter(col("node") =!= 0)
       .select(col("node"), col("parent").as("anc"))
-      .localCheckpoint(true)
+      .pin(true)
     var top = known.select(col("node"), col("anc").as("t"))
     var span = 1L
     while (span < maxDepth) {
@@ -426,8 +457,8 @@ object Clusters {
           Seq("t"))
         .select(col("node"), col("t2").as("t"))
         .unionByName(top.filter(col("t") === 0))
-      known = known.unionByName(newPairs).localCheckpoint(true)
-      top = newTop.localCheckpoint(true)
+      known = known.unionByName(newPairs).pin(true)
+      top = newTop.pin(true)
       span *= 2
     }
     val rolled = known
@@ -443,5 +474,36 @@ object Clusters {
         (col("cents") + coalesce(col("desc_cents"),
           lit(0L).cast("decimal(38,0)"))).cast("decimal(38,0)")
           .as("subtree_cents"))
+  }
+
+  /** Bottom-up per-level rollup — the pre-r13 shape, kept as the
+    * deep-tree fallback: one join + one materialization per LEVEL
+    * (O(depth) rounds), but the working set stays O(n) — each round
+    * folds the deepest unprocessed level's subtotals into its
+    * parents, never materializing ancestor-descendant pairs. */
+  private def rollupLevelSweep(base: DataFrame, depths: DataFrame,
+                               maxDepth: Long): DataFrame = {
+    var cur = base
+      .join(depths, col("node") === col("node_id"))
+      .select(col("node"), col("parent"), col("depth"),
+        lit(1L).as("sub_n"), col("cents").as("sub_cents"))
+      .pin(true)
+    var level = maxDepth
+    while (level >= 1) {
+      val contrib = cur.filter(col("depth") === level)
+        .groupBy(col("parent").as("c_node"))
+        .agg(sum(col("sub_n")).as("c_n"),
+          sum(col("sub_cents")).cast("decimal(38,0)").as("c_cents"))
+      cur = cur.join(contrib, col("node") === col("c_node"), "left")
+        .select(col("node"), col("parent"), col("depth"),
+          (col("sub_n") + coalesce(col("c_n"), lit(0L))).as("sub_n"),
+          (col("sub_cents") + coalesce(col("c_cents"),
+            lit(0L).cast("decimal(38,0)"))).cast("decimal(38,0)")
+            .as("sub_cents"))
+        .pin(true)
+      level -= 1
+    }
+    cur.select(col("node").as("node_id"), col("depth"),
+      col("sub_n").as("subtree_n"), col("sub_cents").as("subtree_cents"))
   }
 }

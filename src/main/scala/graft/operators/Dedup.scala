@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.operators.Materialize.Pinnable
 
 /** Document deduplication for large-scale training-data pipelines:
   * exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
@@ -121,29 +122,36 @@ object Dedup {
     * two-subtree formulation doubled the signing cost — the dominant
     * term of every MinHash query). */
   def lshCandidates(bands: DataFrame, idCol: String,
-                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val exchanged = bands.repartition(col("band_id"), col("band_hash"))
+                    maxBucket: Int = DefaultMaxBucket,
+                    tags: Seq[String] = Nil): DataFrame = {
+    // `tags` prepend extra bucket-key columns (e.g. a sweep's config
+    // id), so MULTIPLE band configurations generate candidates through
+    // ONE exchange instead of one exchange per config — buckets never
+    // mix across tag values because the tag is part of the key
+    val key = tags :+ "band_id" :+ "band_hash"
+    val exchanged = bands.repartition(key.map(col): _*)
     // count(idCol), not count(1): the census must read the SAME columns
     // as the expansion branch, or column pruning specializes its scan
     // subtree and the exchange stops being reusable (idCol is never
     // null here, so the count is identical)
-    val overCap = exchanged.groupBy(col("band_id"), col("band_hash"))
+    val overCap = exchanged.groupBy(key.map(col): _*)
       .agg(count(col(idCol)).as("n")).filter(col("n") > maxBucket)
-      .select("band_id", "band_hash")
+      .select(key.map(col): _*)
     exchanged
-      .join(broadcast(overCap), Seq("band_id", "band_hash"), "left_anti")
-      .groupBy(col("band_id"), col("band_hash"))
+      .join(broadcast(overCap), key, "left_anti")
+      .groupBy(key.map(col): _*)
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairExpand(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(tags.map(col) :+ explode(pairExpand(col("ids"))).as("p"): _*)
+      .select(tags.map(col) :+ col("p.id_a") :+ col("p.id_b"): _*)
+      .distinct()
   }
 
   /** token-set Jaccard between candidate pairs: join candidates back
     * to the corpus for distinct-token sets, then
     * |∩| / |∪| — verification touches only candidates. */
   def jaccardVerify(candidates: DataFrame, documents: DataFrame,
-                    shingleK: Int): DataFrame = {
+                    shingleK: Int, keep: Seq[String] = Nil): DataFrame = {
     val sets = documents.select(col("doc_id"),
       array_distinct(shingles(col("text"), shingleK)).as("sset"))
     candidates
@@ -152,7 +160,7 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))))
-      .select("id_a", "id_b", "jaccard")
+      .select((Seq("id_a", "id_b", "jaccard") ++ keep).map(col): _*)
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
@@ -546,7 +554,7 @@ object Dedup {
         col("n_dropped_pairwise"),
         (col("n_vectors") - (col("n_in_pairs") - col("n_components")))
           .as("n_survivors_component"))
-      .localCheckpoint(true)
+      .pin(true)
     pairs.unpersist()
     out
   }

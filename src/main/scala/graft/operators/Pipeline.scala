@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import graft.operators.Materialize.Pinnable
 
 /** Declarative multi-stage pipeline runner — Spark-native
   * re-expression of the reference's DLT pipeline surface: a LIVE
@@ -296,13 +297,13 @@ object Pipeline {
       if (v == 0) (VersionedTable.read(spark, bronzePath, Some(0)), None)
       else {
         val feed = VersionedTable.changes(spark, bronzePath, v - 1, v)
-          .localCheckpoint(true)
+          .pin(true)
         val ins = feed.filter(col("_change_type") === "insert")
           .drop("_change_type")
         val del = feed.filter(col("_change_type") === "delete")
           .select(col(key)).distinct()
           .join(ins.select(col(key)).distinct(), Seq(key), "left_anti")
-        (ins, if (del.isEmpty) None else Some(del.localCheckpoint(true)))
+        (ins, if (del.isEmpty) None else Some(del.pin(true)))
       }
     val head = s"$storageDir/${stages.head.name}"
     val emptyHop = v > 0 && delKeys.isEmpty && ins0.isEmpty

@@ -141,26 +141,54 @@ object SetJoin {
     val exact = spark.read.parquet(s"$stagingDir/exact")
     val signed = spark.read.parquet(s"$stagingDir/sigs")
     val thr = tNum.toDouble / tDen
-    bandConfigs.map { b =>
-      val cands = Dedup.lshCandidates(
-        Dedup.lshBands(signed, "doc_id", "sig", b, numPerm / b), "doc_id")
-      val lsh = Dedup.jaccardVerify(cands, documents, shingleK)
-        .filter(col("jaccard") >= thr)
-        .select(least(col("id_a"), col("id_b")).as("a_id"),
-          greatest(col("id_a"), col("id_b")).as("b_id"))
-      exact.withColumn("in_exact", lit(1L))
-        .join(lsh.withColumn("in_lsh", lit(1L)),
-          Seq("a_id", "b_id"), "full_outer")
-        .agg(
-          sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
-          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
-          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull,
-            1L).otherwise(0L)).as("n_common"))
-        .select(lit(b).as("bands"), lit(numPerm / b).as("rows_per_band"),
-          col("n_exact"), col("n_lsh"), col("n_common"),
-          when(col("n_exact") === 0L, lit(null).cast("double"))
-            .otherwise(col("n_common").cast("double") /
-              col("n_exact").cast("double")).as("recall"))
+    // FUSED sweep: the old per-config loop paid candidate generation
+    // (one exchange each) and Jaccard verification (a full corpus
+    // re-shingle each) THREE times. Band configs that divide numPerm
+    // share signatures, so one tagged frame generates every config's
+    // candidates through a single exchange (lshCandidates `tags`),
+    // each distinct pair is verified ONCE with the set of configs
+    // that proposed it, and the per-config recall rows fall out of one
+    // grouped aggregate — per-config pair sets (and so all published
+    // counts) are unchanged
+    val bandedAll = bandConfigs.map { b =>
+      Dedup.lshBands(signed, "doc_id", "sig", b, numPerm / b)
+        .select(lit(b).as("cfg"), col("doc_id"), col("band_id"),
+          col("band_hash"))
     }.reduce(_.unionByName(_))
+    val pairCfgs = Dedup.lshCandidates(bandedAll, "doc_id",
+        tags = Seq("cfg"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(collect_set(col("cfg")).as("cfgs"))
+    val lshAll = Dedup.jaccardVerify(pairCfgs, documents, shingleK,
+        keep = Seq("cfgs"))
+      .filter(col("jaccard") >= thr)
+      .select(explode(col("cfgs")).as("cfg"),
+        least(col("id_a"), col("id_b")).as("a_id"),
+        greatest(col("id_a"), col("id_b")).as("b_id"))
+    val cfgFrame = bandConfigs
+      .foldLeft(Option.empty[DataFrame]) { (acc, b) =>
+        val one = spark.range(1).select(lit(b).as("cfg"))
+        Some(acc.fold(one)(_.unionByName(one)))
+      }.get
+    val agged = cfgFrame.crossJoin(exact).withColumn("in_exact", lit(1L))
+      .join(lshAll.withColumn("in_lsh", lit(1L)),
+        Seq("cfg", "a_id", "b_id"), "full_outer")
+      .groupBy(col("cfg"))
+      .agg(
+        sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+        sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull,
+          1L).otherwise(0L)).as("n_common"))
+    // left join against the config universe: a config whose exact AND
+    // lsh sides are both empty still emits its (all-NULL-counts) row,
+    // exactly like the old loop's ungrouped aggregate over an empty
+    // full_outer
+    cfgFrame.join(agged, Seq("cfg"), "left")
+      .select(col("cfg").as("bands"),
+        (lit(numPerm) / col("cfg")).cast("int").as("rows_per_band"),
+        col("n_exact"), col("n_lsh"), col("n_common"),
+        when(col("n_exact") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_common").cast("double") /
+            col("n_exact").cast("double")).as("recall"))
   }
 }

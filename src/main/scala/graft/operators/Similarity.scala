@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.operators.Materialize.Pinnable
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -1102,7 +1103,7 @@ object Similarity {
     val lambdaBar = 1.0 - lambda
     val cand = annBruteForce(corpus, queries, pool)
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
-      .localCheckpoint(true)
+      .pin(true)
     val emb = corpus.select(col("vec_id"), col("embedding"),
       VectorFunctions.l2Norm(col("embedding")).as("nrm"))
     val a = cand.select(col("query_id"), col("neighbor_id").as("ca"))
@@ -1116,14 +1117,14 @@ object Similarity {
       .select(col("query_id"), col("ca"), col("cb"),
         (VectorFunctions.dot(col("ea"), col("eb")) /
           (col("na") * col("nb"))).as("sim"))
-      .localCheckpoint(true)
+      .pin(true)
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("neighbor_id"))
     var selected = cand
       .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), col("rel"),
         lit(1L).as("mmr_round"))
-      .localCheckpoint(true)
+      .pin(true)
     for (r <- 2 to k) {
       val ms = sims
         .join(selected.select(col("query_id"),
@@ -1141,7 +1142,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"),
           lit(r.toLong).as("mmr_round"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      selected = selected.unionByName(pick).pin(true)
     }
     selected
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.Materialize.Pinnable
 
 /** TextRank keyword scoring — PageRank over the word co-occurrence
   * graph (Mihalcea & Tarau 2004): vertices are corpus tokens, edges
@@ -91,7 +92,7 @@ object TextRank {
       ranks.unpersist()
       ranks = next
     }
-    val out = ranks.localCheckpoint(eager = true)
+    val out = ranks.pin(eager = true)
     ranks.unpersist()
     edges.unpersist()
     out

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, StructField, StructType}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.operators.Materialize.Pinnable
 
 /** A concurrent commit changed a file this commit had read-and-rewritten:
   * the two writers' outcomes cannot both hold (Delta's
@@ -1970,7 +1971,7 @@ object VersionedTable {
     // materialize the update source once (lazy localCheckpoint,
     // computed by the bloom-probe collect): it otherwise re-evaluates
     // for the key collect, the touch semi-join, and the rewrite
-    val upd = updates.localCheckpoint(eager = false)
+    val upd = updates.pin(eager = false)
     val keyFrame = upd.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, keys, "left_semi"), props,
@@ -1996,7 +1997,7 @@ object VersionedTable {
     // one materialization of the (possibly expensive) key frame — it
     // feeds the bloom collect, the touch semi-join, and the anti-join
     val keyFrame = keys.select(keyCols.map(col): _*).distinct()
-      .localCheckpoint(eager = false)
+      .pin(eager = false)
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, keyCols, "left_semi"), props,
       bloomTouchCandidates(spark, path, v, props, schema, keyFrame,
@@ -2028,7 +2029,7 @@ object VersionedTable {
       s"schema evolution cannot change column types — $conflicts")
     val props = propsOf(path, v)
     // one materialization of the update source (see upsert)
-    val upd = updates.localCheckpoint(eager = false)
+    val upd = updates.pin(eager = false)
     val keyFrame = upd.select(keys.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, v, schema,
       _.join(keyFrame, keys, "left_semi"), props,
@@ -2075,7 +2076,7 @@ object VersionedTable {
     val schema = schemaOf(path, v)
     val props = propsOf(path, v)
     // one materialization of the update batch (see upsert)
-    val upd = updates.localCheckpoint(eager = false)
+    val upd = updates.pin(eager = false)
     val nonNullUpd = upd.filter(col(key).isNotNull)
     val keyFrame = nonNullUpd.select(col(key)).distinct()
     val touched = touchedFiles(spark, path, v, schema,
@@ -2249,7 +2250,7 @@ object VersionedTable {
         lineage = true, props = propsOf(path, v))
       .filter(hit)
       .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
-      .localCheckpoint(true)
+      .pin(true)
     val touchedCounts = newDel.groupBy("file")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

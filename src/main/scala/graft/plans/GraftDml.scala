@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.operators.VersionedTable
 import graft.sources.GraftTable
+import graft.operators.Materialize.Pinnable
 
 /** SQL DML over the versioned format — `DELETE FROM` / `UPDATE` /
   * `MERGE INTO` on `graft.`/path`` catalog tables (judge r12 item 2:
@@ -218,7 +219,7 @@ case class GraftMergeCommand(path: String, targetAttrs: Seq[Attribute],
     // reason, plus determinism). LogicalRDD keeps the plan's output
     // attribute ids, so the ON/action expression bindings still hold.
     val src = GraftBridge.dataset(spark, sourcePlan)
-      .localCheckpoint(eager = false)
+      .pin(eager = false)
 
     def srcAttr(name: String): Expression =
       sourcePlan.output.find(_.name == name)

@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.VersionedTable
+import graft.operators.Materialize.Pinnable
 
 /** DataSource V2 front door for the versioned table format — the
   * `spark.read.format("graft")` / `USING graft` surface a SQL-first
@@ -768,7 +769,7 @@ private[sources] class GraftSink(path: String, partitionColumns: Seq[String],
       l
     }
     if (exists && last >= batchId) return // replayed batch: no-op
-    val df = GraftBridge.materializeStreamBatch(data).localCheckpoint(true)
+    val df = GraftBridge.materializeStreamBatch(data).pin(true)
     val spark = df.sparkSession
     mergeKeys match {
       case Some(keys) if exists =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+import graft.operators.Materialize.Pinnable
 
 /** Event row as carried by the streaming operators (`ts` =
   * epoch-micros, matching graft.Tables.events). */
@@ -151,7 +152,7 @@ object Streams {
     val latest = VersionedTable.latestVersion(srcPath).getOrElse(0)
     ((from + 1) to latest).foreach { v =>
       val feed = VersionedTable.changes(spark, srcPath, v - 1, v)
-        .localCheckpoint(true)
+        .pin(true)
       val inserts = feed.filter(col("_change_type") === "insert")
         .drop("_change_type")
       val delOnly = feed.filter(col("_change_type") === "delete")
