@@ -582,7 +582,7 @@ object TableQueries {
         SELECT l_orderkey % 16 AS bucket, count(*) AS n_rows,
           cast(sum(cast(CASE WHEN l_orderkey % 1000 = 7 THEN -1.0
             ELSE l_quantity END as decimal(18,2))) as double) AS sum_qty,
-          sum(l_partkey) AS sum_part
+          cast(sum(l_partkey) as bigint) AS sum_part
         FROM lineitem GROUP BY 1""")),
 
     Q("dsv2_read",
@@ -911,7 +911,7 @@ object TableQueries {
         SELECT l_orderkey % 16 AS bucket, count(*) AS n_rows,
           cast(sum(cast(l_quantity as decimal(18,2))) as double)
             AS sum_qty,
-          sum(l_partkey) AS sum_part
+          cast(sum(l_partkey) as bigint) AS sum_part
         FROM merged GROUP BY l_orderkey % 16""")),
 
     Q("sql_catalog_ctas_part",
@@ -1012,7 +1012,8 @@ object TableQueries {
           FROM graft.`$path`""")
       },
       Some("""
-        SELECT count(*) AS n_orders, sum(o_custkey) AS sum_cust,
+        SELECT count(*) AS n_orders,
+          cast(sum(o_custkey) as bigint) AS sum_cust,
           cast(sum(cast(o_totalprice as decimal(12,2))) as double)
             AS total_price
         FROM orders WHERE o_orderkey % 4 = 1""")),

@@ -293,20 +293,39 @@ object Pipeline {
                                 key: String, orderCol: String,
                                 tieBreaker: String, v: Int): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (ins0, delKeys) =
-      if (v == 0) (VersionedTable.read(spark, bronzePath, Some(0)), None)
+    val (ins0, delKeys, nIns) =
+      if (v == 0) (VersionedTable.read(spark, bronzePath, Some(0)), None,
+        1L)
       else {
+        // LAZY pin materialized by one census collect — replaces the
+        // eager pin + two per-leg isEmpty probes (optimization r14);
+        // a hop with no deletes skips the vanished-key anti-join
+        // without running it
         val feed = VersionedTable.changes(spark, bronzePath, v - 1, v)
-          .pin(true)
+          .pin(false)
+        import org.apache.spark.sql.functions.{coalesce, sum, when}
+        val census = feed.agg(
+          coalesce(sum(when(col("_change_type") === "insert", 1L)
+            .otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("_change_type") === "delete", 1L)
+            .otherwise(0L)), lit(0L)))
+          .collect()(0)
+        val (ni, nd) = (census.getLong(0), census.getLong(1))
         val ins = feed.filter(col("_change_type") === "insert")
           .drop("_change_type")
-        val del = feed.filter(col("_change_type") === "delete")
-          .select(col(key)).distinct()
-          .join(ins.select(col(key)).distinct(), Seq(key), "left_anti")
-        (ins, if (del.isEmpty) None else Some(del.pin(true)))
+        val del =
+          if (nd == 0) None
+          else {
+            val d = feed.filter(col("_change_type") === "delete")
+              .select(col(key)).distinct()
+              .join(ins.select(col(key)).distinct(), Seq(key),
+                "left_anti")
+            if (d.isEmpty) None else Some(d.pin(true))
+          }
+        (ins, del, ni)
       }
     val head = s"$storageDir/${stages.head.name}"
-    val emptyHop = v > 0 && delKeys.isEmpty && ins0.isEmpty
+    val emptyHop = v > 0 && delKeys.isEmpty && nIns == 0L
     if (!emptyHop) {
       val ins = ins0.withColumn("_graft_src_version", lit(v))
       incrementalBatch(spark, stages, storageDir, key, orderCol,

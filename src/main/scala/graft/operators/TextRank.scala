@@ -71,9 +71,15 @@ object TextRank {
     }
     val rank0 = 1000000000L / n
     val base = 150000000L / n
+    // each round materializes once via an eager pin (the CC-loop
+    // discipline, optimization r14): the old persist + count() pair
+    // cost the same one job but left the round's full logical plan in
+    // place (ranks appears twice per round — plan size doubled each
+    // round) and a CacheManager entry to clean up; the pin truncates
+    // to a LogicalRDD and frees through the ContextCleaner
     var ranks = verts
       .withColumn("rank_ppb", lit(rank0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .pin(eager = true)
     for (_ <- 1 to iters) {
       // rank_ppb ≤ 1e9 and deg ≥ 1 on every edge row, so the damped
       // sum is ≤ 85e9 — far inside long range
@@ -82,20 +88,15 @@ object TextRank {
           col("rank_ppb")), "src")
         .select(col("dst"), expr("rank_ppb div sdeg").as("c"))
         .groupBy(col("dst").as("word")).agg(sum(col("c")).as("s"))
-      val next = ranks.select("word", "deg")
+      ranks = ranks.select("word", "deg")
         .join(contrib, Seq("word"), "left")
         .select(col("word"), col("deg"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100"))
             .as("rank_ppb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist()
-      ranks = next
+        .pin(eager = true)
     }
-    val out = ranks.pin(eager = true)
-    ranks.unpersist()
     edges.unpersist()
-    out
+    ranks
   }
 
   /** The DuckDB oracle: the same three integer-ppb iterations

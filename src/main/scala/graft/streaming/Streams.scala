@@ -151,22 +151,37 @@ object Streams {
     val from = (applied :+ 0).max
     val latest = VersionedTable.latestVersion(srcPath).getOrElse(0)
     ((from + 1) to latest).foreach { v =>
+      // LAZY pin, materialized by the census collect — one job where
+      // eager pin + per-leg isEmpty probes were three (optimization
+      // r14): a hop with no deletes (append) or no inserts (pure
+      // delete) skips its dead leg — and its anti-join — entirely
       val feed = VersionedTable.changes(spark, srcPath, v - 1, v)
-        .pin(true)
+        .pin(false)
+      val census = feed.agg(
+        coalesce(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("_change_type") === "delete", 1L)
+          .otherwise(0L)), lit(0L)))
+        .collect()(0)
+      val (nIns, nDel) = (census.getLong(0), census.getLong(1))
       val inserts = feed.filter(col("_change_type") === "insert")
         .drop("_change_type")
-      val delOnly = feed.filter(col("_change_type") === "delete")
-        .select(keyCols.map(col): _*).distinct()
-        .join(inserts.select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti")
       val ops = VersionedTable.operations(replicaPath)
       val delMarker = s"CDF_DELETE[v=$v]"
       val mrgMarker = s"CDF_MERGE[v=$v]"
-      if (!ops.contains(delMarker) && !delOnly.isEmpty) {
-        VersionedTable.deleteMatching(spark, replicaPath, delOnly,
-          keyCols, operation = delMarker); ()
+      if (!ops.contains(delMarker) && nDel > 0) {
+        // vanished keys: deletes whose key is not re-inserted this hop
+        // (an UPDATE emits delete+insert pairs that must not delete)
+        val delOnly = feed.filter(col("_change_type") === "delete")
+          .select(keyCols.map(col): _*).distinct()
+          .join(inserts.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+        if (!delOnly.isEmpty) {
+          VersionedTable.deleteMatching(spark, replicaPath, delOnly,
+            keyCols, operation = delMarker); ()
+        }
       }
-      if (!ops.contains(mrgMarker) && !inserts.isEmpty) {
+      if (!ops.contains(mrgMarker) && nIns > 0) {
         VersionedTable.upsert(spark, replicaPath, inserts, keyCols,
           operation = mrgMarker); ()
       }

@@ -46,6 +46,18 @@ def dec38_cols(con, res_glob):
     return [r[0] for r in rel.fetchall() if r[1] == "DECIMAL(38,0)"]
 
 
+def hugeint_cols(con, sql):
+    """Oracle-side type census (r14 lesson — the three driver-only
+    hash misses): DuckDB widens sum(BIGINT) to HUGEINT (int128).
+    The python client hands HUGEINT back as a plain int, so THIS
+    harness can't see the difference — but the driver's type-tagged
+    hash distinguishes int128 from Spark's int64 and fails the query
+    on every run. No oracle may publish a HUGEINT column: cast the
+    sum to bigint (same value) in the oracle SQL."""
+    rel = con.sql(f"DESCRIBE {sql}")
+    return [r[0] for r in rel.fetchall() if r[1] in ("HUGEINT", "UHUGEINT")]
+
+
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted("|".join(norm(r[i]) for i in order) for r in rows)
@@ -69,6 +81,11 @@ def main(sf_dir, out_dir):
             bad = dec38_cols(con, res_glob)
             if bad:
                 print(f"[DC38] {name}: decimal(38,0) published: {bad}")
+                failures += 1
+                continue
+            hbad = hugeint_cols(con, sql)
+            if hbad:
+                print(f"[HUGE] {name}: oracle publishes HUGEINT: {hbad}")
                 failures += 1
                 continue
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{res_glob}')")
