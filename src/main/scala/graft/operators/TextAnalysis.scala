@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.Pinnable
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting.
@@ -1146,15 +1147,69 @@ object TextAnalysis {
     val joined = counts(prev, "c_prev").join(counts(cur, "c_cur"),
         Seq("v"), "full_outer")
       .na.fill(0L, Seq("c_prev", "c_cur"))
-    val wc = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    joined
-      .withColumn("cum_prev", sum(col("c_prev")).over(wc))
-      .withColumn("cum_cur", sum(col("c_cur")).over(wc))
-      .withColumn("n_prev", sum(col("c_prev")).over(wt))
-      .withColumn("n_cur", sum(col("c_cur")).over(wt))
+    // The CDF needs cumulative sums over the value census. A census of
+    // few distinct values runs them as one single-partition window —
+    // two extra jobs would cost more than they save. A HIGH-cardinality
+    // census (continuous-ish values at 100 TB) must not funnel through
+    // one partition (the r13-verdict residual §2 risk): past the
+    // threshold the cumsum goes TWO-PHASE — monotone range buckets,
+    // per-bucket totals prefixed on the driver (≤ #buckets rows),
+    // broadcast offsets, and a PARTITIONED in-bucket window. Integer
+    // sums either way: bit-identical output.
+    val spark = prev.sparkSession
+    val minRows = spark.conf
+      .getOption("spark.graft.ksDrift.partitionedCumsumMinRows")
+      .map(_.toLong).getOrElse(65536L)
+    val pinned = joined.pin(eager = false)
+    val stats = pinned.agg(count(lit(1)), min(col("v")), max(col("v")),
+      coalesce(sum(col("c_prev")), lit(0L)),
+      coalesce(sum(col("c_cur")), lit(0L))).collect()(0)
+    val nDistinct = stats.getLong(0)
+    val (nPrev, nCur) = (stats.getLong(3), stats.getLong(4))
+    val cdf =
+      if (nDistinct <= minRows) {
+        val wc = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pinned
+          .withColumn("cum_prev", sum(col("c_prev")).over(wc))
+          .withColumn("cum_cur", sum(col("c_cur")).over(wc))
+      } else {
+        val (minV, maxV) = (stats.getLong(1), stats.getLong(2))
+        // ≤4096 monotone buckets: bucket order == value order, so the
+        // exclusive per-bucket prefix is the in-bucket window's offset
+        val width = math.max(1L, (maxV - minV) / 4096L + 1L)
+        // integer div (never the double `/`): exact at any long range
+        val bucketed = pinned.withColumn("b",
+          expr(s"(v - ${minV}L) div ${width}L"))
+        val perBucket = bucketed.groupBy(col("b"))
+          .agg(sum(col("c_prev")).as("bp"), sum(col("c_cur")).as("bc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        var (accP, accC) = (0L, 0L)
+        val offsets = perBucket.map { case (b, bp, bc) =>
+          val o = (b, accP, accC); accP += bp; accC += bc; o
+        }
+        val offDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(offsets.toSeq.map {
+            case (b, op, oc) => org.apache.spark.sql.Row(b, op, oc) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("off_prev",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("off_cur",
+              org.apache.spark.sql.types.LongType))))
+        val wb = Window.partitionBy(col("b")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(broadcast(offDf), Seq("b"))
+          .withColumn("cum_prev",
+            sum(col("c_prev")).over(wb) + col("off_prev"))
+          .withColumn("cum_cur",
+            sum(col("c_cur")).over(wb) + col("off_cur"))
+      }
+    cdf
+      .withColumn("n_prev", lit(nPrev))
+      .withColumn("n_cur", lit(nCur))
       .select(col("v"),
         expr("abs((cum_prev * 1000000L) div n_prev - " +
           "(cum_cur * 1000000L) div n_cur)").as("gap_ppm"),

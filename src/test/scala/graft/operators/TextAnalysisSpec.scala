@@ -744,6 +744,23 @@ class TextAnalysisSpec extends SparkSpec {
       trunc.getAs[Long]("at_value") >= 5L)
   }
 
+  test("ksDrift: partitioned two-phase cumsum is bit-identical to the " +
+       "single-window path") {
+    import spark.implicits._
+    // skewed, gappy long domain so the range buckets are uneven
+    val a = (1L to 500L).map(i => i * i % 9973).toDF("v")
+    val b = (1L to 400L).map(i => (i * 31) % 7919 + 50).toDF("v")
+    def run() = TextAnalysis.ksDrift(a, b, "v").collect()(0)
+    val single = run()
+    // force every census past the threshold onto the two-phase path —
+    // the 100 TB shape where one partition must not hold the whole CDF
+    spark.conf.set("spark.graft.ksDrift.partitionedCumsumMinRows", "1")
+    val partitioned = try run()
+      finally spark.conf
+        .unset("spark.graft.ksDrift.partitionedCumsumMinRows")
+    assert(partitioned == single)
+  }
+
   test("bm25Search: tf saturation, idf ordering, and length penalty") {
     import spark.implicits._
     val docs = Seq(
