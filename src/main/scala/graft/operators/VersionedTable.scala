@@ -552,6 +552,18 @@ object VersionedTable {
     * orders binary stats by unsigned UTF-8 byte, readers compare
     * UTF-16 code units — the two agree on ASCII and can diverge
     * beyond it, and a diverging bound would prune wrongly. */
+  /** One shared Hadoop conf for footer opens: `new Configuration()`
+    * re-parses core-default/core-site XML on every instantiation
+    * (several ms), and footers are opened once per committed file —
+    * the conf never changes between opens. Routed through the
+    * fork-free raw local FS like every other graft file op. */
+  private lazy val footerHadoopConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set("fs.file.impl",
+      classOf[graft.sources.NoForkRawLocalFileSystem].getName)
+    c
+  }
+
   private def footerInfo(p: Path)
       : (Long, Map[String, (Double, Double)], Map[String, (String, String)]) = {
     footerReads.incrementAndGet()
@@ -594,8 +606,7 @@ object VersionedTable {
       case _ => None
     }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(p.toUri), footerHadoopConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val rows = r.getRecordCount
