@@ -843,8 +843,12 @@ private[graft] object StreamingQueries {
         // large trigger: one-file-per-doc staging makes per-batch
         // fixed cost the bottleneck at bench scale; StreamsSpec
         // proves the signature store is trigger-size independent
+        // (16-file and 1000-file triggers derive identical groups).
+        // 4096 keeps the sf0.1 run multi-batch (5000 files → 2
+        // batches) while dropping one whole batch of listing +
+        // source-log + decode fixed cost vs the previous 2048.
         graft.streaming.Streams.imageHashStream(s, src, sg, ckpt,
-          maxFilesPerTrigger = 2048).awaitTermination(180000)
+          maxFilesPerTrigger = 4096).awaitTermination(180000)
         graft.streaming.Streams.imageDedupFromShards(s, sg)
       },
       Some(InlineOracles.image_phash_dedup)),

@@ -932,10 +932,11 @@ object Dedup {
       capacity, fpp)
     val inc = incoming.select(col("doc_id"),
       sha60(col("text")).as("content_hash"))
+    val bloomBc = base.sparkSession.sparkContext.broadcast(bloomBytes)
     val probe = org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.LongBloomMightContain(
         org.apache.spark.sql.graft.GraftBridge.expression(
-          col("content_hash")), bloomBytes))
+          col("content_hash")), bloomBc))
     // miss ⇒ provably new (no bloom false negatives): map-only pass
     val definitelyNew = inc.filter(!probe)
     // possible hit ⇒ exact verification via anti-join on the hash
@@ -972,10 +973,11 @@ object Dedup {
     val nBase = members.count()
     val bloomBytes = RuntimeFilter.keyBloom(members, "content_hash",
       math.max(nBase, 1024L), fpp)
+    val bloomBc = documents.sparkSession.sparkContext.broadcast(bloomBytes)
     val mightContain = org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.expressions.LongBloomMightContain(
         org.apache.spark.sql.graft.GraftBridge.expression(
-          col("content_hash")), bloomBytes))
+          col("content_hash")), bloomBc))
     val hits = probes.filter(mightContain)
       .join(members, Seq("content_hash"), "left_anti")
     val fppPpm = math.round(fpp * 1000000).toInt

@@ -39,11 +39,16 @@ object RuntimeFilter {
   }
 
   /** `fact` rows whose `key` might be in the serialized filter —
-    * map-only, codegen, upstream of any exchange. */
+    * map-only, codegen, upstream of any exchange. The bytes are
+    * torrent-broadcast once per query; the plan carries only the
+    * handle (an inlined filter re-ships inside every stage's task
+    * binary — megabytes serialized+compressed per stage per job). */
   def bloomProbe(fact: DataFrame, key: String,
-                 bloomBytes: Array[Byte]): DataFrame =
+                 bloomBytes: Array[Byte]): DataFrame = {
+    val bc = fact.sparkSession.sparkContext.broadcast(bloomBytes)
     fact.filter(GraftBridge.column(
-      LongBloomMightContain(GraftBridge.expression(fact(key)), bloomBytes)))
+      LongBloomMightContain(GraftBridge.expression(fact(key)), bc)))
+  }
 
   /** Equi-join `fact(factKey) = dim(dimKey)` with the fact side
     * pre-pruned by a bloom filter built from the dim side's keys.

@@ -59,9 +59,10 @@ class RuntimeFilterSpec extends SparkSpec {
   test("bloom probe survives codegen and interpreted paths identically") {
     val bytes = RuntimeFilter.keyBloom(urgentOrders, "o_orderkey",
       expectedItems = 1 << 16, fpp = 0.03)
+    val bc = spark.sparkContext.broadcast(bytes)
     def probes = tables.lineitem.limit(200).select(col("l_orderkey"),
       GraftBridge.column(LongBloomMightContain(
-        GraftBridge.expression(col("l_orderkey")), bytes)).as("hit"))
+        GraftBridge.expression(col("l_orderkey")), bc)).as("hit"))
     val withCodegen = probes.collect().map(r => (r.getLong(0), r.getBoolean(1)))
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
