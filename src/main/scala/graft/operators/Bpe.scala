@@ -112,7 +112,7 @@ object Bpe {
       .filter(!col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(split(col("w"), "").as("pieces"), col("c"))
-      .pin(true)
+      .pin(eager = false)
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var continue = true
@@ -143,7 +143,11 @@ object Bpe {
                 array(lit(a + b))))
               .otherwise(concat(acc, array(x)))).as("pieces"),
           col("c"))
-          .pin(true)
+          // LAZY pin (the CC-loop discipline): the next round's
+          // best-pair collect materializes the checkpoint — one job
+          // per round instead of two, and the LAST round's merge-apply
+          // (whose output no collect ever reads) never runs at all
+          .pin(eager = false)
       }
     }
     import spark.implicits._

@@ -367,7 +367,10 @@ object Clusters {
           .otherwise(pmod(sha60(concat(lit("tree:"),
             col("node").cast("string"))), col("node"))).as("anc"),
         when(col("node") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
-      .pin(true)
+      // LAZY pins throughout this loop (the CC-loop discipline): the
+      // per-round `pending` convergence count is the materializing
+      // action, so each round costs ONE job instead of pin + count
+      .pin(eager = false)
     var round = 0
     var pending = cur.filter(col("anc") =!= 0).count()
     while (pending > 0 && round < maxRounds) {
@@ -379,7 +382,7 @@ object Clusters {
             .otherwise(col("j_anc")).as("anc"),
           when(col("anc") === 0, col("d"))
             .otherwise(col("d") + col("j_d")).as("d"))
-        .pin(true)
+        .pin(eager = false)
       round += 1
       pending = cur.filter(col("anc") =!= 0).count()
     }
@@ -415,7 +418,9 @@ object Clusters {
         when(col("node") === 0, lit(0L))
           .otherwise(pmod(sha60(concat(lit("tree:"),
             col("node").cast("string"))), col("node"))).as("parent"))
-      .pin(true)
+      // lazy: the eager `known` init pin below (or the level sweep's
+      // first pin) computes and checkpoints it — no standalone job
+      .pin(eager = false)
     // (optimization r13) the old bottom-up LEVEL sweep paid one join +
     // one eager checkpoint PER LEVEL — O(depth) rounds (≈19 on this
     // random-attachment tree). Rewritten as pointer-doubling ANCESTOR
@@ -458,7 +463,12 @@ object Clusters {
         .select(col("node"), col("t2").as("t"))
         .unionByName(top.filter(col("t") === 0))
       known = known.unionByName(newPairs).pin(true)
-      top = newTop.pin(true)
+      // LAZY pin for `top`: the NEXT round's eager `known` job computes
+      // (and thereby checkpoints) it — one job per round instead of
+      // two, and the LAST round's newTop (which nothing downstream
+      // reads) never runs. The plan is truncated to a LogicalRDD
+      // either way, so per-round analysis cost is unchanged.
+      top = newTop.pin(eager = false)
       span *= 2
     }
     val rolled = known
