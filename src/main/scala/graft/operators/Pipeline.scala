@@ -316,11 +316,15 @@ object Pipeline {
         val del =
           if (nd == 0) None
           else {
+            // lazy pin BEFORE the isEmpty probe: the probe materializes
+            // the checkpoint, so the delete verb below reuses the
+            // blocks instead of re-running the anti-join
             val d = feed.filter(col("_change_type") === "delete")
               .select(col(key)).distinct()
               .join(ins.select(col(key)).distinct(), Seq(key),
                 "left_anti")
-            if (d.isEmpty) None else Some(d.pin(true))
+              .pin(eager = false)
+            if (d.isEmpty) None else Some(d)
           }
         (ins, del, ni)
       }

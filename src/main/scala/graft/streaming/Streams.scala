@@ -171,7 +171,11 @@ object Streams {
       val mrgMarker = s"CDF_MERGE[v=$v]"
       if (!ops.contains(delMarker) && nDel > 0) {
         // vanished keys: deletes whose key is not re-inserted this hop
-        // (an UPDATE emits delete+insert pairs that must not delete)
+        // (an UPDATE emits delete+insert pairs that must not delete).
+        // NOT pinned before the isEmpty probe: deleteMatching pins its
+        // key frame internally, and a lazy pin here measured WORSE
+        // (the take-escalation of isEmpty over a checkpoint-marked RDD
+        // costs more jobs than the one re-evaluation it saves)
         val delOnly = feed.filter(col("_change_type") === "delete")
           .select(keyCols.map(col): _*).distinct()
           .join(inserts.select(keyCols.map(col): _*).distinct(),
